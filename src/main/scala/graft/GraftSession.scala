@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Unlike the reference, which opens its indexes per request
+  * (reference: mcp_server/tools.py:53-57 — an inefficiency SURVEY.md §7.5
+  * flags), graft is built around one long-lived SparkSession whose cached
+  * DataFrames play the role of the reference's SQLite/Chroma handles.
+  */
+object GraftSession {
+  def builder(appName: String = "graft", cores: String = "32"): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // the driver's `events` table stores TIMESTAMP(NANOS); Spark 4 only
+      // reads it via the legacy long mapping (we convert explicitly).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(appName: String = "graft", cores: String = "32"): SparkSession = {
+    val s = builder(appName, cores).master(s"local[$cores]").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Scalar text functions of the engine (SURVEY.md §2.8).
+  *
+  * Everything here is built from codegen'd builtin column expressions — no
+  * UDFs — so the whole text pipeline stays inside whole-stage codegen.
+  *
+  * Portability invariant: the only hash primitives used are md5/sha2, which
+  * produce identical results in DuckDB (the correctness oracle), so every
+  * derived operator (minhash, simhash, fingerprints) is cross-checkable.
+  */
+object TextFns {
+
+  /** Tokenizer regex (reference: mcp_server/apps/router.py:41-44 uses
+    * `[\w؀-ۿ]+`; our corpus is ascii so the separator form is equivalent
+    * and identical in Spark and DuckDB regex dialects). */
+  val TokenSep = "[^a-z0-9\\u0600-\\u06ff]+"
+
+  /** F2: lowercase, split on non-word, drop empties. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), TokenSep), t => length(t) > lit(0))
+
+  /** Router variant of F2: additionally drops single-char tokens
+    * (reference: router.py:43-44). */
+  def routerTokens(c: Column): Column =
+    filter(split(lower(c), TokenSep), t => length(t) > lit(1))
+
+  def distinctTokens(c: Column): Column = array_distinct(tokens(c))
+
+  /** Portable 60-bit hash: first 15 hex chars of md5, as a non-negative
+    * long. DuckDB equivalent: ('0x' || substring(md5(x),1,15))::BIGINT. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Seeded variant (for minhash families). */
+  def hash60(seed: Int, c: Column): Column = hash60(concat(lit(s"$seed:"), c))
+
+  /** 31-bit variant, safe for exact double arithmetic. */
+  def hash31(c: Column): Column = hash60(c) % lit(2147483647L)
+
+  /** F18: record checksum — sha256 over U+241F-joined fields
+    * (reference: sunnah_scraper/models.py:72-81). */
+  def checksum(cols: Column*): Column = sha2(concat_ws("␟", cols: _*), 256)
+
+  /** F19: HTML tag strip (reference: quran_mcp/loader.py:13-21). */
+  def htmlStrip(c: Column): Column = regexp_replace(c, "<[^>]+>", " ")
+
+  /** F21: whitespace normalization (reference: sunnah_scraper/parser.py:35-41). */
+  def normWhitespace(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
+
+  /** F1: narrator/text canonicalization — strip parentheticals, reporting
+    * verbs, punctuation; collapse whitespace
+    * (reference: mcp_server/apps/normalization.py:8-26). */
+  def canonicalize(c: Column): Column = {
+    val noParen = regexp_replace(c, "\\([^)]*\\)", " ")
+    val noVerbs = regexp_replace(lower(noParen), "(reported|narrated|said|stated)", " ")
+    val noPunct = regexp_replace(noVerbs, "[^a-z0-9 ]", " ")
+    normWhitespace(noPunct)
+  }
+
+  /** T6: snippet/preview truncation (reference: mcp_server/tools.py:154). */
+  def snippet(c: Column, n: Int): Column = substring(c, 1, n)
+
+  /** n-token shingles joined by '_' (dedup primitives). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws("_", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array())
+
+  /** Rolling polynomial fingerprint over the token stream, mod 1e9+7.
+    * acc' = (acc*31 + hash31(token)) % M — order-sensitive document
+    * fingerprint; portable (DuckDB: list_reduce over the same recurrence). */
+  val FingerprintMod = 1000000007L
+  def fingerprint(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => (acc * lit(31L) + hash31(t)) % lit(FingerprintMod))
+}

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 scoring as a DataFrame job (SURVEY.md §7.3; reference delegates to
+  * SQLite FTS5's bm25() aux function: mcp_server/apps/fts.py:98-101,
+  * quran_mcp/search.py:119-124).
+  *
+  * Query time is one broadcast join of the (tiny) query-term set against the
+  * postings table, a per-row weight expression, and a groupBy(doc_id) sum —
+  * i.e. a map-side-combinable aggregation whose only shuffle is on doc_id.
+  * With term-bucketed postings at scale the probe reads only matching
+  * buckets; the over-fetch/rerank policy (max(50, n·5) candidates,
+  * reference: tools.py:87,93) happens after this with a TakeOrderedAndProject.
+  */
+object Bm25 {
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Per-(doc,term) BM25 weight, then summed per doc.
+    * idf = ln((N - df + 0.5)/(df + 0.5) + 1)            (Lucene/FTS5 form)
+    * w   = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    */
+  def score(postings: DataFrame, dictionary: DataFrame, stats: DataFrame,
+            queryTerms: Seq[String], k1: Double = K1, b: Double = B): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val qt = queryTerms.distinct.toDF("term")
+    val matched = postings
+      .join(broadcast(qt), "term")
+      .join(broadcast(dictionary.join(broadcast(qt), "term")), "term")
+      .crossJoin(broadcast(stats))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val w = idf * ((col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl)))
+    matched
+      .select(col("doc_id"), w.as("w"))
+      .groupBy("doc_id")
+      .agg(round(sum("w"), 6).as("bm25"))
+  }
+
+  /** Candidate selection: ORDER BY bm25 DESC LIMIT k — compiles to
+    * TakeOrderedAndProject (no global sort materialization). */
+  def topK(scored: DataFrame, k: Int): DataFrame =
+    scored.orderBy(desc("bm25"), asc("doc_id")).limit(k)
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for large-scale text pipelines (builder brief):
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard. The embedding-cosine
+  * near-dup lives in [[Similarity.nearDupPairs]].
+  *
+  * Scale design: every method is banded/bucketed so candidate generation is
+  * an equi-join on a bucket key (shuffle on the key, never an n² cross
+  * join); only verified candidates pay the exact-similarity cost.
+  */
+object Dedup {
+
+  /** Exact dedup groups by content hash: survivor = min(doc_id).
+    * (hash-groupBy; at scale a single shuffle on the 128-bit content key) */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_key"))
+      .agg(min(col(idCol)).as("survivor"), count("*").as("n_copies"))
+
+  /** Deterministic order-preserving dedupe (T4 in SURVEY.md — the
+    * reference's walk-sorted-hits dedupe, quran_mcp/search.py:262-278):
+    * row_number over the content key, ordered by rank criteria. */
+  def keepBest(docs: DataFrame, keyCol: org.apache.spark.sql.Column,
+               orderCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCols: _*)
+    docs.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+  }
+
+  /** MinHash signatures: numHashes seeded md5-hashes, min over the doc's
+    * distinct tokens. Output (doc_id, seed, minh) — exploded for
+    * cross-engine comparability. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int): DataFrame = {
+    val terms = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(TextFns.distinctTokens(col(textCol))).as("term"))
+    terms
+      .select(col("doc_id"), col("term"), explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
+      .withColumn("h", TextFns.hash60(concat(col("seed"), lit(":"), col("term"))))
+      .groupBy("doc_id", "seed")
+      .agg(min("h").as("minh"))
+  }
+
+  /** LSH banding: group the signature into bands of `rowsPerBand`, hash each
+    * band, and emit candidate pairs (a < b) sharing any band bucket.
+    * The join key is (band, band_key) — candidates never require n². */
+  def lshCandidatePairs(sigs: DataFrame, rowsPerBand: Int): DataFrame = {
+    val banded = sigs
+      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(md5(concat_ws(":", transform(array_sort(collect_list(struct(col("seed"), col("minh")))),
+        s => s.getField("minh").cast("string")))).as("band_key"))
+    val a = banded.select(col("band"), col("band_key"), col("doc_id").as("a"))
+    val b = banded.select(col("band"), col("band_key"), col("doc_id").as("b"))
+    a.join(b, Seq("band", "band_key"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Exact Jaccard over distinct token sets for given candidate pairs. */
+  def jaccardVerify(docs: DataFrame, idCol: String, textCol: String,
+                    pairs: DataFrame, threshold: Double): DataFrame =
+    shingleJaccard(docs.select(col(idCol).cast("long").as("doc_id"),
+      TextFns.distinctTokens(col(textCol)).as("shingles")), pairs, threshold)
+
+  /** n-gram (token shingle) Jaccard near-dup pairs: candidates via the
+    * shared-shingle equi-join, verified exactly. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val sh = docs.select(col(idCol).cast("long").as("doc_id"),
+      array_distinct(TextFns.shingles(TextFns.tokens(col(textCol)), n)).as("shingles"))
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val cand = ex.as("x").join(ex.as("y"), col("x.s") === col("y.s"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    shingleJaccard(sh, cand, threshold)
+  }
+
+  private def shingleJaccard(sh: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
+    val sized = sh.select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
+    pairs
+      .join(sized.select(col("doc_id").as("a"), col("shingles").as("sh_a"), col("n_sh").as("na")), "a")
+      .join(sized.select(col("doc_id").as("b"), col("shingles").as("sh_b"), col("n_sh").as("nb")), "b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jacc", round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+      .where(col("jacc") >= threshold)
+      .select(col("a"), col("b"), col("jacc"))
+  }
+
+  /** SimHash (bits ≤ 32): per bit j, sum tf·(±1) by the j-th bit of the
+    * term hash; the fingerprint sets bit j where the sum is positive. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame = {
+    val postings = Postings.build(docs, idCol, textCol)
+    val pows = array((0 until bits).map(j => lit(1L << j)): _*)
+    postings
+      .select(col("doc_id"), col("term"), col("tf"),
+        TextFns.hash60(col("term")).as("h"),
+        explode(sequence(lit(0), lit(bits - 1))).as("j"))
+      .withColumn("p", element_at(pows, col("j") + 1))
+      .withColumn("bit", expr("(h div p) % 2"))
+      .withColumn("contrib", col("tf") * (col("bit") * 2 - 1))
+      .groupBy("doc_id", "j", "p")
+      .agg(sum("contrib").as("s"))
+      .withColumn("bitval", when(col("s") > 0, col("p")).otherwise(lit(0L)))
+      .groupBy("doc_id")
+      .agg(sum("bitval").as("simhash"))
+  }
+
+  /** Near-dup pairs by Hamming distance on simhash fingerprints. For the
+    * verified pair set sizes here a broadcast self-join is fine; at scale
+    * the standard trick is banding the fingerprint into (bits/k)-bit keys
+    * (any pair within Hamming k shares at least one exact band). */
+  def simhashPairs(sim: DataFrame, maxHamming: Int): DataFrame = {
+    val a = sim.select(col("doc_id").as("a"), col("simhash").as("ha"))
+    val b = sim.select(col("doc_id").as("b"), col("simhash").as("hb"))
+    a.join(b, col("a") < col("b"))
+      .withColumn("hamming", bit_count(expr("ha ^ hb")))
+      .where(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+}

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The lexical inverted index as DataFrames (SURVEY.md §1.4, §7.3).
+  *
+  * Replaces the reference's SQLite FTS5 virtual tables
+  * (mcp_server/apps/fts.py:263-290; quran_mcp/search.py:46-72) with two
+  * derived tables that shard naturally across a cluster:
+  *
+  *   postings   (doc_id, dl, term, tf)   — one row per (doc, term)
+  *   dictionary (term, df, cf)           — document/corpus frequencies
+  *
+  * Both are pure explode/groupBy jobs: map-side partial aggregation applies,
+  * the shuffle key is `term` (resp. (doc_id, term)), and at 100 TB the
+  * postings table would be written bucketed by `term` so query-time probes
+  * co-locate with the dictionary without a shuffle.
+  */
+object Postings {
+
+  /** Build postings from a document table. */
+  def build(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      TextFns.tokens(col(textCol)).as("toks"))
+    toks
+      .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count("*").as("tf"))
+  }
+
+  /** (term, df, cf) dictionary from postings. */
+  def dictionary(postings: DataFrame): DataFrame =
+    postings.groupBy("term")
+      .agg(countDistinct("doc_id").as("df"), sum("tf").as("cf"))
+
+  /** Single-row corpus stats (n_docs, sum_dl) — the BM25 constants.
+    * Kept as a DataFrame (cross-joined broadcast) instead of a collect so
+    * the whole scoring plan stays lazy/distributed. */
+  def corpusStats(postings: DataFrame): DataFrame =
+    postings.select("doc_id", "dl").distinct()
+      .agg(count("*").as("n_docs"), sum("dl").as("sum_dl"))
+}

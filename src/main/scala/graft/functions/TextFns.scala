@@ -57,7 +57,7 @@ object TextFns {
     * (reference: mcp_server/apps/normalization.py:8-26). */
   def canonicalize(c: Column): Column = {
     val noParen = regexp_replace(c, "\\([^)]*\\)", " ")
-    val noVerbs = regexp_replace(lower(noParen), "(reported|narrated|said|stated)", " ")
+    val noVerbs = regexp_replace(lower(noParen), "\\b(reported|narrated|said|stated)\\b", " ")
     val noPunct = regexp_replace(noVerbs, "[^a-z0-9 ]", " ")
     normWhitespace(noPunct)
   }

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Vector/embedding functions (SURVEY.md §2.9).
   *
@@ -53,7 +54,7 @@ object VecFns {
         val h = TextFns.hash31(t)
         val bucket = h % lit(dim.toLong)
         val sign = when(floor(h / lit(dim.toLong)) % lit(2L) === lit(0L), lit(1.0)).otherwise(lit(-1.0))
-        acc + when(bucket === lit(d.toLong), sign).otherwise(lit(0.0))
+        acc + when(bucket === d.cast(LongType), sign).otherwise(lit(0.0))
       }))
 
   /** L2-normalized form of hashEmbed, rounded for stable serialization. */

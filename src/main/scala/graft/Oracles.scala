@@ -1,0 +1,405 @@
+package graft
+
+import graft.functions.VecFns
+import graft.operators.Similarity
+
+/** DuckDB oracle SQL for every entry in [[Queries.all]] — the driver runs
+  * these on the same parquet tables and hash-compares against the Spark
+  * results, so every expression here mirrors its Spark twin exactly
+  * (same hash primitives, same rounding, same tie-breaks).
+  */
+object Oracles {
+
+  // ── shared fragments (keep in sync with TextFns/Postings) ────────────
+  private def h60(x: String) = s"(('0x'||substring(md5($x),1,15))::BIGINT)"
+  private def h31(x: String) = s"(${h60(x)} % 2147483647)"
+
+  private val Toks =
+    "toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), " +
+      "'[^a-z0-9_؀-ۿ]+'), t -> len(t)>0) t FROM documents)"
+  private val Posting =
+    "p0 AS (SELECT doc_id, CAST(len(t) AS BIGINT) dl, unnest(t) term FROM toks), " +
+      "p AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) tf FROM p0 GROUP BY 1,2,3)"
+  private val Dict =
+    "d AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) df, CAST(sum(tf) AS BIGINT) cf FROM p GROUP BY 1)"
+  private val Stats =
+    "st AS (SELECT CAST(count(*) AS BIGINT) n_docs, CAST(sum(dl) AS BIGINT) sum_dl " +
+      "FROM (SELECT DISTINCT doc_id, dl FROM p))"
+
+  private val Cents4 =
+    "CAST(round(l_extendedprice*100) AS BIGINT)*CAST(round((1-l_discount)*100) AS BIGINT)"
+
+  private def bm25Cte(terms: Seq[String]): String = {
+    val termList = terms.map(t => s"'$t'").mkString("[", ",", "]")
+    s"""$Toks, $Posting, $Dict, $Stats,
+       |q AS (SELECT unnest($termList) term),
+       |m AS (SELECT p.doc_id, p.dl, p.tf, d.df, st.n_docs, st.sum_dl
+       |      FROM p JOIN q USING(term) JOIN d USING(term) CROSS JOIN st),
+       |bm AS (SELECT doc_id, round(sum(
+       |         ln((n_docs - df + 0.5)/(df + 0.5) + 1.0)
+       |         * (tf * 2.2) / (tf + 1.2*(1.0 - 0.75 + 0.75*dl/(CAST(sum_dl AS DOUBLE)/n_docs)))
+       |       ), 6) bm25 FROM m GROUP BY 1)""".stripMargin
+  }
+
+  // quantized-vector fragments (mirror VecFns.quantize / cosineQ)
+  private val EmbQ =
+    "e AS (SELECT vec_id, list_transform(embedding, x -> round(x*1e7)) qv FROM embeddings)"
+  private def cosQ(a: String, b: String) =
+    s"round(list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b))),6)"
+
+  /** Random-hyperplane bucket expression with the SAME literal signs as
+    * Similarity.lshBucket (derived on the driver from the shared md5
+    * family). */
+  private def bucketExpr(vcol: String, dim: Int, nBits: Int, seed: String): String =
+    (0 until nBits).map { j =>
+      val signs = Similarity.hyperplaneSigns(dim, j, seed)
+        .map(d => if (d > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product($vcol, $signs) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  // canonicalize (TextFns.canonicalize twin); g = regexp_replace global flag
+  private val StripSet = " -‏‎﻿"
+  private def canonSql(x: String): String =
+    s"nullif(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace($x, " +
+      "'(?i)\\((?:may|may allah be pleased|رضي الله عن(?:ه|ها|هم))[^)]*\\)', '', 'g'), " +
+      "'(?i)\\b(reported|narrated|said|stated)\\b:?', '', 'g'), " +
+      "'[:،]', '', 'g'), " +
+      s"'\\s+', ' ', 'g'), '$StripSet'), '')"
+
+  private def sq(s: String): String = s.replace("'", "''")
+
+  val all: Map[String, String] = Map(
+    // ── relational core ────────────────────────────────────────────────
+    "q1_lineitem_agg" ->
+      s"""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+         |CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+         |CAST(sum($Cents4) AS BIGINT) AS sum_disc_c4,
+         |count(*) AS count_order
+         |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q3_top_orders" ->
+      s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+         |CAST(sum($Cents4) AS BIGINT) AS revenue_c4
+         |FROM customer JOIN orders ON c_custkey=o_custkey JOIN lineitem ON l_orderkey=o_orderkey
+         |WHERE c_mktsegment='BUILDING' AND o_orderdate < TIMESTAMP '${Queries.Cutoff}'
+         |  AND l_shipdate > TIMESTAMP '${Queries.Cutoff}'
+         |GROUP BY 1,2,3 ORDER BY revenue_c4 DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      s"""SELECT n_name, CAST(sum($Cents4) AS BIGINT) AS revenue_c4
+         |FROM region JOIN nation ON r_regionkey=n_regionkey
+         |  JOIN customer ON n_nationkey=c_nationkey
+         |  JOIN orders ON c_custkey=o_custkey
+         |  JOIN lineitem ON o_orderkey=l_orderkey
+         |WHERE r_name='ASIA' GROUP BY 1 ORDER BY revenue_c4 DESC, n_name""".stripMargin,
+    "events_hourly" ->
+      """SELECT epoch_ns(ts)//3600000000000 AS hour_bucket, event_type,
+        |count(*) AS n_events, round(sum(value),6) AS sum_value,
+        |count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "events_sessions" ->
+      """WITH x AS (SELECT user_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev FROM events)
+        |SELECT user_id,
+        |CAST(sum(CASE WHEN prev IS NULL OR epoch_ns(ts)-epoch_ns(prev) > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |count(*) AS n_events FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    "keep_best_doc" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) rn
+        |  FROM documents) WHERE rn=1 ORDER BY doc_id""".stripMargin,
+    "incremental_changed" ->
+      """WITH fresh AS (SELECT doc_id, sha256(text) checksum FROM documents),
+        |prev AS (SELECT doc_id, CASE WHEN doc_id%50=0 THEN sha256(text||'x') ELSE sha256(text) END checksum
+        |         FROM documents WHERE doc_id<450)
+        |SELECT f.doc_id, f.checksum FROM fresh f
+        |WHERE NOT EXISTS (SELECT 1 FROM prev p WHERE p.doc_id=f.doc_id AND p.checksum=f.checksum)
+        |ORDER BY doc_id""".stripMargin,
+
+    // ── lexical index + BM25 ───────────────────────────────────────────
+    "postings" ->
+      s"WITH $Toks, $Posting SELECT doc_id, dl, term, tf FROM p ORDER BY doc_id, term",
+    "dictionary" ->
+      s"WITH $Toks, $Posting, $Dict SELECT term, df, cf FROM d ORDER BY term",
+    "corpus_stats" ->
+      s"WITH $Toks, $Posting, $Stats SELECT n_docs, sum_dl FROM st",
+    "bm25_topk" ->
+      s"""WITH ${bm25Cte(Queries.Bm25Terms)}
+         |SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // ── dedup suite ────────────────────────────────────────────────────
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_key, min(doc_id) AS survivor,
+        |CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "minhash_sigs" ->
+      s"""WITH $Toks,
+         |terms AS (SELECT doc_id, unnest(list_distinct(t)) term FROM toks),
+         |h AS (SELECT doc_id, seed, ${h60("seed::VARCHAR||':'||term")} hv
+         |      FROM terms CROSS JOIN (SELECT unnest(range(0,16)) seed))
+         |SELECT doc_id, CAST(seed AS INT) AS seed, min(hv) AS minh
+         |FROM h GROUP BY 1,2 ORDER BY doc_id, seed""".stripMargin,
+    "minhash_lsh_pairs" ->
+      s"""WITH $Toks,
+         |terms AS (SELECT doc_id, unnest(list_distinct(t)) term FROM toks),
+         |h AS (SELECT doc_id, seed, ${h60("seed::VARCHAR||':'||term")} hv
+         |      FROM terms CROSS JOIN (SELECT unnest(range(0,16)) seed)),
+         |sigs AS (SELECT doc_id, seed, min(hv) minh FROM h GROUP BY 1,2),
+         |banded AS (SELECT doc_id, seed//4 band,
+         |  md5(string_agg(minh::VARCHAR, ':' ORDER BY seed)) band_key
+         |  FROM sigs GROUP BY doc_id, seed//4),
+         |cand AS (SELECT DISTINCT x.doc_id a, y.doc_id b FROM banded x JOIN banded y
+         |  ON x.band=y.band AND x.band_key=y.band_key AND x.doc_id<y.doc_id),
+         |dt AS (SELECT doc_id, list_distinct(t) s, len(list_distinct(t)) n FROM toks),
+         |j AS (SELECT a, b, round(CAST(len(list_intersect(x.s,y.s)) AS DOUBLE)
+         |        /(x.n+y.n-len(list_intersect(x.s,y.s))),6) jacc
+         |      FROM cand JOIN dt x ON x.doc_id=a JOIN dt y ON y.doc_id=b)
+         |SELECT a, b, jacc FROM j WHERE jacc>=0.8 ORDER BY a, b""".stripMargin,
+    "ngram_jaccard_pairs" ->
+      s"""WITH $Toks,
+         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t)>=3 THEN
+         |  [list_aggr(t[i:i+2],'string_agg','_') for i in range(1, len(t)-1)]
+         |  ELSE [] END) s FROM toks),
+         |ex AS (SELECT doc_id, unnest(s) sg FROM sh),
+         |hot AS (SELECT sg FROM ex GROUP BY 1 HAVING count(*) > 50),
+         |exc AS (SELECT * FROM ex WHERE sg NOT IN (SELECT sg FROM hot)),
+         |cand AS (SELECT DISTINCT x.doc_id a, y.doc_id b FROM exc x JOIN exc y
+         |  ON x.sg=y.sg AND x.doc_id<y.doc_id),
+         |sized AS (SELECT doc_id, s, len(s) n FROM sh),
+         |j AS (SELECT a, b, round(CAST(len(list_intersect(x.s,y.s)) AS DOUBLE)
+         |        /(x.n+y.n-len(list_intersect(x.s,y.s))),6) jacc
+         |      FROM cand JOIN sized x ON x.doc_id=a JOIN sized y ON y.doc_id=b)
+         |SELECT a, b, jacc FROM j WHERE jacc>=0.1 ORDER BY a, b""".stripMargin,
+    "simhash" ->
+      s"""WITH $Toks, $Posting,
+         |b AS (SELECT doc_id, tf, ${h60("term")} h FROM p),
+         |e AS (SELECT doc_id, j, CASE WHEN (h // (1::BIGINT << j)) % 2 = 1 THEN tf ELSE -tf END c
+         |      FROM b CROSS JOIN (SELECT unnest(range(0,32)) j)),
+         |s AS (SELECT doc_id, j, sum(c) sc FROM e GROUP BY 1,2)
+         |SELECT doc_id, CAST(sum(CASE WHEN sc>0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) simhash
+         |FROM s GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "simhash_pairs" ->
+      s"""WITH $Toks, $Posting,
+         |b AS (SELECT doc_id, tf, ${h60("term")} h FROM p),
+         |e AS (SELECT doc_id, j, CASE WHEN (h // (1::BIGINT << j)) % 2 = 1 THEN tf ELSE -tf END c
+         |      FROM b CROSS JOIN (SELECT unnest(range(0,32)) j)),
+         |s AS (SELECT doc_id, j, sum(c) sc FROM e GROUP BY 1,2),
+         |sim AS (SELECT doc_id, CAST(sum(CASE WHEN sc>0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) simhash
+         |        FROM s GROUP BY 1),
+         |ex AS (SELECT doc_id, simhash, band, (simhash >> CAST(band*8 AS INT)) & 255 bkey
+         |       FROM sim CROSS JOIN (SELECT unnest(range(0,4)) band)),
+         |cand AS (SELECT DISTINCT x.doc_id a, x.simhash ha, y.doc_id b, y.simhash hb
+         |  FROM ex x JOIN ex y ON x.band=y.band AND x.bkey=y.bkey AND x.doc_id<y.doc_id)
+         |SELECT a, b, CAST(bit_count(xor(ha,hb)) AS INT) hamming FROM cand
+         |WHERE bit_count(xor(ha,hb)) <= 3 ORDER BY a, b""".stripMargin,
+
+    // ── vector / similarity ────────────────────────────────────────────
+    "cosine_topk" ->
+      s"""WITH $EmbQ,
+         |q AS (SELECT qv qq FROM e WHERE vec_id=0)
+         |SELECT vec_id, ${cosQ("qv", "qq")} cos FROM e CROSS JOIN q
+         |WHERE vec_id<>0 ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+    "knn_join" ->
+      s"""WITH $EmbQ,
+         |pr AS (SELECT vec_id probe_id, qv pv FROM e WHERE vec_id<10),
+         |sc AS (SELECT probe_id, vec_id nbr_id, ${cosQ("pv", "qv")} cos
+         |       FROM e CROSS JOIN pr WHERE vec_id<>probe_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, nbr_id) rn FROM sc)
+         |SELECT probe_id, nbr_id, cos, CAST(rn AS INT) rn FROM r WHERE rn<=5
+         |ORDER BY probe_id, rn""".stripMargin,
+    "near_dup_pairs" ->
+      s"""WITH $EmbQ,
+         |k AS (SELECT vec_id id, qv,
+         |  ${bucketExpr("qv", Queries.Dim, 8, "b0")} k0,
+         |  ${bucketExpr("qv", Queries.Dim, 8, "b1")} k1 FROM e),
+         |ex AS (SELECT id, 0 band, k0 bkey FROM k UNION ALL SELECT id, 1, k1 FROM k),
+         |cand AS (SELECT DISTINCT x.id a, y.id b FROM ex x JOIN ex y
+         |  ON x.band=y.band AND x.bkey=y.bkey AND x.id<y.id),
+         |v AS (SELECT a, b, ${cosQ("x.qv", "y.qv")} cos FROM cand
+         |      JOIN k x ON x.id=a JOIN k y ON y.id=b)
+         |SELECT a, b, cos FROM v WHERE cos>=0.3 ORDER BY a, b""".stripMargin,
+    "ann_topk" ->
+      s"""WITH $EmbQ,
+         |k AS (SELECT vec_id, qv, ${bucketExpr("qv", Queries.Dim, 4, "")} bucket FROM e),
+         |q AS (SELECT qv qq, bucket qb FROM k WHERE vec_id=0)
+         |SELECT vec_id, ${cosQ("qv", "qq")} cos FROM k CROSS JOIN q
+         |WHERE bucket=qb ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+    "hash_embed" ->
+      s"""WITH $Toks,
+         |t2 AS (SELECT doc_id, unnest(t) tok FROM toks),
+         |h AS (SELECT doc_id, ${h31("tok")} hv FROM t2)
+         |SELECT doc_id, hv % ${Queries.Dim} AS bucket,
+         |sum(CASE WHEN (hv // ${Queries.Dim}) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
+         |FROM h GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    // ── text analysis ──────────────────────────────────────────────────
+    "text_quality" -> {
+      val stop = graft.operators.TextAnalysis.StopwordsEn.map(s => s"'$s'").mkString("[", ",", "]")
+      s"""WITH $Toks
+         |SELECT doc_id,
+         |CAST(length(text) AS BIGINT) n_chars,
+         |CAST(len(t) AS BIGINT) n_tokens,
+         |CAST(len(list_distinct(t)) AS BIGINT) n_uniq,
+         |round(CAST(len(list_distinct(t)) AS DOUBLE)/len(t),6) ttr,
+         |round(CAST(len(list_filter(t, x -> list_contains($stop, x))) AS DOUBLE)/len(t),6) stop_ratio,
+         |round(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)/len(t),6) mean_tok_len
+         |FROM documents JOIN toks USING(doc_id) ORDER BY doc_id""".stripMargin
+    },
+    "lang_id" -> {
+      import graft.operators.TextAnalysis._
+      def lst(ws: Seq[String]) = ws.map(s => s"'$s'").mkString("[", ",", "]")
+      s"""WITH $Toks,
+         |v AS (SELECT doc_id,
+         |  len(list_intersect(list_distinct(t), ${lst(StopwordsEn)})) ven,
+         |  len(list_intersect(list_distinct(t), ${lst(StopwordsDe)})) vde,
+         |  len(list_intersect(list_distinct(t), ${lst(StopwordsFr)})) vfr,
+         |  len(list_intersect(list_distinct(t), ${lst(StopwordsEs)})) ves
+         |  FROM toks),
+         |r AS (SELECT doc_id,
+         |  length(text)-length(regexp_replace(text,'[؀-ۿ]','','g')) n_ar,
+         |  length(text)-length(regexp_replace(text,'[一-鿿]','','g')) n_cjk,
+         |  length(text)-length(regexp_replace(text,'[a-zA-Z؀-ۿ一-鿿]','','g')) n_alpha
+         |  FROM documents)
+         |SELECT doc_id, CASE
+         |  WHEN n_alpha>0 AND CAST(n_ar AS DOUBLE)/n_alpha > 0.5 THEN 'ar'
+         |  WHEN n_alpha>0 AND CAST(n_cjk AS DOUBLE)/n_alpha > 0.3 THEN 'zh'
+         |  WHEN ven>=vde AND ven>=vfr AND ven>=ves THEN 'en'
+         |  WHEN vde>=vfr AND vde>=ves THEN 'de'
+         |  WHEN vfr>=ves THEN 'fr'
+         |  ELSE 'es' END lang_guess
+         |FROM v JOIN r USING(doc_id) ORDER BY doc_id""".stripMargin
+    },
+    "token_counts" ->
+      """SELECT doc_id,
+        |CAST(len(list_filter(regexp_split_to_array(text,'\s+'), x -> len(x)>0)) AS BIGINT) n_ws,
+        |CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) n_sub
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      s"""WITH $Toks
+         |SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+         |  list_transform(t, x -> ${h31("x")})),
+         |  (a,b) -> (a*31+b) % 1000000007) fp
+         |FROM toks ORDER BY doc_id""".stripMargin,
+    "doc_checksum" ->
+      ("SELECT doc_id, sha256(doc_id::VARCHAR||'␟'||lang||'␟'||source||'␟'||text) AS checksum " +
+        "FROM documents ORDER BY doc_id"),
+
+    // ── router / scoring / hybrid ──────────────────────────────────────
+    "route_query" -> routeQuerySql,
+    "priority_score" -> priorityScoreSql,
+    "hybrid_search" -> hybridSearchSql,
+  )
+
+  private def routeQuerySql: String = {
+    val values = RouteBattery.queries.zipWithIndex
+      .map { case (q, i) => s"($i, '${sq(q)}')" }.mkString(",\n")
+    s"""WITH b(qid, q0) AS (VALUES
+       |$values),
+       |t AS (SELECT qid, trim(q0) q FROM b),
+       |x AS (SELECT qid, q,
+       |  nullif(regexp_extract(q, '(?i)\\b(narrated by|reported by|said by)\\b\\s*(.+)$$', 2), '') g_en,
+       |  nullif(regexp_extract(q, '(?:^|\\s)عن\\s+(.+)$$', 1), '') g_ar,
+       |  nullif(regexp_extract(q, '"([^"]{3,})"', 1), '') ph_d,
+       |  nullif(regexp_extract(q, '''([^'']{3,})''', 1), '') ph_s,
+       |  regexp_matches(q, '(?i)\\b(?:book|kitab|bk)?\\s*\\d+(?:\\s*[:\\-/]\\s*\\d+)?\\b') is_ref,
+       |  CASE WHEN length(q)>=2 AND ((left(q,1)='"' AND right(q,1)='"') OR (left(q,1)='''' AND right(q,1)=''''))
+       |       THEN trim(substring(q, 2, length(q)-2)) ELSE q END normalized
+       |  FROM t),
+       |y AS (SELECT *, coalesce(g_en, g_ar) graw, coalesce(ph_d, ph_s) phrase FROM x),
+       |z AS (SELECT *, coalesce(${canonSql("graw")}, nullif(trim(graw),'')) narrator FROM y),
+       |w AS (SELECT *,
+       |  list_filter(regexp_extract_all(lower(q), '[a-z0-9_؀-ۿ]+'), s -> len(s)>1) qtoks,
+       |  list_filter(regexp_extract_all(lower(normalized), '[a-z0-9_؀-ۿ]+'), s -> len(s)>1) itoks,
+       |  list_filter(regexp_extract_all(lower(coalesce(narrator,'')), '[a-z0-9_؀-ۿ]+'), s -> len(s)>1) ntoks0
+       |  FROM z),
+       |c AS (SELECT *, CASE
+       |    WHEN is_ref THEN 'exact_reference'
+       |    WHEN narrator IS NOT NULL THEN 'narrator'
+       |    WHEN len(qtoks)>=4 OR phrase IS NOT NULL THEN 'thematic'
+       |    ELSE 'mixed' END qtype,
+       |  CASE WHEN len(ntoks0)>0 THEN ntoks0 ELSE itoks END ntoks
+       |  FROM w)
+       |SELECT qid, qtype, normalized, narrator, phrase,
+       |  CASE WHEN qtype='narrator' AND narrator IS NOT NULL THEN
+       |    (CASE WHEN len(ntoks)>0
+       |          THEN array_to_string(list_transform(ntoks[1:6], s -> 'narrator:'||s||'*'), ' AND ')
+       |          ELSE normalized END)
+       |  WHEN phrase IS NOT NULL THEN '"'||phrase||'"'
+       |  ELSE CASE WHEN len(itoks)>0
+       |            THEN array_to_string(list_transform(itoks[1:6], s -> s||'*'), ' AND ')
+       |            ELSE normalized END
+       |  END fts_match
+       |FROM c ORDER BY qid""".stripMargin
+  }
+
+  private def priorityScoreSql: String = {
+    val values = ScoreBattery.rows.map { case (sid, vs, bm, text, phrase, toks) =>
+      val v = vs.map(_.toString).getOrElse("NULL")
+      val b = bm.map(_.toString).getOrElse("NULL")
+      val p = phrase.map(s => s"'${sq(s)}'").getOrElse("NULL")
+      val tl = toks.map(s => s"'${sq(s)}'").mkString("[", ",", "]")
+      s"($sid, CAST($v AS DOUBLE), CAST($b AS DOUBLE), '${sq(text)}', CAST($p AS VARCHAR), CAST($tl AS VARCHAR[]))"
+    }.mkString(",\n")
+    s"""WITH s(sid, vs, bm25, text, phrase, tokens) AS (VALUES
+       |$values),
+       |c AS (SELECT sid,
+       |  least(1.0, greatest(0.0, coalesce(vs, 0.0))) v,
+       |  CASE WHEN bm25 IS NOT NULL THEN least(1.0, greatest(0.0, 1.0/(1.0+greatest(0.0,bm25)))) ELSE 0.0 END f,
+       |  CAST(CASE WHEN phrase IS NOT NULL AND strpos(lower(text), lower(phrase))>0 THEN 0.05 ELSE 0.0 END AS DOUBLE) pb,
+       |  CASE WHEN len(tokens)>0
+       |       THEN CAST(len(list_filter(tokens, s2 -> strpos(lower(text), s2)>0)) AS DOUBLE)/len(tokens)
+       |       ELSE 0.0 END cov
+       |  FROM s)
+       |SELECT sid, round(v,4) vector_similarity, round(f,4) fts_signal,
+       |  round(pb,4) phrase_bonus, round(cov,4) term_coverage,
+       |  round(least(1.0, greatest(0.0, 0.6*v + 0.4*f + pb + 0.0 + 0.2*cov)),4) score
+       |FROM c ORDER BY sid""".stripMargin
+  }
+
+  private def hybridSearchSql: String = {
+    val intent = Router.route(Queries.HybridQuery)
+    val terms = intent.tokens.take(6)
+    val termList = terms.map(t => s"'$t'").mkString("[", ",", "]")
+    val qn = VecFns.l2NormalizeLocal(VecFns.hashEmbedLocal(Router.embedTokens(intent.normalized), Queries.Dim))
+    val qq = qn.map(x => BigDecimal(x * VecFns.Scale).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    val qlit = qq.map(v => s"$v.0").mkString("[", ",", "]")
+    val tokList = intent.tokens.map(t => s"'$t'").mkString("[", ",", "]")
+    s"""WITH ${bm25Cte(terms)},
+       |probes AS (SELECT unnest($termList) probe),
+       |expd AS (SELECT DISTINCT term FROM d JOIN probes ON starts_with(term, probe)),
+       |mx AS (SELECT p.doc_id, p.dl, p.tf, d.df, st.n_docs, st.sum_dl
+       |       FROM p JOIN expd USING(term) JOIN d USING(term) CROSS JOIN st),
+       |bmx AS (SELECT doc_id, round(sum(
+       |         ln((n_docs - df + 0.5)/(df + 0.5) + 1.0)
+       |         * (tf * 2.2) / (tf + 1.2*(1.0 - 0.75 + 0.75*dl/(CAST(sum_dl AS DOUBLE)/n_docs)))
+       |       ), 6) bm25 FROM mx GROUP BY 1),
+       |lex AS (SELECT doc_id, bm25 FROM bmx ORDER BY bm25 DESC, doc_id LIMIT 50),
+       |ent0 AS (SELECT doc_id, unnest(t) tok FROM toks),
+       |ent1 AS (SELECT doc_id, ${h31("tok")} hv FROM ent0),
+       |ent AS (SELECT doc_id, hv % ${Queries.Dim} bucket,
+       |        sum(CASE WHEN (hv // ${Queries.Dim}) % 2 = 0 THEN 1.0 ELSE -1.0 END) v
+       |        FROM ent1 GROUP BY 1,2),
+       |nrm AS (SELECT doc_id, sqrt(sum(v*v)) n FROM ent GROUP BY 1),
+       |qlit AS (SELECT $qlit qq),
+       |slot AS (SELECT doc_id, bucket, round(round(v/n,6)*1e7) qs
+       |         FROM ent JOIN nrm USING(doc_id) WHERE n>0),
+       |dv AS (SELECT doc_id, sum(qs * qq[CAST(bucket+1 AS INT)]) dot, sqrt(sum(qs*qs)) na
+       |       FROM slot CROSS JOIN qlit GROUP BY 1),
+       |cosd AS (SELECT doc_id, round(dot/(na*sqrt(list_dot_product(qq,qq))),6) cos
+       |         FROM dv CROSS JOIN qlit),
+       |vec AS (SELECT doc_id, cos FROM cosd ORDER BY cos DESC, doc_id LIMIT 50),
+       |fused AS (SELECT coalesce(l.doc_id, v.doc_id) doc_id, l.bm25, v.cos
+       |          FROM lex l FULL OUTER JOIN vec v ON l.doc_id=v.doc_id),
+       |bf AS (SELECT f.doc_id, d2.text, f.bm25, f.cos FROM fused f JOIN documents d2 USING(doc_id)),
+       |sc AS (SELECT doc_id, text,
+       |  least(1.0, greatest(0.0, coalesce(cos, 0.0))) v,
+       |  CASE WHEN bm25 IS NOT NULL THEN least(1.0, greatest(0.0, 1.0/(1.0+greatest(0.0,bm25)))) ELSE 0.0 END f,
+       |  CASE WHEN len($tokList)>0
+       |       THEN CAST(len(list_filter($tokList, s2 -> strpos(lower(text), s2)>0)) AS DOUBLE)/len($tokList)
+       |       ELSE 0.0 END cov
+       |  FROM bf)
+       |SELECT doc_id, substring(trim(text),1,240) snippet,
+       |  round(v,4) vector_similarity, round(f,4) fts_signal,
+       |  CAST(0.0 AS DOUBLE) phrase_bonus, round(cov,4) term_coverage,
+       |  round(least(1.0, greatest(0.0, 0.6*v + 0.4*f + 0.0 + 0.0 + 0.2*cov)),4) score
+       |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  }
+}

@@ -1,0 +1,245 @@
+package graft
+
+import graft.functions.{QueryFns, Scoring, TextFns, VecFns}
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The registered correctness/bench queries — one per implemented operator
+  * (SURVEY.md §2) — with DuckDB oracle SQL in [[Oracles]].
+  *
+  * Determinism rules (driver hashes values after sorting columns by name):
+  *  - every query ends in a deterministic ORDER BY (ties broken by id);
+  *  - money sums ride an integer-cents grid (exact in both engines);
+  *  - similarity math uses the quantized-integer dot product (VecFns);
+  *  - count-like outputs are cast to long to match DuckDB's BIGINT.
+  */
+object Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+  private def docs(s: SparkSession, dir: String) = Tables(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = Tables(s, dir, "embeddings")
+
+  // shared constants (kept in sync with Oracles)
+  val Bm25Terms = Seq("dup", "spark", "window")
+  val HybridQuery = "spark join stream data window"
+  val Cutoff = "1997-06-30"
+  val Dim = 64
+
+  // integer-cents grid for money aggregates: exact, order-independent
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+
+  val all: Map[String, Q] = Map(
+    // ── relational core ────────────────────────────────────────────────
+    "q1_lineitem_agg" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount"))).as("sum_disc_c4"),
+          count("*").as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q3_top_orders" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = Tables(s, dir, "orders").where(col("o_orderdate") < lit(Cutoff).cast("timestamp"))
+      val l = Tables(s, dir, "lineitem").where(col("l_shipdate") > lit(Cutoff).cast("timestamp"))
+      broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sum(cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount"))).as("revenue_c4"))
+        .orderBy(desc("revenue_c4"), asc("l_orderkey"))
+        .limit(10)
+    }),
+    "q5_region_revenue" -> ((s, dir) => {
+      val r = Tables(s, dir, "region").where(col("r_name") === "ASIA")
+      val n = Tables(s, dir, "nation")
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      val l = Tables(s, dir, "lineitem")
+      broadcast(broadcast(r).join(n, col("r_regionkey") === col("n_regionkey")))
+        .join(c, col("n_nationkey") === col("c_nationkey"))
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("n_name")
+        .agg(sum(cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount"))).as("revenue_c4"))
+        .orderBy(desc("revenue_c4"), asc("n_name"))
+    }),
+    "events_hourly" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
+        .agg(count("*").as("n_events"), round(sum("value"), 6).as("sum_value"),
+          countDistinct("user_id").as("n_users"))
+        .orderBy("hour_bucket", "event_type")
+    }),
+    "events_sessions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables(s, dir, "events")
+        .withColumn("prev", lag("ts", 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull || col("ts") - col("prev") > 1800000000000L, 1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum("new_sess").as("n_sessions"), count("*").as("n_events"))
+        .orderBy("user_id")
+    }),
+    "keep_best_doc" -> ((s, dir) => {
+      Dedup.keepBest(docs(s, dir), col("source"), Seq(desc("n_chars"), asc("doc_id")))
+        .select("doc_id", "source", "n_chars").orderBy("doc_id")
+    }),
+    "incremental_changed" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val fresh = d.select(col("doc_id"), TextFns.checksum(col("text")).as("checksum"))
+      val prev = d.where(col("doc_id") < 450).select(col("doc_id"),
+        when(col("doc_id") % 50 === 0, TextFns.checksum(concat(col("text"), lit("x"))))
+          .otherwise(TextFns.checksum(col("text"))).as("checksum"))
+      Incremental.changed(fresh, prev, "doc_id", "checksum")
+        .select("doc_id", "checksum").orderBy("doc_id")
+    }),
+
+    // ── lexical index + BM25 ───────────────────────────────────────────
+    "postings" -> ((s, dir) => {
+      Postings.build(docs(s, dir), "doc_id", "text")
+        .withColumn("dl", col("dl").cast("long"))
+        .orderBy("doc_id", "term")
+    }),
+    "dictionary" -> ((s, dir) => {
+      Postings.dictionary(Postings.build(docs(s, dir), "doc_id", "text"))
+        .orderBy("term")
+    }),
+    "corpus_stats" -> ((s, dir) => {
+      Postings.corpusStats(Postings.build(docs(s, dir), "doc_id", "text"))
+    }),
+    "bm25_topk" -> ((s, dir) => {
+      val p = Postings.build(docs(s, dir), "doc_id", "text")
+      Bm25.topK(Bm25.score(p, Postings.dictionary(p), Postings.corpusStats(p), Bm25Terms), 20)
+    }),
+
+    // ── dedup suite ────────────────────────────────────────────────────
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(docs(s, dir), "doc_id", "text").orderBy("content_key")),
+    "minhash_sigs" -> ((s, dir) =>
+      Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", 16)
+        .withColumn("seed", col("seed").cast("int")).orderBy("doc_id", "seed")),
+    "minhash_lsh_pairs" -> ((s, dir) => {
+      val sigs = Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", 16)
+      val cand = Dedup.lshCandidatePairs(sigs, rowsPerBand = 4)
+      Dedup.jaccardVerify(docs(s, dir), "doc_id", "text", cand, 0.8).orderBy("a", "b")
+    }),
+    "ngram_jaccard_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.1, maxDf = 50)
+        .orderBy("a", "b")),
+    "simhash" -> ((s, dir) =>
+      Dedup.simhash(docs(s, dir), "doc_id", "text", 32).orderBy("doc_id")),
+    "simhash_pairs" -> ((s, dir) => {
+      val sim = Dedup.simhash(docs(s, dir), "doc_id", "text", 32)
+      Dedup.simhashPairs(sim, maxHamming = 3, bits = 32)
+        .withColumn("hamming", col("hamming").cast("int")).orderBy("a", "b")
+    }),
+
+    // ── vector / similarity ────────────────────────────────────────────
+    "cosine_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+      e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(VecFns.cosine(col("embedding"), col("qv")), 6).as("cos"))
+        .orderBy(desc("cos"), asc("vec_id")).limit(20)
+    }),
+    "knn_join" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.knnJoin(e, e.where(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .withColumn("rn", col("rn").cast("int")).orderBy("probe_id", "rn")
+    }),
+    "near_dup_pairs" -> ((s, dir) =>
+      Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding", 0.3, Dim,
+        nBits = 8, nBands = 2).orderBy("a", "b")),
+    "ann_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+      Similarity.annTopK(e, "vec_id", "embedding",
+        typedLit(q.toArray), Dim, nBits = 4, k = 20)
+    }),
+    "hash_embed" -> ((s, dir) =>
+      Embed.hashEmbedEntries(docs(s, dir), "doc_id", "text", Dim).orderBy("doc_id", "bucket")),
+
+    // ── text analysis ──────────────────────────────────────────────────
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityStats(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+    "lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+    "token_counts" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+    "doc_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+    "doc_checksum" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFns.checksum(col("doc_id"), col("lang"), col("source"), col("text")).as("checksum"))
+        .orderBy("doc_id")),
+
+    // ── router / scoring / hybrid ──────────────────────────────────────
+    "route_query" -> ((s, dir) => {
+      import s.implicits._
+      RouteBattery.queries.zipWithIndex.map { case (q, i) => (i, q) }
+        .toDF("qid", "q")
+        .select(col("qid"),
+          QueryFns.intentType(col("q")).as("qtype"),
+          QueryFns.stripQuotes(col("q")).as("normalized"),
+          QueryFns.narrator(trim(col("q"))).as("narrator"),
+          QueryFns.quotedPhrase(col("q")).as("phrase"),
+          QueryFns.ftsMatch(col("q")).as("fts_match"))
+        .orderBy("qid")
+    }),
+    "priority_score" -> ((s, dir) => {
+      import s.implicits._
+      ScoreBattery.rows
+        .toDF("sid", "vs", "bm25", "text", "phrase", "tokens")
+        .select(col("sid"),
+          round(Scoring.vectorSignal(col("vs")), 4).as("vector_similarity"),
+          round(Scoring.ftsSignal(col("bm25")), 4).as("fts_signal"),
+          round(Scoring.phraseBonus(col("text"), col("phrase"), 0.05), 4).as("phrase_bonus"),
+          round(Scoring.termCoverage(col("text"), col("tokens")), 4).as("term_coverage"),
+          round(Scoring.total(
+            Scoring.vectorSignal(col("vs")), Scoring.ftsSignal(col("bm25")),
+            Scoring.phraseBonus(col("text"), col("phrase"), 0.05), lit(0.0),
+            Scoring.termCoverage(col("text"), col("tokens")), Scoring.Balanced), 4).as("score"))
+        .orderBy("sid")
+    }),
+    "hybrid_search" -> ((s, dir) =>
+      Hybrid.search(docs(s, dir), "doc_id", "text", HybridQuery, n = 10, dim = Dim)),
+  )
+}
+
+/** Router test battery (classifications mirror the reference's
+  * data/riyadussalihin/TEST_QUERIES.md categories). */
+object RouteBattery {
+  val queries: Seq[String] = Seq(
+    "Hadith narrated by Abu Hurairah",
+    "\"actions are by intentions\"",
+    "book 3:12",
+    "patience and gratitude in hardship",
+    "kindness",
+    "forgiveness mercy",
+    "what did the Prophet say about charity",
+    "riyad 5",
+    "عن أبي هريرة",
+    "الصبر والشكر في القرآن",
+    "'intention matters'",
+    "narrated by Aisha (may Allah be pleased with her) about prayer")
+}
+
+/** Scoring battery — exercises null signals, the negative-bm25 clamp quirk
+  * (SURVEY F9), phrase hit/miss, and partial coverage. */
+object ScoreBattery {
+  // (sid, vector_similarity, bm25, text, phrase, tokens)
+  val rows: Seq[(Int, Option[Double], Option[Double], String, Option[String], Seq[String])] = Seq(
+    (0, Some(0.82), Some(1.5), "the quick brown fox jumps", Some("brown fox"), Seq("quick", "fox")),
+    (1, None, Some(-1.2), "patience is a virtue", None, Seq("patience", "virtue")),
+    (2, Some(1.7), None, "clamp me please", None, Seq("absent")),
+    (3, Some(-0.3), Some(0.0), "zero floor check", Some("missing"), Seq("zero", "floor", "check")),
+    (4, None, None, "nothing matches here", None, Seq()),
+    (5, Some(0.5), Some(4.0), "half and half", Some("and half"), Seq("half", "and", "xyz")))
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.functions.TextFns
+
+/** Driver-side query routing (reference: mcp_server/apps/router.py:19-107).
+  * Planning a single query is driver work, exactly as in the reference; the
+  * column-expression twin ([[graft.functions.QueryFns]]) serves batch
+  * routing. RouterSpec pins the two together.
+  */
+object Router {
+
+  final case class Intent(
+      qtype: String,
+      raw: String,
+      normalized: String,
+      narrator: Option[String],
+      phrase: Option[String],
+      tokens: Seq[String])
+
+  private val TokenRe = "[a-z0-9_\u0600-\u06ff]+".r
+  private val NarratedEn = "(?i)\\b(narrated by|reported by|said by)\\b\\s*(.+)$".r.unanchored
+  // (?:^|\s) replaces \b — see QueryFns note on ASCII \b portability.
+  private val NarratedAr = "(?:^|\\s)عن\\s+(.+)$".r.unanchored
+  private val ExactRef = "(?i)\\b(?:book|kitab|bk)?\\s*\\d+(?:\\s*[:\\-/]\\s*\\d+)?\\b".r.unanchored
+  private val Honorific = "(?i)\\((?:may|may allah be pleased|رضي الله عن(?:ه|ها|هم))[^)]*\\)".r
+  private val Verb = "(?i)\\b(reported|narrated|said|stated)\\b:?".r
+
+  /** Token stream, len>1 (reference: router.py:41-44). */
+  def tokenize(s: String): Seq[String] =
+    TokenRe.findAllIn(s.toLowerCase).filter(_.length > 1).toSeq
+
+  /** F1 canonicalization (reference: normalization.py:8-26). */
+  def canonicalize(raw: String): Option[String] = {
+    val cleaned = Verb.replaceAllIn(Honorific.replaceAllIn(raw, ""), "")
+      .replace(":", "").replace("،", "")
+      .replaceAll("\\s+", " ")
+      .replaceAll("^[ \\-\u200f\u200e\ufeff]+|[ \\-\u200f\u200e\ufeff]+$", "")
+    if (cleaned.isEmpty) None else Some(cleaned)
+  }
+
+  private def stripQuotes(q: String): String = {
+    val t = q.trim
+    if (t.length >= 2 &&
+      ((t.startsWith("\"") && t.endsWith("\"")) || (t.startsWith("'") && t.endsWith("'"))))
+      t.substring(1, t.length - 1).trim
+    else t
+  }
+
+  private def firstPhrase(q: String): Option[String] =
+    "\"([^\"]{3,})\"".r.findFirstMatchIn(q).map(_.group(1))
+      .orElse("'([^']{3,})'".r.findFirstMatchIn(q).map(_.group(1)))
+
+  def route(query: String): Intent = {
+    val q = query.trim
+    val phrase = firstPhrase(q)
+    val narrRaw = NarratedEn.findFirstMatchIn(q).map(_.group(2))
+      .orElse(NarratedAr.findFirstMatchIn(q).map(_.group(1)))
+    val narr = narrRaw.flatMap(r => canonicalize(r).orElse(Some(r.trim).filter(_.nonEmpty)))
+    val qtype =
+      if (ExactRef.findFirstIn(q).isDefined) "exact_reference"
+      else if (narr.isDefined) "narrator"
+      else if (tokenize(q).size >= 4 || phrase.isDefined) "thematic"
+      else "mixed"
+    val normalized = stripQuotes(q)
+    Intent(qtype, query, normalized, narr, phrase, tokenize(normalized))
+  }
+
+  /** F8: MATCH compilation (reference: router.py:93-107). */
+  def buildFtsMatch(i: Intent): String = {
+    if (i.qtype == "narrator" && i.narrator.isDefined) {
+      val nt = tokenize(i.narrator.get) match { case Nil => i.tokens; case ts => ts }
+      val parts = nt.take(6).map(t => s"narrator:$t*")
+      if (parts.nonEmpty) parts.mkString(" AND ") else i.normalized
+    } else i.phrase match {
+      case Some(p) if p.length >= 3 => s""""$p""""
+      case _ =>
+        val ts = i.tokens.take(6)
+        if (ts.nonEmpty) ts.map(_ + "*").mkString(" AND ") else i.normalized
+    }
+  }
+
+  /** All-tokens variant (len>0) used for embedding payloads — matches the
+    * document-side tokenizer [[TextFns.tokens]]. */
+  def embedTokens(s: String): Seq[String] =
+    TokenRe.findAllIn(s.toLowerCase).toSeq
+}

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Hybrid scoring F9/F12/F14/A5/F16 as column expressions
+  * (reference: mcp_server/apps/scoring.py:36-106, tools.py:59-82).
+  */
+object Scoring {
+
+  /** F16: weight presets (reference: tools.py:59-72; proximity default
+    * from scoring.py:24). */
+  final case class Weights(
+      wVector: Double = 0.6,
+      wFts: Double = 0.4,
+      bonusPhrase: Double = 0.05,
+      bonusProximity: Double = 0.10,
+      wCoverage: Double = 0.20)
+  val Balanced: Weights = Weights()
+  val TermPriority: Weights = Weights(0.30, 0.30, 0.20, 0.10, 0.60)
+  def preset(mode: String): Weights =
+    if (mode == "term-priority") TermPriority else Balanced
+
+  def clamp01(c: Column): Column = least(lit(1.0), greatest(lit(0.0), c))
+
+  /** Vector-similarity signal: clamp [0,1], null → 0 (scoring.py:54). */
+  def vectorSignal(vs: Column): Column = clamp01(coalesce(vs, lit(0.0)))
+
+  /** F9: bm25→signal 1/(1+max(0,bm25)), null → 0 (scoring.py:48-51).
+    * Parity note (SURVEY F9): SQLite's bm25() is NEGATIVE for matches, so
+    * in the reference this collapses to 1.0 for every FTS hit. Pass
+    * `parity = true` to reproduce that (matched ⇒ 1.0); false applies the
+    * formula to our positive BM25 scores, making lexical rank matter. */
+  def ftsSignal(bm25: Column, parity: Boolean = false): Column =
+    if (parity) when(bm25.isNotNull, lit(1.0)).otherwise(lit(0.0))
+    else when(bm25.isNotNull,
+      clamp01(lit(1.0) / (lit(1.0) + greatest(lit(0.0), bm25)))).otherwise(lit(0.0))
+
+  /** F12: phrase bonus when the lowercase phrase is a substring
+    * (scoring.py:53-55). */
+  def phraseBonus(text: Column, phrase: Column, bonus: Double): Column =
+    when(phrase.isNotNull && instr(lower(text), lower(phrase)) > 0, lit(bonus))
+      .otherwise(lit(0.0))
+
+  /** A5: term-coverage ratio — fraction of (lowercase) query tokens that
+    * appear as substrings of the text (scoring.py:62-70 token fallback). */
+  def termCoverage(text: Column, tokens: Column): Column = {
+    val lt = lower(text)
+    when(size(tokens) > 0,
+      size(filter(tokens, t => instr(lt, t) > 0)).cast("double") / size(tokens))
+      .otherwise(lit(0.0))
+  }
+
+  /** F14: weighted fusion with [0,1] clamp (scoring.py:95-106). */
+  def total(v: Column, fts: Column, phraseB: Column, proxB: Column,
+            coverage: Column, w: Weights): Column =
+    clamp01(lit(w.wVector) * v + lit(w.wFts) * fts + phraseB + proxB +
+      lit(w.wCoverage) * coverage)
+
+  /** F15: Quran-path fusion — w_v·vector + w_fts·fts, rounded 6
+    * (quran_mcp/search.py:254-256), with `greatest`-merged vector score
+    * handled by the caller (J3). */
+  def quranTotal(v: Column, fts: Column, wVector: Double, wFts: Double): Column =
+    round(lit(wVector) * v + lit(wFts) * fts, 6)
+}

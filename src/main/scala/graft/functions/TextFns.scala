@@ -15,10 +15,10 @@ import org.apache.spark.sql.types.LongType
   */
 object TextFns {
 
-  /** Tokenizer regex (reference: mcp_server/apps/router.py:41-44 uses
-    * `[\w؀-ۿ]+`; our corpus is ascii so the separator form is equivalent
-    * and identical in Spark and DuckDB regex dialects). */
-  val TokenSep = "[^a-z0-9\\u0600-\\u06ff]+"
+  /** Tokenizer separator class — complement of the reference's `[\w؀-ۿ]+`
+    * token class (reference: mcp_server/apps/router.py:41-44; Python `\w`
+    * is `[a-z0-9_]` post-lowering for our corpora, plus the Arabic block). */
+  val TokenSep = "[^a-z0-9_؀-ۿ]+"
 
   /** F2: lowercase, split on non-word, drop empties. */
   def tokens(c: Column): Column =
@@ -42,6 +42,14 @@ object TextFns {
   /** 31-bit variant, safe for exact double arithmetic. */
   def hash31(c: Column): Column = hash60(c) % lit(2147483647L)
 
+  /** Scala-side twin of [[hash31]] for driver-side planning (query-vector
+    * encoding, LSH hyperplane signs). Bit-identical to the column version. */
+  def hash31Local(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2147483647L
+  }
+
   /** F18: record checksum — sha256 over U+241F-joined fields
     * (reference: sunnah_scraper/models.py:72-81). */
   def checksum(cols: Column*): Column = sha2(concat_ws("␟", cols: _*), 256)
@@ -52,14 +60,19 @@ object TextFns {
   /** F21: whitespace normalization (reference: sunnah_scraper/parser.py:35-41). */
   def normWhitespace(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
 
-  /** F1: narrator/text canonicalization — strip parentheticals, reporting
-    * verbs, punctuation; collapse whitespace
-    * (reference: mcp_server/apps/normalization.py:8-26). */
+  /** F1: narrator canonicalization, mirroring the reference exactly
+    * (mcp_server/apps/normalization.py:8-26): strip honorific
+    * parentheticals only (en+ar), reporting verbs with optional trailing
+    * colon, `:`/`،` punctuation, collapse whitespace, trim the
+    * space/dash/bidi-mark set, NULL on empty. Arabic text passes through
+    * untouched (round-3 verdict fix). */
   def canonicalize(c: Column): Column = {
-    val noParen = regexp_replace(c, "\\([^)]*\\)", " ")
-    val noVerbs = regexp_replace(lower(noParen), "\\b(reported|narrated|said|stated)\\b", " ")
-    val noPunct = regexp_replace(noVerbs, "[^a-z0-9 ]", " ")
-    normWhitespace(noPunct)
+    val noHon = regexp_replace(c,
+      "(?i)\\((?:may|may allah be pleased|رضي الله عن(?:ه|ها|هم))[^)]*\\)", "")
+    val noVerbs = regexp_replace(noHon, "(?i)\\b(reported|narrated|said|stated)\\b:?", "")
+    val noPunct = regexp_replace(noVerbs, "[:،]", "")
+    val collapsed = regexp_replace(noPunct, "\\s+", " ")
+    nullif(trim(collapsed, " -‏‎﻿"), lit(""))
   }
 
   /** T6: snippet/preview truncation (reference: mcp_server/tools.py:154). */
@@ -74,7 +87,8 @@ object TextFns {
 
   /** Rolling polynomial fingerprint over the token stream, mod 1e9+7.
     * acc' = (acc*31 + hash31(token)) % M — order-sensitive document
-    * fingerprint; portable (DuckDB: list_reduce over the same recurrence). */
+    * fingerprint; portable (DuckDB: list_reduce with a prepended 0 seed
+    * over the same recurrence). */
   val FingerprintMod = 1000000007L
   def fingerprint(toks: Column): Column =
     aggregate(toks, lit(0L), (acc, t) => (acc * lit(31L) + hash31(t)) % lit(FingerprintMod))

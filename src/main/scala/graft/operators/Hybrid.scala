@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.Router
+import graft.functions.{Scoring, TextFns, VecFns}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The flagship hybrid-search pipeline (reference: mcp_server/tools.py:39-175):
+  * route → lexical probe (BM25 top-k) → semantic probe (cosine top-k) →
+  * full-outer fusion on doc_id (J1) → metadata backfill (J2) → priority
+  * scoring (F9/F12/F14/A5) → final rank (T3).
+  *
+  * Spark shape: the two probes are each a broadcast-join + aggregation +
+  * TakeOrderedAndProject; fusion is a full-outer join of two ≤k-row frames;
+  * backfill is a broadcast hash join of the tiny candidate set against the
+  * doc table. Nothing shuffles more than the postings groupBy — the same
+  * plan scales to a partitioned corpus unchanged.
+  */
+object Hybrid {
+
+  val CandidateFanout = 50 // max(50, n*5): tools.py:87,93
+
+  /** Lexical candidates: prefix-expand the compiled terms against the
+    * dictionary (FTS5 `tok*` semantics, router.py:93-107), then BM25.
+    * Expansion is a broadcast of ≤6 prefixes against the dictionary — a
+    * linear dictionary scan, not a shuffle. */
+  def lexicalCandidates(postings: DataFrame, dict: DataFrame, stats: DataFrame,
+                        terms: Seq[String], prefix: Boolean, k: Int): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val probes = terms.distinct.toDF("probe")
+    val expanded =
+      if (prefix) dict.join(broadcast(probes), col("term").startsWith(col("probe")))
+        .select("term").distinct()
+      else dict.join(broadcast(probes), col("term") === col("probe")).select("term")
+    val matched = postings
+      .join(broadcast(expanded), "term")
+      .join(broadcast(dict), "term")
+      .crossJoin(broadcast(stats))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val w = idf * ((col("tf") * lit(Bm25.K1 + 1)) /
+      (col("tf") + lit(Bm25.K1) * (lit(1.0) - lit(Bm25.B) + lit(Bm25.B) * col("dl") / avgdl)))
+    matched.select(col("doc_id"), w.as("w"))
+      .groupBy("doc_id").agg(round(sum("w"), 6).as("bm25"))
+      .orderBy(desc("bm25"), asc("doc_id")).limit(k)
+  }
+
+  /** Semantic candidates: hashed-embedding cosine top-k (E2/E3), computed
+    * in SPARSE form — the doc embeddings live as (doc_id, bucket, v)
+    * entries (Embed.hashEmbedEntries, an explode/groupBy job), the query
+    * vector is a broadcast array literal, and the dot product is a
+    * map-side-combinable sum over the entries. Never materializes a dense
+    * vector per row (the dense scalar form re-evaluates its norm per slot
+    * in interpreted eval — unusable in a scan). All partial sums are exact
+    * integers on the quantized grid, so the result is order-independent
+    * and oracle-reproducible. */
+  def vectorCandidates(docs: DataFrame, idCol: String, textCol: String,
+                       queryTokens: Seq[String], dim: Int, k: Int): DataFrame = {
+    val qn = VecFns.l2NormalizeLocal(VecFns.hashEmbedLocal(queryTokens, dim))
+    val qq = qn.map(x => BigDecimal(x * VecFns.Scale)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val qnorm = math.sqrt(qq.map(x => x * x).sum)
+    val ent = Embed.hashEmbedEntries(docs, idCol, textCol, dim)
+    val nrm = ent.groupBy("doc_id").agg(sqrt(sum(col("v") * col("v"))).as("n"))
+    val slot = ent.join(nrm, "doc_id").where(col("n") > 0)
+      .select(col("doc_id"), col("bucket"),
+        round(round(col("v") / col("n"), 6) * lit(VecFns.Scale)).as("qs"))
+    val qlit = typedLit(qq)
+    slot.groupBy("doc_id")
+      .agg(sum(col("qs") * element_at(qlit, col("bucket").cast("int") + 1)).as("dot"),
+        sqrt(sum(col("qs") * col("qs"))).as("na"))
+      .select(col("doc_id"), round(col("dot") / (col("na") * lit(qnorm)), 6).as("cos"))
+      .orderBy(desc("cos"), asc("doc_id")).limit(k)
+  }
+
+  /** Full pipeline. Returns the scored hit envelope (tools.py:150-160):
+    * doc_id, snippet, per-signal breakdown (rounded 4), total score. */
+  def search(docs: DataFrame, idCol: String, textCol: String, query: String,
+             n: Int = 10, mode: String = "balanced", dim: Int = 64,
+             parityFts: Boolean = false): DataFrame = {
+    val intent = Router.route(query)
+    val w = Scoring.preset(mode)
+    val k = math.max(CandidateFanout, n * 5)
+
+    val postings = Postings.build(docs, idCol, textCol)
+    val dict = Postings.dictionary(postings)
+    val stats = Postings.corpusStats(postings)
+
+    // F8 compile: narrator-type queries probe narrator tokens; otherwise
+    // phrase/term tokens. Our generic doc table has a single text field, so
+    // field scoping collapses to the text field (documented divergence).
+    val matchTerms =
+      if (intent.qtype == "narrator" && intent.narrator.isDefined) {
+        Router.tokenize(intent.narrator.get) match {
+          case Nil => intent.tokens.take(6); case ts => ts.take(6)
+        }
+      } else intent.phrase match {
+        case Some(p) => Router.tokenize(p)
+        case None => intent.tokens.take(6)
+      }
+    val lex =
+      if (matchTerms.isEmpty) docs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0.0).as("bm25")).limit(0)
+      else lexicalCandidates(postings, dict, stats, matchTerms,
+        prefix = intent.phrase.isEmpty, k = k)
+
+    val vec = vectorCandidates(docs, idCol, textCol,
+      Router.embedTokens(intent.normalized), dim, k)
+
+    // J1 fusion + J2 backfill
+    val fused = lex.join(vec, Seq("doc_id"), "full_outer")
+    val backfilled = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .join(broadcast(fused), "doc_id")
+
+    val toks = typedLit(intent.tokens)
+    val phraseCol = intent.phrase.map(lit(_)).getOrElse(lit(null).cast("string"))
+    val v = Scoring.vectorSignal(col("cos"))
+    val fts = Scoring.ftsSignal(col("bm25"), parityFts)
+    val pb = Scoring.phraseBonus(col("text"), phraseCol, w.bonusPhrase)
+    val cov = Scoring.termCoverage(col("text"), toks)
+    val score = Scoring.total(v, fts, pb, lit(0.0), cov, w)
+
+    backfilled.select(
+        col("doc_id"),
+        TextFns.snippet(trim(col("text")), 240).as("snippet"),
+        round(v, 4).as("vector_similarity"),
+        round(fts, 4).as("fts_signal"),
+        round(pb, 4).as("phrase_bonus"),
+        round(cov, 4).as("term_coverage"),
+        round(score, 4).as("score"))
+      .orderBy(desc("score"), asc("doc_id")).limit(n)
+  }
+}

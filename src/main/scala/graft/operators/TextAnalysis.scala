@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (builder brief): quality scoring, language-ID heuristic, token counting,
+  * document fingerprinting. All are single-pass narrow column expressions —
+  * no shuffle, embarrassingly parallel at any corpus size.
+  */
+object TextAnalysis {
+
+  val StopwordsEn: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "in",
+    "on", "to", "is", "are", "was", "it", "this", "that", "for", "with", "as",
+    "at", "by")
+  val StopwordsDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "nicht",
+    "mit", "ein", "im", "den", "von", "zu")
+  val StopwordsFr: Seq[String] = Seq("le", "la", "les", "et", "est", "pas",
+    "des", "une", "dans", "du", "pour")
+  val StopwordsEs: Seq[String] = Seq("el", "los", "las", "es", "no",
+    "una", "en", "del", "por", "para", "con")
+
+  /** Quality stats per document: token counts, type-token ratio, stopword
+    * ratio, mean token length (quality-scoring heuristics per brief). */
+  def qualityStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextFns.tokens(col(textCol))
+    val nTok = size(toks)
+    val nUniq = size(array_distinct(toks))
+    val nStop = size(filter(toks, t => array_contains(typedLit(StopwordsEn), t)))
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      nTok.cast("long").as("n_tokens"),
+      nUniq.cast("long").as("n_uniq"),
+      when(nTok > 0, round(nUniq.cast("double") / nTok, 6)).otherwise(lit(0.0)).as("ttr"),
+      when(nTok > 0, round(nStop.cast("double") / nTok, 6)).otherwise(lit(0.0)).as("stop_ratio"),
+      when(nTok > 0, round(sumLen.cast("double") / nTok, 6)).otherwise(lit(0.0)).as("mean_tok_len"))
+  }
+
+  /** F22-style script ratio: fraction of alphabetic chars in `block` class. */
+  private def scriptRatio(text: Column, blockClass: String, alphaClass: String): Column = {
+    val nBlock = length(text) - length(regexp_replace(text, blockClass, ""))
+    val nAlpha = length(text) - length(regexp_replace(text, alphaClass, ""))
+    when(nAlpha > 0, nBlock.cast("double") / nAlpha).otherwise(lit(0.0))
+  }
+
+  /** Language-ID heuristic (brief: n-gram/stopword heuristic): script
+    * detection for Arabic/CJK, distinct-stopword votes for latin languages,
+    * deterministic tie-break order en > de > fr > es. */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val alpha = "[a-zA-Z؀-ۿ一-鿿]"
+    val toks = TextFns.distinctTokens(text)
+    def votes(sw: Seq[String]): Column = size(array_intersect(toks, typedLit(sw)))
+    val (vEn, vDe, vFr, vEs) = (votes(StopwordsEn), votes(StopwordsDe),
+      votes(StopwordsFr), votes(StopwordsEs))
+    val guess =
+      when(scriptRatio(text, "[؀-ۿ]", alpha) > 0.5, lit("ar"))
+        .when(scriptRatio(text, "[一-鿿]", alpha) > 0.3, lit("zh"))
+        .when(vEn >= vDe && vEn >= vFr && vEn >= vEs, lit("en"))
+        .when(vDe >= vFr && vDe >= vEs, lit("de"))
+        .when(vFr >= vEs, lit("fr"))
+        .otherwise(lit("es"))
+    docs.select(col(idCol).cast("long").as("doc_id"), guess.as("lang_guess"))
+  }
+
+  /** Token counting (brief): whitespace tokens + a BPE-ish regex count
+    * (letter runs / digit runs / single non-alnum symbols). */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      size(filter(split(col(textCol), "\\s+"), t => length(t) > 0)).cast("long").as("n_ws"),
+      size(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("n_sub"))
+
+  /** Order-sensitive rolling document fingerprint (brief). */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      TextFns.fingerprint(TextFns.tokens(col(textCol))).as("fp"))
+}

@@ -143,26 +143,30 @@ object Oracles {
          |h AS (SELECT doc_id, seed, ${h60("seed::VARCHAR||':'||term")} hv
          |      FROM terms CROSS JOIN (SELECT unnest(range(0,16)) seed)),
          |sigs AS (SELECT doc_id, seed, min(hv) minh FROM h GROUP BY 1,2),
-         |banded AS (SELECT doc_id, seed//4 band,
+         |banded AS (SELECT doc_id, seed//16 band,
          |  md5(string_agg(minh::VARCHAR, ':' ORDER BY seed)) band_key
-         |  FROM sigs GROUP BY doc_id, seed//4),
+         |  FROM sigs GROUP BY doc_id, seed//16),
          |cand AS (SELECT DISTINCT x.doc_id a, y.doc_id b FROM banded x JOIN banded y
          |  ON x.band=y.band AND x.band_key=y.band_key AND x.doc_id<y.doc_id),
          |dt AS (SELECT doc_id, list_distinct(t) s, len(list_distinct(t)) n FROM toks),
          |j AS (SELECT a, b, round(CAST(len(list_intersect(x.s,y.s)) AS DOUBLE)
          |        /(x.n+y.n-len(list_intersect(x.s,y.s))),6) jacc
          |      FROM cand JOIN dt x ON x.doc_id=a JOIN dt y ON y.doc_id=b)
-         |SELECT a, b, jacc FROM j WHERE jacc>=0.8 ORDER BY a, b""".stripMargin,
+         |SELECT a, b, jacc FROM j WHERE jacc>=0.9 ORDER BY a, b""".stripMargin,
     "ngram_jaccard_pairs" ->
       s"""WITH $Toks,
          |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t)>=3 THEN
          |  [list_aggr(t[i:i+2],'string_agg','_') for i in range(1, len(t)-1)]
          |  ELSE [] END) s FROM toks),
          |ex AS (SELECT doc_id, unnest(s) sg FROM sh),
-         |hot AS (SELECT sg FROM ex GROUP BY 1 HAVING count(*) > 50),
-         |exc AS (SELECT * FROM ex WHERE sg NOT IN (SELECT sg FROM hot)),
-         |cand AS (SELECT DISTINCT x.doc_id a, y.doc_id b FROM exc x JOIN exc y
-         |  ON x.sg=y.sg AND x.doc_id<y.doc_id),
+         |h AS (SELECT doc_id, seed, ${h60("seed::VARCHAR||':'||sg")} hv
+         |      FROM ex CROSS JOIN (SELECT unnest(range(0,16)) seed)),
+         |sigs AS (SELECT doc_id, seed, min(hv) minh FROM h GROUP BY 1,2),
+         |banded AS (SELECT doc_id, seed//4 band,
+         |  md5(string_agg(minh::VARCHAR, ':' ORDER BY seed)) band_key
+         |  FROM sigs GROUP BY doc_id, seed//4),
+         |cand AS (SELECT DISTINCT x.doc_id a, y.doc_id b FROM banded x JOIN banded y
+         |  ON x.band=y.band AND x.band_key=y.band_key AND x.doc_id<y.doc_id),
          |sized AS (SELECT doc_id, s, len(s) n FROM sh),
          |j AS (SELECT a, b, round(CAST(len(list_intersect(x.s,y.s)) AS DOUBLE)
          |        /(x.n+y.n-len(list_intersect(x.s,y.s))),6) jacc

@@ -113,7 +113,9 @@ object Queries {
       Postings.corpusStats(Postings.build(docs(s, dir), "doc_id", "text"))
     }),
     "bm25_topk" -> ((s, dir) => {
-      val p = Postings.build(docs(s, dir), "doc_id", "text")
+      // cache: dictionary, corpus stats and the probe all scan postings
+      // (the serving session keeps these resident — GraftSession doctrine)
+      val p = Postings.build(docs(s, dir), "doc_id", "text").cache()
       Bm25.topK(Bm25.score(p, Postings.dictionary(p), Postings.corpusStats(p), Bm25Terms), 20)
     }),
 
@@ -124,12 +126,14 @@ object Queries {
       Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", 16)
         .withColumn("seed", col("seed").cast("int")).orderBy("doc_id", "seed")),
     "minhash_lsh_pairs" -> ((s, dir) => {
+      // single 16-row band: only near-identical token sets collide — the
+      // right knee for this corpus's high baseline similarity
       val sigs = Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", 16)
-      val cand = Dedup.lshCandidatePairs(sigs, rowsPerBand = 4)
-      Dedup.jaccardVerify(docs(s, dir), "doc_id", "text", cand, 0.8).orderBy("a", "b")
+      val cand = Dedup.lshCandidatePairs(sigs, rowsPerBand = 16)
+      Dedup.jaccardVerify(docs(s, dir), "doc_id", "text", cand, 0.9).orderBy("a", "b")
     }),
     "ngram_jaccard_pairs" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.1, maxDf = 50)
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.1)
         .orderBy("a", "b")),
     "simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text", 32).orderBy("doc_id")),

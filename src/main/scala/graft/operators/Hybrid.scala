@@ -83,7 +83,9 @@ object Hybrid {
     val w = Scoring.preset(mode)
     val k = math.max(CandidateFanout, n * 5)
 
-    val postings = Postings.build(docs, idCol, textCol)
+    // cache: dictionary, stats and the probe all scan postings (a serving
+    // session builds these once and keeps them resident)
+    val postings = Postings.build(docs, idCol, textCol).cache()
     val dict = Postings.dictionary(postings)
     val stats = Postings.corpusStats(postings)
 

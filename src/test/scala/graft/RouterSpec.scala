@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions.QueryFns
+import org.apache.spark.sql.functions._
+
+/** Router classifications per the reference's TEST_QUERIES.md categories,
+  * plus the pin between the driver-side Router and the column-expression
+  * QueryFns twin. */
+class RouterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("classifications match reference categories") {
+    assert(Router.route("Hadith narrated by Abu Hurairah").qtype === "narrator")
+    assert(Router.route("book 3:12").qtype === "exact_reference")
+    assert(Router.route("\"actions are by intentions\"").qtype === "thematic")
+    assert(Router.route("patience and gratitude in hardship").qtype === "thematic")
+    assert(Router.route("kindness").qtype === "mixed")
+    assert(Router.route("forgiveness mercy").qtype === "mixed")
+    assert(Router.route("عن أبي هريرة").qtype === "narrator")
+  }
+
+  test("narrator extraction canonicalizes honorifics and verbs") {
+    val i = Router.route("narrated by Aisha (may Allah be pleased with her) about prayer")
+    assert(i.narrator === Some("Aisha about prayer"))
+    assert(Router.route("عن أبي هريرة").narrator === Some("أبي هريرة"))
+  }
+
+  test("fts match compilation (router.py:93-107 semantics)") {
+    assert(Router.buildFtsMatch(Router.route("Hadith narrated by Abu Hurairah"))
+      === "narrator:abu* AND narrator:hurairah*")
+    assert(Router.buildFtsMatch(Router.route("\"actions are by intentions\""))
+      === "\"actions are by intentions\"")
+    assert(Router.buildFtsMatch(Router.route("forgiveness mercy"))
+      === "forgiveness* AND mercy*")
+  }
+
+  test("column-expression twin agrees with driver-side Router on the battery") {
+    val df = RouteBattery.queries.zipWithIndex.map { case (q, i) => (i, q) }.toDF("qid", "q")
+      .select($"qid", $"q",
+        QueryFns.intentType($"q").as("qtype"),
+        QueryFns.stripQuotes($"q").as("normalized"),
+        QueryFns.narrator(trim($"q")).as("narrator"),
+        QueryFns.quotedPhrase($"q").as("phrase"),
+        QueryFns.ftsMatch($"q").as("fts_match"))
+      .orderBy("qid").collect()
+    df.foreach { r =>
+      val i = Router.route(r.getString(1))
+      assert(r.getString(2) === i.qtype, s"qtype for '${r.getString(1)}'")
+      assert(r.getString(3) === i.normalized, s"normalized for '${r.getString(1)}'")
+      assert(Option(r.getString(4)) === i.narrator, s"narrator for '${r.getString(1)}'")
+      assert(Option(r.getString(5)) === i.phrase, s"phrase for '${r.getString(1)}'")
+      assert(r.getString(6) === Router.buildFtsMatch(i), s"match for '${r.getString(1)}'")
+    }
+  }
+}

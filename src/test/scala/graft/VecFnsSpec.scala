@@ -1,0 +1,54 @@
+package graft
+
+import graft.functions.{TextFns, VecFns}
+import graft.operators.{Embed, Similarity}
+import org.apache.spark.sql.functions._
+
+class VecFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quantized cosine is exact and partition-order independent") {
+    val vecs = (1L to 200L).map(i => (i, Array.tabulate(16)(j => math.sin(i * 17 + j).toFloat)))
+    val df1 = vecs.toDF("vec_id", "embedding").repartition(1)
+    val df8 = vecs.toDF("vec_id", "embedding").repartition(8, $"vec_id")
+    val q = typedLit(vecs.head._2)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.cosineTopK(df, "vec_id", "embedding", q, 10).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(run(df1) === run(df8))
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val df = Seq((1L, Array(0.3f, -0.4f, 0.5f))).toDF("id", "v")
+    val c = df.select(VecFns.cosine($"v", $"v")).head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-9)
+  }
+
+  test("column hashEmbed, sparse entries, and local twin all agree") {
+    val docs = Seq((1L, "spark join window data"), (2L, "the quick brown fox")).toDF("doc_id", "text")
+    val dim = 16
+    // column (dense) form
+    val dense = docs.select($"doc_id", VecFns.hashEmbed(TextFns.tokens($"text"), dim).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // sparse operator form
+    val sparse = Embed.toDense(Embed.hashEmbedEntries(docs, "doc_id", "text", dim), dim)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // driver-side local twin
+    val local1 = VecFns.hashEmbedLocal(Seq("spark", "join", "window", "data"), dim).toSeq
+    assert(dense(1L) === sparse(1L))
+    assert(dense(2L) === sparse(2L))
+    assert(dense(1L) === local1)
+  }
+
+  test("lsh bucket is stable across evaluation paths") {
+    val vecs = (1L to 50L).map(i => (i, Array.tabulate(8)(j => math.cos(i + j).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val b1 = df.select($"vec_id",
+      Similarity.lshBucket(VecFns.quantize($"embedding"), 8, 6).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b2 = df.repartition(7).select($"vec_id",
+      Similarity.lshBucket(VecFns.quantize($"embedding"), 8, 6).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(b1 === b2)
+  }
+}

@@ -68,6 +68,18 @@ object Oracles {
 
   private def sq(s: String): String = s.replace("'", "''")
 
+  /** MinHash universal-hash signature CTEs over a (doc_id, elem) relation
+    * named `elems` — same md5-derived coefficients as Dedup.minhashCoeffs. */
+  private def minhashSigsCte(numHashes: Int): String = {
+    val (as_, bs) = graft.operators.Dedup.minhashCoeffs(numHashes)
+    val aLit = as_.mkString("[", ",", "]")
+    val bLit = bs.mkString("[", ",", "]")
+    s"""h0 AS (SELECT doc_id, ${h31("elem")} h0 FROM elems),
+       |sigs AS (SELECT doc_id, CAST(seed AS INT) seed,
+       |  min(($aLit[CAST(seed+1 AS INT)]*h0 + $bLit[CAST(seed+1 AS INT)]) % ${graft.operators.Dedup.MinhashP}) minh
+       |  FROM h0 CROSS JOIN (SELECT unnest(range(0,$numHashes)) seed) GROUP BY 1,2)""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     // ── relational core ────────────────────────────────────────────────
     "q1_lineitem_agg" ->
@@ -132,17 +144,13 @@ object Oracles {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "minhash_sigs" ->
       s"""WITH $Toks,
-         |terms AS (SELECT doc_id, unnest(list_distinct(t)) term FROM toks),
-         |h AS (SELECT doc_id, seed, ${h60("seed::VARCHAR||':'||term")} hv
-         |      FROM terms CROSS JOIN (SELECT unnest(range(0,16)) seed))
-         |SELECT doc_id, CAST(seed AS INT) AS seed, min(hv) AS minh
-         |FROM h GROUP BY 1,2 ORDER BY doc_id, seed""".stripMargin,
+         |elems AS (SELECT doc_id, unnest(list_distinct(t)) elem FROM toks),
+         |${minhashSigsCte(16)}
+         |SELECT doc_id, seed, minh FROM sigs ORDER BY doc_id, seed""".stripMargin,
     "minhash_lsh_pairs" ->
       s"""WITH $Toks,
-         |terms AS (SELECT doc_id, unnest(list_distinct(t)) term FROM toks),
-         |h AS (SELECT doc_id, seed, ${h60("seed::VARCHAR||':'||term")} hv
-         |      FROM terms CROSS JOIN (SELECT unnest(range(0,16)) seed)),
-         |sigs AS (SELECT doc_id, seed, min(hv) minh FROM h GROUP BY 1,2),
+         |elems AS (SELECT doc_id, unnest(list_distinct(t)) elem FROM toks),
+         |${minhashSigsCte(16)},
          |banded AS (SELECT doc_id, seed//16 band,
          |  md5(string_agg(minh::VARCHAR, ':' ORDER BY seed)) band_key
          |  FROM sigs GROUP BY doc_id, seed//16),
@@ -158,10 +166,8 @@ object Oracles {
          |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t)>=3 THEN
          |  [list_aggr(t[i:i+2],'string_agg','_') for i in range(1, len(t)-1)]
          |  ELSE [] END) s FROM toks),
-         |ex AS (SELECT doc_id, unnest(s) sg FROM sh),
-         |h AS (SELECT doc_id, seed, ${h60("seed::VARCHAR||':'||sg")} hv
-         |      FROM ex CROSS JOIN (SELECT unnest(range(0,16)) seed)),
-         |sigs AS (SELECT doc_id, seed, min(hv) minh FROM h GROUP BY 1,2),
+         |elems AS (SELECT doc_id, unnest(s) elem FROM sh),
+         |${minhashSigsCte(16)},
          |banded AS (SELECT doc_id, seed//4 band,
          |  md5(string_agg(minh::VARCHAR, ':' ORDER BY seed)) band_key
          |  FROM sigs GROUP BY doc_id, seed//4),

@@ -78,12 +78,17 @@ object TextFns {
   /** T6: snippet/preview truncation (reference: mcp_server/tools.py:154). */
   def snippet(c: Column, n: Int): Column = substring(c, 1, n)
 
-  /** n-token shingles joined by '_' (dedup primitives). */
-  def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws("_", slice(toks, i + lit(1), lit(n)))))
-      .otherwise(array())
+  /** n-token shingles joined by '_' (dedup primitives). Built from n
+    * shifted slices zipped elementwise — O(n·len) per row. (The naive
+    * per-position slice form re-evaluates its argument expression per
+    * shingle once Catalyst collapses projections into the lambda —
+    * O(len²·tokenize) per row; round-4 bench fix.) */
+  def shingles(toks: Column, n: Int): Column = {
+    val cnt = size(toks) - lit(n - 1)
+    val parts = (0 until n).map(k => slice(toks, lit(k + 1), greatest(cnt, lit(0))))
+    val joined = parts.reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit("_"), y)))
+    when(size(toks) >= n, joined).otherwise(array())
+  }
 
   /** Rolling polynomial fingerprint over the token stream, mod 1e9+7.
     * acc' = (acc*31 + hash31(token)) % M — order-sensitive document

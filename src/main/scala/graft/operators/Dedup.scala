@@ -30,15 +30,33 @@ object Dedup {
     docs.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
   }
 
-  /** MinHash signatures over an exploded element set (doc_id, elem):
-    * numHashes seeded md5-hashes, min per (doc, seed). Output
-    * (doc_id, seed, minh) — exploded for cross-engine comparability. */
-  def minhashFromElems(elems: DataFrame, numHashes: Int): DataFrame =
-    elems
-      .select(col("doc_id"), col("elem"), explode(sequence(lit(0), lit(numHashes - 1))).as("seed"))
-      .withColumn("h", TextFns.hash60(concat(col("seed"), lit(":"), col("elem"))))
-      .groupBy("doc_id", "seed")
-      .agg(min("h").as("minh"))
+  /** Universal-hash family for MinHash: h_s(x) = (a_s·h31(x) + b_s) mod p,
+    * p = 2³¹−1. One md5 per ELEMENT (not per element×seed — round-4 bench
+    * fix: the seeded-md5 form cost 16× the hashing and a 16× row
+    * explosion); the per-seed hashes are two integer ops. Constants are
+    * md5-derived on the driver so the DuckDB oracle embeds identical
+    * literals. */
+  val MinhashP = 2147483647L
+  def minhashCoeffs(numHashes: Int): (Seq[Long], Seq[Long]) =
+    (0 until numHashes).map { s =>
+      (TextFns.hash31Local(s"mh-a:$s") | 1L, TextFns.hash31Local(s"mh-b:$s"))
+    }.unzip
+
+  /** MinHash signatures over an exploded element set (doc_id, elem).
+    * One shuffle of the element rows with numHashes parallel min
+    * aggregates (map-side combinable); the (doc, seed, minh) long form is
+    * unpivoted afterwards from numHashes columns per doc. */
+  def minhashFromElems(elems: DataFrame, numHashes: Int): DataFrame = {
+    val (as_, bs) = minhashCoeffs(numHashes)
+    val projected = elems.select(col("doc_id"), TextFns.hash31(col("elem")).as("h0"))
+    val aggs = (0 until numHashes).map(s =>
+      min((lit(as_(s)) * col("h0") + lit(bs(s))) % lit(MinhashP)).as(s"m$s"))
+    val wide = projected.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val pairs = array((0 until numHashes).map(s =>
+      struct(lit(s).as("seed"), col(s"m$s").as("minh"))): _*)
+    wide.select(col("doc_id"), explode(pairs).as("sm"))
+      .select(col("doc_id"), col("sm.seed").as("seed"), col("sm.minh").as("minh"))
+  }
 
   /** MinHash signatures over the doc's distinct tokens. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,

@@ -68,6 +68,8 @@ object Oracles {
 
   private def sq(s: String): String = s.replace("'", "''")
 
+  private val QuranGlob = "/root/reference/data/quran/surah_*.jsonl"
+
   /** MinHash universal-hash signature CTEs over a (doc_id, elem) relation
     * named `elems` — same md5-derived coefficients as Dedup.minhashCoeffs. */
   private def minhashSigsCte(numHashes: Int): String = {
@@ -296,7 +298,51 @@ object Oracles {
     "route_query" -> routeQuerySql,
     "priority_score" -> priorityScoreSql,
     "hybrid_search" -> hybridSearchSql,
+
+    // ── quran engine (reference corpus fixtures; absolute path) ────────
+    "tafsir_stats" ->
+      s"""SELECT count(*) AS entries, count(DISTINCT surah) AS surahs
+         |FROM read_json_auto('$QuranGlob')""".stripMargin,
+    "tafsir_catalog" ->
+      s"""SELECT CAST(surah AS BIGINT) surah, count(*) AS n_ayahs,
+         |CAST(sum(length(text_plain)) AS BIGINT) AS total_chars
+         |FROM read_json_auto('$QuranGlob') GROUP BY 1 ORDER BY 1""".stripMargin,
+    "quran_get_verse" ->
+      s"""SELECT verse_key, CAST(surah AS BIGINT) surah, CAST(ayah AS BIGINT) ayah, slug
+         |FROM read_json_auto('$QuranGlob') WHERE verse_key='2:255'""".stripMargin,
+    "quran_search_fts" -> quranSearchFtsSql,
   )
+
+  private def quranSearchFtsSql: String = {
+    val terms = Router.embedTokens(Queries.QuranQuery).map(t => s"'$t'").mkString("[", ",", "]")
+    s"""WITH raw AS (SELECT surah, ayah, verse_key, text_plain FROM read_json_auto('$QuranGlob')),
+       |docs AS (SELECT surah*1000+ayah doc_id, verse_key, surah, ayah, text_plain FROM raw),
+       |toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text_plain),
+       |  '[^a-z0-9_؀-ۿ]+'), t -> len(t)>0) t FROM docs),
+       |p0 AS (SELECT doc_id, CAST(len(t) AS BIGINT) dl, unnest(t) term FROM toks),
+       |p AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) tf FROM p0 GROUP BY 1,2,3),
+       |d AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) df FROM p GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS BIGINT) n_docs, CAST(sum(dl) AS BIGINT) sum_dl
+       |       FROM (SELECT DISTINCT doc_id, dl FROM p)),
+       |q AS (SELECT unnest($terms) term),
+       |m AS (SELECT p.doc_id, p.dl, p.tf, d.df, st.n_docs, st.sum_dl
+       |      FROM p JOIN q USING(term) JOIN d USING(term) CROSS JOIN st),
+       |bm AS (SELECT doc_id, round(sum(
+       |        ln((n_docs - df + 0.5)/(df + 0.5) + 1.0)
+       |        * (tf * 2.2) / (tf + 1.2*(1.0 - 0.75 + 0.75*dl/(CAST(sum_dl AS DOUBLE)/n_docs)))
+       |      ), 6) bm25 FROM m GROUP BY 1),
+       |top AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 25),
+       |f AS (SELECT doc_id, round(1.0/(1.0+greatest(0.0,-bm25)),6) fts_score FROM top),
+       |h AS (SELECT d2.verse_key, d2.surah, d2.ayah, f.fts_score,
+       |      substring(d2.text_plain,1,200) text_preview FROM f JOIN docs d2 USING(doc_id)),
+       |sc AS (SELECT *, round(0.0*0.0 + 1.0*fts_score, 6) score FROM h),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY md5(text_preview)
+       |      ORDER BY score DESC, surah, ayah) rn FROM sc)
+       |SELECT verse_key, CAST(surah AS BIGINT) surah, CAST(ayah AS BIGINT) ayah,
+       |round(score,6) score, CAST(0.0 AS DOUBLE) vector_score,
+       |round(fts_score,6) fts_score, text_preview
+       |FROM r WHERE rn=1 ORDER BY score DESC, surah, ayah LIMIT 5""".stripMargin
+  }
 
   private def routeQuerySql: String = {
     val values = RouteBattery.queries.zipWithIndex

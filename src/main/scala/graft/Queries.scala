@@ -214,7 +214,39 @@ object Queries {
     }),
     "hybrid_search" -> ((s, dir) =>
       Hybrid.search(docs(s, dir), "doc_id", "text", HybridQuery, n = 10, dim = Dim)),
+
+    // ── quran engine (reference corpus fixtures; sfDir-independent) ────
+    "tafsir_stats" -> ((s, _) =>
+      Quran.indexStatus(Quran.load(s, QuranDir))),
+    "tafsir_catalog" -> ((s, _) =>
+      Quran.load(s, QuranDir)
+        .groupBy(col("surah").cast("long").as("surah"))
+        .agg(count("*").as("n_ayahs"), sum(length(col("text_plain"))).as("total_chars"))
+        .orderBy("surah")),
+    "quran_get_verse" -> ((s, _) =>
+      Quran.getVerse(Quran.load(s, QuranDir), "2:255")
+        .select(col("verse_key"), col("surah").cast("long").as("surah"),
+          col("ayah").cast("long").as("ayah"), col("slug"))),
+    "quran_search_fts" -> ((s, _) =>
+      Quran.search(Quran.load(s, QuranDir), None, QuranQuery, None, n = 5, mode = "fts")
+        .select(col("verse_key"), col("surah").cast("long").as("surah"),
+          col("ayah").cast("long").as("ayah"), col("score"),
+          col("vector_score"), col("fts_score"), col("text_preview"))),
+    // npz-backed queries have no SQL-expressible oracle (binary cache) —
+    // the driver records the weaker rows-only check for these two
+    "npz_embeddings" -> ((s, _) =>
+      graft.sources.Npz.embeddings(s, NpzPath)
+        .select(col("verse_key"), size(col("embedding")).as("dim")).orderBy("verse_key")),
+    "quran_hybrid" -> ((s, _) => {
+      val emb = graft.sources.Npz.embeddings(s, NpzPath)
+      val qv = emb.where(col("verse_key") === "1:1").head().getSeq[Float](1).toArray
+      Quran.search(Quran.load(s, QuranDir), Some(emb), QuranQuery, Some(qv), n = 5)
+    }),
   )
+
+  val QuranDir = "/root/reference/data/quran"
+  val NpzPath = "/root/reference/data/indexes/quran/embeddings.npz"
+  val QuranQuery = "mercy forgiveness charity"
 }
 
 /** Router test battery (classifications mirror the reference's

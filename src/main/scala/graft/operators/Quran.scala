@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.functions.{Scoring, TextFns}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The second engine: tafsir search (reference: quran_mcp/ — loader.py,
+  * search.py:178-318). Mirrors the lifecycle: corpus load (S2) →
+  * lexical probe (BM25 over text_plain) → semantic probe (cosine over the
+  * imported npz vectors) → fusion by verse_key with `greatest` on the
+  * vector score (J3) → weighted sum rounded 6 (F15) → deterministic
+  * text-block dedupe (T4) → top-n envelope.
+  */
+object Quran {
+
+  val tafsirSchema: StructType = StructType(Seq(
+    StructField("surah", IntegerType),
+    StructField("ayah", IntegerType),
+    StructField("verse_key", StringType),
+    StructField("resource_id", IntegerType),
+    StructField("resource_name", StringType),
+    StructField("language_id", IntegerType),
+    StructField("slug", StringType),
+    StructField("translated_name", StructType(Seq(
+      StructField("name", StringType), StructField("language_name", StringType)))),
+    StructField("text_plain", StringType),
+    StructField("text_arabic_simple", StringType),
+    StructField("text_arabic_uthmani", StringType),
+    StructField("fetched_at", DoubleType)))
+
+  /** S2: corpus scan with text_plain fallback (loader.py:64-108 strips
+    * HTML when text_plain is absent — all bundled rows carry it, the
+    * fallback covers re-scrapes) and source-file manifest column. */
+  def load(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(tafsirSchema).json(s"$dir/surah_*.jsonl")
+      .withColumn("text_plain",
+        coalesce(col("text_plain"), TextFns.normWhitespace(TextFns.htmlStrip(col("text_arabic_simple")))))
+      .withColumn("src_file", regexp_extract(input_file_name(), "([^/]+)$", 1))
+
+  /** A3/A4: index status (search.py:94-108). */
+  def indexStatus(corpus: DataFrame): DataFrame =
+    corpus.agg(count("*").as("entries"), countDistinct("surah").as("surahs"))
+
+  /** J5: point lookup by verse key (server.py:77-107) — a broadcast-hash
+    * probe; with verse_key-bucketed storage this is a single-partition read. */
+  def getVerse(corpus: DataFrame, verseKey: String): DataFrame =
+    corpus.where(col("verse_key") === verseKey)
+
+  /** F16 (quran variant): mode → (w_vector, w_fts); both-zero → vector=1;
+    * semantic failure degrades to FTS (search.py:193-215). */
+  def resolveWeights(mode: String, semanticOk: Boolean): (Double, Double) = {
+    val (wv, wf) = mode match {
+      case "semantic" => (1.0, 0.0)
+      case "fts" => (0.0, 1.0)
+      case _ => (0.6, 0.4)
+    }
+    val (wv2, wf2) = if (!semanticOk) (0.0, if (wf == 0.0) 1.0 else wf) else (wv, wf)
+    if (wv2 == 0.0 && wf2 == 0.0) (1.0, 0.0) else (wv2, wf2)
+  }
+
+  /** Full search lifecycle. `queryVec` carries the encoded query when a
+    * real encoder output is available (the reference encodes in-process;
+    * our zero-egress build accepts precomputed vectors — its absence IS
+    * the reference's own degraded mode, search.py:212-215). */
+  def search(corpus: DataFrame, emb: Option[DataFrame], query: String,
+             queryVec: Option[Array[Float]], n: Int = 5,
+             mode: String = "hybrid"): DataFrame = {
+    val semanticOk = emb.isDefined && queryVec.isDefined
+    val (wv, wf) = resolveWeights(mode, semanticOk)
+    val k = math.max(n * 5, 50)
+
+    // corpus keyed by a dense numeric id for the postings machinery
+    val docs = corpus.select(
+      ((col("surah").cast("long") * 1000) + col("ayah")).as("doc_id"),
+      col("verse_key"), col("surah"), col("ayah"), col("text_plain"))
+
+    val fts: DataFrame = {
+      val terms = graft.Router.embedTokens(query)
+      if (terms.isEmpty || wf == 0.0)
+        docs.sparkSession.emptyDataFrame.select(lit("").as("verse_key"), lit(0.0).as("fts_score")).limit(0)
+      else {
+        val p = Postings.build(docs, "doc_id", "text_plain").cache()
+        val scored = Bm25.score(p, Postings.dictionary(p), Postings.corpusStats(p), terms)
+        // F9 signal over our positive BM25 (lower-is-better quirk does not
+        // apply; parity note in SURVEY F9)
+        Bm25.topK(scored, math.max(n * 5, 25))
+          .join(docs.select(col("doc_id"), col("verse_key")), "doc_id")
+          .select(col("verse_key"),
+            round(lit(1.0) / (lit(1.0) + greatest(lit(0.0), -col("bm25"))), 6).as("fts_score"))
+      }
+    }
+
+    val vec: DataFrame =
+      if (!semanticOk || wv == 0.0)
+        docs.sparkSession.emptyDataFrame.select(lit("").as("verse_key"), lit(0.0).as("vector_score")).limit(0)
+      else {
+        val q = typedLit(queryVec.get)
+        emb.get
+          .select(col("verse_key"),
+            round(graft.functions.VecFns.cosine(col("embedding"), q), 6).as("cos"))
+          .where(col("cos") > 0) // P6 (search.py:167-169)
+          // J3: max-merge duplicate verse keys (search.py:247-251)
+          .groupBy("verse_key").agg(max("cos").as("vector_score"))
+          .orderBy(desc("vector_score"), asc("verse_key")).limit(k)
+      }
+
+    // J3 fusion by verse_key; F15 weighted sum round 6
+    val fused = fts.join(vec, Seq("verse_key"), "full_outer")
+      .select(col("verse_key"),
+        coalesce(col("fts_score"), lit(0.0)).as("fts_score"),
+        coalesce(col("vector_score"), lit(0.0)).as("vector_score"))
+      .withColumn("score", Scoring.quranTotal(col("vector_score"), col("fts_score"), wv, wf))
+
+    // backfill + T4 order-preserving text-block dedupe (search.py:262-278)
+    val hits = fused.join(docs.select(col("verse_key"), col("surah"), col("ayah"),
+        TextFns.snippet(col("text_plain"), 200).as("text_preview")), "verse_key")
+    val block = md5(col("text_preview"))
+    val w = Window.partitionBy(block).orderBy(desc("score"), asc("surah"), asc("ayah"))
+    hits.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+      .orderBy(desc("score"), asc("surah"), asc("ayah"))
+      .limit(n)
+      .select(col("verse_key"), col("surah"), col("ayah"),
+        round(col("score"), 6).as("score"),
+        round(col("vector_score"), 6).as("vector_score"),
+        round(col("fts_score"), 6).as("fts_score"),
+        col("text_preview"))
+  }
+
+  /** E4: embedding-cache invalidation — compare the stored manifest
+    * against the current file listing; any difference ⇒ rebuild
+    * (quran_mcp/embeddings.py:48-57, 80-84). */
+  def manifestChanged(current: DataFrame, stored: DataFrame): Boolean = {
+    val cur = current.select("name", "size")
+    val st = stored.select("name", "size")
+    cur.join(st, Seq("name", "size"), "left_anti").limit(1).count() > 0 ||
+      st.join(cur, Seq("name", "size"), "left_anti").limit(1).count() > 0
+  }
+}

@@ -69,6 +69,7 @@ object Oracles {
   private def sq(s: String): String = s.replace("'", "''")
 
   private val QuranGlob = "/root/reference/data/quran/surah_*.jsonl"
+  private val HadithGlob = "/root/reference/data/riyadussalihin/book_*.jsonl"
 
   /** MinHash universal-hash signature CTEs over a (doc_id, elem) relation
     * named `elems` — same md5-derived coefficients as Dedup.minhashCoeffs. */
@@ -311,6 +312,29 @@ object Oracles {
       s"""SELECT verse_key, CAST(surah AS BIGINT) surah, CAST(ayah AS BIGINT) ayah, slug
          |FROM read_json_auto('$QuranGlob') WHERE verse_key='2:255'""".stripMargin,
     "quran_search_fts" -> quranSearchFtsSql,
+
+    // ── hadith corpus (reference fixtures; absolute path) ──────────────
+    "hadith_book_stats" ->
+      s"""WITH v AS (SELECT book_id, ${canonSql("narrator")} cn
+         |  FROM read_json_auto('$HadithGlob', union_by_name=true)
+         |  WHERE list_sort(list_distinct(list_transform(texts, t -> t.language))) = ['ar','en'])
+         |SELECT book_id, count(*) AS total_hadith,
+         |count(DISTINCT cn) AS unique_narrators
+         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    "hadith_catalog" ->
+      s"""WITH v AS (SELECT book_id, book_title_en, chapter_id
+         |  FROM read_json_auto('$HadithGlob', union_by_name=true)
+         |  WHERE list_sort(list_distinct(list_transform(texts, t -> t.language))) = ['ar','en'])
+         |SELECT book_id, min(book_title_en) AS title_en, count(*) AS total_hadiths,
+         |count(DISTINCT chapter_id) AS total_chapters
+         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    "hadith_ingest_totals" ->
+      s"""WITH v AS (SELECT book_id, ${canonSql("narrator")} cn
+         |  FROM read_json_auto('$HadithGlob', union_by_name=true)
+         |  WHERE list_sort(list_distinct(list_transform(texts, t -> t.language))) = ['ar','en']),
+         |bs AS (SELECT book_id, count(*) th, count(DISTINCT cn) un FROM v GROUP BY 1)
+         |SELECT count(*) AS books, CAST(sum(th) AS BIGINT) AS total_hadith,
+         |CAST(sum(un) AS BIGINT) AS narrator_slots FROM bs""".stripMargin,
   )
 
   private def quranSearchFtsSql: String = {

@@ -30,7 +30,9 @@ object Queries {
   // integer-cents grid for money aggregates: exact, order-independent
   private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
 
-  val all: Map[String, Q] = Map(
+  lazy val all: Map[String, Q] = base ++ hadith
+
+  private lazy val base: Map[String, Q] = Map(
     // ── relational core ────────────────────────────────────────────────
     "q1_lineitem_agg" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
@@ -247,6 +249,26 @@ object Queries {
   val QuranDir = "/root/reference/data/quran"
   val NpzPath = "/root/reference/data/indexes/quran/embeddings.npz"
   val QuranQuery = "mercy forgiveness charity"
+  val HadithBooks = "/root/reference/data/riyadussalihin/book_*.jsonl"
+
+  /** Hadith-corpus queries (reference fixtures; sfDir-independent). */
+  lazy val hadith: Map[String, Q] = {
+    def valid(s: SparkSession) = Ingest.validated(Ingest.readBooks(s, HadithBooks))
+    Map(
+      "hadith_book_stats" -> ((s, _) =>
+        Ingest.bookStats(valid(s))
+          .select("book_id", "total_hadith", "unique_narrators").orderBy("book_id")),
+      "hadith_catalog" -> ((s, _) =>
+        Ingest.catalogRollup(valid(s)).orderBy("book_id")),
+      "hadith_ingest_totals" -> ((s, _) =>
+        Ingest.ingestionTotals(Ingest.bookStats(valid(s)))),
+      // full hybrid lifecycle over the real corpus — rows-only check (the
+      // vector leg over the rendered payload is not SQL-expressible
+      // within one oracle statement at reasonable size)
+      "hadith_search" -> ((s, _) =>
+        HadithSearch.search(HadithSearch.silver(valid(s)),
+          "Hadith narrated by Abu Hurairah", n = 10)))
+  }
 }
 
 /** Router test battery (classifications mirror the reference's

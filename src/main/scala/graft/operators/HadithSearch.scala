@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.Router
+import graft.functions.{Scoring, TextFns, VecFns}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The flagship engine over the real hadith corpus: field-scoped lexical
+  * index + hybrid lifecycle (reference: mcp_server/tools.py:39-175 with
+  * the FTS5 schema's narrator/english/arabic columns,
+  * mcp_server/apps/fts.py:280-290, and router field scoping F8).
+  *
+  * Index shape: one postings table with a `field` column — the Spark
+  * rendition of FTS5 column scoping. A narrator-intent query probes only
+  * field='narrator' (prefix semantics); thematic/mixed queries probe the
+  * text fields. At scale the postings parquet is partitioned by field and
+  * bucketed by term, so a field-scoped probe is partition pruning plus a
+  * bucket-local join.
+  */
+object HadithSearch {
+
+  /** Silver document table from validated ingest rows: doc_id, narrator
+    * (canonical), en/ar texts, embed payload (P2). */
+  def silver(valid: DataFrame): DataFrame =
+    valid.select(
+      Ingest.docId.as("doc_id"),
+      col("book_id"),
+      col("chapter_id"),
+      col("canonical_narrator").as("narrator"),
+      Ingest.languageText(col("texts"), "en").as("english_text"),
+      Ingest.languageText(col("texts"), "ar").as("arabic_text"),
+      Ingest.embedPayload(col("canonical_narrator"), col("texts")).as("payload"))
+
+  /** Field-scoped postings: (doc_id, field, dl, term, tf) — fts.py's
+    * hadith_fts(narrator, english_text, arabic_text) columns. */
+  def postings(docs: DataFrame): DataFrame = {
+    def one(field: String, c: String) = docs
+      .select(col("doc_id"), lit(field).as("field"), TextFns.tokens(col(c)).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"), col("field"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("doc_id", "field", "dl", "term").agg(count("*").as("tf"))
+    one("narrator", "narrator")
+      .unionByName(one("en", "english_text"))
+      .unionByName(one("ar", "arabic_text"))
+  }
+
+  /** BM25 probe over one field's postings with optional prefix expansion. */
+  private def fieldProbe(post: DataFrame, field: String, terms: Seq[String],
+                         prefix: Boolean, k: Int): DataFrame = {
+    val spark = post.sparkSession
+    import spark.implicits._
+    val p = post.where(col("field") === field)
+    val dict = p.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val stats = p.select("doc_id", "dl").distinct()
+      .agg(count("*").as("n_docs"), sum("dl").as("sum_dl"))
+    val probes = terms.distinct.toDF("probe")
+    val expanded =
+      if (prefix) dict.join(broadcast(probes), col("term").startsWith(col("probe")))
+        .select("term", "df").distinct()
+      else dict.join(broadcast(probes), col("term") === col("probe")).select("term", "df")
+    val m = p.join(broadcast(expanded), "term").crossJoin(broadcast(stats))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val w = idf * ((col("tf") * lit(Bm25.K1 + 1)) /
+      (col("tf") + lit(Bm25.K1) * (lit(1.0) - lit(Bm25.B) + lit(Bm25.B) * col("dl") / avgdl)))
+    m.select(col("doc_id"), w.as("w"))
+      .groupBy("doc_id").agg(round(sum("w"), 6).as("bm25"))
+      .orderBy(desc("bm25"), asc("doc_id")).limit(k)
+  }
+
+  /** Full lifecycle (tools.py:39-175): route → field-scoped lexical probe →
+    * hashed-embedding semantic probe over the payload → full-outer fusion →
+    * backfill → priority scoring over the ENGLISH text only (tools.py:143-148)
+    * → rank. */
+  def search(docs0: DataFrame, query: String, n: Int = 10,
+             mode: String = "balanced", dim: Int = 128,
+             parityFts: Boolean = false): DataFrame = {
+    val intent = Router.route(query)
+    val w = Scoring.preset(mode)
+    val k = math.max(50, n * 5)
+    // numeric surrogate for the string doc_id — a hash, not a global
+    // row_number window (which would serialize the corpus through one sort)
+    val docs = docs0.withColumn("num_id", TextFns.hash60(col("doc_id")))
+    val post = postings(docs.select(col("num_id").as("doc_id"), col("narrator"),
+      col("english_text"), col("arabic_text"))).cache()
+
+    // F8 field scoping: narrator intent → narrator field; otherwise text
+    // fields (en probes dominate the corpus; ar probe covers Arabic queries)
+    val lex: DataFrame =
+      if (intent.qtype == "narrator" && intent.narrator.isDefined) {
+        val nt = Router.tokenize(intent.narrator.get) match {
+          case Nil => intent.tokens.take(6); case ts => ts.take(6)
+        }
+        if (nt.isEmpty) emptyLex(docs) else fieldProbe(post, "narrator", nt, prefix = true, k)
+      } else {
+        val terms = intent.phrase.map(Router.tokenize(_).toSeq).getOrElse(intent.tokens.take(6))
+        val isArabic = terms.exists(_.exists(c => c >= '؀' && c <= 'ۿ'))
+        if (terms.isEmpty) emptyLex(docs)
+        else fieldProbe(post, if (isArabic) "ar" else "en", terms,
+          prefix = intent.phrase.isEmpty, k)
+      }
+
+    // semantic probe over the embed payload (E1/E2/E3)
+    val vec = Hybrid.vectorCandidates(docs.select(col("num_id"), col("payload")),
+      "num_id", "payload", Router.embedTokens(intent.normalized), dim, k)
+
+    // J1 fusion on the surrogate key + J2 backfill
+    val fused = lex.join(vec, Seq("doc_id"), "full_outer")
+    val backfilled = docs.select(col("num_id").as("doc_id"), col("doc_id").as("hadith_id"),
+        col("book_id"), col("narrator"), col("english_text"))
+      .join(broadcast(fused), "doc_id")
+
+    val toks = typedLit(intent.tokens)
+    val phraseCol = intent.phrase.map(lit(_)).getOrElse(lit(null).cast("string"))
+    val v = Scoring.vectorSignal(col("cos"))
+    val fts = Scoring.ftsSignal(col("bm25"), parityFts)
+    val pb = Scoring.phraseBonus(col("english_text"), phraseCol, w.bonusPhrase)
+    val cov = Scoring.termCoverage(col("english_text"), toks)
+    val score = Scoring.total(v, fts, pb, lit(0.0), cov, w)
+
+    backfilled.select(
+        col("hadith_id").as("doc_id"), col("book_id"), col("narrator"),
+        TextFns.snippet(trim(col("english_text")), 240).as("snippet"),
+        round(v, 4).as("vector_similarity"), round(fts, 4).as("fts_signal"),
+        round(pb, 4).as("phrase_bonus"), round(cov, 4).as("term_coverage"),
+        round(score, 4).as("score"))
+      .orderBy(desc("score"), asc("doc_id")).limit(n)
+  }
+
+  private def emptyLex(docs: DataFrame): DataFrame =
+    docs.sparkSession.emptyDataFrame
+      .select(lit(0L).as("doc_id"), lit(0.0).as("bm25")).limit(0)
+}

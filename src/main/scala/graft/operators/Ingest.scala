@@ -101,4 +101,29 @@ object Ingest {
       count("*").as("total_hadith"),
       countDistinct("canonical_narrator").as("unique_narrators"),
       slice(array_sort(collect_list("checksum")), 1, 5).as("checksum_examples"))
+
+  /** A2: ingestion totals across books (ingestion.py:129-158). */
+  def ingestionTotals(stats: DataFrame): DataFrame =
+    stats.agg(count("*").as("books"),
+      sum("total_hadith").as("total_hadith"),
+      sum("unique_narrators").as("narrator_slots"))
+
+  /** A6: catalog rollup — per-book rows + the global totals the
+    * reference's index.json carries (cli.py:37-67). */
+  def catalogRollup(valid: DataFrame): DataFrame =
+    valid.groupBy("book_id").agg(
+      // min, not first: every row in a book carries the same title, and
+      // min is deterministic under any partitioning (first is not)
+      min("book_title_en").as("title_en"),
+      count("*").as("total_hadiths"),
+      countDistinct("chapter_id").as("total_chapters"))
+
+  /** S4/S5: JSONL document sink + single-file catalog sink. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+  def writeCatalog(catalog: DataFrame, path: String): Unit =
+    catalog.coalesce(1).write.mode("overwrite").json(path)
+
+  /** T5: sample/peek (fts.py:77-81, embeddings.py:90-97). */
+  def peek(df: DataFrame, n: Int = 3): DataFrame = df.limit(n)
 }

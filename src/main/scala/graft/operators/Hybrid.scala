@@ -57,6 +57,11 @@ object Hybrid {
     * and oracle-reproducible. */
   def vectorCandidates(docs: DataFrame, idCol: String, textCol: String,
                        queryTokens: Seq[String], dim: Int, k: Int): DataFrame = {
+    // P8 guard: a token-less query has a zero vector — cosine would be
+    // NaN (and Spark sorts NaN above every number). Empty probe instead.
+    if (queryTokens.isEmpty)
+      return docs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0.0).as("cos")).limit(0)
     val qn = VecFns.l2NormalizeLocal(VecFns.hashEmbedLocal(queryTokens, dim))
     val qq = qn.map(x => BigDecimal(x * VecFns.Scale)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)

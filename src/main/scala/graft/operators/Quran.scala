@@ -71,10 +71,12 @@ object Quran {
     val (wv, wf) = resolveWeights(mode, semanticOk)
     val k = math.max(n * 5, 50)
 
-    // corpus keyed by a dense numeric id for the postings machinery
+    // corpus keyed by a dense numeric id for the postings machinery;
+    // cached — the lexical leg, the backfill and the dedupe all scan it
+    // (the serving session holds it resident, GraftSession doctrine)
     val docs = corpus.select(
       ((col("surah").cast("long") * 1000) + col("ayah")).as("doc_id"),
-      col("verse_key"), col("surah"), col("ayah"), col("text_plain"))
+      col("verse_key"), col("surah"), col("ayah"), col("text_plain")).cache()
 
     val fts: DataFrame = {
       val terms = graft.Router.embedTokens(query)

@@ -300,6 +300,15 @@ object Oracles {
     "priority_score" -> priorityScoreSql,
     "hybrid_search" -> hybridSearchSql,
 
+    // ── multimodal (synthetic payload = UTF-8 bytes of ascii text, so
+    //    byte histogram == codepoint histogram in the oracle) ───────────
+    "multimodal_byte_histogram" ->
+      """WITH ix AS (SELECT doc_id AS asset_id, text,
+        |  unnest(range(1, length(text)+1)) i FROM documents)
+        |SELECT asset_id, ascii(substring(text, CAST(i AS INT), 1)) % 64 AS bin,
+        |CAST(count(*) AS DOUBLE) AS v
+        |FROM ix GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
     // ── quran engine (reference corpus fixtures; absolute path) ────────
     "tafsir_stats" ->
       s"""SELECT count(*) AS entries, count(DISTINCT surah) AS surahs

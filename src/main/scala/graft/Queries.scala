@@ -217,6 +217,19 @@ object Queries {
     "hybrid_search" -> ((s, dir) =>
       Hybrid.search(docs(s, dir), "doc_id", "text", HybridQuery, n = 10, dim = Dim)),
 
+    // ── multimodal columns (synthetic binary payloads over documents) ──
+    "multimodal_byte_histogram" -> ((s, dir) =>
+      Multimodal.byteHistogramTable(
+        Multimodal.syntheticMedia(docs(s, dir), "doc_id", "text"), bins = 64)
+        .orderBy("asset_id", "bin")),
+    // decode stub + features + frame sampling — rows-only (crc32/codec
+    // stub has no DuckDB twin)
+    "multimodal_enrich" -> ((s, dir) =>
+      Multimodal.enrich(Multimodal.syntheticMedia(docs(s, dir), "doc_id", "text"))
+        .select(col("asset_id"), col("modality"), col("decoded.width").as("width"),
+          size(col("features")).as("n_features"), size(col("frame_idx")).as("n_frames"))
+        .orderBy("asset_id")),
+
     // ── quran engine (reference corpus fixtures; sfDir-independent) ────
     "tafsir_stats" -> ((s, _) =>
       Quran.indexStatus(Quran.load(s, QuranDir))),

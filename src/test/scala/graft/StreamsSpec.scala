@@ -1,0 +1,77 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{Ev, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamsSpec extends SparkSpec {
+
+  private def ts(minute: Int) = new Timestamp(1700000000000L + minute * 60000L)
+
+  test("windowed counts work identically on a batch frame") {
+    import spark.implicits._
+    val batch = Seq(
+      Ev(ts(0), 1, "click", 1.0), Ev(ts(10), 1, "click", 2.0),
+      Ev(ts(70), 2, "view", 3.0)).toDF()
+    val out = Streams.windowedCounts(batch, "1 hour").collect()
+    assert(out.length === 2)
+    val click = out.find(_.getString(1) == "click").get
+    assert(click.getLong(2) === 2L && click.getDouble(3) === 3.0)
+  }
+
+  test("windowed counts run as a real stream with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.windowedCounts(mem.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("win_out").outputMode("complete").start()
+    try {
+      mem.addData(Ev(ts(0), 1, "click", 1.0), Ev(ts(5), 2, "click", 1.5), Ev(ts(65), 1, "view", 2.0))
+      q.processAllAvailable()
+      val rows = spark.sql("select * from win_out").collect()
+      assert(rows.length === 2)
+      assert(rows.map(_.getLong(2)).sum === 3L)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions after the gap (event-time timeout)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one session), then 90 min silence
+      mem.addData(Ev(ts(0), 1, "click", 1.0), Ev(ts(5), 1, "click", 1.0))
+      q.processAllAvailable()
+      // advancing the watermark far past the gap forces the timeout
+      mem.addData(Ev(ts(180), 2, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts(400), 3, "view", 1.0))
+      q.processAllAvailable()
+      val sessions = spark.sql("select * from sess_out").as[Session].collect()
+      val u1 = sessions.filter(_.user_id == 1L)
+      assert(u1.length === 1, s"got ${sessions.mkString(",")}")
+      assert(u1.head.n_events === 2 && u1.head.closed)
+      assert(u1.head.end_ms - u1.head.start_ms === 5 * 60000L)
+    } finally q.stop()
+  }
+
+  test("streaming incremental upsert maintains parquet state via foreachBatch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+      .withColumn("checksum", sha2(col("text"), 256))
+    val q = Streams.incrementalUpsert(stream, s"$dir/state", "doc_id", "checksum", s"$dir/ckpt")
+    try {
+      mem.addData((1L, "alpha"), (2L, "beta"))
+      q.processAllAvailable()
+      val st = spark.read.parquet(s"$dir/state.next")
+      assert(st.count() === 2)
+    } finally q.stop()
+  }
+}

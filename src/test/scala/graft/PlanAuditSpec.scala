@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audit: the properties that make these plans survive a
+  * 100× scale-up, asserted against the actual executed plans at sf0.001
+  * (plans are data-size independent apart from AQE thresholds).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("q3: filters push to the parquet scans and the dimension side broadcasts") {
+    val p = plan(Queries.all("q3_top_orders")(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull"), "no pushed filters")
+    assert(p.contains("BroadcastHashJoin"), "no broadcast join")
+    assert(p.contains("TakeOrderedAndProject"), "top-k not TakeOrdered")
+  }
+
+  test("q1: partial (map-side) aggregation before the shuffle") {
+    val p = plan(Queries.all("q1_lineitem_agg")(spark, sf))
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), "no partial agg")
+    // column pruning: only the 4 needed columns reach the scan
+    assert(p.contains("ReadSchema"), "no read schema")
+    assert(!p.contains("l_partkey"), "scan reads unneeded columns")
+  }
+
+  test("top-k queries compile to TakeOrderedAndProject, not a global sort") {
+    Seq("bm25_topk", "cosine_topk").foreach { q =>
+      val p = plan(Queries.all(q)(spark, sf))
+      assert(p.contains("TakeOrderedAndProject"), s"$q lacks TakeOrdered")
+    }
+  }
+
+  test("near-dup candidate paths contain no nested-loop join") {
+    Seq("near_dup_pairs", "simhash_pairs", "ngram_jaccard_pairs", "minhash_lsh_pairs")
+      .foreach { q =>
+        val p = plan(Queries.all(q)(spark, sf))
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested loop")
+        assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      }
+  }
+
+  test("lexical probes broadcast the query-term side") {
+    val p = plan(Queries.all("bm25_topk")(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "query terms not broadcast")
+  }
+
+  test("whole-stage codegen covers the relational pipelines") {
+    // (higher-order-function projections — filter/transform lambdas — are
+    // interpreted by design in Spark; the relational queries must codegen)
+    Seq("q1_lineitem_agg", "events_hourly", "q5_region_revenue").foreach { q =>
+      val p = plan(Queries.all(q)(spark, sf))
+      assert(p.contains("WholeStageCodegen"), s"$q has no codegen span")
+    }
+  }
+
+  test("incremental anti-join resolves to a real anti join") {
+    val p = plan(Queries.all("incremental_changed")(spark, sf))
+    assert(p.contains("LeftAnti"), "no anti join in the plan")
+  }
+}

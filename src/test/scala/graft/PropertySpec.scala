@@ -1,0 +1,76 @@
+package graft
+
+import graft.functions.{Scoring, TextFns, VecFns}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Property-based invariants (SURVEY §5): score bounds, fusion
+  * monotonicity, checksum stability, hash-family portability — checked on
+  * the driver against the same column expressions evaluated through a
+  * one-row frame where needed. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  // scalacheck generators driven by a manual sample loop (the
+  // scalatest/scalacheck bridge artifact is not on the offline classpath)
+  private def samples[A](g: Gen[A], n: Int = 60): Seq[A] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  private val scores = Gen.chooseNum(-2.0, 3.0)
+
+  test("priority score stays in [0,1] for any signal combination") {
+    for ((vs, bm, cov) <- samples(Gen.zip(scores, scores, Gen.chooseNum(0.0, 1.0)))) {
+      val total = math.max(0.0, math.min(1.0,
+        0.6 * math.max(0.0, math.min(1.0, vs)) +
+          0.4 * math.max(0.0, math.min(1.0, 1.0 / (1.0 + math.max(0.0, bm)))) +
+          0.2 * cov))
+      assert(total >= 0.0 && total <= 1.0)
+    }
+  }
+
+  test("fusion total is monotone in each signal (column evaluation)") {
+    val rows = Seq((0.2, 1.0, 0.3), (0.4, 1.0, 0.3), (0.4, 0.5, 0.3), (0.4, 0.5, 0.9))
+      .toDF("vs", "bm25", "cov")
+    val t = rows.select(Scoring.total(
+      Scoring.vectorSignal($"vs"), Scoring.ftsSignal($"bm25"),
+      lit(0.0), lit(0.0), $"cov", Scoring.Balanced).as("t"))
+      .collect().map(_.getDouble(0))
+    assert(t(1) > t(0)) // higher vector sim
+    assert(t(2) > t(1)) // lower bm25 -> higher signal
+    assert(t(3) > t(2)) // higher coverage
+  }
+
+  test("hash31 column and local twin agree on arbitrary strings") {
+    for (s <- samples(Gen.alphaNumStr.suchThat(_.nonEmpty), 20)) {
+      val col31 = Seq(Tuple1(s)).toDF("x")
+        .select(TextFns.hash31($"x")).head().getLong(0)
+      assert(col31 === TextFns.hash31Local(s))
+    }
+  }
+
+  test("checksum is stable under re-serialization (same fields, same hash)") {
+    for ((a, b) <- samples(Gen.zip(Gen.alphaStr, Gen.alphaStr), 10)) {
+      val df = Seq((a, b), (a, b)).toDF("x", "y")
+        .select(TextFns.checksum($"x", $"y").as("c")).distinct()
+      assert(df.count() === 1)
+    }
+  }
+
+  test("hashEmbed local twin: vector norm equals sqrt of token count parity sum") {
+    for (toks <- samples(Gen.listOfN(8, Gen.oneOf("alpha", "beta", "gamma", "delta")), 20)) {
+      val v = VecFns.hashEmbedLocal(toks, 16)
+      // sum of |v| entries == signed sums; total token mass preserved mod cancellation
+      assert(v.map(math.abs).sum <= toks.length.toDouble + 1e-9)
+      assert((v.map(math.abs).sum - toks.length) % 2 == 0 ||
+        math.abs(v.map(math.abs).sum % 2 - toks.length % 2) < 1e-9)
+    }
+  }
+
+  test("keepBest is idempotent for any key ordering") {
+    val docs = (1L to 50L).map(i => (i, s"g${i % 7}", i * 31 % 17)).toDF("id", "g", "rank")
+    val once = graft.operators.Dedup.keepBest(docs, $"g", Seq(desc("rank"), asc("id")))
+    val twice = graft.operators.Dedup.keepBest(once, $"g", Seq(desc("rank"), asc("id")))
+    assert(once.collect().toSet === twice.collect().toSet)
+    assert(once.count() === 7)
+  }
+}

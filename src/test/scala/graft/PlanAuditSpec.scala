@@ -53,7 +53,9 @@ class PlanAuditSpec extends SparkSpec {
     // (higher-order-function projections — filter/transform lambdas — are
     // interpreted by design in Spark; the relational queries must codegen)
     Seq("q1_lineitem_agg", "events_hourly", "q5_region_revenue").foreach { q =>
-      val p = plan(Queries.all(q)(spark, sf))
+      val df = Queries.all(q)(spark, sf)
+      df.collect() // AQE materializes codegen stages only in the final plan
+      val p = df.queryExecution.executedPlan.toString
       assert(p.contains("WholeStageCodegen"), s"$q has no codegen span")
     }
   }

@@ -56,7 +56,9 @@ class PlanAuditSpec extends SparkSpec {
       val df = Queries.all(q)(spark, sf)
       df.collect() // AQE materializes codegen stages only in the final plan
       val p = df.queryExecution.executedPlan.toString
-      assert(p.contains("WholeStageCodegen"), s"$q has no codegen span")
+      // codegen stages print as "*(n)" in the simple plan string
+      assert(p.contains("WholeStageCodegen") || "\\*\\(\\d+\\)".r.findFirstIn(p).isDefined,
+        s"$q has no codegen span")
     }
   }
 

@@ -110,6 +110,10 @@ object Oracles {
         |count(*) AS n_events, round(sum(value),6) AS sum_value,
         |count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "stream_windowed_counts" ->
+      """SELECT make_timestamp((epoch_ns(ts)//3600000000000)*3600000000) AS window_start,
+        |event_type, count(*) AS n_events, round(sum(value),6) AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "events_sessions" ->
       """WITH x AS (SELECT user_id, ts,
         |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev FROM events)

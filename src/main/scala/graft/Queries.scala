@@ -77,6 +77,14 @@ object Queries {
           countDistinct("user_id").as("n_users"))
         .orderBy("hour_bucket", "event_type")
     }),
+    "stream_windowed_counts" -> ((s, dir) => {
+      // the streaming windowed rollup run on the batch frame — identical
+      // declarative plan both ways (Streams.windowedCounts)
+      val ev = Tables(s, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      graft.streaming.Streams.windowedCounts(ev, "1 hour")
+        .orderBy("window_start", "event_type")
+    }),
     "events_sessions" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       Tables(s, dir, "events")

@@ -126,4 +126,10 @@ object Ingest {
 
   /** T5: sample/peek (fts.py:77-81, embeddings.py:90-97). */
   def peek(df: DataFrame, n: Int = 3): DataFrame = df.limit(n)
+
+  /** Silver parquet layout, partitioned by book_id — S3's by-hand book
+    * path selection becomes partition pruning (a book filter never
+    * touches other books' files). */
+  def writeSilver(valid: DataFrame, path: String): Unit =
+    valid.write.mode("overwrite").partitionBy("book_id").parquet(path)
 }

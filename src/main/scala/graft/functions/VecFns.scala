@@ -25,8 +25,14 @@ object VecFns {
   def quantize(c: Column): Column =
     transform(c.cast("array<double>"), x => round(x * lit(Scale)))
 
-  /** Exact dot product of two quantized vectors (or any arrays of doubles). */
-  def dot(a: Column, b: Column): Column =
+  /** Exact dot product of two quantized vectors (or any arrays of
+    * doubles) — a native codegen'd Expression (graft.plans.QuantizedDot);
+    * strict left-to-right sum, bit-identical to [[dotHof]]. */
+  def dot(a: Column, b: Column): Column = graft.plans.QuantizedDot(a, b)
+
+  /** Builtin higher-order-function form (interpreted) — kept as the
+    * reference implementation the custom expression is pinned against. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm2(a: Column): Column = sqrt(dot(a, a))

@@ -1,0 +1,78 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.functions.lit
+
+/** Native codegen'd dot product over two double arrays — the SURVEY §7.4
+  * "optional custom Expression if BENCH demands" fast path. The
+  * higher-order-function form (aggregate ∘ zip_with) is interpreted and
+  * allocates a lambda frame per element; this compiles to a tight fused
+  * loop inside whole-stage codegen.
+  *
+  * Identical arithmetic to VecFns.dot: a strict left-to-right sum of
+  * element products. On the engine's quantized integer grid every partial
+  * sum is exact, so the result is bit-identical to the interpreted form
+  * and to the DuckDB oracle regardless of evaluation order.
+  */
+case class QuantizedDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"quantized_dot expects two array<double> args, got ${left.dataType}, ${right.dataType}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quantized_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): QuantizedDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object QuantizedDot {
+  /** Column API entry — drop-in for VecFns.dot on double arrays. */
+  def apply(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(new QuantizedDot(ColumnShim.expression(a), ColumnShim.expression(b)))
+  }
+}

@@ -18,6 +18,18 @@ class VecFnsSpec extends SparkSpec {
     assert(run(df1) === run(df8))
   }
 
+  test("native QuantizedDot agrees bitwise with the HOF form and codegens") {
+    // parquet-backed so the projection is a real scan (a local relation
+    // would be constant-folded at plan time)
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", VecFns.quantize($"embedding").as("q"))
+    val both = df.select(VecFns.dot($"q", $"q").as("native"), VecFns.dotHof($"q", $"q").as("hof"))
+    assert(both.where($"native" =!= $"hof").count() === 0)
+    val plan = both.queryExecution.executedPlan.toString
+    assert(plan.contains("quantized_dot"), "custom expression not in plan")
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("), "no codegen")
+  }
+
   test("cosine of a vector with itself is 1") {
     val df = Seq((1L, Array(0.3f, -0.4f, 0.5f))).toDF("id", "v")
     val c = df.select(VecFns.cosine($"v", $"v")).head().getDouble(0)

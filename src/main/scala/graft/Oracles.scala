@@ -239,6 +239,21 @@ object Oracles {
          |q AS (SELECT qv qq, bucket qb FROM k WHERE vec_id=0)
          |SELECT vec_id, ${cosQ("qv", "qq")} cos FROM k CROSS JOIN q
          |WHERE bucket=qb ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+    "ivf_topk" ->
+      s"""WITH $EmbQ,
+         |c AS (SELECT row_number() OVER (ORDER BY vec_id)-1 i, qv cqv
+         |      FROM (SELECT vec_id, qv FROM e ORDER BY vec_id LIMIT 16)),
+         |asg AS (SELECT vec_id, qv, i centroid FROM (
+         |  SELECT e.vec_id, e.qv, c.i,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.qv, c.cqv) DESC, c.i) rn
+         |  FROM e CROSS JOIN c) WHERE rn=1),
+         |q AS (SELECT qv qq FROM e WHERE vec_id=0),
+         |probe AS (SELECT c.i FROM c CROSS JOIN q
+         |          ORDER BY list_dot_product(qq, c.cqv) DESC, c.i LIMIT 4)
+         |SELECT vec_id, ${cosQ("qv", "qq")} cos FROM asg CROSS JOIN q
+         |WHERE centroid IN (SELECT i FROM probe)
+         |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
     "hash_embed" ->
       s"""WITH $Toks,
          |t2 AS (SELECT doc_id, unnest(t) tok FROM toks),

@@ -177,6 +177,12 @@ object Queries {
       Similarity.annTopK(e, "vec_id", "embedding",
         typedLit(q.toArray), Dim, nBits = 4, k = 20)
     }),
+    "ivf_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+      Similarity.ivfTopK(e, "vec_id", "embedding", typedLit(q.toArray),
+        nCentroids = 16, nProbe = 4, k = 20)
+    }),
     "hash_embed" -> ((s, dir) =>
       Embed.hashEmbedEntries(docs(s, dir), "doc_id", "text", Dim).orderBy("doc_id", "bucket")),
 

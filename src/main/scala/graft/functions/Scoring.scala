@@ -18,8 +18,19 @@ object Scoring {
       wCoverage: Double = 0.20)
   val Balanced: Weights = Weights()
   val TermPriority: Weights = Weights(0.30, 0.30, 0.20, 0.10, 0.60)
-  def preset(mode: String): Weights =
-    if (mode == "term-priority") TermPriority else Balanced
+
+  /** F17: the design-spec's alternate weight set (reference:
+    * data/riyadussalihin/HADITH_SEARCH_SPEC.md:325-392 — narrator +0.4,
+    * phrase +0.3, coverage ×0.3, semantic ×0.25). The spec differs from
+    * the shipped scoring.py weights; exposed as the "spec" preset per
+    * SURVEY F17. */
+  val SpecWeights: Weights = Weights(0.25, 0.25, 0.30, 0.10, 0.30)
+
+  def preset(mode: String): Weights = mode match {
+    case "term-priority" => TermPriority
+    case "spec" => SpecWeights
+    case _ => Balanced
+  }
 
   def clamp01(c: Column): Column = least(lit(1.0), greatest(lit(0.0), c))
 

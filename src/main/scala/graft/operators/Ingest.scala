@@ -132,4 +132,14 @@ object Ingest {
     * touches other books' files). */
   def writeSilver(valid: DataFrame, path: String): Unit =
     valid.write.mode("overwrite").partitionBy("book_id").parquet(path)
+
+  /** S14/F25/F26: per-book ingestion log — stats rows stamped with the
+    * run timestamp, serialized as one JSON document per book
+    * (reference: mcp_server/apps/ingestion.py:82-93 writes
+    * `{book}_{date}.json` with an ISO timestamp). */
+  def writeIngestionLog(stats: DataFrame, path: String): Unit =
+    stats
+      .withColumn("logged_at", date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ssXXX"))
+      .select(to_json(struct(col("*"))).as("value"))
+      .write.mode("overwrite").text(path)
 }

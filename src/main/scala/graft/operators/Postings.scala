@@ -41,4 +41,13 @@ object Postings {
   def corpusStats(postings: DataFrame): DataFrame =
     postings.select("doc_id", "dl").distinct()
       .agg(count("*").as("n_docs"), sum("dl").as("sum_dl"))
+
+  /** S9 persistence: the postings table bucketed (and sorted) by term —
+    * query-time probes and the dictionary groupBy then run shuffle-free
+    * on the bucket layout (the cluster-scale stand-in for SQLite's
+    * inverted-index B-tree). */
+  def saveBucketed(postings: DataFrame, table: String, numBuckets: Int = 64): Unit =
+    postings.write.mode("overwrite")
+      .bucketBy(numBuckets, "term").sortBy("term")
+      .format("parquet").saveAsTable(table)
 }

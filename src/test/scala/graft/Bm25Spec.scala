@@ -41,4 +41,14 @@ class Bm25Spec extends SparkSpec {
     assert(top.length === 2)
     assert(top(0).getDouble(1) >= top(1).getDouble(1))
   }
+
+  test("bucketed postings layout makes the term groupBy shuffle-free (S9)") {
+    Postings.saveBucketed(p, "postings_bucketed", numBuckets = 4)
+    val t = spark.table("postings_bucketed")
+    val dict = t.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    dict.collect()
+    val plan = dict.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(term"),
+      s"term aggregation still shuffles:\n${plan.take(600)}")
+  }
 }

@@ -101,11 +101,14 @@ object Similarity {
     val q = emb.select(col(idCol).cast("long").as("vec_id"), VecFns.quantize(col(vecCol)).as("qv"))
     val cents = q.orderBy("vec_id").limit(nCentroids)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    def bestCentroid(v: Column): Column =
-      cents.zipWithIndex.map { case ((_, cv), i) =>
-        struct(VecFns.dot(v, typedLit(cv)).as("d"), lit(i).as("i"))
-      }.reduce((a, b) => when(b.getField("d") > a.getField("d"), b).otherwise(a))
-        .getField("i")
+    // argmax over a dot-product ARRAY; a pairwise when-reduce would
+    // re-reference both branches per step and grow the tree 2^K
+    // (round-4 bench: 683 s at sf0.1 before this form). array_position
+    // takes the FIRST occurrence of the max — ties → lowest index.
+    def bestCentroid(v: Column): Column = {
+      val dots = array(cents.map { case (_, cv) => VecFns.dot(v, typedLit(cv)) }: _*)
+      (array_position(dots, array_max(dots)) - 1).cast("int")
+    }
     val assigned = q.withColumn("centroid", bestCentroid(col("qv")))
     val qvec = VecFns.quantize(queryVec)
     // centroid ranking for the query happens on the driver (K tiny)

@@ -68,11 +68,13 @@ object Dedup {
     * band, and emit candidate pairs (a < b) sharing any band bucket.
     * The join key is (band, band_key) — candidates never require n². */
   def lshCandidatePairs(sigs: DataFrame, rowsPerBand: Int): DataFrame = {
+    // cached: the candidate self-join scans this frame twice
     val banded = sigs
       .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
       .groupBy("doc_id", "band")
       .agg(md5(concat_ws(":", transform(array_sort(collect_list(struct(col("seed"), col("minh")))),
         s => s.getField("minh").cast("string")))).as("band_key"))
+      .cache()
     val a = banded.select(col("band"), col("band_key"), col("doc_id").as("a"))
     val b = banded.select(col("band"), col("band_key"), col("doc_id").as("b"))
     a.join(b, Seq("band", "band_key"))
@@ -125,7 +127,9 @@ object Dedup {
   }
 
   private def shingleJaccard(sh: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
+    // cached: joined once per pair side
     val sized = sh.select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
+      .cache()
     pairs
       .join(sized.select(col("doc_id").as("a"), col("shingles").as("sh_a"), col("n_sh").as("na")), "a")
       .join(sized.select(col("doc_id").as("b"), col("shingles").as("sh_b"), col("n_sh").as("nb")), "b")

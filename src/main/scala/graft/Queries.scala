@@ -267,7 +267,7 @@ object Queries {
       graft.sources.Npz.embeddings(s, NpzPath)
         .select(col("verse_key"), size(col("embedding")).as("dim")).orderBy("verse_key")),
     "quran_hybrid" -> ((s, _) => {
-      val emb = graft.sources.Npz.embeddings(s, NpzPath)
+      val emb = graft.sources.Npz.embeddings(s, NpzPath).cache()
       val qv = emb.where(col("verse_key") === "1:1").head().getSeq[Float](1).toArray
       Quran.search(Quran.load(s, QuranDir), Some(emb), QuranQuery, Some(qv), n = 5)
     }),

@@ -384,16 +384,17 @@ object Oracles {
        |        * (tf * 2.2) / (tf + 1.2*(1.0 - 0.75 + 0.75*dl/(CAST(sum_dl AS DOUBLE)/n_docs)))
        |      ), 6) bm25 FROM m GROUP BY 1),
        |top AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 25),
-       |f AS (SELECT doc_id, round(1.0/(1.0+greatest(0.0,-bm25)),6) fts_score FROM top),
-       |h AS (SELECT d2.verse_key, d2.surah, d2.ayah, f.fts_score,
+       |f AS (SELECT doc_id, bm25,
+       |      round(greatest(0.0,bm25)/(1.0+greatest(0.0,bm25)),6) fts_score FROM top),
+       |h AS (SELECT d2.verse_key, d2.surah, d2.ayah, f.fts_score, f.bm25,
        |      substring(d2.text_plain,1,200) text_preview FROM f JOIN docs d2 USING(doc_id)),
        |sc AS (SELECT *, round(0.0*0.0 + 1.0*fts_score, 6) score FROM h),
        |r AS (SELECT *, row_number() OVER (PARTITION BY md5(text_preview)
-       |      ORDER BY score DESC, surah, ayah) rn FROM sc)
+       |      ORDER BY score DESC, bm25 DESC, surah, ayah) rn FROM sc)
        |SELECT verse_key, CAST(surah AS BIGINT) surah, CAST(ayah AS BIGINT) ayah,
        |round(score,6) score, CAST(0.0 AS DOUBLE) vector_score,
        |round(fts_score,6) fts_score, text_preview
-       |FROM r WHERE rn=1 ORDER BY score DESC, surah, ayah LIMIT 5""".stripMargin
+       |FROM r WHERE rn=1 ORDER BY score DESC, bm25 DESC, surah, ayah LIMIT 5""".stripMargin
   }
 
   private def routeQuerySql: String = {
@@ -450,7 +451,7 @@ object Oracles {
        |$values),
        |c AS (SELECT sid,
        |  least(1.0, greatest(0.0, coalesce(vs, 0.0))) v,
-       |  CASE WHEN bm25 IS NOT NULL THEN least(1.0, greatest(0.0, 1.0/(1.0+greatest(0.0,bm25)))) ELSE 0.0 END f,
+       |  CASE WHEN bm25 IS NOT NULL THEN least(1.0, greatest(0.0, greatest(0.0,bm25)/(1.0+greatest(0.0,bm25)))) ELSE 0.0 END f,
        |  CAST(CASE WHEN phrase IS NOT NULL AND strpos(lower(text), lower(phrase))>0 THEN 0.05 ELSE 0.0 END AS DOUBLE) pb,
        |  CASE WHEN len(tokens)>0
        |       THEN CAST(len(list_filter(tokens, s2 -> strpos(lower(text), s2)>0)) AS DOUBLE)/len(tokens)
@@ -499,7 +500,7 @@ object Oracles {
        |bf AS (SELECT f.doc_id, d2.text, f.bm25, f.cos FROM fused f JOIN documents d2 USING(doc_id)),
        |sc AS (SELECT doc_id, text,
        |  least(1.0, greatest(0.0, coalesce(cos, 0.0))) v,
-       |  CASE WHEN bm25 IS NOT NULL THEN least(1.0, greatest(0.0, 1.0/(1.0+greatest(0.0,bm25)))) ELSE 0.0 END f,
+       |  CASE WHEN bm25 IS NOT NULL THEN least(1.0, greatest(0.0, greatest(0.0,bm25)/(1.0+greatest(0.0,bm25)))) ELSE 0.0 END f,
        |  CASE WHEN len($tokList)>0
        |       THEN CAST(len(list_filter($tokList, s2 -> strpos(lower(text), s2)>0)) AS DOUBLE)/len($tokList)
        |       ELSE 0.0 END cov

@@ -37,15 +37,20 @@ object Scoring {
   /** Vector-similarity signal: clamp [0,1], null → 0 (scoring.py:54). */
   def vectorSignal(vs: Column): Column = clamp01(coalesce(vs, lit(0.0)))
 
-  /** F9: bm25→signal 1/(1+max(0,bm25)), null → 0 (scoring.py:48-51).
-    * Parity note (SURVEY F9): SQLite's bm25() is NEGATIVE for matches, so
-    * in the reference this collapses to 1.0 for every FTS hit. Pass
-    * `parity = true` to reproduce that (matched ⇒ 1.0); false applies the
-    * formula to our positive BM25 scores, making lexical rank matter. */
+  /** F9: bm25→signal, null → 0 (scoring.py:48-51).
+    * Parity note (SURVEY F9): the reference computes 1/(1+max(0,bm25))
+    * over SQLite's NEGATIVE bm25() scores, which collapses to 1.0 for
+    * every FTS hit. Pass `parity = true` to reproduce that (matched ⇒
+    * 1.0). The default maps our positive, higher-is-better BM25 through
+    * the INCREASING saturation bm25/(1+bm25) ∈ [0,1), so lexical rank is
+    * preserved (the reference's literal formula applied to positive
+    * scores would invert it — best match, lowest signal). */
   def ftsSignal(bm25: Column, parity: Boolean = false): Column =
     if (parity) when(bm25.isNotNull, lit(1.0)).otherwise(lit(0.0))
-    else when(bm25.isNotNull,
-      clamp01(lit(1.0) / (lit(1.0) + greatest(lit(0.0), bm25)))).otherwise(lit(0.0))
+    else {
+      val b = greatest(lit(0.0), bm25)
+      when(bm25.isNotNull, clamp01(b / (lit(1.0) + b))).otherwise(lit(0.0))
+    }
 
   /** F12: phrase bonus when the lowercase phrase is a substring
     * (scoring.py:53-55). */

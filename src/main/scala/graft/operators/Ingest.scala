@@ -61,13 +61,18 @@ object Ingest {
       array_sort(array_distinct(transform(col("texts"), t => t.getField("language")))) ===
         array(lit("ar"), lit("en"))
 
-  /** Valid rows with derived canonical_narrator (models.py:64-67). */
+  /** Valid rows with derived canonical_narrator (models.py:64-67).
+    * Null-safe split: a missing/null `texts` array makes the validation
+    * predicate NULL, and `where(p)` / `where(!p)` would BOTH drop such
+    * rows — coalescing to false routes them to quarantine instead of
+    * losing them without trace. */
   def validated(raw: DataFrame): DataFrame =
-    raw.where(isValid).drop("_corrupt")
+    raw.where(coalesce(isValid, lit(false))).drop("_corrupt")
       .withColumn("canonical_narrator", TextFns.canonicalize(col("narrator")))
 
   /** Quarantine channel (failed JSON decode or failed validation). */
-  def quarantine(raw: DataFrame): DataFrame = raw.where(!isValid)
+  def quarantine(raw: DataFrame): DataFrame =
+    raw.where(!coalesce(isValid, lit(false)))
 
   /** Max-error policy (validation.py:43-49): book_ids whose quarantine
     * count reaches the threshold — the driver aborts those books. */

@@ -81,16 +81,22 @@ object Quran {
     val fts: DataFrame = {
       val terms = graft.Router.embedTokens(query)
       if (terms.isEmpty || wf == 0.0)
-        docs.sparkSession.emptyDataFrame.select(lit("").as("verse_key"), lit(0.0).as("fts_score")).limit(0)
+        docs.sparkSession.emptyDataFrame.select(lit("").as("verse_key"),
+          lit(0.0).as("fts_score"), lit(0.0).as("bm25")).limit(0)
       else {
         val p = Postings.build(docs, "doc_id", "text_plain").cache()
         val scored = Bm25.score(p, Postings.dictionary(p), Postings.corpusStats(p), terms)
-        // F9 signal over our positive BM25 (lower-is-better quirk does not
-        // apply; parity note in SURVEY F9)
+        // F9 signal over our positive BM25: the increasing saturation
+        // bm25/(1+bm25) preserves lexical rank (the reference's literal
+        // 1/(1+max(0,-bm25)) over positive scores is constant 1.0 — every
+        // hit ties and rank collapses to verse order). bm25 rides along
+        // as the tie-break the reference gets from its stable candidate
+        // order (search.py:258-260).
         Bm25.topK(scored, math.max(n * 5, 25))
           .join(docs.select(col("doc_id"), col("verse_key")), "doc_id")
-          .select(col("verse_key"),
-            round(lit(1.0) / (lit(1.0) + greatest(lit(0.0), -col("bm25"))), 6).as("fts_score"))
+          .select(col("verse_key"), col("bm25"),
+            round(greatest(lit(0.0), col("bm25")) /
+              (lit(1.0) + greatest(lit(0.0), col("bm25"))), 6).as("fts_score"))
       }
     }
 
@@ -108,10 +114,13 @@ object Quran {
           .orderBy(desc("vector_score"), asc("verse_key")).limit(k)
       }
 
-    // J3 fusion by verse_key; F15 weighted sum round 6
+    // J3 fusion by verse_key; F15 weighted sum round 6. bm25 carried as a
+    // secondary rank key so round-6 score ties resolve by lexical rank,
+    // not verse order (reference keeps its candidate order on ties).
     val fused = fts.join(vec, Seq("verse_key"), "full_outer")
       .select(col("verse_key"),
         coalesce(col("fts_score"), lit(0.0)).as("fts_score"),
+        coalesce(col("bm25"), lit(0.0)).as("bm25"),
         coalesce(col("vector_score"), lit(0.0)).as("vector_score"))
       .withColumn("score", Scoring.quranTotal(col("vector_score"), col("fts_score"), wv, wf))
 
@@ -119,9 +128,10 @@ object Quran {
     val hits = fused.join(docs.select(col("verse_key"), col("surah"), col("ayah"),
         TextFns.snippet(col("text_plain"), 200).as("text_preview")), "verse_key")
     val block = md5(col("text_preview"))
-    val w = Window.partitionBy(block).orderBy(desc("score"), asc("surah"), asc("ayah"))
+    val w = Window.partitionBy(block)
+      .orderBy(desc("score"), desc("bm25"), asc("surah"), asc("ayah"))
     hits.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
-      .orderBy(desc("score"), asc("surah"), asc("ayah"))
+      .orderBy(desc("score"), desc("bm25"), asc("surah"), asc("ayah"))
       .limit(n)
       .select(col("verse_key"), col("surah"), col("ayah"),
         round(col("score"), 6).as("score"),

@@ -17,8 +17,12 @@ import org.apache.spark.sql.functions.lit
   *
   * Identical arithmetic to VecFns.dot: a strict left-to-right sum of
   * element products. On the engine's quantized integer grid every partial
-  * sum is exact, so the result is bit-identical to the interpreted form
-  * and to the DuckDB oracle regardless of evaluation order.
+  * sum is exact, so for EQUAL-LENGTH arrays with no null elements the
+  * result is bit-identical to the interpreted form and to the DuckDB
+  * oracle regardless of evaluation order. Mismatched lengths raise
+  * (numpy-dot semantics — the hof form would instead yield NULL via
+  * zip_with's null padding); null ELEMENTS are undefined here, but the
+  * quantized pipeline never produces them (round() over non-null input).
   */
 case class QuantizedDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -39,7 +43,9 @@ case class QuantizedDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) throw new IllegalArgumentException(
+      s"quantized_dot: length mismatch ($n vs ${y.numElements()})")
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -55,7 +61,11 @@ case class QuantizedDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "quantized_dot: length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += $a.getDouble($i) * $b.getDouble($i);

@@ -20,9 +20,10 @@ class PropertySpec extends SparkSpec {
 
   test("priority score stays in [0,1] for any signal combination") {
     for ((vs, bm, cov) <- samples(Gen.zip(scores, scores, Gen.chooseNum(0.0, 1.0)))) {
+      val b = math.max(0.0, bm)
       val total = math.max(0.0, math.min(1.0,
         0.6 * math.max(0.0, math.min(1.0, vs)) +
-          0.4 * math.max(0.0, math.min(1.0, 1.0 / (1.0 + math.max(0.0, bm)))) +
+          0.4 * math.max(0.0, math.min(1.0, b / (1.0 + b))) +
           0.2 * cov))
       assert(total >= 0.0 && total <= 1.0)
     }
@@ -36,7 +37,7 @@ class PropertySpec extends SparkSpec {
       lit(0.0), lit(0.0), $"cov", Scoring.Balanced).as("t"))
       .collect().map(_.getDouble(0))
     assert(t(1) > t(0)) // higher vector sim
-    assert(t(2) > t(1)) // lower bm25 -> higher signal
+    assert(t(1) > t(2)) // lower bm25 -> lower signal (increasing F9)
     assert(t(3) > t(2)) // higher coverage
   }
 

@@ -29,10 +29,13 @@ class ScoringSpec extends SparkSpec {
     assert(one(None, None, "", None, Nil)._1 === 0.0)
   }
 
-  test("negative bm25 collapses to signal 1.0 (the SQLite clamp quirk, SURVEY F9)") {
-    assert(one(None, Some(-1.2), "", None, Nil)._2 === 1.0)
-    assert(one(None, Some(4.0), "", None, Nil)._2 === 0.2)
+  test("fts signal is increasing in bm25, floors negatives, null -> 0 (F9)") {
+    assert(one(None, Some(-1.2), "", None, Nil)._2 === 0.0) // negative floors to 0
+    assert(one(None, Some(4.0), "", None, Nil)._2 === 0.8) // 4/(1+4)
+    assert(one(None, Some(1.5), "", None, Nil)._2 === 0.6) // 1.5/2.5
     assert(one(None, None, "", None, Nil)._2 === 0.0)
+    // monotone: stronger lexical match => larger signal
+    assert(one(None, Some(4.0), "", None, Nil)._2 > one(None, Some(0.1), "", None, Nil)._2)
   }
 
   test("parity mode makes every FTS match signal exactly 1.0") {
@@ -54,9 +57,9 @@ class ScoringSpec extends SparkSpec {
   test("total is weighted sum clamped to [0,1]") {
     val (_, _, _, _, t) = one(Some(0.82), Some(1.5), "the quick brown fox jumps",
       Some("brown fox"), Seq("quick", "fox"))
-    // 0.6*0.82 + 0.4*0.4 + 0.05 + 0.2*1.0 = 0.902
-    assert(math.abs(t - 0.902) < 1e-12)
-    val (_, _, _, _, tMax) = one(Some(1.0), Some(-5.0), "a b", Some("a b"), Seq("a", "b"))
-    assert(tMax === 1.0) // 0.6+0.4+0.05+0.2 clamped
+    // 0.6*0.82 + 0.4*0.6 + 0.05 + 0.2*1.0 = 0.982
+    assert(math.abs(t - 0.982) < 1e-12)
+    val (_, _, _, _, tMax) = one(Some(1.0), Some(9.0), "a b", Some("a b"), Seq("a", "b"))
+    assert(tMax === 1.0) // 0.6+0.4*0.9+0.05+0.2 = 1.21 clamped
   }
 }

@@ -1,9 +1,20 @@
 package graft
+import graft.operators.{Bm25, Postings}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
+/** Two-part benchmark: (1) the cold query suite — every SparkEntry query
+  * end-to-end including its index builds (what a batch pipeline pays);
+  * (2) the WARM serving path — engines opened once via Graft, then
+  * repeated queries against resident indexes (what the reference's
+  * 150 ms p95 serving target measures). One JSON line carries both.
+  */
 object Bench {
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ").take(300)
+
+  private def pct(sorted: Array[Double], p: Double): Double =
+    sorted(math.min(sorted.length - 1, math.ceil(p * sorted.length).toInt - 1).max(0))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,6 +25,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // ── part 1: cold suite ───────────────────────────────────────────
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop-sink write: forces full evaluation of every column (a bare
@@ -33,8 +46,60 @@ object Bench {
     val nFailed = results.count(_._3.isDefined)
     // a failed query's partial elapsed time must not inflate the headline
     val total = results.collect { case (_, v, None) => v }.sum
+
+    // ── part 2: warm serving path ────────────────────────────────────
+    val runs = sys.env.getOrElse("SPARK_GRAFT_SERVE_RUNS", "15").toInt
+    val serveJson =
+      try {
+        // a serving session sizes shuffle width to its candidate-set
+        // width (tens of rows), not to batch width — index frames cached
+        // below inherit this, so per-query stages schedule 4 tasks not 32
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        val tOpen0 = System.nanoTime()
+        val hadith = Graft.openHadith(spark, Queries.HadithBooks)
+        val hadithOpenS = (System.nanoTime() - tOpen0) / 1e9
+        val tOpen1 = System.nanoTime()
+        val quran = Graft.openQuran(spark, Queries.QuranDir, Some(Queries.NpzPath))
+        val quranOpenS = (System.nanoTime() - tOpen1) / 1e9
+        val qv = quran.emb.get.where(col("verse_key") === "1:1")
+          .head().getSeq[Float](1).toArray
+        // resident BM25 index over the sf documents table
+        val p = Postings.build(Tables(spark, sfDir, "documents"), "doc_id", "text").cache()
+        val dict = Postings.dictionary(p).cache()
+        val stats = Postings.corpusStats(p).cache()
+        p.count(); dict.count(); stats.count()
+
+        val serveQueries: Seq[(String, () => Unit)] = Seq(
+          "hadith_search_warm" -> (() =>
+            hadith.search("Hadith narrated by Abu Hurairah", 10).collect(): Unit),
+          "hadith_thematic_warm" -> (() =>
+            hadith.search("patience and gratitude in hardship", 10).collect(): Unit),
+          "quran_fts_warm" -> (() =>
+            quran.search(Queries.QuranQuery, 5, "fts").collect(): Unit),
+          "quran_hybrid_warm" -> (() =>
+            quran.search(Queries.QuranQuery, 5, "hybrid", Some(qv)).collect(): Unit),
+          "quran_get_verse_warm" -> (() => quran.getVerse("2:255").collect(): Unit),
+          "bm25_topk_warm" -> (() =>
+            Bm25.topK(Bm25.score(p, dict, stats, Queries.Bm25Terms), 20).collect(): Unit))
+
+        val entries = serveQueries.map { case (name, run) =>
+          run(); run() // warm-up: JIT + codegen + broadcast reuse
+          val times = (1 to runs).map { _ =>
+            val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e6
+          }.toArray.sorted
+          f""""$name":{"p50_ms":${pct(times, 0.50)}%.1f,"p95_ms":${pct(times, 0.95)}%.1f,"mean_ms":${times.sum / times.length}%.1f,"runs":$runs}"""
+        }
+        (entries :+
+          f""""hadith_open_s":${hadithOpenS}%.2f,"quran_open_s":${quranOpenS}%.2f""")
+          .mkString("{", ",", "}")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] FAIL serve: $e")
+          s"""{"error":"${esc(e.toString)}"}"""
+      }
+
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""n_failed":$nFailed,"failed":$failed,"sf":"$sfDir"}"""
+      s""""n_failed":$nFailed,"failed":$failed,"serve":$serveJson,"sf":"$sfDir"}"""
     println(json)
     // bare-JSON artifact: stdout rides through sbt's "[info] " decoration,
     // which breaks naive line parsers — the file carries the clean line

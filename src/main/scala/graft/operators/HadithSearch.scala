@@ -45,15 +45,51 @@ object HadithSearch {
       .unionByName(one("ar", "arabic_text"))
   }
 
+  val Fields = Seq("narrator", "en", "ar")
+
+  /** The resident hadith index: silver docs with their numeric surrogate
+    * key, field-scoped postings, per-field dictionary + corpus stats, and
+    * the quantized embedding slots. Build once, cache, serve many — the
+    * reference's prebuilt FTS5 + Chroma handles as resident DataFrames. */
+  final case class Index(docs: DataFrame, post: DataFrame,
+                         dicts: Map[String, DataFrame],
+                         stats: Map[String, DataFrame],
+                         slots: DataFrame, dim: Int) {
+    def materialize(): Index = {
+      docs.count(); post.count(); slots.count()
+      dicts.values.foreach(_.count()); stats.values.foreach(_.count()); this
+    }
+  }
+
+  /** Derive the index frames from the silver table (lazy; `cache=true`
+    * marks every layer for caching). */
+  def buildIndex(docs0: DataFrame, dim: Int = 128,
+                 cache: Boolean = true): Index = {
+    def c(df: DataFrame) = if (cache) df.cache() else df
+    val docs = c(docs0.withColumn("num_id", TextFns.hash60(col("doc_id"))))
+    val post = c(postings(docs.select(col("num_id").as("doc_id"),
+      col("narrator"), col("english_text"), col("arabic_text"))))
+    val dicts = Fields.map { f =>
+      f -> c(post.where(col("field") === f)
+        .groupBy("term").agg(countDistinct("doc_id").as("df")))
+    }.toMap
+    val stats = Fields.map { f =>
+      f -> c(post.where(col("field") === f).select("doc_id", "dl").distinct()
+        .agg(count("*").as("n_docs"), sum("dl").as("sum_dl")))
+    }.toMap
+    val slots = c(Hybrid.embedSlots(docs.select(col("num_id"), col("payload")),
+      "num_id", "payload", dim))
+    Index(docs, post, dicts, stats, slots, dim)
+  }
+
   /** BM25 probe over one field's postings with optional prefix expansion. */
-  private def fieldProbe(post: DataFrame, field: String, terms: Seq[String],
+  private def fieldProbe(idx: Index, field: String, terms: Seq[String],
                          prefix: Boolean, k: Int): DataFrame = {
-    val spark = post.sparkSession
+    val spark = idx.post.sparkSession
     import spark.implicits._
-    val p = post.where(col("field") === field)
-    val dict = p.groupBy("term").agg(countDistinct("doc_id").as("df"))
-    val stats = p.select("doc_id", "dl").distinct()
-      .agg(count("*").as("n_docs"), sum("dl").as("sum_dl"))
+    val p = idx.post.where(col("field") === field)
+    val dict = idx.dicts(field)
+    val stats = idx.stats(field)
     val probes = terms.distinct.toDF("probe")
     val expanded =
       if (prefix) dict.join(broadcast(probes), col("term").startsWith(col("probe")))
@@ -69,21 +105,24 @@ object HadithSearch {
       .orderBy(desc("bm25"), asc("doc_id")).limit(k)
   }
 
-  /** Full lifecycle (tools.py:39-175): route → field-scoped lexical probe →
-    * hashed-embedding semantic probe over the payload → full-outer fusion →
-    * backfill → priority scoring over the ENGLISH text only (tools.py:143-148)
-    * → rank. */
+  /** Full lifecycle, cold form — builds the index inline. Serving
+    * sessions call [[buildIndex]] once then [[searchWith]] per query. */
   def search(docs0: DataFrame, query: String, n: Int = 10,
              mode: String = "balanced", dim: Int = 128,
-             parityFts: Boolean = false): DataFrame = {
+             parityFts: Boolean = false): DataFrame =
+    searchWith(buildIndex(docs0, dim), query, n, mode, parityFts)
+
+  /** tools.py:39-175 over a resident [[Index]]: route → field-scoped
+    * lexical probe → hashed-embedding semantic probe over the payload →
+    * full-outer fusion → backfill → priority scoring over the ENGLISH
+    * text only (tools.py:143-148) → rank. */
+  def searchWith(idx: Index, query: String, n: Int = 10,
+                 mode: String = "balanced",
+                 parityFts: Boolean = false): DataFrame = {
     val intent = Router.route(query)
     val w = Scoring.preset(mode)
     val k = math.max(50, n * 5)
-    // numeric surrogate for the string doc_id — a hash, not a global
-    // row_number window (which would serialize the corpus through one sort)
-    val docs = docs0.withColumn("num_id", TextFns.hash60(col("doc_id")))
-    val post = postings(docs.select(col("num_id").as("doc_id"), col("narrator"),
-      col("english_text"), col("arabic_text"))).cache()
+    val docs = idx.docs
 
     // F8 field scoping: narrator intent → narrator field; otherwise text
     // fields (en probes dominate the corpus; ar probe covers Arabic queries)
@@ -92,18 +131,18 @@ object HadithSearch {
         val nt = Router.tokenize(intent.narrator.get) match {
           case Nil => intent.tokens.take(6); case ts => ts.take(6)
         }
-        if (nt.isEmpty) emptyLex(docs) else fieldProbe(post, "narrator", nt, prefix = true, k)
+        if (nt.isEmpty) emptyLex(docs) else fieldProbe(idx, "narrator", nt, prefix = true, k)
       } else {
         val terms = intent.phrase.map(Router.tokenize(_).toSeq).getOrElse(intent.tokens.take(6))
         val isArabic = terms.exists(_.exists(c => c >= '؀' && c <= 'ۿ'))
         if (terms.isEmpty) emptyLex(docs)
-        else fieldProbe(post, if (isArabic) "ar" else "en", terms,
+        else fieldProbe(idx, if (isArabic) "ar" else "en", terms,
           prefix = intent.phrase.isEmpty, k)
       }
 
     // semantic probe over the embed payload (E1/E2/E3)
-    val vec = Hybrid.vectorCandidates(docs.select(col("num_id"), col("payload")),
-      "num_id", "payload", Router.embedTokens(intent.normalized), dim, k)
+    val vec = Hybrid.vectorCandidatesFromSlots(idx.slots,
+      Router.embedTokens(intent.normalized), idx.dim, k)
 
     // J1 fusion on the surrogate key + J2 backfill
     val fused = lex.join(vec, Seq("doc_id"), "full_outer")

@@ -62,17 +62,37 @@ object Hybrid {
     if (queryTokens.isEmpty)
       return docs.sparkSession.emptyDataFrame
         .select(lit(0L).as("doc_id"), lit(0.0).as("cos")).limit(0)
+    vectorCandidatesFromSlots(embedSlots(docs, idCol, textCol, dim),
+      queryTokens, dim, k)
+  }
+
+  /** Query-INDEPENDENT half of the semantic probe: normalized quantized
+    * slot entries (doc_id, bucket, qs). A serving session builds this
+    * once, caches/persists it, and every query is just the groupBy below
+    * over the resident table — the "prebuilt vector index" the reference
+    * keeps in Chroma. */
+  def embedSlots(docs: DataFrame, idCol: String, textCol: String,
+                 dim: Int): DataFrame = {
+    val ent = Embed.hashEmbedEntries(docs, idCol, textCol, dim)
+    val nrm = ent.groupBy("doc_id").agg(sqrt(sum(col("v") * col("v"))).as("n"))
+    ent.join(nrm, "doc_id").where(col("n") > 0)
+      .select(col("doc_id"), col("bucket"),
+        round(round(col("v") / col("n"), 6) * lit(VecFns.Scale)).as("qs"))
+  }
+
+  /** Query-dependent half: broadcast the quantized query vector against
+    * the slot table; map-side-combinable sum per doc, then top-k. */
+  def vectorCandidatesFromSlots(slots: DataFrame, queryTokens: Seq[String],
+                                dim: Int, k: Int): DataFrame = {
+    if (queryTokens.isEmpty)
+      return slots.sparkSession.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0.0).as("cos")).limit(0)
     val qn = VecFns.l2NormalizeLocal(VecFns.hashEmbedLocal(queryTokens, dim))
     val qq = qn.map(x => BigDecimal(x * VecFns.Scale)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)
     val qnorm = math.sqrt(qq.map(x => x * x).sum)
-    val ent = Embed.hashEmbedEntries(docs, idCol, textCol, dim)
-    val nrm = ent.groupBy("doc_id").agg(sqrt(sum(col("v") * col("v"))).as("n"))
-    val slot = ent.join(nrm, "doc_id").where(col("n") > 0)
-      .select(col("doc_id"), col("bucket"),
-        round(round(col("v") / col("n"), 6) * lit(VecFns.Scale)).as("qs"))
     val qlit = typedLit(qq)
-    slot.groupBy("doc_id")
+    slots.groupBy("doc_id")
       .agg(sum(col("qs") * element_at(qlit, col("bucket").cast("int") + 1)).as("dot"),
         sqrt(sum(col("qs") * col("qs"))).as("na"))
       .select(col("doc_id"), round(col("dot") / (col("na") * lit(qnorm)), 6).as("cos"))

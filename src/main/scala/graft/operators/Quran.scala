@@ -60,23 +60,59 @@ object Quran {
     if (wv2 == 0.0 && wf2 == 0.0) (1.0, 0.0) else (wv2, wf2)
   }
 
-  /** Full search lifecycle. `queryVec` carries the encoded query when a
+  /** The resident tafsir index a serving session holds: corpus keyed by a
+    * dense numeric id, its postings/dictionary/corpus-stats, and the
+    * optional vector cache. Build once (cache + materialize via
+    * [[graft.Graft.openQuran]]), then every [[searchWith]] call is a plan
+    * over resident frames — no per-query index rebuild. */
+  final case class Index(docs: DataFrame, postings: DataFrame,
+                         dict: DataFrame, stats: DataFrame,
+                         emb: Option[DataFrame],
+                         embQ: Option[DataFrame] = None) {
+    /** Force every cached layer (the warm-open step). */
+    def materialize(): Index = {
+      docs.count(); postings.count(); dict.count(); stats.count()
+      emb.foreach(_.count()); embQ.foreach(_.count()); this
+    }
+  }
+
+  /** Derive the index frames from a corpus scan. `cache=true` marks every
+    * layer for caching (lazy — nothing materializes until first use).
+    * embQ pre-quantizes every corpus vector and its norm ONCE — the per-
+    * query vector leg is then one dot product + division per row instead
+    * of re-quantizing 384 components per row per query. */
+  def buildIndex(corpus: DataFrame, emb: Option[DataFrame],
+                 cache: Boolean = true): Index = {
+    def c(df: DataFrame) = if (cache) df.cache() else df
+    // full corpus + the dense numeric key; search plans prune to the
+    // columns they touch, point lookups keep every corpus field
+    val docs = c(corpus.withColumn("doc_id",
+      (col("surah").cast("long") * 1000) + col("ayah")))
+    val p = c(Postings.build(docs, "doc_id", "text_plain"))
+    val embQ = emb.map(e => c(e.select(col("verse_key"),
+      graft.functions.VecFns.quantize(col("embedding")).as("qv"))
+      .withColumn("nq", graft.functions.VecFns.norm2(col("qv")))))
+    Index(docs, p, c(Postings.dictionary(p)), c(Postings.corpusStats(p)), emb, embQ)
+  }
+
+  /** Full search lifecycle, cold form: builds the index inline (correct,
+    * but measures index build — serving sessions use [[buildIndex]] once
+    * + [[searchWith]]). `queryVec` carries the encoded query when a
     * real encoder output is available (the reference encodes in-process;
     * our zero-egress build accepts precomputed vectors — its absence IS
     * the reference's own degraded mode, search.py:212-215). */
   def search(corpus: DataFrame, emb: Option[DataFrame], query: String,
              queryVec: Option[Array[Float]], n: Int = 5,
-             mode: String = "hybrid"): DataFrame = {
-    val semanticOk = emb.isDefined && queryVec.isDefined
+             mode: String = "hybrid"): DataFrame =
+    searchWith(buildIndex(corpus, emb), query, queryVec, n, mode)
+
+  /** Search over a resident [[Index]] — the warm serving path. */
+  def searchWith(idx: Index, query: String, queryVec: Option[Array[Float]],
+                 n: Int = 5, mode: String = "hybrid"): DataFrame = {
+    val semanticOk = idx.emb.isDefined && queryVec.isDefined
     val (wv, wf) = resolveWeights(mode, semanticOk)
     val k = math.max(n * 5, 50)
-
-    // corpus keyed by a dense numeric id for the postings machinery;
-    // cached — the lexical leg, the backfill and the dedupe all scan it
-    // (the serving session holds it resident, GraftSession doctrine)
-    val docs = corpus.select(
-      ((col("surah").cast("long") * 1000) + col("ayah")).as("doc_id"),
-      col("verse_key"), col("surah"), col("ayah"), col("text_plain")).cache()
+    val docs = idx.docs
 
     val fts: DataFrame = {
       val terms = graft.Router.embedTokens(query)
@@ -84,8 +120,7 @@ object Quran {
         docs.sparkSession.emptyDataFrame.select(lit("").as("verse_key"),
           lit(0.0).as("fts_score"), lit(0.0).as("bm25")).limit(0)
       else {
-        val p = Postings.build(docs, "doc_id", "text_plain").cache()
-        val scored = Bm25.score(p, Postings.dictionary(p), Postings.corpusStats(p), terms)
+        val scored = Bm25.score(idx.postings, idx.dict, idx.stats, terms)
         // F9 signal over our positive BM25: the increasing saturation
         // bm25/(1+bm25) preserves lexical rank (the reference's literal
         // 1/(1+max(0,-bm25)) over positive scores is constant 1.0 — every
@@ -104,10 +139,17 @@ object Quran {
       if (!semanticOk || wv == 0.0)
         docs.sparkSession.emptyDataFrame.select(lit("").as("verse_key"), lit(0.0).as("vector_score")).limit(0)
       else {
-        val q = typedLit(queryVec.get)
-        emb.get
+        // query quantized on the driver with the same HALF_UP grid the
+        // column quantize() applies — cosine is bit-identical to
+        // VecFns.cosine over the raw vectors, but the per-row work is one
+        // codegen'd dot + division over the PREBUILT embQ layer
+        val qq = queryVec.get.map(x => BigDecimal(x.toDouble * graft.functions.VecFns.Scale)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        val qnorm = math.sqrt(qq.map(x => x * x).sum)
+        idx.embQ.get
           .select(col("verse_key"),
-            round(graft.functions.VecFns.cosine(col("embedding"), q), 6).as("cos"))
+            round(graft.functions.VecFns.dot(col("qv"), typedLit(qq.toSeq)) /
+              (col("nq") * lit(qnorm)), 6).as("cos"))
           .where(col("cos") > 0) // P6 (search.py:167-169)
           // J3: max-merge duplicate verse keys (search.py:247-251)
           .groupBy("verse_key").agg(max("cos").as("vector_score"))

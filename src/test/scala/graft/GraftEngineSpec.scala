@@ -24,6 +24,27 @@ class GraftEngineSpec extends SparkSpec {
     assert(sim.head.getAs[String]("verse_key") === "1:1") // self is nearest
   }
 
+  test("persisted index layers round-trip: warm open serves identical results (S9)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx").toString
+    val glob = "/root/reference/data/riyadussalihin/book_{1,2}.jsonl"
+    val cold = Graft.openHadith(spark, glob)
+    GraftIndexes.writeHadith(spark, glob, s"$dir/hadith")
+    val warm = GraftIndexes.openHadith(spark, s"$dir/hadith")
+    val q = "Hadith narrated by Abu Hurairah"
+    assert(warm.search(q, n = 5).collect().toSeq === cold.search(q, n = 5).collect().toSeq)
+    // repeated warm queries are deterministic over the resident index
+    assert(warm.search(q, n = 5).collect().toSeq === warm.search(q, n = 5).collect().toSeq)
+
+    GraftIndexes.writeQuran(spark, "/root/reference/data/quran", s"$dir/quran",
+      Some("/root/reference/data/indexes/quran/embeddings.npz"))
+    val wq = GraftIndexes.openQuran(spark, s"$dir/quran")
+    val cq = Graft.openQuran(spark, "/root/reference/data/quran",
+      Some("/root/reference/data/indexes/quran/embeddings.npz"))
+    assert(wq.search("mercy forgiveness charity", 5, "fts").collect().toSeq ===
+      cq.search("mercy forgiveness charity", 5, "fts").collect().toSeq)
+    assert(wq.getVerse("2:255").select("verse_key", "slug").count() === 1)
+  }
+
   test("silver layout partition-prunes book filters (S3)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-silver").toString
     val valid = Ingest.validated(Ingest.readBooks(spark,

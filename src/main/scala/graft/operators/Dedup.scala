@@ -64,19 +64,47 @@ object Dedup {
     minhashFromElems(docs.select(col(idCol).cast("long").as("doc_id"),
       explode(TextFns.distinctTokens(col(textCol))).as("elem")), numHashes)
 
+  /** Hot-bucket guard shared by every LSH-style candidate generator: a
+    * bucket with m members emits m²/2 candidate rows in ONE join task, so
+    * a skewed corpus (boilerplate text, near-constant vectors) turns a
+    * single bucket into the classic straggler/OOM. Buckets over
+    * `maxBucket` are dropped from candidate generation; the dropped set
+    * is itself tiny (≤ n/maxBucket buckets) and broadcastable at any
+    * corpus size. NOT silent: [[hotBuckets]] exposes exactly what was
+    * dropped (band, key, size) for audit/logging, and mega-groups of
+    * literal duplicates are what [[exactGroups]] handles without pairwise
+    * expansion. */
+  private[operators] def capBuckets(ex: DataFrame, keys: Seq[String],
+                                    maxBucket: Int): DataFrame =
+    if (maxBucket >= Int.MaxValue) ex
+    else {
+      val hot = ex.groupBy(keys.map(col): _*).agg(count("*").as("bsize"))
+        .where(col("bsize") > maxBucket).select(keys.map(col): _*)
+      ex.join(broadcast(hot), keys, "left_anti")
+    }
+
+  /** Audit view of the buckets [[capBuckets]] would drop. */
+  def hotBuckets(ex: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
+    ex.groupBy(keys.map(col): _*).agg(count("*").as("bsize"))
+      .where(col("bsize") > maxBucket)
+
   /** LSH banding: group the signature into bands of `rowsPerBand`, hash each
     * band, and emit candidate pairs (a < b) sharing any band bucket.
-    * The join key is (band, band_key) — candidates never require n². */
-  def lshCandidatePairs(sigs: DataFrame, rowsPerBand: Int): DataFrame = {
-    // cached: the candidate self-join scans this frame twice
+    * The join key is (band, band_key) — candidates never require n².
+    * `maxBucket` caps per-bucket membership (skew guard, see
+    * [[capBuckets]]). */
+  def lshCandidatePairs(sigs: DataFrame, rowsPerBand: Int,
+                        maxBucket: Int = 10000): DataFrame = {
+    // cached: the bucket-size count and the candidate self-join all scan it
     val banded = sigs
       .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
       .groupBy("doc_id", "band")
       .agg(md5(concat_ws(":", transform(array_sort(collect_list(struct(col("seed"), col("minh")))),
         s => s.getField("minh").cast("string")))).as("band_key"))
       .cache()
-    val a = banded.select(col("band"), col("band_key"), col("doc_id").as("a"))
-    val b = banded.select(col("band"), col("band_key"), col("doc_id").as("b"))
+    val capped = capBuckets(banded, Seq("band", "band_key"), maxBucket)
+    val a = capped.select(col("band"), col("band_key"), col("doc_id").as("a"))
+    val b = capped.select(col("band"), col("band_key"), col("doc_id").as("b"))
     a.join(b, Seq("band", "band_key"))
       .where(col("a") < col("b"))
       .select("a", "b").distinct()
@@ -164,7 +192,8 @@ object Dedup {
     * band, so candidate generation is an equi-join on (band, band bits) —
     * never an n² nested loop (round-3 verdict fix). Exact Hamming verify
     * runs only on candidates. */
-  def simhashPairs(sim: DataFrame, maxHamming: Int, bits: Int = 32): DataFrame = {
+  def simhashPairs(sim: DataFrame, maxHamming: Int, bits: Int = 32,
+                   maxBucket: Int = 10000): DataFrame = {
     val nBands = maxHamming + 1
     // band b covers bits [lo(b), lo(b+1)) with near-even widths
     def lo(b: Int): Int = b * bits / nBands
@@ -174,9 +203,12 @@ object Dedup {
       struct(lit(b).as("band"),
         (shiftright(col("simhash"), lo(b)) bitwiseAND lit(mask)).as("bkey"))
     }: _*)
+    // cached: bucket-size count + both self-join sides scan it
     val ex = sim.select(col("doc_id"), col("simhash"), explode(bandKeys).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val cand = ex.as("x").join(ex.as("y"),
+      .cache()
+    val exCapped = capBuckets(ex, Seq("band", "bkey"), maxBucket)
+    val cand = exCapped.as("x").join(exCapped.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("x.simhash").as("ha"),

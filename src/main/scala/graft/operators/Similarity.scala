@@ -71,13 +71,17 @@ object Similarity {
     * Recall < 1 by construction (pairs sharing no band bucket are missed);
     * nBands trades recall for candidate volume. */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String, minCos: Double,
-                   dim: Int, nBits: Int = 8, nBands: Int = 4): DataFrame = {
+                   dim: Int, nBits: Int = 8, nBands: Int = 4,
+                   maxBucket: Int = 10000): DataFrame = {
     val q = emb.select(col(idCol).cast("long").as("id"), VecFns.quantize(col(vecCol)).as("qv"))
     val buckets = array((0 until nBands).map(b =>
       struct(lit(b).as("band"), lshBucket(col("qv"), dim, nBits, s"b$b").as("bkey"))): _*)
+    // cached: bucket-size count + both self-join sides scan it
     val ex = q.withColumn("bk", explode(buckets))
       .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val cand = ex.as("x").join(ex.as("y"),
+      .cache()
+    val exCapped = Dedup.capBuckets(ex, Seq("band", "bkey"), maxBucket)
+    val cand = exCapped.as("x").join(exCapped.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b")).distinct()

@@ -57,6 +57,43 @@ class DedupSpec extends SparkSpec {
     plans.foreach(p => assert(!p.contains("BroadcastNestedLoopJoin"), "found nested loop"))
   }
 
+  test("adversarial all-identical corpus: hot buckets are capped, not quadratic") {
+    // 600 identical docs -> every band bucket holds all 600 members; with
+    // maxBucket below that, candidate generation drops the bucket instead
+    // of emitting 600²/2 pairs in one task
+    val clones = (1L to 600L).map(i => (i, "same text repeated in every document"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(clones, "doc_id", "text", 16)
+    assert(Dedup.lshCandidatePairs(sigs, 4, maxBucket = 100).count() === 0)
+    val sim = Dedup.simhash(clones, "doc_id", "text", 32)
+    assert(Dedup.simhashPairs(sim, 3, 32, maxBucket = 100).count() === 0)
+    // the drop is auditable, not silent
+    val banded = sigs.withColumn("band", (col("seed") / 4).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(md5(concat_ws(":", transform(array_sort(collect_list(struct(col("seed"), col("minh")))),
+        s => s.getField("minh").cast("string")))).as("band_key"))
+    val hot = Dedup.hotBuckets(banded, Seq("band", "band_key"), 100).collect()
+    assert(hot.length === 4 && hot.forall(_.getLong(2) === 600L)) // 4 bands, all hot
+    // below the cap nothing changes: the small-corpus pair survives
+    val sigsSmall = Dedup.minhashSignatures(docs, "doc_id", "text", 16)
+    val cand = Dedup.lshCandidatePairs(sigsSmall, 4, maxBucket = 100)
+    assert(Dedup.jaccardVerify(docs, "doc_id", "text", cand, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+  }
+
+  test("near-dup embedding pairs cap hot vector buckets the same way") {
+    val e = (1L to 300L).map(i => (i, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    assert(Similarity.nearDupPairs(e, "vec_id", "embedding", 0.9, 8,
+      nBits = 4, nBands = 2, maxBucket = 50).count() === 0)
+    // distinct vectors under the cap still pair up
+    val e2 = Seq((1L, Array(1.0f, 0.0f, 0.0f, 0.0f)), (2L, Array(1.0f, 0.01f, 0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val p = Similarity.nearDupPairs(e2, "vec_id", "embedding", 0.9, 4,
+      nBits = 4, nBands = 2, maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(p.contains((1L, 2L)))
+  }
+
   test("ngram jaccard respects the df cap (hot shingles generate no candidates)") {
     val many = (1L to 30L).map(i => (i, s"common shingle text block unique$i tail"))
       .toDF("doc_id", "text")

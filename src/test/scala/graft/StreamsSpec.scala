@@ -70,8 +70,49 @@ class StreamsSpec extends SparkSpec {
     try {
       mem.addData((1L, "alpha"), (2L, "beta"))
       q.processAllAvailable()
-      val st = spark.read.parquet(s"$dir/state.next")
+      val st = spark.read.parquet(s"$dir/state")
       assert(st.count() === 2)
+      // second batch: one changed, one unchanged -> state still 2 rows,
+      // with the changed row's new checksum
+      mem.addData((1L, "alpha2"), (2L, "beta"))
+      q.processAllAvailable()
+      val st2 = spark.read.parquet(s"$dir/state")
+      assert(st2.count() === 2)
+      assert(st2.where($"doc_id" === 1L).head().getAs[String]("text") === "alpha2")
+    } finally q.stop()
+  }
+
+  test("a 1-row batch rewrites only its own bucket partition, not the table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-b").toString
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+      .withColumn("checksum", sha2(col("text"), 256))
+    val q = Streams.incrementalUpsert(stream, s"$dir/state", "doc_id", "checksum",
+      s"$dir/ckpt", nBuckets = 8)
+    def partitionFiles: Map[String, Set[String]] = {
+      val root = new java.io.File(s"$dir/state")
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
+        .toMap
+    }
+    try {
+      mem.addData((1L to 40L).map(i => (i, s"doc $i")): _*)
+      q.processAllAvailable()
+      val before = partitionFiles
+      assert(before.size > 1, "seed batch should span multiple buckets")
+      mem.addData((1L, "doc 1 CHANGED"))
+      q.processAllAvailable()
+      val after = partitionFiles
+      val touched = after.keySet.union(before.keySet)
+        .filter(k => before.get(k) != after.get(k))
+      assert(touched.size === 1, s"expected 1 rewritten partition, got $touched")
+      assert(spark.read.parquet(s"$dir/state").count() === 40)
+      // clean batch -> nothing rewritten at all
+      mem.addData((2L, "doc 2"))
+      q.processAllAvailable()
+      assert(partitionFiles === after)
     } finally q.stop()
   }
 }

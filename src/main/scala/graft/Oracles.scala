@@ -318,6 +318,7 @@ object Oracles {
     "route_query" -> routeQuerySql,
     "priority_score" -> priorityScoreSql,
     "hybrid_search" -> hybridSearchSql,
+    "hadith_search" -> hadithSearchSql,
 
     // ── multimodal (synthetic payload = UTF-8 bytes of ascii text, so
     //    byte histogram == codepoint histogram in the oracle) ───────────
@@ -461,6 +462,89 @@ object Oracles {
        |  round(pb,4) phrase_bonus, round(cov,4) term_coverage,
        |  round(least(1.0, greatest(0.0, 0.6*v + 0.4*f + pb + 0.0 + 0.2*cov)),4) score
        |FROM c ORDER BY sid""".stripMargin
+  }
+
+  /** The flagship hadith hybrid search, end to end in one statement:
+    * silver build (validation + canonicalization + payload render) →
+    * narrator-field postings + prefix BM25 top-50 → hashed-embedding
+    * cosine top-50 over the payload → full-outer fusion → backfill →
+    * priority scoring → top-10. Intent fields (probes, embed vector,
+    * coverage tokens) are computed by the SAME driver-side router the
+    * Spark query uses and embedded as literals. */
+  private def hadithSearchSql: String = {
+    val intent = Router.route(Queries.HadithQuery)
+    val dim = Queries.HadithDim
+    val probes = (Router.tokenize(intent.narrator.get) match {
+      case Nil => intent.tokens.take(6); case ts => ts.take(6)
+    }).map(t => s"'$t'").mkString("[", ",", "]")
+    val qn = VecFns.l2NormalizeLocal(
+      VecFns.hashEmbedLocal(Router.embedTokens(intent.normalized), dim))
+    val qq = qn.map(x => BigDecimal(x * VecFns.Scale)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    val qlit = qq.map(v => s"$v.0").mkString("[", ",", "]")
+    val tokList = intent.tokens.map(t => s"'$t'").mkString("[", ",", "]")
+    s"""WITH raw AS (SELECT * FROM read_json_auto('$HadithGlob', union_by_name=true)
+       |  WHERE list_sort(list_distinct(list_transform(texts, t -> t.language))) = ['ar','en']),
+       |sv0 AS (SELECT
+       |  collection_slug||':'||book_id||':'||hadith_id_site doc_id,
+       |  book_id, ${canonSql("narrator")} narrator,
+       |  (list_filter(texts, t -> t.language='en')[1]).content en,
+       |  (list_filter(texts, t -> t.language='ar')[1]).content ar
+       |  FROM raw),
+       |sv AS (SELECT *,
+       |  (CASE WHEN narrator IS NOT NULL THEN 'Narrator: '||narrator||chr(10) ELSE '' END)
+       |    || coalesce(en,'') || chr(10) || chr(10) || coalesce(ar,'') payload,
+       |  ${h60("doc_id")} num_id FROM sv0),
+       |ntk AS (SELECT num_id, list_filter(regexp_split_to_array(lower(narrator),
+       |  '[^a-z0-9_؀-ۿ]+'), t -> len(t)>0) t FROM sv WHERE narrator IS NOT NULL),
+       |np0 AS (SELECT num_id doc_id, CAST(len(t) AS BIGINT) dl, unnest(t) term
+       |        FROM ntk WHERE len(t)>0),
+       |np AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) tf FROM np0 GROUP BY 1,2,3),
+       |nd AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) df FROM np GROUP BY 1),
+       |nst AS (SELECT CAST(count(*) AS BIGINT) n_docs, CAST(sum(dl) AS BIGINT) sum_dl
+       |        FROM (SELECT DISTINCT doc_id, dl FROM np)),
+       |prb AS (SELECT unnest($probes) probe),
+       |expd AS (SELECT DISTINCT term, df FROM nd JOIN prb ON starts_with(term, probe)),
+       |m AS (SELECT np.doc_id, np.dl, np.tf, expd.df, nst.n_docs, nst.sum_dl
+       |      FROM np JOIN expd USING(term) CROSS JOIN nst),
+       |bm AS (SELECT doc_id, round(sum(
+       |        ln((n_docs - df + 0.5)/(df + 0.5) + 1.0)
+       |        * (tf * 2.2) / (tf + 1.2*(1.0 - 0.75 + 0.75*dl/(CAST(sum_dl AS DOUBLE)/n_docs)))
+       |      ), 6) bm25 FROM m GROUP BY 1),
+       |lex AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50),
+       |etk AS (SELECT num_id doc_id, list_filter(regexp_split_to_array(lower(payload),
+       |  '[^a-z0-9_؀-ۿ]+'), t -> len(t)>0) t FROM sv),
+       |ent0 AS (SELECT doc_id, unnest(t) tok FROM etk),
+       |ent1 AS (SELECT doc_id, ${h31("tok")} hv FROM ent0),
+       |ent AS (SELECT doc_id, hv % $dim bucket,
+       |        sum(CASE WHEN (hv // $dim) % 2 = 0 THEN 1.0 ELSE -1.0 END) v
+       |        FROM ent1 GROUP BY 1,2),
+       |nrm AS (SELECT doc_id, sqrt(sum(v*v)) n FROM ent GROUP BY 1),
+       |qlit AS (SELECT $qlit qq),
+       |slot AS (SELECT doc_id, bucket, round(round(v/n,6)*1e7) qs
+       |         FROM ent JOIN nrm USING(doc_id) WHERE n>0),
+       |dv AS (SELECT doc_id, sum(qs * qq[CAST(bucket+1 AS INT)]) dot, sqrt(sum(qs*qs)) na
+       |       FROM slot CROSS JOIN qlit GROUP BY 1),
+       |cosd AS (SELECT doc_id, round(dot/(na*sqrt(list_dot_product(qq,qq))),6) cos
+       |         FROM dv CROSS JOIN qlit),
+       |vec AS (SELECT doc_id, cos FROM cosd ORDER BY cos DESC, doc_id LIMIT 50),
+       |fused AS (SELECT coalesce(l.doc_id, v.doc_id) doc_id, l.bm25, v.cos
+       |          FROM lex l FULL OUTER JOIN vec v ON l.doc_id=v.doc_id),
+       |bf AS (SELECT s2.doc_id hadith_id, s2.book_id, s2.narrator, s2.en, f.bm25, f.cos
+       |       FROM fused f JOIN sv s2 ON s2.num_id=f.doc_id),
+       |sc AS (SELECT hadith_id, book_id, narrator, en,
+       |  least(1.0, greatest(0.0, coalesce(cos, 0.0))) v,
+       |  CASE WHEN bm25 IS NOT NULL THEN least(1.0, greatest(0.0, greatest(0.0,bm25)/(1.0+greatest(0.0,bm25)))) ELSE 0.0 END f,
+       |  CASE WHEN len($tokList)>0
+       |       THEN CAST(len(list_filter($tokList, s3 -> strpos(lower(en), s3)>0)) AS DOUBLE)/len($tokList)
+       |       ELSE 0.0 END cov
+       |  FROM bf)
+       |SELECT hadith_id AS doc_id, book_id, narrator,
+       |  substring(trim(en),1,240) snippet,
+       |  round(v,4) vector_similarity, round(f,4) fts_signal,
+       |  CAST(0.0 AS DOUBLE) phrase_bonus, round(cov,4) term_coverage,
+       |  round(least(1.0, greatest(0.0, 0.6*v + 0.4*f + 0.0 + 0.0 + 0.2*cov)),4) score
+       |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
   }
 
   private def hybridSearchSql: String = {

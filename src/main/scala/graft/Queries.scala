@@ -277,6 +277,8 @@ object Queries {
   val NpzPath = "/root/reference/data/indexes/quran/embeddings.npz"
   val QuranQuery = "mercy forgiveness charity"
   val HadithBooks = "/root/reference/data/riyadussalihin/book_*.jsonl"
+  val HadithQuery = "Hadith narrated by Abu Hurairah"
+  val HadithDim = 128
 
   /** Hadith-corpus queries (reference fixtures; sfDir-independent). */
   lazy val hadith: Map[String, Q] = {
@@ -289,12 +291,12 @@ object Queries {
         Ingest.catalogRollup(valid(s)).orderBy("book_id")),
       "hadith_ingest_totals" -> ((s, _) =>
         Ingest.ingestionTotals(Ingest.bookStats(valid(s)))),
-      // full hybrid lifecycle over the real corpus — rows-only check (the
-      // vector leg over the rendered payload is not SQL-expressible
-      // within one oracle statement at reasonable size)
+      // full hybrid lifecycle over the real corpus, oracle-checked end to
+      // end (silver build + field-scoped BM25 + hashed-embedding cosine +
+      // fusion + priority scoring, all mirrored in Oracles.hadithSearchSql)
       "hadith_search" -> ((s, _) =>
         HadithSearch.search(HadithSearch.silver(valid(s)),
-          "Hadith narrated by Abu Hurairah", n = 10)))
+          HadithQuery, n = 10, dim = HadithDim)))
   }
 }
 

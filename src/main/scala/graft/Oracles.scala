@@ -317,6 +317,7 @@ object Oracles {
     // ── router / scoring / hybrid ──────────────────────────────────────
     "route_query" -> routeQuerySql,
     "priority_score" -> priorityScoreSql,
+    "spec_score" -> specScoreSql,
     "hybrid_search" -> hybridSearchSql,
     "hadith_search" -> hadithSearchSql,
 
@@ -462,6 +463,49 @@ object Oracles {
        |  round(pb,4) phrase_bonus, round(cov,4) term_coverage,
        |  round(least(1.0, greatest(0.0, 0.6*v + 0.4*f + pb + 0.0 + 0.2*cov)),4) score
        |FROM c ORDER BY sid""".stripMargin
+  }
+
+  /** F17 spec-model battery twin (HADITH_SEARCH_SPEC.md:325-392) — same
+    * driver-side ar/en term split, same literals, DOUBLE-cast weights
+    * (DuckDB decimal literals would otherwise change the arithmetic). */
+  private def specScoreSql: String = {
+    def isAr(t: String) = t.exists(c => c >= '؀' && c <= 'ۿ')
+    val terms = SpecBattery.terms
+    val (arT, enT) = terms.partition(isAr)
+    val phrase = sq(terms.mkString(" ").toLowerCase)
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    val values = SpecBattery.rows.map { case (sid, narr, en, ar, g) =>
+      val n = narr.map(s => s"'${sq(s)}'").getOrElse("NULL")
+      val gl = g.map(s => s"'${sq(s)}'").mkString("[", ",", "]")
+      s"($sid, CAST($n AS VARCHAR), '${sq(en)}', '${sq(ar)}', CAST($gl AS VARCHAR[]))"
+    }.mkString(",\n")
+    val narrCond = (enT ++ arT)
+      .map(t => s"coalesce(strpos(lower(narrator), '${sq(t.toLowerCase)}')>0, false)")
+      .mkString(" OR ")
+    val hitsAr = arT.map(t => s"coalesce(CAST(strpos(text_ar, '${sq(t)}')>0 AS INT), 0)")
+      .mkString(" + ")
+    val hitsEn = enT.map(t => s"coalesce(CAST(strpos(lower(text_en), '${sq(t.toLowerCase)}')>0 AS INT), 0)")
+      .mkString(" + ")
+    s"""WITH b(sid, narrator, text_en, text_ar, grading) AS (VALUES
+       |$values),
+       |c AS (SELECT sid,
+       |  CASE WHEN ($narrCond) THEN ${d("0.4")} ELSE ${d("0.0")} END nb,
+       |  ($hitsAr) arm, ($hitsEn) enm,
+       |  CASE WHEN strpos(coalesce(lower(array_to_string(grading,' ')),''),'sahih')>0 THEN ${d("0.15")}
+       |       WHEN strpos(coalesce(lower(array_to_string(grading,' ')),''),'hasan')>0 THEN ${d("0.10")}
+       |       ELSE ${d("0.0")} END gb,
+       |  CASE WHEN strpos(lower(text_en),'$phrase')>0 OR strpos(text_ar,'$phrase')>0
+       |       THEN ${d("0.3")} ELSE ${d("0.0")} END pb
+       |  FROM b),
+       |e AS (SELECT sid, nb,
+       |  CAST(arm AS DOUBLE)/${arT.size}*${d("0.3")} ab,
+       |  CAST(enm AS DOUBLE)/${enT.size}*${d("0.25")} eb,
+       |  CAST(arm+enm AS DOUBLE)/${terms.size} cov, gb, pb FROM c)
+       |SELECT sid, round(nb,4) narrator_bonus, round(ab,4) arabic_bonus,
+       |  round(eb,4) english_bonus, round(cov,4) coverage,
+       |  round(gb,4) grading_boost, round(pb,4) phrase_bonus,
+       |  round(${d("0.5")}*${d("0.25")} + nb + ab + eb + cov*${d("0.3")} + gb + pb, 4) spec_score
+       |FROM e ORDER BY sid""".stripMargin
   }
 
   /** The flagship hadith hybrid search, end to end in one statement:

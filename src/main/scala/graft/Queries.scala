@@ -230,6 +230,21 @@ object Queries {
     }),
     "hybrid_search" -> ((s, dir) =>
       Hybrid.search(docs(s, dir), "doc_id", "text", HybridQuery, n = 10, dim = Dim)),
+    "spec_score" -> ((s, dir) => {
+      import s.implicits._
+      val p = Scoring.specParts(col("narrator"), col("text_en"), col("text_ar"),
+        col("grading"), SpecBattery.terms)
+      SpecBattery.rows.toDF("sid", "narrator", "text_en", "text_ar", "grading")
+        .select(col("sid"),
+          round(p.narratorBonus, 4).as("narrator_bonus"),
+          round(p.arabicBonus, 4).as("arabic_bonus"),
+          round(p.englishBonus, 4).as("english_bonus"),
+          round(p.coverage, 4).as("coverage"),
+          round(p.gradingBoost, 4).as("grading_boost"),
+          round(p.phraseBonus, 4).as("phrase_bonus"),
+          round(p.total(lit(0.5)), 4).as("spec_score"))
+        .orderBy("sid")
+    }),
 
     // ── multimodal columns (synthetic binary payloads over documents) ──
     "multimodal_byte_histogram" -> ((s, dir) =>
@@ -316,6 +331,24 @@ object RouteBattery {
     "الصبر والشكر في القرآن",
     "'intention matters'",
     "narrated by Aisha (may Allah be pleased with her) about prayer")
+}
+
+/** F17 spec-model battery — exercises narrator hit/miss, ar/en term
+  * splits, grading present/absent (sahih vs hasan vs none vs da'if), and
+  * the joined-phrase bonus (HADITH_SEARCH_SPEC.md:325-392). */
+object SpecBattery {
+  val terms: Seq[String] = Seq("hurairah", "charity", "الصدقة")
+  // (sid, narrator, text_en, text_ar, grading)
+  val rows: Seq[(Int, Option[String], String, String, Seq[String])] = Seq(
+    (0, Some("Abu Hurairah"), "The Prophet said charity does not decrease wealth",
+      "قال النبي عن الصدقة والرحمة", Seq("Sahih al-Bukhari")),
+    (1, Some("Aisha"), "Kindness in all matters is beloved",
+      "الرفق في الأمر كله", Seq("Hasan")),
+    (2, Some("Umar ibn al-Khattab"), "patience and gratitude in hardship",
+      "الصبر والشكر", Seq.empty),
+    (3, None, "charity purifies wealth", "الصدقة تطهر المال", Seq("Da'if")),
+    (4, Some("Abu Bakr"), "contains hurairah charity الصدقة verbatim",
+      "نص عادي", Seq("Sahih", "Hasan")))
 }
 
 /** Scoring battery — exercises null signals, the negative-bm25 clamp quirk

@@ -78,4 +78,54 @@ object Scoring {
     * handled by the caller (J3). */
   def quranTotal(v: Column, fts: Column, wVector: Double, wFts: Double): Column =
     round(lit(wVector) * v + lit(wFts) * fts, 6)
+
+  /** F17 full form: the design-spec's priority model
+    * (HADITH_SEARCH_SPEC.md:325-392) — semantic·0.25 + narrator-match
+    * +0.4 + arabic-term-fraction·0.3 + english-term-fraction·0.25 +
+    * coverage·0.3 + grading (sahih +0.15 / hasan +0.10) + joined-phrase
+    * +0.3. No [0,1] clamp (the spec has none). Terms are split ar/en on
+    * the driver exactly as the spec's _is_arabic does. */
+  final case class SpecParts(narratorBonus: Column, arabicBonus: Column,
+                             englishBonus: Column, coverage: Column,
+                             gradingBoost: Column, phraseBonus: Column) {
+    def total(semantic: Column): Column =
+      semantic * lit(0.25) + narratorBonus + arabicBonus + englishBonus +
+        coverage * lit(0.3) + gradingBoost + phraseBonus
+  }
+
+  def specParts(narrator: Column, textEn: Column, textAr: Column,
+                grading: Column, terms: Seq[String]): SpecParts = {
+    def isAr(t: String) = t.exists(c => c >= '؀' && c <= 'ۿ')
+    val (arTerms, enTerms) = terms.partition(isAr)
+    val lnEn = lower(textEn)
+    def hits(ts: Seq[String], text: Column): Column =
+      ts.map(t => coalesce((instr(text, t) > 0).cast("int"), lit(0)))
+        .reduceOption(_ + _).getOrElse(lit(0))
+    // narrator match: ANY term (en first, as the spec concatenates) as a
+    // lowercase substring of the narrator
+    val narrHit = (enTerms ++ arTerms)
+      .map(t => coalesce(instr(lower(narrator), t.toLowerCase) > 0, lit(false)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val arM = hits(arTerms, textAr) // spec: raw `in text_ar`, not lowered
+    val enM = hits(enTerms.map(_.toLowerCase), lnEn)
+    val g = lower(concat_ws(" ", grading))
+    val phrase = terms.mkString(" ").toLowerCase
+    SpecParts(
+      narratorBonus = when(narrHit, lit(0.4)).otherwise(lit(0.0)),
+      arabicBonus =
+        if (arTerms.isEmpty) lit(0.0)
+        else arM.cast("double") / lit(arTerms.size) * lit(0.3),
+      englishBonus =
+        if (enTerms.isEmpty) lit(0.0)
+        else enM.cast("double") / lit(enTerms.size) * lit(0.25),
+      coverage =
+        if (terms.isEmpty) lit(0.0)
+        else (arM + enM).cast("double") / lit(terms.size),
+      gradingBoost = when(instr(g, "sahih") > 0, lit(0.15))
+        .when(instr(g, "hasan") > 0, lit(0.10)).otherwise(lit(0.0)),
+      phraseBonus =
+        if (terms.size <= 1) lit(0.0)
+        else when(coalesce(instr(lnEn, phrase) > 0 || instr(textAr, phrase) > 0,
+          lit(false)), lit(0.3)).otherwise(lit(0.0)))
+  }
 }

@@ -78,6 +78,12 @@ object TextFns {
   /** T6: snippet/preview truncation (reference: mcp_server/tools.py:154). */
   def snippet(c: Column, n: Int): Column = substring(c, 1, n)
 
+  /** F20: trailing Arabic-Indic/ASCII digit + whitespace strip, then trim
+    * (reference: quran_scraper/scrape_ibn_kathir.py:20,82-85 — footnote
+    * numbers left at the end of scraped tafsir paragraphs). */
+  def stripDigitSuffix(c: Column): Column =
+    trim(regexp_replace(c, "[\\s٠-٩۰-۹0-9]+$", ""))
+
   /** n-token shingles joined by '_' (dedup primitives). Built from n
     * shifted slices zipped elementwise — O(n·len) per row. (The naive
     * per-position slice form re-evaluates its argument expression per

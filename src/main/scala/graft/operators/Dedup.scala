@@ -16,10 +16,18 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup groups by content hash: survivor = min(doc_id).
-    * (hash-groupBy; at scale a single shuffle on the 128-bit content key) */
-  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.groupBy(md5(col(textCol)).as("content_key"))
+    * (hash-groupBy; at scale a single shuffle on the 128-bit content key)
+    * `normalize=true` keys on whitespace-collapsed lowercase text —
+    * pipeline-style exact dedup that merges trivial reformattings the
+    * raw-byte key under-merges. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String,
+                  normalize: Boolean = false): DataFrame = {
+    val key =
+      if (normalize) md5(lower(TextFns.normWhitespace(col(textCol))))
+      else md5(col(textCol))
+    docs.groupBy(key.as("content_key"))
       .agg(min(col(idCol)).as("survivor"), count("*").as("n_copies"))
+  }
 
   /** Deterministic order-preserving dedupe (T4 in SURVEY.md — the
     * reference's walk-sorted-hits dedupe, quran_mcp/search.py:262-278):

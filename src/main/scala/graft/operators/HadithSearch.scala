@@ -27,6 +27,7 @@ object HadithSearch {
       col("book_id"),
       col("chapter_id"),
       col("canonical_narrator").as("narrator"),
+      col("grading"),
       Ingest.languageText(col("texts"), "en").as("english_text"),
       Ingest.languageText(col("texts"), "ar").as("arabic_text"),
       Ingest.embedPayload(col("canonical_narrator"), col("texts")).as("payload"))
@@ -147,7 +148,8 @@ object HadithSearch {
     // J1 fusion on the surrogate key + J2 backfill
     val fused = lex.join(vec, Seq("doc_id"), "full_outer")
     val backfilled = docs.select(col("num_id").as("doc_id"), col("doc_id").as("hadith_id"),
-        col("book_id"), col("narrator"), col("english_text"))
+        col("book_id"), col("narrator"), col("grading"),
+        col("english_text"), col("arabic_text"))
       .join(broadcast(fused), "doc_id")
 
     val toks = typedLit(intent.tokens)
@@ -156,7 +158,14 @@ object HadithSearch {
     val fts = Scoring.ftsSignal(col("bm25"), parityFts)
     val pb = Scoring.phraseBonus(col("english_text"), phraseCol, w.bonusPhrase)
     val cov = Scoring.termCoverage(col("english_text"), toks)
-    val score = Scoring.total(v, fts, pb, lit(0.0), cov, w)
+    // "spec" routes through the design-spec's full priority model (F17:
+    // narrator/term/coverage/grading/phrase boosts over the semantic
+    // signal, unclamped); every other mode uses the shipped fusion.
+    val score =
+      if (mode == "spec")
+        Scoring.specParts(col("narrator"), col("english_text"),
+          col("arabic_text"), col("grading"), intent.tokens).total(v)
+      else Scoring.total(v, fts, pb, lit(0.0), cov, w)
 
     backfilled.select(
         col("hadith_id").as("doc_id"), col("book_id"), col("narrator"),

@@ -32,11 +32,14 @@ object Quran {
 
   /** S2: corpus scan with text_plain fallback (loader.py:64-108 strips
     * HTML when text_plain is absent — all bundled rows carry it, the
-    * fallback covers re-scrapes) and source-file manifest column. */
+    * fallback covers re-scrapes) and source-file manifest column. The
+    * fallback also strips trailing footnote digits (F20,
+    * scrape_ibn_kathir.py:20,82-85 applies it to scraped Arabic text). */
   def load(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(tafsirSchema).json(s"$dir/surah_*.jsonl")
       .withColumn("text_plain",
-        coalesce(col("text_plain"), TextFns.normWhitespace(TextFns.htmlStrip(col("text_arabic_simple")))))
+        coalesce(col("text_plain"), TextFns.stripDigitSuffix(
+          TextFns.normWhitespace(TextFns.htmlStrip(col("text_arabic_simple"))))))
       .withColumn("src_file", regexp_extract(input_file_name(), "([^/]+)$", 1))
 
   /** A3/A4: index status (search.py:94-108). */

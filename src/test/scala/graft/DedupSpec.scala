@@ -57,6 +57,15 @@ class DedupSpec extends SparkSpec {
     plans.foreach(p => assert(!p.contains("BroadcastNestedLoopJoin"), "found nested loop"))
   }
 
+  test("exact dedup normalization merges whitespace/case variants when enabled") {
+    val v = Seq((1L, "The Cat  sat"), (2L, "the cat sat"), (3L, "other"))
+      .toDF("doc_id", "text")
+    assert(Dedup.exactGroups(v, "doc_id", "text").count() === 3) // raw bytes differ
+    val n = Dedup.exactGroups(v, "doc_id", "text", normalize = true).collect()
+    assert(n.length === 2)
+    assert(n.find(_.getLong(2) === 2L).get.getLong(1) === 1L) // survivor = min id
+  }
+
   test("adversarial all-identical corpus: hot buckets are capped, not quadratic") {
     // 600 identical docs -> every band bucket holds all 600 members; with
     // maxBucket below that, candidate generation drops the bucket instead

@@ -40,6 +40,21 @@ class HadithSpec extends SparkSpec {
     }
   }
 
+  test("spec mode boosts sahih grading by exactly +0.15 (F17 full form)") {
+    import spark.implicits._
+    // identical docs except grading: the sahih one must outrank by the
+    // spec's grading boost, with every other signal equal
+    val docs = Seq(
+      ("h:1", "1", "Abu Hurairah", Seq("Sahih"), "charity is good", "الصدقة", "charity payload"),
+      ("h:2", "1", "Abu Hurairah", Seq.empty[String], "charity is good", "الصدقة", "charity payload"))
+      .toDF("doc_id", "book_id", "narrator", "grading", "english_text", "arabic_text", "payload")
+    val hits = HadithSearch.search(docs, "hurairah charity", n = 2, mode = "spec").collect()
+    assert(hits.length === 2)
+    assert(hits.head.getAs[String]("doc_id") === "h:1")
+    val diff = hits(0).getAs[Double]("score") - hits(1).getAs[Double]("score")
+    assert(math.abs(diff - 0.15) < 1e-9, s"grading boost diff was $diff")
+  }
+
   test("minimum slice (SURVEY 7.2): narrator query is field-scoped and accurate") {
     val hits = HadithSearch.search(silver, "Hadith narrated by Abu Hurairah", n = 10)
       .collect()

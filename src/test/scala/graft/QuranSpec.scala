@@ -56,6 +56,15 @@ class QuranSpec extends SparkSpec {
     assert(hits.head.getAs[Double]("vector_score") > 0.99)
   }
 
+  test("text_plain fallback strips html and trailing footnote digits (F20)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tafsir").toFile
+    val w = new java.io.PrintWriter(new java.io.File(dir, "surah_999.jsonl"), "UTF-8")
+    w.println("""{"surah":999,"ayah":1,"verse_key":"999:1","slug":"x","text_arabic_simple":"<p>نص التفسير ١٢٣</p>"}""")
+    w.close()
+    val row = Quran.load(spark, dir.toString).head()
+    assert(row.getAs[String]("text_plain") === "نص التفسير")
+  }
+
   test("weight resolution handles modes and degradation (F16)") {
     assert(Quran.resolveWeights("hybrid", semanticOk = true) === (0.6, 0.4))
     assert(Quran.resolveWeights("semantic", semanticOk = true) === (1.0, 0.0))

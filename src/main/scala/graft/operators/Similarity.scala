@@ -102,27 +102,78 @@ object Similarity {
     * integer grid, so assignment and ranking are oracle-reproducible. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, queryVec: Column,
               nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
-    val q = emb.select(col(idCol).cast("long").as("vec_id"), VecFns.quantize(col(vecCol)).as("qv"))
-    val cents = q.orderBy("vec_id").limit(nCentroids)
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    // argmax over a dot-product ARRAY; a pairwise when-reduce would
-    // re-reference both branches per step and grow the tree 2^K
-    // (round-4 bench: 683 s at sf0.1 before this form). array_position
-    // takes the FIRST occurrence of the max — ties → lowest index.
-    def bestCentroid(v: Column): Column = {
-      val dots = array(cents.map { case (_, cv) => VecFns.dot(v, typedLit(cv)) }: _*)
-      (array_position(dots, array_max(dots)) - 1).cast("int")
+    val q = quantized(emb, idCol, vecCol)
+    ivfTopKWith(q, seedCentroids(q, nCentroids), queryVec, nProbe, k)
+  }
+
+  /** Trained variant: `lloydIters` k-means refinements of the seed
+    * centroids before probing. Still fully deterministic (seeds are the
+    * first-K vectors; per-cluster means are exact integral sums divided
+    * by counts, order-independent), but the centroids now SPREAD over the
+    * data instead of being whatever the first K vectors happened to be —
+    * better cluster balance and recall at the same nProbe. The untrained
+    * form stays the oracle path (its assignment is reproducible in SQL;
+    * a trained quantizer's is not worth the oracle complexity). */
+  def ivfTopKTrained(emb: DataFrame, idCol: String, vecCol: String, queryVec: Column,
+                     nCentroids: Int, nProbe: Int, k: Int,
+                     lloydIters: Int = 1): DataFrame = {
+    val q = quantized(emb, idCol, vecCol).cache()
+    ivfTopKWith(q, lloydCentroids(q, nCentroids, lloydIters), queryVec, nProbe, k)
+  }
+
+  private def quantized(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).cast("long").as("vec_id"), VecFns.quantize(col(vecCol)).as("qv"))
+
+  /** Deterministic coarse-quantizer seeds: the K lowest-id vectors. */
+  private def seedCentroids(q: DataFrame, nCentroids: Int): Array[Array[Double]] =
+    q.orderBy("vec_id").limit(nCentroids)
+      .collect().map(_.getSeq[Double](1).toArray)
+
+  // argmax over a dot-product ARRAY; a pairwise when-reduce would
+  // re-reference both branches per step and grow the tree 2^K
+  // (round-4 bench: 683 s at sf0.1 before this form). array_position
+  // takes the FIRST occurrence of the max — ties → lowest index.
+  private def bestCentroid(v: Column, cents: Array[Array[Double]]): Column = {
+    val dots = array(cents.map(cv => VecFns.dot(v, typedLit(cv))): _*)
+    (array_position(dots, array_max(dots)) - 1).cast("int")
+  }
+
+  /** `iters` Lloyd steps from the deterministic seeds: assign → per-
+    * cluster elementwise mean (posexplode/groupBy — one narrow shuffle of
+    * K·dim cells, order-independent exact sums) → repeat. Empty clusters
+    * keep their previous centroid. */
+  def lloydCentroids(q: DataFrame, nCentroids: Int, iters: Int = 1): Array[Array[Double]] = {
+    var cents = seedCentroids(q, nCentroids)
+    for (_ <- 0 until iters) {
+      val assigned = q.withColumn("centroid", bestCentroid(col("qv"), cents))
+      val cells = assigned
+        .select(col("centroid"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy("centroid", "pos").agg(sum("v").as("s"), count("*").as("n"))
+        .collect() // K·dim cells — driver-side planning data, tiny
+      val byC = cells.groupBy(_.getInt(0))
+      cents = cents.indices.map { i =>
+        byC.get(i) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(1)).map(r => r.getDouble(2) / r.getLong(3)).toArray
+          case None => cents(i)
+        }
+      }.toArray
     }
-    val assigned = q.withColumn("centroid", bestCentroid(col("qv")))
+    cents
+  }
+
+  private def ivfTopKWith(q: DataFrame, cents: Array[Array[Double]],
+                          queryVec: Column, nProbe: Int, k: Int): DataFrame = {
+    val assigned = q.withColumn("centroid", bestCentroid(col("qv"), cents))
     val qvec = VecFns.quantize(queryVec)
     // centroid ranking for the query happens on the driver (K tiny)
-    val qRow = emb.sparkSession.range(1).select(qvec.as("qv")).head().getSeq[Double](0).toArray
+    val qRow = q.sparkSession.range(1).select(qvec.as("qv")).head().getSeq[Double](0).toArray
     def dotLocal(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < math.min(a.length, b.length)) { s += a(i) * b(i); i += 1 }; s
     }
     val probeSet = cents.zipWithIndex
-      .map { case ((_, cv), i) => (dotLocal(qRow, cv), i) }
+      .map { case (cv, i) => (dotLocal(qRow, cv), i) }
       .sortBy { case (d, i) => (-d, i) }.take(nProbe).map(_._2)
     assigned.where(col("centroid").isin(probeSet: _*))
       .select(col("vec_id"), round(VecFns.cosineQ(col("qv"), qvec), 6).as("cos"))

@@ -68,6 +68,13 @@ object Bench {
         val dict = Postings.dictionary(p).cache()
         val stats = Postings.corpusStats(p).cache()
         p.count(); dict.count(); stats.count()
+        // resident ANN bucket index over the sf embeddings table
+        val embT = Tables(spark, sfDir, "embeddings")
+        val annIdx = graft.operators.Similarity
+          .annIndex(embT, "vec_id", "embedding", Queries.Dim, nBits = 4).cache()
+        annIdx.count()
+        val ev = embT.where(col("vec_id") === 0)
+          .head().getSeq[Float](1).toArray
 
         val serveQueries: Seq[(String, () => Unit)] = Seq(
           "hadith_search_warm" -> (() =>
@@ -80,7 +87,10 @@ object Bench {
             quran.search(Queries.QuranQuery, 5, "hybrid", Some(qv)).collect(): Unit),
           "quran_get_verse_warm" -> (() => quran.getVerse("2:255").collect(): Unit),
           "bm25_topk_warm" -> (() =>
-            Bm25.topK(Bm25.score(p, dict, stats, Queries.Bm25Terms), 20).collect(): Unit))
+            Bm25.topK(Bm25.score(p, dict, stats, Queries.Bm25Terms), 20).collect(): Unit),
+          "ann_topk_warm" -> (() =>
+            graft.operators.Similarity.annTopKWith(annIdx, typedLit(ev),
+              Queries.Dim, nBits = 4, k = 20).collect(): Unit))
 
         val entries = serveQueries.map { case (name, run) =>
           run(); run() // warm-up: JIT + codegen + broadcast reuse

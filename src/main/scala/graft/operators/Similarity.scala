@@ -180,16 +180,29 @@ object Similarity {
       .orderBy(desc("cos"), asc("vec_id")).limit(k)
   }
 
-  /** Bucketed ANN: candidates share the query's bucket, then exact rerank.
-    * (Recall < 1 by construction; the exact path remains the oracle.) */
-  def annTopK(emb: DataFrame, idCol: String, vecCol: String, queryVec: Column,
-              dim: Int, nBits: Int, k: Int): DataFrame = {
-    val q = emb.select(col(idCol).cast("long").as("vec_id"), VecFns.quantize(col(vecCol)).as("qv"))
+  /** Query-independent ANN index: quantized vectors with their LSH
+    * bucket, computed ONCE. A serving session caches this (or persists it
+    * partitioned by bucket, making every probe partition pruning); the
+    * per-query work is then [[annTopKWith]]'s filtered scan + rerank. */
+  def annIndex(emb: DataFrame, idCol: String, vecCol: String,
+               dim: Int, nBits: Int): DataFrame =
+    emb.select(col(idCol).cast("long").as("vec_id"), VecFns.quantize(col(vecCol)).as("qv"))
       .withColumn("bucket", lshBucket(col("qv"), dim, nBits))
+
+  /** Probe a prebuilt [[annIndex]]: candidates share the query's bucket,
+    * then exact rerank. */
+  def annTopKWith(idx: DataFrame, queryVec: Column,
+                  dim: Int, nBits: Int, k: Int): DataFrame = {
     val qvec = VecFns.quantize(queryVec)
     val qBucket = lshBucket(qvec, dim, nBits)
-    q.where(col("bucket") === qBucket)
+    idx.where(col("bucket") === qBucket)
       .select(col("vec_id"), round(VecFns.cosineQ(col("qv"), qvec), 6).as("cos"))
       .orderBy(desc("cos"), asc("vec_id")).limit(k)
   }
+
+  /** Bucketed ANN, cold form — builds the index inline.
+    * (Recall < 1 by construction; the exact path remains the oracle.) */
+  def annTopK(emb: DataFrame, idCol: String, vecCol: String, queryVec: Column,
+              dim: Int, nBits: Int, k: Int): DataFrame =
+    annTopKWith(annIndex(emb, idCol, vecCol, dim, nBits), queryVec, dim, nBits, k)
 }

@@ -132,6 +132,17 @@ object Oracles {
         |SELECT f.doc_id, f.checksum FROM fresh f
         |WHERE NOT EXISTS (SELECT 1 FROM prev p WHERE p.doc_id=f.doc_id AND p.checksum=f.checksum)
         |ORDER BY doc_id""".stripMargin,
+    "incremental_upsert" ->
+      """WITH fresh AS (SELECT doc_id, sha256(text) checksum FROM documents),
+        |prev AS (SELECT doc_id, CASE WHEN doc_id%50=0 THEN sha256(text||'x') ELSE sha256(text) END checksum
+        |         FROM documents WHERE doc_id<450),
+        |changed AS (SELECT f.doc_id, f.checksum FROM fresh f
+        |  WHERE NOT EXISTS (SELECT 1 FROM prev p WHERE p.doc_id=f.doc_id AND p.checksum=f.checksum))
+        |SELECT doc_id, checksum FROM (
+        |  SELECT p.doc_id, p.checksum FROM prev p
+        |  WHERE NOT EXISTS (SELECT 1 FROM changed c WHERE c.doc_id=p.doc_id)
+        |  UNION ALL SELECT doc_id, checksum FROM changed)
+        |ORDER BY doc_id""".stripMargin,
 
     // ── lexical index + BM25 ───────────────────────────────────────────
     "postings" ->
@@ -313,6 +324,7 @@ object Oracles {
     "doc_checksum" ->
       ("SELECT doc_id, sha256(doc_id::VARCHAR||'␟'||lang||'␟'||source||'␟'||text) AS checksum " +
         "FROM documents ORDER BY doc_id"),
+    "text_fns" -> textFnsSql,
 
     // ── router / scoring / hybrid ──────────────────────────────────────
     "route_query" -> routeQuerySql,
@@ -463,6 +475,39 @@ object Oracles {
        |  round(pb,4) phrase_bonus, round(cov,4) term_coverage,
        |  round(least(1.0, greatest(0.0, 0.6*v + 0.4*f + pb + 0.0 + 0.2*cov)),4) score
        |FROM c ORDER BY sid""".stripMargin
+  }
+
+  /** Text-function battery twin (F13/F19/F20/F21/F22). Proximity uses
+    * explicit position rows (index join) — the relational twin of the
+    * nested-aggregate min-distance column expression. */
+  private def textFnsSql: String = {
+    val values = TextBattery.rows
+      .map { case (tid, s) => s"($tid, '${sq(s)}')" }.mkString(",\n")
+    def lst(ws: Seq[String]) = ws.map(w => s"'${sq(w)}'").mkString("[", ",", "]")
+    s"""WITH b(tid, s) AS (VALUES
+       |$values),
+       |x AS (SELECT tid, s,
+       |  regexp_replace(s, '<[^>]+>', ' ', 'g') stripped FROM b),
+       |y AS (SELECT *, trim(regexp_replace(stripped, '\\s+', ' ', 'g')) normed FROM x),
+       |z AS (SELECT *, trim(regexp_replace(normed, '[\\s٠-٩۰-۹0-9]+$$', '')) nosuffix FROM y),
+       |ar AS (SELECT tid,
+       |  length(s)-length(regexp_replace(s,'[؀-ۿ]','','g')) nar,
+       |  length(s)-length(regexp_replace(s,'[a-zA-Z؀-ۿ]','','g')) nalpha FROM b),
+       |tk AS (SELECT tid, list_filter(regexp_split_to_array(lower(s),
+       |  '[^a-z0-9_؀-ۿ]+'), t -> len(t)>0) t FROM b),
+       |pos AS (SELECT tid, i, t[CAST(i+1 AS INT)] tok FROM tk
+       |        CROSS JOIN (SELECT unnest(range(0, 100)) i) WHERE i < len(t)),
+       |p0 AS (SELECT tid, i FROM pos WHERE list_contains(${lst(TextBattery.g0)}, tok)),
+       |p1 AS (SELECT tid, i FROM pos WHERE list_contains(${lst(TextBattery.g1)}, tok)),
+       |md AS (SELECT p0.tid, min(abs(p0.i - p1.i)) d FROM p0 JOIN p1 USING(tid) GROUP BY 1)
+       |SELECT b.tid, x.stripped, y.normed, z.nosuffix,
+       |  CASE WHEN ar.nalpha>0 AND CAST(ar.nar AS DOUBLE)/ar.nalpha > 0.5
+       |       THEN true ELSE false END is_ar,
+       |  round(CASE WHEN md.d IS NOT NULL AND md.d <= 5 THEN CAST(0.1 AS DOUBLE)
+       |             ELSE CAST(0.0 AS DOUBLE) END, 4) prox
+       |FROM b JOIN x USING(tid) JOIN y USING(tid) JOIN z USING(tid)
+       |  JOIN ar USING(tid) LEFT JOIN md USING(tid)
+       |ORDER BY tid""".stripMargin
   }
 
   /** F17 spec-model battery twin (HADITH_SEARCH_SPEC.md:325-392) — same

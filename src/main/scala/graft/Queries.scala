@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{QueryFns, Scoring, TextFns, VecFns}
+import graft.functions.{QueryFns, Scoring, ServeFns, TextFns, VecFns}
 import graft.operators._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -108,6 +108,17 @@ object Queries {
       Incremental.changed(fresh, prev, "doc_id", "checksum")
         .select("doc_id", "checksum").orderBy("doc_id")
     }),
+    // J6: the full upsert — prev state with the changed/new rows applied
+    "incremental_upsert" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val fresh = d.select(col("doc_id"), TextFns.checksum(col("text")).as("checksum"))
+      val prev = d.where(col("doc_id") < 450).select(col("doc_id"),
+        when(col("doc_id") % 50 === 0, TextFns.checksum(concat(col("text"), lit("x"))))
+          .otherwise(TextFns.checksum(col("text"))).as("checksum"))
+      val changed = Incremental.changed(fresh, prev, "doc_id", "checksum")
+      Incremental.upsert(prev, changed, "doc_id")
+        .select("doc_id", "checksum").orderBy("doc_id")
+    }),
 
     // ── lexical index + BM25 ───────────────────────────────────────────
     "postings" -> ((s, dir) => {
@@ -195,6 +206,24 @@ object Queries {
       TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+    // F13/F19/F20/F21/F22 battery: html strip, whitespace norm, digit
+    // suffix, is_arabic ratio, proximity bonus — every leg column-exprs
+    // with a DuckDB twin
+    "text_fns" -> ((s, dir) => {
+      import s.implicits._
+      val g0 = typedLit(TextBattery.g0)
+      val g1 = typedLit(TextBattery.g1)
+      val stripped = TextFns.htmlStrip(col("s"))
+      val normed = TextFns.normWhitespace(stripped)
+      TextBattery.rows.toDF("tid", "s")
+        .select(col("tid"),
+          stripped.as("stripped"),
+          normed.as("normed"),
+          TextFns.stripDigitSuffix(normed).as("nosuffix"),
+          ServeFns.isArabic(col("s")).as("is_ar"),
+          round(ServeFns.proximityBonus(TextFns.tokens(col("s")), g0, g1, 5, 0.1), 4).as("prox"))
+        .orderBy("tid")
+    }),
     "doc_checksum" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextFns.checksum(col("doc_id"), col("lang"), col("source"), col("text")).as("checksum"))
@@ -331,6 +360,23 @@ object RouteBattery {
     "الصبر والشكر في القرآن",
     "'intention matters'",
     "narrated by Aisha (may Allah be pleased with her) about prayer")
+}
+
+/** Text-function battery (F13/F19/F20/F21/F22) — html tags + entities
+  * left intact by the strip, Arabic digit suffixes, whitespace runs,
+  * arabic-ratio boundaries, proximity within/over the window, and a
+  * missing second group. */
+object TextBattery {
+  val g0: Seq[String] = Seq("quick", "fast")
+  val g1: Seq[String] = Seq("fox", "wolf")
+  val rows: Seq[(Int, String)] = Seq(
+    (0, "<p>Hello &amp; <b>world</b></p> 123"),
+    (1, "نص عربي مع أرقام ٤٥٦"),
+    (2, "  spaced   out   text  "),
+    (3, "mixed العربية and english text"),
+    (4, "the quick brown fox jumps"),
+    (5, "quick start then much later a fox appears beyond window size"),
+    (6, "only quick no second group"))
 }
 
 /** F17 spec-model battery — exercises narrator hit/miss, ar/en term

@@ -66,4 +66,37 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(Queries.all("incremental_changed")(spark, sf))
     assert(p.contains("LeftAnti"), "no anti join in the plan")
   }
+
+  test("warm search plans read cached index layers, broadcast probes, take-order") {
+    val eng = Graft.openHadith(spark, "/root/reference/data/riyadussalihin/book_1.jsonl")
+    val df = eng.search("Hadith narrated by Abu Hurairah", n = 5)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      "warm search does not read cached layers")
+    assert(p.contains("TakeOrderedAndProject"), "warm top-k not TakeOrdered")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "warm probe side not broadcast")
+    // the single-row corpus-stats crossJoin legitimately renders as a
+    // broadcast NLJ (constants fan-out); a cartesian shuffle never may
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("persisted field postings partition-prune field-scoped probes (S9)") {
+    val dir = java.nio.file.Files.createTempDirectory("plan-postings").toString
+    GraftIndexes.writeHadith(spark,
+      "/root/reference/data/riyadussalihin/book_1.jsonl", dir)
+    val pruned = spark.read.parquet(s"$dir/postings")
+      .where(col("field") === "narrator")
+    val p = plan(pruned)
+    assert(p.contains("PartitionFilters: [isnotnull(field"), p.take(400))
+  }
+
+  test("capped LSH candidate plans keep the hot-bucket guard as a broadcast anti-join") {
+    val docs = spark.range(100).selectExpr("id as doc_id", "concat('text ', id % 7) as text")
+    val sigs = graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text", 16)
+    val p = plan(graft.operators.Dedup.lshCandidatePairs(sigs, 4, maxBucket = 10))
+    assert(p.contains("LeftAnti"), "no anti-join guard in capped plan")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
 }

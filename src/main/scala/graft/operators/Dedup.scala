@@ -137,7 +137,9 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double, numHashes: Int = 16,
                         rowsPerBand: Int = 4): DataFrame = {
-    val sh = shingleSets(docs, idCol, textCol, n)
+    // cached: the signature build and the exact-Jaccard verify both scan
+    // the (expensive) shingle sets
+    val sh = shingleSets(docs, idCol, textCol, n).cache()
     val sigs = minhashFromElems(
       sh.select(col("doc_id"), explode(col("shingles")).as("elem")), numHashes)
     val cand = lshCandidatePairs(sigs, rowsPerBand)
@@ -151,8 +153,8 @@ object Dedup {
     * at any corpus size). */
   def ngramJaccardPairsSharedShingle(docs: DataFrame, idCol: String, textCol: String,
                                      n: Int, threshold: Double, maxDf: Int = 1000): DataFrame = {
-    val sh = shingleSets(docs, idCol, textCol, n)
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val sh = shingleSets(docs, idCol, textCol, n).cache()
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s")).cache()
     val hot = ex.groupBy("s").agg(count("*").as("sdf")).where(col("sdf") > maxDf)
       .select("s")
     val exCapped = ex.join(broadcast(hot), Seq("s"), "left_anti")

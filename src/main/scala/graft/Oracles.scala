@@ -160,6 +160,10 @@ object Oracles {
       """SELECT md5(text) AS content_key, min(doc_id) AS survivor,
         |CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_exact_norm" ->
+      """SELECT md5(lower(trim(regexp_replace(text,'\s+',' ','g')))) AS content_key,
+        |min(doc_id) AS survivor, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "minhash_sigs" ->
       s"""WITH $Toks,
          |elems AS (SELECT doc_id, unnest(list_distinct(t)) elem FROM toks),
@@ -377,6 +381,15 @@ object Oracles {
          |bs AS (SELECT book_id, count(*) th, count(DISTINCT cn) un FROM v GROUP BY 1)
          |SELECT count(*) AS books, CAST(sum(th) AS BIGINT) AS total_hadith,
          |CAST(sum(un) AS BIGINT) AS narrator_slots FROM bs""".stripMargin,
+    // sink round-trip: same relational derivation as hadith_catalog — if
+    // the JSON sink drops or mangles anything, the hash check fails
+    "catalog_sink_roundtrip" ->
+      s"""WITH v AS (SELECT book_id, book_title_en, chapter_id
+         |  FROM read_json_auto('$HadithGlob', union_by_name=true)
+         |  WHERE list_sort(list_distinct(list_transform(texts, t -> t.language))) = ['ar','en'])
+         |SELECT book_id, min(book_title_en) AS title_en, count(*) AS total_hadiths,
+         |count(DISTINCT chapter_id) AS total_chapters
+         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   private def quranSearchFtsSql: String = {

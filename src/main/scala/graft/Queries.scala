@@ -143,6 +143,9 @@ object Queries {
     // ── dedup suite ────────────────────────────────────────────────────
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir), "doc_id", "text").orderBy("content_key")),
+    "dedup_exact_norm" -> ((s, dir) =>
+      Dedup.exactGroups(docs(s, dir), "doc_id", "text", normalize = true)
+        .orderBy("content_key")),
     "minhash_sigs" -> ((s, dir) =>
       Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", 16)
         .withColumn("seed", col("seed").cast("int")).orderBy("doc_id", "seed")),
@@ -335,6 +338,18 @@ object Queries {
         Ingest.catalogRollup(valid(s)).orderBy("book_id")),
       "hadith_ingest_totals" -> ((s, _) =>
         Ingest.ingestionTotals(Ingest.bookStats(valid(s)))),
+      // S4/S5 sink proof: write the catalog through the JSON sink, read
+      // it back, and oracle-match the relational derivation — the sink
+      // round-trips losslessly or the hash check fails
+      "catalog_sink_roundtrip" -> ((s, _) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft-catalog").toString
+        Ingest.writeCatalog(Ingest.catalogRollup(valid(s)), dir)
+        s.read.json(dir)
+          .select(col("book_id"), col("title_en"),
+            col("total_hadiths").cast("long").as("total_hadiths"),
+            col("total_chapters").cast("long").as("total_chapters"))
+          .orderBy("book_id")
+      }),
       // full hybrid lifecycle over the real corpus, oracle-checked end to
       // end (silver build + field-scoped BM25 + hashed-embedding cosine +
       // fusion + priority scoring, all mirrored in Oracles.hadithSearchSql)

@@ -131,6 +131,17 @@ object GraftIndexes {
     }
   }
 
+  /** Persist an ANN index partitioned by bucket — a probe that filters
+    * on the query's bucket reads exactly one partition directory. */
+  def writeAnn(spark: SparkSession, emb: DataFrame, idCol: String, vecCol: String,
+               dir: String, dim: Int, nBits: Int): Unit =
+    Similarity.annIndex(emb, idCol, vecCol, dim, nBits)
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+
+  /** Open a persisted ANN index (cached; probe via Similarity.annTopKWith). */
+  def openAnn(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir).cache()
+
   /** Open a quran engine from persisted layers. */
   def openQuran(spark: SparkSession, dir: String): Graft.QuranEngine = {
     val docs = spark.read.parquet(s"$dir/docs").cache()

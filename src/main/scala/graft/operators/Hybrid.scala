@@ -99,20 +99,47 @@ object Hybrid {
       .orderBy(desc("cos"), asc("doc_id")).limit(k)
   }
 
-  /** Full pipeline. Returns the scored hit envelope (tools.py:150-160):
-    * doc_id, snippet, per-signal breakdown (rounded 4), total score. */
+  /** The resident index for a generic document table: postings +
+    * dictionary + corpus stats + quantized embedding slots, plus the
+    * (id, text) projection the backfill needs. Same warm/cold split as
+    * HadithSearch.Index / Quran.Index. */
+  final case class Index(docs: DataFrame, postings: DataFrame, dict: DataFrame,
+                         stats: DataFrame, slots: DataFrame, dim: Int) {
+    def materialize(): Index = {
+      docs.count(); postings.count(); dict.count(); stats.count(); slots.count()
+      this
+    }
+  }
+
+  def buildIndex(docs0: DataFrame, idCol: String, textCol: String,
+                 dim: Int = 64, cache: Boolean = true): Index = {
+    def c(df: DataFrame) = if (cache) df.cache() else df
+    val docs = c(docs0.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text")))
+    val p = c(Postings.build(docs, "doc_id", "text"))
+    Index(docs, p, c(Postings.dictionary(p)), c(Postings.corpusStats(p)),
+      c(embedSlots(docs, "doc_id", "text", dim)), dim)
+  }
+
+  /** Full pipeline, cold form — builds the index inline. */
   def search(docs: DataFrame, idCol: String, textCol: String, query: String,
              n: Int = 10, mode: String = "balanced", dim: Int = 64,
-             parityFts: Boolean = false): DataFrame = {
+             parityFts: Boolean = false): DataFrame =
+    searchWith(buildIndex(docs, idCol, textCol, dim), query, n, mode, parityFts)
+
+  /** Full pipeline over a resident [[Index]]. Returns the scored hit
+    * envelope (tools.py:150-160): doc_id, snippet, per-signal breakdown
+    * (rounded 4), total score. */
+  def searchWith(idx: Index, query: String, n: Int = 10,
+                 mode: String = "balanced",
+                 parityFts: Boolean = false): DataFrame = {
     val intent = Router.route(query)
     val w = Scoring.preset(mode)
     val k = math.max(CandidateFanout, n * 5)
-
-    // cache: dictionary, stats and the probe all scan postings (a serving
-    // session builds these once and keeps them resident)
-    val postings = Postings.build(docs, idCol, textCol).cache()
-    val dict = Postings.dictionary(postings)
-    val stats = Postings.corpusStats(postings)
+    val docs = idx.docs
+    val postings = idx.postings
+    val dict = idx.dict
+    val stats = idx.stats
 
     // F8 compile: narrator-type queries probe narrator tokens; otherwise
     // phrase/term tokens. Our generic doc table has a single text field, so
@@ -132,14 +159,13 @@ object Hybrid {
       else lexicalCandidates(postings, dict, stats, matchTerms,
         prefix = intent.phrase.isEmpty, k = k)
 
-    val vec = vectorCandidates(docs, idCol, textCol,
-      Router.embedTokens(intent.normalized), dim, k)
+    val vec = vectorCandidatesFromSlots(idx.slots,
+      Router.embedTokens(intent.normalized), idx.dim, k)
 
-    // J1 fusion + J2 backfill
+    // J1 fusion + J2 backfill (docs already carries the (doc_id, text)
+    // projection)
     val fused = lex.join(vec, Seq("doc_id"), "full_outer")
-    val backfilled = docs
-      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
-      .join(broadcast(fused), "doc_id")
+    val backfilled = docs.join(broadcast(fused), "doc_id")
 
     val toks = typedLit(intent.tokens)
     val phraseCol = intent.phrase.map(lit(_)).getOrElse(lit(null).cast("string"))

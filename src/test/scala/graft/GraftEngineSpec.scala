@@ -45,6 +45,31 @@ class GraftEngineSpec extends SparkSpec {
     assert(wq.getVerse("2:255").select("verse_key", "slug").count() === 1)
   }
 
+  test("persisted ANN index: warm probe equals cold, bucket probe partition-prunes") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann").toString
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    GraftIndexes.writeAnn(spark, e, "vec_id", "embedding", s"$dir/ann", 64, 4)
+    // pruning check BEFORE openAnn caches the path (cache substitution
+    // would replace the FileScan and hide the partition filters)
+    val pruned = spark.read.parquet(s"$dir/ann").where(col("bucket") === 5)
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(bucket"))
+    val idx = GraftIndexes.openAnn(spark, s"$dir/ann")
+    val qv = typedLit(e.where(col("vec_id") === 0).head().getSeq[Float](1).toArray)
+    assert(Similarity.annTopKWith(idx, qv, 64, 4, 10).collect().toSeq ===
+      Similarity.annTopK(e, "vec_id", "embedding", qv, 64, 4, 10).collect().toSeq)
+  }
+
+  test("generic hybrid warm searchWith equals cold search") {
+    import graft.operators.Hybrid
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val idx = Hybrid.buildIndex(docs, "doc_id", "text").materialize()
+    val q = Queries.HybridQuery
+    assert(Hybrid.searchWith(idx, q, n = 10).collect().toSeq ===
+      Hybrid.search(docs, "doc_id", "text", q, n = 10).collect().toSeq)
+  }
+
   test("silver layout partition-prunes book filters (S3)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-silver").toString
     val valid = Ingest.validated(Ingest.readBooks(spark,

@@ -18,8 +18,13 @@ class GoldenQueriesSpec extends SparkSpec {
       src.getLines().collect { case line(id, q) => (id, q) }.toList
     } finally src.close()
   }
-  private lazy val silver = HadithSearch.silver(Ingest.validated(
-    Ingest.readBooks(spark, "/root/reference/data/riyadussalihin/book_*.jsonl"))).cache()
+  // warm-path dogfood: index built ONCE, every query via searchWith —
+  // the serving shape, and it keeps this suite from rebuilding postings
+  // + embedding slots per query
+  private lazy val index = HadithSearch.buildIndex(
+    HadithSearch.silver(Ingest.validated(
+      Ingest.readBooks(spark, "/root/reference/data/riyadussalihin/book_*.jsonl")))
+  ).materialize()
 
   test("the benchmark corpus parses to the documented scale (≈86 queries + howtos)") {
     assert(queries.size >= 86, s"parsed only ${queries.size}")
@@ -48,7 +53,7 @@ class GoldenQueriesSpec extends SparkSpec {
   test("every edge case (category 8) searches gracefully end-to-end") {
     val edge = queries.filter(_._1.startsWith("8.")).map(_._2) :+ "" :+ "   "
     edge.foreach { q =>
-      val hits = HadithSearch.search(silver, q, n = 3).collect()
+      val hits = HadithSearch.searchWith(index, q, n = 3).collect()
       assert(hits.length <= 3, s"'$q' returned ${hits.length}")
       hits.foreach { h =>
         val s = h.getAs[Double]("score")
@@ -61,7 +66,7 @@ class GoldenQueriesSpec extends SparkSpec {
     val sample = Seq("1.", "2.", "3.", "4.", "5.", "6.").flatMap(p =>
       queries.find(_._1.startsWith(p)).map(_._2))
     sample.foreach { q =>
-      val hits = HadithSearch.search(silver, q, n = 5).collect()
+      val hits = HadithSearch.searchWith(index, q, n = 5).collect()
       val scores = hits.map(_.getAs[Double]("score"))
       assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, s"'$q' not ranked")
       assert(scores.forall(s => s >= 0.0 && s <= 1.0), s"'$q' score range")

@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
   private def esc(s: String): String =
-    s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ").take(300)
+    // truncate BEFORE escaping (truncating after can cut an escape pair
+    // and break the JSON line), then strip every control char
+    s.take(300).replace("\\", "\\\\").replace("\"", "\\\"")
+      .map(c => if (c.isControl) ' ' else c)
 
   private def pct(sorted: Array[Double], p: Double): Double =
     sorted(math.min(sorted.length - 1, math.ceil(p * sorted.length).toInt - 1).max(0))
@@ -51,6 +54,10 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_SERVE_RUNS", "15").toInt
     val serveJson =
       try {
+        // drop the cold suite's accumulated cache entries so the serve
+        // measurement starts from a clean block manager (the cold paths
+        // mark per-query frames cached and never revisit them)
+        spark.catalog.clearCache()
         // a serving session sizes shuffle width to its candidate-set
         // width (tens of rows), not to batch width — index frames cached
         // below inherit this, so per-query stages schedule 4 tasks not 32

@@ -103,21 +103,14 @@ object GraftIndexes {
   }
 
   /** Open a hadith engine from persisted layers (warm open: only the
-    * tiny dictionaries/stats are re-derived, over the persisted postings). */
+    * tiny dictionaries/stats are re-derived, over the persisted postings,
+    * through the SAME indexFromLayers the in-memory build uses). */
   def openHadith(spark: SparkSession, dir: String, dim: Int = 128): Graft.HadithEngine = {
     val docs = spark.read.parquet(s"$dir/silver").cache()
     val post = spark.read.parquet(s"$dir/postings").cache()
     val slots = spark.read.parquet(s"$dir/slots").cache()
-    val dicts = HadithSearch.Fields.map { f =>
-      f -> post.where(col("field") === f)
-        .groupBy("term").agg(countDistinct("doc_id").as("df")).cache()
-    }.toMap
-    val stats = HadithSearch.Fields.map { f =>
-      f -> post.where(col("field") === f).select("doc_id", "dl").distinct()
-        .agg(count("*").as("n_docs"), sum("dl").as("sum_dl")).cache()
-    }.toMap
     new Graft.HadithEngine(
-      HadithSearch.Index(docs, post, dicts, stats, slots, dim).materialize())
+      HadithSearch.indexFromLayers(docs, post, slots, dim).materialize())
   }
 
   /** Persist the quran index layers (docs + postings + embeddings). */
@@ -146,15 +139,13 @@ object GraftIndexes {
   def openQuran(spark: SparkSession, dir: String): Graft.QuranEngine = {
     val docs = spark.read.parquet(s"$dir/docs").cache()
     val post = spark.read.parquet(s"$dir/postings").cache()
+    // Hadoop FS probe, not java.io.File — the layer may live on any
+    // filesystem the session can read (hdfs://, s3a://, local)
+    val embPath = new org.apache.hadoop.fs.Path(s"$dir/embeddings")
+    val fs = embPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val emb =
-      if (new java.io.File(s"$dir/embeddings").exists())
-        Some(spark.read.parquet(s"$dir/embeddings").cache())
+      if (fs.exists(embPath)) Some(spark.read.parquet(s"$dir/embeddings").cache())
       else None
-    val embQ = emb.map(e => e.select(col("verse_key"),
-      graft.functions.VecFns.quantize(col("embedding")).as("qv"))
-      .withColumn("nq", graft.functions.VecFns.norm2(col("qv"))).cache())
-    new Graft.QuranEngine(Quran.Index(docs, post,
-      graft.operators.Postings.dictionary(post).cache(),
-      graft.operators.Postings.corpusStats(post).cache(), emb, embQ).materialize())
+    new Graft.QuranEngine(Quran.indexFromLayers(docs, post, emb).materialize())
   }
 }

@@ -552,8 +552,11 @@ object Oracles {
        |  CASE WHEN strpos(coalesce(lower(array_to_string(grading,' ')),''),'sahih')>0 THEN ${d("0.15")}
        |       WHEN strpos(coalesce(lower(array_to_string(grading,' ')),''),'hasan')>0 THEN ${d("0.10")}
        |       ELSE ${d("0.0")} END gb,
-       |  CASE WHEN strpos(lower(text_en),'$phrase')>0 OR strpos(text_ar,'$phrase')>0
-       |       THEN ${d("0.3")} ELSE ${d("0.0")} END pb
+       |  ${
+      if (terms.size <= 1) s"${d("0.0")} pb" // spec: phrase only when >1 term
+      else s"CASE WHEN strpos(lower(text_en),'$phrase')>0 OR strpos(text_ar,'$phrase')>0 " +
+        s"THEN ${d("0.3")} ELSE ${d("0.0")} END pb"
+    }
        |  FROM b),
        |e AS (SELECT sid, nb,
        |  CAST(arm AS DOUBLE)/${arT.size}*${d("0.3")} ab,

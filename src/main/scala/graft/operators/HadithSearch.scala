@@ -70,6 +70,18 @@ object HadithSearch {
     val docs = c(docs0.withColumn("num_id", TextFns.hash60(col("doc_id"))))
     val post = c(postings(docs.select(col("num_id").as("doc_id"),
       col("narrator"), col("english_text"), col("arabic_text"))))
+    val slots = c(Hybrid.embedSlots(docs.select(col("num_id"), col("payload")),
+      "num_id", "payload", dim))
+    indexFromLayers(docs, post, slots, dim, cache)
+  }
+
+  /** Assemble an Index from its persisted/base layers — the ONE place the
+    * per-field dictionary/stats derivations live, shared by the in-memory
+    * build and the parquet open path (drift between the two would mean a
+    * persisted index silently serving different results). */
+  def indexFromLayers(docs: DataFrame, post: DataFrame, slots: DataFrame,
+                      dim: Int, cache: Boolean = true): Index = {
+    def c(df: DataFrame) = if (cache) df.cache() else df
     val dicts = Fields.map { f =>
       f -> c(post.where(col("field") === f)
         .groupBy("term").agg(countDistinct("doc_id").as("df")))
@@ -78,8 +90,6 @@ object HadithSearch {
       f -> c(post.where(col("field") === f).select("doc_id", "dl").distinct()
         .agg(count("*").as("n_docs"), sum("dl").as("sum_dl")))
     }.toMap
-    val slots = c(Hybrid.embedSlots(docs.select(col("num_id"), col("payload")),
-      "num_id", "payload", dim))
     Index(docs, post, dicts, stats, slots, dim)
   }
 

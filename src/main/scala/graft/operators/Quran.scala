@@ -91,11 +91,20 @@ object Quran {
     // columns they touch, point lookups keep every corpus field
     val docs = c(corpus.withColumn("doc_id",
       (col("surah").cast("long") * 1000) + col("ayah")))
-    val p = c(Postings.build(docs, "doc_id", "text_plain"))
+    indexFromLayers(docs, c(Postings.build(docs, "doc_id", "text_plain")), emb, cache)
+  }
+
+  /** Assemble an Index from its persisted/base layers — the one place the
+    * dictionary/stats/embQ derivations live, shared by the in-memory
+    * build and the parquet open path. */
+  def indexFromLayers(docs: DataFrame, postings: DataFrame,
+                      emb: Option[DataFrame], cache: Boolean = true): Index = {
+    def c(df: DataFrame) = if (cache) df.cache() else df
     val embQ = emb.map(e => c(e.select(col("verse_key"),
       graft.functions.VecFns.quantize(col("embedding")).as("qv"))
       .withColumn("nq", graft.functions.VecFns.norm2(col("qv")))))
-    Index(docs, p, c(Postings.dictionary(p)), c(Postings.corpusStats(p)), emb, embQ)
+    Index(docs, postings, c(Postings.dictionary(postings)),
+      c(Postings.corpusStats(postings)), emb, embQ)
   }
 
   /** Full search lifecycle, cold form: builds the index inline (correct,

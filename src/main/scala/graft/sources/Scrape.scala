@@ -69,39 +69,48 @@ object Scrape {
 
   /** S8: resumable paged crawl. Walks (group, seq) cursors: seq advances
     * until `maxConsecutiveMiss` misses end the group (the reference's
-    * 2×404 rule); each completed group is committed to an atomic JSON
-    * checkpoint (tmp + rename), so a re-run skips finished groups and
-    * returns only the remainder. */
+    * 2×404 rule). Each group's pages are SPOOLED to parquet under
+    * `stateDir/pages/group=<g>` BEFORE its cursor is committed to the
+    * atomic checkpoint (payload-then-cursor, like the reference — a crash
+    * between the two re-fetches at most one group, never loses one), and
+    * the returned frame reads the whole spool, so a resumed run yields
+    * the complete crawl, not just the remainder. */
   def crawlPaged(spark: SparkSession, groups: Seq[Int],
-                 fetch: (Int, Int) => Option[String], checkpointPath: String,
+                 fetch: (Int, Int) => Option[String], stateDir: String,
                  maxConsecutiveMiss: Int = 2): DataFrame = {
     import spark.implicits._
-    val ck = new java.io.File(checkpointPath)
+    val ck = new java.io.File(s"$stateDir/cursor.ck")
     val done: Set[Int] =
       if (ck.exists())
         new String(java.nio.file.Files.readAllBytes(ck.toPath), "UTF-8")
           .split(",").filter(_.nonEmpty).map(_.toInt).toSet
       else Set.empty
-    val rows = Seq.newBuilder[(Int, Int, String)]
     var committed = done
     groups.filterNot(done).foreach { g =>
+      val rows = Seq.newBuilder[(Int, String)]
       var seq = 1
       var miss = 0
       while (miss < maxConsecutiveMiss) {
         fetch(g, seq) match {
-          case Some(body) => rows += ((g, seq, body)); miss = 0
+          case Some(body) => rows += ((seq, body)); miss = 0
           case None => miss += 1
         }
         seq += 1
       }
+      // payload first…
+      rows.result().toDF("seq", "body").coalesce(1)
+        .write.mode("overwrite").parquet(s"$stateDir/pages/group=$g")
+      // …then the cursor commit (tmp + atomic rename)
       committed = committed + g
-      val tmp = new java.io.File(checkpointPath + ".tmp")
+      val tmp = new java.io.File(s"$stateDir/cursor.ck.tmp")
       java.nio.file.Files.write(tmp.toPath,
         committed.toSeq.sorted.mkString(",").getBytes("UTF-8"))
       java.nio.file.Files.move(tmp.toPath, ck.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
-    rows.result().toDF("group", "seq", "body")
+    spark.read.option("basePath", s"$stateDir/pages")
+      .parquet(s"$stateDir/pages")
+      .select(col("group").cast("int").as("group"), col("seq"), col("body"))
   }
 }

@@ -114,10 +114,12 @@ object Streams {
           // files the dynamic overwrite is about to replace
           val merged = Incremental.upsert(prevDirty, changed, idCol)
             .localCheckpoint()
-          val mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-          try merged.write.mode("overwrite").partitionBy("bucket").parquet(statePath)
-          finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
+          // writer-scoped option — never mutate the session-global conf
+          // (another concurrent partitioned overwrite in this session
+          // could silently inherit dynamic semantics)
+          merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket").parquet(statePath)
         }
         batch.unpersist(); changed.unpersist(); ()
       }

@@ -42,6 +42,10 @@ class GraftEngineSpec extends SparkSpec {
       Some("/root/reference/data/indexes/quran/embeddings.npz"))
     assert(wq.search("mercy forgiveness charity", 5, "fts").collect().toSeq ===
       cq.search("mercy forgiveness charity", 5, "fts").collect().toSeq)
+    // hybrid mode too: covers the persisted-embeddings/embQ leg
+    val qv = cq.emb.get.where(col("verse_key") === "1:1").head().getSeq[Float](1).toArray
+    assert(wq.search("mercy forgiveness charity", 5, "hybrid", Some(qv)).collect().toSeq ===
+      cq.search("mercy forgiveness charity", 5, "hybrid", Some(qv)).collect().toSeq)
     assert(wq.getVerse("2:255").select("verse_key", "slug").count() === 1)
   }
 

@@ -49,27 +49,31 @@ class ScrapeSpec extends SparkSpec {
     assert(spark.read.option("basePath", dir).text(s"$dir/key=*").count() === 2)
   }
 
-  test("S8: paged crawl stops after consecutive misses and resumes from checkpoint") {
+  test("S8: paged crawl spools payloads before checkpointing; resume loses nothing") {
     val dir = java.nio.file.Files.createTempDirectory("graft-crawl").toString
-    val ck = s"$dir/cursor.ck"
     // group -> number of pages present; group 3's fetch fails on first run
     val pages = Map(1 -> 3, 2 -> 1, 3 -> 2)
     def fetchOk(g: Int, a: Int): Option[String] =
       if (a <= pages.getOrElse(g, 0)) Some(s"$g:$a") else None
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
     val boom: (Int, Int) => Option[String] = {
       case (3, _) => throw new RuntimeException("transport down")
-      case (g, a) => fetchOk(g, a)
+      case (g, a) => calls.incrementAndGet(); fetchOk(g, a)
     }
     intercept[RuntimeException] {
-      Scrape.crawlPaged(spark, Seq(1, 2, 3), boom, ck)
+      Scrape.crawlPaged(spark, Seq(1, 2, 3), boom, s"$dir/crawl")
     }
-    // groups 1 and 2 committed before the failure
-    val resumed = Scrape.crawlPaged(spark, Seq(1, 2, 3), fetchOk _, ck)
-      .orderBy("group", "seq").collect()
-    assert(resumed.map(_.getInt(0)).distinct.toSeq === Seq(3)) // only the remainder
-    assert(resumed.map(_.getString(2)).toSeq === Seq("3:1", "3:2"))
+    // groups 1 and 2 were spooled before the crash; the resumed run
+    // skips their fetches but still returns the COMPLETE crawl
+    val before = calls.get()
+    val resumed = Scrape.crawlPaged(spark, Seq(1, 2, 3), { (g, a) =>
+      if (g != 3) calls.incrementAndGet(); fetchOk(g, a)
+    }, s"$dir/crawl").orderBy("group", "seq").collect()
+    assert(calls.get() === before, "resume re-fetched committed groups")
+    assert(resumed.map(_.getString(2)).toSeq ===
+      Seq("1:1", "1:2", "1:3", "2:1", "3:1", "3:2"))
     // a fresh full crawl yields all pages, exactly the per-group counts
-    val full = Scrape.crawlPaged(spark, Seq(1, 2, 3), fetchOk _, s"$dir/fresh.ck")
+    val full = Scrape.crawlPaged(spark, Seq(1, 2, 3), fetchOk _, s"$dir/fresh")
     assert(full.groupBy("group").count().orderBy("group")
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq === Seq(1 -> 3L, 2 -> 1L, 3 -> 2L))
   }

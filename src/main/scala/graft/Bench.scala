@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
   * (2) the WARM serving path — engines opened once via Graft, then
   * repeated queries against resident indexes (what the reference's
   * 150 ms p95 serving target measures). One JSON line carries both.
+  * [[BenchServe]] runs part 2 standalone.
   */
 object Bench {
-  private def esc(s: String): String =
+  private[graft] def esc(s: String): String =
     // truncate BEFORE escaping (truncating after can cut an escape pair
     // and break the JSON line), then strip every control char
     s.take(300).replace("\\", "\\\\").replace("\"", "\\\"")
@@ -18,6 +19,72 @@ object Bench {
 
   private def pct(sorted: Array[Double], p: Double): Double =
     sorted(math.min(sorted.length - 1, math.ceil(p * sorted.length).toInt - 1).max(0))
+
+  /** The warm serving measurement: open engines + resident indexes once,
+    * run each query `runs` times after warm-up, report p50/p95/mean.
+    * Returns the serve section as a JSON object string. */
+  private[graft] def serveSection(spark: SparkSession, sfDir: String, runs: Int): String =
+    try {
+      // drop any accumulated cache entries so the serve measurement
+      // starts from a clean block manager (cold paths mark per-query
+      // frames cached and never revisit them)
+      spark.catalog.clearCache()
+      // a serving session sizes shuffle width to its candidate-set
+      // width (tens of rows), not to batch width — index frames cached
+      // below inherit this, so per-query stages schedule 4 tasks not 32
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val tOpen0 = System.nanoTime()
+      val hadith = Graft.openHadith(spark, Queries.HadithBooks)
+      val hadithOpenS = (System.nanoTime() - tOpen0) / 1e9
+      val tOpen1 = System.nanoTime()
+      val quran = Graft.openQuran(spark, Queries.QuranDir, Some(Queries.NpzPath))
+      val quranOpenS = (System.nanoTime() - tOpen1) / 1e9
+      val qv = quran.emb.get.where(col("verse_key") === "1:1")
+        .head().getSeq[Float](1).toArray
+      // resident BM25 index over the sf documents table
+      val p = Postings.build(Tables(spark, sfDir, "documents"), "doc_id", "text").cache()
+      val dict = Postings.dictionary(p).cache()
+      val stats = Postings.corpusStats(p).cache()
+      p.count(); dict.count(); stats.count()
+      // resident ANN bucket index over the sf embeddings table
+      val embT = Tables(spark, sfDir, "embeddings")
+      val annIdx = graft.operators.Similarity
+        .annIndex(embT, "vec_id", "embedding", Queries.Dim, nBits = 4).cache()
+      annIdx.count()
+      val ev = embT.where(col("vec_id") === 0)
+        .head().getSeq[Float](1).toArray
+
+      val serveQueries: Seq[(String, () => Unit)] = Seq(
+        "hadith_search_warm" -> (() =>
+          hadith.search("Hadith narrated by Abu Hurairah", 10).collect(): Unit),
+        "hadith_thematic_warm" -> (() =>
+          hadith.search("patience and gratitude in hardship", 10).collect(): Unit),
+        "quran_fts_warm" -> (() =>
+          quran.search(Queries.QuranQuery, 5, "fts").collect(): Unit),
+        "quran_hybrid_warm" -> (() =>
+          quran.search(Queries.QuranQuery, 5, "hybrid", Some(qv)).collect(): Unit),
+        "quran_get_verse_warm" -> (() => quran.getVerse("2:255").collect(): Unit),
+        "bm25_topk_warm" -> (() =>
+          Bm25.topK(Bm25.score(p, dict, stats, Queries.Bm25Terms), 20).collect(): Unit),
+        "ann_topk_warm" -> (() =>
+          graft.operators.Similarity.annTopKWith(annIdx, typedLit(ev),
+            Queries.Dim, nBits = 4, k = 20).collect(): Unit))
+
+      val entries = serveQueries.map { case (name, run) =>
+        run(); run() // warm-up: JIT + codegen + broadcast reuse
+        val times = (1 to runs).map { _ =>
+          val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e6
+        }.toArray.sorted
+        f""""$name":{"p50_ms":${pct(times, 0.50)}%.1f,"p95_ms":${pct(times, 0.95)}%.1f,"mean_ms":${times.sum / times.length}%.1f,"runs":$runs}"""
+      }
+      (entries :+
+        f""""hadith_open_s":${hadithOpenS}%.2f,"quran_open_s":${quranOpenS}%.2f""")
+        .mkString("{", ",", "}")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] FAIL serve: $e")
+        s"""{"error":"${esc(e.toString)}"}"""
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -52,68 +119,7 @@ object Bench {
 
     // ── part 2: warm serving path ────────────────────────────────────
     val runs = sys.env.getOrElse("SPARK_GRAFT_SERVE_RUNS", "15").toInt
-    val serveJson =
-      try {
-        // drop the cold suite's accumulated cache entries so the serve
-        // measurement starts from a clean block manager (the cold paths
-        // mark per-query frames cached and never revisit them)
-        spark.catalog.clearCache()
-        // a serving session sizes shuffle width to its candidate-set
-        // width (tens of rows), not to batch width — index frames cached
-        // below inherit this, so per-query stages schedule 4 tasks not 32
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
-        val tOpen0 = System.nanoTime()
-        val hadith = Graft.openHadith(spark, Queries.HadithBooks)
-        val hadithOpenS = (System.nanoTime() - tOpen0) / 1e9
-        val tOpen1 = System.nanoTime()
-        val quran = Graft.openQuran(spark, Queries.QuranDir, Some(Queries.NpzPath))
-        val quranOpenS = (System.nanoTime() - tOpen1) / 1e9
-        val qv = quran.emb.get.where(col("verse_key") === "1:1")
-          .head().getSeq[Float](1).toArray
-        // resident BM25 index over the sf documents table
-        val p = Postings.build(Tables(spark, sfDir, "documents"), "doc_id", "text").cache()
-        val dict = Postings.dictionary(p).cache()
-        val stats = Postings.corpusStats(p).cache()
-        p.count(); dict.count(); stats.count()
-        // resident ANN bucket index over the sf embeddings table
-        val embT = Tables(spark, sfDir, "embeddings")
-        val annIdx = graft.operators.Similarity
-          .annIndex(embT, "vec_id", "embedding", Queries.Dim, nBits = 4).cache()
-        annIdx.count()
-        val ev = embT.where(col("vec_id") === 0)
-          .head().getSeq[Float](1).toArray
-
-        val serveQueries: Seq[(String, () => Unit)] = Seq(
-          "hadith_search_warm" -> (() =>
-            hadith.search("Hadith narrated by Abu Hurairah", 10).collect(): Unit),
-          "hadith_thematic_warm" -> (() =>
-            hadith.search("patience and gratitude in hardship", 10).collect(): Unit),
-          "quran_fts_warm" -> (() =>
-            quran.search(Queries.QuranQuery, 5, "fts").collect(): Unit),
-          "quran_hybrid_warm" -> (() =>
-            quran.search(Queries.QuranQuery, 5, "hybrid", Some(qv)).collect(): Unit),
-          "quran_get_verse_warm" -> (() => quran.getVerse("2:255").collect(): Unit),
-          "bm25_topk_warm" -> (() =>
-            Bm25.topK(Bm25.score(p, dict, stats, Queries.Bm25Terms), 20).collect(): Unit),
-          "ann_topk_warm" -> (() =>
-            graft.operators.Similarity.annTopKWith(annIdx, typedLit(ev),
-              Queries.Dim, nBits = 4, k = 20).collect(): Unit))
-
-        val entries = serveQueries.map { case (name, run) =>
-          run(); run() // warm-up: JIT + codegen + broadcast reuse
-          val times = (1 to runs).map { _ =>
-            val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e6
-          }.toArray.sorted
-          f""""$name":{"p50_ms":${pct(times, 0.50)}%.1f,"p95_ms":${pct(times, 0.95)}%.1f,"mean_ms":${times.sum / times.length}%.1f,"runs":$runs}"""
-        }
-        (entries :+
-          f""""hadith_open_s":${hadithOpenS}%.2f,"quran_open_s":${quranOpenS}%.2f""")
-          .mkString("{", ",", "}")
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] FAIL serve: $e")
-          s"""{"error":"${esc(e.toString)}"}"""
-      }
+    val serveJson = serveSection(spark, sfDir, runs)
 
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""n_failed":$nFailed,"failed":$failed,"serve":$serveJson,"sf":"$sfDir"}"""
@@ -121,6 +127,27 @@ object Bench {
     // bare-JSON artifact: stdout rides through sbt's "[info] " decoration,
     // which breaks naive line parsers — the file carries the clean line
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      json.getBytes("UTF-8"))
+    spark.stop()
+  }
+}
+
+/** Standalone warm-path benchmark: skips the cold suite and measures
+  * only the serving path (engine opens + repeated queries over resident
+  * indexes). Same JSON shape as Bench's "serve" section. */
+object BenchServe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_SERVE_RUNS", "15").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val json = s"""{"metric":"serve","serve":${Bench.serveSection(spark, sfDir, runs)},"sf":"$sfDir"}"""
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SERVE.json"),
       json.getBytes("UTF-8"))
     spark.stop()
   }

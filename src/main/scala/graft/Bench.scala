@@ -98,6 +98,11 @@ object Bench {
 
     // ── part 1: cold suite ───────────────────────────────────────────
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // each query measured against a clean block manager: several
+      // operators cache intra-query frames, and 49 queries' accumulated
+      // (never-revisited) entries otherwise squeeze execution memory for
+      // the later queries — eviction thrash, not honest cold cost
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       // noop-sink write: forces full evaluation of every column (a bare
       // count() would let Catalyst prune the projections being measured).
@@ -109,7 +114,10 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // ms precision keeps the one-line artifact short enough for tail
+    // captures that truncate from the front (a full-precision double per
+    // query tripled the line length and broke downstream parsers)
+    val qs = results.map { case (k, v, _) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, Some(e)) => s"\"$k\":\"${esc(e)}\"" }
       .mkString("{", ",", "}")
@@ -121,7 +129,7 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_SERVE_RUNS", "15").toInt
     val serveJson = serveSection(spark, sfDir, runs)
 
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
       s""""n_failed":$nFailed,"failed":$failed,"serve":$serveJson,"sf":"$sfDir"}"""
     println(json)
     // bare-JSON artifact: stdout rides through sbt's "[info] " decoration,

@@ -537,13 +537,31 @@ object Oracles {
       val gl = g.map(s => s"'${sq(s)}'").mkString("[", ",", "]")
       s"($sid, CAST($n AS VARCHAR), '${sq(en)}', '${sq(ar)}', CAST($gl AS VARCHAR[]))"
     }.mkString(",\n")
-    val narrCond = (enT ++ arT)
-      .map(t => s"coalesce(strpos(lower(narrator), '${sq(t.toLowerCase)}')>0, false)")
-      .mkString(" OR ")
-    val hitsAr = arT.map(t => s"coalesce(CAST(strpos(text_ar, '${sq(t)}')>0 AS INT), 0)")
-      .mkString(" + ")
-    val hitsEn = enT.map(t => s"coalesce(CAST(strpos(lower(text_en), '${sq(t.toLowerCase)}')>0 AS INT), 0)")
-      .mkString(" + ")
+    // mirror Scoring.specParts' empty-side guards (reduceOption/isEmpty):
+    // an all-English or all-Arabic battery must yield literal 0 arms, not
+    // a '()' syntax error or a divide-by-zero that only the oracle hits
+    val narrCond =
+      if (terms.isEmpty) "false"
+      else (enT ++ arT)
+        .map(t => s"coalesce(strpos(lower(narrator), '${sq(t.toLowerCase)}')>0, false)")
+        .mkString(" OR ")
+    val hitsAr =
+      if (arT.isEmpty) "0"
+      else arT.map(t => s"coalesce(CAST(strpos(text_ar, '${sq(t)}')>0 AS INT), 0)")
+        .mkString(" + ")
+    val hitsEn =
+      if (enT.isEmpty) "0"
+      else enT.map(t => s"coalesce(CAST(strpos(lower(text_en), '${sq(t.toLowerCase)}')>0 AS INT), 0)")
+        .mkString(" + ")
+    val abExpr =
+      if (arT.isEmpty) d("0.0")
+      else s"CAST(arm AS DOUBLE)/${arT.size}*${d("0.3")}"
+    val ebExpr =
+      if (enT.isEmpty) d("0.0")
+      else s"CAST(enm AS DOUBLE)/${enT.size}*${d("0.25")}"
+    val covExpr =
+      if (terms.isEmpty) d("0.0")
+      else s"CAST(arm+enm AS DOUBLE)/${terms.size}"
     s"""WITH b(sid, narrator, text_en, text_ar, grading) AS (VALUES
        |$values),
        |c AS (SELECT sid,
@@ -559,9 +577,9 @@ object Oracles {
     }
        |  FROM b),
        |e AS (SELECT sid, nb,
-       |  CAST(arm AS DOUBLE)/${arT.size}*${d("0.3")} ab,
-       |  CAST(enm AS DOUBLE)/${enT.size}*${d("0.25")} eb,
-       |  CAST(arm+enm AS DOUBLE)/${terms.size} cov, gb, pb FROM c)
+       |  $abExpr ab,
+       |  $ebExpr eb,
+       |  $covExpr cov, gb, pb FROM c)
        |SELECT sid, round(nb,4) narrator_bonus, round(ab,4) arabic_bonus,
        |  round(eb,4) english_bonus, round(cov,4) coverage,
        |  round(gb,4) grading_boost, round(pb,4) phrase_bonus,

@@ -15,6 +15,26 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Scope for intra-operator caches: with `materialize=true` the (small)
+    * result is snapshotted eagerly via localCheckpoint and every helper
+    * cache is released before returning — a long-lived serving session
+    * can call these operators repeatedly without block-manager entries
+    * accumulating until they evict the working-set index caches. With
+    * `materialize=false` the caller gets the fully lazy plan (for
+    * composition or plan audit) and owns the caches' lifetime.
+    * (localCheckpoint trades lineage fault-tolerance for an executor-
+    * resident snapshot — right for candidate/pair frames, which are
+    * orders of magnitude smaller than their inputs; a cluster pipeline
+    * that needs re-execution safety writes pairs to a table instead.) */
+  private[operators] def scoped(materialize: Boolean, caches: DataFrame*)(
+      result: DataFrame): DataFrame =
+    if (!materialize) result
+    else {
+      val out = result.localCheckpoint(true)
+      caches.foreach(_.unpersist(false))
+      out
+    }
+
   /** Exact dedup groups by content hash: survivor = min(doc_id).
     * (hash-groupBy; at scale a single shuffle on the 128-bit content key)
     * `normalize=true` keys on whitespace-collapsed lowercase text —
@@ -102,7 +122,8 @@ object Dedup {
     * `maxBucket` caps per-bucket membership (skew guard, see
     * [[capBuckets]]). */
   def lshCandidatePairs(sigs: DataFrame, rowsPerBand: Int,
-                        maxBucket: Int = 10000): DataFrame = {
+                        maxBucket: Int = 10000,
+                        materialize: Boolean = true): DataFrame = {
     // cached: the bucket-size count and the candidate self-join all scan it
     val banded = sigs
       .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
@@ -113,16 +134,21 @@ object Dedup {
     val capped = capBuckets(banded, Seq("band", "band_key"), maxBucket)
     val a = capped.select(col("band"), col("band_key"), col("doc_id").as("a"))
     val b = capped.select(col("band"), col("band_key"), col("doc_id").as("b"))
-    a.join(b, Seq("band", "band_key"))
-      .where(col("a") < col("b"))
-      .select("a", "b").distinct()
+    scoped(materialize, banded) {
+      a.join(b, Seq("band", "band_key"))
+        .where(col("a") < col("b"))
+        .select("a", "b").distinct()
+    }
   }
 
   /** Exact Jaccard over distinct token sets for given candidate pairs. */
   def jaccardVerify(docs: DataFrame, idCol: String, textCol: String,
-                    pairs: DataFrame, threshold: Double): DataFrame =
-    shingleJaccard(docs.select(col(idCol).cast("long").as("doc_id"),
-      TextFns.distinctTokens(col(textCol)).as("shingles")), pairs, threshold)
+                    pairs: DataFrame, threshold: Double,
+                    materialize: Boolean = true): DataFrame = {
+    val sized = sizedShingles(docs.select(col(idCol).cast("long").as("doc_id"),
+      TextFns.distinctTokens(col(textCol)).as("shingles")))
+    scoped(materialize, sized)(shingleJaccard(sized, pairs, threshold))
+  }
 
   private def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"),
@@ -136,14 +162,15 @@ object Dedup {
     * the banding's similarity knee are missed (documented recall trade). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double, numHashes: Int = 16,
-                        rowsPerBand: Int = 4): DataFrame = {
+                        rowsPerBand: Int = 4,
+                        materialize: Boolean = true): DataFrame = {
     // cached: the signature build and the exact-Jaccard verify both scan
     // the (expensive) shingle sets
-    val sh = shingleSets(docs, idCol, textCol, n).cache()
+    val sized = sizedShingles(shingleSets(docs, idCol, textCol, n))
     val sigs = minhashFromElems(
-      sh.select(col("doc_id"), explode(col("shingles")).as("elem")), numHashes)
-    val cand = lshCandidatePairs(sigs, rowsPerBand)
-    shingleJaccard(sh, cand, threshold)
+      sized.select(col("doc_id"), explode(col("shingles")).as("elem")), numHashes)
+    val cand = lshCandidatePairs(sigs, rowsPerBand, materialize = materialize)
+    scoped(materialize, sized)(shingleJaccard(sized, cand, threshold))
   }
 
   /** Shared-shingle candidate variant with a document-frequency cap —
@@ -152,22 +179,27 @@ object Dedup {
     * The hot set is anti-joined out (small by construction, broadcastable
     * at any corpus size). */
   def ngramJaccardPairsSharedShingle(docs: DataFrame, idCol: String, textCol: String,
-                                     n: Int, threshold: Double, maxDf: Int = 1000): DataFrame = {
-    val sh = shingleSets(docs, idCol, textCol, n).cache()
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s")).cache()
+                                     n: Int, threshold: Double, maxDf: Int = 1000,
+                                     materialize: Boolean = true): DataFrame = {
+    val sized = sizedShingles(shingleSets(docs, idCol, textCol, n))
+    val ex = sized.select(col("doc_id"), explode(col("shingles")).as("s")).cache()
     val hot = ex.groupBy("s").agg(count("*").as("sdf")).where(col("sdf") > maxDf)
       .select("s")
     val exCapped = ex.join(broadcast(hot), Seq("s"), "left_anti")
     val cand = exCapped.as("x").join(exCapped.as("y"), col("x.s") === col("y.s"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-    shingleJaccard(sh, cand, threshold)
+    scoped(materialize, sized, ex)(shingleJaccard(sized, cand, threshold))
   }
 
-  private def shingleJaccard(sh: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
-    // cached: joined once per pair side
-    val sized = sh.select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
+  /** Shingle sets with their cardinality, cached — the exact-Jaccard
+    * verify scans it once per pair side (and LSH legs scan it again);
+    * callers release it through [[scoped]]. */
+  private def sizedShingles(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
       .cache()
+
+  private def shingleJaccard(sized: DataFrame, pairs: DataFrame, threshold: Double): DataFrame =
     pairs
       .join(sized.select(col("doc_id").as("a"), col("shingles").as("sh_a"), col("n_sh").as("na")), "a")
       .join(sized.select(col("doc_id").as("b"), col("shingles").as("sh_b"), col("n_sh").as("nb")), "b")
@@ -175,7 +207,6 @@ object Dedup {
       .withColumn("jacc", round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
       .where(col("jacc") >= threshold)
       .select(col("a"), col("b"), col("jacc"))
-  }
 
   /** SimHash (bits ≤ 32): per bit j, sum tf·(±1) by the j-th bit of the
     * term hash; the fingerprint sets bit j where the sum is positive. */
@@ -203,7 +234,8 @@ object Dedup {
     * never an n² nested loop (round-3 verdict fix). Exact Hamming verify
     * runs only on candidates. */
   def simhashPairs(sim: DataFrame, maxHamming: Int, bits: Int = 32,
-                   maxBucket: Int = 10000): DataFrame = {
+                   maxBucket: Int = 10000,
+                   materialize: Boolean = true): DataFrame = {
     val nBands = maxHamming + 1
     // band b covers bits [lo(b), lo(b+1)) with near-even widths
     def lo(b: Int): Int = b * bits / nBands
@@ -224,9 +256,11 @@ object Dedup {
       .select(col("x.doc_id").as("a"), col("x.simhash").as("ha"),
         col("y.doc_id").as("b"), col("y.simhash").as("hb"))
       .distinct()
-    cand
-      .withColumn("hamming", bit_count(expr("ha ^ hb")))
-      .where(col("hamming") <= maxHamming)
-      .select("a", "b", "hamming")
+    scoped(materialize, ex) {
+      cand
+        .withColumn("hamming", bit_count(expr("ha ^ hb")))
+        .where(col("hamming") <= maxHamming)
+        .select("a", "b", "hamming")
+    }
   }
 }

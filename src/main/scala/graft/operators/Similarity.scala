@@ -72,7 +72,8 @@ object Similarity {
     * nBands trades recall for candidate volume. */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String, minCos: Double,
                    dim: Int, nBits: Int = 8, nBands: Int = 4,
-                   maxBucket: Int = 10000): DataFrame = {
+                   maxBucket: Int = 10000,
+                   materialize: Boolean = true): DataFrame = {
     val q = emb.select(col(idCol).cast("long").as("id"), VecFns.quantize(col(vecCol)).as("qv"))
     val buckets = array((0 until nBands).map(b =>
       struct(lit(b).as("band"), lshBucket(col("qv"), dim, nBits, s"b$b").as("bkey"))): _*)
@@ -85,11 +86,13 @@ object Similarity {
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
-    cand
-      .join(q.select(col("id").as("a"), col("qv").as("va")), "a")
-      .join(q.select(col("id").as("b"), col("qv").as("vb")), "b")
-      .select(col("a"), col("b"), round(VecFns.cosineQ(col("va"), col("vb")), 6).as("cos"))
-      .where(col("cos") >= minCos)
+    Dedup.scoped(materialize, ex) {
+      cand
+        .join(q.select(col("id").as("a"), col("qv").as("va")), "a")
+        .join(q.select(col("id").as("b"), col("qv").as("vb")), "b")
+        .select(col("a"), col("b"), round(VecFns.cosineQ(col("va"), col("vb")), 6).as("cos"))
+        .where(col("cos") >= minCos)
+    }
   }
 
   /** IVF (inverted-file) ANN: a deterministic coarse quantizer — the K
@@ -118,7 +121,10 @@ object Similarity {
                      nCentroids: Int, nProbe: Int, k: Int,
                      lloydIters: Int = 1): DataFrame = {
     val q = quantized(emb, idCol, vecCol).cache()
-    ivfTopKWith(q, lloydCentroids(q, nCentroids, lloydIters), queryVec, nProbe, k)
+    // the Lloyd passes re-scan q per iteration; the top-k result is tiny,
+    // so snapshot it and release the cache (Dedup.scoped doctrine)
+    Dedup.scoped(materialize = true, q)(
+      ivfTopKWith(q, lloydCentroids(q, nCentroids, lloydIters), queryVec, nProbe, k))
   }
 
   private def quantized(emb: DataFrame, idCol: String, vecCol: String): DataFrame =

@@ -38,7 +38,10 @@ object Scrape {
     val urlCol = urls.columns.head
     urls.select(col(urlCol).cast("string")).as[String]
       .mapPartitions { it =>
-        var lastMs = 0L
+        // nanoTime has an arbitrary (possibly negative) origin — seed so
+        // the FIRST fetch never waits, instead of comparing against 0
+        // (which could sleep ~forever on a negative-origin clock)
+        var lastMs = System.nanoTime() / 1000000L - minIntervalMs
         it.map { url =>
           var attempts = 0
           var res: Either[Int, String] = Left(-1)
@@ -79,12 +82,18 @@ object Scrape {
                  fetch: (Int, Int) => Option[String], stateDir: String,
                  maxConsecutiveMiss: Int = 2): DataFrame = {
     import spark.implicits._
-    val ck = new java.io.File(s"$stateDir/cursor.ck")
+    // cursor checkpoint through Hadoop FS, like the page spool — with an
+    // hdfs:// or s3a:// stateDir a java.io.File checkpoint would always
+    // read as absent and every "resumed" run would re-fetch all groups
+    val ckPath = new org.apache.hadoop.fs.Path(s"$stateDir/cursor.ck")
+    val fs = ckPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val done: Set[Int] =
-      if (ck.exists())
-        new String(java.nio.file.Files.readAllBytes(ck.toPath), "UTF-8")
-          .split(",").filter(_.nonEmpty).map(_.toInt).toSet
-      else Set.empty
+      if (fs.exists(ckPath)) {
+        val in = fs.open(ckPath)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        body.split(",").filter(_.nonEmpty).map(_.toInt).toSet
+      } else Set.empty
     var committed = done
     groups.filterNot(done).foreach { g =>
       val rows = Seq.newBuilder[(Int, String)]
@@ -100,14 +109,16 @@ object Scrape {
       // payload first…
       rows.result().toDF("seq", "body").coalesce(1)
         .write.mode("overwrite").parquet(s"$stateDir/pages/group=$g")
-      // …then the cursor commit (tmp + atomic rename)
+      // …then the cursor commit (tmp + rename — atomic on HDFS/local;
+      // object stores make rename copy+delete, still safe here because
+      // the spool is committed first and re-fetch is idempotent)
       committed = committed + g
-      val tmp = new java.io.File(s"$stateDir/cursor.ck.tmp")
-      java.nio.file.Files.write(tmp.toPath,
-        committed.toSeq.sorted.mkString(",").getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp.toPath, ck.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val tmpPath = new org.apache.hadoop.fs.Path(s"$stateDir/cursor.ck.tmp")
+      val out = fs.create(tmpPath, true)
+      try out.write(committed.toSeq.sorted.mkString(",").getBytes("UTF-8"))
+      finally out.close()
+      fs.delete(ckPath, false)
+      fs.rename(tmpPath, ckPath)
     }
     spark.read.option("basePath", s"$stateDir/pages")
       .parquet(s"$stateDir/pages")

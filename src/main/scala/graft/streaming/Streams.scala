@@ -100,9 +100,18 @@ object Streams {
         // driver-side planning collect (it becomes partition pruning)
         val batchBuckets = batch.select("bucket").distinct()
           .collect().map(_.getLong(0)).toSeq
+        // Probe state existence explicitly: ONLY a missing path means
+        // empty state. A broad catch here would turn a transient read
+        // failure (permissions, corruption, flaky FS) into "everything
+        // changed", and the dynamic overwrite below would then replace
+        // whole bucket partitions with batch-only rows — silently
+        // dropping prior state. Any non-not-found failure must fail the
+        // micro-batch instead.
+        val stateP = new org.apache.hadoop.fs.Path(statePath)
+        val stateFs = stateP.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val prevAll =
-          try spark.read.parquet(statePath)
-          catch { case _: Exception => batch.limit(0) }
+          if (stateFs.exists(stateP)) spark.read.parquet(statePath)
+          else batch.limit(0)
         val changed = Incremental.changed(
           batch, prevAll.where(col("bucket").isin(batchBuckets: _*)),
           idCol, checksumCol).cache()

@@ -35,12 +35,29 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("near-dup candidate paths contain no nested-loop join") {
-    Seq("near_dup_pairs", "simhash_pairs", "ngram_jaccard_pairs", "minhash_lsh_pairs")
-      .foreach { q =>
-        val p = plan(Queries.all(q)(spark, sf))
-        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested loop")
-        assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
-      }
+    // materialize=false: audit the LAZY pipelines (the default eagerly
+    // snapshots the pairs via localCheckpoint, whose plan is just an RDD
+    // scan — asserting on that would prove nothing)
+    import graft.operators.{Dedup, Similarity}
+    val docs = Tables(spark, sf, "documents")
+    val emb = Tables(spark, sf, "embeddings")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 16)
+    val lazyPlans = Map(
+      "near_dup_pairs" -> Similarity.nearDupPairs(emb, "vec_id", "embedding",
+        0.3, Queries.Dim, nBits = 8, nBands = 2, materialize = false),
+      "simhash_pairs" -> Dedup.simhashPairs(
+        Dedup.simhash(docs, "doc_id", "text", 32), maxHamming = 3, bits = 32,
+        materialize = false),
+      "ngram_jaccard_pairs" -> Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        3, 0.1, materialize = false),
+      "minhash_lsh_pairs" -> Dedup.jaccardVerify(docs, "doc_id", "text",
+        Dedup.lshCandidatePairs(sigs, rowsPerBand = 16, materialize = false),
+        0.9, materialize = false))
+    lazyPlans.foreach { case (q, df) =>
+      val p = plan(df)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested loop")
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
   }
 
   test("lexical probes broadcast the query-term side") {
@@ -95,7 +112,8 @@ class PlanAuditSpec extends SparkSpec {
   test("capped LSH candidate plans keep the hot-bucket guard as a broadcast anti-join") {
     val docs = spark.range(100).selectExpr("id as doc_id", "concat('text ', id % 7) as text")
     val sigs = graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text", 16)
-    val p = plan(graft.operators.Dedup.lshCandidatePairs(sigs, 4, maxBucket = 10))
+    val p = plan(graft.operators.Dedup.lshCandidatePairs(sigs, 4, maxBucket = 10,
+      materialize = false))
     assert(p.contains("LeftAnti"), "no anti-join guard in capped plan")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }

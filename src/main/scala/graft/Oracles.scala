@@ -358,6 +358,7 @@ object Oracles {
       s"""SELECT verse_key, CAST(surah AS BIGINT) surah, CAST(ayah AS BIGINT) ayah, slug
          |FROM read_json_auto('$QuranGlob') WHERE verse_key='2:255'""".stripMargin,
     "quran_search_fts" -> quranSearchFtsSql,
+    "quran_hybrid" -> quranHybridSql,
 
     // ── hadith corpus (reference fixtures; absolute path) ──────────────
     "hadith_book_stats" ->
@@ -420,6 +421,63 @@ object Oracles {
        |      ORDER BY score DESC, bm25 DESC, surah, ayah) rn FROM sc)
        |SELECT verse_key, CAST(surah AS BIGINT) surah, CAST(ayah AS BIGINT) ayah,
        |round(score,6) score, CAST(0.0 AS DOUBLE) vector_score,
+       |round(fts_score,6) fts_score, text_preview
+       |FROM r WHERE rn=1 ORDER BY score DESC, bm25 DESC, surah, ayah LIMIT 5""".stripMargin
+  }
+
+  /** Full hybrid tafsir search twin (search.py:178-318 semantics): the
+    * SAME lexical leg as [[quranSearchFtsSql]] plus the quantized vector
+    * leg over the npz vectors. The binary npz itself has no SQL reader,
+    * so the leg replays over the parquet dump Verify writes for the
+    * `npz_embeddings` query (`__VERIFY_OUT__` is substituted with the
+    * dump dir at oracle-emit time) — the parse stays pinned by unit
+    * tests; everything downstream of it is oracle-checked here. */
+  private def quranHybridSql: String = {
+    val terms = Router.embedTokens(Queries.QuranQuery).map(t => s"'$t'").mkString("[", ",", "]")
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    s"""WITH raw AS (SELECT surah, ayah, verse_key, text_plain FROM read_json_auto('$QuranGlob')),
+       |docs AS (SELECT surah*1000+ayah doc_id, verse_key, surah, ayah, text_plain FROM raw),
+       |toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text_plain),
+       |  '[^a-z0-9_؀-ۿ]+'), t -> len(t)>0) t FROM docs),
+       |p0 AS (SELECT doc_id, CAST(len(t) AS BIGINT) dl, unnest(t) term FROM toks),
+       |p AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) tf FROM p0 GROUP BY 1,2,3),
+       |d AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) df FROM p GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS BIGINT) n_docs, CAST(sum(dl) AS BIGINT) sum_dl
+       |       FROM (SELECT DISTINCT doc_id, dl FROM p)),
+       |q AS (SELECT unnest($terms) term),
+       |m AS (SELECT p.doc_id, p.dl, p.tf, d.df, st.n_docs, st.sum_dl
+       |      FROM p JOIN q USING(term) JOIN d USING(term) CROSS JOIN st),
+       |bm AS (SELECT doc_id, round(sum(
+       |        ln((n_docs - df + 0.5)/(df + 0.5) + 1.0)
+       |        * (tf * 2.2) / (tf + 1.2*(1.0 - 0.75 + 0.75*dl/(CAST(sum_dl AS DOUBLE)/n_docs)))
+       |      ), 6) bm25 FROM m GROUP BY 1),
+       |top AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 25),
+       |f AS (SELECT d2.verse_key, top.bm25,
+       |      round(greatest(0.0,bm25)/(1.0+greatest(0.0,bm25)),6) fts_score
+       |      FROM top JOIN docs d2 USING(doc_id)),
+       |emb AS (SELECT verse_key, list_transform(embedding, x -> round(${d("x")}*1e7)) qv
+       |        FROM read_parquet('__VERIFY_OUT__/npz_embeddings/*.parquet')),
+       |q1 AS (SELECT qv qq, sqrt(list_dot_product(qv,qv)) qn FROM emb WHERE verse_key='1:1'),
+       |cosd AS (SELECT e.verse_key,
+       |        round(list_dot_product(e.qv, q1.qq)
+       |          /(sqrt(list_dot_product(e.qv,e.qv))*q1.qn),6) cos
+       |        FROM emb e CROSS JOIN q1),
+       |v AS (SELECT verse_key, max(cos) vector_score FROM cosd WHERE cos>0 GROUP BY 1),
+       |vtop AS (SELECT verse_key, vector_score FROM v
+       |         ORDER BY vector_score DESC, verse_key LIMIT 50),
+       |fu AS (SELECT coalesce(f.verse_key, vtop.verse_key) verse_key,
+       |       coalesce(fts_score, ${d("0.0")}) fts_score,
+       |       coalesce(bm25, ${d("0.0")}) bm25,
+       |       coalesce(vector_score, ${d("0.0")}) vector_score
+       |       FROM f FULL OUTER JOIN vtop ON f.verse_key = vtop.verse_key),
+       |sc AS (SELECT *, round(${d("0.6")}*vector_score + ${d("0.4")}*fts_score, 6) score FROM fu),
+       |h AS (SELECT sc.*, d2.surah, d2.ayah,
+       |      substring(d2.text_plain,1,200) text_preview
+       |      FROM sc JOIN docs d2 USING(verse_key)),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY md5(text_preview)
+       |      ORDER BY score DESC, bm25 DESC, surah, ayah) rn FROM h)
+       |SELECT verse_key, CAST(surah AS BIGINT) surah, CAST(ayah AS BIGINT) ayah,
+       |round(score,6) score, round(vector_score,6) vector_score,
        |round(fts_score,6) fts_score, text_preview
        |FROM r WHERE rn=1 ORDER BY score DESC, bm25 DESC, surah, ayah LIMIT 5""".stripMargin
   }

@@ -308,15 +308,20 @@ object Queries {
         .select(col("verse_key"), col("surah").cast("long").as("surah"),
           col("ayah").cast("long").as("ayah"), col("score"),
           col("vector_score"), col("fts_score"), col("text_preview"))),
-    // npz-backed queries have no SQL-expressible oracle (binary cache) —
-    // the driver records the weaker rows-only check for these two
+    // npz import itself has no SQL oracle (binary cache → rows-only), but
+    // its dumped parquet carries the FULL vectors so quran_hybrid's oracle
+    // can replay the search over the same embeddings in DuckDB
     "npz_embeddings" -> ((s, _) =>
       graft.sources.Npz.embeddings(s, NpzPath)
-        .select(col("verse_key"), size(col("embedding")).as("dim")).orderBy("verse_key")),
+        .select(col("verse_key"), col("embedding"),
+          size(col("embedding")).as("dim")).orderBy("verse_key")),
     "quran_hybrid" -> ((s, _) => {
       val emb = graft.sources.Npz.embeddings(s, NpzPath).cache()
       val qv = emb.where(col("verse_key") === "1:1").head().getSeq[Float](1).toArray
       Quran.search(Quran.load(s, QuranDir), Some(emb), QuranQuery, Some(qv), n = 5)
+        .select(col("verse_key"), col("surah").cast("long").as("surah"),
+          col("ayah").cast("long").as("ayah"), col("score"),
+          col("vector_score"), col("fts_score"), col("text_preview"))
     }),
   )
 

@@ -329,6 +329,9 @@ object Oracles {
       ("SELECT doc_id, sha256(doc_id::VARCHAR||'␟'||lang||'␟'||source||'␟'||text) AS checksum " +
         "FROM documents ORDER BY doc_id"),
     "text_fns" -> textFnsSql,
+    "serve_fns" -> serveFnsSql,
+    "validate_battery" -> validateBatterySql,
+    "manifest_battery" -> manifestBatterySql,
 
     // ── router / scoring / hybrid ──────────────────────────────────────
     "route_query" -> routeQuerySql,
@@ -382,6 +385,16 @@ object Oracles {
          |bs AS (SELECT book_id, count(*) th, count(DISTINCT cn) un FROM v GROUP BY 1)
          |SELECT count(*) AS books, CAST(sum(th) AS BIGINT) AS total_hadith,
          |CAST(sum(un) AS BIGINT) AS narrator_slots FROM bs""".stripMargin,
+    // S4 sink round-trip: aggregate re-derived from the RAW corpus; any
+    // row/field the JSONL sink drops or mangles breaks the hash
+    "jsonl_sink_roundtrip" ->
+      s"""WITH v AS (SELECT book_id, hadith_id_site, checksum
+         |  FROM read_json_auto('$HadithGlob', union_by_name=true)
+         |  WHERE list_sort(list_distinct(list_transform(texts, t -> t.language))) = ['ar','en'])
+         |SELECT book_id, CAST(count(*) AS BIGINT) n_rows,
+         |CAST(count(DISTINCT checksum) AS BIGINT) n_checksums,
+         |min(hadith_id_site) first_site_id
+         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
     // sink round-trip: same relational derivation as hadith_catalog — if
     // the JSON sink drops or mangles anything, the hash check fails
     "catalog_sink_roundtrip" ->
@@ -480,6 +493,67 @@ object Oracles {
        |round(score,6) score, round(vector_score,6) vector_score,
        |round(fts_score,6) fts_score, text_preview
        |FROM r WHERE rn=1 ORDER BY score DESC, bm25 DESC, surah, ayah LIMIT 5""".stripMargin
+  }
+
+  /** F10/F19/F26/F27 battery twin — unescape mirrored by chained
+    * replaces over exactly the battery's entity set (ordered so no
+    * replace output feeds a later pattern; `&amp;` last), matchQuote
+    * recomputed from the raw term, timestamps via epoch-based
+    * make_timestamp (naive UTC, matching the session's UTC zone). */
+  private def serveFnsSql: String = {
+    def dd(x: String) = s"CAST($x AS DOUBLE)"
+    val values = ServeBattery.rows.map { case (rid, dist, html, term, epoch) =>
+      s"($rid, ${dd(dist.toString)}, '${sq(html)}', '${sq(term)}', $epoch)"
+    }.mkString(",\n")
+    s"""WITH b(rid, dist, html, term, epoch) AS (VALUES
+       |$values)
+       |SELECT rid,
+       |round(${dd("1.0")}/(${dd("1.0")}+greatest(${dd("0.0")}, dist)), 6) sim,
+       |replace(replace(replace(replace(replace(replace(replace(html,
+       |  '&lt;','<'), '&gt;','>'), '&quot;','"'), '&#39;',''''), '&nbsp;',' '),
+       |  '&#x62;','b'), '&amp;','&') unescaped,
+       |CASE WHEN regexp_matches(term, '\\s')
+       |     THEN '"'||replace(term,'"','""')||'"' ELSE term END match_quoted,
+       |strftime(make_timestamp(CAST(epoch AS BIGINT)*1000000), '%Y-%m-%d %H:%M:%S') ts_iso
+       |FROM b ORDER BY rid""".stripMargin
+  }
+
+  /** P7 gate twin — the same exact-{ar,en} language-set predicate with the
+    * same null-safe coalesce(…, false) quarantine routing. */
+  private def validateBatterySql: String = {
+    val values = ValidateBattery.rows.map { case (rid, texts, corrupt) =>
+      val t = texts.map { ts =>
+        if (ts.isEmpty) "CAST([] AS STRUCT(language VARCHAR, content VARCHAR)[])"
+        else ts.map { case (l, c) => s"{'language':'${sq(l)}','content':'${sq(c)}'}" }
+          .mkString("[", ",", "]")
+      }.getOrElse("CAST(NULL AS STRUCT(language VARCHAR, content VARCHAR)[])")
+      val co = corrupt.map(c => s"'${sq(c)}'").getOrElse("CAST(NULL AS VARCHAR)")
+      s"($rid, $t, $co)"
+    }.mkString(",\n")
+    s"""WITH b(rid, texts, corrupt) AS (VALUES
+       |$values)
+       |SELECT rid, coalesce(corrupt IS NULL AND
+       |  list_sort(list_distinct(list_transform(texts, t -> t.language))) = ['ar','en'],
+       |  false) is_valid
+       |FROM b ORDER BY rid""".stripMargin
+  }
+
+  /** E4 twin — manifest changed ⇔ either direction of the (name,size)
+    * anti-join is non-empty, as list set algebra. */
+  private def manifestBatterySql: String = {
+    def lst(x: Seq[(String, Long)]) =
+      if (x.isEmpty) "CAST([] AS STRUCT(name VARCHAR, size BIGINT)[])"
+      else x.map { case (n, sz) => s"{'name':'${sq(n)}','size':${sz}}" }
+        .mkString("[", ",", "]")
+    val values = ManifestBattery.cases.map { case (cid, cur, st) =>
+      s"($cid, ${lst(cur)}, ${lst(st)})"
+    }.mkString(",\n")
+    s"""WITH b(cid, cur, st) AS (VALUES
+       |$values)
+       |SELECT cid,
+       |(len(list_filter(cur, c -> NOT list_contains(st, c))) > 0 OR
+       | len(list_filter(st, s -> NOT list_contains(cur, s))) > 0) changed
+       |FROM b ORDER BY cid""".stripMargin
   }
 
   private def routeQuerySql: String = {

@@ -278,6 +278,41 @@ object Queries {
         .orderBy("sid")
     }),
 
+    // F10/F19/F26/F27 battery: driver-side matchQuote is recomputed by
+    // the oracle from the raw term — a real cross-check of the Scala
+    // helper, same pattern as route_query's router twin
+    "serve_fns" -> ((s, _) => {
+      import s.implicits._
+      ServeBattery.rows.map { case (rid, dist, html, term, epoch) =>
+        (rid, dist, html, term, ServeFns.matchQuote(term), epoch)
+      }.toDF("rid", "dist", "html", "term", "mq", "epoch")
+        .select(col("rid"),
+          round(VecFns.distanceToSimilarity(col("dist")), 6).as("sim"),
+          ServeFns.htmlUnescape(col("html")).as("unescaped"),
+          col("mq").as("match_quoted"),
+          date_format(timestamp_seconds(col("epoch")), "yyyy-MM-dd HH:mm:ss").as("ts_iso"))
+        .orderBy("rid")
+    }),
+    // P7 gate over adversarial rows (the corpus itself is all-valid, so
+    // the quarantine predicate needs a battery to be oracle-visible)
+    "validate_battery" -> ((s, _) => {
+      import s.implicits._
+      ValidateBattery.rows.toDF("rid", "texts0", "_corrupt")
+        .select(col("rid"), col("_corrupt"),
+          transform(col("texts0"), t => struct(t.getField("_1").as("language"),
+            t.getField("_2").as("content"))).as("texts"))
+        .select(col("rid"), coalesce(Ingest.isValid, lit(false)).as("is_valid"))
+        .orderBy("rid")
+    }),
+    // E4: the anti-join manifest check evaluated per case on the driver,
+    // recomputed set-theoretically by the oracle
+    "manifest_battery" -> ((s, _) => {
+      import s.implicits._
+      ManifestBattery.cases.map { case (cid, cur, st) =>
+        (cid, Quran.manifestChanged(cur.toDF("name", "size"), st.toDF("name", "size")))
+      }.toDF("cid", "changed").orderBy("cid")
+    }),
+
     // ── multimodal columns (synthetic binary payloads over documents) ──
     "multimodal_byte_histogram" -> ((s, dir) =>
       Multimodal.byteHistogramTable(
@@ -355,6 +390,21 @@ object Queries {
             col("total_chapters").cast("long").as("total_chapters"))
           .orderBy("book_id")
       }),
+      // S4: the JSONL document sink round-trip — write silver columns out
+      // through the sink, read them back, aggregate; the oracle re-derives
+      // the same aggregate from the RAW corpus, so a dropped or mangled
+      // row/field fails the hash
+      "jsonl_sink_roundtrip" -> ((s, _) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+        Ingest.writeJsonl(valid(s).select("collection_slug", "book_id",
+          "hadith_id_site", "narrator", "checksum"), dir)
+        s.read.json(dir)
+          .groupBy("book_id")
+          .agg(count("*").as("n_rows"),
+            countDistinct("checksum").as("n_checksums"),
+            min("hadith_id_site").as("first_site_id"))
+          .orderBy("book_id")
+      }),
       // full hybrid lifecycle over the real corpus, oracle-checked end to
       // end (silver build + field-scoped BM25 + hashed-embedding cosine +
       // fusion + priority scoring, all mirrored in Oracles.hadithSearchSql)
@@ -415,6 +465,48 @@ object SpecBattery {
     (3, None, "charity purifies wealth", "الصدقة تطهر المال", Seq("Da'if")),
     (4, Some("Abu Bakr"), "contains hurairah charity الصدقة verbatim",
       "نص عادي", Seq("Sahih", "Hasan")))
+}
+
+/** Serving-helper battery (F10/F19/F26/F27) — distance→similarity incl.
+  * the negative-distance clamp, HTML entity unescape (named + numeric +
+  * unknown-entity passthrough), MATCH quoting (whitespace → wrapped,
+  * embedded quotes doubled), and epoch→string timestamp formatting. */
+object ServeBattery {
+  // (rid, dist, html, term, epoch)
+  val rows: Seq[(Int, Double, String, String, Long)] = Seq(
+    (0, 0.0, "plain text", "simple", 0L),
+    (1, 0.5, "a &lt;b&gt; c", "two words", 1700000000L),
+    (2, 2.25, "&quot;quoted&quot; &amp; more", "tab\tsep", 1234567890L),
+    (3, -0.75, "it&#39;s &nbsp;spaced", "\"pre\" quoted", 946684800L),
+    (4, 10.0, "&#x62;ook &unknown; stays", "multi  space", 1600000000L))
+}
+
+/** P7 validation-gate battery — exact {ar,en} language sets in either
+  * order, missing/extra languages, duplicates, a NULL texts array (the
+  * null-safe quarantine route), a corrupt-record override, and an empty
+  * array. */
+object ValidateBattery {
+  // (rid, texts as (language, content) pairs, _corrupt payload)
+  val rows: Seq[(Int, Option[Seq[(String, String)]], Option[String])] = Seq(
+    (0, Some(Seq(("en", "text"), ("ar", "نص"))), None),
+    (1, Some(Seq(("ar", "نص"), ("en", "text"))), None),
+    (2, Some(Seq(("en", "only english"))), None),
+    (3, Some(Seq(("en", "x"), ("ar", "y"), ("fr", "z"))), None),
+    (4, Some(Seq(("en", "dup"), ("en", "dup2"), ("ar", "عربي"))), None),
+    (5, None, None),
+    (6, Some(Seq(("en", "ok"), ("ar", "جيد"))), Some("{bad json")),
+    (7, Some(Seq.empty), None))
+}
+
+/** E4 manifest-invalidation battery — unchanged, file added, size drift,
+  * file deleted (quran_mcp/embeddings.py:48-57 cache-validity check). */
+object ManifestBattery {
+  // (cid, current listing, stored manifest) of (name, size)
+  val cases: Seq[(Int, Seq[(String, Long)], Seq[(String, Long)])] = Seq(
+    (0, Seq(("a.npy", 10L), ("b.npy", 20L)), Seq(("a.npy", 10L), ("b.npy", 20L))),
+    (1, Seq(("a.npy", 10L), ("c.npy", 5L)), Seq(("a.npy", 10L))),
+    (2, Seq(("a.npy", 11L)), Seq(("a.npy", 10L))),
+    (3, Seq(("a.npy", 10L)), Seq(("a.npy", 10L), ("b.npy", 20L))))
 }
 
 /** Scoring battery — exercises null signals, the negative-bm25 clamp quirk

@@ -20,14 +20,17 @@ object TextFns {
     * is `[a-z0-9_]` post-lowering for our corpora, plus the Arabic block). */
   val TokenSep = "[^a-z0-9_؀-ۿ]+"
 
-  /** F2: lowercase, split on non-word, drop empties. */
+  /** F2: lowercase, split on non-word, drop empties — executed as the
+    * native [[graft.plans.ClassTokens]] byte scan (bit-identical to
+    * `filter(split(lower(c), TokenSep), len>0)`, which PropertySpec pins;
+    * the regex form measured ~half the postings-build cost). */
   def tokens(c: Column): Column =
-    filter(split(lower(c), TokenSep), t => length(t) > lit(0))
+    graft.plans.ClassTokens(lower(c))
 
   /** Router variant of F2: additionally drops single-char tokens
     * (reference: router.py:43-44). */
   def routerTokens(c: Column): Column =
-    filter(split(lower(c), TokenSep), t => length(t) > lit(1))
+    filter(graft.plans.ClassTokens(lower(c)), t => length(t) > lit(1))
 
   def distinctTokens(c: Column): Column = array_distinct(tokens(c))
 

@@ -74,4 +74,30 @@ class PropertySpec extends SparkSpec {
     assert(once.collect().toSet === twice.collect().toSet)
     assert(once.count() === 7)
   }
+
+  test("ClassTokens byte scan is bit-identical to the regex tokenizer") {
+    val regexForm = filter(split(lower($"s"), graft.functions.TextFns.TokenSep),
+      t => length(t) > lit(0))
+    def check(rows: Seq[String]): Unit = {
+      val df = rows.toDF("s").select(
+        graft.functions.TextFns.tokens($"s").as("fast"), regexForm.as("slow"))
+      df.collect().foreach { r =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1), s"on input row $r")
+      }
+    }
+    // adversarial: case folding, Arabic block boundaries (U+0600/U+06FF
+    // inclusive, U+05FF/U+0700 exclusive), emoji (4-byte), CJK (3-byte),
+    // digits/underscore, empty, separator-only, mixed runs
+    check(Seq("", "   ", "Hello World", "HELLO_under_score42",
+      "نص عربي ومِثال", "؀start ۿend ׿out ܀out",
+      "emoji 😀 mixed中文 text", "a؟b،c", "tab\tnl\ncr\r", "ÉÀ K ſ İ",
+      "a1_؀ۿz9", "٠١٢٣ arabic digits", "x".repeat(3) + "؟" * 2))
+    // real corpora: the sf documents table and a tafsir sample
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select($"text".as("s")).limit(200)
+    val mism = docs.select(
+        graft.functions.TextFns.tokens($"s").as("fast"), regexForm.as("slow"))
+      .where(not($"fast" === $"slow")).count()
+    assert(mism === 0)
+  }
 }

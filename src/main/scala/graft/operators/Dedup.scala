@@ -209,22 +209,25 @@ object Dedup {
       .select(col("a"), col("b"), col("jacc"))
 
   /** SimHash (bits ≤ 32): per bit j, sum tf·(±1) by the j-th bit of the
-    * term hash; the fingerprint sets bit j where the sum is positive. */
+    * term hash; the fingerprint sets bit j where the sum is positive.
+    *
+    * Shape: `bits` parallel conditional sums over the UN-exploded postings
+    * — one map-side-combinable shuffle of the posting rows, versus the
+    * naive explode-per-bit form (bits× the shuffle volume and a second
+    * aggregation; that form measured ~3× slower at sf0.1). h ≥ 0 (60-bit
+    * md5 prefix), so shiftright == the oracle's integer division. */
   def simhash(docs: DataFrame, idCol: String, textCol: String, bits: Int = 32): DataFrame = {
     val postings = Postings.build(docs, idCol, textCol)
-    val pows = array((0 until bits).map(j => lit(1L << j)): _*)
-    postings
-      .select(col("doc_id"), col("term"), col("tf"),
-        TextFns.hash60(col("term")).as("h"),
-        explode(sequence(lit(0), lit(bits - 1))).as("j"))
-      .withColumn("p", element_at(pows, col("j") + 1))
-      .withColumn("bit", expr("(h div p) % 2"))
-      .withColumn("contrib", col("tf") * (col("bit") * 2 - 1))
-      .groupBy("doc_id", "j", "p")
-      .agg(sum("contrib").as("s"))
-      .withColumn("bitval", when(col("s") > 0, col("p")).otherwise(lit(0L)))
-      .groupBy("doc_id")
-      .agg(sum("bitval").as("simhash"))
+    val withH = postings.select(col("doc_id"), col("tf"),
+      TextFns.hash60(col("term")).as("h"))
+    val sums = (0 until bits).map { j =>
+      val bit = shiftright(col("h"), j) % 2
+      sum(col("tf") * (bit * 2 - 1)).as(s"s$j")
+    }
+    val agg = withH.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    val fp = (0 until bits).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    agg.select(col("doc_id"), fp.as("simhash"))
   }
 
   /** Near-dup pairs by Hamming distance on simhash fingerprints, banded:

@@ -49,12 +49,9 @@ object Multimodal {
     * cheap-embedding baseline for opaque bytes. Pure codegen-able
     * expressions; no UDF, no driver loop. */
   def byteHistogram(bytes: Column, bins: Int = 64): Column = {
-    // unpack bytes via base64 → chars? No: use aggregate over the byte
-    // array. BinaryType is Array[Byte]; transform works on array columns
-    // only, so reinterpret through split of the hex encoding: two hex
-    // chars per byte keeps it columnar and deterministic.
-    val hexPairs = filter(split(hex(bytes), "(?<=\\G..)"), p => length(p) === 2)
-    val entries = transform(hexPairs, p => conv(p, 16, 10).cast("int") % bins)
+    // bin index per byte straight off the binary (graft.plans.ByteBins —
+    // the old hex()/regex-split/conv() route allocated 3 strings per byte)
+    val entries = graft.plans.ByteBins(bytes, bins)
     val m = aggregate(entries, typedLit(Map.empty[Int, Double]), (acc, b) =>
       map_concat(
         map_filter(acc, (k, _) => k =!= b),
@@ -67,12 +64,10 @@ object Multimodal {
 
   /** Scalable histogram form: explode bytes → groupBy (asset, bin) — the
     * shape for wide corpora (one shuffle, map-side combine). */
-  def byteHistogramTable(media: DataFrame, bins: Int = 64): DataFrame = {
-    val hexPairs = filter(split(hex(col("bytes")), "(?<=\\G..)"), p => length(p) === 2)
-    media.select(col("asset_id"), explode(hexPairs).as("p"))
-      .select(col("asset_id"), (conv(col("p"), 16, 10).cast("int") % bins).as("bin"))
+  def byteHistogramTable(media: DataFrame, bins: Int = 64): DataFrame =
+    media.select(col("asset_id"),
+        explode(graft.plans.ByteBins(col("bytes"), bins)).as("bin"))
       .groupBy("asset_id", "bin").agg(count("*").cast("double").as("v"))
-  }
 
   /** Frame-sampling index math (video): pick `k` evenly spaced frame
     * indices out of `nFrames` — the plumbing a real frame extractor
@@ -83,27 +78,23 @@ object Multimodal {
       .otherwise(transform(sequence(lit(0), lit(k - 1)),
         i => floor(i.cast("double") * nFrames / k).cast("int")))
 
-  /** Dense normalized features assembled from the SPARSE histogram table
-    * (the scalar [[byteHistogram]] re-evaluates its map-aggregate per
-    * output slot once Catalyst collapses projections — unusable in a
-    * scan; the table→map→lookup shape is both fast and the one that
-    * scales). */
-  def features(media: DataFrame, bins: Int = 64): DataFrame = {
-    val m = byteHistogramTable(media, bins).groupBy("asset_id")
-      .agg(map_from_entries(collect_list(struct(col("bin"), col("v")))).as("m"))
-    val vec = transform(sequence(lit(0), lit(bins - 1)),
-      d => coalesce(element_at(col("m"), d.cast("int")), lit(0.0)))
-    val withRaw = m.select(col("asset_id"), vec.as("hraw"))
-    val nrm = sqrt(aggregate(col("hraw"), lit(0.0), (a, x) => a + x * x))
-    withRaw.select(col("asset_id"),
-      transform(col("hraw"), x => when(nrm > 0, round(x / nrm, 6)).otherwise(lit(0.0)))
+  /** Dense L2-normalized features — a NARROW per-row pass over the
+    * payload via the native [[graft.plans.ByteHistogram]] (no explode, no
+    * shuffle, no HOF). Empty payloads yield null features, matching the
+    * old sparse-table left-join shape. */
+  def features(media: DataFrame, bins: Int = 64): DataFrame =
+    media.select(col("asset_id"),
+      when(length(col("bytes")) > 0,
+        graft.plans.ByteHistogram(col("bytes"), bins, normalized = true))
         .as("features"))
-  }
 
-  /** Full per-modality pipeline: decode (stub) + features + sampling. */
+  /** Full per-modality pipeline: decode (stub) + features + sampling —
+    * ONE narrow select over the media table (no join, no shuffle),
+    * embarrassingly parallel at any corpus size. */
   def enrich(media: DataFrame, bins: Int = 64, frames: Int = 8): DataFrame =
     media
-      .join(features(media, bins), Seq("asset_id"), "left")
+      .withColumn("features", when(length(col("bytes")) > 0,
+        graft.plans.ByteHistogram(col("bytes"), bins, normalized = true)))
       .withColumn("decoded", decodeStub(col("bytes")))
       .withColumn("frame_idx",
         when(col("modality") === "video",

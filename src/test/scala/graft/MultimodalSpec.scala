@@ -50,6 +50,24 @@ class MultimodalSpec extends SparkSpec {
     assert(r(2) === Seq())
   }
 
+  test("dense normalized features match a hand-computed sparse normalization") {
+    val got = Multimodal.features(media, bins = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    Seq((1L, "hello world payload"), (2L, "another fake asset"),
+      (3L, "binary stand in bytes")).foreach { case (id, text) =>
+      val counts = new Array[Double](16)
+      text.getBytes("UTF-8").foreach(b => counts((b & 0xff) % 16) += 1.0)
+      val n = math.sqrt(counts.map(x => x * x).sum)
+      val want = counts.map(c => BigDecimal(c / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toSeq
+      assert(got(id) === want, s"asset $id")
+    }
+    // empty payload → null features (the sparse left-join shape)
+    val empty = Multimodal.features(
+      Seq((9L, Array.empty[Byte])).toDF("asset_id", "bytes"), 16).head()
+    assert(empty.isNullAt(1))
+  }
+
   test("enrich composes decode + features + sampling per modality") {
     val e = Multimodal.enrich(media, bins = 16, frames = 4).collect()
     assert(e.length === 3)

@@ -109,6 +109,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("PartitionFilters: [isnotnull(field"), p.take(400))
   }
 
+  test("multimodal enrich is a narrow scan: no exchange, no join") {
+    val media = graft.operators.Multimodal.syntheticMedia(
+      Tables(spark, sf, "documents"), "doc_id", "text")
+    val p = plan(graft.operators.Multimodal.enrich(media, bins = 16, frames = 4))
+    assert(!p.contains("Exchange"), "enrich shuffles")
+    assert(!p.contains("Join"), "enrich joins")
+    assert(p.contains("byte_histogram"), "native histogram not in plan")
+  }
+
   test("capped LSH candidate plans keep the hot-bucket guard as a broadcast anti-join") {
     val docs = spark.range(100).selectExpr("id as doc_id", "concat('text ', id % 7) as text")
     val sigs = graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text", 16)

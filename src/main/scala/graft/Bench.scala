@@ -20,6 +20,11 @@ object Bench {
   private def pct(sorted: Array[Double], p: Double): Double =
     sorted(math.min(sorted.length - 1, math.ceil(p * sorted.length).toInt - 1).max(0))
 
+  // Locale.ROOT: the f interpolator uses the default locale, and a
+  // decimal-comma locale (de_DE, tr_TR, …) would render invalid JSON
+  private def fmt(v: Double, decimals: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+
   /** The warm serving measurement: open engines + resident indexes once,
     * run each query `runs` times after warm-up, report p50/p95/mean.
     * Returns the serve section as a JSON object string. */
@@ -75,10 +80,10 @@ object Bench {
         val times = (1 to runs).map { _ =>
           val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e6
         }.toArray.sorted
-        f""""$name":{"p50_ms":${pct(times, 0.50)}%.1f,"p95_ms":${pct(times, 0.95)}%.1f,"mean_ms":${times.sum / times.length}%.1f,"runs":$runs}"""
+        s""""$name":{"p50_ms":${fmt(pct(times, 0.50), 1)},"p95_ms":${fmt(pct(times, 0.95), 1)},"mean_ms":${fmt(times.sum / times.length, 1)},"runs":$runs}"""
       }
       (entries :+
-        f""""hadith_open_s":${hadithOpenS}%.2f,"quran_open_s":${quranOpenS}%.2f""")
+        s""""hadith_open_s":${fmt(hadithOpenS, 2)},"quran_open_s":${fmt(quranOpenS, 2)}""")
         .mkString("{", ",", "}")
     } catch {
       case e: Throwable =>
@@ -99,10 +104,15 @@ object Bench {
     // ── part 1: cold suite ───────────────────────────────────────────
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // each query measured against a clean block manager: several
-      // operators cache intra-query frames, and 49 queries' accumulated
+      // operators cache intra-query frames, and the suite's accumulated
       // (never-revisited) entries otherwise squeeze execution memory for
-      // the later queries — eviction thrash, not honest cold cost
+      // the later queries — eviction thrash, not honest cold cost.
+      // clearCache only drops CacheManager entries; the dedup operators'
+      // localCheckpoint snapshots are RDD-level persists freed lazily by
+      // the ContextCleaner, so drop those explicitly too (no prior
+      // query's frames are ever re-executed here).
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       val t0 = System.nanoTime()
       // noop-sink write: forces full evaluation of every column (a bare
       // count() would let Catalyst prune the projections being measured).
@@ -117,7 +127,7 @@ object Bench {
     // ms precision keeps the one-line artifact short enough for tail
     // captures that truncate from the front (a full-precision double per
     // query tripled the line length and broke downstream parsers)
-    val qs = results.map { case (k, v, _) => f""""$k":$v%.3f""" }
+    val qs = results.map { case (k, v, _) => s""""$k":${fmt(v, 3)}""" }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, Some(e)) => s"\"$k\":\"${esc(e)}\"" }
       .mkString("{", ",", "}")
@@ -129,7 +139,7 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_SERVE_RUNS", "15").toInt
     val serveJson = serveSection(spark, sfDir, runs)
 
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+    val json = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,""" +
       s""""n_failed":$nFailed,"failed":$failed,"serve":$serveJson,"sf":"$sfDir"}"""
     println(json)
     // bare-JSON artifact: stdout rides through sbt's "[info] " decoration,

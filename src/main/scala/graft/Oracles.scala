@@ -406,9 +406,13 @@ object Oracles {
          |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
-  private def quranSearchFtsSql: String = {
+  /** Shared tafsir lexical-leg CTEs (corpus scan → tokenize → postings →
+    * BM25 → top-25), used VERBATIM by both quran oracles so the
+    * tokenizer/BM25-constant/tie-break semantics cannot diverge between
+    * them. Yields CTEs `raw/docs/.../top(doc_id, bm25)`. */
+  private def quranLexCtes: String = {
     val terms = Router.embedTokens(Queries.QuranQuery).map(t => s"'$t'").mkString("[", ",", "]")
-    s"""WITH raw AS (SELECT surah, ayah, verse_key, text_plain FROM read_json_auto('$QuranGlob')),
+    s"""raw AS (SELECT surah, ayah, verse_key, text_plain FROM read_json_auto('$QuranGlob')),
        |docs AS (SELECT surah*1000+ayah doc_id, verse_key, surah, ayah, text_plain FROM raw),
        |toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text_plain),
        |  '[^a-z0-9_؀-ۿ]+'), t -> len(t)>0) t FROM docs),
@@ -424,7 +428,11 @@ object Oracles {
        |        ln((n_docs - df + 0.5)/(df + 0.5) + 1.0)
        |        * (tf * 2.2) / (tf + 1.2*(1.0 - 0.75 + 0.75*dl/(CAST(sum_dl AS DOUBLE)/n_docs)))
        |      ), 6) bm25 FROM m GROUP BY 1),
-       |top AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 25),
+       |top AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 25)""".stripMargin
+  }
+
+  private def quranSearchFtsSql: String = {
+    s"""WITH $quranLexCtes,
        |f AS (SELECT doc_id, bm25,
        |      round(greatest(0.0,bm25)/(1.0+greatest(0.0,bm25)),6) fts_score FROM top),
        |h AS (SELECT d2.verse_key, d2.surah, d2.ayah, f.fts_score, f.bm25,
@@ -446,25 +454,8 @@ object Oracles {
     * dump dir at oracle-emit time) — the parse stays pinned by unit
     * tests; everything downstream of it is oracle-checked here. */
   private def quranHybridSql: String = {
-    val terms = Router.embedTokens(Queries.QuranQuery).map(t => s"'$t'").mkString("[", ",", "]")
     def d(x: String) = s"CAST($x AS DOUBLE)"
-    s"""WITH raw AS (SELECT surah, ayah, verse_key, text_plain FROM read_json_auto('$QuranGlob')),
-       |docs AS (SELECT surah*1000+ayah doc_id, verse_key, surah, ayah, text_plain FROM raw),
-       |toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text_plain),
-       |  '[^a-z0-9_؀-ۿ]+'), t -> len(t)>0) t FROM docs),
-       |p0 AS (SELECT doc_id, CAST(len(t) AS BIGINT) dl, unnest(t) term FROM toks),
-       |p AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) tf FROM p0 GROUP BY 1,2,3),
-       |d AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) df FROM p GROUP BY 1),
-       |st AS (SELECT CAST(count(*) AS BIGINT) n_docs, CAST(sum(dl) AS BIGINT) sum_dl
-       |       FROM (SELECT DISTINCT doc_id, dl FROM p)),
-       |q AS (SELECT unnest($terms) term),
-       |m AS (SELECT p.doc_id, p.dl, p.tf, d.df, st.n_docs, st.sum_dl
-       |      FROM p JOIN q USING(term) JOIN d USING(term) CROSS JOIN st),
-       |bm AS (SELECT doc_id, round(sum(
-       |        ln((n_docs - df + 0.5)/(df + 0.5) + 1.0)
-       |        * (tf * 2.2) / (tf + 1.2*(1.0 - 0.75 + 0.75*dl/(CAST(sum_dl AS DOUBLE)/n_docs)))
-       |      ), 6) bm25 FROM m GROUP BY 1),
-       |top AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 25),
+    s"""WITH $quranLexCtes,
        |f AS (SELECT d2.verse_key, top.bm25,
        |      round(greatest(0.0,bm25)/(1.0+greatest(0.0,bm25)),6) fts_score
        |      FROM top JOIN docs d2 USING(doc_id)),

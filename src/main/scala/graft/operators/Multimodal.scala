@@ -78,23 +78,24 @@ object Multimodal {
       .otherwise(transform(sequence(lit(0), lit(k - 1)),
         i => floor(i.cast("double") * nFrames / k).cast("int")))
 
-  /** Dense L2-normalized features — a NARROW per-row pass over the
+  /** Dense L2-normalized feature column — a NARROW per-row pass over the
     * payload via the native [[graft.plans.ByteHistogram]] (no explode, no
-    * shuffle, no HOF). Empty payloads yield null features, matching the
-    * old sparse-table left-join shape. */
+    * shuffle, no HOF). Empty payloads yield null, matching the old
+    * sparse-table left-join shape. The ONE definition [[features]] and
+    * [[enrich]] both use. */
+  def featuresCol(bins: Int = 64): Column =
+    when(length(col("bytes")) > 0,
+      graft.plans.ByteHistogram(col("bytes"), bins, normalized = true))
+
   def features(media: DataFrame, bins: Int = 64): DataFrame =
-    media.select(col("asset_id"),
-      when(length(col("bytes")) > 0,
-        graft.plans.ByteHistogram(col("bytes"), bins, normalized = true))
-        .as("features"))
+    media.select(col("asset_id"), featuresCol(bins).as("features"))
 
   /** Full per-modality pipeline: decode (stub) + features + sampling —
     * ONE narrow select over the media table (no join, no shuffle),
     * embarrassingly parallel at any corpus size. */
   def enrich(media: DataFrame, bins: Int = 64, frames: Int = 8): DataFrame =
     media
-      .withColumn("features", when(length(col("bytes")) > 0,
-        graft.plans.ByteHistogram(col("bytes"), bins, normalized = true)))
+      .withColumn("features", featuresCol(bins))
       .withColumn("decoded", decodeStub(col("bytes")))
       .withColumn("frame_idx",
         when(col("modality") === "video",

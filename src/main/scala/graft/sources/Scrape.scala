@@ -109,16 +109,19 @@ object Scrape {
       // payload first…
       rows.result().toDF("seq", "body").coalesce(1)
         .write.mode("overwrite").parquet(s"$stateDir/pages/group=$g")
-      // …then the cursor commit (tmp + rename — atomic on HDFS/local;
-      // object stores make rename copy+delete, still safe here because
-      // the spool is committed first and re-fetch is idempotent)
+      // …then the cursor commit: tmp + FileContext.rename(OVERWRITE) —
+      // atomic replace on HDFS/local with no delete-then-rename window
+      // (a crash between those two calls would lose the whole
+      // checkpoint), and it THROWS on failure instead of returning a
+      // silently-discarded false like FileSystem.rename
       committed = committed + g
       val tmpPath = new org.apache.hadoop.fs.Path(s"$stateDir/cursor.ck.tmp")
       val out = fs.create(tmpPath, true)
       try out.write(committed.toSeq.sorted.mkString(",").getBytes("UTF-8"))
       finally out.close()
-      fs.delete(ckPath, false)
-      fs.rename(tmpPath, ckPath)
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        ckPath.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmpPath, ckPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
     spark.read.option("basePath", s"$stateDir/pages")
       .parquet(s"$stateDir/pages")

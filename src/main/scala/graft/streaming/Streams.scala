@@ -107,10 +107,20 @@ object Streams {
         // whole bucket partitions with batch-only rows — silently
         // dropping prior state. Any non-not-found failure must fail the
         // micro-batch instead.
+        // "Exists" must mean "holds data": a crashed first write leaves
+        // the directory with only _temporary/_SUCCESS, and treating that
+        // as readable state would wedge the stream on an unreadable-
+        // parquet error every retry. Hidden entries (_, .) are committer
+        // artifacts; bucket=... partition dirs are data.
         val stateP = new org.apache.hadoop.fs.Path(statePath)
         val stateFs = stateP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasData = stateFs.exists(stateP) &&
+          stateFs.listStatus(stateP).exists { st =>
+            val n = st.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          }
         val prevAll =
-          if (stateFs.exists(stateP)) spark.read.parquet(statePath)
+          if (hasData) spark.read.parquet(statePath)
           else batch.limit(0)
         val changed = Incremental.changed(
           batch, prevAll.where(col("bucket").isin(batchBuckets: _*)),

@@ -77,10 +77,12 @@ object ServeFns {
   }
 
   /** F22: is_arabic ratio — arabic chars / alphabetic chars > 0.5
-    * (reference: HADITH_SEARCH_SPEC.md:282-286). */
+    * (reference: HADITH_SEARCH_SPEC.md:282-286). One ScriptCounts scan
+    * instead of four regex passes; same counts. */
   def isArabic(text: Column): Column = {
-    val nAr = length(text) - length(regexp_replace(text, "[؀-ۿ]", ""))
-    val nAlpha = length(text) - length(regexp_replace(text, "[a-zA-Z؀-ۿ]", ""))
+    val sc = graft.plans.ScriptCounts(text)
+    val nAr = sc.getField("n_ar")
+    val nAlpha = sc.getField("n_latin") + nAr
     nAlpha > 0 && (nAr.cast("double") / nAlpha) > 0.5
   }
 

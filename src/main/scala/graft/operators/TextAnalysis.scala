@@ -39,26 +39,25 @@ object TextAnalysis {
       when(nTok > 0, round(sumLen.cast("double") / nTok, 6)).otherwise(lit(0.0)).as("mean_tok_len"))
   }
 
-  /** F22-style script ratio: fraction of alphabetic chars in `block` class. */
-  private def scriptRatio(text: Column, blockClass: String, alphaClass: String): Column = {
-    val nBlock = length(text) - length(regexp_replace(text, blockClass, ""))
-    val nAlpha = length(text) - length(regexp_replace(text, alphaClass, ""))
-    when(nAlpha > 0, nBlock.cast("double") / nAlpha).otherwise(lit(0.0))
-  }
-
   /** Language-ID heuristic (brief: n-gram/stopword heuristic): script
     * detection for Arabic/CJK, distinct-stopword votes for latin languages,
-    * deterministic tie-break order en > de > fr > es. */
+    * deterministic tie-break order en > de > fr > es. Script counts come
+    * from ONE [[graft.plans.ScriptCounts]] scan (the regex-diff form paid
+    * eight regex passes per row; values identical). */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val text = col(textCol)
-    val alpha = "[a-zA-Z؀-ۿ一-鿿]"
-    val toks = TextFns.distinctTokens(text)
+    val sc = graft.plans.ScriptCounts(col(textCol))
+    val (nAr, nCjk, nLatin) =
+      (sc.getField("n_ar"), sc.getField("n_cjk"), sc.getField("n_latin"))
+    val nAlpha = nAr + nCjk + nLatin
+    def ratio(nBlock: Column): Column =
+      when(nAlpha > 0, nBlock.cast("double") / nAlpha).otherwise(lit(0.0))
+    val toks = TextFns.distinctTokens(col(textCol))
     def votes(sw: Seq[String]): Column = size(array_intersect(toks, typedLit(sw)))
     val (vEn, vDe, vFr, vEs) = (votes(StopwordsEn), votes(StopwordsDe),
       votes(StopwordsFr), votes(StopwordsEs))
     val guess =
-      when(scriptRatio(text, "[؀-ۿ]", alpha) > 0.5, lit("ar"))
-        .when(scriptRatio(text, "[一-鿿]", alpha) > 0.3, lit("zh"))
+      when(ratio(nAr) > 0.5, lit("ar"))
+        .when(ratio(nCjk) > 0.3, lit("zh"))
         .when(vEn >= vDe && vEn >= vFr && vEn >= vEs, lit("en"))
         .when(vDe >= vFr && vDe >= vEs, lit("de"))
         .when(vFr >= vEs, lit("fr"))

@@ -109,6 +109,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("PartitionFilters: [isnotnull(field"), p.take(400))
   }
 
+  test("silver book layout makes a book filter partition pruning (S3/P3)") {
+    val dir = java.nio.file.Files.createTempDirectory("plan-silver").toString
+    val valid = graft.operators.Ingest.validated(graft.operators.Ingest
+      .readBooks(spark, "/root/reference/data/riyadussalihin/book_1.jsonl"))
+    graft.operators.Ingest.writeSilver(valid, dir)
+    val pruned = spark.read.parquet(dir).where(col("book_id") === "1")
+    val p = plan(pruned)
+    assert(p.contains("PartitionFilters: [isnotnull(book_id"), p.take(400))
+  }
+
   test("multimodal enrich is a narrow scan: no exchange, no join") {
     val media = graft.operators.Multimodal.syntheticMedia(
       Tables(spark, sf, "documents"), "doc_id", "text")

@@ -332,6 +332,28 @@ object Oracles {
     "serve_fns" -> serveFnsSql,
     "validate_battery" -> validateBatterySql,
     "manifest_battery" -> manifestBatterySql,
+    // F16 weight-resolution twin (search.py:193-215): base preset per
+    // mode, degraded-semantic zeroes the vector leg (fts weight 0 → 1),
+    // both-zero falls back to pure vector
+    "mode_weights" ->
+      """WITH b(mode, ok) AS (VALUES
+        |  ('hybrid', true), ('hybrid', false), ('semantic', true), ('semantic', false),
+        |  ('fts', true), ('fts', false), ('balanced', true), ('balanced', false)),
+        |w0 AS (SELECT mode, ok,
+        |  CASE mode WHEN 'semantic' THEN CAST(1.0 AS DOUBLE)
+        |            WHEN 'fts' THEN CAST(0.0 AS DOUBLE)
+        |            ELSE CAST(0.6 AS DOUBLE) END wv,
+        |  CASE mode WHEN 'semantic' THEN CAST(0.0 AS DOUBLE)
+        |            WHEN 'fts' THEN CAST(1.0 AS DOUBLE)
+        |            ELSE CAST(0.4 AS DOUBLE) END wf FROM b),
+        |w1 AS (SELECT mode, ok,
+        |  CASE WHEN NOT ok THEN CAST(0.0 AS DOUBLE) ELSE wv END wv2,
+        |  CASE WHEN NOT ok THEN (CASE WHEN wf = 0.0 THEN CAST(1.0 AS DOUBLE) ELSE wf END)
+        |       ELSE wf END wf2 FROM w0)
+        |SELECT mode, ok semantic_ok,
+        |  CASE WHEN wv2 = 0.0 AND wf2 = 0.0 THEN CAST(1.0 AS DOUBLE) ELSE wv2 END w_vector,
+        |  CASE WHEN wv2 = 0.0 AND wf2 = 0.0 THEN CAST(0.0 AS DOUBLE) ELSE wf2 END w_fts
+        |FROM w1 ORDER BY mode, semantic_ok""".stripMargin,
 
     // ── router / scoring / hybrid ──────────────────────────────────────
     "route_query" -> routeQuerySql,

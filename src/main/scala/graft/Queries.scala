@@ -304,6 +304,21 @@ object Queries {
         .select(col("rid"), coalesce(Ingest.isValid, lit(false)).as("is_valid"))
         .orderBy("rid")
     }),
+    // F16: mode→weight resolution incl. the degraded-semantic fallbacks
+    // (search.py:193-215) — driver logic recomputed by the oracle's CASE
+    // chain from the raw (mode, semantic_ok) inputs
+    "mode_weights" -> ((s, _) => {
+      import s.implicits._
+      val rows = for {
+        mode <- Seq("hybrid", "semantic", "fts", "balanced")
+        ok <- Seq(true, false)
+      } yield {
+        val (wv, wf) = Quran.resolveWeights(mode, ok)
+        (mode, ok, wv, wf)
+      }
+      rows.toDF("mode", "semantic_ok", "w_vector", "w_fts")
+        .orderBy("mode", "semantic_ok")
+    }),
     // E4: the anti-join manifest check evaluated per case on the driver,
     // recomputed set-theoretically by the oracle
     "manifest_battery" -> ((s, _) => {

@@ -56,9 +56,15 @@ object HadithSearch {
                          dicts: Map[String, DataFrame],
                          stats: Map[String, DataFrame],
                          slots: DataFrame, dim: Int) {
+    /** Force every cached layer, in dependency waves of concurrent jobs:
+      * silver first, then the layers derived from it, then the per-field
+      * dictionaries/stats derived from the postings. */
     def materialize(): Index = {
-      docs.count(); post.count(); slots.count()
-      dicts.values.foreach(_.count()); stats.values.foreach(_.count()); this
+      docs.count()
+      Postings.awaitAll(Seq(() => post.count(): Unit, () => slots.count(): Unit))
+      Postings.awaitAll((dicts.values ++ stats.values).toSeq
+        .map(df => () => df.count(): Unit))
+      this
     }
   }
 

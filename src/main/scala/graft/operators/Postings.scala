@@ -20,6 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object Postings {
 
+  /** Run independent materialization actions as CONCURRENT Spark jobs —
+    * an engine open on an otherwise idle cluster should saturate it, not
+    * walk its layers one count() at a time. Callers group actions into
+    * dependency waves (a layer and its parent never share a wave, so a
+    * cached parent is computed once, not raced). */
+  private[operators] def awaitAll(actions: Seq[() => Unit]): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(actions.map(a => Future(a()))), Duration.Inf): Unit
+  }
+
   /** Build postings from a document table. */
   def build(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),

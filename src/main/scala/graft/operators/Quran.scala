@@ -72,10 +72,16 @@ object Quran {
                          dict: DataFrame, stats: DataFrame,
                          emb: Option[DataFrame],
                          embQ: Option[DataFrame] = None) {
-    /** Force every cached layer (the warm-open step). */
+    /** Force every cached layer (the warm-open step), in dependency
+      * waves of concurrent jobs: corpus + raw vectors first, then the
+      * postings/quantized layers over them, then dictionary/stats. */
     def materialize(): Index = {
-      docs.count(); postings.count(); dict.count(); stats.count()
-      emb.foreach(_.count()); embQ.foreach(_.count()); this
+      Postings.awaitAll(Seq(() => docs.count(): Unit) ++
+        emb.map(e => () => e.count(): Unit))
+      Postings.awaitAll(Seq(() => postings.count(): Unit) ++
+        embQ.map(e => () => e.count(): Unit))
+      Postings.awaitAll(Seq(() => dict.count(): Unit, () => stats.count(): Unit))
+      this
     }
   }
 

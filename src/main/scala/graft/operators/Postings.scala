@@ -29,7 +29,16 @@ object Postings {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(Future.sequence(actions.map(a => Future(a()))), Duration.Inf): Unit
+    // every action's outcome is captured (fatal throwables included — a
+    // bare Future(a()) would never complete on OutOfMemoryError and the
+    // Await would hang forever), and ALL siblings are awaited before the
+    // first failure is rethrown, so a failed open never leaves wave
+    // members still running behind the caller's back
+    val results = Await.result(
+      Future.sequence(actions.map(a => Future(
+        try Right(a()) catch { case t: Throwable => Left(t) }))),
+      Duration.Inf)
+    results.collectFirst { case Left(t) => t }.foreach(t => throw t)
   }
 
   /** Build postings from a document table. */

@@ -49,16 +49,29 @@ object ScriptCounts {
     ColumnShim.column(new ScriptCounts(ColumnShim.expression(text)))
   }
 
+  /** Allocation-free byte scan (no String decode): Arabic U+0600–U+06FF
+    * is exactly the 2-byte lead range 0xD8–0xDB; CJK U+4E00–U+9FFF is the
+    * 3-byte leads 0xE5–0xE9 plus 0xE4 with second byte ≥ 0xB8
+    * (0xE4 0xB8 0x80 == U+4E00; 0xE9 0xBF 0xBF == U+9FFF). */
   def count(s: UTF8String): InternalRow = {
-    val str = s.toString
+    val b = s.getBytes
+    val n = b.length
     var ar = 0L; var cjk = 0L; var latin = 0L
     var i = 0
-    while (i < str.length) {
-      val c = str.charAt(i)
-      if (c >= '؀' && c <= 'ۿ') ar += 1
-      else if (c >= '一' && c <= '鿿') cjk += 1
-      else if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) latin += 1
-      i += 1
+    while (i < n) {
+      val c = b(i) & 0xFF
+      if (c < 0x80) {
+        if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) latin += 1
+        i += 1
+      } else if (c >= 0xD8 && c <= 0xDB) { ar += 1; i += 2 }
+      else if (c >= 0xE4 && c <= 0xE9) {
+        if (c != 0xE4 || (i + 1 < n && (b(i + 1) & 0xFF) >= 0xB8)) cjk += 1
+        i += 3
+      }
+      else if (c < 0xC0) i += 1 // stray continuation byte
+      else if (c < 0xE0) i += 2 // other 2-byte char
+      else if (c < 0xF0) i += 3 // other 3-byte char
+      else i += 4               // 4-byte char (astral — in no class)
     }
     new GenericInternalRow(Array[Any](ar, cjk, latin))
   }

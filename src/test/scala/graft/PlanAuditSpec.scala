@@ -106,7 +106,8 @@ class PlanAuditSpec extends SparkSpec {
     val pruned = spark.read.parquet(s"$dir/postings")
       .where(col("field") === "narrator")
     val p = plan(pruned)
-    assert(p.contains("PartitionFilters: [isnotnull(field"), p.take(400))
+    assert("""PartitionFilters: \[[^\]]*field[^\]]* = narrator""".r.findFirstIn(p).isDefined,
+      p.take(400))
   }
 
   test("silver book layout makes a book filter partition pruning (S3/P3)") {
@@ -116,7 +117,10 @@ class PlanAuditSpec extends SparkSpec {
     graft.operators.Ingest.writeSilver(valid, dir)
     val pruned = spark.read.parquet(dir).where(col("book_id") === "1")
     val p = plan(pruned)
-    assert(p.contains("PartitionFilters: [isnotnull(book_id"), p.take(400))
+    // the EQUALITY must prune (isnotnull alone would not keep a book
+    // filter from touching other books' files)
+    assert("""PartitionFilters: \[[^\]]*book_id[^\]]* = 1""".r.findFirstIn(p).isDefined,
+      p.take(400))
   }
 
   test("multimodal enrich is a narrow scan: no exchange, no join") {

@@ -75,6 +75,25 @@ class PropertySpec extends SparkSpec {
     assert(once.count() === 7)
   }
 
+  test("ScriptCounts byte scan matches the regex character-class counts") {
+    def regexCount(cls: String) =
+      length($"s") - length(regexp_replace($"s", cls, ""))
+    // class boundaries: U+4DFF/U+A000 just outside CJK, U+4E00/U+9FFF
+    // inclusive; U+05FF/U+0700 outside Arabic; astral chars in no class
+    val rows = Seq("", "abcXYZ123", "نص عربي", "中文漢字", "䷿一鿿ꀀ",
+      "׿؀ۿ܀", "mixed نص 中 ab 😀🎉", "é ß ñ 𝕏")
+    val df = rows.toDF("s").select(
+      graft.plans.ScriptCounts($"s").as("sc"),
+      regexCount("[؀-ۿ]").as("ar"), regexCount("[一-鿿]").as("cjk"),
+      regexCount("[a-zA-Z]").as("latin"))
+    df.collect().foreach { r =>
+      val sc = r.getStruct(0)
+      assert(sc.getLong(0) === r.getInt(1).toLong, s"ar mismatch in $r")
+      assert(sc.getLong(1) === r.getInt(2).toLong, s"cjk mismatch in $r")
+      assert(sc.getLong(2) === r.getInt(3).toLong, s"latin mismatch in $r")
+    }
+  }
+
   test("ClassTokens byte scan is bit-identical to the regex tokenizer") {
     val regexForm = filter(split(lower($"s"), graft.functions.TextFns.TokenSep),
       t => length(t) > lit(0))

@@ -371,6 +371,22 @@ object Oracles {
         |CAST(count(*) AS DOUBLE) AS v
         |FROM ix GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
+    // enrich twin: the registered query's output exposes only the
+    // SQL-expressible legs (payload-length width, feature cardinality,
+    // frame-sample count) — the crc32 decode stub stays out of it, so
+    // the whole pipeline shape is oracle-checkable after all
+    "multimodal_enrich" ->
+      """WITH m AS (SELECT doc_id AS asset_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END modality,
+        |  octet_length(CAST(text AS BLOB)) olen FROM documents)
+        |SELECT asset_id, modality,
+        |  CAST(olen % 1920 AS INT) width,
+        |  CASE WHEN olen > 0 THEN CAST(64 AS INT) ELSE CAST(NULL AS INT) END n_features,
+        |  CAST(CASE WHEN modality = 'video' THEN least(olen % 240 + 1, 8)
+        |       ELSE 0 END AS INT) n_frames
+        |FROM m ORDER BY asset_id""".stripMargin,
+
     // ── quran engine (reference corpus fixtures; absolute path) ────────
     "tafsir_stats" ->
       s"""SELECT count(*) AS entries, count(DISTINCT surah) AS surahs

@@ -83,6 +83,23 @@ object Oracles {
        |  FROM h0 CROSS JOIN (SELECT unnest(range(0,$numHashes)) seed) GROUP BY 1,2)""".stripMargin
   }
 
+  /** Shared token-minhash-LSH-verify chain (16 hashes, one 16-row band,
+    * exact-Jaccard CTE `j`) — used verbatim by the pair oracle and the
+    * connected-components oracle so they cannot diverge. */
+  private lazy val MinhashPairCtes: String =
+    s"""$Toks,
+       |elems AS (SELECT doc_id, unnest(list_distinct(t)) elem FROM toks),
+       |${minhashSigsCte(16)},
+       |banded AS (SELECT doc_id, seed//16 band,
+       |  md5(string_agg(minh::VARCHAR, ':' ORDER BY seed)) band_key
+       |  FROM sigs GROUP BY doc_id, seed//16),
+       |cand AS (SELECT DISTINCT x.doc_id a, y.doc_id b FROM banded x JOIN banded y
+       |  ON x.band=y.band AND x.band_key=y.band_key AND x.doc_id<y.doc_id),
+       |dt AS (SELECT doc_id, list_distinct(t) s, len(list_distinct(t)) n FROM toks),
+       |j AS (SELECT a, b, round(CAST(len(list_intersect(x.s,y.s)) AS DOUBLE)
+       |        /(x.n+y.n-len(list_intersect(x.s,y.s))),6) jacc
+       |      FROM cand JOIN dt x ON x.doc_id=a JOIN dt y ON y.doc_id=b)""".stripMargin
+
   val all: Map[String, String] = Map(
     // ── relational core ────────────────────────────────────────────────
     "q1_lineitem_agg" ->
@@ -170,19 +187,21 @@ object Oracles {
          |${minhashSigsCte(16)}
          |SELECT doc_id, seed, minh FROM sigs ORDER BY doc_id, seed""".stripMargin,
     "minhash_lsh_pairs" ->
-      s"""WITH $Toks,
-         |elems AS (SELECT doc_id, unnest(list_distinct(t)) elem FROM toks),
-         |${minhashSigsCte(16)},
-         |banded AS (SELECT doc_id, seed//16 band,
-         |  md5(string_agg(minh::VARCHAR, ':' ORDER BY seed)) band_key
-         |  FROM sigs GROUP BY doc_id, seed//16),
-         |cand AS (SELECT DISTINCT x.doc_id a, y.doc_id b FROM banded x JOIN banded y
-         |  ON x.band=y.band AND x.band_key=y.band_key AND x.doc_id<y.doc_id),
-         |dt AS (SELECT doc_id, list_distinct(t) s, len(list_distinct(t)) n FROM toks),
-         |j AS (SELECT a, b, round(CAST(len(list_intersect(x.s,y.s)) AS DOUBLE)
-         |        /(x.n+y.n-len(list_intersect(x.s,y.s))),6) jacc
-         |      FROM cand JOIN dt x ON x.doc_id=a JOIN dt y ON y.doc_id=b)
+      s"""WITH $MinhashPairCtes
          |SELECT a, b, jacc FROM j WHERE jacc>=0.9 ORDER BY a, b""".stripMargin,
+    // pairs→groups twin: min-label closure as a recursive CTE — reach
+    // enumerates (node, reachable label); min per node IS the unique
+    // propagation fixpoint the Spark operator converges to
+    "near_dup_groups" ->
+      s"""WITH RECURSIVE $MinhashPairCtes,
+         |pairs AS (SELECT a, b FROM j WHERE jacc>=0.9),
+         |sym AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS node FROM sym),
+         |reach AS (SELECT node, node AS label FROM nodes
+         |  UNION
+         |  SELECT s.b AS node, r.label FROM reach r JOIN sym s ON s.a = r.node)
+         |SELECT node AS doc_id, min(label) AS component
+         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
     "ngram_jaccard_pairs" ->
       s"""WITH $Toks,
          |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t)>=3 THEN

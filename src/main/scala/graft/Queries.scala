@@ -159,6 +159,14 @@ object Queries {
     "ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.1)
         .orderBy("a", "b")),
+    // pairs→groups: connected components over the verified near-dup
+    // pairs — A~B~C collapses into one group keyed by its min doc_id
+    "near_dup_groups" -> ((s, dir) => {
+      val sigs = Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", 16)
+      val cand = Dedup.lshCandidatePairs(sigs, rowsPerBand = 16)
+      val pairs = Dedup.jaccardVerify(docs(s, dir), "doc_id", "text", cand, 0.9)
+      Dedup.connectedComponents(pairs).orderBy("doc_id")
+    }),
     "simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text", 32).orderBy("doc_id")),
     "simhash_pairs" -> ((s, dir) => {

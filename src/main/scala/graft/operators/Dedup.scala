@@ -208,6 +208,51 @@ object Dedup {
       .where(col("jacc") >= threshold)
       .select(col("a"), col("b"), col("jacc"))
 
+  /** Connected components over an undirected near-dup pair set — the
+    * pairs→groups step every dedup pipeline ends with (a survivor per
+    * GROUP, not per pair: A~B and B~C must collapse A,B,C together even
+    * though (A,C) was never emitted). Min-label propagation to the unique
+    * fixpoint: every node's label converges to the smallest doc_id in its
+    * component, so the result is deterministic regardless of execution
+    * order — and therefore oracle-checkable (the DuckDB twin is a
+    * recursive CTE).
+    *
+    * Scale shape: each iteration is one equi-join + map-side-combinable
+    * min aggregation on the (cached) symmetric edge list; iterations are
+    * bounded by the largest component's DIAMETER, which for
+    * similarity-threshold graphs is small (near-dup clusters are dense).
+    * labels are localCheckpoint'ed per round to cut the iterative
+    * lineage. (For adversarially long path graphs at extreme scale the
+    * alternating small-star/large-star variant gives O(log n) rounds;
+    * this is the GraphX-style form.) */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 100): DataFrame = {
+    val e = pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct().cache()
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym.join(labels.select(col("node").as("b"), col("label")), "b")
+        .groupBy("a").agg(min("label").as("nmin"))
+      val next = labels
+        .join(nbrMin.select(col("a").as("node"), col("nmin")), Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      // labels only ever decrease, so fixpoint ⇔ nothing changed
+      val changed = next.join(labels.withColumnRenamed("label", "prev"), "node")
+        .where(col("label") =!= col("prev")).limit(1).count()
+      converged = changed == 0
+      labels = next
+      iter += 1
+    }
+    sym.unpersist(false)
+    labels.select(col("node").as("doc_id"), col("label").as("component"))
+  }
+
   /** SimHash (bits ≤ 32): per bit j, sum tf·(±1) by the j-th bit of the
     * term hash; the fingerprint sets bit j where the sum is positive.
     *

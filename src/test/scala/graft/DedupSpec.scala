@@ -110,4 +110,16 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.ngramJaccardPairsSharedShingle(many, "doc_id", "text", 3, 0.01, maxDf = 5)
     assert(pairs.count() === 0)
   }
+
+  test("connected components collapse transitive near-dup chains to min-id groups") {
+    import spark.implicits._
+    // triangle {1,2,3} via chain only (no (1,3) pair), pair {10,11},
+    // 4-chain {20..23} — every node must label to its component's min id
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
+      .toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
 }

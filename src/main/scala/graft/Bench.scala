@@ -34,10 +34,10 @@ object Bench {
       // starts from a clean block manager (cold paths mark per-query
       // frames cached and never revisit them)
       spark.catalog.clearCache()
-      // a serving session sizes shuffle width to its candidate-set
-      // width (tens of rows), not to batch width — index frames cached
-      // below inherit this, so per-query stages schedule 4 tasks not 32
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      // serving tune: narrow shuffles (index frames cached below inherit
+      // this, so per-query stages schedule 4 tasks not 32) + AQE off
+      // (per-query re-planning is pure latency on small fixed plans)
+      GraftSession.tuneForServing(spark)
       val tOpen0 = System.nanoTime()
       val hadith = Graft.openHadith(spark, Queries.HadithBooks)
       val hadithOpenS = (System.nanoTime() - tOpen0) / 1e9

@@ -34,10 +34,10 @@ object Bench {
       // starts from a clean block manager (cold paths mark per-query
       // frames cached and never revisit them)
       spark.catalog.clearCache()
-      // serving tune: narrow shuffles (index frames cached below inherit
-      // this, so per-query stages schedule 4 tasks not 32) + AQE off
-      // (per-query re-planning is pure latency on small fixed plans)
-      GraftSession.tuneForServing(spark)
+      // narrow shuffles BEFORE the builds: the cached index layers
+      // inherit this width, so per-query stages schedule 4 tasks not 32
+      // (AQE stays ON through the opens/builds — they are batch work)
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
       val tOpen0 = System.nanoTime()
       val hadith = Graft.openHadith(spark, Queries.HadithBooks)
       val hadithOpenS = (System.nanoTime() - tOpen0) / 1e9
@@ -58,6 +58,9 @@ object Bench {
       annIdx.count()
       val ev = embT.where(col("vec_id") === 0)
         .head().getSeq[Float](1).toArray
+      // indexes are built — now the per-QUERY tune (AQE off: stage
+      // re-planning is pure latency on small fixed serving plans)
+      GraftSession.tuneForServing(spark)
 
       val serveQueries: Seq[(String, () => Unit)] = Seq(
         "hadith_search_warm" -> (() =>

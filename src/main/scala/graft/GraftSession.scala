@@ -32,8 +32,9 @@ object GraftSession {
     * (candidate sets are tens of rows, not batch width) and AQE off —
     * serving plans are small and already right (broadcast probes,
     * TakeOrdered top-k), so AQE's per-query stage re-planning is pure
-    * added latency (measured −20–30% p50 with it disabled at sf0.1);
-    * batch/index-build pipelines should keep AQE on for skew/coalesce. */
+    * added latency (measured −20–30% p50 with it disabled at sf0.1).
+    * Call AFTER the engine opens / index builds: those are batch work
+    * and should keep AQE's skew/coalesce handling. */
   def tuneForServing(s: SparkSession, shufflePartitions: Int = 4): SparkSession = {
     s.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
     s.conf.set("spark.sql.adaptive.enabled", "false")

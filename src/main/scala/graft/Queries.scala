@@ -341,8 +341,9 @@ object Queries {
       Multimodal.byteHistogramTable(
         Multimodal.syntheticMedia(docs(s, dir), "doc_id", "text"), bins = 64)
         .orderBy("asset_id", "bin")),
-    // decode stub + features + frame sampling — rows-only (crc32/codec
-    // stub has no DuckDB twin)
+    // decode stub + features + frame sampling; the selected output
+    // exposes only SQL-expressible legs (the crc32 stub never reaches
+    // it), so the pipeline shape IS oracle-checked
     "multimodal_enrich" -> ((s, dir) =>
       Multimodal.enrich(Multimodal.syntheticMedia(docs(s, dir), "doc_id", "text"))
         .select(col("asset_id"), col("modality"), col("decoded.width").as("width"),

@@ -226,30 +226,48 @@ object Dedup {
     * alternating small-star/large-star variant gives O(log n) rounds;
     * this is the GraphX-style form.) */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 100): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    // each localCheckpoint registers one RDD-level persist that
+    // spark.catalog.clearCache cannot see; track the ids per generation
+    // and free the PREVIOUS generation as soon as the next one is
+    // materialized, so the loop holds at most two label snapshots
+    def snapshot(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint()
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     val e = pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .distinct().cache()
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
+    var (labels, labelIds) = snapshot(
+      sym.select(col("a").as("node")).distinct().withColumn("label", col("node")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val nbrMin = sym.join(labels.select(col("node").as("b"), col("label")), "b")
         .groupBy("a").agg(min("label").as("nmin"))
-      val next = labels
+      val (next, nextIds) = snapshot(labels
         .join(nbrMin.select(col("a").as("node"), col("nmin")), Seq("node"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint()
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label")))
       // labels only ever decrease, so fixpoint ⇔ nothing changed
       val changed = next.join(labels.withColumnRenamed("label", "prev"), "node")
         .where(col("label") =!= col("prev")).limit(1).count()
       converged = changed == 0
+      free(labelIds)
       labels = next
+      labelIds = nextIds
       iter += 1
     }
     sym.unpersist(false)
+    // NOT silent (module convention, cf. capBuckets): an unconverged
+    // result would split real components into several groups with no
+    // hint why — a diameter > maxIter graph must fail loudly
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter iterations " +
+        "(component diameter exceeds the bound); raise maxIter")
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }
 

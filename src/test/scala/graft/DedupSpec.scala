@@ -122,4 +122,15 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
   }
+
+  test("connected components fail loudly when the iteration bound is hit") {
+    import spark.implicits._
+    // a 10-node path needs ~9 propagation rounds; maxIter=2 must throw,
+    // never silently return a split component (module 'no silent caps')
+    val path = (1L to 9L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(path, maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
 }

@@ -271,6 +271,88 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }
 
+  /** Alternating large-star/small-star connected components — the
+    * O(log n)-round form for graphs whose DIAMETER defeats plain label
+    * propagation (a drift chain of near-dups thousands of documents
+    * long). Each round rewires edges toward per-neighborhood minima:
+    *
+    *  - large-star: every node's strictly-larger neighbors reconnect to
+    *    the minimum of its closed neighborhood;
+    *  - small-star: its smaller-or-equal neighbors do the same.
+    *
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond" —
+    * public algorithm.) Both phases are an equi-join + map-side min per
+    * node over the current edge list; the edge set converges to stars
+    * rooted at each component's minimum id, the same unique fixpoint
+    * [[connectedComponents]] reaches, which the equivalence property
+    * spec pins on random graphs. */
+  def connectedComponentsAlternating(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    def snapshot(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint()
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    // star phase over the symmetric adjacency: neighbors on the `keep`
+    // side of each center u reconnect to m = min(closed neighborhood of
+    // u). The center edge (m, u) is ALWAYS emitted — without it a
+    // component's maximum node loses its last edge in the small phase
+    // (its neighbors rewire to (v, m) pairs that no longer mention it);
+    // the extra edges are within-component by construction, so they cost
+    // a little volume but can never merge distinct components.
+    def star(edges: DataFrame, large: Boolean): DataFrame = {
+      val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      val m = sym.groupBy("a").agg(min("b").as("mb"))
+        .select(col("a").as("u"), least(col("mb"), col("a")).as("m"))
+      val keep = if (large) col("b") > col("a") else col("b") <= col("a")
+      val rewired = sym.where(keep)
+        .join(m, col("a") === col("u"))
+        .select(least(col("b"), col("m")).as("a"),
+          greatest(col("b"), col("m")).as("b"))
+      val center = m.select(col("m").as("a"), col("u").as("b")) // m <= u
+      rewired.union(center).where(col("a") =!= col("b")).distinct()
+    }
+    var (edges, edgeIds) = snapshot(
+      pairs.select(least(col("a"), col("b")).cast("long").as("a"),
+          greatest(col("a"), col("b")).cast("long").as("b"))
+        .where(col("a") =!= col("b")).distinct())
+    val nodes = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node"))).distinct().cache()
+    nodes.count() // materialize NOW — its plan reads the first edge
+    // snapshot, whose blocks the loop frees after round one
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val (next, nextIds) = snapshot(star(star(edges, large = true), large = false))
+      // fixpoint ⇔ identical edge sets (both are canonical a<b, distinct)
+      val changed = next.union(edges).except(next.intersect(edges)).limit(1).count()
+      converged = changed == 0
+      free(edgeIds)
+      edges = next
+      edgeIds = nextIds
+      iter += 1
+    }
+    if (!converged) {
+      nodes.unpersist(false)
+      throw new IllegalStateException(
+        s"connectedComponentsAlternating did not converge in $maxIter rounds")
+    }
+    // stars: every non-root points at its root (min-side of its edge);
+    // roots never appear on the right side — recover them via the node
+    // list. groupBy-min (not a bare join) keeps the recovery fan-out-safe
+    // even if a fixpoint edge set were not a perfect star.
+    val roots = edges.groupBy(col("b").as("node")).agg(min("a").as("component"))
+    val out = nodes.join(roots, Seq("node"), "left")
+      .select(col("node").as("doc_id"),
+        coalesce(col("component"), col("node")).as("component"))
+    val snap = out.localCheckpoint()
+    nodes.unpersist(false)
+    free(edgeIds)
+    snap
+  }
+
   /** SimHash (bits ≤ 32): per bit j, sum tf·(±1) by the j-th bit of the
     * term hash; the fingerprint sets bit j where the sum is positive.
     *

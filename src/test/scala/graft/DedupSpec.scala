@@ -123,6 +123,32 @@ class DedupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
   }
 
+  test("alternating star CC equals min-label propagation on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 30 + rnd.nextInt(40)
+      val pairs = Seq.fill(12 + rnd.nextInt(40))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(p => p._1 != p._2)
+      val df = pairs.toDF("a", "b")
+      val viaLabels = Dedup.connectedComponents(df)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val viaStars = Dedup.connectedComponentsAlternating(df)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(viaLabels === viaStars, s"trial $trial with ${pairs.length} edges")
+    }
+  }
+
+  test("alternating star CC converges on a path far beyond the propagation bound") {
+    import spark.implicits._
+    // diameter-200 chain: min-label would need ~200 rounds (its guard
+    // throws at 100); the star form needs O(log n)
+    val path = (1L to 200L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.connectedComponentsAlternating(path).collect()
+    assert(got.length === 201)
+    assert(got.forall(_.getLong(1) === 1L))
+  }
+
   test("connected components fail loudly when the iteration bound is hit") {
     import spark.implicits._
     // a 10-node path needs ~9 propagation rounds; maxIter=2 must throw,

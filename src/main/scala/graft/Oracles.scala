@@ -202,6 +202,20 @@ object Oracles {
          |  SELECT s.b AS node, r.label FROM reach r JOIN sym s ON s.a = r.node)
          |SELECT node AS doc_id, min(label) AS component
          |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    // survivors twin: corpus minus every node whose component label is
+    // not itself (exactly one survivor — the min id — per group)
+    "near_dup_survivors" ->
+      s"""WITH RECURSIVE $MinhashPairCtes,
+         |pairs AS (SELECT a, b FROM j WHERE jacc>=0.9),
+         |sym AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS node FROM sym),
+         |reach AS (SELECT node, node AS label FROM nodes
+         |  UNION
+         |  SELECT s.b AS node, r.label FROM reach r JOIN sym s ON s.a = r.node),
+         |comp AS (SELECT node, min(label) component FROM reach GROUP BY 1)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+         |ORDER BY doc_id""".stripMargin,
     "ngram_jaccard_pairs" ->
       s"""WITH $Toks,
          |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t)>=3 THEN

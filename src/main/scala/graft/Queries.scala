@@ -167,6 +167,19 @@ object Queries {
       val pairs = Dedup.jaccardVerify(docs(s, dir), "doc_id", "text", cand, 0.9)
       Dedup.connectedComponents(pairs).orderBy("doc_id")
     }),
+    // the pipeline's terminal step: the corpus with every non-minimal
+    // group member anti-joined out — one survivor per near-dup group,
+    // untouched docs pass through
+    "near_dup_survivors" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sigs = Dedup.minhashSignatures(d, "doc_id", "text", 16)
+      val cand = Dedup.lshCandidatePairs(sigs, rowsPerBand = 16)
+      val pairs = Dedup.jaccardVerify(d, "doc_id", "text", cand, 0.9)
+      val dupes = Dedup.connectedComponents(pairs)
+        .where(col("doc_id") =!= col("component")).select("doc_id")
+      d.join(dupes, Seq("doc_id"), "left_anti")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
     "simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text", 32).orderBy("doc_id")),
     "simhash_pairs" -> ((s, dir) => {

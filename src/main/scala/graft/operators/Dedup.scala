@@ -225,19 +225,25 @@ object Dedup {
     * lineage. (For adversarially long path graphs at extreme scale the
     * alternating small-star/large-star variant gives O(log n) rounds;
     * this is the GraphX-style form.) */
+  // ── iterative-loop localCheckpoint lifecycle (shared by both CC forms):
+  // each localCheckpoint registers one RDD-level persist that
+  // spark.catalog.clearCache cannot see; track the ids per generation and
+  // free the PREVIOUS generation as soon as the next one is materialized,
+  // so a loop holds at most two snapshots at a time ─────────────────────
+  private def ccSnapshot(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val out = df.localCheckpoint()
+    (out, sc.getPersistentRDDs.keySet.toSet -- before)
+  }
+  private def ccFree(spark: org.apache.spark.sql.SparkSession, ids: Set[Int]): Unit =
+    ids.foreach(id =>
+      spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 100): DataFrame = {
-    val sc = pairs.sparkSession.sparkContext
-    // each localCheckpoint registers one RDD-level persist that
-    // spark.catalog.clearCache cannot see; track the ids per generation
-    // and free the PREVIOUS generation as soon as the next one is
-    // materialized, so the loop holds at most two label snapshots
-    def snapshot(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
-      val out = df.localCheckpoint()
-      (out, sc.getPersistentRDDs.keySet.toSet -- before)
-    }
-    def free(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    val spark = pairs.sparkSession
+    def snapshot(df: DataFrame) = ccSnapshot(df)
+    def free(ids: Set[Int]): Unit = ccFree(spark, ids)
     val e = pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .distinct().cache()
@@ -287,14 +293,9 @@ object Dedup {
     * [[connectedComponents]] reaches, which the equivalence property
     * spec pins on random graphs. */
   def connectedComponentsAlternating(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val sc = pairs.sparkSession.sparkContext
-    def snapshot(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
-      val out = df.localCheckpoint()
-      (out, sc.getPersistentRDDs.keySet.toSet -- before)
-    }
-    def free(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    val spark = pairs.sparkSession
+    def snapshot(df: DataFrame) = ccSnapshot(df)
+    def free(ids: Set[Int]): Unit = ccFree(spark, ids)
     // star phase over the symmetric adjacency: neighbors on the `keep`
     // side of each center u reconnect to m = min(closed neighborhood of
     // u). The center edge (m, u) is ALWAYS emitted — without it a
@@ -314,14 +315,18 @@ object Dedup {
       val center = m.select(col("m").as("a"), col("u").as("b")) // m <= u
       rewired.union(center).where(col("a") =!= col("b")).distinct()
     }
+    // node list from the RAW pairs — BEFORE self-loops are dropped, so a
+    // node whose only pair is (x,x) still appears as a singleton
+    // component, matching [[connectedComponents]] exactly
+    val raw = pairs.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"))
+    val nodes = raw.select(col("a").as("node"))
+      .union(raw.select(col("b").as("node"))).distinct().cache()
+    nodes.count() // materialize before the loop starts freeing snapshots
     var (edges, edgeIds) = snapshot(
-      pairs.select(least(col("a"), col("b")).cast("long").as("a"),
-          greatest(col("a"), col("b")).cast("long").as("b"))
+      raw.select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
         .where(col("a") =!= col("b")).distinct())
-    val nodes = edges.select(col("a").as("node"))
-      .union(edges.select(col("b").as("node"))).distinct().cache()
-    nodes.count() // materialize NOW — its plan reads the first edge
-    // snapshot, whose blocks the loop frees after round one
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -336,6 +341,7 @@ object Dedup {
     }
     if (!converged) {
       nodes.unpersist(false)
+      free(edgeIds) // don't strand the last edge snapshot on the throw path
       throw new IllegalStateException(
         s"connectedComponentsAlternating did not converge in $maxIter rounds")
     }

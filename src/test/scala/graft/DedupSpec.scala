@@ -128,8 +128,10 @@ class DedupSpec extends SparkSpec {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 5) {
       val n = 30 + rnd.nextInt(40)
+      // self-loops stay IN: both forms must return (x,x)-only nodes as
+      // singleton components
       val pairs = Seq.fill(12 + rnd.nextInt(40))(
-        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(p => p._1 != p._2)
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
       val df = pairs.toDF("a", "b")
       val viaLabels = Dedup.connectedComponents(df)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap

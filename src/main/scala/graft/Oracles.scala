@@ -433,6 +433,16 @@ object Oracles {
          |FROM read_json_auto('$QuranGlob') WHERE verse_key='2:255'""".stripMargin,
     "quran_search_fts" -> quranSearchFtsSql,
     "quran_hybrid" -> quranHybridSql,
+    // Digest twin over Verify's auxiliary full-vector dump (the npz binary
+    // itself has no SQL reader); checks verse keys, dims, and the
+    // ×1e7-quantized vector contents element-for-element via md5.
+    "npz_embeddings" ->
+      s"""SELECT verse_key, CAST(len(embedding) AS BIGINT) dim,
+         |md5(list_aggregate(list_transform(embedding,
+         |  x -> CAST(CAST(round(CAST(x AS DOUBLE)*1e7) AS BIGINT) AS VARCHAR)),
+         |  'string_agg', ',')) vec_md5
+         |FROM read_parquet('__VERIFY_OUT__/npz_embeddings_full/*.parquet')
+         |ORDER BY verse_key""".stripMargin,
 
     // ── hadith corpus (reference fixtures; absolute path) ──────────────
     "hadith_book_stats" ->
@@ -520,9 +530,9 @@ object Oracles {
   /** Full hybrid tafsir search twin (search.py:178-318 semantics): the
     * SAME lexical leg as [[quranSearchFtsSql]] plus the quantized vector
     * leg over the npz vectors. The binary npz itself has no SQL reader,
-    * so the leg replays over the parquet dump Verify writes for the
-    * `npz_embeddings` query (`__VERIFY_OUT__` is substituted with the
-    * dump dir at oracle-emit time) — the parse stays pinned by unit
+    * so the leg replays over the auxiliary full-vector parquet Verify
+    * dumps (`npz_embeddings_full`; `__VERIFY_OUT__` is substituted with
+    * the dump dir at oracle-emit time) — the parse stays pinned by unit
     * tests; everything downstream of it is oracle-checked here. */
   private def quranHybridSql: String = {
     def d(x: String) = s"CAST($x AS DOUBLE)"
@@ -531,7 +541,7 @@ object Oracles {
        |      round(greatest(0.0,bm25)/(1.0+greatest(0.0,bm25)),6) fts_score
        |      FROM top JOIN docs d2 USING(doc_id)),
        |emb AS (SELECT verse_key, list_transform(embedding, x -> round(${d("x")}*1e7)) qv
-       |        FROM read_parquet('__VERIFY_OUT__/npz_embeddings/*.parquet')),
+       |        FROM read_parquet('__VERIFY_OUT__/npz_embeddings_full/*.parquet')),
        |q1 AS (SELECT qv qq, sqrt(list_dot_product(qv,qv)) qn FROM emb WHERE verse_key='1:1'),
        |cosd AS (SELECT e.verse_key,
        |        round(list_dot_product(e.qv, q1.qq)

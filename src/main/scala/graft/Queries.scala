@@ -160,26 +160,17 @@ object Queries {
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.1)
         .orderBy("a", "b")),
     // pairs→groups: connected components over the verified near-dup
-    // pairs — A~B~C collapses into one group keyed by its min doc_id
-    "near_dup_groups" -> ((s, dir) => {
-      val sigs = Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", 16)
-      val cand = Dedup.lshCandidatePairs(sigs, rowsPerBand = 16)
-      val pairs = Dedup.jaccardVerify(docs(s, dir), "doc_id", "text", cand, 0.9)
-      Dedup.connectedComponents(pairs).orderBy("doc_id")
-    }),
+    // pairs — A~B~C collapses into one group keyed by its min doc_id.
+    // Both queries derive from ONE staged pipeline run (Dedup.nearDupStage
+    // memoizes the verified-pairs snapshot + CC labels per session/params)
+    "near_dup_groups" -> ((s, dir) =>
+      Dedup.nearDupStage(docs(s, dir), "doc_id", "text").groups.orderBy("doc_id")),
     // the pipeline's terminal step: the corpus with every non-minimal
     // group member anti-joined out — one survivor per near-dup group,
     // untouched docs pass through
-    "near_dup_survivors" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val sigs = Dedup.minhashSignatures(d, "doc_id", "text", 16)
-      val cand = Dedup.lshCandidatePairs(sigs, rowsPerBand = 16)
-      val pairs = Dedup.jaccardVerify(d, "doc_id", "text", cand, 0.9)
-      val dupes = Dedup.connectedComponents(pairs)
-        .where(col("doc_id") =!= col("component")).select("doc_id")
-      d.join(dupes, Seq("doc_id"), "left_anti")
-        .select(col("doc_id")).orderBy("doc_id")
-    }),
+    "near_dup_survivors" -> ((s, dir) =>
+      Dedup.nearDupStage(docs(s, dir), "doc_id", "text").survivors
+        .select(col("doc_id")).orderBy("doc_id")),
     "simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text", 32).orderBy("doc_id")),
     "simhash_pairs" -> ((s, dir) => {
@@ -380,13 +371,20 @@ object Queries {
         .select(col("verse_key"), col("surah").cast("long").as("surah"),
           col("ayah").cast("long").as("ayah"), col("score"),
           col("vector_score"), col("fts_score"), col("text_preview"))),
-    // npz import itself has no SQL oracle (binary cache → rows-only), but
-    // its dumped parquet carries the FULL vectors so quran_hybrid's oracle
-    // can replay the search over the same embeddings in DuckDB
+    // npz import: the binary cache has no SQL reader, so Verify dumps the
+    // full vectors as an auxiliary parquet (npz_embeddings_full) and BOTH
+    // this query's oracle and quran_hybrid's vector leg replay over that
+    // dump in DuckDB. The compared columns here are hashable digests of
+    // the ×1e7-quantized vector (raw float arrays crash the driver's
+    // pandas sort — see CORRECTNESS_r06 npz_embeddings).
     "npz_embeddings" -> ((s, _) =>
       graft.sources.Npz.embeddings(s, NpzPath)
-        .select(col("verse_key"), col("embedding"),
-          size(col("embedding")).as("dim")).orderBy("verse_key")),
+        .select(col("verse_key"),
+          size(col("embedding")).cast("long").as("dim"),
+          md5(array_join(transform(col("embedding"),
+            x => round(x.cast("double") * lit(1e7), 0).cast("long").cast("string")),
+            ",")).as("vec_md5"))
+        .orderBy("verse_key")),
     "quran_hybrid" -> ((s, _) => {
       val emb = graft.sources.Npz.embeddings(s, NpzPath).cache()
       val qv = emb.where(col("verse_key") === "1:1").head().getSeq[Float](1).toArray

@@ -22,6 +22,14 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Auxiliary full-vector dump (NOT a registered/compared query): the
+    // npz binary has no SQL reader, so the npz_embeddings digest oracle
+    // and quran_hybrid's vector leg replay over this parquet in DuckDB.
+    try graft.sources.Npz.embeddings(spark, Queries.NpzPath)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/npz_embeddings_full")
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] npz_embeddings_full dump failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -232,9 +232,22 @@ object Dedup {
   // so a loop holds at most two snapshots at a time ─────────────────────
   private def ccSnapshot(df: DataFrame): (DataFrame, Set[Int]) = {
     val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
     val out = df.localCheckpoint()
-    (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    // Track ONLY the snapshot's own persisted RDD: localCheckpoint persists
+    // exactly one RDD — the materialized internal RDD the returned frame
+    // scans — and after the eager materialization its lineage is truncated
+    // to the checkpoint, so the ancestor walk below sees just that RDD.
+    // (A global before/after diff of getPersistentRDDs here would also
+    // capture unrelated persists that happen to register DURING the eager
+    // job — a lazily-registered .cache() buffer of a frame the snapshot
+    // reads, or a concurrent persist from another thread — and ccFree
+    // would later silently drop those caches.)
+    val persisted = sc.getPersistentRDDs.keySet.toSet
+    val seen = scala.collection.mutable.Set[Int]()
+    def walk(r: org.apache.spark.rdd.RDD[_]): Unit =
+      if (seen.add(r.id)) r.dependencies.foreach(d => walk(d.rdd))
+    walk(out.queryExecution.toRdd)
+    (out, seen.toSet & persisted)
   }
   private def ccFree(spark: org.apache.spark.sql.SparkSession, ids: Set[Int]): Unit =
     ids.foreach(id =>
@@ -247,6 +260,10 @@ object Dedup {
     val e = pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .distinct().cache()
+    // materialize sym BEFORE the first snapshot (mirrors the alternating
+    // variant's nodes.count()): its cache buffer must register outside the
+    // snapshot's eager job so the loop's free() can never touch it
+    sym.count()
     var (labels, labelIds) = snapshot(
       sym.select(col("a").as("node")).distinct().withColumn("label", col("node")))
     var converged = false
@@ -357,6 +374,50 @@ object Dedup {
     nodes.unpersist(false)
     free(edgeIds)
     snap
+  }
+
+  /** One staged near-dup pipeline run: minhash → LSH bands → Jaccard
+    * verify executes ONCE (the verified pairs are an eager localCheckpoint
+    * snapshot via [[jaccardVerify]]'s scope); `groups` and `survivors`
+    * derive from the staged frame instead of recomputing the chain. This
+    * mirrors how a 100 TB dedup actually runs — every stage boundary is a
+    * checkpointed table (on a cluster the pairs would be a persisted
+    * table; localCheckpoint is the single-JVM analog). */
+  final class NearDupStage private[operators] (docs: DataFrame, idCol: String,
+                                               val pairs: DataFrame) {
+    /** pairs→groups closure, computed once per stage. */
+    lazy val groups: DataFrame = connectedComponents(pairs)
+    /** Terminal step: one survivor (the group's min id) per near-dup
+      * group; untouched docs pass through. */
+    lazy val survivors: DataFrame = {
+      val dupes = groups.where(col("doc_id") =!= col("component"))
+        .select(col("doc_id").as(idCol))
+      docs.join(dupes, Seq(idCol), "left_anti")
+    }
+  }
+
+  // Stage memo: repeated calls with the same (session, docs plan, params)
+  // — e.g. the groups query and the survivors query of one serving session
+  // — share ONE pipeline run. Keyed on the ANALYZED plan's semantic hash,
+  // so two frames reading the same source through different builder calls
+  // still hit. Bounded: on overflow the map is dropped and the orphaned
+  // snapshots are reclaimed by Spark's ContextCleaner once unreferenced.
+  private val stageMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, NearDupStage]()
+  def nearDupStage(docs: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 16, rowsPerBand: Int = 16,
+                   threshold: Double = 0.9): NearDupStage = {
+    val s = docs.sparkSession
+    val key = s"${s.sparkContext.applicationId}#${System.identityHashCode(s)}#" +
+      s"${docs.queryExecution.analyzed.semanticHash()}#$idCol#$textCol#" +
+      s"$numHashes#$rowsPerBand#$threshold"
+    if (stageMemo.size > 8) stageMemo.clear()
+    stageMemo.computeIfAbsent(key, _ => {
+      val sigs = minhashSignatures(docs, idCol, textCol, numHashes)
+      val cand = lshCandidatePairs(sigs, rowsPerBand)
+      new NearDupStage(docs, idCol,
+        jaccardVerify(docs, idCol, textCol, cand, threshold))
+    })
   }
 
   /** SimHash (bits ≤ 32): per bit j, sum tf·(±1) by the j-th bit of the

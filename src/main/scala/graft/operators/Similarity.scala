@@ -44,6 +44,44 @@ object Similarity {
       .select("probe_id", "nbr_id", "cos", "rn")
   }
 
+  /** Bucketed k-NN join — the scale path when the probe side is beyond
+    * broadcast size (the [[knnJoin]] broadcast form is a driver/exchange
+    * killer there): BOTH sides key on banded random-hyperplane LSH
+    * buckets and meet in an EQUI-join on (band, bucket) — shuffle on the
+    * key, never a cross join — then candidates are exact-reranked per
+    * probe. Collisions in several bands are deduped by a max-cos
+    * aggregate (cos is band-independent) so no join-back of the vector
+    * arrays is needed. Approximate by construction: a true neighbor
+    * sharing no band bucket with its probe is missed; nBands trades
+    * recall for candidate volume. [[knnJoin]] stays the exact form for
+    * small probe sets. */
+  def knnJoinBucketed(emb: DataFrame, probes: DataFrame, idCol: String,
+                      vecCol: String, k: Int, dim: Int, nBits: Int = 8,
+                      nBands: Int = 4, maxBucket: Int = 10000,
+                      materialize: Boolean = true): DataFrame = {
+    def keyed(df: DataFrame, idAs: String, vAs: String) = {
+      val q = df.select(col(idCol).cast("long").as(idAs),
+        VecFns.quantize(col(vecCol)).as(vAs))
+      val buckets = array((0 until nBands).map(b =>
+        struct(lit(b).as("band"), lshBucket(col(vAs), dim, nBits, s"b$b").as("bkey"))): _*)
+      q.withColumn("bk", explode(buckets))
+        .select(col(idAs), col(vAs), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    }
+    // cached: the hot-bucket count and the candidate join both scan it
+    val corpus = keyed(emb, "nbr_id", "qv").cache()
+    val corpusCapped = Dedup.capBuckets(corpus, Seq("band", "bkey"), maxBucket)
+    val scored = corpusCapped.join(keyed(probes, "probe_id", "pv"), Seq("band", "bkey"))
+      .where(col("nbr_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("nbr_id"),
+        round(VecFns.cosineQ(col("pv"), col("qv")), 6).as("cos"))
+      .groupBy("probe_id", "nbr_id").agg(max("cos").as("cos"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(desc("cos"), asc("nbr_id"))
+    Dedup.scoped(materialize, corpus) {
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+        .select("probe_id", "nbr_id", "cos", "rn")
+    }
+  }
+
   /** Deterministic ±1 hyperplane signs for LSH bit `j` under `seed`,
     * computed ONCE on the driver (round-3 verdict fix: the old form inlined
     * dim×nBits md5-expression nodes and blew past the codegen method

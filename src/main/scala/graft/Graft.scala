@@ -90,15 +90,32 @@ object Graft {
   */
 object GraftIndexes {
 
+  /** Term buckets in persisted postings layouts. Fixed (not a knob): the
+    * reader must re-register the identical bucket spec or the layout
+    * silently degrades to a plain scan. */
+  val PostingsBuckets = 16
+
+  // catalog identity of a persisted postings layout: the same dir always
+  // maps to the same table name, so re-opens in any session find/recreate
+  // the same registration
+  private def postingsTable(dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("md5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"graft_postings_${md.take(12)}"
+  }
+
   /** Persist the hadith index layers (silver + field postings + slots). */
   def writeHadith(spark: SparkSession, booksGlob: String, dir: String,
                   dim: Int = 128): Unit = {
     val silver = HadithSearch.silver(Ingest.validated(Ingest.readBooks(spark, booksGlob)))
     val idx = HadithSearch.buildIndex(silver, dim, cache = true)
     idx.docs.write.mode("overwrite").parquet(s"$dir/silver")
-    // postings partitioned by field: a field-scoped probe is partition
-    // pruning (the FTS5 column-filter equivalent, SURVEY S9)
-    idx.post.write.mode("overwrite").partitionBy("field").parquet(s"$dir/postings")
+    // postings partitioned by field AND bucketed by term: a field-scoped
+    // probe is partition pruning (the FTS5 column-filter equivalent,
+    // SURVEY S9), and dictionary expansion / term-probe joins run
+    // shuffle-free off the bucket layout
+    Postings.saveBucketed(idx.post, postingsTable(s"$dir/postings"),
+      PostingsBuckets, Some(s"$dir/postings"), Seq("field"))
     idx.slots.write.mode("overwrite").parquet(s"$dir/slots")
   }
 
@@ -107,7 +124,8 @@ object GraftIndexes {
     * through the SAME indexFromLayers the in-memory build uses). */
   def openHadith(spark: SparkSession, dir: String, dim: Int = 128): Graft.HadithEngine = {
     val docs = spark.read.parquet(s"$dir/silver").cache()
-    val post = spark.read.parquet(s"$dir/postings").cache()
+    val post = Postings.openBucketed(spark, postingsTable(s"$dir/postings"),
+      s"$dir/postings", PostingsBuckets, Seq("field")).cache()
     val slots = spark.read.parquet(s"$dir/slots").cache()
     new Graft.HadithEngine(
       HadithSearch.indexFromLayers(docs, post, slots, dim).materialize())
@@ -118,7 +136,8 @@ object GraftIndexes {
                  npzPath: Option[String] = None): Unit = {
     val idx = Quran.buildIndex(Quran.load(spark, corpusDir), None, cache = false)
     idx.docs.write.mode("overwrite").parquet(s"$dir/docs")
-    idx.postings.write.mode("overwrite").parquet(s"$dir/postings")
+    Postings.saveBucketed(idx.postings, postingsTable(s"$dir/postings"),
+      PostingsBuckets, Some(s"$dir/postings"))
     npzPath.foreach { p =>
       Npz.embeddings(spark, p).write.mode("overwrite").parquet(s"$dir/embeddings")
     }
@@ -138,7 +157,8 @@ object GraftIndexes {
   /** Open a quran engine from persisted layers. */
   def openQuran(spark: SparkSession, dir: String): Graft.QuranEngine = {
     val docs = spark.read.parquet(s"$dir/docs").cache()
-    val post = spark.read.parquet(s"$dir/postings").cache()
+    val post = Postings.openBucketed(spark, postingsTable(s"$dir/postings"),
+      s"$dir/postings", PostingsBuckets).cache()
     // Hadoop FS probe, not java.io.File — the layer may live on any
     // filesystem the session can read (hdfs://, s3a://, local)
     val embPath = new org.apache.hadoop.fs.Path(s"$dir/embeddings")

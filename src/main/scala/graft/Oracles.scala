@@ -270,6 +270,22 @@ object Oracles {
          |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, nbr_id) rn FROM sc)
          |SELECT probe_id, nbr_id, cos, CAST(rn AS INT) rn FROM r WHERE rn<=5
          |ORDER BY probe_id, rn""".stripMargin,
+    "knn_join_bucketed" ->
+      s"""WITH $EmbQ,
+         |k AS (SELECT vec_id, qv,
+         |  ${bucketExpr("qv", Queries.Dim, 4, "b0")} k0,
+         |  ${bucketExpr("qv", Queries.Dim, 4, "b1")} k1 FROM e),
+         |ex AS (SELECT vec_id, qv, 0 band, k0 bkey FROM k
+         |       UNION ALL SELECT vec_id, qv, 1, k1 FROM k),
+         |pr AS (SELECT vec_id probe_id, qv pv, band, bkey FROM ex WHERE vec_id<10),
+         |sc AS (SELECT probe_id, x.vec_id nbr_id, ${cosQ("pv", "x.qv")} cos
+         |       FROM ex x JOIN pr ON x.band=pr.band AND x.bkey=pr.bkey
+         |       AND x.vec_id<>pr.probe_id),
+         |d AS (SELECT probe_id, nbr_id, max(cos) cos FROM sc GROUP BY 1,2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos DESC, nbr_id) rn FROM d)
+         |SELECT probe_id, nbr_id, cos, CAST(rn AS INT) rn FROM r WHERE rn<=5
+         |ORDER BY probe_id, rn""".stripMargin,
     "near_dup_pairs" ->
       s"""WITH $EmbQ,
          |k AS (SELECT vec_id id, qv,

@@ -194,6 +194,14 @@ object Queries {
       Similarity.knnJoin(e, e.where(col("vec_id") < 10), "vec_id", "embedding", 5)
         .withColumn("rn", col("rn").cast("int")).orderBy("probe_id", "rn")
     }),
+    // large-probe scale form: both sides meet in an LSH-bucket equi-join
+    // (no broadcast of the probe side, no cross join — plan-audited)
+    "knn_join_bucketed" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.knnJoinBucketed(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, dim = Dim, nBits = 4, nBands = 2)
+        .withColumn("rn", col("rn").cast("int")).orderBy("probe_id", "rn")
+    }),
     "near_dup_pairs" -> ((s, dir) =>
       Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding", 0.3, Dim,
         nBits = 8, nBands = 2).orderBy("a", "b")),

@@ -83,4 +83,30 @@ object Router {
     * document-side tokenizer [[TextFns.tokens]]. */
   def embedTokens(s: String): Seq[String] =
     TokenRe.findAllIn(s.toLowerCase).toSeq
+
+  /** Parsed exact-reference intent for the spec-mode direct lookup
+    * (HADITH_SEARCH_SPEC.md:246-287 — the design the shipped reference
+    * never implemented; router.py:93-107 sends exact refs through the
+    * token probe instead). Three citation shapes:
+    *   - collection + global number: "riyadussalihin 680"
+    *   - book + in-book number:      "book 1, hadith 3"
+    *   - bare book:number:           "1:5"
+    */
+  final case class ExactRef(collection: Option[String], global: Option[Long],
+                            book: Option[Long], num: Option[Long])
+
+  private val CollRef =
+    "(?i)\\b(bukhari|muslim|riyadussalihin|riyad\\s+as-salihin|tirmidhi)\\s+(\\d+)\\b".r.unanchored
+  private val BookNum = "(?i)\\bbook\\s+(\\d+)\\s*,?\\s+hadith\\s+(\\d+)\\b".r.unanchored
+  private val BookColon = "(?<![\\d:])(\\d+)\\s*[:\\-/]\\s*(\\d+)(?![\\d:])".r.unanchored
+
+  def parseExactRef(q: String): Option[ExactRef] =
+    CollRef.findFirstMatchIn(q).map { m =>
+      // "riyad as-salihin" → slug "riyadussalihin"
+      val slug = m.group(1).toLowerCase.replaceAll("\\s+as-", "us")
+      ExactRef(Some(slug), Some(m.group(2).toLong), None, None)
+    }.orElse(BookNum.findFirstMatchIn(q).map(m =>
+      ExactRef(None, None, Some(m.group(1).toLong), Some(m.group(2).toLong))))
+      .orElse(BookColon.findFirstMatchIn(q).map(m =>
+        ExactRef(None, None, Some(m.group(1).toLong), Some(m.group(2).toLong))))
 }

@@ -20,7 +20,11 @@ import org.apache.spark.sql.functions._
 object HadithSearch {
 
   /** Silver document table from validated ingest rows: doc_id, narrator
-    * (canonical), en/ar texts, embed payload (P2). */
+    * (canonical), en/ar texts, embed payload (P2), and the parsed
+    * reference numbers (collection slug, global number, book/in-book
+    * number) that make the spec-mode exact lookup a metadata filter
+    * (HADITH_SEARCH_SPEC.md:246-287 / the <5 ms reference-lookup target
+    * at :553 — at scale, book_id partition pruning plus a narrow scan). */
   def silver(valid: DataFrame): DataFrame =
     valid.select(
       Ingest.docId.as("doc_id"),
@@ -28,6 +32,13 @@ object HadithSearch {
       col("chapter_id"),
       col("canonical_narrator").as("narrator"),
       col("grading"),
+      col("collection_slug").as("collection"),
+      regexp_extract(col("hadith_num_global"), "(\\d+)\\s*$", 1)
+        .cast("long").as("ref_global"),
+      regexp_extract(col("hadith_num_in_book"), "(?i)book\\s+(\\d+)", 1)
+        .cast("long").as("ref_book"),
+      regexp_extract(col("hadith_num_in_book"), "(?i)hadith\\s+(\\d+)", 1)
+        .cast("long").as("ref_num"),
       Ingest.languageText(col("texts"), "en").as("english_text"),
       Ingest.languageText(col("texts"), "ar").as("arabic_text"),
       Ingest.embedPayload(col("canonical_narrator"), col("texts")).as("payload"))
@@ -133,10 +144,39 @@ object HadithSearch {
     * lexical probe → hashed-embedding semantic probe over the payload →
     * full-outer fusion → backfill → priority scoring over the ENGLISH
     * text only (tools.py:143-148) → rank. */
+  /** Spec-mode exact-reference lookup (HADITH_SEARCH_SPEC.md:246-287):
+    * a parsed citation resolves by direct metadata filter on the resident
+    * silver table — no token probe, no join; the spec's <5 ms design. The
+    * output schema matches [[searchWith]] (score pinned at 1.0, signal
+    * columns 0: a citation lookup is not a ranked retrieval). */
+  def lookupRef(idx: Index, ref: Router.ExactRef, n: Int = 10): DataFrame = {
+    val filters = Seq(
+      ref.collection.map(c => col("collection") === c),
+      ref.global.map(g => col("ref_global") === g),
+      ref.book.map(b => col("ref_book") === b),
+      ref.num.map(x => col("ref_num") === x)).flatten
+    filters.foldLeft(idx.docs)((d, f) => d.where(f))
+      .select(col("doc_id"), col("book_id"), col("narrator"),
+        TextFns.snippet(trim(col("english_text")), 240).as("snippet"),
+        lit(0.0).as("vector_similarity"), lit(0.0).as("fts_signal"),
+        lit(0.0).as("phrase_bonus"), lit(0.0).as("term_coverage"),
+        lit(1.0).as("score"))
+      .orderBy("doc_id").limit(n)
+  }
+
   def searchWith(idx: Index, query: String, n: Int = 10,
                  mode: String = "balanced",
                  parityFts: Boolean = false): DataFrame = {
     val intent = Router.route(query)
+    // spec mode honors the design doc's exact-reference fast path; every
+    // other mode keeps shipped-reference parity (exact refs go through
+    // the same token probe the reference uses, router.py:93-107)
+    if (mode == "spec" && intent.qtype == "exact_reference") {
+      Router.parseExactRef(intent.normalized) match {
+        case Some(ref) => return lookupRef(idx, ref, n)
+        case None => ()
+      }
+    }
     val w = Scoring.preset(mode)
     val k = math.max(50, n * 5)
     val docs = idx.docs

@@ -66,9 +66,42 @@ object Postings {
   /** S9 persistence: the postings table bucketed (and sorted) by term —
     * query-time probes and the dictionary groupBy then run shuffle-free
     * on the bucket layout (the cluster-scale stand-in for SQLite's
-    * inverted-index B-tree). */
-  def saveBucketed(postings: DataFrame, table: String, numBuckets: Int = 64): Unit =
-    postings.write.mode("overwrite")
-      .bucketBy(numBuckets, "term").sortBy("term")
-      .format("parquet").saveAsTable(table)
+    * inverted-index B-tree). `path` makes the table EXTERNAL (data at a
+    * caller-owned directory); `partitionCols` layers directory
+    * partitioning (e.g. by `field`) on top of the term buckets, so a
+    * field-scoped probe prunes partitions AND meets the dictionary
+    * without a shuffle. */
+  def saveBucketed(postings: DataFrame, table: String, numBuckets: Int = 64,
+                   path: Option[String] = None,
+                   partitionCols: Seq[String] = Nil): Unit = {
+    var w = postings.write.mode("overwrite").format("parquet")
+    if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
+    w = w.bucketBy(numBuckets, "term").sortBy("term")
+    path.foreach(p => w = w.option("path", p))
+    w.saveAsTable(table)
+  }
+
+  /** Open a [[saveBucketed]] layout in a FRESH session: bucket metadata
+    * lives in the session CATALOG, not in the parquet files, so a plain
+    * `spark.read.parquet(path)` would scan the same bytes but lose the
+    * shuffle-free bucket partitioning — the table must be re-registered
+    * first. Idempotent: if the catalog already has the table (e.g. the
+    * writing session), it is returned as-is. */
+  def openBucketed(spark: org.apache.spark.sql.SparkSession, table: String,
+                   path: String, numBuckets: Int = 64,
+                   partitionCols: Seq[String] = Nil): DataFrame = {
+    if (!spark.catalog.tableExists(table)) {
+      val ddlCols = spark.read.parquet(path).schema.toDDL
+      val part =
+        if (partitionCols.nonEmpty) s"PARTITIONED BY (${partitionCols.mkString(", ")})"
+        else ""
+      spark.sql(
+        s"""CREATE TABLE $table ($ddlCols) USING parquet $part
+           |CLUSTERED BY (term) SORTED BY (term) INTO $numBuckets BUCKETS
+           |LOCATION '$path'""".stripMargin)
+      // external-table partitions are discovered from the directory layout
+      if (partitionCols.nonEmpty) spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
+    }
+    spark.table(table)
+  }
 }

@@ -110,6 +110,20 @@ class PlanAuditSpec extends SparkSpec {
       p.take(400))
   }
 
+  test("persisted term-bucketed postings run dictionary expansion without an exchange (S9)") {
+    val dir = java.nio.file.Files.createTempDirectory("plan-bucketed").toString
+    val p = graft.operators.Postings.build(Tables(spark, sf, "documents"), "doc_id", "text")
+    graft.operators.Postings.saveBucketed(p, "plan_bucketed_postings", 8, Some(s"$dir/post"))
+    // simulate a fresh session: the catalog registration is gone, only the
+    // directory remains; openBucketed must restore the bucket spec
+    spark.sql("DROP TABLE plan_bucketed_postings")
+    val opened = graft.operators.Postings.openBucketed(
+      spark, "plan_bucketed_postings", s"$dir/post", 8)
+    val dict = graft.operators.Postings.dictionary(opened)
+    val pl = plan(dict)
+    assert(!pl.contains("Exchange"), s"dictionary over bucketed layout shuffles:\n${pl.take(600)}")
+  }
+
   test("silver book layout makes a book filter partition pruning (S3/P3)") {
     val dir = java.nio.file.Files.createTempDirectory("plan-silver").toString
     val valid = graft.operators.Ingest.validated(graft.operators.Ingest
@@ -130,6 +144,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange"), "enrich shuffles")
     assert(!p.contains("Join"), "enrich joins")
     assert(p.contains("byte_histogram"), "native histogram not in plan")
+  }
+
+  test("bucketed knn join is an equi-join on the LSH key — no cross join, no probe broadcast requirement") {
+    val emb = Tables(spark, sf, "embeddings")
+    val df = graft.operators.Similarity.knnJoinBucketed(emb, emb, "vec_id", "embedding",
+      k = 5, dim = Queries.Dim, nBits = 4, nBands = 2, materialize = false)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), "bucketed knn has a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "bucketed knn has a nested loop")
   }
 
   test("capped LSH candidate plans keep the hot-bucket guard as a broadcast anti-join") {

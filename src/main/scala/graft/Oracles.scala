@@ -86,13 +86,26 @@ object Oracles {
   /** Shared token-minhash-LSH-verify chain (16 hashes, one 16-row band,
     * exact-Jaccard CTE `j`) — used verbatim by the pair oracle and the
     * connected-components oracle so they cannot diverge. */
+  /** Twin of `Dedup.capBuckets` (LSH skew guard): `hot_<out>` lists the
+    * over-cap buckets of `src` on `keys`; `<out>` is `src` minus every
+    * row in one. The default cap matches the Scala side's 10000; the
+    * sf0.01 fixtures never reach it, so this is semantic parity (a hot
+    * corpus would diverge without it), not extra test power. */
+  private def capCte(src: String, out: String, keys: Seq[String],
+                     maxBucket: Int = 10000): String = {
+    val ks = keys.mkString(", ")
+    s"""hot_$out AS (SELECT $ks FROM $src GROUP BY $ks HAVING count(*) > $maxBucket),
+       |$out AS (SELECT $src.* FROM $src ANTI JOIN hot_$out USING($ks))""".stripMargin
+  }
+
   private lazy val MinhashPairCtes: String =
     s"""$Toks,
        |elems AS (SELECT doc_id, unnest(list_distinct(t)) elem FROM toks),
        |${minhashSigsCte(16)},
-       |banded AS (SELECT doc_id, seed//16 band,
+       |banded0 AS (SELECT doc_id, seed//16 band,
        |  md5(string_agg(minh::VARCHAR, ':' ORDER BY seed)) band_key
        |  FROM sigs GROUP BY doc_id, seed//16),
+       |${capCte("banded0", "banded", Seq("band", "band_key"))},
        |cand AS (SELECT DISTINCT x.doc_id a, y.doc_id b FROM banded x JOIN banded y
        |  ON x.band=y.band AND x.band_key=y.band_key AND x.doc_id<y.doc_id),
        |dt AS (SELECT doc_id, list_distinct(t) s, len(list_distinct(t)) n FROM toks),
@@ -223,9 +236,10 @@ object Oracles {
          |  ELSE [] END) s FROM toks),
          |elems AS (SELECT doc_id, unnest(s) elem FROM sh),
          |${minhashSigsCte(16)},
-         |banded AS (SELECT doc_id, seed//4 band,
+         |banded0 AS (SELECT doc_id, seed//4 band,
          |  md5(string_agg(minh::VARCHAR, ':' ORDER BY seed)) band_key
          |  FROM sigs GROUP BY doc_id, seed//4),
+         |${capCte("banded0", "banded", Seq("band", "band_key"))},
          |cand AS (SELECT DISTINCT x.doc_id a, y.doc_id b FROM banded x JOIN banded y
          |  ON x.band=y.band AND x.band_key=y.band_key AND x.doc_id<y.doc_id),
          |sized AS (SELECT doc_id, s, len(s) n FROM sh),
@@ -249,8 +263,9 @@ object Oracles {
          |s AS (SELECT doc_id, j, sum(c) sc FROM e GROUP BY 1,2),
          |sim AS (SELECT doc_id, CAST(sum(CASE WHEN sc>0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) simhash
          |        FROM s GROUP BY 1),
-         |ex AS (SELECT doc_id, simhash, band, (simhash >> CAST(band*8 AS INT)) & 255 bkey
+         |ex0 AS (SELECT doc_id, simhash, band, (simhash >> CAST(band*8 AS INT)) & 255 bkey
          |       FROM sim CROSS JOIN (SELECT unnest(range(0,4)) band)),
+         |${capCte("ex0", "ex", Seq("band", "bkey"))},
          |cand AS (SELECT DISTINCT x.doc_id a, x.simhash ha, y.doc_id b, y.simhash hb
          |  FROM ex x JOIN ex y ON x.band=y.band AND x.bkey=y.bkey AND x.doc_id<y.doc_id)
          |SELECT a, b, CAST(bit_count(xor(ha,hb)) AS INT) hamming FROM cand
@@ -275,9 +290,10 @@ object Oracles {
          |k AS (SELECT vec_id, qv,
          |  ${bucketExpr("qv", Queries.Dim, 4, "b0")} k0,
          |  ${bucketExpr("qv", Queries.Dim, 4, "b1")} k1 FROM e),
-         |ex AS (SELECT vec_id, qv, 0 band, k0 bkey FROM k
+         |ex0 AS (SELECT vec_id, qv, 0 band, k0 bkey FROM k
          |       UNION ALL SELECT vec_id, qv, 1, k1 FROM k),
-         |pr AS (SELECT vec_id probe_id, qv pv, band, bkey FROM ex WHERE vec_id<10),
+         |${capCte("ex0", "ex", Seq("band", "bkey"))},
+         |pr AS (SELECT vec_id probe_id, qv pv, band, bkey FROM ex0 WHERE vec_id<10),
          |sc AS (SELECT probe_id, x.vec_id nbr_id, ${cosQ("pv", "x.qv")} cos
          |       FROM ex x JOIN pr ON x.band=pr.band AND x.bkey=pr.bkey
          |       AND x.vec_id<>pr.probe_id),
@@ -291,7 +307,8 @@ object Oracles {
          |k AS (SELECT vec_id id, qv,
          |  ${bucketExpr("qv", Queries.Dim, 8, "b0")} k0,
          |  ${bucketExpr("qv", Queries.Dim, 8, "b1")} k1 FROM e),
-         |ex AS (SELECT id, 0 band, k0 bkey FROM k UNION ALL SELECT id, 1, k1 FROM k),
+         |ex0 AS (SELECT id, 0 band, k0 bkey FROM k UNION ALL SELECT id, 1, k1 FROM k),
+         |${capCte("ex0", "ex", Seq("band", "bkey"))},
          |cand AS (SELECT DISTINCT x.id a, y.id b FROM ex x JOIN ex y
          |  ON x.band=y.band AND x.bkey=y.bkey AND x.id<y.id),
          |v AS (SELECT a, b, ${cosQ("x.qv", "y.qv")} cos FROM cand
@@ -452,6 +469,10 @@ object Oracles {
     // Digest twin over Verify's auxiliary full-vector dump (the npz binary
     // itself has no SQL reader); checks verse keys, dims, and the
     // ×1e7-quantized vector contents element-for-element via md5.
+    // Scope: the dump IS this query's output, so this oracle pins only
+    // digest-expression parity (Spark round/md5 vs DuckDB), NOT the byte
+    // decode — the parse itself is pinned by QuranSpec's golden-digest
+    // test against an independent numpy decode of the same npz.
     "npz_embeddings" ->
       s"""SELECT verse_key, CAST(len(embedding) AS BIGINT) dim,
          |md5(list_aggregate(list_transform(embedding,

@@ -21,7 +21,7 @@ object Router {
   private val NarratedEn = "(?i)\\b(narrated by|reported by|said by)\\b\\s*(.+)$".r.unanchored
   // (?:^|\s) replaces \b — see QueryFns note on ASCII \b portability.
   private val NarratedAr = "(?:^|\\s)عن\\s+(.+)$".r.unanchored
-  private val ExactRef = "(?i)\\b(?:book|kitab|bk)?\\s*\\d+(?:\\s*[:\\-/]\\s*\\d+)?\\b".r.unanchored
+  private val ExactRefRe = "(?i)\\b(?:book|kitab|bk)?\\s*\\d+(?:\\s*[:\\-/]\\s*\\d+)?\\b".r.unanchored
   private val Honorific = "(?i)\\((?:may|may allah be pleased|رضي الله عن(?:ه|ها|هم))[^)]*\\)".r
   private val Verb = "(?i)\\b(reported|narrated|said|stated)\\b:?".r
 
@@ -57,7 +57,7 @@ object Router {
       .orElse(NarratedAr.findFirstMatchIn(q).map(_.group(1)))
     val narr = narrRaw.flatMap(r => canonicalize(r).orElse(Some(r.trim).filter(_.nonEmpty)))
     val qtype =
-      if (ExactRef.findFirstIn(q).isDefined) "exact_reference"
+      if (ExactRefRe.findFirstIn(q).isDefined) "exact_reference"
       else if (narr.isDefined) "narrator"
       else if (tokenize(q).size >= 4 || phrase.isDefined) "thematic"
       else "mixed"

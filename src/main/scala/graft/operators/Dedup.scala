@@ -35,6 +35,15 @@ object Dedup {
       out
     }
 
+  /** Cache only when [[scoped]] will later unpersist. With
+    * `materialize=false` the caller holds a lazy plan and nothing ever
+    * releases a cache, so marking one would leak storage the first time
+    * that plan executes; recomputing the frame per consumer is the safe
+    * trade there (that mode exists for plan composition/audit, not
+    * execution). */
+  private[operators] def maybeCache(df: DataFrame, materialize: Boolean): DataFrame =
+    if (materialize) df.cache() else df
+
   /** Exact dedup groups by content hash: survivor = min(doc_id).
     * (hash-groupBy; at scale a single shuffle on the 128-bit content key)
     * `normalize=true` keys on whitespace-collapsed lowercase text —
@@ -125,12 +134,12 @@ object Dedup {
                         maxBucket: Int = 10000,
                         materialize: Boolean = true): DataFrame = {
     // cached: the bucket-size count and the candidate self-join all scan it
-    val banded = sigs
+    val banded = maybeCache(sigs
       .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
       .groupBy("doc_id", "band")
       .agg(md5(concat_ws(":", transform(array_sort(collect_list(struct(col("seed"), col("minh")))),
-        s => s.getField("minh").cast("string")))).as("band_key"))
-      .cache()
+        s => s.getField("minh").cast("string")))).as("band_key")),
+      materialize)
     val capped = capBuckets(banded, Seq("band", "band_key"), maxBucket)
     val a = capped.select(col("band"), col("band_key"), col("doc_id").as("a"))
     val b = capped.select(col("band"), col("band_key"), col("doc_id").as("b"))
@@ -146,7 +155,7 @@ object Dedup {
                     pairs: DataFrame, threshold: Double,
                     materialize: Boolean = true): DataFrame = {
     val sized = sizedShingles(docs.select(col(idCol).cast("long").as("doc_id"),
-      TextFns.distinctTokens(col(textCol)).as("shingles")))
+      TextFns.distinctTokens(col(textCol)).as("shingles")), materialize)
     scoped(materialize, sized)(shingleJaccard(sized, pairs, threshold))
   }
 
@@ -166,7 +175,7 @@ object Dedup {
                         materialize: Boolean = true): DataFrame = {
     // cached: the signature build and the exact-Jaccard verify both scan
     // the (expensive) shingle sets
-    val sized = sizedShingles(shingleSets(docs, idCol, textCol, n))
+    val sized = sizedShingles(shingleSets(docs, idCol, textCol, n), materialize)
     val sigs = minhashFromElems(
       sized.select(col("doc_id"), explode(col("shingles")).as("elem")), numHashes)
     val cand = lshCandidatePairs(sigs, rowsPerBand, materialize = materialize)
@@ -181,8 +190,9 @@ object Dedup {
   def ngramJaccardPairsSharedShingle(docs: DataFrame, idCol: String, textCol: String,
                                      n: Int, threshold: Double, maxDf: Int = 1000,
                                      materialize: Boolean = true): DataFrame = {
-    val sized = sizedShingles(shingleSets(docs, idCol, textCol, n))
-    val ex = sized.select(col("doc_id"), explode(col("shingles")).as("s")).cache()
+    val sized = sizedShingles(shingleSets(docs, idCol, textCol, n), materialize)
+    val ex = maybeCache(
+      sized.select(col("doc_id"), explode(col("shingles")).as("s")), materialize)
     val hot = ex.groupBy("s").agg(count("*").as("sdf")).where(col("sdf") > maxDf)
       .select("s")
     val exCapped = ex.join(broadcast(hot), Seq("s"), "left_anti")
@@ -195,9 +205,10 @@ object Dedup {
   /** Shingle sets with their cardinality, cached — the exact-Jaccard
     * verify scans it once per pair side (and LSH legs scan it again);
     * callers release it through [[scoped]]. */
-  private def sizedShingles(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
-      .cache()
+  private def sizedShingles(sh: DataFrame, materialize: Boolean = true): DataFrame =
+    maybeCache(
+      sh.select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh")),
+      materialize)
 
   private def shingleJaccard(sized: DataFrame, pairs: DataFrame, threshold: Double): DataFrame =
     pairs
@@ -404,13 +415,35 @@ object Dedup {
   // snapshots are reclaimed by Spark's ContextCleaner once unreferenced.
   private val stageMemo =
     new java.util.concurrent.ConcurrentHashMap[String, NearDupStage]()
+
+  /** Drop every memoized near-dup stage; the next [[nearDupStage]] call
+    * recomputes from live data. Needed only after mutating input files
+    * IN PLACE under their existing names — the normal Spark overwrite
+    * path writes fresh part-file names, which [[dataFingerprint]]
+    * already catches. */
+  def invalidateStageMemo(): Unit = stageMemo.clear()
+
+  /** Best-effort input-data fingerprint: md5 of the plan's resolved
+    * input-file list. The semantic hash alone keys on the ROOT PATH of a
+    * file relation, so a directory rewritten between calls would hit a
+    * stale memo; every Spark overwrite emits fresh part-file names
+    * (task UUIDs), so folding the file list in catches rewrites without
+    * touching the filesystem (the listing is already in the relation's
+    * FileIndex). A same-name in-place mutation is invisible here — see
+    * [[invalidateStageMemo]]. */
+  private def dataFingerprint(docs: DataFrame): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    docs.inputFiles.sorted.foreach(f => md.update(f.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   def nearDupStage(docs: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 16, rowsPerBand: Int = 16,
                    threshold: Double = 0.9): NearDupStage = {
     val s = docs.sparkSession
     val key = s"${s.sparkContext.applicationId}#${System.identityHashCode(s)}#" +
-      s"${docs.queryExecution.analyzed.semanticHash()}#$idCol#$textCol#" +
-      s"$numHashes#$rowsPerBand#$threshold"
+      s"${docs.queryExecution.analyzed.semanticHash()}#${dataFingerprint(docs)}#" +
+      s"$idCol#$textCol#$numHashes#$rowsPerBand#$threshold"
     if (stageMemo.size > 8) stageMemo.clear()
     stageMemo.computeIfAbsent(key, _ => {
       val sigs = minhashSignatures(docs, idCol, textCol, numHashes)
@@ -461,9 +494,10 @@ object Dedup {
         (shiftright(col("simhash"), lo(b)) bitwiseAND lit(mask)).as("bkey"))
     }: _*)
     // cached: bucket-size count + both self-join sides scan it
-    val ex = sim.select(col("doc_id"), col("simhash"), explode(bandKeys).as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-      .cache()
+    val ex = maybeCache(
+      sim.select(col("doc_id"), col("simhash"), explode(bandKeys).as("bk"))
+        .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.bkey").as("bkey")),
+      materialize)
     val exCapped = capBuckets(ex, Seq("band", "bkey"), maxBucket)
     val cand = exCapped.as("x").join(exCapped.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&

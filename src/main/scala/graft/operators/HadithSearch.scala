@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Router
 import graft.functions.{Scoring, TextFns, VecFns}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The flagship engine over the real hadith corpus: field-scoped lexical
@@ -33,15 +33,19 @@ object HadithSearch {
       col("canonical_narrator").as("narrator"),
       col("grading"),
       col("collection_slug").as("collection"),
-      regexp_extract(col("hadith_num_global"), "(\\d+)\\s*$", 1)
-        .cast("long").as("ref_global"),
-      regexp_extract(col("hadith_num_in_book"), "(?i)book\\s+(\\d+)", 1)
-        .cast("long").as("ref_book"),
-      regexp_extract(col("hadith_num_in_book"), "(?i)hadith\\s+(\\d+)", 1)
-        .cast("long").as("ref_num"),
+      refNum(col("hadith_num_global"), "(\\d+)\\s*$").as("ref_global"),
+      refNum(col("hadith_num_in_book"), "(?i)book\\s+(\\d+)").as("ref_book"),
+      refNum(col("hadith_num_in_book"), "(?i)hadith\\s+(\\d+)").as("ref_num"),
       Ingest.languageText(col("texts"), "en").as("english_text"),
       Ingest.languageText(col("texts"), "ar").as("arabic_text"),
       Ingest.embedPayload(col("canonical_narrator"), col("texts")).as("payload"))
+
+  // regexp_extract yields '' on no match, and an ANSI cast of '' to long
+  // throws — guard so unparsed citations land as null, not a task failure
+  private def refNum(c: Column, re: String): Column = {
+    val m = regexp_extract(c, re, 1)
+    when(length(m) > 0, m.cast("long"))
+  }
 
   /** Field-scoped postings: (doc_id, field, dl, term, tf) — fts.py's
     * hadith_fts(narrator, english_text, arabic_text) columns. */

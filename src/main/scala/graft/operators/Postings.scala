@@ -86,11 +86,27 @@ object Postings {
     * `spark.read.parquet(path)` would scan the same bytes but lose the
     * shuffle-free bucket partitioning — the table must be re-registered
     * first. Idempotent: if the catalog already has the table (e.g. the
-    * writing session), it is returned as-is. */
+    * writing session), it is returned as-is.
+    *
+    * Layouts persisted by an earlier release (plain `partitionBy`
+    * parquet, no bucket ids in the file names) would fail Spark's
+    * bucket-file validation at read time if registered as bucketed, so
+    * the directory is sniffed first: if its data files lack the
+    * `_NNNNN` bucket suffix, the table is NOT registered and a plain
+    * parquet read is returned with a warning (correct results, one
+    * extra shuffle on term probes — re-run [[saveBucketed]] to
+    * upgrade). */
   def openBucketed(spark: org.apache.spark.sql.SparkSession, table: String,
                    path: String, numBuckets: Int = 64,
                    partitionCols: Seq[String] = Nil): DataFrame = {
     if (!spark.catalog.tableExists(table)) {
+      if (!looksBucketed(spark, path)) {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"postings at $path predate bucketed layout (no bucket-id file names); " +
+            "falling back to a plain parquet read — re-save with saveBucketed to " +
+            "restore shuffle-free term probes")
+        return spark.read.parquet(path)
+      }
       val ddlCols = spark.read.parquet(path).schema.toDDL
       val part =
         if (partitionCols.nonEmpty) s"PARTITIONED BY (${partitionCols.mkString(", ")})"
@@ -103,5 +119,32 @@ object Postings {
       if (partitionCols.nonEmpty) spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
     }
     spark.table(table)
+  }
+
+  // Spark bucket files carry `_<bucketId>` before the extension
+  // (part-00000-<uuid>_00003.c000.snappy.parquet); pre-bucketing writers
+  // emit only dash-separated names. Mirrors BucketingUtils.getBucketId.
+  private val BucketedFileRe = """.*_(\d+)(?:\..*)?$""".r
+
+  /** True iff the FIRST data file found under `path` (recursing through
+    * partition directories, skipping `_`/`.` metadata entries) carries a
+    * bucket-id suffix. One file decides: Spark writes all-or-none. */
+  private def looksBucketed(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def firstDataFile(p: Path): Option[String] = {
+      val entries = fs.listStatus(p).filterNot { st =>
+        val n = st.getPath.getName
+        n.startsWith("_") || n.startsWith(".")
+      }
+      entries.collectFirst { case st if st.isFile => st.getPath.getName }
+        .orElse(entries.iterator.filter(_.isDirectory)
+          .map(st => firstDataFile(st.getPath)).collectFirst { case Some(n) => n })
+    }
+    firstDataFile(root).exists {
+      case BucketedFileRe(_) => true
+      case _ => false
+    }
   }
 }

@@ -68,7 +68,7 @@ object Similarity {
         .select(col(idAs), col(vAs), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     }
     // cached: the hot-bucket count and the candidate join both scan it
-    val corpus = keyed(emb, "nbr_id", "qv").cache()
+    val corpus = Dedup.maybeCache(keyed(emb, "nbr_id", "qv"), materialize)
     val corpusCapped = Dedup.capBuckets(corpus, Seq("band", "bkey"), maxBucket)
     val scored = corpusCapped.join(keyed(probes, "probe_id", "pv"), Seq("band", "bkey"))
       .where(col("nbr_id") =!= col("probe_id"))
@@ -116,9 +116,10 @@ object Similarity {
     val buckets = array((0 until nBands).map(b =>
       struct(lit(b).as("band"), lshBucket(col("qv"), dim, nBits, s"b$b").as("bkey"))): _*)
     // cached: bucket-size count + both self-join sides scan it
-    val ex = q.withColumn("bk", explode(buckets))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-      .cache()
+    val ex = Dedup.maybeCache(
+      q.withColumn("bk", explode(buckets))
+        .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey")),
+      materialize)
     val exCapped = Dedup.capBuckets(ex, Seq("band", "bkey"), maxBucket)
     val cand = exCapped.as("x").join(exCapped.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&

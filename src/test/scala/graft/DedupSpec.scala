@@ -48,6 +48,21 @@ class DedupSpec extends SparkSpec {
     assert(banded === brute)
   }
 
+  test("nearDupStage memo sees fresh data after a directory rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val first = Dedup.nearDupStage(spark.read.parquet(dir), "doc_id", "text")
+      .groups.count()
+    // overwrite in place: same root path (same plan semantic hash), fresh
+    // part-file names — the memo must MISS, not serve the stale snapshot
+    Seq((10L, "alpha beta gamma"), (11L, "alpha beta gamma"), (12L, "alpha beta gamma"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val groups = Dedup.nearDupStage(spark.read.parquet(dir), "doc_id", "text").groups
+    val comps = groups.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.keySet === Set(10L, 11L, 12L), s"stale memo? first=$first got=$comps")
+    assert(comps.values.toSet === Set(10L))
+  }
+
   test("near-dup plans contain no nested-loop join (round-3 verdict gate)") {
     val sim = Dedup.simhash(docs, "doc_id", "text", 32)
     val plans = Seq(

@@ -124,6 +124,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!pl.contains("Exchange"), s"dictionary over bucketed layout shuffles:\n${pl.take(600)}")
   }
 
+  test("openBucketed falls back to a plain read on a pre-bucketing layout (S9)") {
+    val dir = java.nio.file.Files.createTempDirectory("plan-legacy").toString
+    val p = graft.operators.Postings.build(Tables(spark, sf, "documents"), "doc_id", "text")
+    // legacy writer: plain parquet, no bucket ids in the file names
+    p.write.mode("overwrite").parquet(s"$dir/post")
+    val opened = graft.operators.Postings.openBucketed(
+      spark, "plan_legacy_postings", s"$dir/post", 8)
+    // must NOT have registered a bucketed table over non-bucketed files
+    // (reading one through a bucket spec dies with "Invalid bucket file")
+    assert(!spark.catalog.tableExists("plan_legacy_postings"))
+    assert(opened.count() === p.count())
+  }
+
   test("silver book layout makes a book filter partition pruning (S3/P3)") {
     val dir = java.nio.file.Files.createTempDirectory("plan-silver").toString
     val valid = graft.operators.Ingest.validated(graft.operators.Ingest

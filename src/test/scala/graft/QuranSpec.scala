@@ -28,6 +28,28 @@ class QuranSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-3) // normalize_embeddings=True upstream
   }
 
+  test("npz parse matches an independently-decoded golden digest (S12)") {
+    // Golden computed OUTSIDE Spark (numpy decode of the same npz;
+    // round-half-up ×1e7 integer grid, md5 per vector, md5 over the
+    // verse_key-sorted "key,dim,vec_md5" lines). Pins the PARSE itself:
+    // the DuckDB oracle for npz_embeddings replays Verify's own dump, so
+    // it checks digest-expression parity, not byte decoding — this does.
+    val golden = "a70d2e5abef9806acd5fd860d61c847f"
+    val rows = emb.select(col("verse_key"),
+        size(col("embedding")).cast("long").as("dim"),
+        md5(array_join(transform(col("embedding"),
+          x => round(x.cast("double") * lit(1e7), 0).cast("long").cast("string")),
+          ",")).as("vec_md5"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    val joined = rows.map { case (k, d, m) => s"$k,$d,$m" }.mkString("\n")
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(joined.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows.length === 6236)
+    assert(digest === golden)
+  }
+
   test("point lookup returns the verse (J5)") {
     val v = Quran.getVerse(corpus, "2:255")
     assert(v.count() === 1)

@@ -34,6 +34,11 @@ object Bench {
       // starts from a clean block manager (cold paths mark per-query
       // frames cached and never revisit them)
       spark.catalog.clearCache()
+      // settle the heap: the cold suite leaves GBs of garbage + pending
+      // ContextCleaner references; without a collection here the first
+      // full GC lands INSIDE a timed loop (with 15 runs, p95 is the max,
+      // so one pause was writing the whole tail — r6 p95 3.3× p50)
+      System.gc()
       // narrow shuffles BEFORE the builds: the cached index layers
       // inherit this width, so per-query stages schedule 4 tasks not 32
       // (AQE stays ON through the opens/builds — they are batch work)
@@ -80,6 +85,7 @@ object Bench {
 
       val entries = serveQueries.map { case (name, run) =>
         run(); run() // warm-up: JIT + codegen + broadcast reuse
+        System.gc() // park collector debt outside the timed loop
         val times = (1 to runs).map { _ =>
           val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e6
         }.toArray.sorted

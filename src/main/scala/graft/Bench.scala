@@ -118,10 +118,15 @@ object Bench {
       // the later queries — eviction thrash, not honest cold cost.
       // clearCache only drops CacheManager entries; the dedup operators'
       // localCheckpoint snapshots are RDD-level persists freed lazily by
-      // the ContextCleaner, so drop those explicitly too (no prior
-      // query's frames are ever re-executed here).
+      // the ContextCleaner, so drop those explicitly too — EXCEPT the
+      // stage memo's snapshots: those are the one cross-query residency
+      // that IS re-read (near_dup_survivors derives from the pairs that
+      // near_dup_groups staged; on a cluster they'd be persisted tables).
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      val staged = graft.operators.Dedup.stagedSnapshotIds
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!staged.contains(id)) rdd.unpersist(false)
+      }
       val t0 = System.nanoTime()
       // noop-sink write: forces full evaluation of every column (a bare
       // count() would let Catalyst prune the projections being measured).

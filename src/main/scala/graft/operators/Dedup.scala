@@ -395,9 +395,20 @@ object Dedup {
     * checkpointed table (on a cluster the pairs would be a persisted
     * table; localCheckpoint is the single-JVM analog). */
   final class NearDupStage private[operators] (docs: DataFrame, idCol: String,
-                                               val pairs: DataFrame) {
+                                               val pairs: DataFrame,
+                                               pairsIds: scala.collection.immutable.Set[Int]) {
+    @volatile private var groupsIds = scala.collection.immutable.Set.empty[Int]
     /** pairs→groups closure, computed once per stage. */
-    lazy val groups: DataFrame = connectedComponents(pairs)
+    lazy val groups: DataFrame = {
+      val sc = docs.sparkSession.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val g = connectedComponents(pairs)
+      // CC frees its per-generation snapshots itself; the delta is the
+      // result checkpoint `survivors` later re-reads — track it so
+      // live()/snapshotIds cover every block a derived frame needs
+      groupsIds = (sc.getPersistentRDDs.keySet -- before).toSet
+      g
+    }
     /** Terminal step: one survivor (the group's min id) per near-dup
       * group; untouched docs pass through. */
     lazy val survivors: DataFrame = {
@@ -405,6 +416,17 @@ object Dedup {
         .select(col("doc_id").as(idCol))
       docs.join(dupes, Seq(idCol), "left_anti")
     }
+    /** Every persistent-RDD id a frame of this stage still re-reads. */
+    private[operators] def snapshotIds: scala.collection.immutable.Set[Int] =
+      pairsIds ++ groupsIds
+    /** The staged frames are localCheckpoints: lineage is CUT, so if an
+      * outside actor unpersists the snapshot RDDs (a bench isolation
+      * sweep, a memory-pressure janitor), every derived frame dies with
+      * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND instead of recomputing. Liveness
+      * = all RDD ids persisted during staging are still registered. */
+    private[operators] def live(): Boolean =
+      snapshotIds.subsetOf(
+        docs.sparkSession.sparkContext.getPersistentRDDs.keySet)
   }
 
   // Stage memo: repeated calls with the same (session, docs plan, params)
@@ -422,6 +444,19 @@ object Dedup {
     * path writes fresh part-file names, which [[dataFingerprint]]
     * already catches. */
   def invalidateStageMemo(): Unit = stageMemo.clear()
+
+  /** Persistent-RDD ids owned by live memoized stages. An isolation
+    * sweep that unpersists "everything not in use" (e.g. a benchmark
+    * clearing per-query caches) must spare these: staged pairs/groups
+    * are exactly the frames a later stage re-reads, and their lineage
+    * is cut — on a cluster they'd be persisted TABLES no cache sweep
+    * could touch. */
+  def stagedSnapshotIds: Set[Int] = {
+    val it = stageMemo.values.iterator()
+    var acc = Set.empty[Int]
+    while (it.hasNext) acc = acc ++ it.next().snapshotIds
+    acc
+  }
 
   /** Best-effort input-data fingerprint: md5 of the plan's resolved
     * input-file list. The semantic hash alone keys on the ROOT PATH of a
@@ -445,11 +480,21 @@ object Dedup {
       s"${docs.queryExecution.analyzed.semanticHash()}#${dataFingerprint(docs)}#" +
       s"$idCol#$textCol#$numHashes#$rowsPerBand#$threshold"
     if (stageMemo.size > 8) stageMemo.clear()
+    // a hit whose checkpoint blocks were unpersisted out from under the
+    // memo must rebuild, not serve frames that can no longer execute
+    val hit = stageMemo.get(key)
+    if (hit != null && !hit.live()) stageMemo.remove(key, hit)
     stageMemo.computeIfAbsent(key, _ => {
       val sigs = minhashSignatures(docs, idCol, textCol, numHashes)
       val cand = lshCandidatePairs(sigs, rowsPerBand)
-      new NearDupStage(docs, idCol,
-        jaccardVerify(docs, idCol, textCol, cand, threshold))
+      // delta taken around the FINAL stage boundary only: cand's own
+      // transient snapshot is reclaimed by the ContextCleaner once
+      // unreferenced, and folding its id into the liveness set would
+      // read that routine cleanup as an invalidation on every hit
+      val before = s.sparkContext.getPersistentRDDs.keySet
+      val pairs = jaccardVerify(docs, idCol, textCol, cand, threshold)
+      val staged = (s.sparkContext.getPersistentRDDs.keySet -- before).toSet
+      new NearDupStage(docs, idCol, pairs, staged)
     })
   }
 

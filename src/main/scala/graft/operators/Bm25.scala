@@ -24,12 +24,14 @@ object Bm25 {
     */
   def score(postings: DataFrame, dictionary: DataFrame, stats: DataFrame,
             queryTerms: Seq[String], k1: Double = K1, b: Double = B): DataFrame = {
-    val spark = postings.sparkSession
-    import spark.implicits._
-    val qt = queryTerms.distinct.toDF("term")
-    val matched = postings
-      .join(broadcast(qt), "term")
-      .join(broadcast(dictionary.join(broadcast(qt), "term")), "term")
+    // term probes are FILTERS, not joins against a term list: a filter
+    // prunes cached columnar batches by min/max term stats (and reaches
+    // PushedFilters on a parquet scan), so a probe over term-clustered
+    // postings SEEKS like the inverted index it stands in for — the
+    // broadcast-join form scanned every posting row per query
+    val terms = queryTerms.distinct
+    val matched = postings.where(col("term").isin(terms: _*))
+      .join(broadcast(dictionary.where(col("term").isin(terms: _*))), "term")
       .crossJoin(broadcast(stats))
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))

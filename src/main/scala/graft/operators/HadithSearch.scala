@@ -73,13 +73,22 @@ object HadithSearch {
                          slots: DataFrame, dim: Int) {
     /** Force every cached layer, in dependency waves of concurrent jobs:
       * silver first, then the layers derived from it, then the per-field
-      * dictionaries/stats derived from the postings. */
+      * dictionaries/stats derived from the postings. The returned Index
+      * is RE-ROOTED at the now-materialized cache entries: per-query
+      * plans then compose over InMemoryRelation leaves instead of the
+      * full derivation trees, cutting the eager-analysis walk Spark pays
+      * on every Dataset transformation of every search (measured ~40%
+      * of warm-path latency on the deep postings/slots trees). */
     def materialize(): Index = {
       docs.count()
       Postings.awaitAll(Seq(() => post.count(): Unit, () => slots.count(): Unit))
       Postings.awaitAll((dicts.values ++ stats.values).toSeq
         .map(df => () => df.count(): Unit))
-      this
+      import org.apache.spark.sql.graftshim.ColumnShim.reroot
+      Index(reroot(docs), reroot(post),
+        dicts.map { case (f, d) => f -> reroot(d) },
+        stats.map { case (f, s) => f -> reroot(s) },
+        reroot(slots), dim)
     }
   }
 
@@ -89,8 +98,10 @@ object HadithSearch {
                  cache: Boolean = true): Index = {
     def c(df: DataFrame) = if (cache) df.cache() else df
     val docs = c(docs0.withColumn("num_id", TextFns.hash60(col("doc_id"))))
-    val post = c(postings(docs.select(col("num_id").as("doc_id"),
-      col("narrator"), col("english_text"), col("arabic_text"))))
+    // term-clustered so cached term probes seek via batch pruning (the
+    // in-memory analog of the persisted field/term-bucketed layout)
+    val post = c(Postings.clusterByTerm(postings(docs.select(col("num_id").as("doc_id"),
+      col("narrator"), col("english_text"), col("arabic_text")))))
     val slots = c(Hybrid.embedSlots(docs.select(col("num_id"), col("payload")),
       "num_id", "payload", dim))
     indexFromLayers(docs, post, slots, dim, cache)
@@ -103,6 +114,12 @@ object HadithSearch {
   def indexFromLayers(docs: DataFrame, post: DataFrame, slots: DataFrame,
                       dim: Int, cache: Boolean = true): Index = {
     def c(df: DataFrame) = if (cache) df.cache() else df
+    // size the resident docs layer to the session's shuffle width (it
+    // inherits one split per source file otherwise, and every per-query
+    // backfill join schedules a task per split — see Quran twin)
+    val width = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val docsSized =
+      if (docs.rdd.getNumPartitions > width) c(docs.coalesce(width)) else docs
     val dicts = Fields.map { f =>
       f -> c(post.where(col("field") === f)
         .groupBy("term").agg(countDistinct("doc_id").as("df")))
@@ -111,22 +128,25 @@ object HadithSearch {
       f -> c(post.where(col("field") === f).select("doc_id", "dl").distinct()
         .agg(count("*").as("n_docs"), sum("dl").as("sum_dl")))
     }.toMap
-    Index(docs, post, dicts, stats, slots, dim)
+    Index(docsSized, post, dicts, stats, slots, dim)
   }
 
-  /** BM25 probe over one field's postings with optional prefix expansion. */
+  /** BM25 probe over one field's postings with optional prefix expansion.
+    * The term probe is a FILTER (isin / startsWith disjunction), not a
+    * join against a probe-term frame: filters prune cached columnar
+    * batches via min/max term stats (and push down to a parquet scan),
+    * so probing term-clustered postings seeks instead of scanning every
+    * posting row (see Bm25.score). The dictionary join stays — it
+    * carries per-term df — but over the same filtered slice. */
   private def fieldProbe(idx: Index, field: String, terms: Seq[String],
                          prefix: Boolean, k: Int): DataFrame = {
-    val spark = idx.post.sparkSession
-    import spark.implicits._
-    val p = idx.post.where(col("field") === field)
-    val dict = idx.dicts(field)
+    val ts = terms.distinct
+    val probeFilter =
+      if (prefix) ts.map(t => col("term").startsWith(t)).reduce(_ || _)
+      else col("term").isin(ts: _*)
+    val p = idx.post.where(col("field") === field && probeFilter)
+    val expanded = idx.dicts(field).where(probeFilter).select("term", "df")
     val stats = idx.stats(field)
-    val probes = terms.distinct.toDF("probe")
-    val expanded =
-      if (prefix) dict.join(broadcast(probes), col("term").startsWith(col("probe")))
-        .select("term", "df").distinct()
-      else dict.join(broadcast(probes), col("term") === col("probe")).select("term", "df")
     val m = p.join(broadcast(expanded), "term").crossJoin(broadcast(stats))
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))

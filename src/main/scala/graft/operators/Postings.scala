@@ -63,6 +63,16 @@ object Postings {
     postings.select("doc_id", "dl").distinct()
       .agg(count("*").as("n_docs"), sum("dl").as("sum_dl"))
 
+  /** Cluster a postings frame by term for RESIDENT (cached) serving — the
+    * in-memory analog of [[saveBucketed]]'s term buckets: after the
+    * repartition+sort, each cached columnar batch covers a tight term
+    * range, so a term-probe FILTER (isin/prefix) skips every batch whose
+    * min/max stats exclude the probe — the seek behavior of the inverted
+    * index this table stands in for. One build-time shuffle; width
+    * follows the session's shuffle setting. */
+  def clusterByTerm(postings: DataFrame): DataFrame =
+    postings.repartition(col("term")).sortWithinPartitions("term")
+
   /** S9 persistence: the postings table bucketed (and sorted) by term —
     * query-time probes and the dictionary groupBy then run shuffle-free
     * on the bucket layout (the cluster-scale stand-in for SQLite's

@@ -81,7 +81,12 @@ object Quran {
       Postings.awaitAll(Seq(() => postings.count(): Unit) ++
         embQ.map(e => () => e.count(): Unit))
       Postings.awaitAll(Seq(() => dict.count(): Unit, () => stats.count(): Unit))
-      this
+      // re-root every layer at its materialized cache entry: per-query
+      // plans compose over InMemoryRelation leaves, not derivation trees
+      // (see HadithSearch.Index.materialize)
+      import org.apache.spark.sql.graftshim.ColumnShim.reroot
+      Index(reroot(docs), reroot(postings), reroot(dict), reroot(stats),
+        emb.map(reroot), embQ.map(reroot))
     }
   }
 
@@ -97,7 +102,11 @@ object Quran {
     // columns they touch, point lookups keep every corpus field
     val docs = c(corpus.withColumn("doc_id",
       (col("surah").cast("long") * 1000) + col("ayah")))
-    indexFromLayers(docs, c(Postings.build(docs, "doc_id", "text_plain")), emb, cache)
+    // term-clustered so cached term probes seek (batch pruning), the way
+    // the persisted layout's term buckets do on disk
+    indexFromLayers(docs,
+      c(Postings.clusterByTerm(Postings.build(docs, "doc_id", "text_plain"))),
+      emb, cache)
   }
 
   /** Assemble an Index from its persisted/base layers — the one place the
@@ -109,7 +118,13 @@ object Quran {
     val embQ = emb.map(e => c(e.select(col("verse_key"),
       graft.functions.VecFns.quantize(col("embedding")).as("qv"))
       .withColumn("nq", graft.functions.VecFns.norm2(col("qv")))))
-    Index(docs, postings, c(Postings.dictionary(postings)),
+    // the resident docs layer inherits the SOURCE's split count (one per
+    // JSONL file here) — size it to the session's shuffle width instead,
+    // or every per-query backfill join schedules a task per source file
+    val width = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val docsSized =
+      if (docs.rdd.getNumPartitions > width) docs.coalesce(width) else docs
+    Index(c(docsSized), postings, c(Postings.dictionary(postings)),
       c(Postings.corpusStats(postings)), emb, embQ)
   }
 
@@ -184,9 +199,14 @@ object Quran {
         coalesce(col("vector_score"), lit(0.0)).as("vector_score"))
       .withColumn("score", Scoring.quranTotal(col("vector_score"), col("fts_score"), wv, wf))
 
-    // backfill + T4 order-preserving text-block dedupe (search.py:262-278)
+    // backfill + T4 order-preserving text-block dedupe (search.py:262-278).
+    // snippet AFTER the join: computed per candidate (~k rows), not per
+    // corpus row — as a join-input projection it ran over every document
+    // on every query (the single hottest stage of the warm fts leg)
     val hits = fused.join(docs.select(col("verse_key"), col("surah"), col("ayah"),
-        TextFns.snippet(col("text_plain"), 200).as("text_preview")), "verse_key")
+        col("text_plain")), "verse_key")
+      .withColumn("text_preview", TextFns.snippet(col("text_plain"), 200))
+      .drop("text_plain")
     val block = md5(col("text_preview"))
     val w = Window.partitionBy(block)
       .orderBy(desc("score"), desc("bm25"), asc("surah"), asc("ayah"))

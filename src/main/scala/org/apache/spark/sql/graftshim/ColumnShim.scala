@@ -13,4 +13,20 @@ object ColumnShim {
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Re-root a CACHED frame at its InMemoryRelation leaf. Spark analyzes
+    * eagerly on every Dataset transformation, walking the whole logical
+    * tree each time; a resident serving index composed over deep
+    * derivation trees (scan→explode→union→groupBy…) pays that walk on
+    * every per-query operator even though execution reads the cache.
+    * Substituting the cached plan once turns each index layer into a
+    * LEAF, so per-query analysis touches only the few query nodes on
+    * top. No-op for uncached frames (withCachedData = analyzed plan).
+    * Lifecycle note: the returned frame pins the cache entry — if the
+    * entry is later unpersisted, execution rebuilds the buffer from the
+    * InMemoryRelation's retained child plan rather than re-resolving. */
+  def reroot(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      df.queryExecution.withCachedData)
 }

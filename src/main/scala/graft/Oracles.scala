@@ -427,6 +427,7 @@ object Oracles {
     "spec_score" -> specScoreSql,
     "hybrid_search" -> hybridSearchSql,
     "hadith_search" -> hadithSearchSql,
+    "exact_ref_lookup" -> exactRefLookupSql,
 
     // ── multimodal (synthetic payload = UTF-8 bytes of ascii text, so
     //    byte histogram == codepoint histogram in the oracle) ───────────
@@ -835,6 +836,41 @@ object Oracles {
     * priority scoring → top-10. Intent fields (probes, embed vector,
     * coverage tokens) are computed by the SAME driver-side router the
     * Spark query uses and embedded as literals. */
+  /** Spec-mode exact-reference lookup twin: each probe's citation parses
+    * driver-side (the same [[Router.parseExactRef]] call the registered
+    * query makes — the PARSE itself is pinned by RouterSpec), and the
+    * oracle replays the resulting metadata filter over the raw corpus:
+    * derived ref numbers, canonical narrator, per-probe top-10 by doc_id. */
+  private def exactRefLookupSql: String = {
+    val arms = ExactRefBattery.probes.map { case (pid, q) =>
+      val r = Router.parseExactRef(Router.route(q).normalized)
+        .getOrElse(sys.error(s"unparsable exact-ref probe: $q"))
+      val conds = Seq(
+        r.collection.map(c => s"collection='${sq(c)}'"),
+        r.global.map(g => s"ref_global=$g"),
+        r.book.map(b => s"ref_book=$b"),
+        r.num.map(x => s"ref_num=$x")).flatten.mkString(" AND ")
+      s"""SELECT * FROM (SELECT CAST($pid AS INT) probe_id, doc_id, book_id,
+         |  narrator, snippet, CAST(0.0 AS DOUBLE) vector_similarity,
+         |  CAST(0.0 AS DOUBLE) fts_signal, CAST(0.0 AS DOUBLE) phrase_bonus,
+         |  CAST(0.0 AS DOUBLE) term_coverage, CAST(1.0 AS DOUBLE) score
+         |  FROM sv WHERE $conds ORDER BY doc_id LIMIT 10)""".stripMargin
+    }
+    s"""WITH raw AS (SELECT * FROM read_json_auto('$HadithGlob', union_by_name=true)
+       |  WHERE list_sort(list_distinct(list_transform(texts, t -> t.language))) = ['ar','en']),
+       |sv AS (SELECT
+       |  collection_slug||':'||book_id||':'||hadith_id_site doc_id,
+       |  book_id, ${canonSql("narrator")} narrator,
+       |  collection_slug collection,
+       |  TRY_CAST(regexp_extract(hadith_num_global, '(\\d+)\\s*$$', 1) AS BIGINT) ref_global,
+       |  TRY_CAST(regexp_extract(hadith_num_in_book, '(?i)book\\s+(\\d+)', 1) AS BIGINT) ref_book,
+       |  TRY_CAST(regexp_extract(hadith_num_in_book, '(?i)hadith\\s+(\\d+)', 1) AS BIGINT) ref_num,
+       |  substring(trim((list_filter(texts, t -> t.language='en')[1]).content),1,240) snippet
+       |  FROM raw)
+       |${arms.mkString("", "\nUNION ALL\n", "")}
+       |ORDER BY probe_id, doc_id""".stripMargin
+  }
+
   private def hadithSearchSql: String = {
     val intent = Router.route(Queries.HadithQuery)
     val dim = Queries.HadithDim

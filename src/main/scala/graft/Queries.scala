@@ -453,8 +453,29 @@ object Queries {
       // fusion + priority scoring, all mirrored in Oracles.hadithSearchSql)
       "hadith_search" -> ((s, _) =>
         HadithSearch.search(HadithSearch.silver(valid(s)),
-          HadithQuery, n = 10, dim = HadithDim)))
+          HadithQuery, n = 10, dim = HadithDim)),
+      // spec-mode exact-reference fast path (HADITH_SEARCH_SPEC.md:246-287):
+      // each citation shape parses driver-side and resolves by direct
+      // metadata filter on the silver table — no token probe, no index
+      "exact_ref_lookup" -> ((s, _) => {
+        val sv = HadithSearch.silver(valid(s))
+        ExactRefBattery.probes.map { case (pid, q) =>
+          val ref = Router.parseExactRef(Router.route(q).normalized)
+            .getOrElse(sys.error(s"unparsable exact-ref probe: $q"))
+          HadithSearch.lookupRef(sv, ref).withColumn("probe_id", lit(pid))
+        }.reduce(_ unionByName _).orderBy("probe_id", "doc_id")
+      }))
   }
+}
+
+/** Exact-reference citation battery (HADITH_SEARCH_SPEC.md:246-287) —
+  * one probe per citation shape the spec's fast path must resolve:
+  * collection + global number, book/in-book pair, bare book:number. */
+object ExactRefBattery {
+  val probes: Seq[(Int, String)] = Seq(
+    (1, "Riyad as-Salihin 680"),
+    (2, "book 1, hadith 3"),
+    (3, "5:2"))
 }
 
 /** Router test battery (classifications mirror the reference's

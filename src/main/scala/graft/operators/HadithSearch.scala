@@ -173,13 +173,13 @@ object HadithSearch {
     * silver table — no token probe, no join; the spec's <5 ms design. The
     * output schema matches [[searchWith]] (score pinned at 1.0, signal
     * columns 0: a citation lookup is not a ranked retrieval). */
-  def lookupRef(idx: Index, ref: Router.ExactRef, n: Int = 10): DataFrame = {
+  def lookupRef(docs: DataFrame, ref: Router.ExactRef, n: Int = 10): DataFrame = {
     val filters = Seq(
       ref.collection.map(c => col("collection") === c),
       ref.global.map(g => col("ref_global") === g),
       ref.book.map(b => col("ref_book") === b),
       ref.num.map(x => col("ref_num") === x)).flatten
-    filters.foldLeft(idx.docs)((d, f) => d.where(f))
+    filters.foldLeft(docs)((d, f) => d.where(f))
       .select(col("doc_id"), col("book_id"), col("narrator"),
         TextFns.snippet(trim(col("english_text")), 240).as("snippet"),
         lit(0.0).as("vector_similarity"), lit(0.0).as("fts_signal"),
@@ -197,7 +197,7 @@ object HadithSearch {
     // the same token probe the reference uses, router.py:93-107)
     if (mode == "spec" && intent.qtype == "exact_reference") {
       Router.parseExactRef(intent.normalized) match {
-        case Some(ref) => return lookupRef(idx, ref, n)
+        case Some(ref) => return lookupRef(idx.docs, ref, n)
         case None => ()
       }
     }

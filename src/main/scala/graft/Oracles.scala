@@ -202,6 +202,25 @@ object Oracles {
     "minhash_lsh_pairs" ->
       s"""WITH $MinhashPairCtes
          |SELECT a, b, jacc FROM j WHERE jacc>=0.9 ORDER BY a, b""".stripMargin,
+    // incremental twin: same tokenize/sig/band CTEs; the delta's bands
+    // probe the existing corpus's (capped) bands instead of self-joining
+    "incremental_near_dup" ->
+      s"""WITH $Toks,
+         |elems AS (SELECT doc_id, unnest(list_distinct(t)) elem FROM toks),
+         |${minhashSigsCte(16)},
+         |banded0 AS (SELECT doc_id, seed//16 band,
+         |  md5(string_agg(minh::VARCHAR, ':' ORDER BY seed)) band_key
+         |  FROM sigs GROUP BY doc_id, seed//16),
+         |ex0 AS (SELECT * FROM banded0 WHERE doc_id % 10 <> 0),
+         |${capCte("ex0", "exb", Seq("band", "band_key"))},
+         |db AS (SELECT * FROM banded0 WHERE doc_id % 10 = 0),
+         |cand AS (SELECT DISTINCT d.doc_id a, x.doc_id b FROM db d JOIN exb x
+         |  ON d.band=x.band AND d.band_key=x.band_key),
+         |dt AS (SELECT doc_id, list_distinct(t) s, len(list_distinct(t)) n FROM toks),
+         |j AS (SELECT a, b, round(CAST(len(list_intersect(x.s,y.s)) AS DOUBLE)
+         |        /(x.n+y.n-len(list_intersect(x.s,y.s))),6) jacc
+         |      FROM cand JOIN dt x ON x.doc_id=a JOIN dt y ON y.doc_id=b)
+         |SELECT a, b, jacc FROM j WHERE jacc>=0.9 ORDER BY a, b""".stripMargin,
     // pairs→groups twin: min-label closure as a recursive CTE — reach
     // enumerates (node, reachable label); min per node IS the unique
     // propagation fixpoint the Spark operator converges to

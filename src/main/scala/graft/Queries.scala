@@ -171,6 +171,16 @@ object Queries {
     "near_dup_survivors" -> ((s, dir) =>
       Dedup.nearDupStage(docs(s, dir), "doc_id", "text").survivors
         .select(col("doc_id")).orderBy("doc_id")),
+    // incremental ingest: the 10%-delta batch dedupes against the other
+    // 90%'s persisted band index — an equi-join probe, never delta×corpus
+    "incremental_near_dup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val existing = d.where(col("doc_id") % 10 =!= 0)
+      val delta = d.where(col("doc_id") % 10 === 0)
+      val idx = Dedup.bandIndex(existing, "doc_id", "text")
+      Dedup.incrementalNearDupPairs(idx, existing, delta, "doc_id", "text", 0.9)
+        .orderBy("a", "b")
+    }),
     "simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text", 32).orderBy("doc_id")),
     "simhash_pairs" -> ((s, dir) => {

@@ -130,16 +130,21 @@ object Dedup {
     * The join key is (band, band_key) — candidates never require n².
     * `maxBucket` caps per-bucket membership (skew guard, see
     * [[capBuckets]]). */
+  /** Banded signature keys: one (doc_id, band, band_key) row per band —
+    * the LSH bucket identity every candidate generator (and the
+    * incremental probe) joins on. */
+  def bandKeys(sigs: DataFrame, rowsPerBand: Int): DataFrame =
+    sigs
+      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(md5(concat_ws(":", transform(array_sort(collect_list(struct(col("seed"), col("minh")))),
+        s => s.getField("minh").cast("string")))).as("band_key"))
+
   def lshCandidatePairs(sigs: DataFrame, rowsPerBand: Int,
                         maxBucket: Int = 10000,
                         materialize: Boolean = true): DataFrame = {
     // cached: the bucket-size count and the candidate self-join all scan it
-    val banded = maybeCache(sigs
-      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(md5(concat_ws(":", transform(array_sort(collect_list(struct(col("seed"), col("minh")))),
-        s => s.getField("minh").cast("string")))).as("band_key")),
-      materialize)
+    val banded = maybeCache(bandKeys(sigs, rowsPerBand), materialize)
     val capped = capBuckets(banded, Seq("band", "band_key"), maxBucket)
     val a = capped.select(col("band"), col("band_key"), col("doc_id").as("a"))
     val b = capped.select(col("band"), col("band_key"), col("doc_id").as("b"))
@@ -512,6 +517,53 @@ object Dedup {
       val staged = (s.sparkContext.getPersistentRDDs.keySet -- before).toSet
       new NearDupStage(docs, idCol, pairs, staged)
     })
+  }
+
+  /** Banded-minhash index of a corpus: (band, band_key, doc_id) — the
+    * persistent form of the LSH buckets, built once over the EXISTING
+    * corpus so later deltas dedupe against it without re-signing the
+    * world (the incremental doctrine of quran_mcp/embeddings.py:139-144,
+    * applied to dedup). Over-cap buckets are dropped at BUILD time
+    * ([[capBuckets]] semantics; audit via [[hotBuckets]] on the raw
+    * frame). At scale this frame is persisted `partitionBy("band")` and
+    * bucketed by `band_key`, so a delta probe prunes to its own band
+    * partitions and meets the index in a bucket-local equi-join. */
+  def bandIndex(docs: DataFrame, idCol: String, textCol: String,
+                numHashes: Int = 16, rowsPerBand: Int = 16,
+                maxBucket: Int = 10000): DataFrame = {
+    val banded = bandKeys(minhashSignatures(docs, idCol, textCol, numHashes), rowsPerBand)
+    capBuckets(banded, Seq("band", "band_key"), maxBucket)
+      .select(col("band"), col("band_key"), col("doc_id"))
+  }
+
+  /** Incremental near-dup detection: a DELTA batch probed against an
+    * existing corpus's [[bandIndex]]. The delta's band keys equi-join the
+    * index (never delta × corpus), and only colliding (delta, existing)
+    * pairs pay the exact-Jaccard verify against the existing docs. Output
+    * columns: `a` = delta doc, `b` = existing doc it near-duplicates,
+    * `jacc`. A delta row with no output row is novel — the caller
+    * appends it to the corpus and its bands to the index; this is how a
+    * 100 TB dedup ingests a daily drop without re-running the corpus. */
+  def incrementalNearDupPairs(index: DataFrame, existing: DataFrame,
+                              delta: DataFrame, idCol: String, textCol: String,
+                              threshold: Double, numHashes: Int = 16,
+                              rowsPerBand: Int = 16,
+                              materialize: Boolean = true): DataFrame = {
+    val deltaBands = bandKeys(
+      minhashSignatures(delta, idCol, textCol, numHashes), rowsPerBand)
+    val cand = deltaBands.select(col("band"), col("band_key"), col("doc_id").as("a"))
+      .join(index.select(col("band"), col("band_key"), col("doc_id").as("b")),
+        Seq("band", "band_key"))
+      .select("a", "b").distinct()
+    // verify needs shingle sets from BOTH sides: a-ids resolve in the
+    // delta, b-ids in the existing corpus
+    val sized = sizedShingles(
+      existing.select(col(idCol).cast("long").as("doc_id"),
+          TextFns.distinctTokens(col(textCol)).as("shingles"))
+        .unionByName(delta.select(col(idCol).cast("long").as("doc_id"),
+          TextFns.distinctTokens(col(textCol)).as("shingles"))),
+      materialize)
+    scoped(materialize, sized)(shingleJaccard(sized, cand, threshold))
   }
 
   /** SimHash (bits ≤ 32): per bit j, sum tf·(±1) by the j-th bit of the

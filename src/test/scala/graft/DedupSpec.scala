@@ -179,6 +179,26 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(_.getLong(1) === 1L))
   }
 
+  test("incremental near-dup: delta probes the band index, novel docs pass") {
+    import spark.implicits._
+    val existing = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "completely unrelated text about other things"),
+      (3L, "alpha beta gamma delta epsilon eta")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1, near 3
+      (20L, "totally novel content words nothing shared")).toDF("doc_id", "text")
+    val idx = Dedup.bandIndex(existing, "doc_id", "text",
+      numHashes = 16, rowsPerBand = 4)
+    val got = Dedup.incrementalNearDupPairs(idx, existing, delta,
+      "doc_id", "text", threshold = 0.5, numHashes = 16, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((10L, 1L)), "exact duplicate must be caught")
+    assert(!got.exists(_._1 == 20L), "novel doc must produce no pair")
+    // delta ids only ever appear on the a side (probe → index direction)
+    assert(got.forall { case (a, b) => a >= 10L && b < 10L })
+  }
+
   test("connected components fail loudly when the iteration bound is hit") {
     import spark.implicits._
     // a 10-node path needs ~9 propagation rounds; maxIter=2 must throw,

@@ -52,7 +52,13 @@ class PlanAuditSpec extends SparkSpec {
         3, 0.1, materialize = false),
       "minhash_lsh_pairs" -> Dedup.jaccardVerify(docs, "doc_id", "text",
         Dedup.lshCandidatePairs(sigs, rowsPerBand = 16, materialize = false),
-        0.9, materialize = false))
+        0.9, materialize = false),
+      "incremental_near_dup" -> {
+        val existing = docs.where(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0)
+        val delta = docs.where(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
+        Dedup.incrementalNearDupPairs(Dedup.bandIndex(existing, "doc_id", "text"),
+          existing, delta, "doc_id", "text", 0.9, materialize = false)
+      })
     lazyPlans.foreach { case (q, df) =>
       val p = plan(df)
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested loop")

@@ -202,6 +202,19 @@ object Oracles {
     "minhash_lsh_pairs" ->
       s"""WITH $MinhashPairCtes
          |SELECT a, b, jacc FROM j WHERE jacc>=0.9 ORDER BY a, b""".stripMargin,
+    // decontamination twin: distinct 3-gram shingles on both split
+    // sides, equi-join on the shingle, count per (doc, bench) pair
+    "contamination_pairs" ->
+      s"""WITH $Toks,
+         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t)>=3 THEN
+         |  [list_aggr(t[i:i+2],'string_agg','_') for i in range(1, len(t)-1)]
+         |  ELSE [] END) s FROM toks),
+         |ex AS (SELECT doc_id, unnest(s) sh FROM sh),
+         |c AS (SELECT doc_id, sh FROM ex WHERE doc_id % 50 <> 0),
+         |b AS (SELECT doc_id bench_id, sh FROM ex WHERE doc_id % 50 = 0)
+         |SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) n_shared
+         |FROM c JOIN b USING(sh) GROUP BY 1,2 HAVING count(*) >= 2
+         |ORDER BY doc_id, bench_id""".stripMargin,
     // incremental twin: same tokenize/sig/band CTEs; the delta's bands
     // probe the existing corpus's (capped) bands instead of self-joining
     "incremental_near_dup" ->

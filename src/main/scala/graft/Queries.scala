@@ -171,6 +171,17 @@ object Queries {
     "near_dup_survivors" -> ((s, dir) =>
       Dedup.nearDupStage(docs(s, dir), "doc_id", "text").survivors
         .select(col("doc_id")).orderBy("doc_id")),
+    // eval-set decontamination: training docs sharing ≥2 distinct
+    // 3-gram shingles with any benchmark doc (the 2% doc_id%50 split);
+    // the small benchmark side broadcasts, the corpus streams
+    "contamination_pairs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.contaminationPairs(
+        d.where(col("doc_id") % 50 =!= 0), "doc_id", "text",
+        d.where(col("doc_id") % 50 === 0), "doc_id", "text",
+        n = 3, minOverlap = 2)
+        .orderBy("doc_id", "bench_id")
+    }),
     // incremental ingest: the 10%-delta batch dedupes against the other
     // 90%'s persisted band index — an equi-join probe, never delta×corpus
     "incremental_near_dup" -> ((s, dir) => {

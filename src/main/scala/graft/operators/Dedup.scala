@@ -303,16 +303,20 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val nbrMin = sym.join(labels.select(col("node").as("b"), col("label")), "b")
         .groupBy("a").agg(min("label").as("nmin"))
+      // the previous label rides INSIDE the snapshot, so the convergence
+      // probe below is a local scan of the checkpointed rows — folding it
+      // in saves a per-iteration shuffle join + second full plan (the
+      // check used to re-join next against labels every round)
       val (next, nextIds) = snapshot(labels
         .join(nbrMin.select(col("a").as("node"), col("nmin")), Seq("node"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label")))
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          col("label").as("prev")))
       // labels only ever decrease, so fixpoint ⇔ nothing changed
-      val changed = next.join(labels.withColumnRenamed("label", "prev"), "node")
-        .where(col("label") =!= col("prev")).limit(1).count()
+      val changed = next.where(col("label") =!= col("prev")).limit(1).count()
       converged = changed == 0
       free(labelIds)
-      labels = next
+      labels = next.drop("prev")
       labelIds = nextIds
       iter += 1
     }

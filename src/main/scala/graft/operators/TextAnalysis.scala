@@ -78,4 +78,26 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"),
       TextFns.fingerprint(TextFns.tokens(col(textCol))).as("fp"))
+
+  /** Benchmark decontamination: (corpus doc, benchmark doc, #shared
+    * distinct n-gram shingles) for every pair sharing at least
+    * `minOverlap` — the eval-set-leakage sweep every training-data
+    * pipeline runs before a corpus ships. Shape: both sides explode to
+    * distinct shingles and meet in an equi-join on the shingle; the
+    * BENCHMARK side is the small one by construction (an eval set, not a
+    * corpus), so Catalyst broadcasts it and the corpus side streams — at
+    * 100 TB the scan stays single-pass with no corpus×bench blowup, and
+    * the per-(doc,bench) count is a map-side-combinable aggregate. */
+  def contaminationPairs(corpus: DataFrame, idCol: String, textCol: String,
+                         bench: DataFrame, benchIdCol: String, benchTextCol: String,
+                         n: Int, minOverlap: Int): DataFrame = {
+    def shingleRows(df: DataFrame, id: String, text: String, out: String) = df
+      .select(col(id).cast("long").as(out),
+        explode(array_distinct(TextFns.shingles(TextFns.tokens(col(text)), n))).as("sh"))
+    val c = shingleRows(corpus, idCol, textCol, "doc_id")
+    val b = shingleRows(bench, benchIdCol, benchTextCol, "bench_id")
+    c.join(broadcast(b), "sh")
+      .groupBy("doc_id", "bench_id").agg(count("*").as("n_shared"))
+      .where(col("n_shared") >= minOverlap)
+  }
 }

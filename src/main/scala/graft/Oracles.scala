@@ -388,6 +388,33 @@ object Oracles {
          |round(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)/len(t),6) mean_tok_len
          |FROM documents JOIN toks USING(doc_id) ORDER BY doc_id""".stripMargin
     },
+    // quality-filter cascade twin: same token stats as text_quality, the
+    // same script counts as lang_id's r CTE, rules in the operator's
+    // fixed order; concat_ws drops NULL branches on both engines
+    "quality_filter" -> {
+      val stop = graft.operators.TextAnalysis.StopwordsEn.map(s => s"'$s'").mkString("[", ",", "]")
+      val th = graft.operators.TextAnalysis.QualityThresholds()
+      s"""WITH $Toks,
+         |st AS (SELECT doc_id, CAST(len(t) AS BIGINT) n_tok,
+         |  CAST(len(list_distinct(t)) AS DOUBLE)/NULLIF(len(t),0) ttr,
+         |  CAST(len(list_filter(t, x -> list_contains($stop, x))) AS DOUBLE)/NULLIF(len(t),0) sr,
+         |  CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)/NULLIF(len(t),0) mtl
+         |  FROM toks),
+         |sc AS (SELECT doc_id,
+         |  length(text)-length(regexp_replace(text,'[؀-ۿ]','','g')) n_ar,
+         |  length(text)-length(regexp_replace(text,'[一-鿿]','','g')) n_cjk,
+         |  length(text)-length(regexp_replace(text,'[a-zA-Z؀-ۿ一-鿿]','','g')) n_alpha
+         |  FROM documents),
+         |r AS (SELECT doc_id, n_tok, concat_ws(',',
+         |  CASE WHEN n_tok < ${th.minTokens} THEN 'too_short' END,
+         |  CASE WHEN n_tok > ${th.maxTokens} THEN 'too_long' END,
+         |  CASE WHEN n_tok > 0 AND (mtl < ${th.minMeanTokLen} OR mtl > ${th.maxMeanTokLen}) THEN 'odd_token_len' END,
+         |  CASE WHEN n_tok > 0 AND (n_alpha-n_ar-n_cjk)*2 > n_alpha AND sr < ${th.minStopRatio} THEN 'low_stopword' END,
+         |  CASE WHEN n_tok > 0 AND ttr < ${th.minTtr} THEN 'repetitive' END) reasons
+         |  FROM st JOIN sc USING(doc_id))
+         |SELECT doc_id, n_tok AS n_tokens, reasons, reasons='' kept
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
     "lang_id" -> {
       import graft.operators.TextAnalysis._
       def lst(ws: Seq[String]) = ws.map(s => s"'$s'").mkString("[", ",", "]")

@@ -219,8 +219,12 @@ object Queries {
     // (no broadcast of the probe side, no cross join — plan-audited)
     "knn_join_bucketed" -> ((s, dir) => {
       val e = emb(s, dir)
+      // maxBucket off: the oracle SQL has no hot-bucket cap, and a capped
+      // query vs uncapped oracle diverges the moment a fixture grows a
+      // bucket past the cap — the cap path is pinned by DedupSpec +
+      // PlanAuditSpec instead
       Similarity.knnJoinBucketed(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, dim = Dim, nBits = 4, nBands = 2)
+        k = 5, dim = Dim, nBits = 4, nBands = 2, maxBucket = Int.MaxValue)
         .withColumn("rn", col("rn").cast("int")).orderBy("probe_id", "rn")
     }),
     "near_dup_pairs" -> ((s, dir) =>
@@ -244,6 +248,10 @@ object Queries {
     // ── text analysis ──────────────────────────────────────────────────
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityStats(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+    // C4/Gopher-style filter cascade: verdict + fired-rule names per doc
+    "quality_filter" -> ((s, dir) =>
+      TextAnalysis.qualityFilter(docs(s, dir), "doc_id", "text")
+        .select("doc_id", "n_tokens", "kept", "reasons").orderBy("doc_id")),
     "lang_id" -> ((s, dir) =>
       TextAnalysis.langId(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
     "token_counts" -> ((s, dir) =>

@@ -79,6 +79,60 @@ object TextAnalysis {
     docs.select(col(idCol).cast("long").as("doc_id"),
       TextFns.fingerprint(TextFns.tokens(col(textCol))).as("fp"))
 
+  /** Thresholds for [[qualityFilter]]'s rule cascade. Defaults are tuned
+    * to the synthetic documents fixture (C4/Gopher-style shape: token
+    * bounds, mean-token-length band, stopword floor, repetition floor). */
+  final case class QualityThresholds(
+      minTokens: Long = 20, maxTokens: Long = 90,
+      minMeanTokLen: Double = 3.0, maxMeanTokLen: Double = 10.0,
+      minStopRatio: Double = 0.02, minTtr: Double = 0.35)
+
+  /** Quality-filter cascade: every document with its keep/reject verdict
+    * and the explicit rule names that rejected it — the filter sweep a
+    * training corpus runs before tokenization (C4's length/symbol rules,
+    * Gopher's stopword + repetition rules). One narrow single-pass
+    * projection: all five rules read the same per-row token stats (shared
+    * subexpressions under whole-stage codegen), so at 100 TB this is a
+    * pure map over the corpus scan — no shuffle, no second pass. The
+    * stopword floor only applies to latin-dominant rows (an Arabic doc
+    * has no English stopwords to find — the gate mirrors Gopher's
+    * per-language application), script counts from the same
+    * [[graft.plans.ScriptCounts]] scan [[langId]] uses.
+    * Reason order is fixed (short, long, token-len, stopword, ttr) so
+    * the rendered `reasons` string is deterministic. */
+  def qualityFilter(docs: DataFrame, idCol: String, textCol: String,
+                    th: QualityThresholds = QualityThresholds()): DataFrame = {
+    val toks = TextFns.tokens(col(textCol))
+    val nTok = size(toks).cast("long")
+    val nUniq = size(array_distinct(toks))
+    val nStop = size(filter(toks, t => array_contains(typedLit(StopwordsEn), t)))
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val ttr = nUniq.cast("double") / nTok
+    val stopRatio = nStop.cast("double") / nTok
+    val meanLen = sumLen.cast("double") / nTok
+    val sc = graft.plans.ScriptCounts(col(textCol))
+    val nAlpha = sc.getField("n_ar") + sc.getField("n_cjk") + sc.getField("n_latin")
+    val latinDominant = sc.getField("n_latin") * 2 > nAlpha
+    val rules: Seq[(String, Column)] = Seq(
+      "too_short" -> (nTok < th.minTokens),
+      "too_long" -> (nTok > th.maxTokens),
+      // stats rules fire only on non-empty docs: an empty doc is fully
+      // described by too_short, not by 0-valued ratios
+      "odd_token_len" -> (nTok > 0 &&
+        (meanLen < th.minMeanTokLen || meanLen > th.maxMeanTokLen)),
+      "low_stopword" -> (nTok > 0 && latinDominant && stopRatio < th.minStopRatio),
+      "repetitive" -> (nTok > 0 && ttr < th.minTtr))
+    // concat_ws drops NULL branches, so the string is the fired subset
+    // in fixed rule order ('' = kept)
+    val reasons = concat_ws(",",
+      rules.map { case (name, cond) => when(cond, lit(name)) }: _*)
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      nTok.as("n_tokens"),
+      reasons.as("reasons"))
+      .withColumn("kept", col("reasons") === "")
+  }
+
   /** Benchmark decontamination: (corpus doc, benchmark doc, #shared
     * distinct n-gram shingles) for every pair sharing at least
     * `minOverlap` — the eval-set-leakage sweep every training-data

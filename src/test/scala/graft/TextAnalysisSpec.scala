@@ -32,4 +32,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     // its distinct shingles are a_b_c, b_c_a, c_a_b, b_c_d — shared = 2
     assert(got === Set((1L, 100L, 2L), (3L, 100L, 2L)))
   }
+
+  test("quality filter: threshold boundaries, gates, fixed reason order") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis.QualityThresholds
+    val th = QualityThresholds(minTokens = 3, maxTokens = 5,
+      minMeanTokLen = 2.0, maxMeanTokLen = 6.0,
+      minStopRatio = 0.2, minTtr = 0.5)
+    val docs = Seq(
+      // 3 tokens == minTokens → NOT too_short; 'the' gives stop 1/3 ≥ 0.2
+      (1L, "the cat sat"),
+      // 2 tokens → too_short; also below-ttr/stopword rules still fire on
+      // non-empty docs (ttr 0.5 == min → kept on that rule)
+      (2L, "xx xx"),
+      // 6 tokens > maxTokens=5 → too_long only ('the'+'to' = 2/6 ≥ 0.2)
+      (3L, "the dog ran to big hill"),
+      // mean token length 1.0 < 2.0 → odd_token_len ONLY: 'a' is a
+      // stopword, 1/5 = 0.2 == floor → not below it; ttr 1.0 ok
+      (4L, "a b c d e"),
+      // empty text → too_short ONLY (stats rules gated on n_tok > 0)
+      (5L, ""),
+      // Arabic-dominant: stopword floor must NOT fire; 4 distinct tokens,
+      // ttr 1.0, mean len fine → kept
+      (6L, "كتاب الصلاة عن النبي"),
+      // repetitive: 4 tokens 1 distinct → ttr 0.25 < 0.5; stop 0 &
+      // latin → low_stopword too; order fixed: low_stopword,repetitive
+      (7L, "spam spam spam spam")).toDF("doc_id", "text")
+    val got = TextAnalysis.qualityFilter(docs, "doc_id", "text", th)
+      .select("doc_id", "kept", "reasons")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(got(1L) === (true, ""))
+    assert(got(2L) === (false, "too_short,low_stopword"))
+    assert(got(3L) === (false, "too_long"))
+    assert(got(4L) === (false, "odd_token_len"))
+    assert(got(5L) === (false, "too_short"))
+    assert(got(6L) === (true, ""))
+    assert(got(7L) === (false, "low_stopword,repetitive"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
-import graft.operators.Incremental
-import org.apache.spark.sql.{DataFrame, Dataset}
+import graft.operators.{Dedup, Incremental}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -84,6 +84,87 @@ object Streams {
     * of the files instead of rewriting the table (round-4 verdict fix).
     * The anti-join also prunes its state read to the batch's buckets, so
     * the gate never scans clean partitions either. */
+  /** True when `path` exists AND holds non-hidden entries. Existence must
+    * mean "holds data": a crashed first write leaves only
+    * _temporary/_SUCCESS, and treating that as readable state wedges the
+    * stream on an unreadable-parquet error every retry. Any non-not-found
+    * FS failure propagates and fails the micro-batch — a broad catch
+    * would turn a transient read error into "state is empty". */
+  private def pathHasData(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
+  /** Streaming near-duplicate ingest: each micro-batch dedupes against
+    * the persisted corpus THROUGH its band index (an equi-join probe on
+    * (band, band_key) — never batch × corpus), and within itself, then
+    * appends only NOVEL documents to the corpus and their bands to the
+    * index. This is the reference's incremental doctrine
+    * (quran_mcp/embeddings.py:139-144) at stream cadence, and the shape a
+    * 100 TB firehose ingest needs: per batch the work is
+    * O(|batch| + band collisions), state grows append-only (no rewrite of
+    * existing files), and the next batch's probe meets the enlarged index
+    * in the same bucket-local join.
+    *
+    * Intra-batch near-dups resolve to the min-id survivor of each
+    * verified component (two copies arriving in one micro-batch must not
+    * both be "novel" — the same rule `near_dup_survivors` applies at
+    * batch scale). [[Dedup.bandIndex]]'s hot-bucket cap applies per
+    * append; a bucket that only crosses the cap across many appends is
+    * capped at the NEXT index rebuild, not retroactively — the audit view
+    * ([[Dedup.hotBuckets]]) over the index shows what a rebuild would
+    * drop. */
+  def nearDupIngest(stream: DataFrame, corpusPath: String, indexPath: String,
+                    checkpoint: String, idCol: String, textCol: String,
+                    threshold: Double = 0.9, numHashes: Int = 16,
+                    rowsPerBand: Int = 16,
+                    maxBucket: Int = 10000): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val spark = batch0.sparkSession
+        val batch = batch0.cache()
+        // 1. intra-batch: min-id survivor per verified near-dup component
+        //    (materialize=false: the batch is already cached, and per-batch
+        //    checkpoint snapshots would churn the block manager at stream
+        //    cadence)
+        val intraPairs = Dedup.jaccardVerify(batch, idCol, textCol,
+          Dedup.lshCandidatePairs(
+            Dedup.minhashSignatures(batch, idCol, textCol, numHashes),
+            rowsPerBand, maxBucket, materialize = false),
+          threshold, materialize = false)
+        val intraDup = Dedup.connectedComponents(intraPairs)
+          .where(col("doc_id") =!= col("component"))
+          .select(col("doc_id").as("dup"))
+        val survivors = batch.join(intraDup,
+          col(idCol).cast("long") === col("dup"), "left_anti")
+        // 2. cross-batch: survivors probe the persisted band index; only
+        //    colliding pairs pay the exact-Jaccard verify
+        val dupVsCorpus =
+          if (pathHasData(spark, corpusPath) && pathHasData(spark, indexPath))
+            Dedup.incrementalNearDupPairs(
+              spark.read.parquet(indexPath), spark.read.parquet(corpusPath),
+              survivors, idCol, textCol, threshold, numHashes, rowsPerBand,
+              materialize = false)
+              .select(col("a").as("dup")).distinct()
+          else batch.select(col(idCol).cast("long").as("dup")).limit(0)
+        // localCheckpoint: evaluated once, feeds both appends below
+        val novel = survivors.join(dupVsCorpus,
+          col(idCol).cast("long") === col("dup"), "left_anti")
+          .localCheckpoint()
+        // 3. append-only state growth: documents + their band postings
+        novel.write.mode("append").parquet(corpusPath)
+        Dedup.bandIndex(novel, idCol, textCol, numHashes, rowsPerBand, maxBucket)
+          .write.mode("append").parquet(indexPath)
+        batch.unpersist(); ()
+      }
+      .start()
+
   def incrementalUpsert(stream: DataFrame, statePath: String,
                         idCol: String, checksumCol: String,
                         checkpoint: String,
@@ -100,25 +181,12 @@ object Streams {
         // driver-side planning collect (it becomes partition pruning)
         val batchBuckets = batch.select("bucket").distinct()
           .collect().map(_.getLong(0)).toSeq
-        // Probe state existence explicitly: ONLY a missing path means
-        // empty state. A broad catch here would turn a transient read
-        // failure (permissions, corruption, flaky FS) into "everything
-        // changed", and the dynamic overwrite below would then replace
-        // whole bucket partitions with batch-only rows — silently
-        // dropping prior state. Any non-not-found failure must fail the
-        // micro-batch instead.
-        // "Exists" must mean "holds data": a crashed first write leaves
-        // the directory with only _temporary/_SUCCESS, and treating that
-        // as readable state would wedge the stream on an unreadable-
-        // parquet error every retry. Hidden entries (_, .) are committer
-        // artifacts; bucket=... partition dirs are data.
-        val stateP = new org.apache.hadoop.fs.Path(statePath)
-        val stateFs = stateP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val hasData = stateFs.exists(stateP) &&
-          stateFs.listStatus(stateP).exists { st =>
-            val n = st.getPath.getName
-            !n.startsWith("_") && !n.startsWith(".")
-          }
+        // Probe state existence explicitly ([[pathHasData]]): ONLY a
+        // missing/empty path means empty state — a transient read failure
+        // must fail the micro-batch, or the dynamic overwrite below would
+        // replace whole bucket partitions with batch-only rows, silently
+        // dropping prior state.
+        val hasData = pathHasData(spark, statePath)
         val prevAll =
           if (hasData) spark.read.parquet(statePath)
           else batch.limit(0)

@@ -165,6 +165,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("byte_histogram"), "native histogram not in plan")
   }
 
+  test("quality-filter cascade is a narrow scan: no exchange, no join") {
+    val p = plan(graft.operators.TextAnalysis.qualityFilter(
+      Tables(spark, sf, "documents"), "doc_id", "text"))
+    assert(!p.contains("Exchange"), "quality filter shuffles")
+    assert(!p.contains("Join"), "quality filter joins")
+  }
+
   test("bucketed knn join is an equi-join on the LSH key — no cross join, no probe broadcast requirement") {
     val emb = Tables(spark, sf, "embeddings")
     val df = graft.operators.Similarity.knnJoinBucketed(emb, emb, "vec_id", "embedding",

@@ -82,6 +82,42 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup ingest appends only novel docs and their bands") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-nd").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.nearDupIngest(mem.toDF().toDF("doc_id", "text"),
+      s"$dir/corpus", s"$dir/index", s"$dir/ckpt", "doc_id", "text")
+    try {
+      // batch 1: 1 ≈ 2 (identical token set → jacc 1.0) resolve to the
+      // min-id survivor INSIDE the batch; 3 is distinct
+      mem.addData(
+        (1L, "spark shuffles partition data across the cluster"),
+        (2L, "spark shuffles partition data across the cluster"),
+        (3L, "an entirely different document about turtles and rivers"))
+      q.processAllAvailable()
+      val c1 = spark.read.parquet(s"$dir/corpus")
+      assert(c1.select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
+      // batch 2: 4 duplicates corpus doc 1 (dropped via the index probe),
+      // 5 is novel, 6 ≈ 5 loses the intra-batch survivor race
+      mem.addData(
+        (4L, "spark shuffles partition data across the cluster"),
+        (5L, "fresh content that matches nothing previously ingested"),
+        (6L, "fresh content that matches nothing previously ingested"))
+      q.processAllAvailable()
+      val c2 = spark.read.parquet(s"$dir/corpus")
+      assert(c2.select("doc_id").as[Long].collect().toSet === Set(1L, 3L, 5L))
+      // the index grew append-only and covers exactly the corpus docs
+      val idx = spark.read.parquet(s"$dir/index")
+      assert(idx.select("doc_id").as[Long].collect().toSet === Set(1L, 3L, 5L))
+      // an empty batch (all dups) appends nothing
+      mem.addData((7L, "spark shuffles partition data across the cluster"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/corpus").count() === 3)
+    } finally q.stop()
+  }
+
   test("a 1-row batch rewrites only its own bucket partition, not the table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -83,13 +83,26 @@ object Bench {
           graft.operators.Similarity.annTopKWith(annIdx, typedLit(ev),
             Queries.Dim, nBits = 4, k = 20).collect(): Unit))
 
-      val entries = serveQueries.map { case (name, run) =>
-        run(); run() // warm-up: JIT + codegen + broadcast reuse
-        System.gc() // park collector debt outside the timed loop
-        val times = (1 to runs).map { _ =>
-          val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e6
-        }.toArray.sorted
-        s""""$name":{"p50_ms":${fmt(pct(times, 0.50), 1)},"p95_ms":${fmt(pct(times, 0.95), 1)},"mean_ms":${fmt(times.sum / times.length, 1)},"runs":$runs}"""
+      // warm-up every query first (JIT + codegen + broadcast reuse), then
+      // measure in ROUND-ROBIN rounds (run 1 of every query, run 2, …) —
+      // not 15 consecutive runs per query: host contention bursts last
+      // minutes, and a burst over one query's whole consecutive block
+      // writes its entire distribution (r8: one serve section reported
+      // p50 957 ms for a query that medians ~250 ms on the same box).
+      // Interleaved, a burst inflates a few ROUNDS of every query and
+      // the per-query p50 recovers; p95 still reports the honest tail.
+      serveQueries.foreach { case (_, run) => run(); run() }
+      val times = scala.collection.mutable.Map.empty[String, List[Double]]
+      for (_ <- 1 to runs) {
+        System.gc() // park collector debt outside the timed runs
+        serveQueries.foreach { case (name, run) =>
+          val t0 = System.nanoTime(); run()
+          times(name) = times.getOrElse(name, Nil) :+ (System.nanoTime() - t0) / 1e6
+        }
+      }
+      val entries = serveQueries.map { case (name, _) =>
+        val t = times(name).toArray.sorted
+        s""""$name":{"p50_ms":${fmt(pct(t, 0.50), 1)},"p95_ms":${fmt(pct(t, 0.95), 1)},"mean_ms":${fmt(t.sum / t.length, 1)},"runs":$runs}"""
       }
       (entries :+
         s""""hadith_open_s":${fmt(hadithOpenS, 2)},"quran_open_s":${fmt(quranOpenS, 2)}""")

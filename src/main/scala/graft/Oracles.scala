@@ -388,6 +388,14 @@ object Oracles {
          |round(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)/len(t),6) mean_tok_len
          |FROM documents JOIN toks USING(doc_id) ORDER BY doc_id""".stripMargin
     },
+    // shard-packing twin: the naive global ordered cumsum IS the spec —
+    // the Spark side's two-pass prefix sum must equal it exactly
+    "pack_shards" ->
+      s"""WITH $Toks
+         |SELECT doc_id, CAST(len(t) AS BIGINT) n_tok,
+         |CAST(floor((sum(len(t)) OVER (ORDER BY doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len(t))/500.0) AS BIGINT) shard
+         |FROM toks ORDER BY doc_id""".stripMargin,
     // quality-filter cascade twin: same token stats as text_quality, the
     // same script counts as lang_id's r CTE, rules in the operator's
     // fixed order; concat_ws drops NULL branches on both engines

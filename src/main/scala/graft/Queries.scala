@@ -252,6 +252,11 @@ object Queries {
     "quality_filter" -> ((s, dir) =>
       TextAnalysis.qualityFilter(docs(s, dir), "doc_id", "text")
         .select("doc_id", "n_tokens", "kept", "reasons").orderBy("doc_id")),
+    // training-export shard assignment: two-pass prefix sum, never a
+    // single-partition global window
+    "pack_shards" -> ((s, dir) =>
+      Shards.packShards(docs(s, dir), "doc_id", "text", tokensPerShard = 500L)
+        .orderBy("doc_id")),
     "lang_id" -> ((s, dir) =>
       TextAnalysis.langId(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
     "token_counts" -> ((s, dir) =>

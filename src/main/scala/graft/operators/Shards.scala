@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-export shard assignment (builder brief: the packing step a
+  * large-scale pipeline runs between filtering and tokenized-shard
+  * writing): documents in stable id order are laid out consecutively and
+  * cut into shards of `tokensPerShard` tokens, a document starting in the
+  * shard its cumulative offset falls in (the straddling document may
+  * carry a shard past the budget — standard offset packing; no document
+  * is split).
+  *
+  * Scale shape — the naive form is a GLOBAL ordered window
+  * (`sum(n_tok) over (order by doc_id)`), which Spark executes as a
+  * single-partition exchange: one task sees 100 TB. This implementation
+  * is the classic two-pass prefix sum instead:
+  *
+  *   1. range-partition by id (so partition p holds an id range wholly
+  *      before partition p+1's), snapshot the partition id;
+  *   2. per-partition token totals → driver (bounded by the partition
+  *      count — planning data, not corpus data);
+  *   3. prefix-sum those totals on the driver, broadcast the offsets
+  *      back, and add a per-PARTITION ordered window (each window sees
+  *      only its partition's rows).
+  *
+  * Every stage is bounded: two corpus shuffles (the range exchange + the
+  * per-partition window's clustering), a W-row collect, a broadcast join.
+  */
+object Shards {
+
+  /** (doc_id, n_tok, shard) for every document. `width` bounds the range
+    * partitioning (and so the driver-side offset table). */
+  def packShards(docs: DataFrame, idCol: String, textCol: String,
+                 tokensPerShard: Long, width: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    val w = if (width > 0) width
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      size(TextFns.tokens(col(textCol))).cast("long").as("n_tok"))
+    // snapshot AFTER the range exchange: the partition id must be the
+    // same value in the totals pass and the final pass (range boundaries
+    // are sampled, so re-executing the exchange could re-cut them)
+    val ranged = toks.repartitionByRange(w, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    // pass 1: per-partition totals — W rows of planning data
+    val totals = ranged.groupBy("pid").agg(sum("n_tok").as("ptok"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (pid, t) => val o = (pid, acc); acc += t; o }
+    val offsetsDf = spark.createDataFrame(offsets.toSeq).toDF("pid", "offset")
+    // pass 2: per-partition ordered cumsum + the broadcast offset
+    val inPart = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn("cum_before", sum("n_tok").over(inPart) - col("n_tok"))
+      .join(broadcast(offsetsDf), "pid")
+      .select(col("doc_id"), col("n_tok"),
+        floor((col("offset") + col("cum_before")) / tokensPerShard).as("shard"))
+  }
+}

@@ -172,6 +172,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), "quality filter joins")
   }
 
+  test("shard packing never plans a single-partition global window") {
+    val p = plan(graft.operators.Shards.packShards(
+      Tables(spark, sf, "documents"), "doc_id", "text", tokensPerShard = 500L))
+    assert(!p.contains("SinglePartition"), "global window collapsed to one partition")
+  }
+
   test("bucketed knn join is an equi-join on the LSH key — no cross join, no probe broadcast requirement") {
     val emb = Tables(spark, sf, "embeddings")
     val df = graft.operators.Similarity.knnJoinBucketed(emb, emb, "vec_id", "embedding",

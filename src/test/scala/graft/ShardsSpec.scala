@@ -1,0 +1,29 @@
+package graft
+
+import graft.operators.Shards
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shard packing (Shards.packShards) — pins offset-packing semantics the
+  * sf oracle can't isolate: exact budget boundaries, a straddling doc, an
+  * oversized doc, and equality across partition widths (the two-pass
+  * prefix sum must not depend on where the range cuts fall). */
+class ShardsSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  test("pack shards: boundaries, straddle, oversize, width-invariance") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"),            // cum_before 0  → shard 0
+      (2L, "d e f"),            // cum_before 3  → shard 0
+      (3L, "g h i j"),          // cum_before 6  → shard 1
+      (4L, "k l m n o p q"),    // cum_before 10 → shard 2 (oversized: 7 > 5)
+      (5L, "r")                 // cum_before 17 → shard 3
+    ).toDF("doc_id", "text")
+    val expect = Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 3L)
+    for (w <- Seq(1, 2, 3, 5)) {
+      val got = Shards.packShards(docs, "doc_id", "text", tokensPerShard = 5L, width = w)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got === expect, s"width=$w")
+    }
+  }
+}

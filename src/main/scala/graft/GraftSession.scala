@@ -34,8 +34,15 @@ object GraftSession {
     * TakeOrdered top-k), so AQE's per-query stage re-planning is pure
     * added latency (measured −20–30% p50 with it disabled at sf0.1).
     * Call AFTER the engine opens / index builds: those are batch work
-    * and should keep AQE's skew/coalesce handling. */
-  def tuneForServing(s: SparkSession, shufflePartitions: Int = 4): SparkSession = {
+    * and should keep AQE's skew/coalesce handling.
+    *
+    * Default width 1: every per-QUERY exchange moves a candidate set
+    * (≤ ~60 rows after the top-k probes), where multi-partition shuffles
+    * are pure task-scheduling overhead — width 1 drops 2 stages / 8
+    * tasks from a warm search and ~18% of p50 (r8 measurement). The
+    * cached index LAYERS keep the width they were built with, so corpus
+    * scans stay parallel; only the per-query exchanges narrow. */
+  def tuneForServing(s: SparkSession, shufflePartitions: Int = 1): SparkSession = {
     s.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
     s.conf.set("spark.sql.adaptive.enabled", "false")
     s

@@ -396,6 +396,17 @@ object Oracles {
          |CAST(floor((sum(len(t)) OVER (ORDER BY doc_id
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len(t))/500.0) AS BIGINT) shard
          |FROM toks ORDER BY doc_id""".stripMargin,
+    // dominant-bigram repetition twin: same '_'-joined shingle grammar as
+    // the contamination CTE; sub-n docs emit no row on either engine
+    "repetition_stats" ->
+      s"""WITH $Toks,
+         |g AS (SELECT doc_id, unnest(CASE WHEN len(t)>=2 THEN
+         |  [list_aggr(t[i:i+1],'string_agg','_') for i in range(1, len(t))]
+         |  ELSE [] END) g FROM toks),
+         |c AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) c FROM g GROUP BY 1,2)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) n_grams, CAST(max(c) AS BIGINT) top_count,
+         |round(CAST(max(c) AS DOUBLE)/sum(c),6) top_frac
+         |FROM c GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // quality-filter cascade twin: same token stats as text_quality, the
     // same script counts as lang_id's r CTE, rules in the operator's
     // fixed order; concat_ws drops NULL branches on both engines

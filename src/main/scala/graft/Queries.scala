@@ -257,6 +257,10 @@ object Queries {
     "pack_shards" -> ((s, dir) =>
       Shards.packShards(docs(s, dir), "doc_id", "text", tokensPerShard = 500L)
         .orderBy("doc_id")),
+    // Gopher-style dominant-bigram repetition signal
+    "repetition_stats" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     "lang_id" -> ((s, dir) =>
       TextAnalysis.langId(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
     "token_counts" -> ((s, dir) =>

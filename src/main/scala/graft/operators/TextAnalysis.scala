@@ -133,6 +133,23 @@ object TextAnalysis {
       .withColumn("kept", col("reasons") === "")
   }
 
+  /** Gopher-style n-gram repetition stats: per document, the total
+    * n-gram count, the most frequent n-gram's count, and its fraction —
+    * the repetition signal TTR can miss (a doc alternating two phrases
+    * has healthy TTR but a dominant bigram). Documents with fewer than
+    * `n` tokens emit no row (they have no n-grams; [[qualityFilter]]'s
+    * length rules own that regime). Shape: one map-side-combinable
+    * count per (doc, gram), then a per-doc max/sum — two shuffles keyed
+    * by doc id, no window, no driver loop. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 2): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      explode(TextFns.shingles(TextFns.tokens(col(textCol)), n)).as("g"))
+      .groupBy("doc_id", "g").agg(count("*").as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n_grams"), max("c").as("top_count"))
+      .withColumn("top_frac",
+        round(col("top_count").cast("double") / col("n_grams"), 6))
+
   /** Benchmark decontamination: (corpus doc, benchmark doc, #shared
     * distinct n-gram shingles) for every pair sharing at least
     * `minOverlap` — the eval-set-leakage sweep every training-data

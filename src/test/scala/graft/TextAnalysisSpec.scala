@@ -33,6 +33,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got === Set((1L, 100L, 2L), (3L, 100L, 2L)))
   }
 
+  test("repetition stats: dominant bigram fraction, sub-n docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a"),  // bigrams a_b,b_a,a_b,b_a → 4 grams, top 2, 0.5
+      (2L, "c c c"),      // c_c,c_c → 2 grams, top 2, 1.0
+      (3L, "x")           // no bigrams → no row
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(1L -> ((4L, 2L, 0.5)), 2L -> ((2L, 2L, 1.0))))
+  }
+
   test("quality filter: threshold boundaries, gates, fixed reason order") {
     import spark.implicits._
     import graft.operators.TextAnalysis.QualityThresholds

@@ -29,6 +29,14 @@ object Oracles {
   private val Cents4 =
     "CAST(round(l_extendedprice*100) AS BIGINT)*CAST(round((1-l_discount)*100) AS BIGINT)"
 
+  // SQL twin of Queries.piiText — the synthetic-PII enrichment both
+  // pii_* queries apply (the fixture corpus has no PII of its own)
+  private val PiiSql =
+    "text || ' contact user' || doc_id::VARCHAR || '@example.com ip 10.0.' || " +
+      "(doc_id % 256)::VARCHAR || '.' || (doc_id % 100)::VARCHAR || " +
+      "' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || " +
+      "' call +1 555-01' || lpad((doc_id % 100)::VARCHAR, 2, '0')"
+
   private def bm25Cte(terms: Seq[String]): String = {
     val termList = terms.map(t => s"'$t'").mkString("[", ",", "]")
     s"""$Toks, $Posting, $Dict, $Stats,
@@ -324,10 +332,9 @@ object Oracles {
          |  ${bucketExpr("qv", Queries.Dim, 4, "b1")} k1 FROM e),
          |ex0 AS (SELECT vec_id, qv, 0 band, k0 bkey FROM k
          |       UNION ALL SELECT vec_id, qv, 1, k1 FROM k),
-         |${capCte("ex0", "ex", Seq("band", "bkey"))},
          |pr AS (SELECT vec_id probe_id, qv pv, band, bkey FROM ex0 WHERE vec_id<10),
          |sc AS (SELECT probe_id, x.vec_id nbr_id, ${cosQ("pv", "x.qv")} cos
-         |       FROM ex x JOIN pr ON x.band=pr.band AND x.bkey=pr.bkey
+         |       FROM ex0 x JOIN pr ON x.band=pr.band AND x.bkey=pr.bkey
          |       AND x.vec_id<>pr.probe_id),
          |d AS (SELECT probe_id, nbr_id, max(cos) cos FROM sc GROUP BY 1,2),
          |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
@@ -352,6 +359,16 @@ object Oracles {
          |q AS (SELECT qv qq, bucket qb FROM k WHERE vec_id=0)
          |SELECT vec_id, ${cosQ("qv", "qq")} cos FROM k CROSS JOIN q
          |WHERE bucket=qb ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+    // multi-probe twin: same bucket CTE; the probe set is every bucket
+    // within Hamming distance 1 of the query's (bit_count over xor —
+    // the SQL mirror of the driver-enumerated isin list)
+    "ann_multiprobe" ->
+      s"""WITH $EmbQ,
+         |k AS (SELECT vec_id, qv, ${bucketExpr("qv", Queries.Dim, 4, "")} bucket FROM e),
+         |q AS (SELECT qv qq, bucket qb FROM k WHERE vec_id=0)
+         |SELECT vec_id, ${cosQ("qv", "qq")} cos FROM k CROSS JOIN q
+         |WHERE bit_count(xor(bucket, qb)) <= 1
+         |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
     "ivf_topk" ->
       s"""WITH $EmbQ,
          |c AS (SELECT row_number() OVER (ORDER BY vec_id)-1 i, qv cqv
@@ -472,6 +489,45 @@ object Oracles {
     "doc_checksum" ->
       ("SELECT doc_id, sha256(doc_id::VARCHAR||'␟'||lang||'␟'||source||'␟'||text) AS checksum " +
         "FROM documents ORDER BY doc_id"),
+    // sampling twins: the identical 60-bit md5 key (h60) Spark computes
+    // via conv(substring(md5(...),1,15),16,10)
+    "sample_hash" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${h60("doc_id::VARCHAR")} % 10 < 3 ORDER BY doc_id""".stripMargin,
+    "sample_splits" ->
+      s"""SELECT doc_id, CASE WHEN c < 80 THEN 'train' WHEN c < 90 THEN 'val'
+         |  ELSE 'test' END split
+         |FROM (SELECT doc_id, ${h60("doc_id::VARCHAR")} % 100 c FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "stratified_sample" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |    ORDER BY ${h60("doc_id::VARCHAR")}, doc_id) rk FROM documents)
+         |WHERE rk <= 20 ORDER BY doc_id""".stripMargin,
+    "mix_sources" -> {
+      val vals = graft.Queries.MixWeights.toSeq.sortBy(_._1)
+        .map { case (s, w) => s"('$s',$w)" }.mkString(",")
+      s"""SELECT doc_id, source, epoch FROM (
+         |  SELECT d.doc_id, d.source, unnest(generate_series(1, w.wt)) epoch
+         |  FROM documents d JOIN (VALUES $vals) w(source, wt) USING (source))
+         |ORDER BY doc_id, epoch""".stripMargin
+    },
+    // PII twins: same injected text (PiiSql ≡ Queries.piiText), same
+    // ordered patterns; RE2 and Java agree on these (char classes,
+    // bounded reps, ASCII \b — no lookaround); 'g' flag matches Spark's
+    // replace-all semantics
+    "pii_stats" -> {
+      val cols = graft.operators.TextAnalysis.PiiPatterns.map { case (n, p) =>
+        s"CAST(len(regexp_extract_all(pt, '$p')) AS BIGINT) n_$n" }.mkString(", ")
+      s"""SELECT doc_id, $cols
+         |FROM (SELECT doc_id, $PiiSql pt FROM documents) ORDER BY doc_id""".stripMargin
+    },
+    "pii_redact" -> {
+      val red = graft.operators.TextAnalysis.PiiPatterns.foldLeft("pt") {
+        case (acc, (n, p)) => s"regexp_replace($acc, '$p', '<${n.toUpperCase}>', 'g')" }
+      s"""SELECT doc_id, $red red
+         |FROM (SELECT doc_id, $PiiSql pt FROM documents) ORDER BY doc_id""".stripMargin
+    },
     "text_fns" -> textFnsSql,
     "serve_fns" -> serveFnsSql,
     "validate_battery" -> validateBatterySql,

@@ -30,6 +30,21 @@ object Queries {
   // integer-cents grid for money aggregates: exact, order-independent
   private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
 
+  /** mixture weights for the mix_sources query (kept in sync with its
+    * oracle's VALUES list via [[Oracles]] reading this map) */
+  val MixWeights: Map[String, Int] = Map("src0" -> 3, "src1" -> 2, "src2" -> 1, "src3" -> 1)
+
+  /** Synthetic-PII enrichment for the pii_* queries: the fixture corpus
+    * has no PII, so each doc gets one email / IPv4 / SSN / phone derived
+    * from its doc_id. The oracle SQL concatenates the identical string
+    * (Oracles.PiiSql) — injection is part of the query contract. */
+  def piiText: org.apache.spark.sql.Column = concat(col("text"),
+    lit(" contact user"), col("doc_id").cast("string"),
+    lit("@example.com ip 10.0."), (col("doc_id") % 256).cast("string"),
+    lit("."), (col("doc_id") % 100).cast("string"),
+    lit(" ssn 123-45-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+    lit(" call +1 555-01"), lpad((col("doc_id") % 100).cast("string"), 2, "0"))
+
   lazy val all: Map[String, Q] = base ++ hadith
 
   private lazy val base: Map[String, Q] = Map(
@@ -236,6 +251,14 @@ object Queries {
       Similarity.annTopK(e, "vec_id", "embedding",
         typedLit(q.toArray), Dim, nBits = 4, k = 20)
     }),
+    // multi-probe LSH: query bucket + Hamming-1 neighbors, exact rerank
+    "ann_multiprobe" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+      Similarity.annTopKMultiProbe(
+        Similarity.annIndex(e, "vec_id", "embedding", Dim, nBits = 4),
+        q.toArray, Dim, nBits = 4, k = 20, hamming = 1)
+    }),
     "ivf_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.where(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
@@ -267,6 +290,35 @@ object Queries {
       TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+
+    // ── sampling / splits / mixing (training-corpus assembly) ──────────
+    // deterministic Bernoulli sample at rate 3/10: md5-keyed, so the
+    // sample is reproducible across runs/engines/task retries and nests
+    // (rate 2/10 ⊂ 3/10) — never rand()
+    "sample_hash" -> ((s, dir) =>
+      Sampling.sampleByHash(docs(s, dir), "doc_id", 3, 10)
+        .select("doc_id", "lang", "source").orderBy("doc_id")),
+    // hash-bucketed 80/10/10 train/val/test assignment
+    "sample_splits" -> ((s, dir) =>
+      Sampling.assignSplits(docs(s, dir), "doc_id")
+        .select("doc_id", "split").orderBy("doc_id")),
+    // fixed quota of 20 docs per language in hash order (corpus balancing)
+    "stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(docs(s, dir), "doc_id", "lang", 20)
+        .select("doc_id", "lang").orderBy("doc_id")),
+    // integer source-weight mixing: one replica per epoch per weight unit
+    "mix_sources" -> ((s, dir) =>
+      Sampling.mixSources(docs(s, dir), "source", MixWeights)
+        .select(col("doc_id"), col("source"), col("epoch").cast("long").as("epoch"))
+        .orderBy("doc_id", "epoch")),
+    // PII battery over synthetically-enriched text (see piiText): per-doc
+    // hit counts per pattern class, and the redacted text itself
+    "pii_stats" -> ((s, dir) =>
+      TextAnalysis.piiStats(docs(s, dir).withColumn("text", piiText), "doc_id", "text")
+        .orderBy("doc_id")),
+    "pii_redact" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.redactPii(piiText).as("red")).orderBy("doc_id")),
     // F13/F19/F20/F21/F22 battery: html strip, whitespace norm, digit
     // suffix, is_arabic ratio, proximity bonus — every leg column-exprs
     // with a DuckDB twin

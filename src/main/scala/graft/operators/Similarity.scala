@@ -250,4 +250,51 @@ object Similarity {
   def annTopK(emb: DataFrame, idCol: String, vecCol: String, queryVec: Column,
               dim: Int, nBits: Int, k: Int): DataFrame =
     annTopKWith(annIndex(emb, idCol, vecCol, dim, nBits), queryVec, dim, nBits, k)
+
+  /** Driver-side twin of [[lshBucket]] over a raw query vector: the same
+    * HALF_UP ×1e7 quantization grid and the same strict left-to-right
+    * sign projections, so the returned bucket equals the column
+    * expression's value bit-for-bit (pinned in AnnRecallSpec). Planning
+    * one query's bucket is driver work, exactly like the query-vector
+    * quantization in Quran.searchWith. */
+  def queryBucket(q: Array[Float], dim: Int, nBits: Int, seed: String = ""): Long = {
+    val qq = q.map(x => BigDecimal(x.toDouble * VecFns.Scale)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    (0 until nBits).map { j =>
+      val signs = hyperplaneSigns(dim, j, seed)
+      var proj = 0.0
+      var i = 0
+      while (i < dim) { proj += qq(i) * signs(i); i += 1 }
+      if (proj > 0) 1L << j else 0L
+    }.sum
+  }
+
+  /** Multi-probe schedule: the query's bucket plus every bucket within
+    * Hamming distance `hamming` of it (the classic multi-probe LSH bit
+    * flips). Enumerated on the driver — sum of C(nBits, i) values, i ≤
+    * hamming — so the probe compiles to an `isin` that partition-prunes
+    * a [[graft.GraftIndexes.writeAnn]] layout and batch-prunes a cached
+    * index, instead of a bit_count predicate that forces a full scan. */
+  def probeBuckets(q: Array[Float], dim: Int, nBits: Int, hamming: Int,
+                   seed: String = ""): Seq[Long] = {
+    val qb = queryBucket(q, dim, nBits, seed)
+    (0 to hamming).flatMap(h => (0 until nBits).combinations(h))
+      .map(_.foldLeft(0L)((acc, b) => acc | (1L << b)))
+      .map(qb ^ _)
+  }
+
+  /** Multi-probe ANN over a prebuilt [[annIndex]]: candidates from the
+    * query bucket AND its Hamming-≤h neighbors, then exact rerank — the
+    * standard recall knob for sign-LSH (one extra probed bucket costs
+    * ~1/2^nBits of the corpus; recall climbs far faster than scan
+    * fraction on clustered data). hamming=0 degenerates to
+    * [[annTopKWith]] exactly. */
+  def annTopKMultiProbe(idx: DataFrame, q: Array[Float], dim: Int,
+                        nBits: Int, k: Int, hamming: Int = 1): DataFrame = {
+    val buckets = probeBuckets(q, dim, nBits, hamming)
+    val qvec = VecFns.quantize(typedLit(q))
+    idx.where(col("bucket").isin(buckets: _*))
+      .select(col("vec_id"), round(VecFns.cosineQ(col("qv"), qvec), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id")).limit(k)
+  }
 }

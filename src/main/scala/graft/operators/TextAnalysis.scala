@@ -150,6 +150,39 @@ object TextAnalysis {
       .withColumn("top_frac",
         round(col("top_count").cast("double") / col("n_grams"), 6))
 
+  /** PII patterns, ordered. Kept to syntax with identical semantics in
+    * Java regex (Spark) and RE2 (the DuckDB oracle): character classes,
+    * bounded repetition, `\b` word boundaries — no lookaround, no
+    * backreferences. Order matters for [[redactPii]]: SSN before PHONE
+    * (the digit-dash SSN shape is also a valid phone match) and IP
+    * before PHONE (kill dotted digit runs first).
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ip" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "ssn" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    "phone" -> "\\+\\d[\\d\\- ]{7,14}\\d")
+
+  /** Per-document PII hit counts, one column per [[PiiPatterns]] type —
+    * the detection sweep run before a corpus ships (count, sample,
+    * route to redaction). Counts are non-overlapping leftmost matches in
+    * both engines. Single-pass narrow projection; each regex is one
+    * codegen'd `RegExpCount` over the row. */
+  def piiStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id") +:
+      PiiPatterns.map { case (name, pat) =>
+        regexp_count(col(textCol), lit(pat)).cast("long").as(s"n_$name")
+      }: _*)
+
+  /** PII redaction: each pattern class replaced by its `<TYPE>` tag, in
+    * [[PiiPatterns]] order (order is part of the contract — see the
+    * pattern doc). Chained `regexp_replace` stays a narrow codegen'd
+    * projection: at 100 TB this is a pure map over the corpus scan. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (name, pat)) =>
+      regexp_replace(c, lit(pat), lit(s"<${name.toUpperCase}>"))
+    }
+
   /** Benchmark decontamination: (corpus doc, benchmark doc, #shared
     * distinct n-gram shingles) for every pair sharing at least
     * `minOverlap` — the eval-set-leakage sweep every training-data

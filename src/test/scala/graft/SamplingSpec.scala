@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.{Sampling, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the properties the sampling/PII oracles can't isolate: sample
+  * nesting, split totality, quota exactness under ties, mix replication
+  * counts, and PII pattern edge behavior (SSN-vs-phone precedence, no
+  * cross-match bleed). */
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private def ids(n: Int) = {
+    import spark.implicits._
+    (0L until n.toLong).toDF("doc_id")
+  }
+
+  test("hash sample: deterministic, rate-monotone nested, never rand()") {
+    val d = ids(1000)
+    val s3 = Sampling.sampleByHash(d, "doc_id", 3, 10).collect().map(_.getLong(0)).toSet
+    val s3b = Sampling.sampleByHash(d, "doc_id", 3, 10).collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.sampleByHash(d, "doc_id", 2, 10).collect().map(_.getLong(0)).toSet
+    assert(s3 === s3b, "same key set on re-run")
+    assert(s2.subsetOf(s3), "rate 2/10 nests inside 3/10")
+    // uniformity sanity: 3/10 of 1000 within a generous band
+    assert(s3.size > 200 && s3.size < 400, s"rate off: ${s3.size}")
+  }
+
+  test("splits: total, deterministic, ~80/10/10") {
+    val byCell = Sampling.assignSplits(ids(1000), "doc_id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byCell.values.sum === 1000L, "every row assigned")
+    assert(byCell("train") > 700 && byCell("train") < 900)
+    assert(byCell("val") > 50 && byCell("val") < 160)
+    assert(byCell("test") > 50 && byCell("test") < 160)
+  }
+
+  test("stratified sample: exact quota per stratum, short strata intact") {
+    import spark.implicits._
+    val d = (0L until 100L).map(i => (i, if (i < 90) "big" else "small"))
+      .toDF("doc_id", "stratum")
+    val got = Sampling.stratifiedSample(d, "doc_id", "stratum", 15)
+      .groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("big" -> 15L, "small" -> 10L))
+  }
+
+  test("mix sources: Σ w(s)·|s| replicas, epoch 1..w, unweighted dropped") {
+    import spark.implicits._
+    val d = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "zz"))
+      .toDF("doc_id", "source")
+    val rows = Sampling.mixSources(d, "source", Map("a" -> 3, "b" -> 1, "c" -> 9))
+      .select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(rows === Set((1L, 1), (1L, 2), (1L, 3), (2L, 1), (2L, 2), (2L, 3), (3L, 1)))
+  }
+
+  test("PII: redaction order (SSN before phone), counts don't cross-match") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail a.b+c@x-y.co ip 10.0.0.1 ssn 123-45-6789 tel +1 555-0123 ok"),
+      (2L, "no pii here, just words and 42 numbers 7.5")).toDF("doc_id", "text")
+    val red = d.select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(1L) === "mail <EMAIL> ip <IP> ssn <SSN> tel <PHONE> ok",
+      "ssn redacted as SSN, not eaten by the phone pattern")
+    assert(red(2L) === "no pii here, just words and 42 numbers 7.5",
+      "bare numbers / decimals untouched")
+    val st = TextAnalysis.piiStats(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(st(1L) === ((1L, 1L, 1L, 1L)))
+    assert(st(2L) === ((0L, 0L, 0L, 0L)))
+  }
+}

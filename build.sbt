@@ -28,3 +28,25 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// ── parallel test groups ──────────────────────────────────────────────
+// The three heaviest suites (streaming trigger waits, engine e2e,
+// iterative CC) plus the golden-query suite each get their OWN forked
+// JVM — and therefore their own SparkSession, so DedupSpec's global
+// unpersist sweep and any session-conf writes stay isolated — running
+// CONCURRENTLY with the rest. Cuts suite wall time to ~max(heavy suite)
+// instead of the sum; sbt's default ForkedTestGroup limit of 1 must be
+// raised for the groups to actually overlap.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / javaOptions).value.toVector
+  val heavy = Seq("graft.StreamsSpec", "graft.GraftEngineSpec",
+    "graft.DedupSpec", "graft.GoldenQueriesSpec")
+  def group(name: String, sel: sbt.TestDefinition => Boolean) =
+    Tests.Group(name, tests.filter(sel),
+      Tests.SubProcess(ForkOptions().withRunJVMOptions(opts)))
+  heavy.map(h => group(h, _.name == h)) :+
+    group("rest", t => !heavy.contains(t.name))
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, 5), Tags.limitAll(8))

@@ -123,6 +123,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // wall-clock budget: the driver's bench window is finite and a killed
+    // run that wrote nothing is a lost round (r7 AND r8 both ended with
+    // no parsed artifact). When the budget is exceeded the remaining cold
+    // passes are SKIPPED (min over the passes that did complete) and the
+    // run jumps straight to the serve section.
+    // Default 2100 s: r8's driver kill landed at ~2,695 s, and the serve
+    // section needs ~3 min after the cold suite — 35 min of cold passes
+    // keeps the whole run inside the observed window. Explicit "0"
+    // disables the deadline.
+    val startNs = System.nanoTime()
+    val deadlineS: Option[Int] = sys.env.get("SPARK_GRAFT_DEADLINE_S") match {
+      case Some(v) => v.toIntOption.filter(_ > 0)
+      case None    => Some(2100)
+    }
+    def pastDeadline: Boolean =
+      deadlineS.exists(d => (System.nanoTime() - startNs) / 1e9 > d)
+
     // ── part 1: cold suite ───────────────────────────────────────────
     // Each query runs `coldRuns` times (min reported): a shared-host CPU
     // burst landing inside a single-shot measurement writes the whole
@@ -135,16 +152,66 @@ object Bench {
     // a ~5-min burst wrote 10-90 s into one alphabetical stretch of
     // every per-query min). Every run is STILL cold — the cache/persist
     // sweep below runs before each one.
-    val coldRuns = sys.env.getOrElse("SPARK_GRAFT_COLD_RUNS", "2").toInt
+    // clamp: "0"/negative would leave `samples` empty and throw far from
+    // the cause; non-numeric would throw before any artifact is written.
+    val coldRuns = math.max(1,
+      sys.env.get("SPARK_GRAFT_COLD_RUNS").flatMap(_.toIntOption).getOrElse(2))
+    // per-query wall cap (seconds); generous vs the ~18 s worst honest
+    // cold query at sf0.1 — it exists to catch wedged queries, not slow ones
+    val queryCapS = math.max(30,
+      sys.env.get("SPARK_GRAFT_QUERY_TIMEOUT_S").flatMap(_.toIntOption).getOrElse(300))
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map.empty[String, List[(Double, Option[String])]]
+    var deadlineHit = false
+
+    // partial artifact > no artifact: rebuild the full JSON line from
+    // whatever has completed so far and REWRITE the file after every
+    // single query run — a kill at any point leaves the freshest state
+    // on disk (r8's bench ran 2,695 s, was killed, and wrote nothing
+    // because the old code wrote only at exit).
+    def artifactJson(serveJson: String): String = {
+      val results = named.flatMap { case (name, _) =>
+        samples.get(name).map { runsOut =>
+          // min over SUCCESSFUL passes only: a fast-failing pass would
+          // report an artificially small "cold" time, and one transient
+          // failure must not flag a query red when another pass measured
+          // it fine — the error is reported only when every pass failed.
+          val ok = runsOut.collect { case (t, None) => t }
+          if (ok.nonEmpty) (name, ok.min, None)
+          else (name, runsOut.map(_._1).min, runsOut.flatMap(_._2).headOption)
+        }
+      }
+      // ms precision keeps the one-line artifact short enough for tail
+      // captures that truncate from the front (a full-precision double per
+      // query tripled the line length and broke downstream parsers)
+      val qs = results.map { case (k, v, _) => s""""$k":${fmt(v, 3)}""" }
+        .mkString("{", ",", "}")
+      val failed = results.collect { case (k, _, Some(e)) => s"\"$k\":\"${esc(e)}\"" }
+        .mkString("{", ",", "}")
+      val skipped = named.collect { case (n, _) if !samples.contains(n) => s""""$n"""" }
+        .mkString("[", ",", "]")
+      val nFailed = results.count(_._3.isDefined)
+      // a failed query's partial elapsed time must not inflate the headline
+      val total = results.collect { case (_, v, None) => v }.sum
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","cold_runs":$coldRuns,"queries":$qs,""" +
+        s""""n_failed":$nFailed,"failed":$failed,"skipped":$skipped,""" +
+        s""""deadline_hit":$deadlineHit,"serve":$serveJson,"sf":"$sfDir"}"""
+    }
+    def writeArtifact(serveJson: String): String = {
+      val json = artifactJson(serveJson)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        json.getBytes("UTF-8"))
+      json
+    }
+
     for (pass <- 1 to coldRuns; (name, fn) <- named) {
       // the two staged near-dup queries run ONCE (pass 1): a re-run hits
       // the stage memo (reporting a memo probe as "cold"), and
       // invalidating it instead would bill near_dup_survivors for a full
       // pipeline rebuild it is designed to never pay
       val once = name == "near_dup_groups" || name == "near_dup_survivors"
-      if (!once || pass == 1) {
+      if (pastDeadline) deadlineHit = true
+      if (!deadlineHit && (!once || pass == 1)) {
         // each run measured against a clean block manager: several
         // operators cache intra-query frames, and the suite's accumulated
         // (never-revisited) entries otherwise squeeze execution memory for
@@ -161,44 +228,48 @@ object Bench {
           if (!staged.contains(id)) rdd.unpersist(false)
         }
         val t0 = System.nanoTime()
+        // Per-query cap: the deadline only fires BETWEEN queries, so one
+        // wedged query would otherwise eat the whole window (r8 died
+        // mid-query). The job group is thread-local — set it inside the
+        // query's own thread so cancelJobGroup can reach its Spark jobs.
+        val group = s"bench-$name-$pass"
         // noop-sink write: forces full evaluation of every column (a bare
         // count() would let Catalyst prune the projections being measured).
+        val fut = scala.concurrent.Future {
+          spark.sparkContext.setJobGroup(group, group, interruptOnCancel = true)
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        }(scala.concurrent.ExecutionContext.global)
         val err =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] FAIL $name: $e")
-            Some(e.toString)
+          try {
+            scala.concurrent.Await.result(fut,
+              scala.concurrent.duration.Duration(queryCapS.toLong, "s"))
+            None
+          } catch {
+            case _: java.util.concurrent.TimeoutException =>
+              spark.sparkContext.cancelJobGroup(group)
+              System.err.println(s"[bench] TIMEOUT $name after ${queryCapS}s")
+              Some(s"timeout after ${queryCapS}s")
+            case e: Throwable =>
+              System.err.println(s"[bench] FAIL $name: $e")
+              Some(e.toString)
           }
         samples(name) = samples.getOrElse(name, Nil) :+
           (((System.nanoTime() - t0) / 1e9, err))
+        writeArtifact("\"pending\"")
       }
     }
-    val results = named.map { case (name, _) =>
-      val runsOut = samples(name)
-      (name, runsOut.map(_._1).min, runsOut.flatMap(_._2).headOption)
-    }
-    // ms precision keeps the one-line artifact short enough for tail
-    // captures that truncate from the front (a full-precision double per
-    // query tripled the line length and broke downstream parsers)
-    val qs = results.map { case (k, v, _) => s""""$k":${fmt(v, 3)}""" }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, Some(e)) => s"\"$k\":\"${esc(e)}\"" }
-      .mkString("{", ",", "}")
-    val nFailed = results.count(_._3.isDefined)
-    // a failed query's partial elapsed time must not inflate the headline
-    val total = results.collect { case (_, v, None) => v }.sum
+    if (deadlineHit)
+      System.err.println(s"[bench] deadline ${deadlineS.getOrElse(0)}s exceeded — " +
+        s"skipping remaining cold passes (${named.count(n => !samples.contains(n._1))} queries unmeasured)")
 
     // ── part 2: warm serving path ────────────────────────────────────
     val runs = sys.env.getOrElse("SPARK_GRAFT_SERVE_RUNS", "15").toInt
     val serveJson = serveSection(spark, sfDir, runs)
 
-    val json = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","cold_runs":$coldRuns,"queries":$qs,""" +
-      s""""n_failed":$nFailed,"failed":$failed,"serve":$serveJson,"sf":"$sfDir"}"""
-    println(json)
     // bare-JSON artifact: stdout rides through sbt's "[info] " decoration,
     // which breaks naive line parsers — the file carries the clean line
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      json.getBytes("UTF-8"))
+    val json = writeArtifact(serveJson)
+    println(json)
     spark.stop()
   }
 }

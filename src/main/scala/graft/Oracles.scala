@@ -613,7 +613,7 @@ object Oracles {
          |md5(list_aggregate(list_transform(embedding,
          |  x -> CAST(CAST(round(CAST(x AS DOUBLE)*1e7) AS BIGINT) AS VARCHAR)),
          |  'string_agg', ',')) vec_md5
-         |FROM read_parquet('__VERIFY_OUT__/npz_embeddings_full/*.parquet')
+         |FROM read_parquet('__VERIFY_AUX__/npz_embeddings_full/*.parquet')
          |ORDER BY verse_key""".stripMargin,
 
     // ── hadith corpus (reference fixtures; absolute path) ──────────────
@@ -703,7 +703,7 @@ object Oracles {
     * SAME lexical leg as [[quranSearchFtsSql]] plus the quantized vector
     * leg over the npz vectors. The binary npz itself has no SQL reader,
     * so the leg replays over the auxiliary full-vector parquet Verify
-    * dumps (`npz_embeddings_full`; `__VERIFY_OUT__` is substituted with
+    * dumps (`npz_embeddings_full`; `__VERIFY_AUX__` is substituted with
     * the dump dir at oracle-emit time) — the parse stays pinned by unit
     * tests; everything downstream of it is oracle-checked here. */
   private def quranHybridSql: String = {
@@ -713,7 +713,7 @@ object Oracles {
        |      round(greatest(0.0,bm25)/(1.0+greatest(0.0,bm25)),6) fts_score
        |      FROM top JOIN docs d2 USING(doc_id)),
        |emb AS (SELECT verse_key, list_transform(embedding, x -> round(${d("x")}*1e7)) qv
-       |        FROM read_parquet('__VERIFY_OUT__/npz_embeddings_full/*.parquet')),
+       |        FROM read_parquet('__VERIFY_AUX__/npz_embeddings_full/*.parquet')),
        |q1 AS (SELECT qv qq, sqrt(list_dot_product(qv,qv)) qn FROM emb WHERE verse_key='1:1'),
        |cosd AS (SELECT e.verse_key,
        |        round(list_dot_product(e.qv, q1.qq)

@@ -25,8 +25,13 @@ object Verify {
     // Auxiliary full-vector dump (NOT a registered/compared query): the
     // npz binary has no SQL reader, so the npz_embeddings digest oracle
     // and quran_hybrid's vector leg replay over this parquet in DuckDB.
+    // It lives in a SIBLING dir, not under outDir: the driver compares
+    // every subdir of outDir, and the raw array<float> column crashes its
+    // pandas hasher — a phantom red row for something that isn't a query
+    // (the r8 `npz_embeddings_full` failure).
+    val auxDir = Paths.get(outDir).toAbsolutePath.toString + "_aux"
     try graft.sources.Npz.embeddings(spark, Queries.NpzPath)
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/npz_embeddings_full")
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/npz_embeddings_full")
     catch { case e: Throwable =>
       System.err.println(s"[verify] npz_embeddings_full dump failed: ${e.getMessage}")
     }
@@ -44,10 +49,9 @@ object Verify {
     } + "\""
     // oracle SQL may replay over THIS run's dumped parquet (e.g. the
     // quran_hybrid vector leg reads the npz_embeddings dump, the only
-    // SQL-readable form of the binary cache) — bake the dump dir in
-    val outAbs = Paths.get(outDir).toAbsolutePath.toString
+    // SQL-readable form of the binary cache) — bake the AUX dump dir in
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__VERIFY_OUT__", outAbs))}" }
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__VERIFY_AUX__", auxDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

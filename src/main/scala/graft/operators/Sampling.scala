@@ -44,18 +44,62 @@ object Sampling {
   }
 
   /** Stratified fixed-quota sample: the first `quota` rows per stratum in
-    * hash order — deterministic "take k uniform docs per language/source"
-    * (the corpus-balancing step before mixing). The window shuffles once
-    * on the stratum key; with thousands of strata at 100 TB each
-    * partition holds only its stratum's rows and the rank short-circuits
-    * at `quota`. A skewed stratum is bounded by the quota on output, and
-    * the rank needs no global sort — never a single-partition window
-    * (the anti-pattern [[Shards.packShards]] documents). */
+    * (hash, id) order — deterministic "take k uniform docs per
+    * language/source" (the corpus-balancing step before mixing).
+    *
+    * The naive form is one rank window partitioned by stratum — but that
+    * window's SORT is unbounded: at 100 TB with a dominant stratum (60 %
+    * English under a `lang` stratum) one task sorts 60 TB (round-8
+    * verdict). So the window input is PRE-THINNED per stratum with a
+    * hash-key threshold: keys are uniform on [0, 2^60), so keeping
+    * `hk < safety·quota/n · 2^60` leaves ~safety·quota rows per stratum
+    * for the rank to sort, independent of stratum size. The thinned set
+    * is a downward-closed prefix of the (hk, id) sort order (every
+    * dropped row sorts after every kept row), so the first
+    * min(quota, n) rows are EXACTLY those of the unthinned window
+    * whenever the thinned stratum still holds ≥ min(quota, n) rows — and
+    * a second cheap count verifies that per stratum, routing the
+    * (Chernoff-bound-rare, but across millions of strata not impossible)
+    * under-filled stratum through its full rows instead. Output is
+    * byte-identical to the naive window by construction.
+    *
+    * Cost shape: the extra passes are narrow map-side-combinable counts
+    * (~3 more scans of the pruned columns) + two broadcasts of
+    * #strata-row frames — traded against the unbounded hot-stratum sort,
+    * the right trade at any scale where the skew exists at all. (Spark 4
+    * also inserts a partial WindowGroupLimit before the exchange, which
+    * caps the SHUFFLED rows at quota×mapPartitions; the pre-thinning
+    * additionally bounds the map-side sort input and the scan→shuffle
+    * volume itself, so the two compose rather than compete.) */
   def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
-                       quota: Int): DataFrame = {
+                       quota: Int, safety: Double = 8.0): DataFrame = {
+    val keyed = docs.withColumn("__gsp_hk", hashKey(col(idCol)))
+    // per-stratum sizes: #strata rows, broadcast back onto the corpus
+    val counts = keyed.groupBy(col(stratumCol)).agg(count(lit(1)).as("__gsp_n"))
+    val two60 = math.pow(2.0, 60)
+    val withThr = keyed.join(
+      broadcast(counts.withColumn("__gsp_thr",
+        least(lit(two60), lit(safety * quota) / col("__gsp_n") * lit(two60)))),
+      Seq(stratumCol))
+    val thinned = withThr.where(col("__gsp_hk") < col("__gsp_thr"))
+    // coverage check: a stratum whose thinned slice lost rank-quota rows
+    // (possible only when the Binomial(n, safety·quota/n) tail fires)
+    // contributes its FULL row set — exactness never depends on luck
+    val kept = thinned.groupBy(col(stratumCol)).agg(count(lit(1)).as("__gsp_kept"))
+    val underfilled = counts.join(kept, Seq(stratumCol), "left")
+      .where(coalesce(col("__gsp_kept"), lit(0L)) <
+        least(lit(quota.toLong), col("__gsp_n")))
+      .select(col(stratumCol))
+    val windowInput = thinned
+      .unionByName(withThr.where(col("__gsp_hk") >= col("__gsp_thr"))
+        .join(broadcast(underfilled), Seq(stratumCol), "left_semi"))
+      .drop("__gsp_n", "__gsp_thr")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(stratumCol)).orderBy(hashKey(col(idCol)), col(idCol))
-    docs.withColumn("rk", row_number().over(w)).where(col("rk") <= quota).drop("rk")
+      .partitionBy(col(stratumCol)).orderBy(col("__gsp_hk"), col(idCol))
+    windowInput.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= quota)
+      // the using-join moved stratumCol first — restore the input layout
+      .select(docs.columns.map(col).toIndexedSeq: _*)
   }
 
   /** Source-weighted mixing: repeat each document `weight(source)` times

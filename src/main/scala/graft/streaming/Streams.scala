@@ -126,44 +126,92 @@ object Streams {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch0: DataFrame, _: Long) =>
-        val spark = batch0.sparkSession
-        val batch = batch0.cache()
-        // 1. intra-batch: min-id survivor per verified near-dup component
-        //    (materialize=false: the batch is already cached, and per-batch
-        //    checkpoint snapshots would churn the block manager at stream
-        //    cadence)
-        val intraPairs = Dedup.jaccardVerify(batch, idCol, textCol,
-          Dedup.lshCandidatePairs(
-            Dedup.minhashSignatures(batch, idCol, textCol, numHashes),
-            rowsPerBand, maxBucket, materialize = false),
-          threshold, materialize = false)
-        val intraDup = Dedup.connectedComponents(intraPairs)
-          .where(col("doc_id") =!= col("component"))
-          .select(col("doc_id").as("dup"))
-        val survivors = batch.join(intraDup,
-          col(idCol).cast("long") === col("dup"), "left_anti")
-        // 2. cross-batch: survivors probe the persisted band index; only
-        //    colliding pairs pay the exact-Jaccard verify
-        val dupVsCorpus =
-          if (pathHasData(spark, corpusPath) && pathHasData(spark, indexPath))
-            Dedup.incrementalNearDupPairs(
-              spark.read.parquet(indexPath), spark.read.parquet(corpusPath),
-              survivors, idCol, textCol, threshold, numHashes, rowsPerBand,
-              materialize = false)
-              .select(col("a").as("dup")).distinct()
-          else batch.select(col(idCol).cast("long").as("dup")).limit(0)
-        // localCheckpoint: evaluated once, feeds both appends below
-        val novel = survivors.join(dupVsCorpus,
-          col(idCol).cast("long") === col("dup"), "left_anti")
-          .localCheckpoint()
-        // 3. append-only state growth: documents + their band postings
-        novel.write.mode("append").parquet(corpusPath)
-        Dedup.bandIndex(novel, idCol, textCol, numHashes, rowsPerBand, maxBucket)
-          .write.mode("append").parquet(indexPath)
-        batch.unpersist(); ()
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        nearDupIngestBatch(batch0, batchId, corpusPath, indexPath, idCol,
+          textCol, threshold, numHashes, rowsPerBand, maxBucket)
       }
       .start()
+
+  /** One [[nearDupIngest]] micro-batch, IDEMPOTENT under foreachBatch's
+    * at-least-once retry semantics: state grows as one
+    * `ingest_batch=<id>` partition subdir per batch in BOTH stores,
+    * written with overwrite. A crash anywhere — between the two writes,
+    * or after both but before the checkpoint commit — replays the batch,
+    * and the replay (a) recomputes the same deterministic survivor set
+    * (hash-keyed dedup over the offset-replayed batch), because the
+    * cross-batch probe reads only PRIOR batches' partitions (partition
+    * pruning on `ingest_batch != id` — the current batch's own partial
+    * output from the failed attempt must not count as corpus, or its
+    * docs would collide with themselves and be lost on overwrite), then
+    * (b) overwrites exactly its own two subdirs. Plain `mode("append")`
+    * here would permanently duplicate doc_ids in the very corpus the
+    * operator exists to deduplicate (round-8 advice). Prior batches'
+    * partitions are always complete: Structured Streaming commits batch
+    * N to the checkpoint before starting batch N+1. */
+  private[graft] def nearDupIngestBatch(batch0: DataFrame, batchId: Long,
+      corpusPath: String, indexPath: String, idCol: String, textCol: String,
+      threshold: Double = 0.9, numHashes: Int = 16, rowsPerBand: Int = 16,
+      maxBucket: Int = 10000): Unit = {
+    val spark = batch0.sparkSession
+    val batch = batch0.cache()
+    // 1. intra-batch: min-id survivor per verified near-dup component
+    //    (materialize=false: the batch is already cached, and per-batch
+    //    checkpoint snapshots would churn the block manager at stream
+    //    cadence)
+    val intraPairs = Dedup.jaccardVerify(batch, idCol, textCol,
+      Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(batch, idCol, textCol, numHashes),
+        rowsPerBand, maxBucket, materialize = false),
+      threshold, materialize = false)
+    val intraDup = Dedup.connectedComponents(intraPairs)
+      .where(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as("dup"))
+    val survivors = batch.join(intraDup,
+      col(idCol).cast("long") === col("dup"), "left_anti")
+    // 2. cross-batch: survivors probe the persisted band index; only
+    //    colliding pairs pay the exact-Jaccard verify. Both reads prune
+    //    away this batch's own partition (see idempotency note above).
+    def prior(path: String): DataFrame =
+      spark.read.parquet(path)
+        .where(col("ingest_batch") =!= batchId).drop("ingest_batch")
+    val dupVsCorpus =
+      if (hasPriorBatches(spark, corpusPath, batchId) &&
+          hasPriorBatches(spark, indexPath, batchId))
+        Dedup.incrementalNearDupPairs(
+          prior(indexPath), prior(corpusPath),
+          survivors, idCol, textCol, threshold, numHashes, rowsPerBand,
+          materialize = false)
+          .select(col("a").as("dup")).distinct()
+      else batch.select(col(idCol).cast("long").as("dup")).limit(0)
+    // localCheckpoint: evaluated once, feeds both writes below
+    val novel = survivors.join(dupVsCorpus,
+      col(idCol).cast("long") === col("dup"), "left_anti")
+      .localCheckpoint()
+    // 3. append-only state growth — at the BATCH granularity: new
+    //    partitions accrete, existing ones are never rewritten (except a
+    //    retry overwriting its own), so per batch the I/O is
+    //    O(|batch| + collisions) regardless of corpus size
+    novel.write.mode("overwrite")
+      .parquet(s"$corpusPath/ingest_batch=$batchId")
+    Dedup.bandIndex(novel, idCol, textCol, numHashes, rowsPerBand, maxBucket)
+      .write.mode("overwrite").parquet(s"$indexPath/ingest_batch=$batchId")
+    batch.unpersist(); ()
+  }
+
+  /** True when `path` holds state from a batch OTHER than `batchId`:
+    * non-hidden entries besides the current batch's own
+    * `ingest_batch=<id>` subdir (which a failed prior attempt may have
+    * left partially written). Same failure doctrine as [[pathHasData]]:
+    * only not-found means empty; transient FS errors propagate. */
+  private def hasPriorBatches(spark: SparkSession, path: String,
+                              batchId: Long): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".") && n != s"ingest_batch=$batchId"
+    }
+  }
 
   def incrementalUpsert(stream: DataFrame, statePath: String,
                         idCol: String, checksumCol: String,

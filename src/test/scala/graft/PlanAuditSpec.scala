@@ -187,6 +187,81 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "bucketed knn has a nested loop")
   }
 
+  test("multi-probe ANN prunes a persisted ANN layout to exactly the probe set (E3)") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("plan-ann").toString
+    val emb = Tables(spark, sf, "embeddings")
+    GraftIndexes.writeAnn(spark, emb, "vec_id", "embedding", s"$dir/ann",
+      Queries.Dim, nBits = 4)
+    val q = emb.where(col("vec_id") === 0).head().getSeq[Float](1).toArray
+    val buckets = Similarity.probeBuckets(q, Queries.Dim, nBits = 4, hamming = 1).distinct
+    // only buckets that exist as partition dirs can be read (writeAnn
+    // writes no dir for an empty bucket)
+    val existing = buckets.count(b =>
+      new java.io.File(s"$dir/ann/bucket=$b").isDirectory)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // AQE off so the executed plan is structurally walkable (the scan
+      // node's metrics carry the pruned partition count)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val idx = spark.read.parquet(s"$dir/ann") // NOT cached: audit the pruning path
+      val df = Similarity.annTopKMultiProbe(idx, q, Queries.Dim, nBits = 4,
+        k = 10, hamming = 1)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert("""PartitionFilters: \[[^\]]*bucket[^\]]* IN""".r.findFirstIn(p).isDefined,
+        s"probe is not a partition filter:\n${p.take(500)}")
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, "no file scan in the probe plan")
+      val read = scans.head.metrics("numPartitions").value
+      assert(read === existing.toLong,
+        s"probe read $read partitions; expected $existing (of ${buckets.size} probed buckets)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("warm serve plans: width-1 exchanges only, bounded count (no re-planning regressions)") {
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      val hadith = Graft.openHadith(spark,
+        "/root/reference/data/riyadussalihin/book_1.jsonl")
+      val quran = Graft.openQuran(spark, Queries.QuranDir, Some(Queries.NpzPath))
+      val qv = quran.emb.get.where(col("verse_key") === "1:1")
+        .head().getSeq[Float](1).toArray
+      GraftSession.tuneForServing(spark)
+      // STRUCTURAL count: InMemoryTableScanExec is a leaf of the plan
+      // tree, so collect() does not descend into the cached layers'
+      // one-time build plans (the string form prints them — counting
+      // lines would bill the whole index build to every warm query)
+      def shuffleWidths(df: DataFrame): Seq[Int] = {
+        df.collect()
+        df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            s.outputPartitioning.numPartitions
+        }
+      }
+      // (bounds = measured serve-plan shapes + headroom of 1; a regression
+      // that reintroduces per-stage re-planning or wide exchanges fails
+      // loudly, not silently in the next round's bench)
+      val cases: Seq[(String, DataFrame, Int)] = Seq(
+        ("hadith_warm", hadith.search("Hadith narrated by Abu Hurairah", 10), 8),
+        ("quran_hybrid_warm", quran.search(Queries.QuranQuery, 5, "hybrid", Some(qv)), 8),
+        ("quran_get_verse_warm", quran.getVerse("2:255"), 2))
+      cases.foreach { case (name, df, maxShuffles) =>
+        val widths = shuffleWidths(df)
+        assert(widths.length <= maxShuffles,
+          s"$name plans ${widths.length} shuffle exchanges (max $maxShuffles)")
+        assert(widths.forall(_ == 1),
+          s"$name has wide serving exchanges: widths=$widths")
+      }
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("capped LSH candidate plans keep the hot-bucket guard as a broadcast anti-join") {
     val docs = spark.range(100).selectExpr("id as doc_id", "concat('text ', id % 7) as text")
     val sigs = graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text", 16)

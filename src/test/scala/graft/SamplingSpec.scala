@@ -47,6 +47,54 @@ class SamplingSpec extends AnyFunSuite {
     assert(got === Map("big" -> 15L, "small" -> 10L))
   }
 
+  test("stratified sample: hot stratum matches naive window exactly; window input pre-thinned") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 20k-row hot stratum vs tiny strata — the skew shape the threshold
+    // pre-thinning exists for
+    val d = (0L until 20000L)
+      .map(i => (i, if (i % 1000 == 0) "rare" else if (i % 997 == 0) "mid" else "hot"))
+      .toDF("doc_id", "stratum")
+    val got = Sampling.stratifiedSample(d, "doc_id", "stratum", 7)
+    val w = Window.partitionBy("stratum")
+      .orderBy(Sampling.hashKey(col("doc_id")), col("doc_id"))
+    val naive = d.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 7).drop("rk")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(got) === rows(naive),
+      "pre-thinned output must be byte-identical to the unthinned window")
+    assert(got.columns.toSeq === Seq("doc_id", "stratum"), "input column layout restored")
+    // plan pin: the hash-threshold filter is in the executed plan feeding
+    // the rank window — the sort input is bounded per stratum, not the
+    // raw corpus (the round-8 hot-stratum finding). The window sits at
+    // the top of this plan, so any __gsp_hk<__gsp_thr Filter is below it.
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"expected a rank window in:\n$plan")
+    // Catalyst pushes the threshold into the broadcast-join condition
+    // (`cast(__gsp_hk as double) < __gsp_thr`) rather than a standalone
+    // Filter — accept either form, same guarantee
+    assert("__gsp_hk#\\d+L?[^\\n]* < __gsp_thr".r.findFirstIn(plan).isDefined,
+      s"no hash-threshold predicate feeding the rank window:\n$plan")
+  }
+
+  test("stratified sample: under-filled-stratum fallback keeps exactness at tiny safety") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // safety so small the threshold keeps ~1 row where quota needs 50 —
+    // the Binomial tail fires for sure and EVERY stratum must route
+    // through the full-rows fallback, still matching the naive window
+    val d = (0L until 5000L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "stratum")
+    val got = Sampling.stratifiedSample(d, "doc_id", "stratum", 50, safety = 0.001)
+    val w = Window.partitionBy("stratum")
+      .orderBy(Sampling.hashKey(col("doc_id")), col("doc_id"))
+    val naive = d.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 50).drop("rk")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(got) === rows(naive))
+  }
+
   test("mix sources: Σ w(s)·|s| replicas, epoch 1..w, unweighted dropped") {
     import spark.implicits._
     val d = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "zz"))

@@ -118,6 +118,44 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup ingest batches are idempotent under foreachBatch retry") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-ndr").toString
+    def runBatch(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      Streams.nearDupIngestBatch(df, id, s"$dir/corpus", s"$dir/index",
+        "doc_id", "text")
+    def corpusIds: Seq[Long] = spark.read.parquet(s"$dir/corpus")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    val b0 = Seq(
+      (1L, "spark shuffles partition data across the cluster"),
+      (2L, "spark shuffles partition data across the cluster"),
+      (3L, "an entirely different document about turtles and rivers"))
+      .toDF("doc_id", "text")
+    runBatch(b0, 0L)
+    assert(corpusIds === Seq(1L, 3L))
+    // the r8-advice crash window: corpus written, index write never
+    // landed, checkpoint not committed → the SAME batch replays. The
+    // retry must not re-append the survivors (plain append would leave
+    // doc_ids 1 and 3 duplicated in the dedup corpus).
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmrf)); f.delete(): Unit
+    }
+    rmrf(new java.io.File(s"$dir/index"))
+    runBatch(b0, 0L)
+    assert(corpusIds === Seq(1L, 3L), "replay after index-write crash duplicated docs")
+    // crash AFTER both writes but before the checkpoint commit: full
+    // replay, still no duplication
+    runBatch(b0, 0L)
+    assert(corpusIds === Seq(1L, 3L), "post-commit-window replay duplicated docs")
+    // and the rebuilt state still serves the next batch's cross-batch probe
+    val b1 = Seq(
+      (4L, "spark shuffles partition data across the cluster"),
+      (5L, "fresh content that matches nothing previously ingested"))
+      .toDF("doc_id", "text")
+    runBatch(b1, 1L)
+    assert(corpusIds === Seq(1L, 3L, 5L))
+  }
+
   test("a 1-row batch rewrites only its own bucket partition, not the table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -26,6 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // this host sees multi-minute CPU-starvation bursts (shared box): with
+  // the default 10s heartbeat × 60 failures, a ~10-min burst kills the
+  // in-JVM executor and the SparkContext with it, failing every later
+  // test in that fork. 60s × 60 tolerates an hour of bursts.
+  "-Dspark.executor.heartbeatInterval=60s",
+  "-Dspark.network.timeout=1200s",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
 
@@ -48,5 +54,8 @@ Test / testGrouping := {
   heavy.map(h => group(h, _.name == h)) :+
     group("rest", t => !heavy.contains(t.name))
 }
+// 3 concurrent forked groups, not 5: each is a local[4] Spark JVM, and
+// on this contended box five of them starve each other's heartbeats
+// (observed: executor self-exit after 10 min without a heartbeat ack)
 Global / concurrentRestrictions := Seq(
-  Tags.limit(Tags.ForkedTestGroup, 5), Tags.limitAll(8))
+  Tags.limit(Tags.ForkedTestGroup, 3), Tags.limitAll(6))

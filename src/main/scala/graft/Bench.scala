@@ -40,9 +40,14 @@ object Bench {
       // so one pause was writing the whole tail — r6 p95 3.3× p50)
       System.gc()
       // narrow shuffles BEFORE the builds: the cached index layers
-      // inherit this width, so per-query stages schedule 4 tasks not 32
-      // (AQE stays ON through the opens/builds — they are batch work)
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      // inherit this width, so per-query probe stages schedule `width`
+      // tasks, not 32 (AQE stays ON through the opens/builds — they are
+      // batch work). Default 8 balances open time (builds parallelize
+      // 8-wide) against per-query task count; with the two probe legs
+      // running concurrently (Postings.await2) both fit 32 cores.
+      val buildWidth = math.max(1, sys.env.get("SPARK_GRAFT_SERVE_BUILD_WIDTH")
+        .flatMap(_.toIntOption).getOrElse(8))
+      spark.conf.set("spark.sql.shuffle.partitions", buildWidth.toString)
       val tOpen0 = System.nanoTime()
       val hadith = Graft.openHadith(spark, Queries.HadithBooks)
       val hadithOpenS = (System.nanoTime() - tOpen0) / 1e9

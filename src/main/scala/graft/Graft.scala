@@ -56,6 +56,21 @@ object Graft {
     def corpus: DataFrame = index.docs
     def emb: Option[DataFrame] = index.emb
 
+    /** Driver-resident point-lookup cache. The tafsir corpus is bounded
+      * by DOMAIN, not by data scale — one row per ayah (6,236 at full
+      * scale), the same bound that lets the reference serve get_verse
+      * from in-process SQLite (quran_mcp/server.py:77-107). Collecting
+      * it once turns every warm lookup into a LocalTableScan: the
+      * collect() returns rows without launching a Spark job, so lookup
+      * latency is driver map access, not job scheduling. Corpus-scale
+      * tables never take this path — hadith exact-ref lookups stay
+      * distributed filters (HadithSearch.lookupRef). Built lazily: the
+      * first lookup pays one bounded collect over the cached corpus. */
+    private lazy val verseRows: Map[String, Array[org.apache.spark.sql.Row]] = {
+      val rows = index.docs.collect()
+      rows.groupBy(_.getAs[String]("verse_key"))
+    }
+
     /** search_tafsir parity (quran_mcp/search.py:178-318) — warm. When no
       * vector cache or query vector is present the engine serves the
       * reference's own degraded mode (search.py:212-215). */
@@ -63,9 +78,21 @@ object Graft {
                queryVec: Option[Array[Float]] = None): DataFrame =
       Quran.searchWith(index, query, queryVec, n, mode)
 
-    /** get_verse parity (server.py:77-107). */
+    // built LocalRelation Datasets, memoized per key: repeat lookups skip
+    // re-analysis of an identical one-row plan (a prepared statement, not
+    // a result cache — the rows were already driver-resident either way).
+    // Bounded by the verse-key domain, so no eviction needed.
+    private val verseDfs =
+      new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+    /** get_verse parity (server.py:77-107) — served from the
+      * driver-resident cache as a LocalRelation (no Spark job). */
     def getVerse(verseKey: String): DataFrame =
-      index.docs.where(col("verse_key") === verseKey)
+      verseDfs.computeIfAbsent(verseKey, k =>
+        index.docs.sparkSession.createDataFrame(
+          java.util.Arrays.asList(
+            verseRows.getOrElse(k, Array.empty[org.apache.spark.sql.Row]): _*),
+          index.docs.schema))
 
     /** index_status parity (server.py:109-113). */
     def status: DataFrame = Quran.indexStatus(index.docs)

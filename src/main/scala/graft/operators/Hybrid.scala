@@ -2,8 +2,9 @@ package graft.operators
 
 import graft.Router
 import graft.functions.{Scoring, TextFns, VecFns}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 /** The flagship hybrid-search pipeline (reference: mcp_server/tools.py:39-175):
   * route → lexical probe (BM25 top-k) → semantic probe (cosine top-k) →
@@ -99,6 +100,26 @@ object Hybrid {
       .orderBy(desc("cos"), asc("doc_id")).limit(k)
   }
 
+  /** J1 driver-side fusion of the two collected probe legs — the
+    * full-outer join of two ≤k-row candidate sets, rebuilt as a
+    * LocalRelation so the backfill join consumes it as a broadcast with
+    * no outer-join or broadcast-build job. Null bm25/cos mirror exactly
+    * what the full-outer join produced for one-sided candidates. Keys
+    * are emitted sorted so the relation's row order (and therefore any
+    * downstream tie behavior) is deterministic. */
+  private[operators] def fuseCandidates(
+      spark: SparkSession, legs: (Array[Row], Array[Row])): DataFrame = {
+    val (lexRows, vecRows) = legs
+    val bm = lexRows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val co = vecRows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows: Seq[Row] = (bm.keySet ++ co.keySet).toSeq.sorted.map { id =>
+      Row(id, bm.get(id).map(Double.box).orNull, co.get(id).map(Double.box).orNull)
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("bm25", DoubleType), StructField("cos", DoubleType))))
+  }
+
   /** The resident index for a generic document table: postings +
     * dictionary + corpus stats + quantized embedding slots, plus the
     * (id, text) projection the backfill needs. Same warm/cold split as
@@ -163,8 +184,11 @@ object Hybrid {
       Router.embedTokens(intent.normalized), idx.dim, k)
 
     // J1 fusion + J2 backfill (docs already carries the (doc_id, text)
-    // projection)
-    val fused = lex.join(vec, Seq("doc_id"), "full_outer")
+    // projection). Two-phase serving execution — concurrent probe legs,
+    // driver-side fusion of the bounded candidate sets, one backfill job
+    // (see fuseCandidates / HadithSearch.searchWith).
+    val fused = fuseCandidates(docs.sparkSession,
+      Postings.await2(() => lex.collect(), () => vec.collect()))
     val backfilled = docs.join(broadcast(fused), "doc_id")
 
     val toks = typedLit(intent.tokens)

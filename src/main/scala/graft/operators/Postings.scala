@@ -41,6 +41,23 @@ object Postings {
     results.collectFirst { case Left(t) => t }.foreach(t => throw t)
   }
 
+  /** Run two bounded actions (e.g. the two probe legs of a hybrid
+    * search) as CONCURRENT Spark jobs and return both results. Same
+    * failure discipline as [[awaitAll]]: both siblings complete before
+    * the first failure is rethrown. */
+  private[operators] def await2[A, B](a: () => A, b: () => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(try Right(a()) catch { case t: Throwable => Left(t) })
+    val fb = Future(try Right(b()) catch { case t: Throwable => Left(t) })
+    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf)) match {
+      case (Right(x), Right(y)) => (x, y)
+      case (ra, rb) =>
+        throw Seq(ra, rb).collectFirst { case Left(t) => t }.get
+    }
+  }
+
   /** Build postings from a document table. */
   def build(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),

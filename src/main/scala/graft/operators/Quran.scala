@@ -192,18 +192,37 @@ object Quran {
     // J3 fusion by verse_key; F15 weighted sum round 6. bm25 carried as a
     // secondary rank key so round-6 score ties resolve by lexical rank,
     // not verse order (reference keeps its candidate order on ties).
-    val fused = fts.join(vec, Seq("verse_key"), "full_outer")
-      .select(col("verse_key"),
-        coalesce(col("fts_score"), lit(0.0)).as("fts_score"),
-        coalesce(col("bm25"), lit(0.0)).as("bm25"),
-        coalesce(col("vector_score"), lit(0.0)).as("vector_score"))
+    // Two-phase serving execution (see HadithSearch.searchWith): the two
+    // probe legs run as CONCURRENT jobs, each yielding a bounded (≤k)
+    // candidate set; the full-outer fusion with 0.0 defaults happens
+    // driver-side and re-enters the plan as a broadcast LocalRelation,
+    // so backfill + dedupe + rank are one job, not a join-of-joins chain.
+    val (ftsRows, vecRows) = Postings.await2(() => fts.collect(), () => vec.collect())
+    val fm = ftsRows.map { r =>
+      r.getString(r.fieldIndex("verse_key")) ->
+        ((r.getDouble(r.fieldIndex("fts_score")), r.getDouble(r.fieldIndex("bm25"))))
+    }.toMap
+    val vm = vecRows.map { r =>
+      r.getString(r.fieldIndex("verse_key")) -> r.getDouble(r.fieldIndex("vector_score"))
+    }.toMap
+    val spark = docs.sparkSession
+    val fusedRows: Seq[org.apache.spark.sql.Row] =
+      (fm.keySet ++ vm.keySet).toSeq.sorted.map { vk =>
+        val (fs, bm) = fm.getOrElse(vk, (0.0, 0.0))
+        org.apache.spark.sql.Row(vk, fs, bm, vm.getOrElse(vk, 0.0))
+      }
+    val fused = spark.createDataFrame(
+        java.util.Arrays.asList(fusedRows: _*),
+        StructType(Seq(StructField("verse_key", StringType),
+          StructField("fts_score", DoubleType), StructField("bm25", DoubleType),
+          StructField("vector_score", DoubleType))))
       .withColumn("score", Scoring.quranTotal(col("vector_score"), col("fts_score"), wv, wf))
 
     // backfill + T4 order-preserving text-block dedupe (search.py:262-278).
     // snippet AFTER the join: computed per candidate (~k rows), not per
     // corpus row — as a join-input projection it ran over every document
     // on every query (the single hottest stage of the warm fts leg)
-    val hits = fused.join(docs.select(col("verse_key"), col("surah"), col("ayah"),
+    val hits = broadcast(fused).join(docs.select(col("verse_key"), col("surah"), col("ayah"),
         col("text_plain")), "verse_key")
       .withColumn("text_preview", TextFns.snippet(col("text_plain"), 200))
       .drop("text_plain")

@@ -43,6 +43,38 @@ object Bm25 {
       .agg(round(sum("w"), 6).as("bm25"))
   }
 
+  /** [[score]] with a DRIVER-RESIDENT dictionary slice and corpus
+    * stats — the warm-serving form. The probe terms' (term, df) pairs and
+    * the two corpus scalars arrive as plain values (collected once at
+    * engine open from the same cached layers the distributed form joins),
+    * so the per-query plan is the postings filter + one broadcast
+    * LocalRelation join + the aggregation: no dictionary-scan job, no
+    * broadcast build over a cached layer, no stats crossJoin. The weight
+    * arithmetic keeps the distributed form's exact expression types and
+    * order (long literals where [[score]] had long columns), so scores
+    * are bit-equal. For BOUNDED vocabularies (the engine corpora) only —
+    * the distributed [[score]] stays the unbounded-corpus scale path. */
+  def scoreResident(postings: DataFrame, termDf: Seq[(String, Long)],
+                    nDocs: Long, sumDl: Long,
+                    k1: Double = K1, b: Double = B): DataFrame = {
+    val spark = postings.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dictLocal = spark.createDataFrame(
+      java.util.Arrays.asList(termDf.map { case (t, d) => Row(t, d) }: _*),
+      StructType(Seq(StructField("term", StringType), StructField("df", LongType))))
+    val matched = postings.where(col("term").isin(termDf.map(_._1): _*))
+      .join(broadcast(dictLocal), "term")
+    val avgdl = lit(sumDl).cast("double") / lit(nDocs)
+    val idf = log((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val w = idf * ((col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl)))
+    matched
+      .select(col("doc_id"), w.as("w"))
+      .groupBy("doc_id")
+      .agg(round(sum("w"), 6).as("bm25"))
+  }
+
   /** Candidate selection: ORDER BY bm25 DESC LIMIT k — compiles to
     * TakeOrderedAndProject (no global sort materialization). */
   def topK(scored: DataFrame, k: Int): DataFrame =

@@ -71,6 +71,26 @@ object HadithSearch {
                          dicts: Map[String, DataFrame],
                          stats: Map[String, DataFrame],
                          slots: DataFrame, dim: Int) {
+    /** Driver-resident per-field dictionaries (term → df) and corpus
+      * stats (n_docs, sum_dl) — bounded by the engine's VOCABULARY (tens
+      * of thousands of terms for the bundled corpora), not by document
+      * count, the same bound that lets the reference hold its FTS5
+      * dictionary in-process. Collected lazily, once, from the same
+      * cached layers the distributed probes join; per-query lexical
+      * probes then skip the dictionary-scan job, its broadcast build,
+      * and the stats crossJoin (Bm25.scoreResident). TreeMap so prefix
+      * probes range-scan instead of scanning the vocabulary. */
+    lazy val dictsLocal: Map[String, scala.collection.immutable.TreeMap[String, Long]] =
+      dicts.map { case (f, d) =>
+        f -> scala.collection.immutable.TreeMap(
+          d.collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toSeq: _*)
+      }
+    lazy val statsLocal: Map[String, (Long, Long)] =
+      stats.map { case (f, s) =>
+        val r = s.head()
+        f -> ((r.getAs[Long]("n_docs"),
+          if (r.isNullAt(r.fieldIndex("sum_dl"))) 0L else r.getAs[Long]("sum_dl")))
+      }
     /** Force every cached layer, in dependency waves of concurrent jobs:
       * silver first, then the layers derived from it, then the per-field
       * dictionaries/stats derived from the postings. The returned Index
@@ -138,9 +158,37 @@ object HadithSearch {
     * so probing term-clustered postings seeks instead of scanning every
     * posting row (see Bm25.score). The dictionary join stays — it
     * carries per-term df — but over the same filtered slice. */
+  /** Prefix expansions above this stay on the distributed dictionary
+    * join — an `isin` of thousands of literals bloats the plan/codegen
+    * past what it saves. */
+  private val MaxResidentExpansion = 2048
+
   private def fieldProbe(idx: Index, field: String, terms: Seq[String],
                          prefix: Boolean, k: Int): DataFrame = {
     val ts = terms.distinct
+    // resident expansion: the dictionary range-scan mirrors the
+    // distributed `startsWith` filter exactly (dict terms ARE the
+    // postings terms, so filtering postings by the expanded term set is
+    // the same set the prefix filter selects)
+    val dict = idx.dictsLocal(field)
+    val expanded: Seq[(String, Long)] =
+      if (prefix)
+        ts.flatMap(t => dict.iteratorFrom(t).takeWhile(_._1.startsWith(t))).distinct
+      else ts.flatMap(t => dict.get(t).map(t -> _))
+    if (expanded.isEmpty) emptyLex(idx.docs)
+    else if (expanded.size > MaxResidentExpansion)
+      fieldProbeDistributed(idx, field, ts, prefix, k)
+    else {
+      val (nDocs, sumDl) = idx.statsLocal(field)
+      val p = idx.post.where(col("field") === field)
+      Bm25.topK(Bm25.scoreResident(p, expanded, nDocs, sumDl), k)
+    }
+  }
+
+  /** The fully-distributed probe — the unbounded-vocabulary scale path
+    * (and the fallback for pathological prefix expansions). */
+  private def fieldProbeDistributed(idx: Index, field: String, ts: Seq[String],
+                                    prefix: Boolean, k: Int): DataFrame = {
     val probeFilter =
       if (prefix) ts.map(t => col("term").startsWith(t)).reduce(_ || _)
       else col("term").isin(ts: _*)

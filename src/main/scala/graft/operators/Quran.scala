@@ -72,6 +72,17 @@ object Quran {
                          dict: DataFrame, stats: DataFrame,
                          emb: Option[DataFrame],
                          embQ: Option[DataFrame] = None) {
+    /** Driver-resident dictionary (term → df) + corpus stats — bounded
+      * by the tafsir VOCABULARY, the in-process FTS5-dictionary analog
+      * (see HadithSearch.Index.dictsLocal). Exact probes only, so a
+      * plain map suffices. */
+    lazy val dictLocal: Map[String, Long] =
+      dict.collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
+    lazy val statsLocal: (Long, Long) = {
+      val r = stats.head()
+      (r.getAs[Long]("n_docs"),
+        if (r.isNullAt(r.fieldIndex("sum_dl"))) 0L else r.getAs[Long]("sum_dl"))
+    }
     /** Force every cached layer (the warm-open step), in dependency
       * waves of concurrent jobs: corpus + raw vectors first, then the
       * postings/quantized layers over them, then dictionary/stats. */
@@ -148,12 +159,17 @@ object Quran {
     val docs = idx.docs
 
     val fts: DataFrame = {
-      val terms = graft.Router.embedTokens(query)
+      // resident-dictionary probe: exact terms, so expansion is a map
+      // lookup; unmatched terms drop out exactly as the distributed
+      // dictionary join dropped them
+      val terms = graft.Router.embedTokens(query).distinct
+        .flatMap(t => idx.dictLocal.get(t).map(t -> _))
       if (terms.isEmpty || wf == 0.0)
         docs.sparkSession.emptyDataFrame.select(lit("").as("verse_key"),
           lit(0.0).as("fts_score"), lit(0.0).as("bm25")).limit(0)
       else {
-        val scored = Bm25.score(idx.postings, idx.dict, idx.stats, terms)
+        val (nDocs, sumDl) = idx.statsLocal
+        val scored = Bm25.scoreResident(idx.postings, terms, nDocs, sumDl)
         // F9 signal over our positive BM25: the increasing saturation
         // bm25/(1+bm25) preserves lexical rank (the reference's literal
         // 1/(1+max(0,-bm25)) over positive scores is constant 1.0 — every

@@ -163,7 +163,7 @@ object HadithSearch {
     * past what it saves. */
   private val MaxResidentExpansion = 2048
 
-  private def fieldProbe(idx: Index, field: String, terms: Seq[String],
+  private[graft] def fieldProbe(idx: Index, field: String, terms: Seq[String],
                          prefix: Boolean, k: Int): DataFrame = {
     val ts = terms.distinct
     // resident expansion: the dictionary range-scan mirrors the
@@ -187,7 +187,7 @@ object HadithSearch {
 
   /** The fully-distributed probe — the unbounded-vocabulary scale path
     * (and the fallback for pathological prefix expansions). */
-  private def fieldProbeDistributed(idx: Index, field: String, ts: Seq[String],
+  private[graft] def fieldProbeDistributed(idx: Index, field: String, ts: Seq[String],
                                     prefix: Boolean, k: Int): DataFrame = {
     val probeFilter =
       if (prefix) ts.map(t => col("term").startsWith(t)).reduce(_ || _)

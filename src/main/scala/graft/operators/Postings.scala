@@ -44,13 +44,30 @@ object Postings {
   /** Run two bounded actions (e.g. the two probe legs of a hybrid
     * search) as CONCURRENT Spark jobs and return both results. Same
     * failure discipline as [[awaitAll]]: both siblings complete before
-    * the first failure is rethrown. */
+    * the first failure is rethrown.
+    *
+    * The caller's Spark job group is PROPAGATED into the worker threads
+    * (job groups are thread-local, so jobs launched from a pool thread
+    * would otherwise escape it) — a harness that caps a query via
+    * `cancelJobGroup` can still cancel the concurrent probe legs. */
   private[operators] def await2[A, B](a: () => A, b: () => B): (A, B) = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val fa = Future(try Right(a()) catch { case t: Throwable => Left(t) })
-    val fb = Future(try Right(b()) catch { case t: Throwable => Left(t) })
+    val sc = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext)
+    val group = sc.flatMap(c => Option(c.getLocalProperty("spark.jobGroup.id")))
+    val desc = sc.flatMap(c => Option(c.getLocalProperty("spark.job.description")))
+    val interrupt = sc.flatMap(c =>
+      Option(c.getLocalProperty("spark.job.interruptOnCancel"))).contains("true")
+    def wrap[T](f: () => T): T = (sc, group) match {
+      case (Some(c), Some(g)) =>
+        c.setJobGroup(g, desc.getOrElse(g), interruptOnCancel = interrupt)
+        try f() finally c.clearJobGroup()
+      case _ => f()
+    }
+    val fa = Future(try Right(wrap(a)) catch { case t: Throwable => Left(t) })
+    val fb = Future(try Right(wrap(b)) catch { case t: Throwable => Left(t) })
     (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf)) match {
       case (Right(x), Right(y)) => (x, y)
       case (ra, rb) =>

@@ -158,35 +158,26 @@ object Quran {
     val k = math.max(n * 5, 50)
     val docs = idx.docs
 
-    val fts: DataFrame = {
-      // resident-dictionary probe: exact terms, so expansion is a map
-      // lookup; unmatched terms drop out exactly as the distributed
-      // dictionary join dropped them
+    // lexical leg: resident-dictionary probe (exact terms, so expansion
+    // is a map lookup; unmatched terms drop out exactly as the
+    // distributed dictionary join dropped them). Returns (doc_id, bm25)
+    // only — verse_key derives from the dense key (surah*1000+ayah, so
+    // id/1000:id%1000 IS the corpus verse_key by construction) and the
+    // F9 saturation derives from bm25 in the fused frame below, so the
+    // leg needs no docs join at all.
+    val ftsLeg: Option[DataFrame] = {
       val terms = graft.Router.embedTokens(query).distinct
         .flatMap(t => idx.dictLocal.get(t).map(t -> _))
-      if (terms.isEmpty || wf == 0.0)
-        docs.sparkSession.emptyDataFrame.select(lit("").as("verse_key"),
-          lit(0.0).as("fts_score"), lit(0.0).as("bm25")).limit(0)
+      if (terms.isEmpty || wf == 0.0) None
       else {
         val (nDocs, sumDl) = idx.statsLocal
-        val scored = Bm25.scoreResident(idx.postings, terms, nDocs, sumDl)
-        // F9 signal over our positive BM25: the increasing saturation
-        // bm25/(1+bm25) preserves lexical rank (the reference's literal
-        // 1/(1+max(0,-bm25)) over positive scores is constant 1.0 — every
-        // hit ties and rank collapses to verse order). bm25 rides along
-        // as the tie-break the reference gets from its stable candidate
-        // order (search.py:258-260).
-        Bm25.topK(scored, math.max(n * 5, 25))
-          .join(docs.select(col("doc_id"), col("verse_key")), "doc_id")
-          .select(col("verse_key"), col("bm25"),
-            round(greatest(lit(0.0), col("bm25")) /
-              (lit(1.0) + greatest(lit(0.0), col("bm25"))), 6).as("fts_score"))
+        Some(Bm25.topK(Bm25.scoreResident(idx.postings, terms, nDocs, sumDl),
+          math.max(n * 5, 25)))
       }
     }
 
-    val vec: DataFrame =
-      if (!semanticOk || wv == 0.0)
-        docs.sparkSession.emptyDataFrame.select(lit("").as("verse_key"), lit(0.0).as("vector_score")).limit(0)
+    val vecLeg: Option[DataFrame] =
+      if (!semanticOk || wv == 0.0) None
       else {
         // query quantized on the driver with the same HALF_UP grid the
         // column quantize() applies — cosine is bit-identical to
@@ -195,14 +186,14 @@ object Quran {
         val qq = queryVec.get.map(x => BigDecimal(x.toDouble * graft.functions.VecFns.Scale)
           .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)
         val qnorm = math.sqrt(qq.map(x => x * x).sum)
-        idx.embQ.get
+        Some(idx.embQ.get
           .select(col("verse_key"),
             round(graft.functions.VecFns.dot(col("qv"), typedLit(qq.toSeq)) /
               (col("nq") * lit(qnorm)), 6).as("cos"))
           .where(col("cos") > 0) // P6 (search.py:167-169)
           // J3: max-merge duplicate verse keys (search.py:247-251)
           .groupBy("verse_key").agg(max("cos").as("vector_score"))
-          .orderBy(desc("vector_score"), asc("verse_key")).limit(k)
+          .orderBy(desc("vector_score"), asc("verse_key")).limit(k))
       }
 
     // J3 fusion by verse_key; F15 weighted sum round 6. bm25 carried as a
@@ -213,25 +204,30 @@ object Quran {
     // candidate set; the full-outer fusion with 0.0 defaults happens
     // driver-side and re-enters the plan as a broadcast LocalRelation,
     // so backfill + dedupe + rank are one job, not a join-of-joins chain.
-    val (ftsRows, vecRows) = Postings.await2(() => fts.collect(), () => vec.collect())
+    // F9 saturation bm25/(1+bm25) (increasing, rank-preserving — the
+    // reference's literal 1/(1+max(0,-bm25)) over positive scores is
+    // constant 1.0 and collapses rank to verse order) is computed IN
+    // SPARK over the fused bm25, so its round-6 grid is expression-
+    // identical for fts candidates and exactly 0.0 for vec-only rows
+    // (bm25 defaults to 0).
+    val (ftsRows, vecRows) = Postings.await2(
+      () => ftsLeg.map(_.collect()).getOrElse(Array.empty[org.apache.spark.sql.Row]),
+      () => vecLeg.map(_.collect()).getOrElse(Array.empty[org.apache.spark.sql.Row]))
     val fm = ftsRows.map { r =>
-      r.getString(r.fieldIndex("verse_key")) ->
-        ((r.getDouble(r.fieldIndex("fts_score")), r.getDouble(r.fieldIndex("bm25"))))
+      val id = r.getLong(0); s"${id / 1000}:${id % 1000}" -> r.getDouble(1)
     }.toMap
-    val vm = vecRows.map { r =>
-      r.getString(r.fieldIndex("verse_key")) -> r.getDouble(r.fieldIndex("vector_score"))
-    }.toMap
+    val vm = vecRows.map(r => r.getString(0) -> r.getDouble(1)).toMap
     val spark = docs.sparkSession
     val fusedRows: Seq[org.apache.spark.sql.Row] =
       (fm.keySet ++ vm.keySet).toSeq.sorted.map { vk =>
-        val (fs, bm) = fm.getOrElse(vk, (0.0, 0.0))
-        org.apache.spark.sql.Row(vk, fs, bm, vm.getOrElse(vk, 0.0))
+        org.apache.spark.sql.Row(vk, fm.getOrElse(vk, 0.0), vm.getOrElse(vk, 0.0))
       }
     val fused = spark.createDataFrame(
         java.util.Arrays.asList(fusedRows: _*),
         StructType(Seq(StructField("verse_key", StringType),
-          StructField("fts_score", DoubleType), StructField("bm25", DoubleType),
-          StructField("vector_score", DoubleType))))
+          StructField("bm25", DoubleType), StructField("vector_score", DoubleType))))
+      .withColumn("fts_score", round(greatest(lit(0.0), col("bm25")) /
+        (lit(1.0) + greatest(lit(0.0), col("bm25"))), 6))
       .withColumn("score", Scoring.quranTotal(col("vector_score"), col("fts_score"), wv, wf))
 
     // backfill + T4 order-preserving text-block dedupe (search.py:262-278).

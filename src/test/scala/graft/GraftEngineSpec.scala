@@ -19,9 +19,32 @@ class GraftEngineSpec extends SparkSpec {
       Some("/root/reference/data/indexes/quran/embeddings.npz"))
     assert(eng.status.head().getLong(0) === 6236)
     assert(eng.getVerse("1:1").count() === 1)
+    // lookup parity with the distributed filter over the same corpus
+    assert(eng.getVerse("2:255").collect().toSeq ===
+      eng.corpus.where(col("verse_key") === "2:255").collect().toSeq)
+    assert(eng.getVerse("0:0").count() === 0) // absent key → empty, not error
     val sim = eng.similarVerses("1:1", n = 3).collect()
     assert(sim.nonEmpty)
     assert(sim.head.getAs[String]("verse_key") === "1:1") // self is nearest
+  }
+
+  test("warm get_verse launches ZERO Spark jobs (driver-resident lookup)") {
+    val eng = Graft.openQuran(spark, "/root/reference/data/quran", None)
+    eng.getVerse("1:1").collect() // builds the resident cache (one bounded collect)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val rows = eng.getVerse("2:255").collect()
+      assert(rows.length === 1)
+      // job-start events post at submission, before a blocking collect
+      // returns; the sleep only covers listener-bus delivery lag
+      Thread.sleep(500)
+      assert(jobs.get === 0, s"warm lookup launched ${jobs.get} Spark jobs")
+    } finally spark.sparkContext.removeSparkListener(l)
   }
 
   test("persisted index layers round-trip: warm open serves identical results (S9)") {

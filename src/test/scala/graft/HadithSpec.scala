@@ -91,4 +91,24 @@ class HadithSpec extends SparkSpec {
     val cat = Ingest.catalogRollup(valid)
     assert(cat.agg(sum("total_hadiths")).head().getLong(0) === 1896)
   }
+
+  test("resident-dictionary probe is bit-equal to the distributed probe (prefix + exact)") {
+    // the serving path scores from driver-resident (term→df, stats)
+    // slices; the distributed dictionary join stays the unbounded-
+    // vocabulary scale path. The two MUST return identical rows or a
+    // persisted/warm engine silently serves different results.
+    val idx = HadithSearch.buildIndex(silver)
+    val cases = Seq(
+      ("narrator", Seq("abu", "hurairah"), true), // prefix expansion
+      ("en", Seq("patience", "gratitude"), false), // exact probe
+      ("en", Seq("zzz_no_such_term"), false), // empty expansion
+      ("ar", Seq("الصبر"), false))
+    cases.foreach { case (field, terms, prefix) =>
+      val resident = HadithSearch.fieldProbe(idx, field, terms, prefix, 50)
+        .collect().toSeq
+      val distributed = HadithSearch.fieldProbeDistributed(idx, field, terms.distinct, prefix, 50)
+        .collect().toSeq
+      assert(resident === distributed, s"probe mismatch for $field/$terms")
+    }
+  }
 }

@@ -70,27 +70,36 @@ object HadithSearch {
   final case class Index(docs: DataFrame, post: DataFrame,
                          dicts: Map[String, DataFrame],
                          stats: Map[String, DataFrame],
-                         slots: DataFrame, dim: Int) {
+                         slots: DataFrame, dim: Int,
+                         resident: Boolean = false) {
     /** Driver-resident per-field dictionaries (term → df) and corpus
       * stats (n_docs, sum_dl) — bounded by the engine's VOCABULARY (tens
       * of thousands of terms for the bundled corpora), not by document
       * count, the same bound that lets the reference hold its FTS5
-      * dictionary in-process. Collected lazily, once, from the same
+      * dictionary in-process. Collected lazily, PER FIELD, from the same
       * cached layers the distributed probes join; per-query lexical
       * probes then skip the dictionary-scan job, its broadcast build,
       * and the stats crossJoin (Bm25.scoreResident). TreeMap so prefix
-      * probes range-scan instead of scanning the vocabulary. */
-    lazy val dictsLocal: Map[String, scala.collection.immutable.TreeMap[String, Long]] =
-      dicts.map { case (f, d) =>
-        f -> scala.collection.immutable.TreeMap(
-          d.collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toSeq: _*)
-      }
-    lazy val statsLocal: Map[String, (Long, Long)] =
-      stats.map { case (f, s) =>
-        val r = s.head()
-        f -> ((r.getAs[Long]("n_docs"),
-          if (r.isNullAt(r.fieldIndex("sum_dl"))) 0L else r.getAs[Long]("sum_dl")))
-      }
+      * probes range-scan instead of scanning the vocabulary.
+      *
+      * Only MATERIALIZED (warm/serving) indexes take this path — see
+      * `resident`: in a cold one-shot search the collects would add
+      * separate dictionary/stats jobs where the distributed probe folds
+      * them into its single job over the still-unbuilt cache. */
+    private val dictsLocalMap =
+      new java.util.concurrent.ConcurrentHashMap[String, scala.collection.immutable.TreeMap[String, Long]]()
+    def dictLocal(field: String): scala.collection.immutable.TreeMap[String, Long] =
+      dictsLocalMap.computeIfAbsent(field, f =>
+        scala.collection.immutable.TreeMap(
+          dicts(f).collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toSeq: _*))
+    private val statsLocalMap =
+      new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    def statLocal(field: String): (Long, Long) =
+      statsLocalMap.computeIfAbsent(field, f => {
+        val r = stats(f).head()
+        (r.getAs[Long]("n_docs"),
+          if (r.isNullAt(r.fieldIndex("sum_dl"))) 0L else r.getAs[Long]("sum_dl"))
+      })
     /** Force every cached layer, in dependency waves of concurrent jobs:
       * silver first, then the layers derived from it, then the per-field
       * dictionaries/stats derived from the postings. The returned Index
@@ -98,7 +107,9 @@ object HadithSearch {
       * plans then compose over InMemoryRelation leaves instead of the
       * full derivation trees, cutting the eager-analysis walk Spark pays
       * on every Dataset transformation of every search (measured ~40%
-      * of warm-path latency on the deep postings/slots trees). */
+      * of warm-path latency on the deep postings/slots trees) — and
+      * flagged `resident`, which switches per-query lexical probes onto
+      * the driver-resident dictionary path. */
     def materialize(): Index = {
       docs.count()
       Postings.awaitAll(Seq(() => post.count(): Unit, () => slots.count(): Unit))
@@ -108,7 +119,7 @@ object HadithSearch {
       Index(reroot(docs), reroot(post),
         dicts.map { case (f, d) => f -> reroot(d) },
         stats.map { case (f, s) => f -> reroot(s) },
-        reroot(slots), dim)
+        reroot(slots), dim, resident = true)
     }
   }
 
@@ -166,11 +177,12 @@ object HadithSearch {
   private[graft] def fieldProbe(idx: Index, field: String, terms: Seq[String],
                          prefix: Boolean, k: Int): DataFrame = {
     val ts = terms.distinct
+    if (!idx.resident) return fieldProbeDistributed(idx, field, ts, prefix, k)
     // resident expansion: the dictionary range-scan mirrors the
     // distributed `startsWith` filter exactly (dict terms ARE the
     // postings terms, so filtering postings by the expanded term set is
     // the same set the prefix filter selects)
-    val dict = idx.dictsLocal(field)
+    val dict = idx.dictLocal(field)
     val expanded: Seq[(String, Long)] =
       if (prefix)
         ts.flatMap(t => dict.iteratorFrom(t).takeWhile(_._1.startsWith(t))).distinct
@@ -179,7 +191,7 @@ object HadithSearch {
     else if (expanded.size > MaxResidentExpansion)
       fieldProbeDistributed(idx, field, ts, prefix, k)
     else {
-      val (nDocs, sumDl) = idx.statsLocal(field)
+      val (nDocs, sumDl) = idx.statLocal(field)
       val p = idx.post.where(col("field") === field)
       Bm25.topK(Bm25.scoreResident(p, expanded, nDocs, sumDl), k)
     }

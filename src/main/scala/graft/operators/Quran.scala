@@ -71,11 +71,13 @@ object Quran {
   final case class Index(docs: DataFrame, postings: DataFrame,
                          dict: DataFrame, stats: DataFrame,
                          emb: Option[DataFrame],
-                         embQ: Option[DataFrame] = None) {
+                         embQ: Option[DataFrame] = None,
+                         resident: Boolean = false) {
     /** Driver-resident dictionary (term → df) + corpus stats — bounded
       * by the tafsir VOCABULARY, the in-process FTS5-dictionary analog
-      * (see HadithSearch.Index.dictsLocal). Exact probes only, so a
-      * plain map suffices. */
+      * (see HadithSearch.Index.dictLocal; like there, only MATERIALIZED
+      * serving indexes take this path — `resident`). Exact probes only,
+      * so a plain map suffices. */
     lazy val dictLocal: Map[String, Long] =
       dict.collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
     lazy val statsLocal: (Long, Long) = {
@@ -97,7 +99,7 @@ object Quran {
       // (see HadithSearch.Index.materialize)
       import org.apache.spark.sql.graftshim.ColumnShim.reroot
       Index(reroot(docs), reroot(postings), reroot(dict), reroot(stats),
-        emb.map(reroot), embQ.map(reroot))
+        emb.map(reroot), embQ.map(reroot), resident = true)
     }
   }
 
@@ -166,14 +168,19 @@ object Quran {
     // F9 saturation derives from bm25 in the fused frame below, so the
     // leg needs no docs join at all.
     val ftsLeg: Option[DataFrame] = {
-      val terms = graft.Router.embedTokens(query).distinct
-        .flatMap(t => idx.dictLocal.get(t).map(t -> _))
-      if (terms.isEmpty || wf == 0.0) None
-      else {
-        val (nDocs, sumDl) = idx.statsLocal
-        Some(Bm25.topK(Bm25.scoreResident(idx.postings, terms, nDocs, sumDl),
+      val raw = graft.Router.embedTokens(query).distinct
+      if (raw.isEmpty || wf == 0.0) None
+      else if (idx.resident) {
+        val terms = raw.flatMap(t => idx.dictLocal.get(t).map(t -> _))
+        if (terms.isEmpty) None // no dictionary hit ⇒ empty leg, no job
+        else {
+          val (nDocs, sumDl) = idx.statsLocal
+          Some(Bm25.topK(Bm25.scoreResident(idx.postings, terms, nDocs, sumDl),
+            math.max(n * 5, 25)))
+        }
+      } else // cold one-shot: dictionary/stats fold into the probe's own job
+        Some(Bm25.topK(Bm25.score(idx.postings, idx.dict, idx.stats, raw),
           math.max(n * 5, 25)))
-      }
     }
 
     val vecLeg: Option[DataFrame] =

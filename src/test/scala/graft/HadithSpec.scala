@@ -95,9 +95,11 @@ class HadithSpec extends SparkSpec {
   test("resident-dictionary probe is bit-equal to the distributed probe (prefix + exact)") {
     // the serving path scores from driver-resident (term→df, stats)
     // slices; the distributed dictionary join stays the unbounded-
-    // vocabulary scale path. The two MUST return identical rows or a
-    // persisted/warm engine silently serves different results.
-    val idx = HadithSearch.buildIndex(silver)
+    // vocabulary scale path (and the cold one-shot path — only a
+    // materialized index probes resident). The two MUST return identical
+    // rows or a warm engine silently serves different results.
+    val idx = HadithSearch.buildIndex(silver).materialize()
+    assert(idx.resident)
     val cases = Seq(
       ("narrator", Seq("abu", "hurairah"), true), // prefix expansion
       ("en", Seq("patience", "gratitude"), false), // exact probe

@@ -38,9 +38,50 @@ object Graft {
     /** Resident silver table (with the numeric surrogate key). */
     def silver: DataFrame = index.docs
 
-    /** hybrid_search parity (tools.py:39-175) — warm: no index rebuild. */
-    def search(query: String, n: Int = 10, mode: String = "balanced"): DataFrame =
+    /** Driver-resident exact-reference cache: the corpus is bounded by
+      * DOMAIN (Riyad as-Salihin — 1,896 hadiths at full scale), so the
+      * query-independent lookup projection (HadithSearch.refProjection —
+      * shared with the distributed lookupRef, so the paths cannot drift)
+      * collects once and warm spec-mode citation lookups resolve as a
+      * driver filter + LocalTableScan with NO Spark job — the reference's
+      * <5 ms SQLite-direct-lookup design (HADITH_SEARCH_SPEC.md:553).
+      * Generic/unbounded corpora never take this path. */
+    private lazy val refRows: Array[org.apache.spark.sql.Row] =
+      HadithSearch.refProjection(index.docs).collect()
+    private lazy val refSchema =
+      HadithSearch.refProjection(index.docs).schema
+    private def lookupRefResident(ref: Router.ExactRef, n: Int): DataFrame = {
+      val fi = refSchema.fieldNames.zipWithIndex.toMap
+      def fits(r: org.apache.spark.sql.Row): Boolean =
+        ref.collection.forall(c => !r.isNullAt(fi("collection")) && r.getString(fi("collection")) == c) &&
+        ref.global.forall(g => !r.isNullAt(fi("ref_global")) && r.getLong(fi("ref_global")) == g) &&
+        ref.book.forall(b => !r.isNullAt(fi("ref_book")) && r.getLong(fi("ref_book")) == b) &&
+        ref.num.forall(x => !r.isNullAt(fi("ref_num")) && r.getLong(fi("ref_num")) == x)
+      val keep = refSchema.fields.length - HadithSearch.RefFilterCols.length
+      // doc_ids are ASCII, so JVM string order == Spark's UTF8 binary order
+      val hits: Seq[org.apache.spark.sql.Row] = refRows.view.filter(fits)
+        .toSeq.sortBy(_.getString(0)).take(n)
+        .map(r => org.apache.spark.sql.Row(r.toSeq.take(keep): _*))
+      index.docs.sparkSession.createDataFrame(
+        java.util.Arrays.asList(hits: _*),
+        org.apache.spark.sql.types.StructType(refSchema.fields.take(keep)))
+    }
+
+    /** hybrid_search parity (tools.py:39-175) — warm: no index rebuild.
+      * Spec-mode exact citations resolve from the driver-resident
+      * reference cache (zero Spark jobs); every other query keeps the
+      * two-phase distributed plan. */
+    def search(query: String, n: Int = 10, mode: String = "balanced"): DataFrame = {
+      if (mode == "spec") {
+        val intent = Router.route(query)
+        if (intent.qtype == "exact_reference")
+          Router.parseExactRef(intent.normalized) match {
+            case Some(ref) => return lookupRefResident(ref, n)
+            case None => ()
+          }
+      }
       HadithSearch.searchWith(index, query, n, mode)
+    }
 
     /** fts_status / vector_index_status analog (A3). */
     def status: DataFrame =

@@ -233,18 +233,31 @@ object HadithSearch {
     * silver table — no token probe, no join; the spec's <5 ms design. The
     * output schema matches [[searchWith]] (score pinned at 1.0, signal
     * columns 0: a citation lookup is not a ranked retrieval). */
+  /** Query-independent exact-ref projection: every silver row already in
+    * the lookup's output envelope, plus the parsed citation fields the
+    * filters match on. [[lookupRef]] and the engine's driver-resident
+    * citation cache BOTH derive from this one projection, so the two
+    * paths cannot drift. */
+  private[graft] def refProjection(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("book_id"), col("narrator"),
+      TextFns.snippet(trim(col("english_text")), 240).as("snippet"),
+      lit(0.0).as("vector_similarity"), lit(0.0).as("fts_signal"),
+      lit(0.0).as("phrase_bonus"), lit(0.0).as("term_coverage"),
+      lit(1.0).as("score"),
+      col("collection"), col("ref_global"), col("ref_book"), col("ref_num"))
+
+  /** The four citation-filter helper columns [[refProjection]] appends
+    * after the output envelope. */
+  private[graft] val RefFilterCols = Seq("collection", "ref_global", "ref_book", "ref_num")
+
   def lookupRef(docs: DataFrame, ref: Router.ExactRef, n: Int = 10): DataFrame = {
     val filters = Seq(
       ref.collection.map(c => col("collection") === c),
       ref.global.map(g => col("ref_global") === g),
       ref.book.map(b => col("ref_book") === b),
       ref.num.map(x => col("ref_num") === x)).flatten
-    filters.foldLeft(docs)((d, f) => d.where(f))
-      .select(col("doc_id"), col("book_id"), col("narrator"),
-        TextFns.snippet(trim(col("english_text")), 240).as("snippet"),
-        lit(0.0).as("vector_similarity"), lit(0.0).as("fts_signal"),
-        lit(0.0).as("phrase_bonus"), lit(0.0).as("term_coverage"),
-        lit(1.0).as("score"))
+    filters.foldLeft(refProjection(docs))((d, f) => d.where(f))
+      .drop(RefFilterCols: _*)
       .orderBy("doc_id").limit(n)
   }
 

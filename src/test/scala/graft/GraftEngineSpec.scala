@@ -28,6 +28,29 @@ class GraftEngineSpec extends SparkSpec {
     assert(sim.head.getAs[String]("verse_key") === "1:1") // self is nearest
   }
 
+  test("warm spec-mode citation lookup: resident equals distributed, zero jobs") {
+    val eng = Graft.openHadith(spark, "/root/reference/data/riyadussalihin/book_1.jsonl")
+    val q = "Riyad as-Salihin 680"
+    val resident = eng.search(q, 10, "spec").collect().toSeq
+    val distributed = graft.operators.HadithSearch
+      .searchWith(eng.index, q, 10, "spec").collect().toSeq
+    assert(resident.nonEmpty)
+    assert(resident === distributed)
+    // absent citation → empty result, not an error
+    assert(eng.search("Riyad as-Salihin 99999", 10, "spec").count() === 0)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      assert(eng.search(q, 10, "spec").collect().nonEmpty)
+      Thread.sleep(500)
+      assert(jobs.get === 0, s"warm citation lookup launched ${jobs.get} Spark jobs")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("warm get_verse launches ZERO Spark jobs (driver-resident lookup)") {
     val eng = Graft.openQuran(spark, "/root/reference/data/quran", None)
     eng.getVerse("1:1").collect() // builds the resident cache (one bounded collect)

@@ -50,22 +50,29 @@ object Graft {
       HadithSearch.refProjection(index.docs).collect()
     private lazy val refSchema =
       HadithSearch.refProjection(index.docs).schema
-    private def lookupRefResident(ref: Router.ExactRef, n: Int): DataFrame = {
-      val fi = refSchema.fieldNames.zipWithIndex.toMap
-      def fits(r: org.apache.spark.sql.Row): Boolean =
-        ref.collection.forall(c => !r.isNullAt(fi("collection")) && r.getString(fi("collection")) == c) &&
-        ref.global.forall(g => !r.isNullAt(fi("ref_global")) && r.getLong(fi("ref_global")) == g) &&
-        ref.book.forall(b => !r.isNullAt(fi("ref_book")) && r.getLong(fi("ref_book")) == b) &&
-        ref.num.forall(x => !r.isNullAt(fi("ref_num")) && r.getLong(fi("ref_num")) == x)
-      val keep = refSchema.fields.length - HadithSearch.RefFilterCols.length
-      // doc_ids are ASCII, so JVM string order == Spark's UTF8 binary order
-      val hits: Seq[org.apache.spark.sql.Row] = refRows.view.filter(fits)
-        .toSeq.sortBy(_.getString(0)).take(n)
-        .map(r => org.apache.spark.sql.Row(r.toSeq.take(keep): _*))
-      index.docs.sparkSession.createDataFrame(
-        java.util.Arrays.asList(hits: _*),
-        org.apache.spark.sql.types.StructType(refSchema.fields.take(keep)))
-    }
+    // built lookup Datasets, memoized per (citation, n): repeat lookups
+    // skip re-analysis of an identical bounded plan (a prepared
+    // statement, not a result cache — rows were driver-resident either
+    // way). Bounded by the citation domain of a bounded corpus.
+    private val refDfs =
+      new java.util.concurrent.ConcurrentHashMap[(Router.ExactRef, Int), DataFrame]()
+    private def lookupRefResident(ref: Router.ExactRef, n: Int): DataFrame =
+      refDfs.computeIfAbsent((ref, n), { case (ref, n) =>
+        val fi = refSchema.fieldNames.zipWithIndex.toMap
+        def fits(r: org.apache.spark.sql.Row): Boolean =
+          ref.collection.forall(c => !r.isNullAt(fi("collection")) && r.getString(fi("collection")) == c) &&
+          ref.global.forall(g => !r.isNullAt(fi("ref_global")) && r.getLong(fi("ref_global")) == g) &&
+          ref.book.forall(b => !r.isNullAt(fi("ref_book")) && r.getLong(fi("ref_book")) == b) &&
+          ref.num.forall(x => !r.isNullAt(fi("ref_num")) && r.getLong(fi("ref_num")) == x)
+        val keep = refSchema.fields.length - HadithSearch.RefFilterCols.length
+        // doc_ids are ASCII, so JVM string order == Spark's UTF8 binary order
+        val hits: Seq[org.apache.spark.sql.Row] = refRows.view.filter(fits)
+          .toSeq.sortBy(_.getString(0)).take(n)
+          .map(r => org.apache.spark.sql.Row(r.toSeq.take(keep): _*))
+        index.docs.sparkSession.createDataFrame(
+          java.util.Arrays.asList(hits: _*),
+          org.apache.spark.sql.types.StructType(refSchema.fields.take(keep)))
+      })
 
     /** hybrid_search parity (tools.py:39-175) — warm: no index rebuild.
       * Spec-mode exact citations resolve from the driver-resident

@@ -285,11 +285,58 @@ object Dedup {
     ids.foreach(id =>
       spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
 
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 100): DataFrame = {
+  /** Edge-count threshold under which the closure computes on the driver
+    * (union-find over the collected edge list) instead of the iterative
+    * distributed loop — the CC analog of a broadcast join's size
+    * threshold. A verified near-dup pair set is usually TINY relative to
+    * its corpus (pairs are candidates that survived Jaccard ≥ 0.9), and
+    * the distributed loop pays a fixed multi-second cost PER ITERATION
+    * (two shuffles + a checkpoint) regardless of data size; under the
+    * threshold the driver closure is exact, deterministic, and runs in
+    * milliseconds. 1M edges ≈ tens of MB on the driver — bounded. Above
+    * it, the iterative loop (or the alternating-star form) is the scale
+    * path, unchanged. */
+  val SmallGraphEdges: Long = 1L << 20
+
+  /** Driver union-find, min-id representative — produces EXACTLY the
+    * labels the distributed fixpoint converges to (the equivalence spec
+    * pins all three forms on random graphs). */
+  private def unionFindComponents(spark: org.apache.spark.sql.SparkSession,
+                                  edges: Array[(Long, Long)]): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2))
+      .toArray.distinct.sorted
+    val rows: Seq[org.apache.spark.sql.Row] =
+      nodes.map(x => org.apache.spark.sql.Row(x, find(x))).toSeq
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("component", org.apache.spark.sql.types.LongType))))
+  }
+
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 100,
+                          smallGraphEdges: Long = SmallGraphEdges): DataFrame = {
     val spark = pairs.sparkSession
     def snapshot(df: DataFrame) = ccSnapshot(df)
     def free(ids: Set[Int]): Unit = ccFree(spark, ids)
     val e = pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    // hybrid threshold (one cheap count over the — typically already
+    // checkpointed — pairs frame, the AQE-style stats probe): small
+    // graphs close on the driver, large ones run the distributed loop
+    if (e.count() <= smallGraphEdges)
+      return unionFindComponents(spark,
+        e.collect().map(r => (r.getLong(0), r.getLong(1))))
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .distinct().cache()
     // materialize sym BEFORE the first snapshot (mirrors the alternating

@@ -161,11 +161,17 @@ class DedupSpec extends SparkSpec {
       val pairs = Seq.fill(12 + rnd.nextInt(40))(
         (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
       val df = pairs.toDF("a", "b")
-      val viaLabels = Dedup.connectedComponents(df)
+      // all THREE forms: driver union-find (small-graph fast path),
+      // distributed min-label loop (forced via threshold 0), and the
+      // alternating-star O(log n) form — one fixpoint, three engines
+      val viaUnionFind = Dedup.connectedComponents(df)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val viaLabels = Dedup.connectedComponents(df, smallGraphEdges = 0)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       val viaStars = Dedup.connectedComponentsAlternating(df)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
       assert(viaLabels === viaStars, s"trial $trial with ${pairs.length} edges")
+      assert(viaUnionFind === viaLabels, s"trial $trial union-find drift")
     }
   }
 
@@ -202,10 +208,12 @@ class DedupSpec extends SparkSpec {
   test("connected components fail loudly when the iteration bound is hit") {
     import spark.implicits._
     // a 10-node path needs ~9 propagation rounds; maxIter=2 must throw,
-    // never silently return a split component (module 'no silent caps')
+    // never silently return a split component (module 'no silent caps').
+    // smallGraphEdges=0 forces the distributed loop — the driver
+    // fast path has no iteration bound to hit
     val path = (1L to 9L).map(i => (i, i + 1)).toDF("a", "b")
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(path, maxIter = 2).collect()
+      Dedup.connectedComponents(path, maxIter = 2, smallGraphEdges = 0).collect()
     }
     assert(e.getMessage.contains("did not converge"))
   }

@@ -424,6 +424,14 @@ object Oracles {
          |SELECT doc_id, CAST(sum(c) AS BIGINT) n_grams, CAST(max(c) AS BIGINT) top_count,
          |round(CAST(max(c) AS DOUBLE)/sum(c),6) top_frac
          |FROM c GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "boilerplate_ngrams" ->
+      s"""WITH $Toks,
+         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t)>=3 THEN
+         |  [list_aggr(t[i:i+2],'string_agg','_') for i in range(1, len(t)-1)]
+         |  ELSE [] END) s FROM toks),
+         |el AS (SELECT doc_id, unnest(s) ngram FROM sh)
+         |SELECT ngram, CAST(count(*) AS BIGINT) df FROM el
+         |GROUP BY 1 HAVING count(*) >= 5 ORDER BY ngram""".stripMargin,
     // quality-filter cascade twin: same token stats as text_quality, the
     // same script counts as lang_id's r CTE, rules in the operator's
     // fixed order; concat_ws drops NULL branches on both engines

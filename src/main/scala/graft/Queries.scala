@@ -284,6 +284,10 @@ object Queries {
     "repetition_stats" -> ((s, dir) =>
       TextAnalysis.repetitionStats(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    // cross-document boilerplate: 3-grams appearing in ≥5 docs
+    "boilerplate_ngrams" -> ((s, dir) =>
+      TextAnalysis.boilerplateNgrams(docs(s, dir), "doc_id", "text", 3, 5)
+        .orderBy("ngram")),
     "lang_id" -> ((s, dir) =>
       TextAnalysis.langId(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
     "token_counts" -> ((s, dir) =>

@@ -150,6 +150,24 @@ object TextAnalysis {
       .withColumn("top_frac",
         round(col("top_count").cast("double") / col("n_grams"), 6))
 
+  /** Corpus-level boilerplate phrase mining: each distinct word n-gram's
+    * DOCUMENT frequency, filtered to phrases in ≥ minDf docs — the
+    * cross-document complement of [[repetitionStats]] (intra-doc). High-df
+    * phrases are boilerplate templates (headers, disclaimers, navigation
+    * chrome) that quality pipelines strip and shingle-dedup treats as
+    * stop-shingles (cf. the maxDf hot-shingle cap in
+    * Dedup.ngramJaccardPairsSharedShingle — this operator is that cap's
+    * audit face). Shape: explode of per-doc DISTINCT shingles (bounded by
+    * doc length), one map-side-combinable count on the gram key — the
+    * same plan as the term dictionary, scale-safe at any corpus size;
+    * minDf keeps the result bounded (boilerplate is rare by definition). */
+  def boilerplateNgrams(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, minDf: Long = 5): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(array_distinct(TextFns.shingles(TextFns.tokens(col(textCol)), n))).as("ngram"))
+      .groupBy("ngram").agg(count("*").as("df"))
+      .where(col("df") >= minDf)
+
   /** PII patterns, ordered. Kept to syntax with identical semantics in
     * Java regex (Spark) and RE2 (the DuckDB oracle): character classes,
     * bounded repetition, `\b` word boundaries — no lookaround, no

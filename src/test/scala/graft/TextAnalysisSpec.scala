@@ -81,4 +81,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(6L) === (true, ""))
     assert(got(7L) === (false, "low_stopword,repetitive"))
   }
+
+  test("boilerplate ngrams: document frequency of distinct 3-grams, minDf cut") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "all rights reserved click here now"),    // a_r_r + r_r_c + ...
+      (2L, "all rights reserved something else entirely"),
+      (3L, "all rights reserved all rights reserved"), // repeated in-doc: counts ONCE
+      (4L, "no shared phrases in this document"),
+      (5L, "ab cd")).toDF("doc_id", "text")           // < n tokens: no grams
+    val got = TextAnalysis.boilerplateNgrams(docs, "doc_id", "text", n = 3, minDf = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "all_rights_reserved" appears in docs 1,2,3 → df=3 (doc 3's repeat
+    // adds nothing — DOCUMENT frequency, not term frequency)
+    assert(got === Map("all_rights_reserved" -> 3L))
+    // lower threshold surfaces the df=2 tail
+    val df2 = TextAnalysis.boilerplateNgrams(docs, "doc_id", "text", n = 3, minDf = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df2("all_rights_reserved") === 3L)
+    assert(df2.values.forall(_ >= 2L))
+  }
 }

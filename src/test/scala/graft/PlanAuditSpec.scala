@@ -85,6 +85,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("boilerplate ngram mining partially aggregates before its one shuffle") {
+    // the df count MUST map-side combine: at 100 TB the exploded distinct
+    // shingles are corpus-scale, and a shuffle of raw (doc, gram) rows
+    // instead of per-partition partial counts would move the whole
+    // explosion across the wire
+    val p = plan(Queries.all("boilerplate_ngrams")(spark, sf))
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), "no partial agg")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
   test("incremental anti-join resolves to a real anti join") {
     val p = plan(Queries.all("incremental_changed")(spark, sf))
     assert(p.contains("LeftAnti"), "no anti join in the plan")

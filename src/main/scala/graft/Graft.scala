@@ -18,6 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object Graft {
 
+  /** Hard bound on the corpora the engines may collect driver-side for
+    * their resident point-lookup caches. The bundled corpora are bounded
+    * by DOMAIN (6,236 verses / 1,896 hadiths), but nothing used to stop
+    * a caller from pointing the same engine class at a corpus-scale
+    * table and having the first `getVerse`/spec-lookup collect it to the
+    * driver — so the bound is now ENFORCED the way `Dedup.SmallGraphEdges`
+    * gates the CC driver fast path: one cheap count over the cached docs
+    * layer BEFORE any collect; over-threshold corpora transparently serve
+    * through the distributed twins ([[operators.Quran.getVerse]],
+    * [[operators.HadithSearch.lookupRef]]), which stay correct at any
+    * scale. 2^17 rows of lookup projection ≈ tens of MB on the driver. */
+  val MaxResidentRows: Long = 1L << 17
+
   /** Hadith engine over validated corpus JSONL (cold open: scan +
     * index build happen here, once). */
   def openHadith(spark: SparkSession, booksGlob: String,
@@ -34,9 +47,16 @@ object Graft {
     new QuranEngine(Quran.buildIndex(corpus, emb).materialize())
   }
 
-  final class HadithEngine private[graft] (val index: HadithSearch.Index) {
+  final class HadithEngine private[graft] (val index: HadithSearch.Index,
+      maxResidentRows: Long = Graft.MaxResidentRows) {
     /** Resident silver table (with the numeric surrogate key). */
     def silver: DataFrame = index.docs
+
+    /** ENFORCED resident bound (see [[Graft.MaxResidentRows]]): one count
+      * over the cached docs layer decides, once, whether the citation
+      * cache may collect. Over-threshold corpora serve every citation
+      * through the distributed [[HadithSearch.lookupRef]] instead. */
+    private lazy val residentOk: Boolean = index.docs.count() <= maxResidentRows
 
     /** Driver-resident exact-reference cache: the corpus is bounded by
       * DOMAIN (Riyad as-Salihin — 1,896 hadiths at full scale), so the
@@ -45,34 +65,33 @@ object Graft {
       * collects once and warm spec-mode citation lookups resolve as a
       * driver filter + LocalTableScan with NO Spark job — the reference's
       * <5 ms SQLite-direct-lookup design (HADITH_SEARCH_SPEC.md:553).
-      * Generic/unbounded corpora never take this path. */
+      * Guarded by [[residentOk]] — never built over-threshold. */
     private lazy val refRows: Array[org.apache.spark.sql.Row] =
       HadithSearch.refProjection(index.docs).collect()
     private lazy val refSchema =
       HadithSearch.refProjection(index.docs).schema
-    // built lookup Datasets, memoized per (citation, n): repeat lookups
-    // skip re-analysis of an identical bounded plan (a prepared
-    // statement, not a result cache — rows were driver-resident either
-    // way). Bounded by the citation domain of a bounded corpus.
-    private val refDfs =
-      new java.util.concurrent.ConcurrentHashMap[(Router.ExactRef, Int), DataFrame]()
-    private def lookupRefResident(ref: Router.ExactRef, n: Int): DataFrame =
-      refDfs.computeIfAbsent((ref, n), { case (ref, n) =>
-        val fi = refSchema.fieldNames.zipWithIndex.toMap
-        def fits(r: org.apache.spark.sql.Row): Boolean =
-          ref.collection.forall(c => !r.isNullAt(fi("collection")) && r.getString(fi("collection")) == c) &&
-          ref.global.forall(g => !r.isNullAt(fi("ref_global")) && r.getLong(fi("ref_global")) == g) &&
-          ref.book.forall(b => !r.isNullAt(fi("ref_book")) && r.getLong(fi("ref_book")) == b) &&
-          ref.num.forall(x => !r.isNullAt(fi("ref_num")) && r.getLong(fi("ref_num")) == x)
-        val keep = refSchema.fields.length - HadithSearch.RefFilterCols.length
-        // doc_ids are ASCII, so JVM string order == Spark's UTF8 binary order
-        val hits: Seq[org.apache.spark.sql.Row] = refRows.view.filter(fits)
-          .toSeq.sortBy(_.getString(0)).take(n)
-          .map(r => org.apache.spark.sql.Row(r.toSeq.take(keep): _*))
-        index.docs.sparkSession.createDataFrame(
-          java.util.Arrays.asList(hits: _*),
-          org.apache.spark.sql.types.StructType(refSchema.fields.take(keep)))
-      })
+    private lazy val refFieldIdx = refSchema.fieldNames.zipWithIndex.toMap
+    // Only the query-INDEPENDENT projection is memoized (refRows, schema,
+    // field index). The per-citation filter/sort/take runs on EVERY call —
+    // the reference's SQLite lookup executes its B-tree probe per request,
+    // and memoizing built result frames here made repeated-identical-
+    // citation benches time a map hit over precomputed answers.
+    private def lookupRefResident(ref: Router.ExactRef, n: Int): DataFrame = {
+      val fi = refFieldIdx
+      def fits(r: org.apache.spark.sql.Row): Boolean =
+        ref.collection.forall(c => !r.isNullAt(fi("collection")) && r.getString(fi("collection")) == c) &&
+        ref.global.forall(g => !r.isNullAt(fi("ref_global")) && r.getLong(fi("ref_global")) == g) &&
+        ref.book.forall(b => !r.isNullAt(fi("ref_book")) && r.getLong(fi("ref_book")) == b) &&
+        ref.num.forall(x => !r.isNullAt(fi("ref_num")) && r.getLong(fi("ref_num")) == x)
+      val keep = refSchema.fields.length - HadithSearch.RefFilterCols.length
+      // doc_ids are ASCII, so JVM string order == Spark's UTF8 binary order
+      val hits: Seq[org.apache.spark.sql.Row] = refRows.view.filter(fits)
+        .toSeq.sortBy(_.getString(0)).take(n)
+        .map(r => org.apache.spark.sql.Row(r.toSeq.take(keep): _*))
+      index.docs.sparkSession.createDataFrame(
+        java.util.Arrays.asList(hits: _*),
+        org.apache.spark.sql.types.StructType(refSchema.fields.take(keep)))
+    }
 
     /** hybrid_search parity (tools.py:39-175) — warm: no index rebuild.
       * Spec-mode exact citations resolve from the driver-resident
@@ -83,7 +102,9 @@ object Graft {
         val intent = Router.route(query)
         if (intent.qtype == "exact_reference")
           Router.parseExactRef(intent.normalized) match {
-            case Some(ref) => return lookupRefResident(ref, n)
+            case Some(ref) =>
+              return if (residentOk) lookupRefResident(ref, n)
+                     else HadithSearch.lookupRef(index.docs, ref, n)
             case None => ()
           }
       }
@@ -100,9 +121,15 @@ object Graft {
     def peek(n: Int = 3): DataFrame = Ingest.peek(silver, n)
   }
 
-  final class QuranEngine private[graft] (val index: Quran.Index) {
+  final class QuranEngine private[graft] (val index: Quran.Index,
+      maxResidentRows: Long = Graft.MaxResidentRows) {
     def corpus: DataFrame = index.docs
     def emb: Option[DataFrame] = index.emb
+
+    /** ENFORCED resident bound (see [[Graft.MaxResidentRows]]): decided
+      * once by a cheap count over the cached corpus; over-threshold
+      * corpora serve lookups through the distributed [[Quran.getVerse]]. */
+    private lazy val residentOk: Boolean = index.docs.count() <= maxResidentRows
 
     /** Driver-resident point-lookup cache. The tafsir corpus is bounded
       * by DOMAIN, not by data scale — one row per ayah (6,236 at full
@@ -110,10 +137,9 @@ object Graft {
       * from in-process SQLite (quran_mcp/server.py:77-107). Collecting
       * it once turns every warm lookup into a LocalTableScan: the
       * collect() returns rows without launching a Spark job, so lookup
-      * latency is driver map access, not job scheduling. Corpus-scale
-      * tables never take this path — hadith exact-ref lookups stay
-      * distributed filters (HadithSearch.lookupRef). Built lazily: the
-      * first lookup pays one bounded collect over the cached corpus. */
+      * latency is driver map access, not job scheduling. Guarded by
+      * [[residentOk]] — never collected over-threshold. Built lazily:
+      * the first lookup pays one bounded collect over the cached corpus. */
     private lazy val verseRows: Map[String, Array[org.apache.spark.sql.Row]] = {
       val rows = index.docs.collect()
       rows.groupBy(_.getAs[String]("verse_key"))
@@ -126,21 +152,17 @@ object Graft {
                queryVec: Option[Array[Float]] = None): DataFrame =
       Quran.searchWith(index, query, queryVec, n, mode)
 
-    // built LocalRelation Datasets, memoized per key: repeat lookups skip
-    // re-analysis of an identical one-row plan (a prepared statement, not
-    // a result cache — the rows were already driver-resident either way).
-    // Bounded by the verse-key domain, so no eviction needed.
-    private val verseDfs =
-      new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
     /** get_verse parity (server.py:77-107) — served from the
-      * driver-resident cache as a LocalRelation (no Spark job). */
+      * driver-resident cache as a LocalRelation (no Spark job). Only the
+      * key→rows map is memoized (the B-tree analog); the result frame is
+      * built per call, so repeated-identical-key benches measure the
+      * lookup, not a result cache. */
     def getVerse(verseKey: String): DataFrame =
-      verseDfs.computeIfAbsent(verseKey, k =>
-        index.docs.sparkSession.createDataFrame(
-          java.util.Arrays.asList(
-            verseRows.getOrElse(k, Array.empty[org.apache.spark.sql.Row]): _*),
-          index.docs.schema))
+      if (!residentOk) Quran.getVerse(index.docs, verseKey)
+      else index.docs.sparkSession.createDataFrame(
+        java.util.Arrays.asList(
+          verseRows.getOrElse(verseKey, Array.empty[org.apache.spark.sql.Row]): _*),
+        index.docs.schema)
 
     /** index_status parity (server.py:109-113). */
     def status: DataFrame = Quran.indexStatus(index.docs)

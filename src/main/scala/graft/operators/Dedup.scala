@@ -331,12 +331,19 @@ object Dedup {
     def snapshot(df: DataFrame) = ccSnapshot(df)
     def free(ids: Set[Int]): Unit = ccFree(spark, ids)
     val e = pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
-    // hybrid threshold (one cheap count over the — typically already
-    // checkpointed — pairs frame, the AQE-style stats probe): small
-    // graphs close on the driver, large ones run the distributed loop
-    if (e.count() <= smallGraphEdges)
+    // Hybrid threshold via ONE bounded evaluation that both decides and
+    // supplies the driver fast path: limit(threshold+1).collect() is an
+    // incremental take (never a full materialization the distributed loop
+    // would then repeat), and returns either the COMPLETE edge list
+    // (≤ threshold — exactly the rows union-find closes over, so a
+    // nondeterministic pairs plan cannot disagree between the decision
+    // and the data) or threshold+1 rows, which are discarded and the
+    // distributed loop evaluates the plan itself.
+    val cap = math.min(smallGraphEdges, Int.MaxValue - 2L).toInt
+    val probe = e.limit(cap + 1).collect()
+    if (probe.length <= cap)
       return unionFindComponents(spark,
-        e.collect().map(r => (r.getLong(0), r.getLong(1))))
+        probe.map(r => (r.getLong(0), r.getLong(1))))
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .distinct().cache()
     // materialize sym BEFORE the first snapshot (mirrors the alternating

@@ -71,7 +71,8 @@ object HadithSearch {
                          dicts: Map[String, DataFrame],
                          stats: Map[String, DataFrame],
                          slots: DataFrame, dim: Int,
-                         resident: Boolean = false) {
+                         resident: Boolean = false,
+                         maxResidentVocab: Long = MaxResidentVocab) {
     /** Driver-resident per-field dictionaries (term → df) and corpus
       * stats (n_docs, sum_dl) — bounded by the engine's VOCABULARY (tens
       * of thousands of terms for the bundled corpora), not by document
@@ -85,13 +86,24 @@ object HadithSearch {
       * Only MATERIALIZED (warm/serving) indexes take this path — see
       * `resident`: in a cold one-shot search the collects would add
       * separate dictionary/stats jobs where the distributed probe folds
-      * them into its single job over the still-unbuilt cache. */
+      * them into its single job over the still-unbuilt cache.
+      *
+      * The vocabulary bound is ENFORCED, not assumed: one cheap count
+      * per field over the cached dictionary decides (once) whether the
+      * collect may happen — an over-threshold vocabulary returns None
+      * and [[fieldProbe]] keeps that field on the distributed dictionary
+      * join (the unbounded scale path). */
+    private val dictSizes =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    private def dictSize(field: String): Long =
+      dictSizes.computeIfAbsent(field, f => dicts(f).count()).longValue
     private val dictsLocalMap =
       new java.util.concurrent.ConcurrentHashMap[String, scala.collection.immutable.TreeMap[String, Long]]()
-    def dictLocal(field: String): scala.collection.immutable.TreeMap[String, Long] =
-      dictsLocalMap.computeIfAbsent(field, f =>
+    def dictLocal(field: String): Option[scala.collection.immutable.TreeMap[String, Long]] =
+      if (dictSize(field) > maxResidentVocab) None
+      else Some(dictsLocalMap.computeIfAbsent(field, f =>
         scala.collection.immutable.TreeMap(
-          dicts(f).collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toSeq: _*))
+          dicts(f).collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toSeq: _*)))
     private val statsLocalMap =
       new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
     def statLocal(field: String): (Long, Long) =
@@ -119,7 +131,8 @@ object HadithSearch {
       Index(reroot(docs), reroot(post),
         dicts.map { case (f, d) => f -> reroot(d) },
         stats.map { case (f, s) => f -> reroot(s) },
-        reroot(slots), dim, resident = true)
+        reroot(slots), dim, resident = true,
+        maxResidentVocab = maxResidentVocab)
     }
   }
 
@@ -174,26 +187,36 @@ object HadithSearch {
     * past what it saves. */
   private val MaxResidentExpansion = 2048
 
+  /** Vocabulary bound for the driver-resident dictionaries (see
+    * [[Index.dictLocal]]): ~1M terms of (String, Long) TreeMap is tens
+    * of MB on the driver — comfortably bounded; real corpora vocabularies
+    * that exceed it keep the distributed dictionary join. */
+  val MaxResidentVocab: Long = 1L << 20
+
   private[graft] def fieldProbe(idx: Index, field: String, terms: Seq[String],
                          prefix: Boolean, k: Int): DataFrame = {
     val ts = terms.distinct
     if (!idx.resident) return fieldProbeDistributed(idx, field, ts, prefix, k)
-    // resident expansion: the dictionary range-scan mirrors the
-    // distributed `startsWith` filter exactly (dict terms ARE the
-    // postings terms, so filtering postings by the expanded term set is
-    // the same set the prefix filter selects)
-    val dict = idx.dictLocal(field)
-    val expanded: Seq[(String, Long)] =
-      if (prefix)
-        ts.flatMap(t => dict.iteratorFrom(t).takeWhile(_._1.startsWith(t))).distinct
-      else ts.flatMap(t => dict.get(t).map(t -> _))
-    if (expanded.isEmpty) emptyLex(idx.docs)
-    else if (expanded.size > MaxResidentExpansion)
-      fieldProbeDistributed(idx, field, ts, prefix, k)
-    else {
-      val (nDocs, sumDl) = idx.statLocal(field)
-      val p = idx.post.where(col("field") === field)
-      Bm25.topK(Bm25.scoreResident(p, expanded, nDocs, sumDl), k)
+    idx.dictLocal(field) match {
+      case None => // vocabulary over the resident bound — scale path
+        fieldProbeDistributed(idx, field, ts, prefix, k)
+      case Some(dict) =>
+        // resident expansion: the dictionary range-scan mirrors the
+        // distributed `startsWith` filter exactly (dict terms ARE the
+        // postings terms, so filtering postings by the expanded term set
+        // is the same set the prefix filter selects)
+        val expanded: Seq[(String, Long)] =
+          if (prefix)
+            ts.flatMap(t => dict.iteratorFrom(t).takeWhile(_._1.startsWith(t))).distinct
+          else ts.flatMap(t => dict.get(t).map(t -> _))
+        if (expanded.isEmpty) emptyLex(idx.docs)
+        else if (expanded.size > MaxResidentExpansion)
+          fieldProbeDistributed(idx, field, ts, prefix, k)
+        else {
+          val (nDocs, sumDl) = idx.statLocal(field)
+          val p = idx.post.where(col("field") === field)
+          Bm25.topK(Bm25.scoreResident(p, expanded, nDocs, sumDl), k)
+        }
     }
   }
 
@@ -261,6 +284,16 @@ object HadithSearch {
       .orderBy("doc_id").limit(n)
   }
 
+  /** EAGER semantics, a deliberate departure from Spark's lazy contract:
+    * the two probe legs execute as concurrent Spark jobs AT CALL TIME
+    * (two-phase serving execution below), so the returned frame freezes
+    * the candidate set when `searchWith` returns, probe failures surface
+    * at construction rather than first action, and `explain` on the
+    * result shows only the backfill/scoring stage. The serving path
+    * collects immediately, so nothing observable changes there; callers
+    * holding the frame for later should treat it as a materialized
+    * result, not a deferred plan. (Same contract: Hybrid.searchWith,
+    * Quran.searchWith.) */
   def searchWith(idx: Index, query: String, n: Int = 10,
                  mode: String = "balanced",
                  parityFts: Boolean = false): DataFrame = {

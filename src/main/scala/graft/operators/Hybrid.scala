@@ -150,7 +150,9 @@ object Hybrid {
 
   /** Full pipeline over a resident [[Index]]. Returns the scored hit
     * envelope (tools.py:150-160): doc_id, snippet, per-signal breakdown
-    * (rounded 4), total score. */
+    * (rounded 4), total score. EAGER: the probe legs run at call time
+    * and the returned frame freezes the candidate set (see
+    * HadithSearch.searchWith's contract note). */
   def searchWith(idx: Index, query: String, n: Int = 10,
                  mode: String = "balanced",
                  parityFts: Boolean = false): DataFrame = {

@@ -72,14 +72,18 @@ object Quran {
                          dict: DataFrame, stats: DataFrame,
                          emb: Option[DataFrame],
                          embQ: Option[DataFrame] = None,
-                         resident: Boolean = false) {
+                         resident: Boolean = false,
+                         maxResidentVocab: Long = HadithSearch.MaxResidentVocab) {
     /** Driver-resident dictionary (term → df) + corpus stats — bounded
       * by the tafsir VOCABULARY, the in-process FTS5-dictionary analog
       * (see HadithSearch.Index.dictLocal; like there, only MATERIALIZED
       * serving indexes take this path — `resident`). Exact probes only,
-      * so a plain map suffices. */
-    lazy val dictLocal: Map[String, Long] =
-      dict.collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
+      * so a plain map suffices. The bound is ENFORCED (one cheap count
+      * over the cached dictionary, once): None keeps [[searchWith]]'s
+      * lexical leg on the distributed dictionary join — the scale path. */
+    lazy val dictLocal: Option[Map[String, Long]] =
+      if (dict.count() > maxResidentVocab) None
+      else Some(dict.collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap)
     lazy val statsLocal: (Long, Long) = {
       val r = stats.head()
       (r.getAs[Long]("n_docs"),
@@ -99,7 +103,8 @@ object Quran {
       // (see HadithSearch.Index.materialize)
       import org.apache.spark.sql.graftshim.ColumnShim.reroot
       Index(reroot(docs), reroot(postings), reroot(dict), reroot(stats),
-        emb.map(reroot), embQ.map(reroot), resident = true)
+        emb.map(reroot), embQ.map(reroot), resident = true,
+        maxResidentVocab = maxResidentVocab)
     }
   }
 
@@ -111,6 +116,22 @@ object Quran {
   def buildIndex(corpus: DataFrame, emb: Option[DataFrame],
                  cache: Boolean = true): Index = {
     def c(df: DataFrame) = if (cache) df.cache() else df
+    // Build-time invariant behind the dense key: [[searchWith]]'s fts leg
+    // RECONSTRUCTS verse_key as s"${id/1000}:${id%1000}", so every corpus
+    // row must satisfy verse_key == s"$surah:$ayah" with ayah in [0,999]
+    // — a row violating it (padding, whitespace, numbering drift in
+    // re-scraped data) would silently drop its lexical candidate at the
+    // backfill join. Checked HERE, once per index build (one narrow
+    // projection over the corpus), so the failure is loud at build, not
+    // silent at query time.
+    val drift = corpus.where(
+      col("verse_key") =!= concat(col("surah").cast("string"), lit(":"),
+        col("ayah").cast("string")) ||
+      col("ayah") < 0 || col("ayah") > 999 || col("surah") <= 0)
+      .select("verse_key", "surah", "ayah").limit(3).collect()
+    require(drift.isEmpty,
+      s"corpus rows break the verse_key == surah:ayah invariant the dense " +
+        s"key relies on (first: ${drift.toSeq.mkString(", ")})")
     // full corpus + the dense numeric key; search plans prune to the
     // columns they touch, point lookups keep every corpus field
     val docs = c(corpus.withColumn("doc_id",
@@ -152,7 +173,9 @@ object Quran {
              mode: String = "hybrid"): DataFrame =
     searchWith(buildIndex(corpus, emb), query, queryVec, n, mode)
 
-  /** Search over a resident [[Index]] — the warm serving path. */
+  /** Search over a resident [[Index]] — the warm serving path. EAGER:
+    * the probe legs run at call time and the returned frame freezes the
+    * candidate set (see HadithSearch.searchWith's contract note). */
   def searchWith(idx: Index, query: String, queryVec: Option[Array[Float]],
                  n: Int = 5, mode: String = "hybrid"): DataFrame = {
     val semanticOk = idx.emb.isDefined && queryVec.isDefined
@@ -170,15 +193,17 @@ object Quran {
     val ftsLeg: Option[DataFrame] = {
       val raw = graft.Router.embedTokens(query).distinct
       if (raw.isEmpty || wf == 0.0) None
-      else if (idx.resident) {
-        val terms = raw.flatMap(t => idx.dictLocal.get(t).map(t -> _))
+      else if (idx.resident && idx.dictLocal.isDefined) {
+        val dl = idx.dictLocal.get
+        val terms = raw.flatMap(t => dl.get(t).map(t -> _))
         if (terms.isEmpty) None // no dictionary hit ⇒ empty leg, no job
         else {
           val (nDocs, sumDl) = idx.statsLocal
           Some(Bm25.topK(Bm25.scoreResident(idx.postings, terms, nDocs, sumDl),
             math.max(n * 5, 25)))
         }
-      } else // cold one-shot: dictionary/stats fold into the probe's own job
+      } else // cold one-shot (dictionary/stats fold into the probe's own
+        // job) or an over-bound vocabulary (distributed scale path)
         Some(Bm25.topK(Bm25.score(idx.postings, idx.dict, idx.stats, raw),
           math.max(n * 5, 25)))
     }

@@ -70,6 +70,72 @@ class GraftEngineSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("over-bound corpora are NEVER collected: engines fall back to distributed lookups") {
+    // threshold 0 simulates a corpus-scale table behind the same engine
+    // class: the resident caches must not build, and every lookup must
+    // serve through the distributed twins with identical results
+    val glob = "/root/reference/data/riyadussalihin/book_1.jsonl"
+    val resident = Graft.openHadith(spark, glob)
+    val bounded = new Graft.HadithEngine(resident.index, maxResidentRows = 0)
+    val q = "Riyad as-Salihin 680"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      assert(bounded.search(q, 10, "spec").collect().toSeq ===
+        resident.search(q, 10, "spec").collect().toSeq)
+      Thread.sleep(500)
+      // the distributed path RUNS Spark jobs — proof the resident
+      // cache was bypassed (its twin test above asserts zero jobs)
+      assert(jobs.get > 0, "over-bound spec lookup did not go distributed")
+    } finally spark.sparkContext.removeSparkListener(l)
+
+    val residentQ = Graft.openQuran(spark, "/root/reference/data/quran", None)
+    val boundedQ = new Graft.QuranEngine(residentQ.index, maxResidentRows = 0)
+    assert(boundedQ.getVerse("2:255").collect().toSeq ===
+      residentQ.getVerse("2:255").collect().toSeq)
+    assert(boundedQ.getVerse("0:0").count() === 0)
+  }
+
+  test("over-bound vocabulary keeps lexical probes on the distributed dictionary join") {
+    import graft.operators.{HadithSearch, Quran}
+    val glob = "/root/reference/data/riyadussalihin/book_1.jsonl"
+    val idx = Graft.openHadith(spark, glob).index
+    val gated = idx.copy(maxResidentVocab = 0)
+    assert(gated.dictLocal("en").isEmpty, "vocab bound not enforced")
+    val q = "patience and gratitude in hardship"
+    assert(HadithSearch.searchWith(gated, q, n = 5).collect().toSeq ===
+      HadithSearch.searchWith(idx, q, n = 5).collect().toSeq)
+
+    val qidx = Graft.openQuran(spark, "/root/reference/data/quran", None).index
+    val qgated = qidx.copy(maxResidentVocab = 0)
+    assert(qgated.dictLocal.isEmpty, "quran vocab bound not enforced")
+    assert(Quran.searchWith(qgated, "mercy forgiveness charity", None, 5, "fts").collect().toSeq ===
+      Quran.searchWith(qidx, "mercy forgiveness charity", None, 5, "fts").collect().toSeq)
+  }
+
+  test("quran resident searchWith equals the distributed (cold) form") {
+    import graft.operators.Quran
+    import graft.sources.Npz
+    // resident: materialized index (driver dictionary + embQ fast paths);
+    // cold: the same layers, un-materialized (resident=false ⇒ the
+    // distributed dictionary join). Mirrors HadithSpec's probe parity pin
+    // — guards the fts leg's fabricated verse_key against drift.
+    val corpus = Quran.load(spark, "/root/reference/data/quran")
+    val emb = Npz.embeddings(spark, "/root/reference/data/indexes/quran/embeddings.npz").cache()
+    val cold = Quran.buildIndex(corpus, Some(emb))
+    val warm = cold.materialize()
+    val qv = emb.where(col("verse_key") === "1:1").head().getSeq[Float](1).toArray
+    for (mode <- Seq("fts", "hybrid", "semantic")) {
+      assert(Quran.searchWith(warm, "mercy forgiveness charity", Some(qv), 5, mode).collect().toSeq ===
+        Quran.searchWith(cold, "mercy forgiveness charity", Some(qv), 5, mode).collect().toSeq,
+        s"resident/distributed divergence in mode=$mode")
+    }
+  }
+
   test("persisted index layers round-trip: warm open serves identical results (S9)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-idx").toString
     val glob = "/root/reference/data/riyadussalihin/book_{1,2}.jsonl"

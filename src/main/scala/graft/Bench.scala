@@ -9,6 +9,13 @@ import org.apache.spark.sql.functions._
   * repeated queries against resident indexes (what the reference's
   * 150 ms p95 serving target measures). One JSON line carries both.
   * [[BenchServe]] runs part 2 standalone.
+  *
+  * CONTENTION-AWARENESS: this host shows multi-minute CPU bursts that
+  * can inflate identical runs 2-10×. Both parts therefore measure a
+  * fixed SENTINEL probe alongside the real queries (a small job through
+  * the scheduler — the same path contention inflates) and the artifact
+  * flags measurements whose sentinel context was inflated, so a reader
+  * can tell "this query regressed" from "this pass was contended".
   */
 object Bench {
   private[graft] def esc(s: String): String =
@@ -25,9 +32,22 @@ object Bench {
   private def fmt(v: Double, decimals: Int): String =
     String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
 
+  /** Rotation pools for the two point-lookup warm queries: repeated
+    * IDENTICAL keys would let any JVM/plan-level residue make the timed
+    * runs unrepresentative (the engines deliberately keep no result
+    * cache — see Graft.lookupRefResident — and rotation keeps it
+    * honest from the bench side too). All keys exist in the bundled
+    * corpora, so every run measures a HIT lookup. */
+  private val Citations = Array(
+    "Riyad as-Salihin 680", "Riyad as-Salihin 1", "Riyad as-Salihin 993",
+    "Riyad as-Salihin 1511", "book 1, hadith 3", "5:2")
+  private val VerseKeys = Array(
+    "2:255", "1:1", "3:5", "112:1", "18:10", "36:1", "55:13", "2:1")
+
   /** The warm serving measurement: open engines + resident indexes once,
-    * run each query `runs` times after warm-up, report p50/p95/mean.
-    * Returns the serve section as a JSON object string. */
+    * run each query `runs` times after warm-up, report p50/p95/mean plus
+    * sentinel-adjusted tail stats. Returns the serve section as a JSON
+    * object string. */
   private[graft] def serveSection(spark: SparkSession, sfDir: String, runs: Int): String =
     try {
       // drop any accumulated cache entries so the serve measurement
@@ -56,6 +76,36 @@ object Bench {
       val quranOpenS = (System.nanoTime() - tOpen1) / 1e9
       val qv = quran.emb.get.where(col("verse_key") === "1:1")
         .head().getSeq[Float](1).toArray
+
+      // persisted-layout engines — the shape a cluster restart actually
+      // serves from (S9): write the index layers as parquet once (batch
+      // work), open engines straight off the layout, and measure their
+      // warm queries NEXT TO the in-memory ones. Failures here must not
+      // cost the main serve numbers, hence the isolated try.
+      var persistedTimes = Map.empty[String, Double]
+      val persistedEngines: Option[(Graft.HadithEngine, Graft.QuranEngine)] =
+        if (sys.env.get("SPARK_GRAFT_SERVE_PERSISTED").contains("0")) None
+        else try {
+          val dir = java.nio.file.Files.createTempDirectory("graft-serve-idx").toString
+          val tW0 = System.nanoTime()
+          GraftIndexes.writeHadith(spark, Queries.HadithBooks, s"$dir/hadith")
+          GraftIndexes.writeQuran(spark, Queries.QuranDir, s"$dir/quran",
+            Some(Queries.NpzPath))
+          val writeS = (System.nanoTime() - tW0) / 1e9
+          val tP0 = System.nanoTime()
+          val ph = GraftIndexes.openHadith(spark, s"$dir/hadith")
+          val phOpenS = (System.nanoTime() - tP0) / 1e9
+          val tP1 = System.nanoTime()
+          val pq = GraftIndexes.openQuran(spark, s"$dir/quran")
+          val pqOpenS = (System.nanoTime() - tP1) / 1e9
+          persistedTimes = Map("index_write_s" -> writeS,
+            "hadith_open_persisted_s" -> phOpenS, "quran_open_persisted_s" -> pqOpenS)
+          Some((ph, pq))
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] persisted serve skipped: $e"); None
+        }
+
       // resident BM25 index over the sf documents table
       val p = Postings.build(Tables(spark, sfDir, "documents"), "doc_id", "text").cache()
       val dict = Postings.dictionary(p).cache()
@@ -72,6 +122,16 @@ object Bench {
       // re-planning is pure latency on small fixed serving plans)
       GraftSession.tuneForServing(spark)
 
+      val cN = new java.util.concurrent.atomic.AtomicInteger
+      val vN = new java.util.concurrent.atomic.AtomicInteger
+      // Methodology (uniform across rounds from r10 on): the search/
+      // lookup queries are EAGER — plan construction IS execution
+      // (probe legs run at call time), so their timed lambda includes
+      // construction. bm25/ann are lazy plans, so they are prepared ONCE
+      // outside the loop and the lambda times execution over the
+      // resident index — the prepared-statement shape a serving system
+      // amortizes. The artifact's "prepared" list records which rows
+      // follow the second regime.
       val serveQueries: Seq[(String, () => Unit)] = Seq(
         "hadith_search_warm" -> (() =>
           hadith.search("Hadith narrated by Abu Hurairah", 10).collect(): Unit),
@@ -81,12 +141,12 @@ object Bench {
           quran.search(Queries.QuranQuery, 5, "fts").collect(): Unit),
         "quran_hybrid_warm" -> (() =>
           quran.search(Queries.QuranQuery, 5, "hybrid", Some(qv)).collect(): Unit),
-        "quran_get_verse_warm" -> (() => quran.getVerse("2:255").collect(): Unit),
-        "exact_ref_warm" -> (() => // 680 = first global number in the corpus
-          hadith.search("Riyad as-Salihin 680", 10, "spec").collect(): Unit),
-        // prepared statements: the query plan is built once (what a
-        // serving system amortizes); every timed run still executes the
-        // full probe jobs against the resident index
+        "quran_get_verse_warm" -> (() =>
+          quran.getVerse(VerseKeys(vN.getAndIncrement() % VerseKeys.length))
+            .collect(): Unit),
+        "exact_ref_warm" -> (() =>
+          hadith.search(Citations(cN.getAndIncrement() % Citations.length),
+            10, "spec").collect(): Unit),
         "bm25_topk_warm" -> {
           val df = Bm25.topK(Bm25.score(p, dict, stats, Queries.Bm25Terms), 20)
           () => df.collect(): Unit
@@ -95,7 +155,23 @@ object Bench {
           val df = graft.operators.Similarity.annTopKWith(annIdx, typedLit(ev),
             Queries.Dim, nBits = 4, k = 20)
           () => df.collect(): Unit
-        })
+        }) ++ persistedEngines.toSeq.flatMap { case (ph, pq) => Seq(
+          "hadith_search_warm_persisted" -> (() =>
+            ph.search("Hadith narrated by Abu Hurairah", 10).collect(): Unit),
+          "quran_hybrid_warm_persisted" -> (() =>
+            pq.search(Queries.QuranQuery, 5, "hybrid", Some(qv)).collect(): Unit))
+        }
+
+      // sentinel: a fixed small job THROUGH the scheduler — warm queries
+      // are dominated by job scheduling + short stages, exactly what a
+      // CPU burst inflates. One per round; rounds whose sentinel runs
+      // > 2× the quietest round are flagged and excluded from the
+      // *_adj stats (the raw p50/p95 still report every run).
+      def sentinelMs(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(1L << 22).agg(sum("id")).head()
+        (System.nanoTime() - t0) / 1e6
+      }
 
       // warm-up every query first (JIT + codegen + broadcast reuse), then
       // measure in ROUND-ROBIN rounds (run 1 of every query, run 2, …) —
@@ -104,23 +180,53 @@ object Bench {
       // writes its entire distribution (r8: one serve section reported
       // p50 957 ms for a query that medians ~250 ms on the same box).
       // Interleaved, a burst inflates a few ROUNDS of every query and
-      // the per-query p50 recovers; p95 still reports the honest tail.
+      // the per-query p50 recovers; p95 still reports the honest tail —
+      // and the sentinel-adjusted fields separate that tail from bursts.
       serveQueries.foreach { case (_, run) => run(); run() }
-      val times = scala.collection.mutable.Map.empty[String, List[Double]]
-      for (_ <- 1 to runs) {
-        System.gc() // park collector debt outside the timed runs
+      sentinelMs() // warm the sentinel's own codegen path
+      val times = scala.collection.mutable.Map.empty[String, List[(Int, Double)]]
+      val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
+      for (round <- 0 until runs) {
+        sentinels += sentinelMs()
         serveQueries.foreach { case (name, run) =>
+          // park collector debt before EVERY timed run, not once per
+          // round: r9's quiet-host tail (p95 1.2-1.9× p50) still carried
+          // GC pauses from the previous query's garbage landing inside
+          // the next query's timed window
+          System.gc()
           val t0 = System.nanoTime(); run()
-          times(name) = times.getOrElse(name, Nil) :+ (System.nanoTime() - t0) / 1e6
+          times(name) = times.getOrElse(name, Nil) :+
+            ((round, (System.nanoTime() - t0) / 1e6))
         }
       }
+      val sMin = sentinels.min
+      val noisyRounds = sentinels.zipWithIndex.collect {
+        case (s, i) if s > 2 * sMin => i
+      }.toSet
       val entries = serveQueries.map { case (name, _) =>
-        val t = times(name).toArray.sorted
-        s""""$name":{"p50_ms":${fmt(pct(t, 0.50), 1)},"p95_ms":${fmt(pct(t, 0.95), 1)},"mean_ms":${fmt(t.sum / t.length, 1)},"runs":$runs}"""
+        val all = times(name)
+        val t = all.map(_._2).toArray.sorted
+        // adjusted distribution: quiet rounds only (fall back to all
+        // when contention ate too many rounds to leave a sample)
+        val quiet0 = all.collect { case (r, v) if !noisyRounds.contains(r) => v }
+        val quiet = (if (quiet0.size >= math.max(3, runs / 3)) quiet0
+                     else all.map(_._2)).toArray.sorted
+        val tailAdj = if (pct(quiet, 0.50) > 0) pct(quiet, 0.95) / pct(quiet, 0.50) else 0.0
+        s""""$name":{"p50_ms":${fmt(pct(t, 0.50), 1)},"p95_ms":${fmt(pct(t, 0.95), 1)},""" +
+          s""""mean_ms":${fmt(t.sum / t.length, 1)},"runs":$runs,""" +
+          s""""p50_adj_ms":${fmt(pct(quiet, 0.50), 1)},"p95_adj_ms":${fmt(pct(quiet, 0.95), 1)},""" +
+          s""""tail_adj":${fmt(tailAdj, 2)}}"""
       }
-      (entries :+
-        s""""hadith_open_s":${fmt(hadithOpenS, 2)},"quran_open_s":${fmt(quranOpenS, 2)}""")
-        .mkString("{", ",", "}")
+      val persistedJson = persistedTimes.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":${fmt(v, 2)}""" }
+      val tail = Seq(
+        s""""hadith_open_s":${fmt(hadithOpenS, 2)}""",
+        s""""quran_open_s":${fmt(quranOpenS, 2)}""",
+        s""""sentinel_p50_ms":${fmt(pct(sentinels.toArray.sorted, 0.5), 1)}""",
+        s""""noisy_rounds":${noisyRounds.size}""",
+        s""""prepared":["bm25_topk_warm","ann_topk_warm"]""",
+        """"notes":"search/lookup rows time eager construction+collect; prepared rows time collect only; exact_ref/get_verse rotate keys; *_adj stats exclude sentinel-inflated rounds"""")
+      (entries ++ persistedJson ++ tail).mkString("{", ",", "}")
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] FAIL serve: $e")
@@ -143,7 +249,7 @@ object Bench {
     // passes are SKIPPED (min over the passes that did complete) and the
     // run jumps straight to the serve section.
     // Default 2100 s: r8's driver kill landed at ~2,695 s, and the serve
-    // section needs ~3 min after the cold suite — 35 min of cold passes
+    // section needs ~3-5 min after the cold suite — 35 min of cold passes
     // keeps the whole run inside the observed window. Explicit "0"
     // disables the deadline.
     val startNs = System.nanoTime()
@@ -165,17 +271,25 @@ object Bench {
     // DIFFERENT queries and the min recovers the honest number (r8:
     // a ~5-min burst wrote 10-90 s into one alphabetical stretch of
     // every per-query min). Every run is STILL cold — the cache/persist
-    // sweep below runs before each one.
+    // sweep below runs before each one. Default raised to 3 passes in
+    // r10: BENCH_r09 proved two passes can BOTH straddle one multi-
+    // minute burst (23.5 s recorded for a 2.5 s query).
     // clamp: "0"/negative would leave `samples` empty and throw far from
     // the cause; non-numeric would throw before any artifact is written.
     val coldRuns = math.max(1,
-      sys.env.get("SPARK_GRAFT_COLD_RUNS").flatMap(_.toIntOption).getOrElse(2))
+      sys.env.get("SPARK_GRAFT_COLD_RUNS").flatMap(_.toIntOption).getOrElse(3))
     // per-query wall cap (seconds); generous vs the ~18 s worst honest
     // cold query at sf0.1 — it exists to catch wedged queries, not slow ones
     val queryCapS = math.max(30,
       sys.env.get("SPARK_GRAFT_QUERY_TIMEOUT_S").flatMap(_.toIntOption).getOrElse(300))
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
-    val samples = scala.collection.mutable.Map.empty[String, List[(Double, Option[String])]]
+    // per query: (seconds, error, pass index) — pass index keys into
+    // passSentinelS for the noise flag
+    val samples = scala.collection.mutable.Map.empty[String, List[(Double, Option[String], Int)]]
+    // per-pass sentinel: one fixed CPU-bound job timed at the start of
+    // each pass; a pass whose sentinel runs > 2× the quietest pass was
+    // contended, and mins achieved only in such passes are flagged noisy
+    val passSentinelS = scala.collection.mutable.Map.empty[Int, Double]
     var deadlineHit = false
 
     // partial artifact > no artifact: rebuild the full JSON line from
@@ -184,30 +298,48 @@ object Bench {
     // on disk (r8's bench ran 2,695 s, was killed, and wrote nothing
     // because the old code wrote only at exit).
     def artifactJson(serveJson: String): String = {
+      val sMin = if (passSentinelS.nonEmpty) passSentinelS.values.min else 0.0
       val results = named.flatMap { case (name, _) =>
         samples.get(name).map { runsOut =>
           // min over SUCCESSFUL passes only: a fast-failing pass would
           // report an artificially small "cold" time, and one transient
           // failure must not flag a query red when another pass measured
           // it fine — the error is reported only when every pass failed.
-          val ok = runsOut.collect { case (t, None) => t }
-          if (ok.nonEmpty) (name, ok.min, None)
-          else (name, runsOut.map(_._1).min, runsOut.flatMap(_._2).headOption)
+          val ok = runsOut.collect { case (t, None, p) => (t, p) }
+          if (ok.nonEmpty) {
+            val (minT, minPass) = ok.minBy(_._1)
+            // noisy ⇔ the best measurement is still untrustworthy:
+            // either the passes disagree >2× (a burst ate some of them
+            // and with few passes the min may not have escaped), or the
+            // min's OWN pass ran under an inflated sentinel
+            val spreadNoisy = ok.size > 1 && ok.map(_._1).max / math.max(minT, 1e-9) > 2.0
+            val sentinelNoisy = sMin > 0 &&
+              passSentinelS.get(minPass).exists(_ > 2 * sMin)
+            (name, minT, None: Option[String], ok.map(_._1), spreadNoisy || sentinelNoisy)
+          } else (name, runsOut.map(_._1).min, runsOut.collectFirst { case (_, Some(e), _) => e },
+            Nil: List[Double], false)
         }
       }
       // ms precision keeps the one-line artifact short enough for tail
       // captures that truncate from the front (a full-precision double per
       // query tripled the line length and broke downstream parsers)
-      val qs = results.map { case (k, v, _) => s""""$k":${fmt(v, 3)}""" }
+      val qs = results.map { case (k, v, _, _, _) => s""""$k":${fmt(v, 3)}""" }
         .mkString("{", ",", "}")
-      val failed = results.collect { case (k, _, Some(e)) => s"\"$k\":\"${esc(e)}\"" }
+      val detail = results.collect { case (k, _, None, passes, noisy) =>
+        s""""$k":{"passes":[${passes.map(fmt(_, 2)).mkString(",")}],"noisy":$noisy}"""
+      }.mkString("{", ",", "}")
+      val failed = results.collect { case (k, _, Some(e), _, _) => s"\"$k\":\"${esc(e)}\"" }
         .mkString("{", ",", "}")
       val skipped = named.collect { case (n, _) if !samples.contains(n) => s""""$n"""" }
         .mkString("[", ",", "]")
+      val sentinelJson = passSentinelS.toSeq.sortBy(_._1)
+        .map { case (p, s) => s""""$p":${fmt(s, 2)}""" }.mkString("{", ",", "}")
       val nFailed = results.count(_._3.isDefined)
+      val nNoisy = results.count(_._5)
       // a failed query's partial elapsed time must not inflate the headline
-      val total = results.collect { case (_, v, None) => v }.sum
+      val total = results.collect { case (_, v, None, _, _) => v }.sum
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","cold_runs":$coldRuns,"queries":$qs,""" +
+        s""""query_detail":$detail,"sentinel_s":$sentinelJson,"n_noisy":$nNoisy,""" +
         s""""n_failed":$nFailed,"failed":$failed,"skipped":$skipped,""" +
         s""""deadline_hit":$deadlineHit,"serve":$serveJson,"sf":"$sfDir"}"""
     }
@@ -218,58 +350,72 @@ object Bench {
       json
     }
 
-    for (pass <- 1 to coldRuns; (name, fn) <- named) {
-      // the two staged near-dup queries run ONCE (pass 1): a re-run hits
-      // the stage memo (reporting a memo probe as "cold"), and
-      // invalidating it instead would bill near_dup_survivors for a full
-      // pipeline rebuild it is designed to never pay
-      val once = name == "near_dup_groups" || name == "near_dup_survivors"
-      if (pastDeadline) deadlineHit = true
-      if (!deadlineHit && (!once || pass == 1)) {
-        // each run measured against a clean block manager: several
-        // operators cache intra-query frames, and the suite's accumulated
-        // (never-revisited) entries otherwise squeeze execution memory for
-        // the later queries — eviction thrash, not honest cold cost.
-        // clearCache only drops CacheManager entries; the dedup operators'
-        // localCheckpoint snapshots are RDD-level persists freed lazily by
-        // the ContextCleaner, so drop those explicitly too — EXCEPT the
-        // stage memo's snapshots: those are the one cross-query residency
-        // that IS re-read (near_dup_survivors derives from the pairs that
-        // near_dup_groups staged; on a cluster they'd be persisted tables).
-        spark.catalog.clearCache()
-        val staged = graft.operators.Dedup.stagedSnapshotIds
-        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-          if (!staged.contains(id)) rdd.unpersist(false)
-        }
-        val t0 = System.nanoTime()
-        // Per-query cap: the deadline only fires BETWEEN queries, so one
-        // wedged query would otherwise eat the whole window (r8 died
-        // mid-query). The job group is thread-local — set it inside the
-        // query's own thread so cancelJobGroup can reach its Spark jobs.
-        val group = s"bench-$name-$pass"
-        // noop-sink write: forces full evaluation of every column (a bare
-        // count() would let Catalyst prune the projections being measured).
-        val fut = scala.concurrent.Future {
-          spark.sparkContext.setJobGroup(group, group, interruptOnCancel = true)
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        }(scala.concurrent.ExecutionContext.global)
-        val err =
-          try {
-            scala.concurrent.Await.result(fut,
-              scala.concurrent.duration.Duration(queryCapS.toLong, "s"))
-            None
-          } catch {
-            case _: java.util.concurrent.TimeoutException =>
-              spark.sparkContext.cancelJobGroup(group)
-              System.err.println(s"[bench] TIMEOUT $name after ${queryCapS}s")
-              Some(s"timeout after ${queryCapS}s")
-            case e: Throwable =>
-              System.err.println(s"[bench] FAIL $name: $e")
-              Some(e.toString)
+    // warm the sentinel's own codegen/JIT path BEFORE pass 1 — unwarmed,
+    // the first pass's sentinel read ~10× high (its own compilation) and
+    // falsely flagged every query whose min landed in pass 1
+    spark.range(256L << 20).agg(sum("id")).head()
+    for (pass <- 1 to coldRuns) {
+      if (!pastDeadline) {
+        // the sentinel is pure CPU through the scheduler (no IO, no
+        // cache interplay): ~0.2 s quiet, and it scales with exactly the
+        // contention that poisons the real measurements
+        val tS = System.nanoTime()
+        spark.range(256L << 20).agg(sum("id")).head()
+        passSentinelS(pass) = (System.nanoTime() - tS) / 1e9
+      }
+      for ((name, fn) <- named) {
+        // the two staged near-dup queries run ONCE (pass 1): a re-run hits
+        // the stage memo (reporting a memo probe as "cold"), and
+        // invalidating it instead would bill near_dup_survivors for a full
+        // pipeline rebuild it is designed to never pay
+        val once = name == "near_dup_groups" || name == "near_dup_survivors"
+        if (pastDeadline) deadlineHit = true
+        if (!deadlineHit && (!once || pass == 1)) {
+          // each run measured against a clean block manager: several
+          // operators cache intra-query frames, and the suite's accumulated
+          // (never-revisited) entries otherwise squeeze execution memory for
+          // the later queries — eviction thrash, not honest cold cost.
+          // clearCache only drops CacheManager entries; the dedup operators'
+          // localCheckpoint snapshots are RDD-level persists freed lazily by
+          // the ContextCleaner, so drop those explicitly too — EXCEPT the
+          // stage memo's snapshots: those are the one cross-query residency
+          // that IS re-read (near_dup_survivors derives from the pairs that
+          // near_dup_groups staged; on a cluster they'd be persisted tables).
+          spark.catalog.clearCache()
+          val staged = graft.operators.Dedup.stagedSnapshotIds
+          spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+            if (!staged.contains(id)) rdd.unpersist(false)
           }
-        samples(name) = samples.getOrElse(name, Nil) :+
-          (((System.nanoTime() - t0) / 1e9, err))
-        writeArtifact("\"pending\"")
+          val t0 = System.nanoTime()
+          // Per-query cap: the deadline only fires BETWEEN queries, so one
+          // wedged query would otherwise eat the whole window (r8 died
+          // mid-query). The job group is thread-local — set it inside the
+          // query's own thread so cancelJobGroup can reach its Spark jobs.
+          val group = s"bench-$name-$pass"
+          // noop-sink write: forces full evaluation of every column (a bare
+          // count() would let Catalyst prune the projections being measured).
+          val fut = scala.concurrent.Future {
+            spark.sparkContext.setJobGroup(group, group, interruptOnCancel = true)
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          }(scala.concurrent.ExecutionContext.global)
+          val err =
+            try {
+              scala.concurrent.Await.result(fut,
+                scala.concurrent.duration.Duration(queryCapS.toLong, "s"))
+              None
+            } catch {
+              case _: java.util.concurrent.TimeoutException =>
+                spark.sparkContext.cancelJobGroup(group)
+                System.err.println(s"[bench] TIMEOUT $name after ${queryCapS}s")
+                Some(s"timeout after ${queryCapS}s")
+              case e: Throwable =>
+                System.err.println(s"[bench] FAIL $name: $e")
+                Some(e.toString)
+            }
+          samples(name) = samples.getOrElse(name, Nil) :+
+            (((System.nanoTime() - t0) / 1e9, err, pass))
+          writeArtifact("\"pending\"")
+        }
       }
     }
     if (deadlineHit)

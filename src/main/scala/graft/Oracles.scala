@@ -432,6 +432,27 @@ object Oracles {
          |el AS (SELECT doc_id, unnest(s) ngram FROM sh)
          |SELECT ngram, CAST(count(*) AS BIGINT) df FROM el
          |GROUP BY 1 HAVING count(*) >= 5 ORDER BY ngram""".stripMargin,
+    // strip twin: re-mines the same boilerplate set, then rebuilds each
+    // token stream minus the union of covered positions (start j covers
+    // j..j+2 — identical position arithmetic, 1-based both engines)
+    "strip_boilerplate" ->
+      s"""WITH $Toks,
+         |sh AS (SELECT doc_id, t, CASE WHEN len(t)>=3 THEN
+         |  [list_aggr(t[i:i+2],'string_agg','_') for i in range(1, len(t)-1)]
+         |  ELSE [] END g FROM toks),
+         |mined AS (SELECT ngram FROM (SELECT doc_id, unnest(list_distinct(g)) ngram FROM sh)
+         |  GROUP BY 1 HAVING count(*) >= 5),
+         |b AS (SELECT coalesce(list(ngram ORDER BY ngram), []) bl FROM mined),
+         |st AS (SELECT doc_id, t,
+         |  [j for j in range(1, len(t)-1) if list_contains(b.bl, list_aggr(t[j:j+2],'string_agg','_'))] starts
+         |  FROM sh, b),
+         |cv AS (SELECT doc_id, t,
+         |  list_distinct(flatten([range(j, j+3) for j in starts])) covered FROM st)
+         |SELECT doc_id,
+         |  array_to_string([t[i] for i in range(1, len(t)+1) if NOT list_contains(covered, i)], ' ') text_clean,
+         |  CAST(len(t) AS BIGINT) n_tokens,
+         |  CAST(len(covered) AS BIGINT) n_stripped
+         |FROM cv ORDER BY doc_id""".stripMargin,
     // quality-filter cascade twin: same token stats as text_quality, the
     // same script counts as lang_id's r CTE, rules in the operator's
     // fixed order; concat_ws drops NULL branches on both engines

@@ -288,6 +288,11 @@ object Queries {
     "boilerplate_ngrams" -> ((s, dir) =>
       TextAnalysis.boilerplateNgrams(docs(s, dir), "doc_id", "text", 3, 5)
         .orderBy("ngram")),
+    // the mining loop CLOSED: every mined 3-gram occurrence deleted from
+    // each doc's token stream (C4's strip step, shingle-level)
+    "strip_boilerplate" -> ((s, dir) =>
+      TextAnalysis.stripBoilerplate(docs(s, dir), "doc_id", "text", 3, 5)
+        .orderBy("doc_id")),
     "lang_id" -> ((s, dir) =>
       TextAnalysis.langId(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
     "token_counts" -> ((s, dir) =>

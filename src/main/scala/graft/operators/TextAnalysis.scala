@@ -168,6 +168,47 @@ object TextAnalysis {
       .groupBy("ngram").agg(count("*").as("df"))
       .where(col("df") >= minDf)
 
+  /** Boilerplate STRIPPING — closes the [[boilerplateNgrams]] loop the
+    * way the C4 pipeline does (mine boilerplate, then remove it): every
+    * occurrence of a mined n-gram is deleted from each document's token
+    * stream. A token is dropped when ANY mined n-gram occurrence covers
+    * it (overlapping occurrences union), so repeated templates vanish
+    * wholesale and no partial fragments survive. `text_clean` is the
+    * surviving token stream joined by single spaces — the tokenized
+    * render downstream quality ops ([[qualityStats]]/[[qualityFilter]])
+    * consume, not the original byte text.
+    *
+    * Scale shape: the mined set is bounded by construction
+    * (df ≥ minDf ⇒ ≤ total-shingles/minDf entries — boilerplate is rare
+    * by definition), so it collapses to ONE array row attached by a
+    * 1-row broadcast crossJoin (the corpus-stats attach pattern) and the
+    * per-token membership test runs as a narrow map over the docs —
+    * no shuffle on the data-scale side, one combinable-count shuffle in
+    * the mining pass. A mined set too large for one driver row means
+    * minDf is set below any meaningful notion of "boilerplate". */
+  def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, minDf: Long = 5): DataFrame = {
+    val mined = boilerplateNgrams(docs, idCol, textCol, n, minDf)
+    val blSet = broadcast(mined.agg(sort_array(collect_list("ngram")).as("bl")))
+    val toks = TextFns.tokens(col(textCol))
+    // 1-based start positions whose n-gram (same "_"-joined shape
+    // TextFns.shingles mines) is in the boilerplate set; sequence guarded
+    // — size<n would generate a DESCENDING range, not an empty one
+    val starts = when(size(toks) >= n,
+        filter(sequence(lit(1), size(toks) - (n - 1)),
+          j => array_contains(col("bl"), concat_ws("_", slice(toks, j, lit(n))))))
+      .otherwise(array().cast("array<int>"))
+    // union of covered positions: start j covers tokens j..j+n-1
+    val covered = array_distinct(flatten(
+      transform(starts, j => sequence(j, j + (n - 1)))))
+    docs.crossJoin(blSet)
+      .select(col(idCol).cast("long").as("doc_id"),
+        concat_ws(" ", filter(toks, (_, i) => !array_contains(covered, i + 1)))
+          .as("text_clean"),
+        size(toks).cast("long").as("n_tokens"),
+        size(covered).cast("long").as("n_stripped"))
+  }
+
   /** PII patterns, ordered. Kept to syntax with identical semantics in
     * Java regex (Spark) and RE2 (the DuckDB oracle): character classes,
     * bounded repetition, `\b` word boundaries — no lookaround, no

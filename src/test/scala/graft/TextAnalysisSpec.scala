@@ -101,4 +101,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(df2("all_rights_reserved") === 3L)
     assert(df2.values.forall(_ >= 2L))
   }
+
+  test("strip boilerplate: mined phrases vanish, clean docs keep every token") {
+    import spark.implicits._
+    val docs = Seq(
+      // the mined phrase sits mid-stream: its 3 tokens go, neighbors stay
+      (1L, "intro all rights reserved outro words"),
+      (2L, "all rights reserved something else entirely"),
+      // overlapping occurrences union (positions 1..4 all covered)
+      (3L, "all rights reserved rights reserved all rights reserved"),
+      // no boilerplate → token stream unchanged (the tokenized render)
+      (4L, "no shared phrases in this document"),
+      (5L, "ab cd")).toDF("doc_id", "text")
+    val got = TextAnalysis.stripBoilerplate(docs, "doc_id", "text", n = 3, minDf = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // minDf=3 mines exactly "all_rights_reserved" (docs 1,2,3)
+    assert(got(1L) === (("intro outro words", 6L, 3L)))
+    assert(got(2L) === (("something else entirely", 6L, 3L)))
+    // doc 3: starts {1, 6} cover 1-3 and 6-8; tokens 4-5 survive
+    assert(got(3L) === (("rights reserved", 8L, 6L)))
+    assert(got(4L) === (("no shared phrases in this document", 6L, 0L)))
+    assert(got(5L) === (("ab cd", 2L, 0L)))
+    // no phrase survives anywhere in the cleaned corpus
+    assert(got.values.forall(!_._1.contains("all rights reserved")))
+  }
 }

@@ -568,13 +568,21 @@ object Queries {
 }
 
 /** Exact-reference citation battery (HADITH_SEARCH_SPEC.md:246-287) —
-  * one probe per citation shape the spec's fast path must resolve:
-  * collection + global number, book/in-book pair, bare book:number. */
+  * every citation shape the spec's fast path must resolve (collection +
+  * global number, book/in-book pair, bare book:number), each in BOTH
+  * regimes: a hit against the bundled corpus and a well-formed citation
+  * that matches nothing (the lookup must return empty, not error, and
+  * the filters must not loosen into false positives). Probe 7 cites a
+  * DIFFERENT collection — the collection filter itself must miss. */
 object ExactRefBattery {
   val probes: Seq[(Int, String)] = Seq(
-    (1, "Riyad as-Salihin 680"),
-    (2, "book 1, hadith 3"),
-    (3, "5:2"))
+    (1, "Riyad as-Salihin 680"),   // collection + global — hit
+    (2, "book 1, hadith 3"),       // book/in-book pair — hit
+    (3, "5:2"),                    // bare book:number — hit
+    (4, "Riyad as-Salihin 99999"), // collection + global — no such number
+    (5, "book 99, hadith 1"),      // book pair — no such book
+    (6, "77:123"),                 // bare pair — no such book
+    (7, "bukhari 10"))             // other collection — filter must miss
 }
 
 /** Router test battery (classifications mirror the reference's

@@ -95,6 +95,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
+  test("boilerplate strip rewrites docs in one narrow pass over a 1-row broadcast") {
+    val p = plan(Queries.all("strip_boilerplate")(spark, sf))
+    // the mined set attaches as a broadcast nested-loop over ONE row;
+    // a hash/sort-merge join here would mean the doc rewrite keyed a
+    // shuffle on the data-scale side
+    assert(p.contains("BroadcastNestedLoopJoin"), "mined set not broadcast-attached")
+    assert(!p.contains("SortMergeJoin"), "doc rewrite shuffled")
+    // exchanges belong to the MINING aggregate (and the final orderBy)
+    // only — the rewrite side adds none. Mining: partial+final count
+    // rounds; collapse to 1-row agg: partial+final; orderBy: range.
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 5, s"unexpected exchange count $exchanges in:\n${p.take(1500)}")
+  }
+
   test("incremental anti-join resolves to a real anti join") {
     val p = plan(Queries.all("incremental_changed")(spark, sf))
     assert(p.contains("LeftAnti"), "no anti join in the plan")

@@ -76,6 +76,11 @@ object Graft {
     // the reference's SQLite lookup executes its B-tree probe per request,
     // and memoizing built result frames here made repeated-identical-
     // citation benches time a map hit over precomputed answers.
+    private lazy val refOutSchema =
+      org.apache.spark.sql.types.StructType(
+        refSchema.fields.take(refSchema.fields.length - HadithSearch.RefFilterCols.length))
+    private lazy val refToInternal =
+      org.apache.spark.sql.graftshim.ColumnShim.internalConverter(refOutSchema)
     private def lookupRefResident(ref: Router.ExactRef, n: Int): DataFrame = {
       val fi = refFieldIdx
       def fits(r: org.apache.spark.sql.Row): Boolean =
@@ -83,14 +88,13 @@ object Graft {
         ref.global.forall(g => !r.isNullAt(fi("ref_global")) && r.getLong(fi("ref_global")) == g) &&
         ref.book.forall(b => !r.isNullAt(fi("ref_book")) && r.getLong(fi("ref_book")) == b) &&
         ref.num.forall(x => !r.isNullAt(fi("ref_num")) && r.getLong(fi("ref_num")) == x)
-      val keep = refSchema.fields.length - HadithSearch.RefFilterCols.length
+      val keep = refOutSchema.fields.length
       // doc_ids are ASCII, so JVM string order == Spark's UTF8 binary order
-      val hits: Seq[org.apache.spark.sql.Row] = refRows.view.filter(fits)
+      val hits = refRows.view.filter(fits)
         .toSeq.sortBy(_.getString(0)).take(n)
-        .map(r => org.apache.spark.sql.Row(r.toSeq.take(keep): _*))
-      index.docs.sparkSession.createDataFrame(
-        java.util.Arrays.asList(hits: _*),
-        org.apache.spark.sql.types.StructType(refSchema.fields.take(keep)))
+        .map(r => refToInternal(org.apache.spark.sql.Row(r.toSeq.take(keep): _*)))
+      org.apache.spark.sql.graftshim.ColumnShim.localDf(
+        index.docs.sparkSession, refOutSchema, hits)
     }
 
     /** hybrid_search parity (tools.py:39-175) — warm: no index rebuild.
@@ -144,6 +148,15 @@ object Graft {
       val rows = index.docs.collect()
       rows.groupBy(_.getAs[String]("verse_key"))
     }
+    // pre-converted ONCE (tafsir rows are KBs of text each — per-call
+    // conversion dominated the honest lookup cost); the per-call work is
+    // the leaf-plan QueryExecution + collect
+    private lazy val verseInternal
+        : Map[String, Seq[org.apache.spark.sql.catalyst.InternalRow]] = {
+      val conv = org.apache.spark.sql.graftshim.ColumnShim
+        .internalConverter(index.docs.schema)
+      verseRows.map { case (k, rs) => k -> rs.toSeq.map(conv) }
+    }
 
     /** search_tafsir parity (quran_mcp/search.py:178-318) — warm. When no
       * vector cache or query vector is present the engine serves the
@@ -159,10 +172,9 @@ object Graft {
       * lookup, not a result cache. */
     def getVerse(verseKey: String): DataFrame =
       if (!residentOk) Quran.getVerse(index.docs, verseKey)
-      else index.docs.sparkSession.createDataFrame(
-        java.util.Arrays.asList(
-          verseRows.getOrElse(verseKey, Array.empty[org.apache.spark.sql.Row]): _*),
-        index.docs.schema)
+      else org.apache.spark.sql.graftshim.ColumnShim.localDf(
+        index.docs.sparkSession, index.docs.schema,
+        verseInternal.getOrElse(verseKey, Nil))
 
     /** index_status parity (server.py:109-113). */
     def status: DataFrame = Quran.indexStatus(index.docs)

@@ -186,28 +186,79 @@ object TextAnalysis {
     * no shuffle on the data-scale side, one combinable-count shuffle in
     * the mining pass. A mined set too large for one driver row means
     * minDf is set below any meaningful notion of "boilerplate". */
+  /** Mined sets up to this size take the narrow single-pass path (one
+    * per-row `array_intersect` hash sweep, no join on the doc side);
+    * larger sets switch to the broadcast-join path, whose membership
+    * hash builds once per TASK instead of once per row. Real-corpus
+    * boilerplate with a meaningful minDf is far below this; synthetic
+    * small-vocabulary corpora blow past it. */
+  val DenseSetMax: Long = 2048
+
   def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
-                       n: Int = 3, minDf: Long = 5): DataFrame = {
-    val mined = boilerplateNgrams(docs, idCol, textCol, n, minDf)
-    val blSet = broadcast(mined.agg(sort_array(collect_list("ngram")).as("bl")))
-    val toks = TextFns.tokens(col(textCol))
-    // 1-based start positions whose n-gram (same "_"-joined shape
-    // TextFns.shingles mines) is in the boilerplate set; sequence guarded
-    // — size<n would generate a DESCENDING range, not an empty one
-    val starts = when(size(toks) >= n,
-        filter(sequence(lit(1), size(toks) - (n - 1)),
-          j => array_contains(col("bl"), concat_ws("_", slice(toks, j, lit(n))))))
-      .otherwise(array().cast("array<int>"))
-    // union of covered positions: start j covers tokens j..j+n-1
-    val covered = array_distinct(flatten(
-      transform(starts, j => sequence(j, j + (n - 1)))))
-    docs.crossJoin(blSet)
-      .select(col(idCol).cast("long").as("doc_id"),
-        concat_ws(" ", filter(toks, (_, i) => !array_contains(covered, i + 1)))
-          .as("text_clean"),
-        size(toks).cast("long").as("n_tokens"),
-        size(covered).cast("long").as("n_stripped"))
+                       n: Int = 3, minDf: Long = 5,
+                       denseSetMax: Long = DenseSetMax): DataFrame = {
+    // mining output is bounded (≤ total-shingles/minDf); cache it — the
+    // path decision needs its count and the chosen path re-reads it
+    val mined = boilerplateNgrams(docs, idCol, textCol, n, minDf).cache()
+    val nMined = mined.count()
+    // the compute below is per-row CPU-bound: a single-file corpus scan
+    // arrives as ONE partition (observed: 72 s single-core at sf0.1),
+    // so spread it to cluster width first — one round-robin shuffle of
+    // (id, text) buys full parallelism for the rewrite
+    val width = docs.sparkSession.sparkContext.defaultParallelism
+    val src0 = docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("gtext"))
+    val src = if (src0.rdd.getNumPartitions < width) src0.repartition(width) else src0
+    val toksDf = src
+      .select(col("doc_id"), TextFns.tokens(col("gtext")).as("toks"))
+      .select(col("doc_id"), col("toks"), TextFns.shingles(col("toks"), n).as("sh"))
+
+    if (nMined <= denseSetMax) {
+      // NARROW path: the mined set rides in as a 1-row broadcast array;
+      // membership is ONE array_intersect hash sweep per row
+      // (O(|doc| + |bl|)) — never an O(|bl|) array scan per POSITION
+      // (that form timed out >300 s against a 26k set at sf0.1). The
+      // per-position test then probes only the doc's own hit grams.
+      val blSet = broadcast(mined.agg(sort_array(collect_list("ngram")).as("bl")))
+      val staged = toksDf.crossJoin(blSet)
+        .select(col("doc_id"), col("toks"), col("sh"),
+          array_intersect(col("sh"), col("bl")).as("hitg"))
+      // 1-based start positions whose n-gram (sh(j) IS the mined shape)
+      // hit the set; empty hitg short-circuits, and hitg non-empty
+      // implies size(toks) >= n so the sequence is never descending
+      val starts = when(size(col("hitg")) > 0,
+          filter(sequence(lit(1), size(col("toks")) - (n - 1)),
+            j => array_contains(col("hitg"), element_at(col("sh"), j))))
+        .otherwise(array().cast("array<int>"))
+      val covered = array_distinct(flatten(
+        transform(starts, j => sequence(j, j + (n - 1)))))
+      rebuild(staged.select(col("doc_id"), col("toks"), covered.as("covered")))
+    } else {
+      // JOIN path (large mined sets): positions explode once, membership
+      // is a broadcast hash join (hash relation built once per task —
+      // the per-row set build above would be O(rows × |bl|)), and only
+      // HIT positions shuffle (grouped per doc) before rejoining the
+      // token stream. Two bounded shuffles; the corpus-side scans stay
+      // narrow.
+      val hits = toksDf.select(col("doc_id"), posexplode(col("sh")).as(Seq("p0", "gram")))
+        .join(broadcast(mined.select(col("ngram").as("gram"))), "gram")
+        .select(col("doc_id"), (col("p0") + 1).as("start"))
+      val covered = hits
+        .select(col("doc_id"), explode(sequence(col("start"), col("start") + (n - 1))).as("cov"))
+        .groupBy("doc_id").agg(sort_array(collect_set("cov")).as("covered"))
+      rebuild(toksDf.join(covered, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("toks"),
+          coalesce(col("covered"), array().cast("array<int>")).as("covered")))
+    }
   }
+
+  /** Shared rebuild stage: drop covered positions, render the surviving
+    * token stream. Input: (doc_id, toks, covered 1-based positions). */
+  private def rebuild(staged: DataFrame): DataFrame =
+    staged.select(col("doc_id"),
+      concat_ws(" ", filter(col("toks"),
+        (_, i) => !array_contains(col("covered"), i + 1))).as("text_clean"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      size(col("covered")).cast("long").as("n_stripped"))
 
   /** PII patterns, ordered. Kept to syntax with identical semantics in
     * Java regex (Spark) and RE2 (the DuckDB oracle): character classes,

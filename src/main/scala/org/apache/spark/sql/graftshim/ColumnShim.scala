@@ -29,4 +29,28 @@ object ColumnShim {
     org.apache.spark.sql.classic.Dataset.ofRows(
       df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       df.queryExecution.withCachedData)
+
+  /** Row→InternalRow converter for a schema — lets a driver-resident
+    * lookup cache pre-convert its rows ONCE (the conversion is
+    * query-independent, like a store's on-disk format) instead of
+    * re-converting fat rows on every request inside createDataFrame. */
+  def internalConverter(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.Row => org.apache.spark.sql.catalyst.InternalRow = {
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(schema)
+    r => conv(r).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+  }
+
+  /** DataFrame over an explicit LocalRelation of pre-converted rows —
+    * the per-call work is one leaf-plan QueryExecution + collect, the
+    * honest per-request cost of serving through the SQL engine. */
+  def localDf(spark: org.apache.spark.sql.SparkSession,
+              schema: org.apache.spark.sql.types.StructType,
+              rows: Seq[org.apache.spark.sql.catalyst.InternalRow])
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+        org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema),
+        rows))
 }

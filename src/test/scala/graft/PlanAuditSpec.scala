@@ -102,11 +102,14 @@ class PlanAuditSpec extends SparkSpec {
     // shuffle on the data-scale side
     assert(p.contains("BroadcastNestedLoopJoin"), "mined set not broadcast-attached")
     assert(!p.contains("SortMergeJoin"), "doc rewrite shuffled")
-    // exchanges belong to the MINING aggregate (and the final orderBy)
-    // only — the rewrite side adds none. Mining: partial+final count
-    // rounds; collapse to 1-row agg: partial+final; orderBy: range.
+    // exchanges: the MINING aggregate rounds, the 1-row set collapse,
+    // the final orderBy, and ONE round-robin spread of (id, text) for
+    // rewrite parallelism (a single-file scan arrives as one partition)
+    // — no KEYED shuffle on the rewrite side
     val exchanges = "Exchange".r.findAllIn(p).size
-    assert(exchanges <= 5, s"unexpected exchange count $exchanges in:\n${p.take(1500)}")
+    assert(exchanges <= 6, s"unexpected exchange count $exchanges in:\n${p.take(1500)}")
+    assert(!p.contains("hashpartitioning(doc_id") || p.contains("RoundRobin"),
+      "rewrite side gained a keyed shuffle")
   }
 
   test("incremental anti-join resolves to a real anti join") {

@@ -124,5 +124,11 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(5L) === (("ab cd", 2L, 0L)))
     // no phrase survives anywhere in the cleaned corpus
     assert(got.values.forall(!_._1.contains("all rights reserved")))
+    // the broadcast-join scale path (forced via denseSetMax=0) is
+    // row-identical to the narrow array-intersect path
+    val joined = TextAnalysis.stripBoilerplate(docs, "doc_id", "text",
+        n = 3, minDf = 3, denseSetMax = 0)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(joined === got)
   }
 }

@@ -116,15 +116,20 @@ object Quran {
   def buildIndex(corpus: DataFrame, emb: Option[DataFrame],
                  cache: Boolean = true): Index = {
     def c(df: DataFrame) = if (cache) df.cache() else df
+    // full corpus + the dense numeric key; search plans prune to the
+    // columns they touch, point lookups keep every corpus field
+    val docs = c(corpus.withColumn("doc_id",
+      (col("surah").cast("long") * 1000) + col("ayah")))
     // Build-time invariant behind the dense key: [[searchWith]]'s fts leg
     // RECONSTRUCTS verse_key as s"${id/1000}:${id%1000}", so every corpus
     // row must satisfy verse_key == s"$surah:$ayah" with ayah in [0,999]
     // — a row violating it (padding, whitespace, numbering drift in
     // re-scraped data) would silently drop its lexical candidate at the
-    // backfill join. Checked HERE, once per index build (one narrow
-    // projection over the corpus), so the failure is loud at build, not
-    // silent at query time.
-    val drift = corpus.where(
+    // backfill join. Checked over the CACHED docs layer (the check's job
+    // is what first materializes the cache every later layer reads — the
+    // scan is paid once, not added), so the failure is loud at build,
+    // not silent at query time.
+    val drift = docs.where(
       col("verse_key") =!= concat(col("surah").cast("string"), lit(":"),
         col("ayah").cast("string")) ||
       col("ayah") < 0 || col("ayah") > 999 || col("surah") <= 0)
@@ -132,10 +137,6 @@ object Quran {
     require(drift.isEmpty,
       s"corpus rows break the verse_key == surah:ayah invariant the dense " +
         s"key relies on (first: ${drift.toSeq.mkString(", ")})")
-    // full corpus + the dense numeric key; search plans prune to the
-    // columns they touch, point lookups keep every corpus field
-    val docs = c(corpus.withColumn("doc_id",
-      (col("surah").cast("long") * 1000) + col("ayah")))
     // term-clustered so cached term probes seek (batch pruning), the way
     // the persisted layout's term buckets do on disk
     indexFromLayers(docs,

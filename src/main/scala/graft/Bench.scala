@@ -123,7 +123,7 @@ object Bench {
           () => df.collect(): Unit
         },
         "ann_topk_warm" -> {
-          val df = graft.operators.Similarity.annTopKWith(annIdx, typedLit(ev),
+          val df = graft.operators.Similarity.annTopKWith(annIdx, ev,
             Queries.Dim, nBits = 4, k = 20)
           () => df.collect(): Unit
         })

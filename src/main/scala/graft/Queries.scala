@@ -249,7 +249,7 @@ object Queries {
       val e = emb(s, dir)
       val q = e.where(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
       Similarity.annTopK(e, "vec_id", "embedding",
-        typedLit(q.toArray), Dim, nBits = 4, k = 20)
+        q.toArray, Dim, nBits = 4, k = 20)
     }),
     // multi-probe LSH: query bucket + Hamming-1 neighbors, exact rerank
     "ann_multiprobe" -> ((s, dir) => {

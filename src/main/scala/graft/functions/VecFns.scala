@@ -25,6 +25,17 @@ object VecFns {
   def quantize(c: Column): Column =
     transform(c.cast("array<double>"), x => round(x * lit(Scale)))
 
+  /** Driver twin of [[quantize]] — the same HALF_UP grid (Spark's
+    * `round` is BigDecimal HALF_UP), bit-identical per element. Lets a
+    * serving probe embed the QUERY's quantized vector as a LITERAL:
+    * the column form `quantize(typedLit(q))` contains a higher-order
+    * function, which Catalyst does not constant-fold, so every row of
+    * every probe re-quantized the query (and re-derived its LSH bucket)
+    * — measured as the bulk of warm ANN latency. */
+  def quantizeLocal(q: Array[Float]): Array[Double] =
+    q.map(x => BigDecimal(x.toDouble * Scale)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
   /** Exact dot product of two quantized vectors (or any arrays of
     * doubles) — a native codegen'd Expression (graft.plans.QuantizedDot);
     * strict left-to-right sum, bit-identical to [[dotHof]]. */

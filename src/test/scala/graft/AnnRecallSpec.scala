@@ -60,6 +60,25 @@ class AnnRecallSpec extends SparkSpec {
     }
   }
 
+  test("array-query ANN probe (driver-literal bucket+quantization) is row-identical to the column form") {
+    import graft.functions.VecFns
+    val e = Tables(spark, sf, "embeddings")
+    val idx = Similarity.annIndex(e, "vec_id", "embedding", Queries.Dim, 4).cache()
+    idx.count()
+    for (qid <- Seq(0L, 42L, 123L)) {
+      val qv = e.where(col("vec_id") === qid)
+        .select("embedding").head().getSeq[Float](0).toArray
+      // quantizeLocal is element-identical to the quantize column
+      val colQ = e.sparkSession.range(1)
+        .select(VecFns.quantize(typedLit(qv)).as("q")).head().getSeq[Double](0)
+      assert(VecFns.quantizeLocal(qv).toSeq === colQ, s"quantize drift qid=$qid")
+      assert(Similarity.annTopKWith(idx, qv, Queries.Dim, 4, K).collect().toSeq ===
+        Similarity.annTopKWith(idx, typedLit(qv), Queries.Dim, 4, K).collect().toSeq,
+        s"probe drift qid=$qid")
+    }
+    idx.unpersist()
+  }
+
   test("multi-probe at hamming=0 degenerates to the single-bucket probe") {
     val e = Tables(spark, sf, "embeddings")
     val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray

@@ -67,11 +67,17 @@ object Hybrid {
       queryTokens, dim, k)
   }
 
-  /** Query-INDEPENDENT half of the semantic probe: normalized quantized
-    * slot entries (doc_id, bucket, qs). A serving session builds this
-    * once, caches/persists it, and every query is just the groupBy below
-    * over the resident table — the "prebuilt vector index" the reference
-    * keeps in Chroma. */
+  /** Query-INDEPENDENT half of the semantic probe: per-doc sparse
+    * vectors as bucket-sorted parallel arrays plus the precomputed norm
+    * — (doc_id, buckets, qs, na). A serving session builds this once,
+    * caches/persists it, and the per-query leg is then a NARROW map +
+    * top-k over one row per document: no groupBy, so no per-query
+    * shuffle (the entry-level (doc, bucket, qs) layout paid a two-stage
+    * shuffle job on every search). The "prebuilt vector index" the
+    * reference keeps in Chroma. All values are integral on the quantized
+    * grid, so the build-time norm and the array-ordered dot are
+    * bit-equal to the old per-query shuffle aggregation (integer sums
+    * below 2^53 are exact in double regardless of order). */
   def embedSlots(docs: DataFrame, idCol: String, textCol: String,
                  dim: Int): DataFrame = {
     val ent = Embed.hashEmbedEntries(docs, idCol, textCol, dim)
@@ -79,10 +85,17 @@ object Hybrid {
     ent.join(nrm, "doc_id").where(col("n") > 0)
       .select(col("doc_id"), col("bucket"),
         round(round(col("v") / col("n"), 6) * lit(VecFns.Scale)).as("qs"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("bucket"), col("qs")))).as("e"))
+      .select(col("doc_id"),
+        transform(col("e"), x => x.getField("bucket")).as("buckets"),
+        transform(col("e"), x => x.getField("qs")).as("qs"),
+        sqrt(aggregate(transform(col("e"), x => x.getField("qs") * x.getField("qs")),
+          lit(0.0), (a, v) => a + v)).as("na"))
   }
 
-  /** Query-dependent half: broadcast the quantized query vector against
-    * the slot table; map-side-combinable sum per doc, then top-k. */
+  /** Query-dependent half: sparse dot of each doc's slot arrays against
+    * the driver-quantized query literal — one narrow pass, no shuffle. */
   def vectorCandidatesFromSlots(slots: DataFrame, queryTokens: Seq[String],
                                 dim: Int, k: Int): DataFrame = {
     if (queryTokens.isEmpty)
@@ -93,10 +106,12 @@ object Hybrid {
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)
     val qnorm = math.sqrt(qq.map(x => x * x).sum)
     val qlit = typedLit(qq)
-    slots.groupBy("doc_id")
-      .agg(sum(col("qs") * element_at(qlit, col("bucket").cast("int") + 1)).as("dot"),
-        sqrt(sum(col("qs") * col("qs"))).as("na"))
-      .select(col("doc_id"), round(col("dot") / (col("na") * lit(qnorm)), 6).as("cos"))
+    val dot = aggregate(
+      zip_with(col("qs"), col("buckets"),
+        (v, b) => v * element_at(qlit, b.cast("int") + 1)),
+      lit(0.0), (a, v) => a + v)
+    slots
+      .select(col("doc_id"), round(dot / (col("na") * lit(qnorm)), 6).as("cos"))
       .orderBy(desc("cos"), asc("doc_id")).limit(k)
   }
 

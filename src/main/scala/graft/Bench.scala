@@ -118,6 +118,15 @@ object Bench {
         "exact_ref_warm" -> (() =>
           hadith.search(Citations(cN.getAndIncrement() % Citations.length),
             10, "spec").collect(): Unit),
+        // the typed twins: same resident store, no DataFrame envelope —
+        // measures the honest sub-5-ms path next to its ~5-ms-floor
+        // DataFrame sibling (SURVEY §7.10 floor decomposition)
+        "exact_ref_typed" -> (() =>
+          hadith.lookupCitation(
+            Citations(cN.getAndIncrement() % Citations.length), 10): Unit),
+        "get_verse_typed" -> (() =>
+          quran.getVerseTyped(
+            VerseKeys(vN.getAndIncrement() % VerseKeys.length)): Unit),
         "bm25_topk_warm" -> {
           val df = Bm25.topK(Bm25.score(p, dict, stats, Queries.Bm25Terms), 20)
           () => df.collect(): Unit
@@ -245,7 +254,7 @@ object Bench {
         s""""sentinel_p50_ms":${fmt(pct(allSentinels.toArray.sorted, 0.5), 1)}""",
         s""""noisy_rounds":${noisyMain + noisyPersisted}""",
         s""""prepared":["bm25_topk_warm","ann_topk_warm"]""",
-        """"notes":"search/lookup rows time eager construction+collect; prepared rows time collect only; exact_ref/get_verse rotate keys; *_adj stats exclude sentinel-inflated rounds; persisted rows measured in their own phase after the main loop"""")
+        """"notes":"search/lookup rows time eager construction+collect; prepared rows time collect only; exact_ref/get_verse rotate keys; *_typed rows are the no-DataFrame driver-resident accessors (no per-call QueryExecution tax); *_adj stats exclude sentinel-inflated rounds; persisted rows measured in their own phase after the main loop"""")
       (entries ++ persistedJson ++ tail).mkString("{", ",", "}")
     } catch {
       case e: Throwable =>

@@ -31,6 +31,28 @@ object Graft {
     * scale. 2^17 rows of lookup projection ≈ tens of MB on the driver. */
   val MaxResidentRows: Long = 1L << 17
 
+  /** Typed point-lookup results — the sub-5-ms serving path. A
+    * DataFrame-returning lookup cannot honestly serve below ~5 ms per
+    * request on Spark: every call pays the per-execution tax (a
+    * QueryExecution + SQLExecution event round-trip, ~4-5 ms measured
+    * even over a one-row LocalRelation — SURVEY §7.10's floor
+    * decomposition). Callers that need the reference's in-process-
+    * SQLite-class latency (HADITH_SEARCH_SPEC.md:553's <5 ms bar) read
+    * the SAME driver-resident store through these typed accessors
+    * instead: a filter over the memoized projection, no plan, no job,
+    * microseconds per call. Parity with the DataFrame twins is pinned
+    * in GraftEngineSpec; over-bound corpora transparently fall back to
+    * collecting the distributed twin (one bounded job per call). */
+  final case class CitationHit(docId: String, bookId: String,
+                               narrator: String, snippet: String)
+
+  /** Typed tafsir lookup row (the serving projection of the corpus
+    * schema; the DataFrame twin [[QuranEngine.getVerse]] returns the
+    * full 12-column envelope). Ordered by resourceId. */
+  final case class TafsirHit(verseKey: String, surah: Int, ayah: Int,
+                             resourceId: Int, resourceName: String,
+                             slug: String, textPlain: String)
+
   /** Hadith engine over validated corpus JSONL (cold open: scan +
     * index build happen here, once). */
   def openHadith(spark: SparkSession, booksGlob: String,
@@ -81,21 +103,47 @@ object Graft {
         refSchema.fields.take(refSchema.fields.length - HadithSearch.RefFilterCols.length))
     private lazy val refToInternal =
       org.apache.spark.sql.graftshim.ColumnShim.internalConverter(refOutSchema)
-    private def lookupRefResident(ref: Router.ExactRef, n: Int): DataFrame = {
+    /** The shared resident citation probe: filter + order + take over
+      * the memoized projection. Both the DataFrame form and the typed
+      * form serve from THIS, so the two public paths cannot drift. */
+    private def refHits(ref: Router.ExactRef, n: Int): Seq[org.apache.spark.sql.Row] = {
       val fi = refFieldIdx
       def fits(r: org.apache.spark.sql.Row): Boolean =
         ref.collection.forall(c => !r.isNullAt(fi("collection")) && r.getString(fi("collection")) == c) &&
         ref.global.forall(g => !r.isNullAt(fi("ref_global")) && r.getLong(fi("ref_global")) == g) &&
         ref.book.forall(b => !r.isNullAt(fi("ref_book")) && r.getLong(fi("ref_book")) == b) &&
         ref.num.forall(x => !r.isNullAt(fi("ref_num")) && r.getLong(fi("ref_num")) == x)
-      val keep = refOutSchema.fields.length
       // doc_ids are ASCII, so JVM string order == Spark's UTF8 binary order
-      val hits = refRows.view.filter(fits)
-        .toSeq.sortBy(_.getString(0)).take(n)
+      refRows.view.filter(fits).toSeq.sortBy(_.getString(0)).take(n)
+    }
+    private def lookupRefResident(ref: Router.ExactRef, n: Int): DataFrame = {
+      val keep = refOutSchema.fields.length
+      val hits = refHits(ref, n)
         .map(r => refToInternal(org.apache.spark.sql.Row(r.toSeq.take(keep): _*)))
       org.apache.spark.sql.graftshim.ColumnShim.localDf(
         index.docs.sparkSession, refOutSchema, hits)
     }
+
+    /** Sub-5-ms spec-mode citation lookup (see [[Graft.CitationHit]]):
+      * the typed twin of spec-mode [[search]] for exact references —
+      * same resident probe, no DataFrame, no per-call QueryExecution
+      * tax. Over-bound corpora collect the distributed
+      * [[HadithSearch.lookupRef]] instead (one bounded job). */
+    def lookupRefTyped(ref: Router.ExactRef, n: Int = 10): Seq[Graft.CitationHit] = {
+      val fi = refFieldIdx
+      val rows =
+        if (residentOk) refHits(ref, n)
+        else HadithSearch.lookupRef(index.docs, ref, n).collect().toSeq
+      // positions 0-3 of the shared refProjection envelope
+      rows.map(r => Graft.CitationHit(r.getString(0), r.getString(fi("book_id")),
+        r.getString(fi("narrator")), r.getString(fi("snippet"))))
+    }
+
+    /** Parse-and-lookup convenience over [[lookupRefTyped]]: Nil when
+      * the text does not contain a parseable citation. */
+    def lookupCitation(citation: String, n: Int = 10): Seq[Graft.CitationHit] =
+      Router.parseExactRef(Router.route(citation).normalized)
+        .map(lookupRefTyped(_, n)).getOrElse(Nil)
 
     /** hybrid_search parity (tools.py:39-175) — warm: no index rebuild.
       * Spec-mode exact citations resolve from the driver-resident
@@ -175,6 +223,22 @@ object Graft {
       else org.apache.spark.sql.graftshim.ColumnShim.localDf(
         index.docs.sparkSession, index.docs.schema,
         verseInternal.getOrElse(verseKey, Nil))
+
+    /** Sub-5-ms verse lookup (see [[Graft.TafsirHit]]): the typed twin
+      * of [[getVerse]] — same resident key→rows map, no DataFrame, no
+      * per-call QueryExecution tax; entries ordered by resourceId.
+      * Over-bound corpora collect the distributed [[Quran.getVerse]]
+      * instead (one bounded job). */
+    def getVerseTyped(verseKey: String): Seq[Graft.TafsirHit] = {
+      val rows: Seq[org.apache.spark.sql.Row] =
+        if (residentOk) verseRows.getOrElse(verseKey, Array.empty).toSeq
+        else Quran.getVerse(index.docs, verseKey).collect().toSeq
+      rows.map(r => Graft.TafsirHit(r.getAs[String]("verse_key"),
+          r.getAs[Int]("surah"), r.getAs[Int]("ayah"),
+          r.getAs[Int]("resource_id"), r.getAs[String]("resource_name"),
+          r.getAs[String]("slug"), r.getAs[String]("text_plain")))
+        .sortBy(_.resourceId)
+    }
 
     /** index_status parity (server.py:109-113). */
     def status: DataFrame = Quran.indexStatus(index.docs)

@@ -100,6 +100,50 @@ class GraftEngineSpec extends SparkSpec {
     assert(boundedQ.getVerse("0:0").count() === 0)
   }
 
+  test("typed point lookups: parity with DataFrame twins, zero jobs resident, fallback over-bound") {
+    val eng = Graft.openHadith(spark, "/root/reference/data/riyadussalihin/book_1.jsonl")
+    val q = "Riyad as-Salihin 680"
+    val df = eng.search(q, 10, "spec").collect().toSeq
+    val typed = eng.lookupCitation(q, 10)
+    assert(typed.nonEmpty)
+    assert(typed.map(_.docId) === df.map(_.getAs[String]("doc_id")))
+    assert(typed.map(_.narrator) === df.map(_.getAs[String]("narrator")))
+    assert(typed.map(_.snippet) === df.map(_.getAs[String]("snippet")))
+    assert(eng.lookupCitation("no citation here") === Nil)
+    // resident typed path: NO Spark jobs
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      assert(eng.lookupCitation(q, 10).nonEmpty)
+      val qe = Graft.openQuran(spark, "/root/reference/data/quran", None)
+      qe.getVerseTyped("1:1") // builds the resident cache (bounded collects run jobs)
+      jobs.set(0)
+      val hits = qe.getVerseTyped("2:255")
+      assert(hits.length === 1)
+      assert(hits.head.surah === 2 && hits.head.ayah === 255)
+      assert(hits === hits.sortBy(_.resourceId))
+      assert(qe.getVerseTyped("0:0") === Nil)
+      // parity with the DataFrame twin (set-wise; typed orders by resourceId)
+      val dfRows = qe.getVerse("2:255").collect().toSeq
+      assert(hits.map(_.textPlain).toSet ===
+        dfRows.map(_.getAs[String]("text_plain")).toSet)
+      Thread.sleep(500)
+      assert(jobs.get === 0, s"typed lookups launched ${jobs.get} Spark jobs")
+      // over-bound: the typed accessors fall back to the distributed
+      // twins with identical values (and DO run jobs)
+      val bounded = new Graft.HadithEngine(eng.index, maxResidentRows = 0)
+      assert(bounded.lookupCitation(q, 10) === typed)
+      val boundedQ = new Graft.QuranEngine(qe.index, maxResidentRows = 0)
+      assert(boundedQ.getVerseTyped("2:255") === hits)
+      Thread.sleep(500)
+      assert(jobs.get > 0, "over-bound typed lookups did not go distributed")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("over-bound vocabulary keeps lexical probes on the distributed dictionary join") {
     import graft.operators.{HadithSearch, Quran}
     val glob = "/root/reference/data/riyadussalihin/book_1.jsonl"

@@ -142,12 +142,23 @@ object HadithSearch {
                  cache: Boolean = true): Index = {
     def c(df: DataFrame) = if (cache) df.cache() else df
     val docs = c(docs0.withColumn("num_id", TextFns.hash60(col("doc_id"))))
+    // resident layer width follows the corpus, not the session (see
+    // Postings.serveWidth); the count doubles as the docs-cache
+    // materialization materialize() would run anyway
+    val sess = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val w = if (cache) Postings.serveWidth(docs.count(), sess) else sess
+    // coalesce UNCONDITIONALLY (it never widens): probing the lazy
+    // plan's .rdd for a width check would execute it once pre-cache,
+    // and under AQE the pre-cache answer lies — cached plans pin their
+    // output partitioning (canChangeCachedPlanOutputPartitioning=false),
+    // so a plan AQE would coalesce at runtime still caches wide
+    def sized(df: DataFrame) = if (cache) df.coalesce(w) else df
     // term-clustered so cached term probes seek via batch pruning (the
     // in-memory analog of the persisted field/term-bucketed layout)
     val post = c(Postings.clusterByTerm(postings(docs.select(col("num_id").as("doc_id"),
-      col("narrator"), col("english_text"), col("arabic_text")))))
-    val slots = c(Hybrid.embedSlots(docs.select(col("num_id"), col("payload")),
-      "num_id", "payload", dim))
+      col("narrator"), col("english_text"), col("arabic_text"))), Some(w)))
+    val slots = c(sized(Hybrid.embedSlots(docs.select(col("num_id"), col("payload")),
+      "num_id", "payload", dim)))
     indexFromLayers(docs, post, slots, dim, cache)
   }
 
@@ -158,12 +169,18 @@ object HadithSearch {
   def indexFromLayers(docs: DataFrame, post: DataFrame, slots: DataFrame,
                       dim: Int, cache: Boolean = true): Index = {
     def c(df: DataFrame) = if (cache) df.cache() else df
-    // size the resident docs layer to the session's shuffle width (it
-    // inherits one split per source file otherwise, and every per-query
-    // backfill join schedules a task per split — see Quran twin)
-    val width = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val docsSized =
-      if (docs.rdd.getNumPartitions > width) c(docs.coalesce(width)) else docs
+    // size the resident docs layer to the DATA (Postings.serveWidth):
+    // it inherits one split per source file otherwise, and every
+    // per-query backfill join schedules a task per split. Counted only
+    // when caching (the count is the cache materialization the
+    // materialize() phase pays anyway); the persisted postings layer is
+    // NEVER resized here — coalescing would discard its bucket layout.
+    val sess = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val width = if (cache) Postings.serveWidth(docs.count(), sess) else sess
+    // docs arrives cached by every caller — coalesce ON TOP of the cache
+    // (per-query stages then schedule `width` tasks over the cached
+    // partitions) rather than re-caching a second copy of the layer
+    val docsSized = if (cache) docs.coalesce(width) else docs
     val dicts = Fields.map { f =>
       f -> c(post.where(col("field") === f)
         .groupBy("term").agg(countDistinct("doc_id").as("df")))

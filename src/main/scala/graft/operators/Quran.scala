@@ -138,9 +138,13 @@ object Quran {
       s"corpus rows break the verse_key == surah:ayah invariant the dense " +
         s"key relies on (first: ${drift.toSeq.mkString(", ")})")
     // term-clustered so cached term probes seek (batch pruning), the way
-    // the persisted layout's term buckets do on disk
+    // the persisted layout's term buckets do on disk; resident width
+    // follows the corpus (Postings.serveWidth — the drift check above
+    // already materialized the docs cache, so the count is free)
+    val sess = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val w = if (cache) Some(Postings.serveWidth(docs.count(), sess)) else None
     indexFromLayers(docs,
-      c(Postings.clusterByTerm(Postings.build(docs, "doc_id", "text_plain"))),
+      c(Postings.clusterByTerm(Postings.build(docs, "doc_id", "text_plain"), w)),
       emb, cache)
   }
 
@@ -150,16 +154,22 @@ object Quran {
   def indexFromLayers(docs: DataFrame, postings: DataFrame,
                       emb: Option[DataFrame], cache: Boolean = true): Index = {
     def c(df: DataFrame) = if (cache) df.cache() else df
-    val embQ = emb.map(e => c(e.select(col("verse_key"),
-      graft.functions.VecFns.quantize(col("embedding")).as("qv"))
-      .withColumn("nq", graft.functions.VecFns.norm2(col("qv")))))
     // the resident docs layer inherits the SOURCE's split count (one per
-    // JSONL file here) — size it to the session's shuffle width instead,
-    // or every per-query backfill join schedules a task per source file
-    val width = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val docsSized =
-      if (docs.rdd.getNumPartitions > width) docs.coalesce(width) else docs
-    Index(c(docsSized), postings, c(Postings.dictionary(postings)),
+    // JSONL file here) — size it and the quantized-embedding layer to
+    // the DATA (Postings.serveWidth), or every per-query backfill join /
+    // semantic leg schedules a task per split. The persisted postings
+    // layer is never resized (coalescing would discard its buckets).
+    val sess = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val width = if (cache) Postings.serveWidth(docs.count(), sess) else sess
+    // unconditional coalesce (never widens) — see HadithSearch twin for
+    // why a pre-cache .rdd width probe is both wasteful and wrong
+    def sized(df: DataFrame) = if (cache) df.coalesce(width) else df
+    val embQ = emb.map(e => c(sized(e.select(col("verse_key"),
+      graft.functions.VecFns.quantize(col("embedding")).as("qv"))
+      .withColumn("nq", graft.functions.VecFns.norm2(col("qv"))))))
+    // docs arrives cached by every caller — coalesce on top of the
+    // cache, don't re-cache a second copy of the layer
+    Index(sized(docs), postings, c(Postings.dictionary(postings)),
       c(Postings.corpusStats(postings)), emb, embQ)
   }
 

@@ -144,6 +144,30 @@ class GraftEngineSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("resident index layers take data-matched widths, not the session's (serve width)") {
+    import graft.operators.Postings
+    // the formula: domain-bounded corpora → 1-2 partitions; never wider
+    // than the session; never asks to repartition up
+    assert(Postings.serveWidth(47, 32) === 1)
+    assert(Postings.serveWidth(6236, 32) === 2)
+    assert(Postings.serveWidth(1L << 20, 32) === 32)
+    assert(Postings.serveWidth(0, 32) === 1)
+    // per-query probe stages schedule one task per cached partition, so
+    // the layers a query scans must come out at the DATA's width even
+    // when the session builds wide (the persisted-layout shape)
+    val quran = Graft.openQuran(spark, Queries.QuranDir, Some(Queries.NpzPath))
+    val sess = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val w = Postings.serveWidth(6236, sess)
+    assert(quran.index.docs.rdd.getNumPartitions <= w)
+    assert(quran.index.postings.rdd.getNumPartitions === w)
+    quran.index.embQ.foreach(e => assert(e.rdd.getNumPartitions <= w))
+    val hadith = Graft.openHadith(spark,
+      "/root/reference/data/riyadussalihin/book_1.jsonl")
+    assert(hadith.index.docs.rdd.getNumPartitions === 1)
+    assert(hadith.index.post.rdd.getNumPartitions === 1)
+    assert(hadith.index.slots.rdd.getNumPartitions === 1)
+  }
+
   test("over-bound vocabulary keeps lexical probes on the distributed dictionary join") {
     import graft.operators.{HadithSearch, Quran}
     val glob = "/root/reference/data/riyadussalihin/book_1.jsonl"

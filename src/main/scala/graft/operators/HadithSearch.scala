@@ -123,15 +123,27 @@ object HadithSearch {
       * flagged `resident`, which switches per-query lexical probes onto
       * the driver-resident dictionary path. */
     def materialize(): Index = {
-      docs.count()
+      val nDocs = docs.count()
       Postings.awaitAll(Seq(() => post.count(): Unit, () => slots.count(): Unit))
       Postings.awaitAll((dicts.values ++ stats.values).toSeq
         .map(df => () => df.count(): Unit))
       import org.apache.spark.sql.graftshim.ColumnShim.reroot
-      Index(reroot(docs), reroot(post),
+      // serve width follows the DATA (Postings.serveWidth): the layers
+      // BUILD and cache at the session's width (parallel open), and the
+      // serving Index reads them through a coalesce VIEW — per-query
+      // probe stages then schedule 1-2 tasks on a domain-bounded corpus
+      // instead of one per build partition, while filters still push
+      // through Coalesce into the in-memory scan (batch pruning keeps
+      // working). Coalesce never widens, so a corpus-scale index keeps
+      // its width. Applied HERE, not at build: narrowing the build
+      // shuffles would serialize the one-shot cold path that pays them.
+      val sess = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      val w = Postings.serveWidth(nDocs, sess)
+      def narrow(df: org.apache.spark.sql.DataFrame) = reroot(df).coalesce(w)
+      Index(narrow(docs), narrow(post),
         dicts.map { case (f, d) => f -> reroot(d) },
         stats.map { case (f, s) => f -> reroot(s) },
-        reroot(slots), dim, resident = true,
+        narrow(slots), dim, resident = true,
         maxResidentVocab = maxResidentVocab)
     }
   }
@@ -142,23 +154,14 @@ object HadithSearch {
                  cache: Boolean = true): Index = {
     def c(df: DataFrame) = if (cache) df.cache() else df
     val docs = c(docs0.withColumn("num_id", TextFns.hash60(col("doc_id"))))
-    // resident layer width follows the corpus, not the session (see
-    // Postings.serveWidth); the count doubles as the docs-cache
-    // materialization materialize() would run anyway
-    val sess = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val w = if (cache) Postings.serveWidth(docs.count(), sess) else sess
-    // coalesce UNCONDITIONALLY (it never widens): probing the lazy
-    // plan's .rdd for a width check would execute it once pre-cache,
-    // and under AQE the pre-cache answer lies — cached plans pin their
-    // output partitioning (canChangeCachedPlanOutputPartitioning=false),
-    // so a plan AQE would coalesce at runtime still caches wide
-    def sized(df: DataFrame) = if (cache) df.coalesce(w) else df
     // term-clustered so cached term probes seek via batch pruning (the
-    // in-memory analog of the persisted field/term-bucketed layout)
+    // in-memory analog of the persisted field/term-bucketed layout);
+    // layers build at the SESSION's width — the serve-width narrowing
+    // happens in materialize(), as a view over the cache
     val post = c(Postings.clusterByTerm(postings(docs.select(col("num_id").as("doc_id"),
-      col("narrator"), col("english_text"), col("arabic_text"))), Some(w)))
-    val slots = c(sized(Hybrid.embedSlots(docs.select(col("num_id"), col("payload")),
-      "num_id", "payload", dim)))
+      col("narrator"), col("english_text"), col("arabic_text")))))
+    val slots = c(Hybrid.embedSlots(docs.select(col("num_id"), col("payload")),
+      "num_id", "payload", dim))
     indexFromLayers(docs, post, slots, dim, cache)
   }
 
@@ -169,17 +172,11 @@ object HadithSearch {
   def indexFromLayers(docs: DataFrame, post: DataFrame, slots: DataFrame,
                       dim: Int, cache: Boolean = true): Index = {
     def c(df: DataFrame) = if (cache) df.cache() else df
-    // size the resident docs layer to the DATA (Postings.serveWidth):
-    // it inherits one split per source file otherwise, and every
-    // per-query backfill join schedules a task per split. Counted only
-    // when caching (the count is the cache materialization the
-    // materialize() phase pays anyway); the persisted postings layer is
-    // NEVER resized here — coalescing would discard its bucket layout.
-    val sess = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val width = if (cache) Postings.serveWidth(docs.count(), sess) else sess
-    // docs arrives cached by every caller — coalesce ON TOP of the cache
-    // (per-query stages then schedule `width` tasks over the cached
-    // partitions) rather than re-caching a second copy of the layer
+    // cap the docs layer at the session's width (it inherits one split
+    // per source file otherwise); the DATA-matched serve narrowing
+    // happens in materialize(). docs arrives cached by every caller —
+    // coalesce on top of the cache, no second copy.
+    val width = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val docsSized = if (cache) docs.coalesce(width) else docs
     val dicts = Fields.map { f =>
       f -> c(post.where(col("field") === f)

@@ -93,17 +93,23 @@ object Quran {
       * waves of concurrent jobs: corpus + raw vectors first, then the
       * postings/quantized layers over them, then dictionary/stats. */
     def materialize(): Index = {
-      Postings.awaitAll(Seq(() => docs.count(): Unit) ++
+      var nDocs = 0L
+      Postings.awaitAll(Seq(() => { nDocs = docs.count() }: Unit) ++
         emb.map(e => () => e.count(): Unit))
       Postings.awaitAll(Seq(() => postings.count(): Unit) ++
         embQ.map(e => () => e.count(): Unit))
       Postings.awaitAll(Seq(() => dict.count(): Unit, () => stats.count(): Unit))
       // re-root every layer at its materialized cache entry: per-query
       // plans compose over InMemoryRelation leaves, not derivation trees
-      // (see HadithSearch.Index.materialize)
+      // (see HadithSearch.Index.materialize) — and read the big layers
+      // through a DATA-matched coalesce view (serve width; see the
+      // HadithSearch twin for why this lives here, not at build)
       import org.apache.spark.sql.graftshim.ColumnShim.reroot
-      Index(reroot(docs), reroot(postings), reroot(dict), reroot(stats),
-        emb.map(reroot), embQ.map(reroot), resident = true,
+      val sess = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      val w = Postings.serveWidth(nDocs, sess)
+      def narrow(df: DataFrame) = reroot(df).coalesce(w)
+      Index(narrow(docs), narrow(postings), reroot(dict), reroot(stats),
+        emb.map(reroot), embQ.map(narrow), resident = true,
         maxResidentVocab = maxResidentVocab)
     }
   }
@@ -138,13 +144,10 @@ object Quran {
       s"corpus rows break the verse_key == surah:ayah invariant the dense " +
         s"key relies on (first: ${drift.toSeq.mkString(", ")})")
     // term-clustered so cached term probes seek (batch pruning), the way
-    // the persisted layout's term buckets do on disk; resident width
-    // follows the corpus (Postings.serveWidth — the drift check above
-    // already materialized the docs cache, so the count is free)
-    val sess = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val w = if (cache) Some(Postings.serveWidth(docs.count(), sess)) else None
+    // the persisted layout's term buckets do on disk; layers build at
+    // the SESSION's width — serve narrowing happens in materialize()
     indexFromLayers(docs,
-      c(Postings.clusterByTerm(Postings.build(docs, "doc_id", "text_plain"), w)),
+      c(Postings.clusterByTerm(Postings.build(docs, "doc_id", "text_plain"))),
       emb, cache)
   }
 
@@ -154,22 +157,16 @@ object Quran {
   def indexFromLayers(docs: DataFrame, postings: DataFrame,
                       emb: Option[DataFrame], cache: Boolean = true): Index = {
     def c(df: DataFrame) = if (cache) df.cache() else df
-    // the resident docs layer inherits the SOURCE's split count (one per
-    // JSONL file here) — size it and the quantized-embedding layer to
-    // the DATA (Postings.serveWidth), or every per-query backfill join /
-    // semantic leg schedules a task per split. The persisted postings
-    // layer is never resized (coalescing would discard its buckets).
-    val sess = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val width = if (cache) Postings.serveWidth(docs.count(), sess) else sess
-    // unconditional coalesce (never widens) — see HadithSearch twin for
-    // why a pre-cache .rdd width probe is both wasteful and wrong
-    def sized(df: DataFrame) = if (cache) df.coalesce(width) else df
-    val embQ = emb.map(e => c(sized(e.select(col("verse_key"),
+    val embQ = emb.map(e => c(e.select(col("verse_key"),
       graft.functions.VecFns.quantize(col("embedding")).as("qv"))
-      .withColumn("nq", graft.functions.VecFns.norm2(col("qv"))))))
-    // docs arrives cached by every caller — coalesce on top of the
-    // cache, don't re-cache a second copy of the layer
-    Index(sized(docs), postings, c(Postings.dictionary(postings)),
+      .withColumn("nq", graft.functions.VecFns.norm2(col("qv")))))
+    // cap the docs layer at the session's width (it inherits one split
+    // per source JSONL file otherwise); the DATA-matched serve
+    // narrowing happens in materialize(). docs arrives cached by every
+    // caller — coalesce on top of the cache, no second copy.
+    val width = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val docsSized = if (cache) docs.coalesce(width) else docs
+    Index(docsSized, postings, c(Postings.dictionary(postings)),
       c(Postings.corpusStats(postings)), emb, embQ)
   }
 

@@ -1,0 +1,102 @@
+package graft
+
+import graft.serve.{HttpTransport, HybridCli, McpStdio}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Transports (HTTP / MCP stdio / CLI) — the reference's
+  * http_server.py, mcp_stdio.py, apps/hybrid_cli.py surfaces. Unit-only
+  * (side-effecting servers; no DuckDB oracle is possible), like S6-S8:
+  * each transport is driven end-to-end against a real engine and its
+  * payloads parsed back. */
+class ServeTransportsSpec extends SparkSpec {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private lazy val eng =
+    Graft.openHadith(spark, "/root/reference/data/riyadussalihin/book_1.jsonl")
+  private lazy val quran =
+    Graft.openQuran(spark, "/root/reference/data/quran", None)
+
+  test("http transport serves health, statuses, hybrid search, and 400/404s") {
+    val t = new HttpTransport(Map("riyadussalihin" -> eng), port = 0)
+    try {
+      val base = s"http://127.0.0.1:${t.boundPort}"
+      val client = HttpClient.newHttpClient()
+      def get(path: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      def post(path: String, body: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(base + path))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8)).build(),
+          HttpResponse.BodyHandlers.ofString())
+
+      assert(get("/health").statusCode() === 200)
+      val vs = mapper.readTree(get("/api/riyadussalihin/status/vector").body())
+      assert(vs.get("documents").asLong === 47L)
+      assert(vs.get("dimension").asInt === 128)
+      val fs = mapper.readTree(get("/api/riyadussalihin/status/fts").body())
+      assert(fs.get("terms_per_field").get("en").asLong > 100L)
+
+      val res = post("/api/riyadussalihin/search/hybrid",
+        """{"query":"Hadith narrated by Abu Hurairah","n_results":3}""")
+      assert(res.statusCode() === 200)
+      val env = mapper.readTree(res.body())
+      assert(env.get("intent").asText === "narrator")
+      assert(env.get("hits").size() > 0)
+      val hit = env.get("hits").get(0)
+      assert(hit.get("doc_id").asText.startsWith("riyadussalihin:"))
+      assert(hit.get("breakdown").has("fts_signal"))
+      // parity with the engine's own DataFrame result
+      val direct = eng.search("Hadith narrated by Abu Hurairah", 3).collect()
+      assert(env.get("hits").size() === direct.length)
+      assert(hit.get("doc_id").asText === direct.head.getAs[String]("doc_id"))
+
+      assert(post("/api/riyadussalihin/search/hybrid", "{}").statusCode() === 400)
+      assert(post("/api/nope/search/hybrid", """{"query":"x"}""").statusCode() === 404)
+      assert(get("/api/riyadussalihin/unknown").statusCode() === 404)
+    } finally t.stop()
+  }
+
+  test("mcp stdio transport answers initialize, tools/list, tools/call over jsonrpc") {
+    val requests = Seq(
+      """{"jsonrpc":"2.0","id":1,"method":"initialize","params":{"protocolVersion":"2024-11-05"}}""",
+      """{"jsonrpc":"2.0","method":"notifications/initialized"}""",
+      """{"jsonrpc":"2.0","id":2,"method":"tools/list"}""",
+      """{"jsonrpc":"2.0","id":3,"method":"tools/call","params":{"name":"hybrid_search","arguments":{"query":"modesty and shyness","n_results":2}}}""",
+      """{"jsonrpc":"2.0","id":4,"method":"tools/call","params":{"name":"get_verse","arguments":{"verse_key":"1:1"}}}""",
+      """{"jsonrpc":"2.0","id":5,"method":"nope"}""").mkString("", "\n", "\n")
+    val out = new ByteArrayOutputStream()
+    McpStdio.serve(new ByteArrayInputStream(requests.getBytes(UTF_8)), out,
+      eng, Some(quran))
+    val lines = out.toString(UTF_8).split("\n").filter(_.nonEmpty).map(mapper.readTree)
+    // notification produced no response: 5 responses for 6 messages
+    assert(lines.length === 5)
+    val byId = lines.map(l => l.get("id").asInt -> l).toMap
+    assert(byId(1).at("/result/serverInfo/name").asText === "graft-mcp")
+    val tools = byId(2).at("/result/tools")
+    val names = (0 until tools.size()).map(tools.get(_).get("name").asText).toSet
+    assert(names === Set("hybrid_search", "fts_status", "vector_index_status",
+      "get_verse", "search_tafsir"))
+    val call = byId(3).at("/result/structuredContent")
+    assert(call.get("hits").size() > 0)
+    assert(call.get("hits").get(0).get("doc_id").asText.startsWith("riyadussalihin:"))
+    val verse = byId(4).at("/result/structuredContent/entries")
+    assert(verse.size() === 1)
+    assert(verse.get(0).get("surah").asInt === 1)
+    assert(byId(5).at("/error/code").asInt === -32601)
+  }
+
+  test("hybrid cli answers a query and honors :k/:mode/exit") {
+    val input = ":k 2\nHadith narrated by Abu Hurairah\nexit\n"
+    val out = new ByteArrayOutputStream()
+    HybridCli.run(new ByteArrayInputStream(input.getBytes(UTF_8)), out, eng)
+    val text = out.toString(UTF_8)
+    assert(text.contains("k=2"))
+    assert(text.contains("intent=narrator"))
+    assert(text.contains("riyadussalihin:"))
+    assert(text.contains("breakdown="))
+  }
+}

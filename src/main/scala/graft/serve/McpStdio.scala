@@ -37,6 +37,9 @@ object McpStdio {
       "query" -> "string", "n_results" -> "integer", "mode" -> "string"))
     ts.add(tool("fts_status", "FTS index status"))
     ts.add(tool("vector_index_status", "Vector index status"))
+    ts.add(tool("fts_match", "Field-scoped lexical (BM25) match",
+      "en" -> "string", "ar" -> "string", "narrator" -> "string",
+      "limit" -> "integer"))
     if (hasQuran) {
       ts.add(tool("get_verse", "Tafsir entries for a verse key",
         "verse_key" -> "string"))
@@ -68,6 +71,54 @@ object McpStdio {
           int("n_results", 10), str("mode", "balanced")))
       case "fts_status" => textResult(ServeJson.ftsStatus(hadith))
       case "vector_index_status" => textResult(ServeJson.vectorStatus(hadith))
+      case "fts_match" =>
+        // the reference's FTS5 MATCH tool (mcp_stdio.py:156-191):
+        // per-field term probes over the postings index, AND-ed across
+        // the fields provided (every given field must match), ranked by
+        // summed BM25 — the engine's retrieval primitive standing in
+        // for the MATCH grammar
+        val legs = Seq("en" -> str("en"), "ar" -> str("ar"),
+          "narrator" -> str("narrator")).filter(_._2.nonEmpty)
+        if (legs.isEmpty)
+          textResult(err("Provide en/ar/narrator"))
+        else {
+          import org.apache.spark.sql.functions._
+          val limit = int("limit", 10)
+          val idx = hadith.index
+          // two-phase, like searchWith: each bounded leg collects (the
+          // probe output is already one bm25 row per doc), the AND-merge
+          // happens on the driver (docs present in EVERY leg, bm25
+          // summed), and one backfill probe fetches metadata for the
+          // ≤limit winners
+          val legRows: Seq[Map[Long, Double]] = legs.map { case (f, text) =>
+            graft.operators.HadithSearch.fieldProbe(idx, f,
+              graft.Router.tokenize(text).take(6), prefix = false, limit * 5)
+              .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+          }
+          val matched = legRows.reduce((a, b) =>
+            a.keySet.intersect(b.keySet).map(k => k -> (a(k) + b(k))).toMap)
+          val top = matched.toSeq.sortBy { case (id, s) => (-s, id) }.take(limit)
+          val byId = top.toMap
+          val rows = idx.docs
+            .select(col("num_id"), col("doc_id"), col("narrator"),
+              graft.functions.TextFns.snippet(trim(col("english_text")), 240).as("snippet"))
+            .where(col("num_id").isin(top.map(_._1): _*))
+            .collect()
+            .sortBy(r => (-byId(r.getLong(0)), r.getString(1)))
+          val o = obj()
+          o.put("match", legs.map { case (f, t) => s"$f:$t" }.mkString(" AND "))
+          val hs = arr()
+          rows.foreach { r =>
+            val h = obj()
+            h.put("doc_id", r.getString(1))
+            if (!r.isNullAt(2)) h.put("narrator", r.getString(2))
+            if (!r.isNullAt(3)) h.put("snippet", r.getString(3))
+            h.put("bm25", math.round(byId(r.getLong(0)) * 10000.0) / 10000.0)
+            hs.add(h)
+          }
+          o.set[ArrayNode]("hits", hs)
+          textResult(o)
+        }
       case "get_verse" if quran.isDefined =>
         val hits = arr()
         quran.get.getVerseTyped(str("verse_key")).foreach { h =>

@@ -67,19 +67,20 @@ class ServeTransportsSpec extends SparkSpec {
       """{"jsonrpc":"2.0","id":2,"method":"tools/list"}""",
       """{"jsonrpc":"2.0","id":3,"method":"tools/call","params":{"name":"hybrid_search","arguments":{"query":"modesty and shyness","n_results":2}}}""",
       """{"jsonrpc":"2.0","id":4,"method":"tools/call","params":{"name":"get_verse","arguments":{"verse_key":"1:1"}}}""",
-      """{"jsonrpc":"2.0","id":5,"method":"nope"}""").mkString("", "\n", "\n")
+      """{"jsonrpc":"2.0","id":5,"method":"nope"}""",
+      """{"jsonrpc":"2.0","id":6,"method":"tools/call","params":{"name":"fts_match","arguments":{"en":"modesty","narrator":"umar","limit":3}}}""").mkString("", "\n", "\n")
     val out = new ByteArrayOutputStream()
     McpStdio.serve(new ByteArrayInputStream(requests.getBytes(UTF_8)), out,
       eng, Some(quran))
     val lines = out.toString(UTF_8).split("\n").filter(_.nonEmpty).map(mapper.readTree)
-    // notification produced no response: 5 responses for 6 messages
-    assert(lines.length === 5)
+    // notification produced no response: 6 responses for 7 messages
+    assert(lines.length === 6)
     val byId = lines.map(l => l.get("id").asInt -> l).toMap
     assert(byId(1).at("/result/serverInfo/name").asText === "graft-mcp")
     val tools = byId(2).at("/result/tools")
     val names = (0 until tools.size()).map(tools.get(_).get("name").asText).toSet
     assert(names === Set("hybrid_search", "fts_status", "vector_index_status",
-      "get_verse", "search_tafsir"))
+      "fts_match", "get_verse", "search_tafsir"))
     val call = byId(3).at("/result/structuredContent")
     assert(call.get("hits").size() > 0)
     assert(call.get("hits").get(0).get("doc_id").asText.startsWith("riyadussalihin:"))
@@ -87,6 +88,10 @@ class ServeTransportsSpec extends SparkSpec {
     assert(verse.size() === 1)
     assert(verse.get(0).get("surah").asInt === 1)
     assert(byId(5).at("/error/code").asInt === -32601)
+    val fm = byId(6).at("/result/structuredContent")
+    assert(fm.get("match").asText === "en:modesty AND narrator:umar")
+    assert(fm.get("hits").size() > 0)
+    assert(fm.get("hits").get(0).get("bm25").asDouble > 0.0)
   }
 
   test("hybrid cli answers a query and honors :k/:mode/exit") {

@@ -94,6 +94,35 @@ class ServeTransportsSpec extends SparkSpec {
     assert(fm.get("hits").get(0).get("bm25").asDouble > 0.0)
   }
 
+  test("http transport serves concurrent searches correctly (thread safety)") {
+    val t = new HttpTransport(Map("riyadussalihin" -> eng), port = 0)
+    try {
+      val base = s"http://127.0.0.1:${t.boundPort}"
+      val client = HttpClient.newHttpClient()
+      val queries = Seq("modesty and shyness", "Hadith narrated by Abu Hurairah",
+        "patience", "Riyad as-Salihin 680")
+      // expected answers, serially
+      def search(q: String): String =
+        client.send(HttpRequest.newBuilder(
+            URI.create(s"$base/api/riyadussalihin/search/hybrid"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"""{"query":"$q","n_results":3}""", UTF_8)).build(),
+          HttpResponse.BodyHandlers.ofString()).body()
+      val expected = queries.map(q => q -> search(q)).toMap
+      // 16 concurrent requests across the 4 queries must each match
+      // their serial answer (the engines' resident caches are
+      // read-only; Spark jobs multiplex across scheduler pools)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val results = Await.result(
+        Future.sequence((0 until 16).map(i => Future {
+          val q = queries(i % queries.length); q -> search(q)
+        })), Duration.Inf)
+      results.foreach { case (q, body) => assert(body === expected(q), s"for $q") }
+    } finally t.stop()
+  }
+
   test("hybrid cli answers a query and honors :k/:mode/exit") {
     val input = ":k 2\nHadith narrated by Abu Hurairah\nexit\n"
     val out = new ByteArrayOutputStream()

@@ -453,6 +453,25 @@ object Oracles {
          |  CAST(len(t) AS BIGINT) n_tokens,
          |  CAST(len(covered) AS BIGINT) n_stripped
          |FROM cv ORDER BY doc_id""".stripMargin,
+    // top-decile twin: same rounded stats as text_quality, the same
+    // composite signal, percent_rank over (lang; q_score, doc_id) — the
+    // tie-break total order makes the kept set exact on both engines
+    "quality_top_decile" -> {
+      val stop = graft.operators.TextAnalysis.StopwordsEn.map(s => s"'$s'").mkString("[", ",", "]")
+      s"""WITH $Toks,
+         |q AS (SELECT doc_id,
+         |round(CAST(len(list_distinct(t)) AS DOUBLE)/len(t),6) ttr,
+         |round(CAST(len(list_filter(t, x -> list_contains($stop, x))) AS DOUBLE)/len(t),6) stop_ratio,
+         |round(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)/len(t),6) mean_tok_len
+         |FROM toks),
+         |sc AS (SELECT doc_id, lang,
+         |round(stop_ratio*0.5 + ttr*0.3 + least(mean_tok_len/10.0, 1.0)*0.2, 6) q_score
+         |FROM q JOIN documents USING(doc_id)),
+         |r AS (SELECT doc_id, lang, q_score,
+         |percent_rank() OVER (PARTITION BY lang ORDER BY q_score, doc_id) pr FROM sc)
+         |SELECT doc_id, lang, q_score, round(pr,6) AS pr
+         |FROM r WHERE pr >= 0.9 ORDER BY doc_id""".stripMargin
+    },
     // quality-filter cascade twin: same token stats as text_quality, the
     // same script counts as lang_id's r CTE, rules in the operator's
     // fixed order; concat_ws drops NULL branches on both engines

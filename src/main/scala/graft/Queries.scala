@@ -275,6 +275,12 @@ object Queries {
     "quality_filter" -> ((s, dir) =>
       TextAnalysis.qualityFilter(docs(s, dir), "doc_id", "text")
         .select("doc_id", "n_tokens", "kept", "reasons").orderBy("doc_id")),
+    // per-language top-decile quality cut (percent_rank window — the
+    // exact, oracle-matchable form; approx thresholds are the
+    // unbounded-strata scale path, see TextAnalysis.qualityPercentile)
+    "quality_top_decile" -> ((s, dir) =>
+      TextAnalysis.qualityPercentile(docs(s, dir), "doc_id", "text",
+        "lang", minRank = 0.9).orderBy("doc_id")),
     // training-export shard assignment: two-pass prefix sum, never a
     // single-partition global window
     "pack_shards" -> ((s, dir) =>

@@ -23,20 +23,52 @@ object TextAnalysis {
 
   /** Quality stats per document: token counts, type-token ratio, stopword
     * ratio, mean token length (quality-scoring heuristics per brief). */
-  def qualityStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def qualityStats(docs: DataFrame, idCol: String, textCol: String,
+                   passThrough: Seq[String] = Nil): DataFrame = {
     val toks = TextFns.tokens(col(textCol))
     val nTok = size(toks)
     val nUniq = size(array_distinct(toks))
     val nStop = size(filter(toks, t => array_contains(typedLit(StopwordsEn), t)))
     val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-    docs.select(
+    docs.select(Seq(
       col(idCol).cast("long").as("doc_id"),
       length(col(textCol)).cast("long").as("n_chars"),
       nTok.cast("long").as("n_tokens"),
       nUniq.cast("long").as("n_uniq"),
       when(nTok > 0, round(nUniq.cast("double") / nTok, 6)).otherwise(lit(0.0)).as("ttr"),
       when(nTok > 0, round(nStop.cast("double") / nTok, 6)).otherwise(lit(0.0)).as("stop_ratio"),
-      when(nTok > 0, round(sumLen.cast("double") / nTok, 6)).otherwise(lit(0.0)).as("mean_tok_len"))
+      when(nTok > 0, round(sumLen.cast("double") / nTok, 6)).otherwise(lit(0.0)).as("mean_tok_len")) ++
+      passThrough.map(col): _*)
+  }
+
+  /** Per-stratum quality-percentile cut — the thresholding step a
+    * training pipeline runs after scoring ("keep the top keepTop
+    * fraction of each language by quality"). The composite signal
+    * weighs the C4-ish stats (stopword density, lexical diversity,
+    * bounded mean token length); the cut is percent_rank over
+    * (stratum, signal) with doc_id as the total-order tie-break, so
+    * the kept set is EXACTLY reproducible (rank arithmetic is integer
+    * ratios — no float-threshold drift between engines). Scale shape:
+    * one shuffle on the stratum key + per-stratum sort; strata are
+    * bounded (languages × source shards). For unbounded strata compute
+    * approx thresholds instead (approx_percentile over the signal) and
+    * broadcast-join them — the exact window form IS the oracle. */
+  def qualityPercentile(docs: DataFrame, idCol: String, textCol: String,
+                        stratumCol: String, minRank: Double = 0.9): DataFrame = {
+    val s = qualityStats(docs, idCol, textCol, Seq(stratumCol))
+    val score = round(col("stop_ratio") * 0.5 + col("ttr") * 0.3 +
+      least(col("mean_tok_len") / 10.0, lit(1.0)) * 0.2, 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(col("q_score"), col("doc_id"))
+    // the threshold is taken as ONE literal (minRank), never derived by
+    // arithmetic (1.0-0.1 and a literal 0.9 are different doubles — a
+    // derived threshold can disagree with an oracle's literal at an
+    // exact rank boundary)
+    s.withColumn("q_score", score)
+      .withColumn("pr", percent_rank().over(w))
+      .where(col("pr") >= minRank)
+      .select(col("doc_id"), col(stratumCol), col("q_score"),
+        round(col("pr"), 6).as("pr"))
   }
 
   /** Language-ID heuristic (brief: n-gram/stopword heuristic): script

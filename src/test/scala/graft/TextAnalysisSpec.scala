@@ -45,6 +45,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got === Map(1L -> ((4L, 2L, 0.5)), 2L -> ((2L, 2L, 1.0))))
   }
 
+  test("quality percentile cut: per-stratum rank, tie-break order, keeps the top") {
+    import spark.implicits._
+    // stratum "en": 11 docs with increasing stopword density (the score
+    // driver); stratum "de": 2 docs (pr is 0 or 1 — only the max kept)
+    val en = (1 to 11).map(i =>
+      (i.toLong, ("the and of a " * i) + ("zz " * (12 - i)), "en"))
+    val de = Seq((21L, "zz yy", "de"), (22L, "the and of the and", "de"))
+    val docs = (en ++ de).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.qualityPercentile(docs, "doc_id", "text", "lang",
+      minRank = 0.9).collect()
+    val byLang = got.groupBy(_.getString(1))
+    // en: percent_rank over 11 docs = k/10 — exactly the two top-scoring
+    // docs reach pr >= 0.9; de: exactly the max (pr = 1.0)
+    assert(byLang("en").map(_.getLong(0)).toSet === Set(10L, 11L))
+    assert(byLang("de").map(_.getLong(0)).toSeq === Seq(22L))
+    assert(got.forall(_.getDouble(3) >= 0.9))
+    // kept docs carry the stratum-local TOP scores, not globals
+    val all = TextAnalysis.qualityPercentile(docs, "doc_id", "text", "lang",
+      minRank = 0.0).collect()
+    val maxEn = all.filter(_.getString(1) == "en").map(_.getDouble(2)).max
+    assert(byLang("en").map(_.getDouble(2)).max === maxEn)
+  }
+
   test("quality filter: threshold boundaries, gates, fixed reason order") {
     import spark.implicits._
     import graft.operators.TextAnalysis.QualityThresholds

@@ -71,6 +71,27 @@ object TextAnalysis {
         round(col("pr"), 6).as("pr"))
   }
 
+  /** The unbounded-strata scale path for [[qualityPercentile]]: instead
+    * of a per-stratum SORT (a straggler when one stratum holds most of
+    * the corpus), compute each stratum's approximate score threshold in
+    * one pass (`approx_percentile`, map-side combinable t-digest) and
+    * broadcast-join the tiny per-stratum threshold table back — the cut
+    * is then a narrow filter. Not oracle-matchable (the t-digest is
+    * Spark-specific); its kept set is pinned against the exact form in
+    * TextAnalysisSpec within the sketch's rank tolerance. */
+  def qualityPercentileApprox(docs: DataFrame, idCol: String, textCol: String,
+                              stratumCol: String, minRank: Double = 0.9,
+                              accuracy: Int = 10000): DataFrame = {
+    val s = qualityStats(docs, idCol, textCol, Seq(stratumCol))
+      .withColumn("q_score", round(col("stop_ratio") * 0.5 + col("ttr") * 0.3 +
+        least(col("mean_tok_len") / 10.0, lit(1.0)) * 0.2, 6))
+    val thresholds = s.groupBy(col(stratumCol))
+      .agg(percentile_approx(col("q_score"), lit(minRank), lit(accuracy)).as("q_min"))
+    s.join(broadcast(thresholds), stratumCol)
+      .where(col("q_score") >= col("q_min"))
+      .select(col("doc_id"), col(stratumCol), col("q_score"))
+  }
+
   /** Language-ID heuristic (brief: n-gram/stopword heuristic): script
     * detection for Arabic/CJK, distinct-stopword votes for latin languages,
     * deterministic tie-break order en > de > fr > es. Script counts come

@@ -205,6 +205,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), "global window collapsed to one partition")
   }
 
+  test("quality percentile window partitions by the stratum, never a global sort") {
+    val p = plan(graft.operators.TextAnalysis.qualityPercentile(
+      Tables(spark, sf, "documents"), "doc_id", "text", "lang", minRank = 0.9))
+    assert(!p.contains("SinglePartition"), "stratum window collapsed to one partition")
+    assert(p.contains("hashpartitioning(lang"), "window not partitioned by the stratum key")
+  }
+
   test("bucketed knn join is an equi-join on the LSH key — no cross join, no probe broadcast requirement") {
     val emb = Tables(spark, sf, "embeddings")
     val df = graft.operators.Similarity.knnJoinBucketed(emb, emb, "vec_id", "embedding",

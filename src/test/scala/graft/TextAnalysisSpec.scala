@@ -68,6 +68,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(byLang("en").map(_.getDouble(2)).max === maxEn)
   }
 
+  test("approx percentile cut agrees with the exact form at full sketch accuracy") {
+    import spark.implicits._
+    val docs = (1 to 200).map(i =>
+      (i.toLong, ("the and of a " * (i % 20 + 1)) + ("zz " * (20 - i % 20)),
+        if (i % 3 == 0) "de" else "en")).toDF("doc_id", "text", "lang")
+    val exact = TextAnalysis.qualityPercentile(docs, "doc_id", "text", "lang",
+      minRank = 0.9).collect().map(_.getLong(0)).toSet
+    val approx = TextAnalysis.qualityPercentileApprox(docs, "doc_id", "text", "lang",
+      minRank = 0.9).collect().map(_.getLong(0)).toSet
+    // at accuracy >> n the t-digest is exact on distinct values; the two
+    // cuts may differ only at the threshold value itself (ties at q_min
+    // are kept by the filter, rank-excluded by percent_rank) — so the
+    // approx set must CONTAIN the exact set and any extras must sit
+    // exactly at the threshold score
+    assert(exact.subsetOf(approx))
+    val byId = TextAnalysis.qualityPercentileApprox(docs, "doc_id", "text", "lang",
+      minRank = 0.9).collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val extras = approx -- exact
+    val minKeptByLang = TextAnalysis.qualityPercentileApprox(docs, "doc_id", "text",
+      "lang", minRank = 0.9).collect()
+      .groupBy(_.getString(1)).map { case (l, rs) => l -> rs.map(_.getDouble(2)).min }
+    extras.foreach { id =>
+      assert(minKeptByLang.values.exists(_ === byId(id)),
+        s"approx extra $id not at a threshold score") }
+  }
+
   test("quality filter: threshold boundaries, gates, fixed reason order") {
     import spark.implicits._
     import graft.operators.TextAnalysis.QualityThresholds

@@ -47,7 +47,7 @@ Test / testGrouping := {
   val tests = (Test / definedTests).value
   val opts = (Test / javaOptions).value.toVector
   val heavy = Seq("graft.StreamsSpec", "graft.GraftEngineSpec",
-    "graft.DedupSpec", "graft.GoldenQueriesSpec")
+    "graft.DedupSpec", "graft.GoldenQueriesSpec", "graft.ResidentSearchSpec")
   def group(name: String, sel: sbt.TestDefinition => Boolean) =
     Tests.Group(name, tests.filter(sel),
       Tests.SubProcess(ForkOptions().withRunJVMOptions(opts)))

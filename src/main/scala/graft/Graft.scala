@@ -145,6 +145,46 @@ object Graft {
       Router.parseExactRef(Router.route(citation).normalized)
         .map(lookupRefTyped(_, n)).getOrElse(Nil)
 
+    /** Driver-resident typed-search layers (see [[operators.Resident]]):
+      * built lazily by the first [[searchTyped]] call — a handful of
+      * bounded collects over the SAME cached index layers the DataFrame
+      * probes join — and None whenever any counted bound trips (doc rows,
+      * posting rows, per-field vocabulary), in which case typed searches
+      * fall back to collecting the distributed plan. */
+    private lazy val searchLayers: Option[Resident.HadithLayers] =
+      if (residentOk) Resident.hadithLayers(index, maxResidentRows) else None
+
+    /** Sub-millisecond hybrid search — the typed twin of [[search]], the
+      * path that honestly meets the reference's <50 ms p95 search /
+      * <150 ms p95 end-to-end targets (HADITH_SEARCH_SPEC.md:549,
+      * ROADMAP.md:41). Runs the full pipeline (route → BM25 → cosine →
+      * fusion → scoring → rank) per call over the driver-resident layers:
+      * no result memoization, zero Spark jobs once the layers are built.
+      * Parity with [[search]] is pinned across the reference's 86-query
+      * benchmark corpus (ResidentSearchSpec). */
+    def searchTyped(query: String, n: Int = 10,
+                    mode: String = "balanced"): Seq[Resident.SearchHit] = {
+      if (mode == "spec") {
+        val intent = Router.route(query)
+        if (intent.qtype == "exact_reference")
+          Router.parseExactRef(intent.normalized) match {
+            case Some(ref) =>
+              return lookupRefTyped(ref, n).map(c =>
+                Resident.SearchHit(c.docId, c.bookId, c.narrator, c.snippet,
+                  0.0, 0.0, 0.0, 0.0, 1.0))
+            case None => ()
+          }
+      }
+      searchLayers match {
+        case Some(l) => Resident.searchHadith(l, query, n, mode)
+        case None => HadithSearch.searchWith(index, query, n, mode)
+          .collect().toSeq.map(r => Resident.SearchHit(
+            r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+            r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+            r.getDouble(8)))
+      }
+    }
+
     /** hybrid_search parity (tools.py:39-175) — warm: no index rebuild.
       * Spec-mode exact citations resolve from the driver-resident
       * reference cache (zero Spark jobs); every other query keeps the
@@ -212,6 +252,25 @@ object Graft {
     def search(query: String, n: Int = 5, mode: String = "hybrid",
                queryVec: Option[Array[Float]] = None): DataFrame =
       Quran.searchWith(index, query, queryVec, n, mode)
+
+    /** Driver-resident typed-search layers (see [[operators.Resident]]) —
+      * same lazy build / counted-bound / distributed-fallback contract as
+      * the hadith engine's. */
+    private lazy val searchLayers: Option[Resident.QuranLayers] =
+      if (residentOk) Resident.quranLayers(index, maxResidentRows) else None
+
+    /** Sub-millisecond tafsir search — the typed twin of [[search]]; zero
+      * Spark jobs once the layers are built, no result memoization.
+      * Parity pinned in ResidentSearchSpec. */
+    def searchTyped(query: String, n: Int = 5, mode: String = "hybrid",
+                    queryVec: Option[Array[Float]] = None): Seq[Resident.QuranHit] =
+      searchLayers match {
+        case Some(l) => Resident.searchQuran(l, query, queryVec, n, mode)
+        case None => Quran.searchWith(index, query, queryVec, n, mode)
+          .collect().toSeq.map(r => Resident.QuranHit(
+            r.getString(0), r.getInt(1), r.getInt(2), r.getDouble(3),
+            r.getDouble(4), r.getDouble(5), r.getString(6)))
+      }
 
     /** get_verse parity (server.py:77-107) — served from the
       * driver-resident cache as a LocalRelation (no Spark job). Only the

@@ -29,6 +29,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Resident.roundHalfUp fast path equals the BigDecimal form (incl. boundaries)") {
+    def slow(x: Double, sc: Int): Double =
+      if (x.isNaN || x.isInfinite) x
+      else BigDecimal(x).setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val gen = Gen.oneOf(
+      Gen.chooseNum(-1e8, 1e8),
+      Gen.chooseNum(-2.0, 2.0),
+      // land on/near half-boundaries of both grids
+      Gen.chooseNum(-2000000, 2000000).map(k => (k + 0.5) / 1e6),
+      Gen.chooseNum(-20000, 20000).map(k => (k + 0.5) / 1e4),
+      Gen.chooseNum(-2000000, 2000000).map(_ / 1e6),
+      Gen.chooseNum(-2000000, 2000000).map(k => k / 1e6 + 1e-13))
+    for (x <- samples(gen, 4000); sc <- Seq(4, 6)) {
+      val f = graft.operators.Resident.roundHalfUp(x, sc)
+      val g = slow(x, sc)
+      assert(java.lang.Double.compare(f, g) == 0 || f == g,
+        s"roundHalfUp($x, $sc): fast=$f slow=$g")
+    }
+    // column-expression cross-check: Spark round() on the same samples
+    val xs = samples(gen, 200)
+    val sparkRounded = xs.toDF("x")
+      .select(round($"x", 6).as("r6"), round($"x", 4).as("r4"))
+      .collect()
+    xs.zip(sparkRounded).foreach { case (x, r) =>
+      assert(graft.operators.Resident.roundHalfUp(x, 6) === r.getDouble(0), s"spark r6 $x")
+      assert(graft.operators.Resident.roundHalfUp(x, 4) === r.getDouble(1), s"spark r4 $x")
+    }
+  }
+
   test("fusion total is monotone in each signal (column evaluation)") {
     val rows = Seq((0.2, 1.0, 0.3), (0.4, 1.0, 0.3), (0.4, 0.5, 0.3), (0.4, 0.5, 0.9))
       .toDF("vs", "bm25", "cov")

@@ -127,6 +127,14 @@ object Bench {
         "get_verse_typed" -> (() =>
           quran.getVerseTyped(
             VerseKeys(vN.getAndIncrement() % VerseKeys.length)): Unit),
+        // typed FULL SEARCH (operators/Resident.scala): same queries as
+        // the DataFrame rows above, zero Spark jobs per call — the path
+        // the transports serve, and the honest comparison against the
+        // reference's in-process <50 ms p95 search target
+        "hadith_search_typed" -> (() =>
+          hadith.searchTyped("Hadith narrated by Abu Hurairah", 10): Unit),
+        "quran_hybrid_typed" -> (() =>
+          quran.searchTyped(Queries.QuranQuery, 5, "hybrid", Some(qv)): Unit),
         "bm25_topk_warm" -> {
           val df = Bm25.topK(Bm25.score(p, dict, stats, Queries.Bm25Terms), 20)
           () => df.collect(): Unit
@@ -254,7 +262,7 @@ object Bench {
         s""""sentinel_p50_ms":${fmt(pct(allSentinels.toArray.sorted, 0.5), 1)}""",
         s""""noisy_rounds":${noisyMain + noisyPersisted}""",
         s""""prepared":["bm25_topk_warm","ann_topk_warm"]""",
-        """"notes":"search/lookup rows time eager construction+collect; prepared rows time collect only; exact_ref/get_verse rotate keys; *_typed rows are the no-DataFrame driver-resident accessors (no per-call QueryExecution tax); *_adj stats exclude sentinel-inflated rounds; persisted rows measured in their own phase after the main loop"""")
+        """"notes":"search/lookup rows time eager construction+collect; prepared rows time collect only; exact_ref/get_verse rotate keys; *_typed rows are the no-DataFrame driver-resident paths (lookups AND full typed search - zero Spark jobs per call, no result memoization); *_adj stats exclude sentinel-inflated rounds; persisted rows measured in their own phase after the main loop"""")
       (entries ++ persistedJson ++ tail).mkString("{", ",", "}")
     } catch {
       case e: Throwable =>

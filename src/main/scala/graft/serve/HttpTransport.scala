@@ -64,7 +64,7 @@ final class HttpTransport(collections: Map[String, Graft.HadithEngine],
               case Some(q) =>
                 val n = Option(node.get("n_results")).map(_.asInt()).getOrElse(10)
                 val mode = Option(node.get("mode")).map(_.asText()).getOrElse("balanced")
-                (200, ServeJson.searchEnvelope(eng, q, n, mode).toString)
+                (200, ServeJson.searchEnvelopeTyped(eng, q, n, mode).toString)
             }
           case _ => (404, ServeJson.err("not found").toString)
         }

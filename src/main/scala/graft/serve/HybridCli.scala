@@ -28,7 +28,7 @@ object HybridCli {
         json = !json; w.println(s"json=$json")
       } else if (q.nonEmpty) {
         val t0 = System.nanoTime()
-        val env = ServeJson.searchEnvelope(eng, q, n, mode)
+        val env = ServeJson.searchEnvelopeTyped(eng, q, n, mode)
         val dtMs = (System.nanoTime() - t0) / 1e6
         if (json) {
           env.put("time_ms", math.round(dtMs * 100.0) / 100.0)

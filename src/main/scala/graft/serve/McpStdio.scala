@@ -67,7 +67,8 @@ object McpStdio {
     def int(k: String, d: Int) = Option(args.get(k)).map(_.asInt()).getOrElse(d)
     name match {
       case "hybrid_search" =>
-        textResult(ServeJson.searchEnvelope(hadith, str("query"),
+        // typed resident path: sub-ms once warm, zero Spark jobs
+        textResult(ServeJson.searchEnvelopeTyped(hadith, str("query"),
           int("n_results", 10), str("mode", "balanced")))
       case "fts_status" => textResult(ServeJson.ftsStatus(hadith))
       case "vector_index_status" => textResult(ServeJson.vectorStatus(hadith))
@@ -130,9 +131,9 @@ object McpStdio {
         }
         val o = obj(); o.set[ArrayNode]("entries", hits); textResult(o)
       case "search_tafsir" if quran.isDefined =>
-        val df = quran.get.search(str("query"), int("n_results", 5),
+        val hits = quran.get.searchTyped(str("query"), int("n_results", 5),
           str("mode", "fts"))
-        val o = obj(); o.set[ArrayNode]("hits", ServeJson.rowsJson(df))
+        val o = obj(); o.set[ArrayNode]("hits", ServeJson.tafsirHitsJson(hits))
         textResult(o)
       case other =>
         val r = textResult(err(s"unknown tool $other")); r.put("isError", true); r

@@ -12,7 +12,7 @@ import org.apache.spark.sql.DataFrame
   * frames. Jackson ships with Spark, so the transports add no
   * dependencies. All driver-side: every payload is a ≤n-row result the
   * engine already bounded. */
-private[serve] object ServeJson {
+private[graft] object ServeJson {
   val mapper = new ObjectMapper()
 
   def obj(): ObjectNode = mapper.createObjectNode()
@@ -70,6 +70,58 @@ private[serve] object ServeJson {
                      mode: String): ObjectNode = {
     val df = eng.search(query, n, mode)
     hybridEnvelope(query, mode, df.collect(), df.schema)
+  }
+
+  /** The same envelope built from the typed sub-ms search path
+    * ([[Graft.HadithEngine.searchTyped]]) — what the transports serve.
+    * ServeTransportsSpec pins structural equality with the DataFrame
+    * form (ObjectNode equality is field-order-insensitive). */
+  def hybridEnvelopeTyped(query: String, mode: String,
+                          hits: Seq[graft.operators.Resident.SearchHit]): ObjectNode = {
+    val intent = Router.route(query)
+    val o = obj()
+    o.put("intent", intent.qtype)
+    o.put("mode", mode)
+    o.set[ObjectNode]("weights", weightsJson(Scoring.preset(mode)))
+    o.put("total_candidates", hits.length)
+    val hs = arr()
+    hits.foreach { h =>
+      val hn = obj()
+      if (h.docId != null) hn.put("doc_id", h.docId)
+      if (h.bookId != null) hn.put("book_id", h.bookId)
+      if (h.narrator != null) hn.put("narrator", h.narrator)
+      if (h.snippet != null) hn.put("snippet", h.snippet)
+      hn.put("score", h.score)
+      val b = obj()
+      b.put("vector_similarity", h.vectorSimilarity)
+      b.put("fts_signal", h.ftsSignal)
+      b.put("phrase_bonus", h.phraseBonus)
+      b.put("term_coverage", h.termCoverage)
+      hn.set[ObjectNode]("breakdown", b)
+      hs.add(hn)
+    }
+    o.set[ArrayNode]("hits", hs)
+    o
+  }
+
+  def searchEnvelopeTyped(eng: Graft.HadithEngine, query: String, n: Int,
+                          mode: String): ObjectNode =
+    hybridEnvelopeTyped(query, mode, eng.searchTyped(query, n, mode))
+
+  /** Typed twin of [[rowsJson]] over the tafsir search envelope — same
+    * field names/values as the DataFrame result's toJSON rows. */
+  def tafsirHitsJson(hits: Seq[graft.operators.Resident.QuranHit]): ArrayNode = {
+    val out = arr()
+    hits.foreach { h =>
+      val o = obj()
+      if (h.verseKey != null) o.put("verse_key", h.verseKey)
+      o.put("surah", h.surah); o.put("ayah", h.ayah)
+      o.put("score", h.score); o.put("vector_score", h.vectorScore)
+      o.put("fts_score", h.ftsScore)
+      if (h.textPreview != null) o.put("text_preview", h.textPreview)
+      out.add(o)
+    }
+    out
   }
 
   /** vector_index_status / fts_status analogs over the resident index. */

@@ -94,6 +94,21 @@ class ServeTransportsSpec extends SparkSpec {
     assert(fm.get("hits").get(0).get("bm25").asDouble > 0.0)
   }
 
+  test("typed envelope structurally equals the DataFrame envelope (both engines)") {
+    Seq(("patience and gratitude", "balanced"), ("narrated by Abu Hurairah", "balanced"),
+        ("\"actions are judged\"", "term-priority"), ("Riyad as-Salihin 25", "spec"))
+      .foreach { case (q, mode) =>
+        val typed = serve.ServeJson.searchEnvelopeTyped(eng, q, 5, mode)
+        val df = serve.ServeJson.searchEnvelope(eng, q, 5, mode)
+        assert(typed === df, s"'$q' [$mode] envelope diverged")
+      }
+    Seq("mercy forgiveness", "patience").foreach { q =>
+      val typed = serve.ServeJson.tafsirHitsJson(quran.searchTyped(q, 5, "fts"))
+      val df = serve.ServeJson.rowsJson(quran.search(q, 5, "fts"))
+      assert(typed === df, s"tafsir '$q' hits diverged")
+    }
+  }
+
   test("http transport serves concurrent searches correctly (thread safety)") {
     val t = new HttpTransport(Map("riyadussalihin" -> eng), port = 0)
     try {

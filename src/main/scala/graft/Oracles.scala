@@ -384,6 +384,23 @@ object Oracles {
          |SELECT vec_id, ${cosQ("qv", "qq")} cos FROM asg CROSS JOIN q
          |WHERE centroid IN (SELECT i FROM probe)
          |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+    // SemDeDup survivors twin: the same seed-centroid assignment CTE as
+    // ivf_topk; a vector survives iff no lower-id same-cluster vector
+    // sits at cosine >= tau
+    "semantic_dedup" ->
+      s"""WITH $EmbQ,
+         |c AS (SELECT row_number() OVER (ORDER BY vec_id)-1 i, qv cqv
+         |      FROM (SELECT vec_id, qv FROM e ORDER BY vec_id LIMIT 16)),
+         |asg AS (SELECT vec_id, qv, i centroid FROM (
+         |  SELECT e.vec_id, e.qv, c.i,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.qv, c.cqv) DESC, c.i) rn
+         |  FROM e CROSS JOIN c) WHERE rn=1),
+         |dups AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+         |  ON a.centroid=b.centroid AND a.vec_id < b.vec_id
+         |  WHERE ${cosQ("a.qv", "b.qv")} >= 0.3)
+         |SELECT vec_id, CAST(centroid AS INT) centroid FROM asg
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dups) ORDER BY vec_id""".stripMargin,
     "hash_embed" ->
       s"""WITH $Toks,
          |t2 AS (SELECT doc_id, unnest(t) tok FROM toks),

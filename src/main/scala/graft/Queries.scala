@@ -265,6 +265,12 @@ object Queries {
       Similarity.ivfTopK(e, "vec_id", "embedding", typedLit(q.toArray),
         nCentroids = 16, nProbe = 4, k = 20)
     }),
+    // SemDeDup-style cluster-scoped semantic dedup (survivors). tau=0.3
+    // exercises the mechanism on the synthetic near-random embeddings
+    // (max intra-cluster cos ~0.49 there); real corpora run ~0.95+.
+    "semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedupSurvivors(emb(s, dir), "vec_id", "embedding",
+        nCentroids = 16, tau = 0.3)),
     "hash_embed" -> ((s, dir) =>
       Embed.hashEmbedEntries(docs(s, dir), "doc_id", "text", Dim).orderBy("doc_id", "bucket")),
 

@@ -233,6 +233,43 @@ object Similarity {
     * bucket, computed ONCE. A serving session caches this (or persists it
     * partitioned by bucket, making every probe partition pruning); the
     * per-query work is then [[annTopKWith]]'s filtered scan + rerank. */
+  /** SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540 — "SemDeDup: data-efficient learning at web-scale
+    * through semantic deduplication"): coarse k-means clusters scope the
+    * pairwise cosine check, so the quadratic work is per-cluster, never
+    * corpus-wide. Deterministic keep policy: a vector SURVIVES iff no
+    * LOWER-id vector in its cluster has cosine ≥ tau to it (the paper
+    * keeps one representative per semantic-duplicate neighborhood; the
+    * lowest-id rule makes the representative reproducible). Returns
+    * (vec_id, centroid) survivors ordered by vec_id.
+    *
+    * Scale shape: assignment is a narrow scan against K broadcast
+    * centroid literals; the duplicate probe is an equi-join on centroid
+    * — shuffle on the cluster key only — and pair volume is Σ|cluster|²,
+    * bounded by scaling nCentroids with the corpus (the paper runs 50k
+    * clusters for LAION-scale). Seed centroids (first-K vectors) keep
+    * the assignment SQL-reproducible — the DuckDB oracle replays it
+    * exactly; [[lloydCentroids]] is the drop-in trained variant for
+    * better cluster balance at scale (same join shape, not worth the
+    * oracle complexity). */
+  def semanticDedupSurvivors(emb: DataFrame, idCol: String, vecCol: String,
+                             nCentroids: Int, tau: Double,
+                             lloydIters: Int = 0): DataFrame = {
+    val q = quantized(emb, idCol, vecCol).cache()
+    val cents =
+      if (lloydIters > 0) lloydCentroids(q, nCentroids, lloydIters)
+      else seedCentroids(q, nCentroids)
+    val asg = q.withColumn("centroid", bestCentroid(col("qv"), cents)).cache()
+    val a = asg.select(col("centroid"), col("vec_id").as("a"), col("qv").as("qa"))
+    val b = asg.select(col("centroid"), col("vec_id").as("b"), col("qv").as("qb"))
+    val dups = a.join(b, "centroid").where(col("a") < col("b"))
+      .where(round(VecFns.cosineQ(col("qa"), col("qb")), 6) >= tau)
+      .select(col("b").as("vec_id")).distinct()
+    Dedup.scoped(materialize = true, q, asg)(
+      asg.join(dups, Seq("vec_id"), "left_anti")
+        .select("vec_id", "centroid").orderBy("vec_id"))
+  }
+
   def annIndex(emb: DataFrame, idCol: String, vecCol: String,
                dim: Int, nBits: Int): DataFrame =
     emb.select(col(idCol).cast("long").as("vec_id"), VecFns.quantize(col(vecCol)).as("qv"))

@@ -39,6 +39,30 @@ class AnnRecallSpec extends SparkSpec {
     rs.sum / rs.size
   }
 
+  test("semanticDedupSurvivors: exact-duplicate vectors keep only the lowest id") {
+    import spark.implicits._
+    // 0,1,2 identical; 3 orthogonal-ish; 4 = near-copy of 3
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(1f, 0f, 0f, 0f)), (3L, Array(0f, 1f, 0f, 0f)),
+      (4L, Array(0f, 1f, 0.01f, 0f)))
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedupSurvivors(rows, "vec_id", "embedding",
+      nCentroids = 2, tau = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(0L, 3L))
+    // tau above every pairwise cos keeps everything
+    val all = Similarity.semanticDedupSurvivors(rows, "vec_id", "embedding",
+      nCentroids = 2, tau = 1.1)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(all === Seq(0L, 1L, 2L, 3L, 4L))
+    // trained-centroid variant: same survivors policy, same answer here
+    val trained = Similarity.semanticDedupSurvivors(rows, "vec_id", "embedding",
+      nCentroids = 2, tau = 0.95, lloydIters = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(trained === Seq(0L, 3L))
+  }
+
   test("ivfTopK recall@20 vs exact cosine (16 centroids, nProbe=4 — 1/4 of the corpus scanned)") {
     val r = recallAt(Seq(0L, 7L, 42L, 99L, 123L), (e, qv) =>
       Similarity.ivfTopK(e, "vec_id", "embedding", typedLit(qv),

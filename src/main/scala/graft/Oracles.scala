@@ -410,6 +410,17 @@ object Oracles {
          |FROM h GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
     // ── text analysis ──────────────────────────────────────────────────
+    // unigram-LM perplexity twin: same quantized-grid log-prob sum
+    "lm_perplexity" ->
+      s"""WITH $Toks, $Posting,
+         |d AS (SELECT term, CAST(sum(tf) AS BIGINT) cf FROM p GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cf) AS BIGINT) tt, CAST(count(*) AS BIGINT) vv FROM d),
+         |w AS (SELECT doc_id, dl, sum(tf * round(ln((cf+1.0)/(tt+vv))*1e6)) sw
+         |      FROM p JOIN d USING(term) CROSS JOIN tot GROUP BY 1,2)
+         |SELECT doc_id, CAST(dl AS BIGINT) n_tokens,
+         |round(sw/1e6/dl, 6) avg_logprob,
+         |round(exp(-sw/1e6/dl), 6) ppl
+         |FROM w ORDER BY doc_id""".stripMargin,
     "text_quality" -> {
       val stop = graft.operators.TextAnalysis.StopwordsEn.map(s => s"'$s'").mkString("[", ",", "]")
       s"""WITH $Toks

@@ -275,6 +275,10 @@ object Queries {
       Embed.hashEmbedEntries(docs(s, dir), "doc_id", "text", Dim).orderBy("doc_id", "bucket")),
 
     // ── text analysis ──────────────────────────────────────────────────
+    // CCNet-style LM-perplexity quality signal (corpus-unigram stand-in
+    // for the pretrained KenLM; integer-grid log-probs for determinism)
+    "lm_perplexity" -> ((s, dir) =>
+      TextAnalysis.lmPerplexity(docs(s, dir), "doc_id", "text")),
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityStats(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
     // C4/Gopher-style filter cascade: verdict + fired-rule names per doc

@@ -127,6 +127,40 @@ object TextAnalysis {
       size(regexp_extract_all(lower(col(textCol)),
         lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("n_sub"))
 
+  /** CCNet-style language-model perplexity quality signal (Wenzek et al.
+    * 2020, arXiv:1911.00359 filter by LM perplexity; the production
+    * pipelines score against a pretrained KenLM — zero-egress here, so
+    * the LM is the corpus's own add-one-smoothed UNIGRAM model, the
+    * deterministic stand-in with the same plan shape). Per token:
+    * p(t) = (cf(t)+1)/(T+V) over corpus totals; per doc:
+    * ppl = exp(-mean log p). Determinism doctrine (see VecFns): each
+    * token's log-prob is quantized to an integer 1e-6 grid BEFORE the
+    * per-doc sum, so partial sums are exact integers and the result is
+    * order/partitioning-independent (a raw double sum need not match
+    * the oracle bit-for-bit at hash granularity).
+    *
+    * Scale shape: one postings-style explode/groupBy (map-side
+    * combinable), a broadcast dictionary join (term-bucketed join once
+    * the vocabulary outgrows broadcast), and a per-doc aggregation —
+    * the BM25 plan shape, no new shuffle class. */
+  def lmPerplexity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val post = Postings.build(
+      docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text")),
+      "doc_id", "text")
+    val dict = post.groupBy("term").agg(sum("tf").as("cf"))
+    val totals = dict.agg(sum("cf").as("tt"), count("*").as("vv")).cache()
+    // quantized token log-prob: integral double on the 1e-6 grid
+    val lp = round(log((col("cf") + lit(1.0)) /
+      (col("tt") + col("vv"))) * lit(1e6))
+    val scored = post.join(broadcast(dict), "term").crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("dl"), (col("tf") * lp).as("w"))
+      .groupBy("doc_id", "dl").agg(sum("w").as("sw"))
+    scored.select(col("doc_id"), col("dl").cast("long").as("n_tokens"),
+        round(col("sw") / lit(1e6) / col("dl"), 6).as("avg_logprob"),
+        round(exp(-(col("sw") / lit(1e6)) / col("dl")), 6).as("ppl"))
+      .orderBy("doc_id")
+  }
+
   /** Order-sensitive rolling document fingerprint (brief). */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"),

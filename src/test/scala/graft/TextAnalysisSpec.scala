@@ -33,6 +33,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got === Set((1L, 100L, 2L), (3L, 100L, 2L)))
   }
 
+  test("lm perplexity: hand-computed unigram model, repetitive doc scores lower ppl") {
+    import spark.implicits._
+    // corpus: "a a a b" and "c d" -> cf: a=3,b=1,c=1,d=1; T=6, V=4
+    val docs = Seq((1L, "a a a b"), (2L, "c d")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmPerplexity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    def lp(cf: Long) = math.round(math.log((cf + 1.0) / 10.0) * 1e6)
+    val ppl1 = BigDecimal(math.exp(-(3 * lp(3) + 1 * lp(1)) / 1e6 / 4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ppl2 = BigDecimal(math.exp(-(lp(1) + lp(1)) / 1e6 / 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) === ((4L, ppl1)))
+    assert(out(2L) === ((2L, ppl2)))
+    // the doc dominated by the frequent token is less surprising
+    assert(ppl1 < ppl2)
+    assert(ppl1 >= 1.0)
+  }
+
   test("repetition stats: dominant bigram fraction, sub-n docs absent") {
     import spark.implicits._
     val docs = Seq(

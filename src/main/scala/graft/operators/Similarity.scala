@@ -254,7 +254,8 @@ object Similarity {
     * oracle complexity). */
   def semanticDedupSurvivors(emb: DataFrame, idCol: String, vecCol: String,
                              nCentroids: Int, tau: Double,
-                             lloydIters: Int = 0): DataFrame = {
+                             lloydIters: Int = 0,
+                             materialize: Boolean = true): DataFrame = {
     val q = quantized(emb, idCol, vecCol).cache()
     val cents =
       if (lloydIters > 0) lloydCentroids(q, nCentroids, lloydIters)
@@ -265,7 +266,7 @@ object Similarity {
     val dups = a.join(b, "centroid").where(col("a") < col("b"))
       .where(round(VecFns.cosineQ(col("qa"), col("qb")), 6) >= tau)
       .select(col("b").as("vec_id")).distinct()
-    Dedup.scoped(materialize = true, q, asg)(
+    Dedup.scoped(materialize, q, asg)(
       asg.join(dups, Seq("vec_id"), "left_anti")
         .select("vec_id", "centroid").orderBy("vec_id"))
   }

@@ -66,6 +66,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup is an equi-join on the cluster key; lm perplexity partially aggregates") {
+    import graft.operators.{Similarity, TextAnalysis}
+    val pd = plan(Similarity.semanticDedupSurvivors(Tables(spark, sf, "embeddings"),
+      "vec_id", "embedding", nCentroids = 16, tau = 0.3, materialize = false))
+    assert(!pd.contains("CartesianProduct"), "semantic dedup plans a cartesian")
+    assert(!pd.contains("BroadcastNestedLoopJoin"), "semantic dedup plans a nested loop")
+    val pl = plan(TextAnalysis.lmPerplexity(Tables(spark, sf, "documents"), "doc_id", "text"))
+    assert(pl.contains("partial_sum") || pl.contains("partial_count"),
+      "lm perplexity lacks map-side partial aggregation")
+    assert(!pl.contains("CartesianProduct"), "lm perplexity plans a cartesian")
+  }
+
   test("lexical probes broadcast the query-term side") {
     val p = plan(Queries.all("bm25_topk")(spark, sf))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),

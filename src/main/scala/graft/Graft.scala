@@ -185,6 +185,39 @@ object Graft {
       }
     }
 
+    /** fts_match (the reference's MCP MATCH tool, mcp_stdio.py:156-191):
+      * per-field exact-term BM25 legs AND-merged — a doc must match
+      * every provided leg, leg scores sum — ranked by (-bm25, doc_id).
+      * Typed resident probe when the layers are resident (zero Spark
+      * jobs); the distributed fieldProbe merge otherwise. */
+    def ftsMatchTyped(legs: Seq[(String, String)],
+                      limit: Int = 10): Seq[Resident.FtsMatchHit] =
+      searchLayers match {
+        case Some(l) => Resident.ftsMatch(l, legs, limit)
+        case None if legs.nonEmpty =>
+          val legRows: Seq[Map[Long, Double]] = legs.map { case (f, text) =>
+            HadithSearch.fieldProbe(index, f, Router.tokenize(text).take(6),
+              prefix = false, limit * 5)
+              .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+          }
+          val matched = legRows.reduce((a, b) =>
+            a.keySet.intersect(b.keySet).map(k => k -> (a(k) + b(k))).toMap)
+          val top = matched.toSeq.sortBy { case (id, s) => (-s, id) }.take(limit)
+          if (top.isEmpty) Nil
+          else {
+            val byId = top.toMap
+            index.docs.select(col("num_id"), col("doc_id"), col("narrator"),
+                graft.functions.TextFns.snippet(trim(col("english_text")), 240)
+                  .as("snippet"))
+              .where(col("num_id").isin(top.map(_._1): _*))
+              .collect().toSeq
+              .sortBy(r => (-byId(r.getLong(0)), r.getString(1)))
+              .map(r => Resident.FtsMatchHit(r.getString(1), r.getString(2),
+                r.getString(3), math.round(byId(r.getLong(0)) * 10000.0) / 10000.0))
+          }
+        case None => Nil
+      }
+
     /** hybrid_search parity (tools.py:39-175) — warm: no index rebuild.
       * Spec-mode exact citations resolve from the driver-resident
       * reference cache (zero Spark jobs); every other query keeps the

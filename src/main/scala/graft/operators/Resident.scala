@@ -330,6 +330,30 @@ object Resident {
     hits.sortBy(h => (-h.score, h.docId)).take(n)
   }
 
+  /** Typed fts_match hit (the MCP tool's row shape, mcp_stdio.py:156-191). */
+  final case class FtsMatchHit(docId: String, narrator: String,
+                               snippet: String, bm25: Double)
+
+  /** Typed twin of the MCP fts_match probe: per-field exact-term BM25
+    * legs AND-merged (a doc must match EVERY provided leg; leg scores
+    * sum), ranked by (-raw bm25, doc_id), backfilled from the resident
+    * doc metadata, score rounded 4 for display. */
+  def ftsMatch(L: HadithLayers, legs: Seq[(String, String)],
+               limit: Int): Seq[FtsMatchHit] = {
+    if (legs.isEmpty) return Nil
+    val legMaps: Seq[Map[Long, Double]] = legs.map { case (f, text) =>
+      lexProbe(L, f, Router.tokenize(text).take(6), prefix = false, limit * 5).toMap
+    }
+    val matched = legMaps.reduce((a, b) =>
+      a.keySet.intersect(b.keySet).map(k => k -> (a(k) + b(k))).toMap)
+    matched.toSeq.sortBy { case (id, s) => (-s, id) }.take(limit)
+      .flatMap { case (id, s) => L.docs.get(id).map(d => (d, s)) }
+      .sortBy { case (d, s) => (-s, d.docId) }
+      .map { case (d, s) => FtsMatchHit(d.docId, d.narrator,
+        substrCp(trimSpaces(d.english), 240),
+        math.round(s * 10000.0) / 10000.0) }
+  }
+
   // ------------------------------------------------------- quran layers
 
   final case class VerseMeta(surah: Int, ayah: Int, textPlain: String)

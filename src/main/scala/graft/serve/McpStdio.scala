@@ -74,48 +74,26 @@ object McpStdio {
       case "vector_index_status" => textResult(ServeJson.vectorStatus(hadith))
       case "fts_match" =>
         // the reference's FTS5 MATCH tool (mcp_stdio.py:156-191):
-        // per-field term probes over the postings index, AND-ed across
-        // the fields provided (every given field must match), ranked by
-        // summed BM25 — the engine's retrieval primitive standing in
-        // for the MATCH grammar
+        // per-field term probes AND-ed across the provided fields,
+        // ranked by summed BM25 — served through the engine's typed
+        // resident probe (zero Spark jobs warm; distributed fallback
+        // on over-bound corpora)
         val legs = Seq("en" -> str("en"), "ar" -> str("ar"),
           "narrator" -> str("narrator")).filter(_._2.nonEmpty)
         if (legs.isEmpty)
           textResult(err("Provide en/ar/narrator"))
         else {
-          import org.apache.spark.sql.functions._
-          val limit = int("limit", 10)
-          val idx = hadith.index
-          // two-phase, like searchWith: each bounded leg collects (the
-          // probe output is already one bm25 row per doc), the AND-merge
-          // happens on the driver (docs present in EVERY leg, bm25
-          // summed), and one backfill probe fetches metadata for the
-          // ≤limit winners
-          val legRows: Seq[Map[Long, Double]] = legs.map { case (f, text) =>
-            graft.operators.HadithSearch.fieldProbe(idx, f,
-              graft.Router.tokenize(text).take(6), prefix = false, limit * 5)
-              .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-          }
-          val matched = legRows.reduce((a, b) =>
-            a.keySet.intersect(b.keySet).map(k => k -> (a(k) + b(k))).toMap)
-          val top = matched.toSeq.sortBy { case (id, s) => (-s, id) }.take(limit)
-          val byId = top.toMap
-          val rows = idx.docs
-            .select(col("num_id"), col("doc_id"), col("narrator"),
-              graft.functions.TextFns.snippet(trim(col("english_text")), 240).as("snippet"))
-            .where(col("num_id").isin(top.map(_._1): _*))
-            .collect()
-            .sortBy(r => (-byId(r.getLong(0)), r.getString(1)))
+          val hits = hadith.ftsMatchTyped(legs, int("limit", 10))
           val o = obj()
           o.put("match", legs.map { case (f, t) => s"$f:$t" }.mkString(" AND "))
           val hs = arr()
-          rows.foreach { r =>
-            val h = obj()
-            h.put("doc_id", r.getString(1))
-            if (!r.isNullAt(2)) h.put("narrator", r.getString(2))
-            if (!r.isNullAt(3)) h.put("snippet", r.getString(3))
-            h.put("bm25", math.round(byId(r.getLong(0)) * 10000.0) / 10000.0)
-            hs.add(h)
+          hits.foreach { h =>
+            val hn = obj()
+            hn.put("doc_id", h.docId)
+            if (h.narrator != null) hn.put("narrator", h.narrator)
+            if (h.snippet != null) hn.put("snippet", h.snippet)
+            hn.put("bm25", h.bm25)
+            hs.add(hn)
           }
           o.set[ArrayNode]("hits", hs)
           textResult(o)

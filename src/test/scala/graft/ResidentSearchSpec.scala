@@ -111,6 +111,27 @@ class ResidentSearchSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("ftsMatchTyped: resident equals the distributed fallback, AND semantics hold") {
+    val bounded = new Graft.HadithEngine(hadith.index, maxResidentRows = 0)
+    Seq(
+      Seq("en" -> "charity"),
+      Seq("en" -> "charity", "narrator" -> "hurairah"),
+      Seq("narrator" -> "umar"),
+      Seq("en" -> "zzz_no_such_token")).foreach { legs =>
+      val res = hadith.ftsMatchTyped(legs, 5)
+      assert(res === bounded.ftsMatchTyped(legs, 5), s"$legs diverged")
+      // AND semantics: a two-leg match is a subset of each single leg's docs
+      if (legs.size == 2) {
+        val andIds = res.map(_.docId).toSet
+        legs.foreach { leg =>
+          val one = hadith.ftsMatchTyped(Seq(leg), 1000).map(_.docId).toSet
+          assert(andIds.subsetOf(one))
+        }
+      }
+    }
+    assert(hadith.ftsMatchTyped(Nil, 5) === Nil)
+  }
+
   test("typed spec-mode citation equals the typed lookup twin") {
     val hits = hadith.searchTyped("Riyad as-Salihin 680", 10, "spec")
     val cits = hadith.lookupCitation("Riyad as-Salihin 680", 10)

@@ -348,8 +348,13 @@ object Bench {
             // noisy ⇔ the best measurement is still untrustworthy:
             // either the passes disagree >2× (a burst ate some of them
             // and with few passes the min may not have escaped), or the
-            // min's OWN pass ran under an inflated sentinel
-            val spreadNoisy = ok.size > 1 && ok.map(_._1).max / math.max(minT, 1e-9) > 2.0
+            // min's OWN pass ran under an inflated sentinel. The spread
+            // bar is relative AND absolute (mirroring the sentinel bar):
+            // a 0.3 s query drifting to 0.7 s is scheduler jitter, not a
+            // burst — pure-ratio flagged exactly those on quiet hosts.
+            val spreadNoisy = ok.size > 1 &&
+              ok.map(_._1).max / math.max(minT, 1e-9) > 2.0 &&
+              ok.map(_._1).max - minT > 1.0
             // both a relative and an absolute bar (see serve section):
             // sub-second sentinel jitter is not contention
             val sentinelNoisy = sMin > 0 &&

@@ -51,7 +51,8 @@ class ResidentSearchSpec extends SparkSpec {
     // one query per category prefix + every exact-ref shape
     val sample = queries.groupBy(_._1.takeWhile(_ != '.')).values.map(_.head).toSeq ++
       Seq(("x.1", "Riyad as-Salihin 680"), ("x.2", "book 1, hadith 3"),
-        ("x.3", "1:5"), ("x.4", "riyadussalihin 99999"))
+        ("x.3", "1:5"), ("x.4", "riyadussalihin 99999"),
+        ("x.5", ""), ("x.6", "   "), ("x.7", "\"عن النية\""))
     sample.foreach { case (id, q) =>
       Seq("spec", "term-priority").foreach { mode =>
         assert(hadith.searchTyped(q, 10, mode) === dfHits(q, 10, mode),

@@ -254,9 +254,36 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] persisted serve skipped: $e")
       }
+      // typed-path THROUGHPUT: aggregate QPS over a fixed thread pool and
+      // rotated queries (every call re-runs its probes — no result cache
+      // to hit). Latency rows above measure one request at a time; this
+      // documents the concurrent capacity of the zero-job serving path.
+      // Measured after the latency loops so pool contention cannot
+      // inflate them.
+      def qps(threads: Int, iters: Int)(body: Int => Unit): Double = {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+        try {
+          (0 until threads * 8).foreach(body) // warm
+          val t0 = System.nanoTime()
+          val futs = (0 until iters).map(i =>
+            pool.submit(new Runnable { def run(): Unit = body(i) }))
+          futs.foreach(_.get())
+          iters / ((System.nanoTime() - t0) / 1e9)
+        } finally pool.shutdown()
+      }
+      val HadithQs = Array("Hadith narrated by Abu Hurairah",
+        "patience and gratitude in hardship", "honesty in trade",
+        "kindness to parents", "\"actions are judged by intentions\"")
+      val hadithQps = qps(16, 2000)(i =>
+        hadith.searchTyped(HadithQs(i % HadithQs.length), 10): Unit)
+      val quranQps = qps(16, 1000)(i =>
+        quran.searchTyped(Queries.QuranQuery, 5, "hybrid", Some(qv)): Unit)
+
       val persistedJson = persistedEntries ++ persistedTimes.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":${fmt(v, 2)}""" }
       val tail = Seq(
+        s""""hadith_search_typed_qps16":${fmt(hadithQps, 0)}""",
+        s""""quran_hybrid_typed_qps16":${fmt(quranQps, 0)}""",
         s""""hadith_open_s":${fmt(hadithOpenS, 2)}""",
         s""""quran_open_s":${fmt(quranOpenS, 2)}""",
         s""""sentinel_p50_ms":${fmt(pct(allSentinels.toArray.sorted, 0.5), 1)}""",

@@ -200,9 +200,7 @@ object Graft {
               prefix = false, limit * 5)
               .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
           }
-          val matched = legRows.reduce((a, b) =>
-            a.keySet.intersect(b.keySet).map(k => k -> (a(k) + b(k))).toMap)
-          val top = matched.toSeq.sortBy { case (id, s) => (-s, id) }.take(limit)
+          val top = Resident.mergeFtsLegs(legRows, limit)
           if (top.isEmpty) Nil
           else {
             val byId = top.toMap

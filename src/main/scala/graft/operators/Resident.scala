@@ -28,8 +28,13 @@ import scala.collection.immutable.TreeMap
   * executes its probes, like the reference's per-request SQLite/NumPy work.
   * Every arithmetic step mirrors the column expressions operation-for-
   * operation (same HALF_UP rounding grid, same evaluation order, same
-  * null semantics), and ResidentSearchSpec pins typed == DataFrame output
-  * across the reference's 86-query benchmark corpus.
+  * null/NaN semantics), and ResidentSearchSpec pins typed == DataFrame
+  * output across the reference's 86-query benchmark corpus. One caveat
+  * is inherent: per-doc BM25 sums accumulate in query-term order here
+  * and in Spark's aggregation order there — double addition is not
+  * associative, so equality at the round-6 grid is empirical (held by
+  * the parity suite and the same absorption the DuckDB oracle relies
+  * on), not provable at exact rounding boundaries.
   *
   * Over-bound corpora never build layers here — callers fall back to
   * collecting the distributed search (one bounded job per call).
@@ -74,21 +79,46 @@ object Resident {
     * from ~µs (BigDecimal) into ~ns. */
   def roundHalfUp(x: Double, scale: Int): Double = {
     if (x.isNaN || x.isInfinite) return x
-    val p = Pow10(scale)
-    val y = x * p
-    val a = math.abs(y)
-    if (a < 1e9) {
-      val f = math.floor(a)
-      val frac = a - f
-      val sign = if (y < 0) -1.0 else 1.0
-      if (frac > 1e-6 && frac < 0.499999) return sign * f / p
-      if (frac > 0.500001 && frac < 0.999999) return sign * (f + 1) / p
+    if (scale >= 0 && scale < Pow10.length) {
+      val p = Pow10(scale)
+      val y = x * p
+      val a = math.abs(y)
+      if (a < 1e9) {
+        val f = math.floor(a)
+        val frac = a - f
+        val sign = if (y < 0) -1.0 else 1.0
+        // + 0.0 normalizes the signed zero: a tiny negative rounding to
+        // zero must return +0.0 like BigDecimal does, or the sign leaks
+        // into Double.compare-based tie ordering downstream
+        if (frac > 1e-6 && frac < 0.499999) return sign * f / p + 0.0
+        if (frac > 0.500001 && frac < 0.999999) return sign * (f + 1) / p
+      }
     }
     BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
+  /** Spark `least(1, greatest(0, x))` twin. Spark's binary comparisons
+    * order NaN ABOVE every number, so greatest(0, NaN) = NaN and
+    * least(1, NaN) = 1.0 — a NaN signal clamps to 1.0, not NaN
+    * (reachable only through a degenerate all-cancelling query vector;
+    * mirrored so typed == DataFrame holds even there). */
   @inline private def clamp01(x: Double): Double =
-    math.min(1.0, math.max(0.0, x))
+    if (x.isNaN) 1.0 else math.min(1.0, math.max(0.0, x))
+
+  /** Descending-double ordering with Spark's NaN-greatest semantics
+    * (java.lang.Double.compare ranks NaN above +Inf): a desc sort puts
+    * NaN FIRST, as Spark's `desc` does — Scala's default TotalOrdering
+    * on a negated key would put it last. */
+  private val DescNanFirst: Ordering[Double] =
+    (a: Double, b: Double) => java.lang.Double.compare(b, a)
+
+  /** (score desc NaN-first, id asc) — the candidate-cut order of every
+    * probe leg's `orderBy(desc(score), asc(id)).limit(k)`. */
+  private val byScoreDescIdAsc: Ordering[(Long, Double)] =
+    (x: (Long, Double), y: (Long, Double)) => {
+      val c = java.lang.Double.compare(y._2, x._2)
+      if (c != 0) c else java.lang.Long.compare(x._1, y._1)
+    }
 
   /** Spark `trim` twin (StringTrim trims U+0020 only — narrower than
     * java.lang.String#trim, which strips all controls ≤ 0x20). */
@@ -112,9 +142,6 @@ object Resident {
     sb.toString
   }
 
-  @inline private def containsLower(text: String, needleLower: String): Boolean =
-    text != null && text.toLowerCase.contains(needleLower)
-
   /** F9 fts signal twin ([[Scoring.ftsSignal]]) over the fused bm25. */
   private def ftsSignalLocal(bm: Option[Double], parity: Boolean): Double =
     bm match {
@@ -133,8 +160,9 @@ object Resident {
     val lnEn = if (en == null) null else en.toLowerCase
     def hits(ts: Seq[String], text: String): Int =
       ts.count(t => text != null && text.contains(t))
-    val narrHit = (enTerms ++ arTerms)
-      .exists(t => narrator != null && narrator.toLowerCase.contains(t.toLowerCase))
+    val lnNarr = if (narrator == null) null else narrator.toLowerCase
+    val narrHit = lnNarr != null &&
+      (enTerms ++ arTerms).exists(t => lnNarr.contains(t.toLowerCase))
     val arM = hits(arTerms, ar) // spec: raw `in text_ar`, not lowered
     val enM = hits(enTerms.map(_.toLowerCase), lnEn)
     val g = if (gradingWs == null) "" else gradingWs.toLowerCase
@@ -252,7 +280,7 @@ object Resident {
     import scala.jdk.CollectionConverters._
     acc.asScala.toSeq
       .map { case (d, w) => (d.longValue, roundHalfUp(w, 6)) }
-      .sortBy { case (d, w) => (-w, d) }
+      .sorted(byScoreDescIdAsc)
       .take(k)
   }
 
@@ -272,7 +300,7 @@ object Resident {
       while (i < s.qs.length) { dot += s.qs(i) * qq(s.buckets(i)); i += 1 }
       (s.doc, roundHalfUp(dot / (s.na * qnorm), 6))
     }
-    out.toSeq.sortBy { case (d, c) => (-c, d) }.take(k)
+    out.toSeq.sorted(byScoreDescIdAsc).take(k)
   }
 
   /** Typed twin of [[HadithSearch.searchWith]] — route, field-scoped
@@ -308,10 +336,12 @@ object Resident {
       L.docs.get(id).map { d =>
         val v = clamp01(co.getOrElse(id, 0.0))
         val fts = ftsSignalLocal(bm.get(id), parityFts)
-        val pb =
-          if (phraseLower.exists(p => containsLower(d.english, p))) w.bonusPhrase
-          else 0.0
+        // one lowercase pass per candidate feeds both the phrase bonus
+        // and coverage — the column twin shares lower(english_text) too
         val lnEn = if (d.english == null) null else d.english.toLowerCase
+        val pb =
+          if (phraseLower.exists(p => lnEn != null && lnEn.contains(p))) w.bonusPhrase
+          else 0.0
         val cov =
           if (intent.tokens.isEmpty) 0.0
           else intent.tokens.count(t => lnEn != null && lnEn.contains(t)).toDouble /
@@ -327,7 +357,12 @@ object Resident {
           roundHalfUp(cov, 4), roundHalfUp(score, 4))
       }
     }
-    hits.sortBy(h => (-h.score, h.docId)).take(n)
+    hits.sorted(new Ordering[SearchHit] {
+      def compare(x: SearchHit, y: SearchHit): Int = {
+        val c = java.lang.Double.compare(y.score, x.score) // desc, NaN first
+        if (c != 0) c else x.docId.compareTo(y.docId)
+      }
+    }).take(n)
   }
 
   /** Typed fts_match hit (the MCP tool's row shape, mcp_stdio.py:156-191). */
@@ -341,17 +376,26 @@ object Resident {
   def ftsMatch(L: HadithLayers, legs: Seq[(String, String)],
                limit: Int): Seq[FtsMatchHit] = {
     if (legs.isEmpty) return Nil
-    val legMaps: Seq[Map[Long, Double]] = legs.map { case (f, text) =>
+    val top = mergeFtsLegs(legs.map { case (f, text) =>
       lexProbe(L, f, Router.tokenize(text).take(6), prefix = false, limit * 5).toMap
-    }
-    val matched = legMaps.reduce((a, b) =>
-      a.keySet.intersect(b.keySet).map(k => k -> (a(k) + b(k))).toMap)
-    matched.toSeq.sortBy { case (id, s) => (-s, id) }.take(limit)
-      .flatMap { case (id, s) => L.docs.get(id).map(d => (d, s)) }
+    }, limit)
+    top.flatMap { case (id, s) => L.docs.get(id).map(d => (d, s)) }
       .sortBy { case (d, s) => (-s, d.docId) }
       .map { case (d, s) => FtsMatchHit(d.docId, d.narrator,
         substrCp(trimSpaces(d.english), 240),
         math.round(s * 10000.0) / 10000.0) }
+  }
+
+  /** The fts_match AND-merge, shared by the resident probe above and the
+    * engine's distributed fallback so the two paths cannot drift: docs
+    * present in EVERY leg, leg scores summed, ranked (-score, id),
+    * truncated to `limit`. */
+  def mergeFtsLegs(legMaps: Seq[Map[Long, Double]],
+                   limit: Int): Seq[(Long, Double)] = {
+    if (legMaps.isEmpty) return Nil
+    val matched = legMaps.reduce((a, b) =>
+      a.keySet.intersect(b.keySet).map(k => k -> (a(k) + b(k))).toMap)
+    matched.toSeq.sortBy { case (id, s) => (-s, id) }.take(limit)
   }
 
   // ------------------------------------------------------- quran layers
@@ -437,11 +481,18 @@ object Resident {
           var i = 0
           while (i < qv.length) { dot += qv(i) * qq(i); i += 1 }
           (vk, roundHalfUp(dot / (nq * qnorm), 6))
-        }.filter(_._2 > 0) // P6 (search.py:167-169)
+        // P6 (search.py:167-169); `|| isNaN` mirrors Spark's NaN-greatest
+        // comparison — a degenerate zero-norm query keeps its rows there
+        }.filter(c => c._2 > 0 || c._2.isNaN)
           .toSeq
           .groupBy(_._1).map { case (vk, cs) => vk -> cs.map(_._2).max } // J3
           .toSeq
-          .sortBy { case (vk, c) => (-c, vk) }.take(k)
+          .sorted(new Ordering[(String, Double)] {
+            def compare(x: (String, Double), y: (String, Double)): Int = {
+              val c = java.lang.Double.compare(y._2, x._2) // desc, NaN first
+              if (c != 0) c else x._1.compareTo(y._1)
+            }
+          }).take(k)
       }
 
     val fm = ftsLeg.map { case (id, b) => s"${id / 1000}:${id % 1000}" -> b }.toMap
@@ -464,9 +515,15 @@ object Resident {
     // T4: global sort by the dedupe window's ORDER, first-wins per text
     // block — equivalent to row_number()=1 over partitionBy(md5(preview))
     // followed by the same final ORDER BY.
-    val sorted = backfilled.sortBy { case (h, bm25) =>
-      (-h.score, -bm25, h.surah, h.ayah)
-    }
+    val sorted = backfilled.sorted(new Ordering[(QuranHit, Double)] {
+      def compare(x: (QuranHit, Double), y: (QuranHit, Double)): Int = {
+        var c = java.lang.Double.compare(y._1.score, x._1.score) // desc, NaN first
+        if (c == 0) c = java.lang.Double.compare(y._2, x._2)
+        if (c == 0) c = Integer.compare(x._1.surah, y._1.surah)
+        if (c == 0) c = Integer.compare(x._1.ayah, y._1.ayah)
+        c
+      }
+    })
     val seen = scala.collection.mutable.HashSet.empty[Option[String]]
     val out = scala.collection.mutable.ArrayBuffer.empty[QuranHit]
     val it = sorted.iterator

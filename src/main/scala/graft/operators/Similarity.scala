@@ -256,11 +256,12 @@ object Similarity {
                              nCentroids: Int, tau: Double,
                              lloydIters: Int = 0,
                              materialize: Boolean = true): DataFrame = {
-    val q = quantized(emb, idCol, vecCol).cache()
+    val q = Dedup.maybeCache(quantized(emb, idCol, vecCol), materialize)
     val cents =
       if (lloydIters > 0) lloydCentroids(q, nCentroids, lloydIters)
       else seedCentroids(q, nCentroids)
-    val asg = q.withColumn("centroid", bestCentroid(col("qv"), cents)).cache()
+    val asg = Dedup.maybeCache(
+      q.withColumn("centroid", bestCentroid(col("qv"), cents)), materialize)
     val a = asg.select(col("centroid"), col("vec_id").as("a"), col("qv").as("qa"))
     val b = asg.select(col("centroid"), col("vec_id").as("b"), col("qv").as("qb"))
     val dups = a.join(b, "centroid").where(col("a") < col("b"))

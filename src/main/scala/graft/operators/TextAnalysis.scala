@@ -148,7 +148,7 @@ object TextAnalysis {
       docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text")),
       "doc_id", "text")
     val dict = post.groupBy("term").agg(sum("tf").as("cf"))
-    val totals = dict.agg(sum("cf").as("tt"), count("*").as("vv")).cache()
+    val totals = dict.agg(sum("cf").as("tt"), count("*").as("vv"))
     // quantized token log-prob: integral double on the 1e-6 grid
     val lp = round(log((col("cf") + lit(1.0)) /
       (col("tt") + col("vv"))) * lit(1e6))

@@ -40,13 +40,19 @@ class PropertySpec extends SparkSpec {
       Gen.chooseNum(-2000000, 2000000).map(k => (k + 0.5) / 1e6),
       Gen.chooseNum(-20000, 20000).map(k => (k + 0.5) / 1e4),
       Gen.chooseNum(-2000000, 2000000).map(_ / 1e6),
-      Gen.chooseNum(-2000000, 2000000).map(k => k / 1e6 + 1e-13))
+      Gen.chooseNum(-2000000, 2000000).map(k => k / 1e6 + 1e-13),
+      // tiny negatives that round to zero: the fast path must return
+      // +0.0 (bit-compare below catches a -0.0 leak)
+      Gen.chooseNum(1, 400000).map(k => -k / 1e12))
     for (x <- samples(gen, 4000); sc <- Seq(4, 6)) {
       val f = graft.operators.Resident.roundHalfUp(x, sc)
       val g = slow(x, sc)
-      assert(java.lang.Double.compare(f, g) == 0 || f == g,
+      assert(java.lang.Double.compare(f, g) == 0,
         s"roundHalfUp($x, $sc): fast=$f slow=$g")
     }
+    // out-of-table scales fall back to BigDecimal instead of crashing
+    assert(graft.operators.Resident.roundHalfUp(1.23456789e-9, 8) ===
+      slow(1.23456789e-9, 8))
     // column-expression cross-check: Spark round() on the same samples
     val xs = samples(gen, 200)
     val sparkRounded = xs.toDF("x")

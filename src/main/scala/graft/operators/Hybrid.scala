@@ -105,6 +105,12 @@ object Hybrid {
     val qq = qn.map(x => BigDecimal(x * VecFns.Scale)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)
     val qnorm = math.sqrt(qq.map(x => x * x).sum)
+    // sign-cancelled hash embedding ⇒ zero-norm query: no direction to
+    // probe, and ANSI division would throw — empty leg, like the
+    // token-less case above
+    if (qnorm == 0.0)
+      return slots.sparkSession.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0.0).as("cos")).limit(0)
     val qlit = typedLit(qq)
     val dot = aggregate(
       zip_with(col("qs"), col("buckets"),

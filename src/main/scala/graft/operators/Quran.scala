@@ -226,7 +226,12 @@ object Quran {
         val qq = queryVec.get.map(x => BigDecimal(x.toDouble * graft.functions.VecFns.Scale)
           .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)
         val qnorm = math.sqrt(qq.map(x => x * x).sum)
-        Some(idx.embQ.get
+        // a zero-norm query vector has no direction: the reference's
+        // NumPy sims come out NaN and its sim>0 filter drops every row
+        // (search.py:167-169); under Spark's ANSI mode the division
+        // would instead THROW, so degrade to an empty leg explicitly
+        if (qnorm == 0.0) None
+        else Some(idx.embQ.get
           .select(col("verse_key"),
             round(graft.functions.VecFns.dot(col("qv"), typedLit(qq.toSeq)) /
               (col("nq") * lit(qnorm)), 6).as("cos"))

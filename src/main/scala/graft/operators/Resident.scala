@@ -294,6 +294,7 @@ object Resident {
     val qq = qn.map(x => BigDecimal(x * VecFns.Scale)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)
     val qnorm = math.sqrt(qq.map(x => x * x).sum)
+    if (qnorm == 0.0) return Nil // zero-norm query: empty leg (see Hybrid)
     val out = L.slots.map { s =>
       var dot = 0.0
       var i = 0
@@ -476,7 +477,8 @@ object Resident {
         val qq = queryVec.get.map(x => BigDecimal(x.toDouble * VecFns.Scale)
           .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)
         val qnorm = math.sqrt(qq.map(x => x * x).sum)
-        L.embQ.get.iterator.map { case (vk, qv, nq) =>
+        if (qnorm == 0.0) Nil // zero-norm query: empty leg (see Quran twin)
+        else L.embQ.get.iterator.map { case (vk, qv, nq) =>
           var dot = 0.0
           var i = 0
           while (i < qv.length) { dot += qv(i) * qq(i); i += 1 }

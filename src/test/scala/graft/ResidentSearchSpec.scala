@@ -74,6 +74,24 @@ class ResidentSearchSpec extends SparkSpec {
     }
   }
 
+  test("degenerate zero-norm query vector degrades to the fts leg (no ANSI throw), both paths equal") {
+    // A zero query vector has no direction. The reference's NumPy sims
+    // come out NaN and its sim>0 filter drops every row; under Spark's
+    // ANSI mode the division would THROW instead — both engines now
+    // degrade to an empty vector leg, and typed == DataFrame holds.
+    val zero = Array.fill(384)(0f)
+    Seq("hybrid", "semantic", "fts").foreach { mode =>
+      val typed = quran.searchTyped("mercy forgiveness", 5, mode, Some(zero))
+      val df = dfQuranHits("mercy forgiveness", 5, mode, Some(zero))
+      assert(typed === df, s"[$mode] diverged")
+      if (mode == "semantic") assert(typed.isEmpty)
+      if (mode == "hybrid") assert(typed.nonEmpty) // fts leg carries it
+    }
+    // hybrid result with a zero vector equals the vector-less degraded mode
+    assert(quran.searchTyped("mercy forgiveness", 5, "hybrid", Some(zero)).map(_.verseKey) ===
+      quran.searchTyped("mercy forgiveness", 5, "fts", None).map(_.verseKey))
+  }
+
   test("warm searchTyped launches ZERO Spark jobs (both engines)") {
     hadith.searchTyped("patience and gratitude", 5) // builds the layers
     quran.searchTyped("mercy", 5, "hybrid", Some(qv))

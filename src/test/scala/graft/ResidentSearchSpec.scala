@@ -151,6 +151,24 @@ class ResidentSearchSpec extends SparkSpec {
     assert(hadith.ftsMatchTyped(Nil, 5) === Nil)
   }
 
+  test("fuzzed queries stay typed == DataFrame (seeded, punctuation/Arabic/quote noise)") {
+    val rnd = new scala.util.Random(0x6f5a11)
+    val words = Seq("patience", "charity", "intention", "prayer", "mercy",
+      "عن", "النية", "hurairah", "umar", "fasting", "ramadan", "truth",
+      "xqzzt", "1", "book", "narrated", "by")
+    val glue = Seq(" ", "  ", ", ", "? ", "\" ", " \"", "' ", "-", "_")
+    val queries = (0 until 40).map { _ =>
+      val n = 1 + rnd.nextInt(7)
+      (0 until n).map(_ => words(rnd.nextInt(words.size)))
+        .mkString(glue(rnd.nextInt(glue.size)))
+    }
+    queries.foreach { q =>
+      val mode = Seq("balanced", "spec", "term-priority")(rnd.nextInt(3))
+      assert(hadith.searchTyped(q, 8, mode) === dfHits(q, 8, mode),
+        s"fuzz '$q' [$mode] diverged")
+    }
+  }
+
   test("typed spec-mode citation equals the typed lookup twin") {
     val hits = hadith.searchTyped("Riyad as-Salihin 680", 10, "spec")
     val cits = hadith.lookupCitation("Riyad as-Salihin 680", 10)

@@ -84,9 +84,10 @@ object HttpMain {
     val glob = args.headOption.getOrElse("/root/reference/data/riyadussalihin/book_*.jsonl")
     val port = args.lift(1).flatMap(_.toIntOption).getOrElse(8000)
     val spark = graft.GraftSession.local("graft-http")
-    val t = new HttpTransport(
-      Map("riyadussalihin" -> Graft.openHadith(spark, glob)), port)
+    val eng = Graft.openHadith(spark, glob)
+    val t = new HttpTransport(Map("riyadussalihin" -> eng), port)
     graft.GraftSession.tuneForServing(spark)
+    eng.searchTyped("warm", 1) // build the resident layers before traffic
     System.err.println(s"graft http serving on :${t.boundPort}")
     Thread.currentThread.join() // serve until killed
   }

@@ -54,6 +54,7 @@ object HybridCli {
     val spark = graft.GraftSession.local("graft-cli")
     val eng = Graft.openHadith(spark, glob)
     graft.GraftSession.tuneForServing(spark)
+    eng.searchTyped("warm", 1) // build the resident layers before the prompt
     run(System.in, System.out, eng,
       args.lift(1).flatMap(_.toIntOption).getOrElse(5),
       args.lift(2).getOrElse("balanced"))

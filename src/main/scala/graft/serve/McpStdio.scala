@@ -188,6 +188,8 @@ object McpStdio {
     val hadith = Graft.openHadith(spark, glob)
     val quran = args.lift(1).map(dir => Graft.openQuran(spark, dir))
     graft.GraftSession.tuneForServing(spark)
+    hadith.searchTyped("warm", 1) // build the resident layers before traffic
+    quran.foreach(_.searchTyped("warm", 1))
     serve(System.in, System.out, hadith, quran)
   }
 }

@@ -227,6 +227,13 @@ class GraftEngineSpec extends SparkSpec {
     assert(wq.search("mercy forgiveness charity", 5, "hybrid", Some(qv)).collect().toSeq ===
       cq.search("mercy forgiveness charity", 5, "hybrid", Some(qv)).collect().toSeq)
     assert(wq.getVerse("2:255").select("verse_key", "slug").count() === 1)
+    // the TYPED path off the persisted layout: the resident layers
+    // collect from parquet-backed caches — answers must be identical
+    assert(warm.searchTyped(q, 5) === cold.searchTyped(q, 5))
+    assert(warm.ftsMatchTyped(Seq("en" -> "charity"), 5) ===
+      cold.ftsMatchTyped(Seq("en" -> "charity"), 5))
+    assert(wq.searchTyped("mercy forgiveness charity", 5, "hybrid", Some(qv)) ===
+      cq.searchTyped("mercy forgiveness charity", 5, "hybrid", Some(qv)))
   }
 
   test("persisted ANN index: warm probe equals cold, bucket probe partition-prunes") {

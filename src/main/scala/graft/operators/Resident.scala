@@ -152,12 +152,11 @@ object Resident {
 
   /** F17 spec-score twin ([[Scoring.specParts]]) — identical operation
     * order, so doubles are bit-equal to the column form. */
-  private def specScoreLocal(narrator: String, en: String, ar: String,
+  private def specScoreLocal(narrator: String, lnEn: String, ar: String,
                              gradingWs: String, terms: Seq[String],
                              v: Double): Double = {
     def isAr(t: String) = t.exists(c => c >= '؀' && c <= 'ۿ')
     val (arTerms, enTerms) = terms.partition(isAr)
-    val lnEn = if (en == null) null else en.toLowerCase
     def hits(ts: Seq[String], text: String): Int =
       ts.count(t => text != null && text.contains(t))
     val lnNarr = if (narrator == null) null else narrator.toLowerCase
@@ -201,9 +200,14 @@ object Resident {
                         na: Double)
   /** `gradingWs` pre-joins the grading ARRAY the way the column form's
     * `concat_ws(" ", grading)` does (null array → "", null elements
-    * skipped) — [[specScoreLocal]] then only lowercases it. */
+    * skipped) — [[specScoreLocal]] then only lowercases it.
+    * `englishLower` precomputes `english.toLowerCase` (the value the
+    * column form's `lower(english_text)` yields): phrase-bonus and
+    * coverage tests run per candidate per query, and lowercasing a
+    * multi-KB document text dominated the scoring loop. */
   final case class DocMeta(docId: String, bookId: String, narrator: String,
-                           gradingWs: String, english: String, arabic: String)
+                           gradingWs: String, english: String, arabic: String,
+                           englishLower: String)
 
   /** The driver-resident hadith index: the same layers the DataFrame
     * probes join, collected once. Field → term → postings as primitive-
@@ -245,8 +249,10 @@ object Resident {
         val gradingWs =
           if (r.isNullAt(4)) ""
           else r.getSeq[String](4).filter(_ != null).mkString(" ")
+        val en = r.getString(5)
         r.getLong(0) -> DocMeta(r.getString(1), r.getString(2),
-          r.getString(3), gradingWs, r.getString(5), r.getString(6))
+          r.getString(3), gradingWs, en, r.getString(6),
+          if (en == null) null else en.toLowerCase)
       }
       .toMap
     Some(new HadithLayers(post,
@@ -337,9 +343,9 @@ object Resident {
       L.docs.get(id).map { d =>
         val v = clamp01(co.getOrElse(id, 0.0))
         val fts = ftsSignalLocal(bm.get(id), parityFts)
-        // one lowercase pass per candidate feeds both the phrase bonus
-        // and coverage — the column twin shares lower(english_text) too
-        val lnEn = if (d.english == null) null else d.english.toLowerCase
+        // precomputed lower(english_text) (see DocMeta.englishLower)
+        // feeds both the phrase bonus and coverage
+        val lnEn = d.englishLower
         val pb =
           if (phraseLower.exists(p => lnEn != null && lnEn.contains(p))) w.bonusPhrase
           else 0.0
@@ -349,7 +355,7 @@ object Resident {
             intent.tokens.size
         val score =
           if (mode == "spec")
-            specScoreLocal(d.narrator, d.english, d.arabic, d.gradingWs,
+            specScoreLocal(d.narrator, lnEn, d.arabic, d.gradingWs,
               intent.tokens, v)
           else clamp01(w.wVector * v + w.wFts * fts + pb + 0.0 + w.wCoverage * cov)
         SearchHit(d.docId, d.bookId, d.narrator,

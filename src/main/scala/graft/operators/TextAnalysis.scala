@@ -140,8 +140,9 @@ object TextAnalysis {
     * the oracle bit-for-bit at hash granularity).
     *
     * Scale shape: one postings-style explode/groupBy (map-side
-    * combinable), a broadcast dictionary join (term-bucketed join once
-    * the vocabulary outgrows broadcast), and a per-doc aggregation —
+    * combinable), a dictionary join AQE broadcasts while small (and
+    * shuffles on term past the threshold — the full vocabulary must
+    * never be FORCED onto the driver), and a per-doc aggregation —
     * the BM25 plan shape, no new shuffle class. */
   def lmPerplexity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val post = Postings.build(
@@ -152,7 +153,13 @@ object TextAnalysis {
     // quantized token log-prob: integral double on the 1e-6 grid
     val lp = round(log((col("cf") + lit(1.0)) /
       (col("tt") + col("vv"))) * lit(1e6))
-    val scored = post.join(broadcast(dict), "term").crossJoin(broadcast(totals))
+    // no broadcast HINT on the dictionary: it is the FULL vocabulary,
+    // unbounded at corpus scale (a forced broadcast would OOM the
+    // driver at 100 TB). AQE still auto-broadcasts it when it measures
+    // small; past the threshold this becomes the term-keyed shuffle
+    // join the postings already paid for. The totals crossJoin stays a
+    // 1-row broadcast.
+    val scored = post.join(dict, "term").crossJoin(broadcast(totals))
       .select(col("doc_id"), col("dl"), (col("tf") * lp).as("w"))
       .groupBy("doc_id", "dl").agg(sum("w").as("sw"))
     scored.select(col("doc_id"), col("dl").cast("long").as("n_tokens"),

@@ -244,7 +244,13 @@ object HadithSearch {
     val p = idx.post.where(col("field") === field && probeFilter)
     val expanded = idx.dicts(field).where(probeFilter).select("term", "df")
     val stats = idx.stats(field)
-    val m = p.join(broadcast(expanded), "term").crossJoin(broadcast(stats))
+    // exact probes expand to ≤|terms| rows — hint the broadcast; a
+    // PREFIX expansion is unbounded over a corpus-scale vocabulary
+    // (this distributed form is exactly the fallback the resident
+    // path's 2048-expansion cap routes here), so let the planner
+    // decide — it still broadcasts a small measured side
+    val m = p.join(if (prefix) expanded else broadcast(expanded), "term")
+      .crossJoin(broadcast(stats))
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
     val w = idf * ((col("tf") * lit(Bm25.K1 + 1)) /

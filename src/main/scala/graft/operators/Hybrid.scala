@@ -30,13 +30,18 @@ object Hybrid {
     val spark = postings.sparkSession
     import spark.implicits._
     val probes = terms.distinct.toDF("probe")
+    // expansion carries (term, df) so the full dictionary is NEVER
+    // broadcast (it is vocabulary-sized — unbounded at corpus scale).
+    // The exact path is ≤|terms| rows — hint it; a prefix expansion is
+    // unbounded for short prefixes over a web-scale vocabulary, so the
+    // planner chooses there (AQE/stats still broadcast it while small).
     val expanded =
       if (prefix) dict.join(broadcast(probes), col("term").startsWith(col("probe")))
-        .select("term").distinct()
-      else dict.join(broadcast(probes), col("term") === col("probe")).select("term")
+        .select("term", "df").distinct()
+      else broadcast(dict.join(broadcast(probes), col("term") === col("probe"))
+        .select("term", "df"))
     val matched = postings
-      .join(broadcast(expanded), "term")
-      .join(broadcast(dict), "term")
+      .join(expanded, "term")
       .crossJoin(broadcast(stats))
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))

@@ -116,12 +116,12 @@ object Graft {
       // doc_ids are ASCII, so JVM string order == Spark's UTF8 binary order
       refRows.view.filter(fits).toSeq.sortBy(_.getString(0)).take(n)
     }
-    private def lookupRefResident(ref: Router.ExactRef, n: Int): DataFrame = {
+    private def lookupRefResident(ref: Router.ExactRef, n: Int): (DataFrame, Int) = {
       val keep = refOutSchema.fields.length
       val hits = refHits(ref, n)
         .map(r => refToInternal(org.apache.spark.sql.Row(r.toSeq.take(keep): _*)))
-      org.apache.spark.sql.graftshim.ColumnShim.localDf(
-        index.docs.sparkSession, refOutSchema, hits)
+      (org.apache.spark.sql.graftshim.ColumnShim.localDf(
+        index.docs.sparkSession, refOutSchema, hits), hits.size)
     }
 
     /** Sub-5-ms spec-mode citation lookup (see [[Graft.CitationHit]]):
@@ -163,25 +163,35 @@ object Graft {
       * Parity with [[search]] is pinned across the reference's 86-query
       * benchmark corpus (ResidentSearchSpec). */
     def searchTyped(query: String, n: Int = 10,
-                    mode: String = "balanced"): Seq[Resident.SearchHit] = {
+                    mode: String = "balanced"): Seq[Resident.SearchHit] =
+      searchTypedScored(query, n, mode)._1
+
+    /** [[searchTyped]] plus the fused candidate-pool size before the
+      * top-n cut — the reference envelope's `total_candidates`
+      * (citation lookups report their hit count: a direct lookup has
+      * no ranked pool). */
+    def searchTypedScored(query: String, n: Int = 10,
+                          mode: String = "balanced"): (Seq[Resident.SearchHit], Int) = {
       if (mode == "spec") {
         val intent = Router.route(query)
         if (intent.qtype == "exact_reference")
           Router.parseExactRef(intent.normalized) match {
             case Some(ref) =>
-              return lookupRefTyped(ref, n).map(c =>
+              val hits = lookupRefTyped(ref, n).map(c =>
                 Resident.SearchHit(c.docId, c.bookId, c.narrator, c.snippet,
                   0.0, 0.0, 0.0, 0.0, 1.0))
+              return (hits, hits.size)
             case None => ()
           }
       }
       searchLayers match {
-        case Some(l) => Resident.searchHadith(l, query, n, mode)
-        case None => HadithSearch.searchWith(index, query, n, mode)
-          .collect().toSeq.map(r => Resident.SearchHit(
+        case Some(l) => Resident.searchHadithScored(l, query, n, mode)
+        case None =>
+          val (df, pool) = HadithSearch.searchWithStats(index, query, n, mode)
+          (df.collect().toSeq.map(r => Resident.SearchHit(
             r.getString(0), r.getString(1), r.getString(2), r.getString(3),
             r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
-            r.getDouble(8)))
+            r.getDouble(8))), pool)
       }
     }
 
@@ -195,12 +205,26 @@ object Graft {
       searchLayers match {
         case Some(l) => Resident.ftsMatch(l, legs, limit)
         case None if legs.nonEmpty =>
-          val legRows: Seq[Map[Long, Double]] = legs.map { case (f, text) =>
-            HadithSearch.fieldProbe(index, f, Router.tokenize(text).take(6),
-              prefix = false, limit * 5)
-              .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-          }
-          val top = Resident.mergeFtsLegs(legRows, limit)
+          // distributed AND-merge over the UNTRUNCATED per-field score
+          // frames (cutting a leg before the intersection drops true
+          // AND-matches): legs union with a leg tag, one groupBy keeps
+          // docs present in EVERY leg and sums their scores, and only
+          // the ≤limit winners collect — the corpus-scale work stays
+          // distributed. Each leg localCheckpoints first: composing the
+          // same REROOTED cached postings layer twice in one plan trips
+          // InMemoryRelation's attribute remap, and the checkpoint also
+          // keeps leg scores (bounded by matching docs) off the driver.
+          val merged = legs.zipWithIndex.map { case ((f, text), i) =>
+            HadithSearch.fieldScores(index, f, Router.tokenize(text).take(6),
+              prefix = false)
+              .select(col("doc_id"), col("bm25"), lit(i).as("leg"))
+              .localCheckpoint(true)
+          }.reduce(_ unionByName _)
+            .groupBy("doc_id")
+            .agg(sum("bm25").as("bm25"), countDistinct("leg").as("nl"))
+            .where(col("nl") === legs.size)
+          val top = merged.orderBy(desc("bm25"), asc("doc_id")).limit(limit)
+            .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
           if (top.isEmpty) Nil
           else {
             val byId = top.toMap
@@ -220,18 +244,29 @@ object Graft {
       * Spec-mode exact citations resolve from the driver-resident
       * reference cache (zero Spark jobs); every other query keeps the
       * two-phase distributed plan. */
-    def search(query: String, n: Int = 10, mode: String = "balanced"): DataFrame = {
+    def search(query: String, n: Int = 10, mode: String = "balanced"): DataFrame =
+      searchWithCandidates(query, n, mode)._1
+
+    /** [[search]] plus the fused candidate-pool size (see
+      * [[searchTypedScored]]). */
+    def searchWithCandidates(query: String, n: Int = 10,
+                             mode: String = "balanced"): (DataFrame, Int) = {
       if (mode == "spec") {
         val intent = Router.route(query)
         if (intent.qtype == "exact_reference")
           Router.parseExactRef(intent.normalized) match {
             case Some(ref) =>
+              // resident: hit count known without a job (zero-job pin);
+              // over-bound fallback: one bounded count job
               return if (residentOk) lookupRefResident(ref, n)
-                     else HadithSearch.lookupRef(index.docs, ref, n)
+                     else {
+                       val df = HadithSearch.lookupRef(index.docs, ref, n)
+                       (df, df.count().toInt)
+                     }
             case None => ()
           }
       }
-      HadithSearch.searchWith(index, query, n, mode)
+      HadithSearch.searchWithStats(index, query, n, mode)
     }
 
     /** fts_status / vector_index_status analog (A3). */

@@ -208,12 +208,20 @@ object HadithSearch {
   val MaxResidentVocab: Long = 1L << 20
 
   private[graft] def fieldProbe(idx: Index, field: String, terms: Seq[String],
-                         prefix: Boolean, k: Int): DataFrame = {
+                         prefix: Boolean, k: Int): DataFrame =
+    Bm25.topK(fieldScores(idx, field, terms, prefix), k)
+
+  /** UNTRUNCATED per-doc BM25 scores for one field probe — the lazy
+    * (doc_id, bm25) frame [[fieldProbe]] top-ks. Multi-leg AND merges
+    * (fts_match) consume this directly: truncating each leg BEFORE the
+    * intersection drops documents that genuinely match every field. */
+  private[graft] def fieldScores(idx: Index, field: String, terms: Seq[String],
+                                 prefix: Boolean): DataFrame = {
     val ts = terms.distinct
-    if (!idx.resident) return fieldProbeDistributed(idx, field, ts, prefix, k)
+    if (!idx.resident) return fieldScoresDistributed(idx, field, ts, prefix)
     idx.dictLocal(field) match {
       case None => // vocabulary over the resident bound — scale path
-        fieldProbeDistributed(idx, field, ts, prefix, k)
+        fieldScoresDistributed(idx, field, ts, prefix)
       case Some(dict) =>
         // resident expansion: the dictionary range-scan mirrors the
         // distributed `startsWith` filter exactly (dict terms ARE the
@@ -225,11 +233,11 @@ object HadithSearch {
           else ts.flatMap(t => dict.get(t).map(t -> _))
         if (expanded.isEmpty) emptyLex(idx.docs)
         else if (expanded.size > MaxResidentExpansion)
-          fieldProbeDistributed(idx, field, ts, prefix, k)
+          fieldScoresDistributed(idx, field, ts, prefix)
         else {
           val (nDocs, sumDl) = idx.statLocal(field)
           val p = idx.post.where(col("field") === field)
-          Bm25.topK(Bm25.scoreResident(p, expanded, nDocs, sumDl), k)
+          Bm25.scoreResident(p, expanded, nDocs, sumDl)
         }
     }
   }
@@ -237,7 +245,11 @@ object HadithSearch {
   /** The fully-distributed probe — the unbounded-vocabulary scale path
     * (and the fallback for pathological prefix expansions). */
   private[graft] def fieldProbeDistributed(idx: Index, field: String, ts: Seq[String],
-                                    prefix: Boolean, k: Int): DataFrame = {
+                                    prefix: Boolean, k: Int): DataFrame =
+    Bm25.topK(fieldScoresDistributed(idx, field, ts, prefix), k)
+
+  private[graft] def fieldScoresDistributed(idx: Index, field: String, ts: Seq[String],
+                                            prefix: Boolean): DataFrame = {
     val probeFilter =
       if (prefix) ts.map(t => col("term").startsWith(t)).reduce(_ || _)
       else col("term").isin(ts: _*)
@@ -257,7 +269,6 @@ object HadithSearch {
       (col("tf") + lit(Bm25.K1) * (lit(1.0) - lit(Bm25.B) + lit(Bm25.B) * col("dl") / avgdl)))
     m.select(col("doc_id"), w.as("w"))
       .groupBy("doc_id").agg(round(sum("w"), 6).as("bm25"))
-      .orderBy(desc("bm25"), asc("doc_id")).limit(k)
   }
 
   /** Full lifecycle, cold form — builds the index inline. Serving
@@ -316,14 +327,26 @@ object HadithSearch {
     * Quran.searchWith.) */
   def searchWith(idx: Index, query: String, n: Int = 10,
                  mode: String = "balanced",
-                 parityFts: Boolean = false): DataFrame = {
+                 parityFts: Boolean = false): DataFrame =
+    searchWithStats(idx, query, n, mode, parityFts)._1
+
+  /** [[searchWith]] plus the FUSED candidate-pool size before the top-n
+    * cut — the `total_candidates` the reference's envelope reports
+    * (tools.py counts the scored pool, not the truncated hits). The
+    * spec-mode citation path reports its hit count (a direct lookup has
+    * no ranked pool). */
+  def searchWithStats(idx: Index, query: String, n: Int = 10,
+                      mode: String = "balanced",
+                      parityFts: Boolean = false): (DataFrame, Int) = {
     val intent = Router.route(query)
     // spec mode honors the design doc's exact-reference fast path; every
     // other mode keeps shipped-reference parity (exact refs go through
     // the same token probe the reference uses, router.py:93-107)
     if (mode == "spec" && intent.qtype == "exact_reference") {
       Router.parseExactRef(intent.normalized) match {
-        case Some(ref) => return lookupRef(idx.docs, ref, n)
+        case Some(ref) =>
+          val out = lookupRef(idx.docs, ref, n)
+          return (out, out.count().toInt)
         case None => ()
       }
     }
@@ -360,8 +383,10 @@ object HadithSearch {
     // the sequential broadcast-build/outer-join/backfill chain (measured
     // ~2× warm-path p50). The collect is bounded by k, never by data
     // scale; every corpus-touching scan stays distributed.
-    val fused = Hybrid.fuseCandidates(docs.sparkSession,
-      Postings.await2(() => lex.collect(), () => vec.collect()))
+    val legsC = Postings.await2(() => lex.collect(), () => vec.collect())
+    val pool = (legsC._1.map(_.getLong(0)).toSet ++
+      legsC._2.map(_.getLong(0))).size
+    val fused = Hybrid.fuseCandidates(docs.sparkSession, legsC)
     val backfilled = docs.select(col("num_id").as("doc_id"), col("doc_id").as("hadith_id"),
         col("book_id"), col("narrator"), col("grading"),
         col("english_text"), col("arabic_text"))
@@ -382,13 +407,13 @@ object HadithSearch {
           col("arabic_text"), col("grading"), intent.tokens).total(v)
       else Scoring.total(v, fts, pb, lit(0.0), cov, w)
 
-    backfilled.select(
+    (backfilled.select(
         col("hadith_id").as("doc_id"), col("book_id"), col("narrator"),
         TextFns.snippet(trim(col("english_text")), 240).as("snippet"),
         round(v, 4).as("vector_similarity"), round(fts, 4).as("fts_signal"),
         round(pb, 4).as("phrase_bonus"), round(cov, 4).as("term_coverage"),
         round(score, 4).as("score"))
-      .orderBy(desc("score"), asc("doc_id")).limit(n)
+      .orderBy(desc("score"), asc("doc_id")).limit(n), pool)
   }
 
   private def emptyLex(docs: DataFrame): DataFrame =

@@ -104,10 +104,8 @@ object Postings {
     * min/max stats exclude the probe — the seek behavior of the inverted
     * index this table stands in for. One build-time shuffle; width
     * follows the session's shuffle setting. */
-  def clusterByTerm(postings: DataFrame, width: Option[Int] = None): DataFrame =
-    width.map(w => postings.repartition(w, col("term")))
-      .getOrElse(postings.repartition(col("term")))
-      .sortWithinPartitions("term")
+  def clusterByTerm(postings: DataFrame): DataFrame =
+    postings.repartition(col("term")).sortWithinPartitions("term")
 
   /** Partition width for RESIDENT (cached) index layers: follows the
     * DATA, not the session. Every per-query probe stage over a cached

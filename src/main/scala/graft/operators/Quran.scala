@@ -135,9 +135,13 @@ object Quran {
     // is what first materializes the cache every later layer reads — the
     // scan is paid once, not added), so the failure is loud at build,
     // not silent at query time.
+    // null-SAFE comparison (<=>): a row with NULL verse_key/surah/ayah
+    // breaks the invariant too, and a plain =!= evaluates to NULL there
+    // — the WHERE would drop exactly the rows the check exists to catch
     val drift = docs.where(
-      col("verse_key") =!= concat(col("surah").cast("string"), lit(":"),
-        col("ayah").cast("string")) ||
+      !(col("verse_key") <=> concat(col("surah").cast("string"), lit(":"),
+        col("ayah").cast("string"))) ||
+      col("surah").isNull || col("ayah").isNull ||
       col("ayah") < 0 || col("ayah") > 999 || col("surah") <= 0)
       .select("verse_key", "surah", "ayah").limit(3).collect()
     require(drift.isEmpty,
@@ -223,8 +227,7 @@ object Quran {
         // column quantize() applies — cosine is bit-identical to
         // VecFns.cosine over the raw vectors, but the per-row work is one
         // codegen'd dot + division over the PREBUILT embQ layer
-        val qq = queryVec.get.map(x => BigDecimal(x.toDouble * graft.functions.VecFns.Scale)
-          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        val qq = graft.functions.VecFns.quantizeLocal(queryVec.get)
         val qnorm = math.sqrt(qq.map(x => x * x).sum)
         // a zero-norm query vector has no direction: the reference's
         // NumPy sims come out NaN and its sim>0 filter drops every row

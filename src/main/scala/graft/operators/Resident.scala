@@ -316,7 +316,14 @@ object Resident {
     * (lookupRefTyped) before this is called. */
   def searchHadith(L: HadithLayers, query: String, n: Int = 10,
                    mode: String = "balanced",
-                   parityFts: Boolean = false): Seq[SearchHit] = {
+                   parityFts: Boolean = false): Seq[SearchHit] =
+    searchHadithScored(L, query, n, mode, parityFts)._1
+
+  /** [[searchHadith]] plus the fused candidate-pool size (the envelope's
+    * `total_candidates` — the pool before the top-n cut). */
+  def searchHadithScored(L: HadithLayers, query: String, n: Int = 10,
+                         mode: String = "balanced",
+                         parityFts: Boolean = false): (Seq[SearchHit], Int) = {
     val intent = Router.route(query)
     val w = Scoring.preset(mode)
     val k = math.max(50, n * 5)
@@ -364,12 +371,12 @@ object Resident {
           roundHalfUp(cov, 4), roundHalfUp(score, 4))
       }
     }
-    hits.sorted(new Ordering[SearchHit] {
+    (hits.sorted(new Ordering[SearchHit] {
       def compare(x: SearchHit, y: SearchHit): Int = {
         val c = java.lang.Double.compare(y.score, x.score) // desc, NaN first
         if (c != 0) c else x.docId.compareTo(y.docId)
       }
-    }).take(n)
+    }).take(n), (bm.keySet ++ co.keySet).size)
   }
 
   /** Typed fts_match hit (the MCP tool's row shape, mcp_stdio.py:156-191). */
@@ -383,8 +390,14 @@ object Resident {
   def ftsMatch(L: HadithLayers, legs: Seq[(String, String)],
                limit: Int): Seq[FtsMatchHit] = {
     if (legs.isEmpty) return Nil
+    // legs are COMPLETE (no per-leg truncation): cutting each leg to a
+    // fan-out before the AND-intersection drops documents that genuinely
+    // match every field (a doc ranked #51 in one leg is still a true
+    // AND-match). Bounded: the resident layers exist only for corpora
+    // under the counted bounds.
     val top = mergeFtsLegs(legs.map { case (f, text) =>
-      lexProbe(L, f, Router.tokenize(text).take(6), prefix = false, limit * 5).toMap
+      lexProbe(L, f, Router.tokenize(text).take(6), prefix = false,
+        Int.MaxValue).toMap
     }, limit)
     top.flatMap { case (id, s) => L.docs.get(id).map(d => (d, s)) }
       .sortBy { case (d, s) => (-s, d.docId) }
@@ -503,8 +516,7 @@ object Resident {
     val vecLeg: Seq[(String, Double)] =
       if (!semanticOk || wv == 0.0) Nil
       else {
-        val qq = queryVec.get.map(x => BigDecimal(x.toDouble * VecFns.Scale)
-          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        val qq = VecFns.quantizeLocal(queryVec.get)
         val qnorm = math.sqrt(qq.map(x => x * x).sum)
         if (qnorm == 0.0) Nil // zero-norm query: empty leg (see Quran twin)
         else {

@@ -38,8 +38,12 @@ final class HttpTransport(collections: Map[String, Graft.HadithEngine],
       try { val (c, b) = f(ex); respond(ex, c, b) }
       catch {
         case e: Throwable =>
-          respond(ex, 500, ServeJson.err(e.toString).toString)
-      }
+          // a respond() that failed mid-write (client reset) cannot
+          // send a second set of headers — swallow that, the exchange
+          // close below is what actually matters
+          try respond(ex, 500, ServeJson.err(e.toString).toString)
+          catch { case _: Throwable => () }
+      } finally ex.close()
 
   server.createContext("/health", handle(_ => (200, """{"ok":true}""")))
 

@@ -37,15 +37,18 @@ private[graft] object ServeJson {
   }
 
   /** The hybrid_search envelope (tools.py:150-180). `hits` re-nests the
-    * signal columns as the per-hit `breakdown`. */
+    * signal columns as the per-hit `breakdown`; `totalCandidates` is the
+    * FUSED pool size before the top-n cut, as the reference reports it
+    * (tools.py counts the scored pool, not the truncated hits). */
   def hybridEnvelope(query: String, mode: String, hits: Array[org.apache.spark.sql.Row],
-                     schema: org.apache.spark.sql.types.StructType): ObjectNode = {
+                     schema: org.apache.spark.sql.types.StructType,
+                     totalCandidates: Int): ObjectNode = {
     val intent = Router.route(query)
     val o = obj()
     o.put("intent", intent.qtype)
     o.put("mode", mode)
     o.set[ObjectNode]("weights", weightsJson(Scoring.preset(mode)))
-    o.put("total_candidates", hits.length)
+    o.put("total_candidates", totalCandidates)
     val hs = arr()
     val idx = schema.fieldNames.zipWithIndex.toMap
     val breakdownCols = Seq("vector_similarity", "fts_signal", "phrase_bonus", "term_coverage")
@@ -68,8 +71,8 @@ private[graft] object ServeJson {
 
   def searchEnvelope(eng: Graft.HadithEngine, query: String, n: Int,
                      mode: String): ObjectNode = {
-    val df = eng.search(query, n, mode)
-    hybridEnvelope(query, mode, df.collect(), df.schema)
+    val (df, pool) = eng.searchWithCandidates(query, n, mode)
+    hybridEnvelope(query, mode, df.collect(), df.schema, pool)
   }
 
   /** The same envelope built from the typed sub-ms search path
@@ -77,13 +80,14 @@ private[graft] object ServeJson {
     * ServeTransportsSpec pins structural equality with the DataFrame
     * form (ObjectNode equality is field-order-insensitive). */
   def hybridEnvelopeTyped(query: String, mode: String,
-                          hits: Seq[graft.operators.Resident.SearchHit]): ObjectNode = {
+                          hits: Seq[graft.operators.Resident.SearchHit],
+                          totalCandidates: Int): ObjectNode = {
     val intent = Router.route(query)
     val o = obj()
     o.put("intent", intent.qtype)
     o.put("mode", mode)
     o.set[ObjectNode]("weights", weightsJson(Scoring.preset(mode)))
-    o.put("total_candidates", hits.length)
+    o.put("total_candidates", totalCandidates)
     val hs = arr()
     hits.foreach { h =>
       val hn = obj()
@@ -105,8 +109,10 @@ private[graft] object ServeJson {
   }
 
   def searchEnvelopeTyped(eng: Graft.HadithEngine, query: String, n: Int,
-                          mode: String): ObjectNode =
-    hybridEnvelopeTyped(query, mode, eng.searchTyped(query, n, mode))
+                          mode: String): ObjectNode = {
+    val (hits, pool) = eng.searchTypedScored(query, n, mode)
+    hybridEnvelopeTyped(query, mode, hits, pool)
+  }
 
   /** Typed twin of [[rowsJson]] over the tafsir search envelope — same
     * field names/values as the DataFrame result's toJSON rows. */

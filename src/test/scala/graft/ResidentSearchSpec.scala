@@ -94,6 +94,7 @@ class ResidentSearchSpec extends SparkSpec {
 
   test("warm searchTyped launches ZERO Spark jobs (both engines)") {
     hadith.searchTyped("patience and gratitude", 5) // builds the layers
+    hadith.searchTyped("Riyad as-Salihin 1", 5, "spec") // builds refRows too
     quran.searchTyped("mercy", 5, "hybrid", Some(qv))
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val l = new org.apache.spark.scheduler.SparkListener {

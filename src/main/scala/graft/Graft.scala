@@ -214,12 +214,19 @@ object Graft {
           // same REROOTED cached postings layer twice in one plan trips
           // InMemoryRelation's attribute remap, and the checkpoint also
           // keeps leg scores (bounded by matching docs) off the driver.
-          val merged = legs.zipWithIndex.map { case ((f, text), i) =>
+          val legFrames = legs.zipWithIndex.map { case ((f, text), i) =>
             HadithSearch.fieldScores(index, f, Router.tokenize(text).take(6),
               prefix = false)
               .select(col("doc_id"), col("bm25"), lit(i).as("leg"))
-              .localCheckpoint(true)
-          }.reduce(_ unionByName _)
+          }
+          // snapshot the legs CONCURRENTLY (the two-phase discipline of
+          // the search paths) — sequential localCheckpoints would pay
+          // leg1+leg2+leg3 wall-clock for independent jobs
+          val snapped = new Array[DataFrame](legFrames.size)
+          operators.Postings.awaitAll(legFrames.zipWithIndex.map {
+            case (df, i) => () => { snapped(i) = df.localCheckpoint(true) }: Unit
+          })
+          val merged = snapped.reduce(_ unionByName _)
             .groupBy("doc_id")
             .agg(sum("bm25").as("bm25"), countDistinct("leg").as("nl"))
             .where(col("nl") === legs.size)

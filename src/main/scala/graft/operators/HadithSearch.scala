@@ -328,28 +328,37 @@ object HadithSearch {
   def searchWith(idx: Index, query: String, n: Int = 10,
                  mode: String = "balanced",
                  parityFts: Boolean = false): DataFrame =
-    searchWithStats(idx, query, n, mode, parityFts)._1
+    // the citation fast path short-circuits HERE so plain searches never
+    // pay the stats variant's count job for a pool they discard
+    citationFast(idx, query, n, mode)
+      .getOrElse(searchWithStats(idx, query, n, mode, parityFts)._1)
+
+  /** Spec-mode exact-reference short-circuit shared by [[searchWith]]
+    * and [[searchWithStats]] (router.py:93-107 sends exact refs through
+    * the token probe; spec mode honors the design doc's direct lookup). */
+  private def citationFast(idx: Index, query: String, n: Int,
+                           mode: String): Option[DataFrame] =
+    if (mode != "spec") None
+    else {
+      val intent = Router.route(query)
+      if (intent.qtype != "exact_reference") None
+      else Router.parseExactRef(intent.normalized).map(lookupRef(idx.docs, _, n))
+    }
 
   /** [[searchWith]] plus the FUSED candidate-pool size before the top-n
     * cut — the `total_candidates` the reference's envelope reports
     * (tools.py counts the scored pool, not the truncated hits). The
     * spec-mode citation path reports its hit count (a direct lookup has
-    * no ranked pool). */
+    * no ranked pool) — at the cost of one bounded count job, paid only
+    * by stats consumers. */
   def searchWithStats(idx: Index, query: String, n: Int = 10,
                       mode: String = "balanced",
                       parityFts: Boolean = false): (DataFrame, Int) = {
-    val intent = Router.route(query)
-    // spec mode honors the design doc's exact-reference fast path; every
-    // other mode keeps shipped-reference parity (exact refs go through
-    // the same token probe the reference uses, router.py:93-107)
-    if (mode == "spec" && intent.qtype == "exact_reference") {
-      Router.parseExactRef(intent.normalized) match {
-        case Some(ref) =>
-          val out = lookupRef(idx.docs, ref, n)
-          return (out, out.count().toInt)
-        case None => ()
-      }
+    citationFast(idx, query, n, mode) match {
+      case Some(out) => return (out, out.count().toInt)
+      case None => ()
     }
+    val intent = Router.route(query)
     val w = Scoring.preset(mode)
     val k = math.max(50, n * 5)
     val docs = idx.docs

@@ -25,7 +25,7 @@ object Postings {
     * walk its layers one count() at a time. Callers group actions into
     * dependency waves (a layer and its parent never share a wave, so a
     * cached parent is computed once, not raced). */
-  private[operators] def awaitAll(actions: Seq[() => Unit]): Unit = {
+  private[graft] def awaitAll(actions: Seq[() => Unit]): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global

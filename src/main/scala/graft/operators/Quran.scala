@@ -161,9 +161,15 @@ object Quran {
   def indexFromLayers(docs: DataFrame, postings: DataFrame,
                       emb: Option[DataFrame], cache: Boolean = true): Index = {
     def c(df: DataFrame) = if (cache) df.cache() else df
+    // zero-norm corpus vectors are dropped HERE, like the hadith
+    // embedSlots layer (Hybrid.embedSlots' n > 0 filter): a zero vector
+    // has no direction, the reference's NumPy sims for it are NaN and
+    // its sim>0 filter discards them, and under ANSI mode the cosine
+    // division would THROW for every query instead
     val embQ = emb.map(e => c(e.select(col("verse_key"),
       graft.functions.VecFns.quantize(col("embedding")).as("qv"))
-      .withColumn("nq", graft.functions.VecFns.norm2(col("qv")))))
+      .withColumn("nq", graft.functions.VecFns.norm2(col("qv")))
+      .where(col("nq") > 0)))
     // cap the docs layer at the session's width (it inherits one split
     // per source JSONL file otherwise); the DATA-matched serve
     // narrowing happens in materialize(). docs arrives cached by every

@@ -406,10 +406,11 @@ object Resident {
         math.round(s * 10000.0) / 10000.0) }
   }
 
-  /** The fts_match AND-merge, shared by the resident probe above and the
-    * engine's distributed fallback so the two paths cannot drift: docs
-    * present in EVERY leg, leg scores summed, ranked (-score, id),
-    * truncated to `limit`. */
+  /** The fts_match AND-merge for COLLECTED legs: docs present in EVERY
+    * leg, leg scores summed (leg order), ranked (-score, id), truncated
+    * to `limit`. The engine's distributed fallback expresses the same
+    * merge as a union + groupBy plan (it must not collect unbounded
+    * legs); ResidentSearchSpec pins the two forms equal. */
   def mergeFtsLegs(legMaps: Seq[Map[Long, Double]],
                    limit: Int): Seq[(Long, Double)] = {
     if (legMaps.isEmpty) return Nil

@@ -291,17 +291,16 @@ object TextAnalysis {
   def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, minDf: Long = 5,
                        denseSetMax: Long = DenseSetMax): DataFrame = {
-    // ONE bounded evaluation decides the path AND supplies the dense
-    // set (the connectedComponents limit-probe pattern): ≤ denseSetMax
-    // rows collect and the narrow path embeds them as a LocalRelation;
-    // over the bound the rows are discarded and the join path
-    // re-evaluates the mining plan itself. No cache mark — the old
-    // `.cache()` leaked one pinned block-manager entry per invocation
-    // (nothing ever unpersisted it).
+    // ONE evaluation of the mining plan, snapshotted cluster-side
+    // (localCheckpoint, the Dedup snapshot discipline): the path
+    // decision counts the snapshot, the dense path collects it, and the
+    // join path re-reads it — never a second mining pass, and no
+    // CacheManager mark to leak (the old `.cache()` pinned one
+    // block-manager entry per invocation forever; snapshot storage is
+    // released by the ContextCleaner once the result frame is dropped).
     val mined = boilerplateNgrams(docs, idCol, textCol, n, minDf)
-    val cap = math.min(denseSetMax, Int.MaxValue - 2L).toInt
-    val probe = mined.select("ngram").limit(cap + 1).collect()
-    val nMined = probe.length.toLong
+      .localCheckpoint(true)
+    val nMined = mined.count()
     // the compute below is per-row CPU-bound: a single-file corpus scan
     // arrives as ONE partition (observed: 72 s single-core at sf0.1),
     // so spread it to cluster width first — one round-robin shuffle of
@@ -320,7 +319,8 @@ object TextAnalysis {
       // (that form timed out >300 s against a 26k set at sf0.1). The
       // per-position test then probes only the doc's own hit grams.
       import docs.sparkSession.implicits._
-      val blSet = broadcast(Seq(probe.map(_.getString(0)).sorted.toSeq).toDF("bl"))
+      val blSet = broadcast(Seq(
+        mined.select("ngram").collect().map(_.getString(0)).sorted.toSeq).toDF("bl"))
       val staged = toksDf.crossJoin(blSet)
         .select(col("doc_id"), col("toks"), col("sh"),
           array_intersect(col("sh"), col("bl")).as("hitg"))

@@ -158,6 +158,42 @@ object Oracles {
         |SELECT user_id,
         |CAST(sum(CASE WHEN prev IS NULL OR epoch_ns(ts)-epoch_ns(prev) > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |count(*) AS n_events FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    // as-of twin: the naive per-left max formulation (rank over the
+    // range join) — the Spark union+window form must equal it exactly;
+    // ties mirror AsOf.asofJoin's contract (right-before-left at equal
+    // ts via <=, highest event_id among equal-ts right rows via rn=1
+    // over (tsn DESC, event_id DESC))
+    "events_asof_attrib" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) tsn, event_type, value FROM events),
+        |p AS (SELECT event_id, user_id, tsn, value FROM ev WHERE event_type='purchase'),
+        |v AS (SELECT event_id, user_id, tsn, value FROM ev WHERE event_type='view'),
+        |j AS (SELECT p.event_id, p.user_id, p.tsn, p.value,
+        |        v.event_id vid, v.tsn vtsn, v.value vv,
+        |        row_number() OVER (PARTITION BY p.event_id
+        |          ORDER BY v.tsn DESC, v.event_id DESC) rn
+        |      FROM p LEFT JOIN v ON p.user_id=v.user_id AND v.tsn<=p.tsn)
+        |SELECT event_id, user_id, tsn AS ts_ns, value,
+        |  vid AS view_event_id, vtsn AS view_ts_ns, vv AS view_value
+        |FROM j WHERE rn=1 ORDER BY event_id""".stripMargin,
+    // anomaly twin: identical integer moments (n, Σx, Σx²) and the same
+    // division/sqrt order as Events.hourlyAnomalies — bit-equal doubles
+    "events_anomaly" ->
+      """WITH h AS (SELECT epoch_ns(ts)//3600000000000 hour_bucket, event_type,
+        |           CAST(count(*) AS BIGINT) n_events FROM events GROUP BY 1,2),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) cnt,
+        |      CAST(sum(n_events) AS BIGINT) s1,
+        |      CAST(sum(n_events*n_events) AS BIGINT) s2 FROM h GROUP BY 1),
+        |m AS (SELECT hour_bucket, h.event_type, n_events, cnt,
+        |      CAST(s1 AS DOUBLE)/cnt mu,
+        |      (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*s1/cnt)/(cnt-1) varr
+        |      FROM h JOIN s USING(event_type)),
+        |z AS (SELECT hour_bucket, event_type, n_events,
+        |      CASE WHEN cnt>1 AND varr>0
+        |        THEN round((CAST(n_events AS DOUBLE)-mu)/sqrt(varr),6) END z
+        |      FROM m)
+        |SELECT hour_bucket, event_type, n_events, z,
+        |  coalesce(abs(z)>=3.0, false) is_anomaly
+        |FROM z ORDER BY hour_bucket, event_type""".stripMargin,
     "keep_best_doc" ->
       """SELECT doc_id, source, n_chars FROM (
         |  SELECT doc_id, source, n_chars,
@@ -527,6 +563,52 @@ object Oracles {
          |SELECT doc_id, n_tok AS n_tokens, reasons, reasons='' kept
          |FROM r ORDER BY doc_id""".stripMargin
     },
+    // rollup twin: per-doc q_score on the same rounded-stats grid as
+    // quality_top_decile + the same cascade as quality_filter, then a
+    // per-source aggregate whose mean rides the integer 1e-6 grid
+    "source_quality_rollup" -> {
+      val stop = graft.operators.TextAnalysis.StopwordsEn.map(s => s"'$s'").mkString("[", ",", "]")
+      val th = graft.operators.TextAnalysis.QualityThresholds()
+      s"""WITH $Toks,
+         |st AS (SELECT doc_id, CAST(len(t) AS BIGINT) n_tok,
+         |  CAST(len(list_distinct(t)) AS DOUBLE)/NULLIF(len(t),0) ttr,
+         |  CAST(len(list_filter(t, x -> list_contains($stop, x))) AS DOUBLE)/NULLIF(len(t),0) sr,
+         |  CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)/NULLIF(len(t),0) mtl
+         |  FROM toks),
+         |sc AS (SELECT doc_id,
+         |  length(text)-length(regexp_replace(text,'[؀-ۿ]','','g')) n_ar,
+         |  length(text)-length(regexp_replace(text,'[一-鿿]','','g')) n_cjk,
+         |  length(text)-length(regexp_replace(text,'[a-zA-Z؀-ۿ一-鿿]','','g')) n_alpha
+         |  FROM documents),
+         |r AS (SELECT doc_id, concat_ws(',',
+         |  CASE WHEN n_tok < ${th.minTokens} THEN 'too_short' END,
+         |  CASE WHEN n_tok > ${th.maxTokens} THEN 'too_long' END,
+         |  CASE WHEN n_tok > 0 AND (mtl < ${th.minMeanTokLen} OR mtl > ${th.maxMeanTokLen}) THEN 'odd_token_len' END,
+         |  CASE WHEN n_tok > 0 AND (n_alpha-n_ar-n_cjk)*2 > n_alpha AND sr < ${th.minStopRatio} THEN 'low_stopword' END,
+         |  CASE WHEN n_tok > 0 AND ttr < ${th.minTtr} THEN 'repetitive' END) reasons
+         |  FROM st JOIN sc USING(doc_id)),
+         |q AS (SELECT doc_id, round(
+         |    (CASE WHEN n_tok>0 THEN round(sr,6) ELSE 0.0 END)*0.5
+         |  + (CASE WHEN n_tok>0 THEN round(ttr,6) ELSE 0.0 END)*0.3
+         |  + least((CASE WHEN n_tok>0 THEN round(mtl,6) ELSE 0.0 END)/10.0, 1.0)*0.2, 6) q_score
+         |  FROM st),
+         |d AS (SELECT source, CAST(round(q_score*1e6) AS BIGINT) q6,
+         |      CASE WHEN reasons='' THEN 1 ELSE 0 END kept
+         |      FROM documents JOIN r USING(doc_id) JOIN q USING(doc_id))
+         |SELECT source, CAST(count(*) AS BIGINT) n_docs,
+         |  CAST(sum(kept) AS BIGINT) n_kept,
+         |  round(CAST(sum(kept) AS DOUBLE)/count(*),6) kept_frac,
+         |  round(CAST(sum(q6) AS BIGINT)/(count(*)*1e6),6) mean_q,
+         |  round(CAST(sum(kept) AS DOUBLE)/count(*),6) >= 0.5 keep_source
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "length_buckets" ->
+      s"""WITH $Toks,
+         |n AS (SELECT CAST(len(t) AS BIGINT) n_tokens FROM toks)
+         |SELECT n_tokens//16 AS len_bucket, CAST(count(*) AS BIGINT) n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) sum_tokens,
+         |  min(n_tokens) min_tokens, max(n_tokens) max_tokens
+         |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
     "lang_id" -> {
       import graft.operators.TextAnalysis._
       def lst(ws: Seq[String]) = ws.map(s => s"'$s'").mkString("[", ",", "]")
@@ -580,6 +662,20 @@ object Oracles {
          |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
          |    ORDER BY ${h60("doc_id::VARCHAR")}, doc_id) rk FROM documents)
          |WHERE rk <= 20 ORDER BY doc_id""".stripMargin,
+    // temperature twin: identical IEEE sequence — sqrt (correctly
+    // rounded), one division, one multiply by the exact power 2^60,
+    // floor → the same threshold longs as Sampling.sqrtTemperatureSample
+    "mix_temperature" ->
+      s"""WITH dd AS (SELECT * FROM documents
+         |  WHERE source IN ('src0','src1','src2') OR doc_id % 4 = 0),
+         |c AS (SELECT source, CAST(count(*) AS BIGINT) n FROM dd GROUP BY 1),
+         |w AS (SELECT source, sqrt(CAST(n AS DOUBLE)) wt FROM c),
+         |m AS (SELECT max(wt) wmax FROM w),
+         |r AS (SELECT source, wt/wmax rate FROM w CROSS JOIN m)
+         |SELECT doc_id, d.source, round(rate,6) keep_rate
+         |FROM dd d JOIN r USING(source)
+         |WHERE ${h60("doc_id::VARCHAR")} < CAST(floor(rate*1152921504606846976.0) AS BIGINT)
+         |ORDER BY doc_id""".stripMargin,
     "mix_sources" -> {
       val vals = graft.Queries.MixWeights.toSeq.sortBy(_._1)
         .map { case (s, w) => s"('$s',$w)" }.mkString(",")

@@ -110,6 +110,26 @@ object Queries {
         .agg(sum("new_sess").as("n_sessions"), count("*").as("n_events"))
         .orderBy("user_id")
     }),
+    // as-of attribution join: each purchase credited to the user's most
+    // recent prior view — the union+window as-of (one shuffle on the
+    // key, no range-predicate explosion); AsOf.asofJoin scaladoc has the
+    // 100 TB shape
+    "events_asof_attrib" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      def leg(t: String) = ev.where(col("event_type") === t)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      AsOf.asofJoin(leg("purchase"), leg("view"), "user_id", "ts", "event_id",
+          rightCols = Seq("value"), prefix = "view_")
+        .select(col("event_id"), col("user_id"), col("ts").as("ts_ns"),
+          col("value"), col("view_event_id"), col("view_ts").as("view_ts_ns"),
+          col("view_value"))
+        .orderBy("event_id")
+    }),
+    // hourly volume z-scores per event type (ingest-monitoring signal);
+    // exact integer moments so the oracle is engine-identical
+    "events_anomaly" -> ((s, dir) =>
+      Events.hourlyAnomalies(Tables(s, dir, "events"), "event_type")
+        .orderBy("hour_bucket", "event_type")),
     "keep_best_doc" -> ((s, dir) => {
       Dedup.keepBest(docs(s, dir), col("source"), Seq(desc("n_chars"), asc("doc_id")))
         .select("doc_id", "source", "n_chars").orderBy("doc_id")
@@ -309,6 +329,15 @@ object Queries {
     "strip_boilerplate" -> ((s, dir) =>
       TextAnalysis.stripBoilerplate(docs(s, dir), "doc_id", "text", 3, 5)
         .orderBy("doc_id")),
+    // domain-level filtering: per-source kept fraction + mean quality
+    // signal + keep/drop decision (one narrow pass, one combinable agg)
+    "source_quality_rollup" -> ((s, dir) =>
+      TextAnalysis.sourceQualityRollup(docs(s, dir), "doc_id", "text", "source")
+        .orderBy("source")),
+    // batch-shape planning: token-length histogram at width 16
+    "length_buckets" -> ((s, dir) =>
+      TextAnalysis.lengthBuckets(docs(s, dir), "doc_id", "text", bucketWidth = 16)
+        .orderBy("len_bucket")),
     "lang_id" -> ((s, dir) =>
       TextAnalysis.langId(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
     "token_counts" -> ((s, dir) =>
@@ -331,6 +360,17 @@ object Queries {
     "stratified_sample" -> ((s, dir) =>
       Sampling.stratifiedSample(docs(s, dir), "doc_id", "lang", 20)
         .select("doc_id", "lang").orderBy("doc_id")),
+    // α=1/2 temperature rebalancing: keep rate ∝ √|source| (sqrt is
+    // IEEE-exact, so the kept set is engine-identical). The fixture's
+    // sources are uniform (rate would be 1.0 everywhere, leaving the
+    // threshold untested), so the query first SKEWS the corpus
+    // deterministically: src0-2 keep all docs, the rest only every 4th
+    "mix_temperature" -> ((s, dir) => {
+      val skewed = docs(s, dir).where(
+        col("source").isin("src0", "src1", "src2") || col("doc_id") % 4 === 0)
+      Sampling.sqrtTemperatureSample(skewed, "doc_id", "source")
+        .select("doc_id", "source", "keep_rate").orderBy("doc_id")
+    }),
     // integer source-weight mixing: one replica per epoch per weight unit
     "mix_sources" -> ((s, dir) =>
       Sampling.mixSources(docs(s, dir), "source", MixWeights)

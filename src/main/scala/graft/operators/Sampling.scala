@@ -119,4 +119,35 @@ object Sampling {
       .withColumn("epoch", explode(sequence(lit(1), col("w"))))
       .drop("w")
   }
+
+  /** Temperature-based source rebalancing at α = 1/2 (sqrt sampling, the
+    * multilingual-corpus balancing rule): each source is down-sampled to
+    * a keep rate ∝ √|source| — the biggest source keeps rate 1, a source
+    * a quarter its size keeps rate 1/2 of ITS rows, flattening the
+    * source distribution toward the temperature target without
+    * up-sampling. Unlike [[mixSources]]' hand-set integer weights, the
+    * rates are DERIVED from the data in one tiny aggregate.
+    *
+    * α is fixed at 1/2 on purpose: `sqrt` is correctly rounded in IEEE
+    * 754 (a `pow(c, α)` for general α is not), so the per-source rate —
+    * √c / √c_max, one division — and the keep threshold
+    * ⌊rate · 2^60⌋ are bit-identical in any engine, and the kept set is
+    * exactly reproducible (same doctrine as [[sampleByHash]]). Shape:
+    * one combinable count (#sources rows) + a 1-row max attach + a
+    * broadcast join of the rate table onto the corpus + a narrow hash
+    * filter — no data-scale shuffle. */
+  def sqrtTemperatureSample(docs: DataFrame, idCol: String,
+                            sourceCol: String): DataFrame = {
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("__gst_n"))
+    val rates = counts.select(col(sourceCol),
+      sqrt(col("__gst_n").cast("double")).as("__gst_w"))
+    val wmax = rates.agg(max(col("__gst_w")).as("__gst_wmax"))
+    val rate = rates.crossJoin(broadcast(wmax))
+      .select(col(sourceCol), (col("__gst_w") / col("__gst_wmax")).as("__gst_rate"))
+    docs.join(broadcast(rate), Seq(sourceCol))
+      .where(hashKey(col(idCol)) <
+        floor(col("__gst_rate") * lit(math.pow(2.0, 60))).cast("long"))
+      .withColumn("keep_rate", round(col("__gst_rate"), 6))
+      .select((docs.columns.map(col) :+ col("keep_rate")).toIndexedSeq: _*)
+  }
 }

@@ -196,7 +196,19 @@ object TextAnalysis {
     * the rendered `reasons` string is deterministic. */
   def qualityFilter(docs: DataFrame, idCol: String, textCol: String,
                     th: QualityThresholds = QualityThresholds()): DataFrame = {
-    val toks = TextFns.tokens(col(textCol))
+    val nTok = size(TextFns.tokens(col(textCol))).cast("long")
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      nTok.as("n_tokens"),
+      filterReasons(col(textCol), th).as("reasons"))
+      .withColumn("kept", col("reasons") === "")
+  }
+
+  /** The filter cascade's `reasons` column (shared between
+    * [[qualityFilter]] and [[sourceQualityRollup]]): the fired rule
+    * subset in fixed order, '' = kept. Rules test the UNROUNDED ratios. */
+  private def filterReasons(text: Column, th: QualityThresholds): Column = {
+    val toks = TextFns.tokens(text)
     val nTok = size(toks).cast("long")
     val nUniq = size(array_distinct(toks))
     val nStop = size(filter(toks, t => array_contains(typedLit(StopwordsEn), t)))
@@ -204,7 +216,7 @@ object TextAnalysis {
     val ttr = nUniq.cast("double") / nTok
     val stopRatio = nStop.cast("double") / nTok
     val meanLen = sumLen.cast("double") / nTok
-    val sc = graft.plans.ScriptCounts(col(textCol))
+    val sc = graft.plans.ScriptCounts(text)
     val nAlpha = sc.getField("n_ar") + sc.getField("n_cjk") + sc.getField("n_latin")
     val latinDominant = sc.getField("n_latin") * 2 > nAlpha
     val rules: Seq[(String, Column)] = Seq(
@@ -218,14 +230,65 @@ object TextAnalysis {
       "repetitive" -> (nTok > 0 && ttr < th.minTtr))
     // concat_ws drops NULL branches, so the string is the fired subset
     // in fixed rule order ('' = kept)
-    val reasons = concat_ws(",",
-      rules.map { case (name, cond) => when(cond, lit(name)) }: _*)
-    docs.select(
-      col(idCol).cast("long").as("doc_id"),
-      nTok.as("n_tokens"),
-      reasons.as("reasons"))
-      .withColumn("kept", col("reasons") === "")
+    concat_ws(",", rules.map { case (name, cond) => when(cond, lit(name)) }: _*)
   }
+
+  /** Source-level quality rollup — the domain-filtering step of a web
+    * pipeline (drop whole hosts whose documents are mostly junk, rather
+    * than paying per-document inspection downstream): per source, the
+    * doc count, how many pass the [[qualityFilter]] cascade, the kept
+    * fraction, the mean composite quality signal (same signal as
+    * [[qualityPercentile]]), and the keep/drop decision at
+    * `minKeptFrac`. ONE narrow pass computes every per-doc signal
+    * (no join between the stats and filter legs) followed by ONE
+    * combinable aggregation on the source key — the mean rides an
+    * integer 1e-6 grid (`sum_q6`) so it is order-independent and
+    * engine-exact; sources are bounded (hosts/shards), the output is
+    * tiny. */
+  def sourceQualityRollup(docs: DataFrame, idCol: String, textCol: String,
+                          sourceCol: String,
+                          th: QualityThresholds = QualityThresholds(),
+                          minKeptFrac: Double = 0.5): DataFrame = {
+    val toks = TextFns.tokens(col(textCol))
+    val nTok = size(toks)
+    val nUniq = size(array_distinct(toks))
+    val nStop = size(filter(toks, t => array_contains(typedLit(StopwordsEn), t)))
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    // the ROUNDED ratios (qualityStats' grid) feed the composite signal,
+    // exactly as qualityPercentile builds q_score
+    def r6(c: Column): Column = when(nTok > 0, round(c, 6)).otherwise(lit(0.0))
+    val ttr6 = r6(nUniq.cast("double") / nTok)
+    val stop6 = r6(nStop.cast("double") / nTok)
+    val mtl6 = r6(sumLen.cast("double") / nTok)
+    val qScore = round(stop6 * 0.5 + ttr6 * 0.3 +
+      least(mtl6 / 10.0, lit(1.0)) * 0.2, 6)
+    val perDoc = docs.select(
+      col(sourceCol).as("source"),
+      round(qScore * 1e6).cast("long").as("q6"),
+      (filterReasons(col(textCol), th) === "").cast("long").as("kept"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_kept"),
+        sum("q6").as("sum_q6"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("n_docs"), 6).as("kept_frac"),
+        round(col("sum_q6") / (col("n_docs") * 1e6), 6).as("mean_q"),
+        (round(col("n_kept").cast("double") / col("n_docs"), 6) >= minKeptFrac)
+          .as("keep_source"))
+  }
+
+  /** Token-length histogram at a fixed bucket width — the batch-shape
+    * planning signal a training exporter reads before choosing sequence
+    * lengths and packing factors (what fraction of the corpus fits 512
+    * tokens, how heavy is the long tail). Integer bucket arithmetic
+    * (`div`), one combinable aggregation, output bounded by
+    * maxDocLen/width. */
+  def lengthBuckets(docs: DataFrame, idCol: String, textCol: String,
+                    bucketWidth: Int = 64): DataFrame =
+    docs.select(size(TextFns.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .select(expr(s"n_tokens div $bucketWidth").as("len_bucket"), col("n_tokens"))
+      .groupBy("len_bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+        min("n_tokens").as("min_tokens"), max("n_tokens").as("max_tokens"))
 
   /** Gopher-style n-gram repetition stats: per document, the total
     * n-gram count, the most frequent n-gram's count, and its fraction —

@@ -1,0 +1,130 @@
+package graft
+
+import graft.operators.{AsOf, Events, TextAnalysis}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** The round-10 batch: as-of join contract, hourly anomaly scoring,
+  * source-level quality rollup, length histogram. */
+class AsOfEventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // left: (event_id, user_id, ts, value)
+  private lazy val purchases = Seq(
+    (100L, 1L, 1000L, 9.0),  // after two views → latest (ts=900) wins
+    (101L, 1L, 500L, 8.0),   // ties a view at ts=500 → <= visible
+    (102L, 2L, 50L, 7.0),    // before any view → null match
+    (103L, 3L, 1000L, 6.0)   // user with two equal-ts views → max id wins
+  ).toDF("event_id", "user_id", "ts", "value")
+  private lazy val views = Seq(
+    (10L, 1L, 400L, 1.0),
+    (11L, 1L, 900L, 2.0),
+    (12L, 1L, 500L, 3.0),
+    (13L, 2L, 100L, 4.0),    // after purchase 102 — must not match
+    (14L, 3L, 800L, 5.0),
+    (15L, 3L, 800L, 5.5)     // same ts as 14 → higher event_id wins
+  ).toDF("event_id", "user_id", "ts", "value")
+
+  private def runAsof(tol: Option[Long] = None) =
+    AsOf.asofJoin(purchases, views, "user_id", "ts", "event_id",
+      rightCols = Seq("value"), toleranceNs = tol, prefix = "v_")
+      .select("event_id", "v_event_id", "v_ts", "v_value")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2), r.getDouble(3)))))
+      .toMap
+
+  test("asofJoin picks the latest at-or-before right row per key") {
+    val m = runAsof()
+    assert(m(100L) === Some((11L, 900L, 2.0)), "latest prior view")
+    assert(m(101L) === Some((12L, 500L, 3.0)), "equal-ts right row is visible (<=)")
+    assert(m(102L) === None, "no view at-or-before → null")
+    assert(m(103L) === Some((15L, 800L, 5.5)), "equal-ts right ties break to max tie col")
+  }
+
+  test("asofJoin tolerance nulls out stale matches but keeps fresh ones") {
+    val m = runAsof(tol = Some(150L))
+    assert(m(100L) === Some((11L, 900L, 2.0)), "gap 100 <= 150 kept")
+    assert(m(101L) === Some((12L, 500L, 3.0)), "gap 0 kept")
+    assert(m(103L) === None, "gap 200 > 150 nulled")
+  }
+
+  test("asofJoin equals the naive per-row maximum on random data") {
+    val rnd = new scala.util.Random(7)
+    val l = (0 until 300).map(i => (i.toLong, (rnd.nextInt(5) + 1).toLong,
+      rnd.nextInt(100).toLong, rnd.nextDouble()))
+    val r = (1000 until 1400).map(i => (i.toLong, (rnd.nextInt(5) + 1).toLong,
+      rnd.nextInt(100).toLong, rnd.nextDouble()))
+    val got = AsOf.asofJoin(l.toDF("event_id", "user_id", "ts", "value"),
+      r.toDF("event_id", "user_id", "ts", "value"),
+      "user_id", "ts", "event_id", rightCols = Seq("value"))
+      .select("event_id", "asof_event_id")
+      .collect().map(row => row.getLong(0) ->
+        (if (row.isNullAt(1)) -1L else row.getLong(1))).toMap
+    l.foreach { case (id, key, ts, _) =>
+      val naive = r.filter(x => x._2 == key && x._3 <= ts)
+        .sortBy(x => (x._3, x._1)).lastOption.map(_._1).getOrElse(-1L)
+      assert(got(id) === naive, s"left row $id")
+    }
+  }
+
+  test("asofJoin defaults use the asof_ prefix") {
+    val cols = AsOf.asofJoin(purchases, views, "user_id", "ts", "event_id",
+      rightCols = Seq("value")).columns.toSet
+    assert(cols.contains("asof_ts") && cols.contains("asof_value"))
+  }
+
+  private def eventsDf(rows: Seq[(Long, String)]) =
+    rows.zipWithIndex.map { case ((hour, typ), i) =>
+      (i.toLong, hour * 3600000000000L + 1L, typ)
+    }.toDF("event_id", "ts", "event_type")
+
+  test("hourlyAnomalies: constant series → NULL z, nothing flagged") {
+    val df = eventsDf((0L until 10L).flatMap(h => Seq.fill(3)((h, "steady"))))
+    val out = Events.hourlyAnomalies(df, "event_type").collect()
+    assert(out.length === 10)
+    assert(out.forall(_.isNullAt(3)), "variance 0 ⇒ z NULL")
+    assert(out.forall(!_.getBoolean(4)), "no anomaly on constant volume")
+  }
+
+  test("hourlyAnomalies flags a volume spike and only the spike") {
+    val base = (0L until 20L).flatMap(h => Seq.fill(2)((h, "x")))
+    val spike = Seq.fill(40)((20L, "x"))
+    val out = Events.hourlyAnomalies(eventsDf(base ++ spike), "event_type")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(4))).toMap
+    assert(out(20L)._1 === 40L)
+    assert(out(20L)._2, "spike hour flagged")
+    assert(out.filter(_._1 != 20L).values.forall(!_._2), "baseline hours quiet")
+  }
+
+  test("sourceQualityRollup aggregates the cascade and flags junk sources") {
+    val good = (0 until 8).map(i => (i.toLong,
+      "the quick brown fox jumps over the lazy dog and runs far into the " +
+        "quiet green field while the sun sets slowly over a calm river " +
+        "and the birds sing in the trees as evening comes to the valley", "good"))
+    val junk = (10 until 18).map(i => (i.toLong, "zz zz zz zz zz", "junk"))
+    val df = (good ++ junk).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceQualityRollup(df, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(5))).toMap
+    assert(out("good") === ((8L, 8L, true)))
+    assert(out("junk")._1 === 8L)
+    assert(out("junk")._2 === 0L, "junk docs all fail the cascade")
+    assert(!out("junk")._3, "junk source dropped")
+    // per-doc consistency: n_kept equals the qualityFilter kept count
+    val kept = TextAnalysis.qualityFilter(df, "doc_id", "text")
+      .where(col("kept")).count()
+    assert(out.values.map(_._2).sum === kept)
+  }
+
+  test("lengthBuckets partitions every doc exactly once") {
+    val df = Seq((1L, "a b c"), (2L, "a b c d e"), (3L, ("t " * 40).trim))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lengthBuckets(df, "doc_id", "text", bucketWidth = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._2).sum === 3L, "every doc in exactly one bucket")
+    assert(out.map(_._3).sum === 3L + 5L + 40L, "token mass conserved")
+    assert(out.find(_._1 === 0L).get._2 === 1L)   // 3 tokens → bucket 0
+    assert(out.find(_._1 === 1L).get._2 === 1L)   // 5 tokens → bucket 1
+    assert(out.find(_._1 === 10L).get._2 === 1L)  // 40 tokens → bucket 10
+  }
+}

@@ -124,6 +124,36 @@ class PlanAuditSpec extends SparkSpec {
       "rewrite side gained a keyed shuffle")
   }
 
+  test("as-of join is union+window: no join operator, one keyed shuffle") {
+    val p = plan(Queries.all("events_asof_attrib")(spark, sf))
+    // the point of the formulation: NO range join materializing
+    // O(|L|·|R|) per key — no join node of any kind in the plan
+    assert(!p.contains("Join"), s"as-of compiled to a join:\n${p.take(800)}")
+    assert(p.contains("Window"), "no window operator")
+    // exchanges: ONE hashpartitioning(user_id) for the window + the
+    // final orderBy range partitioning — nothing else
+    val keyed = "hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(keyed === 1, s"expected exactly one keyed shuffle, plan:\n${p.take(1200)}")
+  }
+
+  test("source quality rollup is one narrow pass + one combinable agg: no join") {
+    val p = plan(Queries.all("source_quality_rollup")(spark, sf))
+    assert(!p.contains("Join"), "stats and cascade legs joined — should be one projection")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), "no partial agg")
+    // one shuffle on source + the final sort
+    val keyed = "hashpartitioning\\(source".r.findAllIn(p).size
+    assert(keyed === 1, s"expected one keyed shuffle on source, plan:\n${p.take(1200)}")
+  }
+
+  test("anomaly scoring reuses the hourly partitioning for the moment window") {
+    val p = plan(Queries.all("events_anomaly")(spark, sf))
+    assert(!p.contains("Join"), "moments joined back instead of windowed")
+    // grouping shuffle on (hour, type) + window shuffle on (type) + sort;
+    // no further exchanges
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 3, s"unexpected exchange count $exchanges:\n${p.take(1200)}")
+  }
+
   test("incremental anti-join resolves to a real anti join") {
     val p = plan(Queries.all("incremental_changed")(spark, sf))
     assert(p.contains("LeftAnti"), "no anti join in the plan")

@@ -105,6 +105,37 @@ class SamplingSpec extends AnyFunSuite {
     assert(rows === Set((1L, 1), (1L, 2), (1L, 3), (2L, 1), (2L, 2), (2L, 3), (3L, 1)))
   }
 
+  test("sqrt-temperature sample: biggest source keeps all, rates scale by √size") {
+    import spark.implicits._
+    // source a: 64 docs, source b: 16 docs (√ ratio 1/2), source c: 4 (1/4)
+    val d = ((0 until 64).map(i => (i.toLong, "a")) ++
+      (100 until 116).map(i => (i.toLong, "b")) ++
+      (200 until 204).map(i => (i.toLong, "c"))).toDF("doc_id", "source")
+    val out = Sampling.sqrtTemperatureSample(d, "doc_id", "source")
+    val rates = out.select("source", "keep_rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates("a") === 1.0)
+    assert(rates("b") === 0.5)
+    assert(rates("c") === 0.25)
+    val kept = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("a") === 64L, "rate-1 source keeps every row")
+    assert(kept.getOrElse("b", 0L) <= 16L)
+    // reproducibility: the kept set is a pure function of the data
+    val again = Sampling.sqrtTemperatureSample(d, "doc_id", "source")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === out.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // exactness: kept iff h60(doc_id) < floor(rate·2^60), per row
+    val h = d.select(col("doc_id"), Sampling.hashKey(col("doc_id")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = d.collect().map(r => (r.getLong(0), r.getString(1))).filter {
+      case (id, s) =>
+        val rate = Map("a" -> 1.0, "b" -> 0.5, "c" -> 0.25)(s)
+        h(id) < math.floor(rate * math.pow(2, 60)).toLong
+    }.map(_._1).toSet
+    assert(again === expected)
+  }
+
   test("PII: redaction order (SSN before phone), counts don't cross-match") {
     import spark.implicits._
     val d = Seq(

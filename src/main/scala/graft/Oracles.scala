@@ -26,6 +26,22 @@ object Oracles {
     "st AS (SELECT CAST(count(*) AS BIGINT) n_docs, CAST(sum(dl) AS BIGINT) sum_dl " +
       "FROM (SELECT DISTINCT doc_id, dl FROM p))"
 
+  // as-of twin: the naive per-left max formulation (rank over the range
+  // join); ties mirror AsOf.asofJoin's contract (right-before-left at
+  // equal ts via <=, highest event_id among equal-ts right rows)
+  private val AsofSql =
+    """WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) tsn, event_type, value FROM events),
+      |p AS (SELECT event_id, user_id, tsn, value FROM ev WHERE event_type='purchase'),
+      |v AS (SELECT event_id, user_id, tsn, value FROM ev WHERE event_type='view'),
+      |j AS (SELECT p.event_id, p.user_id, p.tsn, p.value,
+      |        v.event_id vid, v.tsn vtsn, v.value vv,
+      |        row_number() OVER (PARTITION BY p.event_id
+      |          ORDER BY v.tsn DESC, v.event_id DESC) rn
+      |      FROM p LEFT JOIN v ON p.user_id=v.user_id AND v.tsn<=p.tsn)
+      |SELECT event_id, user_id, tsn AS ts_ns, value,
+      |  vid AS view_event_id, vtsn AS view_ts_ns, vv AS view_value
+      |FROM j WHERE rn=1 ORDER BY event_id""".stripMargin
+
   private val Cents4 =
     "CAST(round(l_extendedprice*100) AS BIGINT)*CAST(round((1-l_discount)*100) AS BIGINT)"
 
@@ -158,23 +174,10 @@ object Oracles {
         |SELECT user_id,
         |CAST(sum(CASE WHEN prev IS NULL OR epoch_ns(ts)-epoch_ns(prev) > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |count(*) AS n_events FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
-    // as-of twin: the naive per-left max formulation (rank over the
-    // range join) — the Spark union+window form must equal it exactly;
-    // ties mirror AsOf.asofJoin's contract (right-before-left at equal
-    // ts via <=, highest event_id among equal-ts right rows via rn=1
-    // over (tsn DESC, event_id DESC))
-    "events_asof_attrib" ->
-      """WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) tsn, event_type, value FROM events),
-        |p AS (SELECT event_id, user_id, tsn, value FROM ev WHERE event_type='purchase'),
-        |v AS (SELECT event_id, user_id, tsn, value FROM ev WHERE event_type='view'),
-        |j AS (SELECT p.event_id, p.user_id, p.tsn, p.value,
-        |        v.event_id vid, v.tsn vtsn, v.value vv,
-        |        row_number() OVER (PARTITION BY p.event_id
-        |          ORDER BY v.tsn DESC, v.event_id DESC) rn
-        |      FROM p LEFT JOIN v ON p.user_id=v.user_id AND v.tsn<=p.tsn)
-        |SELECT event_id, user_id, tsn AS ts_ns, value,
-        |  vid AS view_event_id, vtsn AS view_ts_ns, vv AS view_value
-        |FROM j WHERE rn=1 ORDER BY event_id""".stripMargin,
+    "events_asof_attrib" -> AsofSql,
+    // the bucketed form is semantics-identical by contract — it must
+    // reproduce the SAME oracle rows as the plain form
+    "events_asof_bucketed" -> AsofSql,
     // anomaly twin: identical integer moments (n, Σx, Σx²) and the same
     // division/sqrt order as Events.hourlyAnomalies — bit-equal doubles
     "events_anomaly" ->

@@ -125,6 +125,21 @@ object Queries {
           col("view_value"))
         .orderBy("event_id")
     }),
+    // the hot-key scale path: same semantics at (key, day-bucket)
+    // granularity — one dominant key spreads across the timeline's
+    // buckets instead of pinning one task (same oracle as the plain form)
+    "events_asof_bucketed" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      def leg(t: String) = ev.where(col("event_type") === t)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      AsOf.asofJoinBucketed(leg("purchase"), leg("view"), "user_id", "ts",
+          "event_id", rightCols = Seq("value"),
+          bucketWidth = 86400L * 1000000000L, prefix = "view_")
+        .select(col("event_id"), col("user_id"), col("ts").as("ts_ns"),
+          col("value"), col("view_event_id"), col("view_ts").as("view_ts_ns"),
+          col("view_value"))
+        .orderBy("event_id")
+    }),
     // hourly volume z-scores per event type (ingest-monitoring signal);
     // exact integer moments so the oracle is engine-identical
     "events_anomaly" -> ((s, dir) =>

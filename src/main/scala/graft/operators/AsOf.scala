@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -79,5 +79,85 @@ object AsOf {
     val out = leftCols.map(c => col("_l").getField(c).as(c)) ++
       payload.map(c => col("_m").getField(c).as(prefix + c))
     joined.select(out: _*)
+  }
+
+  /** The hot-key scale path for [[asofJoin]] — identical semantics,
+    * partitioned at (key, time-bucket) granularity instead of (key), so
+    * ONE dominant key (a whole-market price feed, a global config
+    * stream) spreads across `timeline/bucketWidth` tasks instead of
+    * pinning one task's sort. Two stages, both keyed by (key, bucket):
+    *
+    *  1. within-bucket: the same union+window fold, windowed over
+    *     (key, bucket) — finds each left row's latest right row in its
+    *     OWN bucket;
+    *  2. carry-forward: each bucket's CLOSING right row (`max` over the
+    *     (ts, tie)-ordered payload struct — one row per (key, bucket))
+    *     is folded along the key's bucket sequence so every left bucket
+    *     knows the latest right row from all EARLIER buckets; rows whose
+    *     within-bucket leg found nothing fall back to it.
+    *
+    * The fold in stage 2 runs over ≤ #distinct-(key,bucket) rows, not
+    * data-scale rows, so its per-key window is bounded by the timeline
+    * resolution. Output is row-identical to [[asofJoin]] (property-pinned
+    * in AsOfEventsSpec); tolerance composes the same way because
+    * "latest at-or-before" is a running fold over bucket boundaries. */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame, keyCol: String,
+                       tsCol: String, tieCol: String, rightCols: Seq[String],
+                       bucketWidth: Long, toleranceNs: Option[Long] = None,
+                       prefix: String = "asof_"): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val payload = Seq(tsCol, tieCol) ++ rightCols.filterNot(c => c == tsCol || c == tieCol)
+    val leftCols = left.columns.toSeq
+    val bkt = (c: Column) => floor(c / bucketWidth).cast("long")
+    val rPay = struct(payload.map(col): _*)
+    val r = right.select(col(keyCol), col(tsCol), col(tieCol),
+      bkt(col(tsCol)).as("_b"), lit(0).as("_side"),
+      lit(null).cast(left.select(struct(leftCols.map(col): _*)).schema.head.dataType).as("_l"),
+      rPay.as("_r"))
+    val l = left.select(col(keyCol), col(tsCol), col(tieCol),
+      bkt(col(tsCol)).as("_b"), lit(1).as("_side"),
+      struct(leftCols.map(col): _*).as("_l"),
+      lit(null).cast(r.schema("_r").dataType).as("_r"))
+    // stage 1: the usual fold, but partitioned by (key, bucket)
+    val w1 = Window.partitionBy(col(keyCol), col("_b"))
+      .orderBy(col(tsCol), col("_side"), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = r.unionByName(l)
+      .withColumn("_m1", last(col("_r"), ignoreNulls = true).over(w1))
+      .where(col("_side") === 1)
+      .select(col(keyCol), col("_b"), col("_l"), col("_m1"))
+    // stage 2: per-(key,bucket) closing right row. The payload struct is
+    // (ts, tie, …), so struct `max` IS "latest ts, then highest tie" —
+    // the same tie contract as the window fold.
+    val closings = right
+      .groupBy(col(keyCol), bkt(col(tsCol)).as("_b"))
+      .agg(max(rPay).as("_close"))
+      .withColumn("_cb", lit(0))
+    // fold closings along each key's bucket sequence onto the left's
+    // distinct buckets: left bucket-rows (side 1) sort AFTER closing
+    // rows of the same bucket? NO — a left row must not see its OWN
+    // bucket's closing (that row may sit after it in time; stage 1 owns
+    // the bucket interior), so left rows order BEFORE closings at equal
+    // bucket (_cb: left 0 > closing … use -1/0 ordering below).
+    val leftBuckets = within.select(col(keyCol), col("_b")).distinct()
+      .withColumn("_close", lit(null).cast(closings.schema("_close").dataType))
+      .withColumn("_cb", lit(-1))
+    val w2 = Window.partitionBy(keyCol)
+      .orderBy(col("_b"), col("_cb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevClose = closings.unionByName(leftBuckets)
+      .withColumn("_prev", last(col("_close"), ignoreNulls = true).over(w2))
+      .where(col("_cb") === -1)
+      .select(col(keyCol), col("_b"), col("_prev"))
+    val mergedRaw = coalesce(col("_m1"), col("_prev"))
+    val lts = col("_l").getField(tsCol)
+    val merged = toleranceNs match {
+      case Some(tol) => when(lts - mergedRaw.getField(tsCol) <= tol, mergedRaw)
+      case None => mergedRaw
+    }
+    val out = leftCols.map(c => col("_l").getField(c).as(c)) ++
+      payload.map(c => merged.getField(c).as(prefix + c))
+    within.join(prevClose, Seq(keyCol, "_b"))
+      .select(out: _*)
   }
 }

@@ -67,6 +67,28 @@ class AsOfEventsSpec extends SparkSpec {
     }
   }
 
+  test("asofJoinBucketed is row-identical to asofJoin across bucket widths") {
+    val rnd = new scala.util.Random(11)
+    // dense ts range so bucket boundaries land BETWEEN matches and ties
+    // straddle them; key 1 is hot (most rows) to exercise the spread
+    val l = (0 until 400).map(i => (i.toLong,
+      (if (rnd.nextInt(3) == 0) rnd.nextInt(4) + 2 else 1).toLong,
+      rnd.nextInt(120).toLong, rnd.nextDouble()))
+    val r = (1000 until 1500).map(i => (i.toLong,
+      (if (rnd.nextInt(3) == 0) rnd.nextInt(4) + 2 else 1).toLong,
+      rnd.nextInt(120).toLong, rnd.nextDouble()))
+    val lDf = l.toDF("event_id", "user_id", "ts", "value")
+    val rDf = r.toDF("event_id", "user_id", "ts", "value")
+    for (tol <- Seq(None, Some(25L)); width <- Seq(1L, 7L, 64L, 1000L)) {
+      val plain = AsOf.asofJoin(lDf, rDf, "user_id", "ts", "event_id",
+        Seq("value"), toleranceNs = tol).orderBy("event_id").collect().toSeq
+      val bucketed = AsOf.asofJoinBucketed(lDf, rDf, "user_id", "ts", "event_id",
+        Seq("value"), bucketWidth = width, toleranceNs = tol)
+        .orderBy("event_id").collect().toSeq
+      assert(bucketed === plain, s"width=$width tol=$tol")
+    }
+  }
+
   test("asofJoin defaults use the asof_ prefix") {
     val cols = AsOf.asofJoin(purchases, views, "user_id", "ts", "event_id",
       rightCols = Seq("value")).columns.toSet

@@ -136,6 +136,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(keyed === 1, s"expected exactly one keyed shuffle, plan:\n${p.take(1200)}")
   }
 
+  test("bucketed as-of: data-scale windows keyed by (key, bucket), never key alone") {
+    val p = plan(Queries.all("events_asof_bucketed")(spark, sf))
+    // the stage-1 fold must partition by (user_id, _b): a plain
+    // (user_id) window on the union frame would be the hot-key pin the
+    // bucketed form exists to remove. The only (user_id)-alone
+    // partitioning allowed is stage 2's closings fold (≤ one row per
+    // (key, bucket), timeline-bounded, not data-scale).
+    assert(p.contains("hashpartitioning(user_id"), "no keyed shuffle at all")
+    assert("partitionBy=\\[user_id#\\d+L, _b#\\d+L\\]".r.findFirstIn(p).isDefined ||
+      "hashpartitioning\\(user_id#\\d+L, _b#\\d+L".r.findFirstIn(p).isDefined,
+      s"stage-1 window not keyed by (user_id, _b):\n${p.take(1200)}")
+  }
+
   test("source quality rollup is one narrow pass + one combinable agg: no join") {
     val p = plan(Queries.all("source_quality_rollup")(spark, sf))
     assert(!p.contains("Join"), "stats and cascade legs joined — should be one projection")

@@ -566,6 +566,24 @@ object Oracles {
          |SELECT doc_id, n_tok AS n_tokens, reasons, reasons='' kept
          |FROM r ORDER BY doc_id""".stripMargin
     },
+    // intra-doc strip twin: duplicate starts are the j whose 3-gram
+    // already appears in the strict prefix g[1:j-1]; identical 1-based
+    // position arithmetic as strip_boilerplate's covered-union
+    "strip_repeats" ->
+      s"""WITH $Toks,
+         |sh AS (SELECT doc_id, t, CASE WHEN len(t)>=3 THEN
+         |  [list_aggr(t[i:i+2],'string_agg','_') for i in range(1, len(t)-1)]
+         |  ELSE [] END g FROM toks),
+         |st AS (SELECT doc_id, t,
+         |  [j for j in range(1, len(g)+1) if list_contains(g[1:j-1], g[j])] dstarts
+         |  FROM sh),
+         |cv AS (SELECT doc_id, t,
+         |  list_distinct(flatten([range(j, j+3) for j in dstarts])) covered FROM st)
+         |SELECT doc_id,
+         |  array_to_string([t[i] for i in range(1, len(t)+1) if NOT list_contains(covered, i)], ' ') text_clean,
+         |  CAST(len(t) AS BIGINT) n_tokens,
+         |  CAST(len(covered) AS BIGINT) n_stripped
+         |FROM cv ORDER BY doc_id""".stripMargin,
     // rollup twin: per-doc q_score on the same rounded-stats grid as
     // quality_top_decile + the same cascade as quality_filter, then a
     // per-source aggregate whose mean rides the integer 1e-6 grid

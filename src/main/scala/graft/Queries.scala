@@ -344,6 +344,11 @@ object Queries {
     "strip_boilerplate" -> ((s, dir) =>
       TextAnalysis.stripBoilerplate(docs(s, dir), "doc_id", "text", 3, 5)
         .orderBy("doc_id")),
+    // intra-doc repeated-span removal: n-gram occurrences after the
+    // first within a document are deleted (within-doc dedup)
+    "strip_repeats" -> ((s, dir) =>
+      TextAnalysis.stripRepeats(docs(s, dir), "doc_id", "text", 3)
+        .orderBy("doc_id")),
     // domain-level filtering: per-source kept fraction + mean quality
     // signal + keep/drop decision (one narrow pass, one combinable agg)
     "source_quality_rollup" -> ((s, dir) =>

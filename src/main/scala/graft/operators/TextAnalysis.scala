@@ -418,6 +418,47 @@ object TextAnalysis {
 
   /** Shared rebuild stage: drop covered positions, render the surviving
     * token stream. Input: (doc_id, toks, covered 1-based positions). */
+  /** INTRA-document repeated-span removal — the within-doc complement of
+    * [[stripBoilerplate]] (cross-doc) and the strip-side twin of
+    * [[repetitionStats]] (signal-only): every n-gram occurrence AFTER the
+    * first within the same document is deleted, overlapping occurrences
+    * union (the "repeated substring" pathology of generated/templated
+    * text — a doc alternating two phrases keeps one of each). A token
+    * survives iff no repeated n-gram occurrence covers it; the first
+    * occurrence of each n-gram always survives intact unless a DIFFERENT
+    * repeated gram covers it.
+    *
+    * Scale shape: posexplode of the shingle stream, ONE combinable
+    * per-(doc, gram) position-list aggregate (bounded by doc length),
+    * per-doc covered-set aggregate, and a co-keyed join back to the token
+    * row — three doc-keyed shuffles, no window, no driver state, no
+    * corpus-wide structure (contrast stripBoilerplate's global mined
+    * set). The rebuild is the same narrow membership sweep. */
+  def stripRepeats(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame = {
+    val width = docs.sparkSession.sparkContext.defaultParallelism
+    val src0 = docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("gtext"))
+    val src = if (src0.rdd.getNumPartitions < width) src0.repartition(width) else src0
+    val toksDf = src.select(col("doc_id"), TextFns.tokens(col("gtext")).as("toks"))
+    val grams = toksDf
+      .select(col("doc_id"), posexplode(TextFns.shingles(col("toks"), n)))
+      .toDF("doc_id", "p0", "g")
+    // all occurrences after the first, per (doc, gram): sorted position
+    // list, drop the head — 0-based p0 becomes the 1-based start j=p0+1
+    val dupStarts = grams.groupBy(col("doc_id"), col("g"))
+      .agg(sort_array(collect_list(col("p0"))).as("ps"))
+      .where(size(col("ps")) > 1)
+      .select(col("doc_id"),
+        explode(slice(col("ps"), lit(2), greatest(size(col("ps")) - 1, lit(0)))).as("p0"))
+    val covered = dupStarts
+      .select(col("doc_id"), explode(sequence(col("p0") + 1, col("p0") + n)).as("ci"))
+      .groupBy("doc_id").agg(sort_array(collect_set(col("ci"))).as("covered"))
+    val staged = toksDf.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("covered"), array().cast("array<int>")).as("covered"))
+    rebuild(staged)
+  }
+
   private def rebuild(staged: DataFrame): DataFrame =
     staged.select(col("doc_id"),
       concat_ws(" ", filter(col("toks"),

@@ -138,6 +138,29 @@ class AsOfEventsSpec extends SparkSpec {
     assert(out.values.map(_._2).sum === kept)
   }
 
+  test("stripRepeats deletes only post-first n-gram occurrences, overlaps union") {
+    val df = Seq(
+      (1L, "a b c x a b c"),          // 3-gram "a b c" repeats → 2nd occurrence (pos 5-7) stripped
+      (2L, "a a a a a"),              // self-overlapping run: grams at 1..3, dups at 2,3 cover 2..5
+      (3L, "u v w x y z"),            // no repeats → untouched
+      (4L, "p q"),                    // shorter than n → untouched
+      (5L, "")                        // empty → untouched
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.stripRepeats(df, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(out(1L) === (("a b c x", 3L)))
+    assert(out(2L) === (("a", 4L)), "overlapping dups cover positions 2..5")
+    assert(out(3L) === (("u v w x y z", 0L)))
+    assert(out(4L) === (("p q", 0L)))
+    assert(out(5L) === (("", 0L)))
+    // idempotent: stripping a stripped corpus strips nothing
+    val once = TextAnalysis.stripRepeats(df, "doc_id", "text", 3)
+      .select(col("doc_id"), col("text_clean").as("text"))
+    val twice = TextAnalysis.stripRepeats(once, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(twice.values.forall(_ === 0L), "second pass strips nothing")
+  }
+
   test("lengthBuckets partitions every doc exactly once") {
     val df = Seq((1L, "a b c"), (2L, "a b c d e"), (3L, ("t " * 40).trim))
       .toDF("doc_id", "text")

@@ -356,7 +356,7 @@ object Queries {
         .orderBy("source")),
     // batch-shape planning: token-length histogram at width 16
     "length_buckets" -> ((s, dir) =>
-      TextAnalysis.lengthBuckets(docs(s, dir), "doc_id", "text", bucketWidth = 16)
+      TextAnalysis.lengthBuckets(docs(s, dir), "text", bucketWidth = 16)
         .orderBy("len_bucket")),
     "lang_id" -> ((s, dir) =>
       TextAnalysis.langId(docs(s, dir), "doc_id", "text").orderBy("doc_id")),

@@ -47,6 +47,12 @@ object AsOf {
     *                   staler than this are nulled out (common in feature
     *                   lookup: a quote older than the horizon is no quote)
     * @param prefix     prefix for the attached right columns
+    *
+    * Null semantics match a range join's: right rows with a NULL key or
+    * NULL ts can never satisfy `r.key = l.key AND r.ts <= l.ts` and are
+    * dropped up front (unfiltered they would sort nulls-first inside the
+    * window and masquerade as everyone's oldest match); left rows with a
+    * NULL key simply never match.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                tsCol: String, tieCol: String, rightCols: Seq[String],
@@ -54,7 +60,7 @@ object AsOf {
                prefix: String = "asof_"): DataFrame = {
     val payload = Seq(tsCol, tieCol) ++ rightCols.filterNot(c => c == tsCol || c == tieCol)
     val leftCols = left.columns.toSeq
-    val r = right.select(
+    val r = right.where(col(keyCol).isNotNull && col(tsCol).isNotNull).select(
       col(keyCol), col(tsCol), col(tieCol), lit(0).as("_side"),
       lit(null).cast(left.select(struct(leftCols.map(col): _*)).schema.head.dataType).as("_l"),
       struct(payload.map(col): _*).as("_r"))
@@ -90,8 +96,8 @@ object AsOf {
     *  1. within-bucket: the same union+window fold, windowed over
     *     (key, bucket) — finds each left row's latest right row in its
     *     OWN bucket;
-    *  2. carry-forward: each bucket's CLOSING right row (`max` over the
-    *     (ts, tie)-ordered payload struct — one row per (key, bucket))
+    *  2. carry-forward: each bucket's CLOSING right row (`max_by` on the
+    *     (ts, tie) ordering key — one row per (key, bucket))
     *     is folded along the key's bucket sequence so every left bucket
     *     knows the latest right row from all EARLIER buckets; rows whose
     *     within-bucket leg found nothing fall back to it.
@@ -110,7 +116,10 @@ object AsOf {
     val leftCols = left.columns.toSeq
     val bkt = (c: Column) => floor(c / bucketWidth).cast("long")
     val rPay = struct(payload.map(col): _*)
-    val r = right.select(col(keyCol), col(tsCol), col(tieCol),
+    // same null doctrine as asofJoin: null-key/null-ts right rows can
+    // never satisfy the range predicate — drop before either stage
+    val right1 = right.where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+    val r = right1.select(col(keyCol), col(tsCol), col(tieCol),
       bkt(col(tsCol)).as("_b"), lit(0).as("_side"),
       lit(null).cast(left.select(struct(leftCols.map(col): _*)).schema.head.dataType).as("_l"),
       rPay.as("_r"))
@@ -126,19 +135,20 @@ object AsOf {
       .withColumn("_m1", last(col("_r"), ignoreNulls = true).over(w1))
       .where(col("_side") === 1)
       .select(col(keyCol), col("_b"), col("_l"), col("_m1"))
-    // stage 2: per-(key,bucket) closing right row. The payload struct is
-    // (ts, tie, …), so struct `max` IS "latest ts, then highest tie" —
-    // the same tie contract as the window fold.
-    val closings = right
+    // stage 2: per-(key,bucket) closing right row — max_by over the
+    // (ts, tie) ORDERING struct (the same tie contract as the window
+    // fold), carrying the payload unordered so non-orderable payload
+    // types (maps, …) work exactly as they do in asofJoin's last()
+    val closings = right1
       .groupBy(col(keyCol), bkt(col(tsCol)).as("_b"))
-      .agg(max(rPay).as("_close"))
+      .agg(max_by(rPay, struct(col(tsCol), col(tieCol))).as("_close"))
       .withColumn("_cb", lit(0))
     // fold closings along each key's bucket sequence onto the left's
-    // distinct buckets: left bucket-rows (side 1) sort AFTER closing
-    // rows of the same bucket? NO — a left row must not see its OWN
-    // bucket's closing (that row may sit after it in time; stage 1 owns
-    // the bucket interior), so left rows order BEFORE closings at equal
-    // bucket (_cb: left 0 > closing … use -1/0 ordering below).
+    // distinct buckets. A left bucket must NOT see its own bucket's
+    // closing (that right row may sit after a given left row in time —
+    // stage 1 owns the bucket interior), so left bucket-rows order
+    // BEFORE closings at the same bucket (_cb -1 vs 0) and the running
+    // last() sees strictly-earlier buckets only.
     val leftBuckets = within.select(col(keyCol), col("_b")).distinct()
       .withColumn("_close", lit(null).cast(closings.schema("_close").dataType))
       .withColumn("_cb", lit(-1))
@@ -157,7 +167,10 @@ object AsOf {
     }
     val out = leftCols.map(c => col("_l").getField(c).as(c)) ++
       payload.map(c => merged.getField(c).as(prefix + c))
-    within.join(prevClose, Seq(keyCol, "_b"))
+    // null-SAFE key equality: a plain equi-join would drop null-key left
+    // rows (asofJoin passes them through with a null match — same here)
+    within.as("w").join(prevClose.as("pc"),
+        col(s"w.$keyCol") <=> col(s"pc.$keyCol") && col("w._b") === col("pc._b"))
       .select(out: _*)
   }
 }

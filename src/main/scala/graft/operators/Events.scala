@@ -13,24 +13,25 @@ object Events {
 
   /** Per-(series, hour) volume z-scores with an anomaly flag.
     *
-    * Two shuffles total: one combinable count to the hourly grain, then
-    * the per-series moment aggregation — computed as a window over the
-    * SAME partitioning key, so AQE/exchange-reuse keeps it on the hourly
-    * frame's layout (series cardinality is bounded: event types, source
-    * ids). The z-score uses explicit integer moments (n, Σx, Σx²) rather
-    * than `stddev_samp` so the arithmetic sequence is bit-identical in
-    * any engine that sums exact long counts — the oracle twin mirrors
-    * the formula token for token. σ=0 series (constant volume) emit NULL
-    * z and never flag.
+    * Two shuffles total: one combinable count to the (hour, series)
+    * grain, then the per-series moment window — a second, coarser-keyed
+    * exchange over the already-tiny hourly frame (≤ #series × #hours
+    * rows), never over the events. The z-score uses explicit integer
+    * moments (n, Σx, Σx²) rather than `stddev_samp` so the arithmetic
+    * sequence is bit-identical in any engine that sums exact long
+    * counts — the oracle twin mirrors the formula token for token. σ=0
+    * series (constant volume) emit NULL z and never flag.
     *
-    * @param events    frame with a long-nanos `ts` column
+    * @param events    frame with a long-nanos timestamp column
     * @param seriesCol grouping column defining each monitored series
+    * @param tsCol     the long-nanos timestamp column name
     * @param zFlag     |z| at or above which `is_anomaly` fires
     */
   def hourlyAnomalies(events: DataFrame, seriesCol: String,
+                      tsCol: String = "ts",
                       zFlag: Double = 3.0): DataFrame = {
     val hourly = events
-      .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col(seriesCol))
+      .groupBy(expr(s"`$tsCol` div 3600000000000").as("hour_bucket"), col(seriesCol))
       .agg(count("*").as("n_events"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(seriesCol)
     val cnt = count(lit(1)).over(w)

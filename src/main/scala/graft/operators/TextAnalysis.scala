@@ -41,6 +41,16 @@ object TextAnalysis {
       passThrough.map(col): _*)
   }
 
+  /** The composite quality signal on [[qualityStats]]' rounded grid:
+    * 0.5·stop_ratio + 0.3·ttr + 0.2·min(mean_tok_len/10, 1), rounded to
+    * the 1e-6 grid — ONE definition shared by [[qualityPercentile]],
+    * [[qualityPercentileApprox]] and [[sourceQualityRollup]] (and
+    * hand-mirrored by their oracles; a weight tweak edits exactly two
+    * sites: here and the oracle strings). */
+  def qScore6(stopRatio: Column, ttr: Column, meanTokLen: Column): Column =
+    round(stopRatio * 0.5 + ttr * 0.3 +
+      least(meanTokLen / 10.0, lit(1.0)) * 0.2, 6)
+
   /** Per-stratum quality-percentile cut — the thresholding step a
     * training pipeline runs after scoring ("keep the top keepTop
     * fraction of each language by quality"). The composite signal
@@ -56,8 +66,7 @@ object TextAnalysis {
   def qualityPercentile(docs: DataFrame, idCol: String, textCol: String,
                         stratumCol: String, minRank: Double = 0.9): DataFrame = {
     val s = qualityStats(docs, idCol, textCol, Seq(stratumCol))
-    val score = round(col("stop_ratio") * 0.5 + col("ttr") * 0.3 +
-      least(col("mean_tok_len") / 10.0, lit(1.0)) * 0.2, 6)
+    val score = qScore6(col("stop_ratio"), col("ttr"), col("mean_tok_len"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol)).orderBy(col("q_score"), col("doc_id"))
     // the threshold is taken as ONE literal (minRank), never derived by
@@ -83,8 +92,8 @@ object TextAnalysis {
                               stratumCol: String, minRank: Double = 0.9,
                               accuracy: Int = 10000): DataFrame = {
     val s = qualityStats(docs, idCol, textCol, Seq(stratumCol))
-      .withColumn("q_score", round(col("stop_ratio") * 0.5 + col("ttr") * 0.3 +
-        least(col("mean_tok_len") / 10.0, lit(1.0)) * 0.2, 6))
+      .withColumn("q_score",
+        qScore6(col("stop_ratio"), col("ttr"), col("mean_tok_len")))
     val thresholds = s.groupBy(col(stratumCol))
       .agg(percentile_approx(col("q_score"), lit(minRank), lit(accuracy)).as("q_min"))
     s.join(broadcast(thresholds), stratumCol)
@@ -249,22 +258,14 @@ object TextAnalysis {
                           sourceCol: String,
                           th: QualityThresholds = QualityThresholds(),
                           minKeptFrac: Double = 0.5): DataFrame = {
-    val toks = TextFns.tokens(col(textCol))
-    val nTok = size(toks)
-    val nUniq = size(array_distinct(toks))
-    val nStop = size(filter(toks, t => array_contains(typedLit(StopwordsEn), t)))
-    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-    // the ROUNDED ratios (qualityStats' grid) feed the composite signal,
-    // exactly as qualityPercentile builds q_score
-    def r6(c: Column): Column = when(nTok > 0, round(c, 6)).otherwise(lit(0.0))
-    val ttr6 = r6(nUniq.cast("double") / nTok)
-    val stop6 = r6(nStop.cast("double") / nTok)
-    val mtl6 = r6(sumLen.cast("double") / nTok)
-    val qScore = round(stop6 * 0.5 + ttr6 * 0.3 +
-      least(mtl6 / 10.0, lit(1.0)) * 0.2, 6)
-    val perDoc = docs.select(
+    // compose the existing single-pass pieces — qualityStats' rounded
+    // grid, the shared q-score, the shared cascade — as stacked
+    // projections over one scan (Catalyst collapses them; no join)
+    val s = qualityStats(docs, idCol, textCol, Seq(sourceCol, textCol))
+    val perDoc = s.select(
       col(sourceCol).as("source"),
-      round(qScore * 1e6).cast("long").as("q6"),
+      round(qScore6(col("stop_ratio"), col("ttr"), col("mean_tok_len")) * 1e6)
+        .cast("long").as("q6"),
       (filterReasons(col(textCol), th) === "").cast("long").as("kept"))
     perDoc.groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_kept"),
@@ -282,7 +283,7 @@ object TextAnalysis {
     * tokens, how heavy is the long tail). Integer bucket arithmetic
     * (`div`), one combinable aggregation, output bounded by
     * maxDocLen/width. */
-  def lengthBuckets(docs: DataFrame, idCol: String, textCol: String,
+  def lengthBuckets(docs: DataFrame, textCol: String,
                     bucketWidth: Int = 64): DataFrame =
     docs.select(size(TextFns.tokens(col(textCol))).cast("long").as("n_tokens"))
       .select(expr(s"n_tokens div $bucketWidth").as("len_bucket"), col("n_tokens"))
@@ -364,14 +365,7 @@ object TextAnalysis {
     val mined = boilerplateNgrams(docs, idCol, textCol, n, minDf)
       .localCheckpoint(true)
     val nMined = mined.count()
-    // the compute below is per-row CPU-bound: a single-file corpus scan
-    // arrives as ONE partition (observed: 72 s single-core at sf0.1),
-    // so spread it to cluster width first — one round-robin shuffle of
-    // (id, text) buys full parallelism for the rewrite
-    val width = docs.sparkSession.sparkContext.defaultParallelism
-    val src0 = docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("gtext"))
-    val src = if (src0.rdd.getNumPartitions < width) src0.repartition(width) else src0
-    val toksDf = src
+    val toksDf = spreadDocs(docs, idCol, textCol)
       .select(col("doc_id"), TextFns.tokens(col("gtext")).as("toks"))
       .select(col("doc_id"), col("toks"), TextFns.shingles(col("toks"), n).as("sh"))
 
@@ -416,8 +410,16 @@ object TextAnalysis {
     }
   }
 
-  /** Shared rebuild stage: drop covered positions, render the surviving
-    * token stream. Input: (doc_id, toks, covered 1-based positions). */
+  /** The per-row CPU-bound strip stages need cluster-width parallelism,
+    * but a single-file corpus scan arrives as ONE partition (observed:
+    * 72 s single-core at sf0.1) — spread (id, text) round-robin first.
+    * Shared preamble of [[stripBoilerplate]] and [[stripRepeats]]. */
+  private def spreadDocs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val width = docs.sparkSession.sparkContext.defaultParallelism
+    val src0 = docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("gtext"))
+    if (src0.rdd.getNumPartitions < width) src0.repartition(width) else src0
+  }
+
   /** INTRA-document repeated-span removal — the within-doc complement of
     * [[stripBoilerplate]] (cross-doc) and the strip-side twin of
     * [[repetitionStats]] (signal-only): every n-gram occurrence AFTER the
@@ -436,10 +438,8 @@ object TextAnalysis {
     * set). The rebuild is the same narrow membership sweep. */
   def stripRepeats(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3): DataFrame = {
-    val width = docs.sparkSession.sparkContext.defaultParallelism
-    val src0 = docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("gtext"))
-    val src = if (src0.rdd.getNumPartitions < width) src0.repartition(width) else src0
-    val toksDf = src.select(col("doc_id"), TextFns.tokens(col("gtext")).as("toks"))
+    val toksDf = spreadDocs(docs, idCol, textCol)
+      .select(col("doc_id"), TextFns.tokens(col("gtext")).as("toks"))
     val grams = toksDf
       .select(col("doc_id"), posexplode(TextFns.shingles(col("toks"), n)))
       .toDF("doc_id", "p0", "g")
@@ -459,6 +459,8 @@ object TextAnalysis {
     rebuild(staged)
   }
 
+  /** Shared rebuild stage: drop covered positions, render the surviving
+    * token stream. Input: (doc_id, toks, covered 1-based positions). */
   private def rebuild(staged: DataFrame): DataFrame =
     staged.select(col("doc_id"),
       concat_ws(" ", filter(col("toks"),

@@ -89,6 +89,46 @@ class AsOfEventsSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin null semantics: null-key/null-ts right rows never match; null-key left never matches") {
+    val lRows = Seq(
+      Row(1L, java.lang.Long.valueOf(1L), java.lang.Long.valueOf(100L), 1.0),
+      Row(2L, null, java.lang.Long.valueOf(100L), 2.0))
+    val rRows = Seq(
+      Row(10L, java.lang.Long.valueOf(1L), null, 3.0),   // null ts → dropped
+      Row(11L, null, java.lang.Long.valueOf(50L), 4.0),  // null key → dropped
+      Row(12L, java.lang.Long.valueOf(1L), java.lang.Long.valueOf(60L), 5.0))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType, false),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType, true),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType, true),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType, false)))
+    import scala.jdk.CollectionConverters._
+    val lDf = spark.createDataFrame(lRows.asJava, schema)
+    val rDf = spark.createDataFrame(rRows.asJava, schema)
+    for (fn <- Seq(
+      AsOf.asofJoin(lDf, rDf, "user_id", "ts", "event_id", Seq("value")),
+      AsOf.asofJoinBucketed(lDf, rDf, "user_id", "ts", "event_id", Seq("value"), 50L))) {
+      val m = fn.collect().map { r =>
+        val i = r.fieldIndex("asof_event_id")
+        r.getLong(0) -> (if (r.isNullAt(i)) -1L else r.getLong(i))
+      }.toMap
+      assert(m(1L) === 12L, "only the fully-keyed right row matches")
+      assert(m(2L) === -1L, "null-key left row matches nothing")
+    }
+  }
+
+  test("asofJoinBucketed carries non-orderable (map) payload columns") {
+    val l = purchases
+    val r = views.withColumn("props", map(lit("k"), col("event_id").cast("string")))
+    val out = AsOf.asofJoinBucketed(l, r, "user_id", "ts", "event_id",
+      Seq("value", "props"), bucketWidth = 300L, prefix = "v_")
+      .collect().map(row => row.getLong(0) ->
+        (if (row.isNullAt(row.fieldIndex("v_props"))) null
+         else row.getMap[String, String](row.fieldIndex("v_props")).get("k").orNull)).toMap
+    assert(out(100L) === "11", "map payload rides the closing carry-forward")
+    assert(out(102L) === null)
+  }
+
   test("asofJoin defaults use the asof_ prefix") {
     val cols = AsOf.asofJoin(purchases, views, "user_id", "ts", "event_id",
       rightCols = Seq("value")).columns.toSet
@@ -164,7 +204,7 @@ class AsOfEventsSpec extends SparkSpec {
   test("lengthBuckets partitions every doc exactly once") {
     val df = Seq((1L, "a b c"), (2L, "a b c d e"), (3L, ("t " * 40).trim))
       .toDF("doc_id", "text")
-    val out = TextAnalysis.lengthBuckets(df, "doc_id", "text", bucketWidth = 4)
+    val out = TextAnalysis.lengthBuckets(df, "text", bucketWidth = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.map(_._2).sum === 3L, "every doc in exactly one bucket")
     assert(out.map(_._3).sum === 3L + 5L + 40L, "token mass conserved")

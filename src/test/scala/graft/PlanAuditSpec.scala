@@ -158,6 +158,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(keyed === 1, s"expected one keyed shuffle on source, plan:\n${p.take(1200)}")
   }
 
+  test("temperature mix: rate table broadcasts, corpus side stays unshuffled") {
+    val p = plan(Queries.all("mix_temperature")(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "rate table not broadcast")
+    // the corpus side must NOT hash-shuffle on source for the join —
+    // only the tiny counts aggregate may
+    assert(!p.contains("SortMergeJoin"), "corpus shuffled into a sort-merge join")
+  }
+
+  test("strip_repeats: all shuffles are doc-keyed, no corpus-global structure") {
+    val p = plan(Queries.all("strip_repeats")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), "unexpected global attach")
+    assert(!p.contains("CartesianProduct"), "cartesian in strip plan")
+    // every keyed exchange carries doc_id (the (doc,gram) agg, the
+    // per-doc covered agg, the join back); nothing keys on gram alone
+    val keyedNonDoc = "hashpartitioning\\((?!doc_id)".r.findAllIn(p).size
+    assert(keyedNonDoc === 0, s"non-doc-keyed shuffle:\n${p.take(1200)}")
+  }
+
   test("anomaly scoring reuses the hourly partitioning for the moment window") {
     val p = plan(Queries.all("events_anomaly")(spark, sf))
     assert(!p.contains("Join"), "moments joined back instead of windowed")

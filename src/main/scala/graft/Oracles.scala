@@ -701,6 +701,17 @@ object Oracles {
          |FROM dd d JOIN r USING(source)
          |WHERE ${h60("doc_id::VARCHAR")} < CAST(floor(rate*1152921504606846976.0) AS BIGINT)
          |ORDER BY doc_id""".stripMargin,
+    // projection twin: the SAME ±1 literals (regenerated from the shared
+    // md5 family) against the quantized grid — exact integer sums
+    "random_project" -> {
+      val cols = (0 until 8).map { j =>
+        val signs = Similarity.hyperplaneSigns(Queries.Dim, j, "rp")
+          .map(d => if (d > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+        s"CAST(list_dot_product(qv, $signs) AS BIGINT)"
+      }.mkString("[", ", ", "]")
+      s"""WITH $EmbQ
+         |SELECT vec_id, $cols AS proj FROM e ORDER BY vec_id""".stripMargin
+    },
     "mix_sources" -> {
       val vals = graft.Queries.MixWeights.toSeq.sortBy(_._1)
         .map { case (s, w) => s"('$s',$w)" }.mkString(",")

@@ -402,6 +402,13 @@ object Queries {
       Sampling.sqrtTemperatureSample(skewed, "doc_id", "source")
         .select("doc_id", "source", "keep_rate").orderBy("doc_id")
     }),
+    // JL-style ±1 random projection 64→8 dims over the quantized grid
+    // (exact integer sums — engine-identical, no stored model)
+    "random_project" -> ((s, dir) =>
+      emb(s, dir).select(col("vec_id"),
+        Embed.randomProject(VecFns.quantize(col("embedding")), Dim, 8, "rp")
+          .as("proj"))
+        .orderBy("vec_id")),
     // integer source-weight mixing: one replica per epoch per weight unit
     "mix_sources" -> ((s, dir) =>
       Sampling.mixSources(docs(s, dir), "source", MixWeights)

@@ -29,6 +29,25 @@ object Embed {
       .agg(sum("s").as("v"))
   }
 
+  /** Sign-random-projection dimensionality reduction over a QUANTIZED
+    * embedding column: y_j = Σ_d s_{j,d}·qx_d with s ∈ {±1} drawn from
+    * the shared md5 hyperplane family ([[Similarity.hyperplaneSigns]] —
+    * the same matrix every engine/run regenerates from (seed, j, d), so
+    * the projection needs no stored model and is exactly reproducible).
+    * Achlioptas-style sign projections preserve pairwise distances in
+    * expectation (the JL lemma's database-friendly form) at k ≪ dim —
+    * the cheap pre-pass before clustering/ANN when 384-d is too wide.
+    * Over quantized integer components the ±sums stay exact in doubles
+    * (|Σ| ≤ dim·1e7 ≪ 2^53), so the DuckDB twin is bit-identical with
+    * no rounding grid. Narrow per-row map: k codegen'd dot products
+    * against array literals, no shuffle, no UDF. */
+  def randomProject(vecQ: org.apache.spark.sql.Column, dim: Int, k: Int,
+                    seed: String = "rp"): org.apache.spark.sql.Column =
+    array((0 until k).map { j =>
+      val signs = typedLit(Similarity.hyperplaneSigns(dim, j, seed))
+      graft.functions.VecFns.dot(vecQ, signs).cast("long")
+    }: _*)
+
   /** Dense embedding column from sparse entries (map lookup per slot). */
   def toDense(entries: DataFrame, dim: Int): DataFrame = {
     val m = entries.groupBy("doc_id")

@@ -154,4 +154,35 @@ class PropertySpec extends SparkSpec {
       .where(not($"fast" === $"slow")).count()
     assert(mism === 0)
   }
+
+  test("stripRepeats equals the naive per-doc reference on random small-alphabet corpora") {
+    // tiny alphabet + long docs force heavy, overlapping repeats — the
+    // regime where off-by-one in the covered-union arithmetic would show
+    val rnd = new scala.util.Random(23)
+    val n = 3
+    val docs = (0 until 120).map { i =>
+      val len = rnd.nextInt(30)
+      (i.toLong, (0 until len).map(_ => ('a' + rnd.nextInt(3)).toChar.toString)
+        .mkString(" "))
+    }
+    def naive(text: String): (String, Long) = {
+      val t = text.split("\\s+").filter(_.nonEmpty)
+      val grams = (0 to t.length - n).map(j => t.slice(j, j + n).mkString("_"))
+      val seen = scala.collection.mutable.Set.empty[String]
+      val dup = scala.collection.mutable.Set.empty[Int]
+      grams.zipWithIndex.foreach { case (g, j0) =>
+        if (seen.contains(g)) dup ++= (j0 + 1 to j0 + n) // 1-based cover
+        else seen += g
+      }
+      val clean = t.zipWithIndex.collect {
+        case (tok, i0) if !dup.contains(i0 + 1) => tok }
+      (clean.mkString(" "), dup.size.toLong)
+    }
+    val got = graft.operators.TextAnalysis
+      .stripRepeats(docs.toDF("doc_id", "text"), "doc_id", "text", n)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id) === naive(text), s"doc $id: '$text'")
+    }
+  }
 }

@@ -85,6 +85,43 @@ class VecFnsSpec extends SparkSpec {
       ids(Similarity.ivfTopKTrained(e, "vec_id", "embedding", q0, 16, 4, 20)))
   }
 
+  test("random projection: exact signed sums, linearity, and JL rank preservation") {
+    import graft.operators.Embed
+    // hand-check: qv of all-ones → y_j = Σ_d s_{j,d} exactly
+    val ones = (1 to 1).map(i => (i.toLong, Array.fill(8)(1e-7f))).toDF("vec_id", "embedding")
+    val y = ones.select(Embed.randomProject(VecFns.quantize($"embedding"), 8, 4, "rp").as("p"))
+      .head().getSeq[Long](0)
+    (0 until 4).foreach { j =>
+      val expect = Similarity.hyperplaneSigns(8, j, "rp").sum.toLong
+      assert(y(j) === expect, s"component $j")
+    }
+    // JL sanity on real vectors: a vector's nearest neighbor by cosine
+    // usually stays nearer than a random far vector after 64→16 projection
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(60)
+    val proj = e.select($"vec_id",
+        Embed.randomProject(VecFns.quantize($"embedding"), 64, 16, "rp").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val raw = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]) = {
+      val d = a.zip(b).map { case (x, y0) => x * y0 }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    def cosL(a: Array[Long], b: Array[Long]) = {
+      val d = a.zip(b).map { case (x, y0) => x.toDouble * y0 }.sum
+      d / math.sqrt(a.map(x => x.toDouble * x).sum * b.map(x => x.toDouble * x).sum)
+    }
+    val ids = raw.keys.toSeq.sorted
+    var agree = 0; var total = 0
+    for (q <- ids.take(20)) {
+      val others = ids.filterNot(_ == q)
+      val near = others.maxBy(o => cos(raw(q), raw(o)))
+      val far = others.minBy(o => cos(raw(q), raw(o)))
+      total += 1
+      if (cosL(proj(q), proj(near)) > cosL(proj(q), proj(far))) agree += 1
+    }
+    assert(agree >= (total * 0.8).toInt, s"JL rank agreement $agree/$total")
+  }
+
   test("lsh bucket is stable across evaluation paths") {
     val vecs = (1L to 50L).map(i => (i, Array.tabulate(8)(j => math.cos(i + j).toFloat)))
     val df = vecs.toDF("vec_id", "embedding")

@@ -121,6 +121,33 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Stream-side point-in-time enrichment: every micro-batch of left
+    * events is as-of joined ([[graft.operators.AsOf.asofJoin]] — union+
+    * window, no range explosion) against a STATIC reference table and
+    * appended to a parquet sink. The composition a feature pipeline
+    * needs when the reference is a slowly-rebuilt snapshot (features,
+    * prices as-of) and the probe side streams: foreachBatch keeps the
+    * batch operator's exact semantics (ties, nulls, tolerance) per
+    * micro-batch with zero operator re-implementation. For a fast-
+    * moving reference, rebuild the snapshot between batches — the
+    * lambda re-reads `right` each call. */
+  def asofEnrich(stream: DataFrame, right: () => DataFrame,
+                 keyCol: String, tsCol: String, tieCol: String,
+                 rightCols: Seq[String], outPath: String, checkpoint: String,
+                 toleranceNs: Option[Long] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.AsOf
+          .asofJoin(batch, right(), keyCol, tsCol, tieCol, rightCols,
+            toleranceNs)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+
   /** Continuous index maintenance: each micro-batch is checksum-gated
     * through the SAME anti-join upsert as the batch path (P4/J6) — the
     * streaming rendition of the reference's re-ingest story

@@ -91,6 +91,31 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment matches the batch operator per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-asof-stream").toString
+    val refRows = Seq((10L, 1L, 100L, 1.5), (11L, 1L, 300L, 2.5), (12L, 2L, 50L, 3.5))
+    val ref = refRows.toDF("event_id", "user_id", "ts", "value")
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val stream = mem.toDF().toDF("event_id", "user_id", "ts", "value")
+    val q = Streams.asofEnrich(stream, () => ref, "user_id", "ts", "event_id",
+      Seq("value"), s"$dir/out", s"$dir/ckpt")
+    try {
+      mem.addData((100L, 1L, 200L, 9.0), (101L, 2L, 40L, 8.0))
+      q.processAllAvailable()
+      mem.addData((102L, 1L, 400L, 7.0))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out").collect().map { r =>
+        val i = r.fieldIndex("asof_event_id")
+        r.getLong(0) -> (if (r.isNullAt(i)) -1L else r.getLong(i))
+      }.toMap
+      assert(out(100L) === 10L, "batch 1: ts 200 sees ref ts 100")
+      assert(out(101L) === -1L, "batch 1: before any ref row")
+      assert(out(102L) === 11L, "batch 2: ts 400 sees ref ts 300")
+    } finally q.stop()
+  }
+
   test("streaming incremental upsert maintains parquet state via foreachBatch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -74,11 +74,15 @@ object Oracles {
   /** Random-hyperplane bucket expression with the SAME literal signs as
     * Similarity.lshBucket (derived on the driver from the shared md5
     * family). */
+  /** SQL list literal of hyperplane j's ±1 signs — ONE rendering shared
+    * by the LSH-bucket and random-projection oracles. */
+  private def signsSql(dim: Int, j: Int, seed: String): String =
+    Similarity.hyperplaneSigns(dim, j, seed)
+      .map(d => if (d > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+
   private def bucketExpr(vcol: String, dim: Int, nBits: Int, seed: String): String =
     (0 until nBits).map { j =>
-      val signs = Similarity.hyperplaneSigns(dim, j, seed)
-        .map(d => if (d > 0) "1.0" else "-1.0").mkString("[", ",", "]")
-      s"(CASE WHEN list_dot_product($vcol, $signs) > 0 THEN ${1L << j} ELSE 0 END)"
+      s"(CASE WHEN list_dot_product($vcol, ${signsSql(dim, j, seed)}) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
   // canonicalize (TextFns.canonicalize twin); g = regexp_replace global flag
@@ -705,9 +709,7 @@ object Oracles {
     // md5 family) against the quantized grid — exact integer sums
     "random_project" -> {
       val cols = (0 until 8).map { j =>
-        val signs = Similarity.hyperplaneSigns(Queries.Dim, j, "rp")
-          .map(d => if (d > 0) "1.0" else "-1.0").mkString("[", ",", "]")
-        s"CAST(list_dot_product(qv, $signs) AS BIGINT)"
+        s"CAST(list_dot_product(qv, ${signsSql(Queries.Dim, j, "rp")}) AS BIGINT)"
       }.mkString("[", ", ", "]")
       s"""WITH $EmbQ
          |SELECT vec_id, $cols AS proj FROM e ORDER BY vec_id""".stripMargin

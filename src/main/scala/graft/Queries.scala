@@ -348,7 +348,11 @@ object Queries {
     // them back (range-clustered by doc_id), and hash-check the content
     // against the source of truth — proves the rewrite loses nothing
     "parquet_compact_roundtrip" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+      // FIXED per-JVM scratch path, overwritten each run — a fresh
+      // createTempDirectory per execution would accumulate two corpus
+      // copies per bench/verify pass and eventually fill the temp FS
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-compact-roundtrip").toString
       docs(s, dir).repartition(64).write.mode("overwrite").parquet(s"$tmp/frag")
       Compact.compactParquet(s, s"$tmp/frag", s"$tmp/out",
         targetBytes = 1L << 30, clusterBy = Seq("doc_id"))

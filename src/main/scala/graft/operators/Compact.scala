@@ -51,14 +51,26 @@ object Compact {
     CompactStats(filesIn, bytesIn, filesOut, bytesOut, rows)
   }
 
-  /** (data file count, total bytes) of a directory's non-hidden files. */
+  /** (data file count, total bytes) of a directory tree's non-hidden
+    * files — RECURSIVE, so hive-partitioned layouts (`date=…/part-*`)
+    * size correctly (a flat listing would see 0 files and collapse the
+    * whole rewrite into one output partition). */
   private def dirStats(spark: SparkSession, dir: String): (Long, Long) = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(p).filter { st =>
+    var files = 0L
+    var bytes = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
       val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      // skip hidden data and anything under a hidden dir (_temporary)
+      val hidden = st.getPath.toString.split('/')
+        .exists(s => s.startsWith("_") || (s.startsWith(".") && s.length > 1))
+      if (!hidden && !n.startsWith("_") && !n.startsWith(".")) {
+        files += 1; bytes += st.getLen
+      }
     }
-    (files.length.toLong, files.map(_.getLen).sum)
+    (files, bytes)
   }
 }

@@ -73,7 +73,8 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
-  final case class SeriesMoments(cnt: Long, s1: Long, s2: Long)
+  final case class SeriesMoments(cnt: Long, s1: Long, s2: Long,
+                                 lastHour: Long = Long.MinValue)
   final case class HourAnomaly(series: String, hour_bucket: Long,
                                n_events: Long, z: Option[Double],
                                is_anomaly: Boolean)
@@ -89,7 +90,11 @@ object Streams {
     * The z arithmetic is the same explicit-integer-moment sequence as
     * the batch operator; hours arriving before `minHistory` prior hours
     * exist score None (a monitor has no baseline yet), as do σ=0
-    * histories. */
+    * histories. LATE hours — an hour at or before one already folded
+    * (backfill, replayed topic) — are emitted with z=None and NOT
+    * folded: folding them would score them against a future-inclusive
+    * baseline and permanently skew the moments, silently breaking the
+    * prequential contract. */
   def runningAnomalies(hours: Dataset[(String, Long, Long)],
                        zFlag: Double = 3.0,
                        minHistory: Int = 5): Dataset[HourAnomaly] = {
@@ -101,17 +106,22 @@ object Streams {
       // process in hour order: within a micro-batch each hour must see
       // exactly the moments of the hours before it
       val out = rows.toSeq.sortBy(_._2).map { case (_, hour, n) =>
-        val z: Option[Double] =
-          if (m.cnt >= minHistory) {
-            val mu = m.s1.toDouble / m.cnt
-            val varr = (m.s2.toDouble - m.s1.toDouble * m.s1 / m.cnt) / (m.cnt - 1)
-            if (varr > 0)
-              Some(BigDecimal((n - mu) / math.sqrt(varr))
-                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-            else None
-          } else None
-        m = SeriesMoments(m.cnt + 1, m.s1 + n, m.s2 + n * n)
-        HourAnomaly(series, hour, n, z, z.exists(x => math.abs(x) >= zFlag))
+        if (hour <= m.lastHour) {
+          // late arrival: never fold, never score (see scaladoc)
+          HourAnomaly(series, hour, n, None, is_anomaly = false)
+        } else {
+          val z: Option[Double] =
+            if (m.cnt >= minHistory) {
+              val mu = m.s1.toDouble / m.cnt
+              val varr = (m.s2.toDouble - m.s1.toDouble * m.s1 / m.cnt) / (m.cnt - 1)
+              if (varr > 0)
+                Some(BigDecimal((n - mu) / math.sqrt(varr))
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              else None
+            } else None
+          m = SeriesMoments(m.cnt + 1, m.s1 + n, m.s2 + n * n, hour)
+          HourAnomaly(series, hour, n, z, z.exists(x => math.abs(x) >= zFlag))
+        }
       }
       st.update(m)
       out.iterator
@@ -130,7 +140,13 @@ object Streams {
     * batch operator's exact semantics (ties, nulls, tolerance) per
     * micro-batch with zero operator re-implementation. For a fast-
     * moving reference, rebuild the snapshot between batches — the
-    * lambda re-reads `right` each call. */
+    * lambda re-reads `right` each call.
+    *
+    * IDEMPOTENT under foreachBatch's at-least-once replay (the
+    * [[nearDupIngestBatch]] doctrine): output grows as one
+    * `enrich_batch=<id>` partition per micro-batch written with dynamic
+    * partition overwrite, so a batch replayed after a crash REWRITES
+    * its own partition instead of appending duplicates. */
   def asofEnrich(stream: DataFrame, right: () => DataFrame,
                  keyCol: String, tsCol: String, tieCol: String,
                  rightCols: Seq[String], outPath: String, checkpoint: String,
@@ -139,11 +155,15 @@ object Streams {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.AsOf
           .asofJoin(batch, right(), keyCol, tsCol, tieCol, rightCols,
             toleranceNs)
-          .write.mode("append").parquet(outPath)
+          .withColumn("enrich_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("enrich_batch")
+          .parquet(outPath)
         ()
       }
       .start()

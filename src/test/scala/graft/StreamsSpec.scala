@@ -88,6 +88,17 @@ class StreamsSpec extends SparkSpec {
       val y = spark.sql("select * from anom_out where series='y'")
         .as[Streams.HourAnomaly].collect()
       assert(y.length === 1 && y.head.z.isEmpty, "fresh series has no baseline")
+      // LATE arrival (hour 3 after hour 7 folded): emitted unscored,
+      // never folded — the next in-order hour's baseline is unskewed
+      mem.addData(("x", 3L, 999L), ("x", 8L, 10L))
+      q.processAllAvailable()
+      val late = spark.sql("select * from anom_out where series='x' and n_events=999")
+        .as[Streams.HourAnomaly].collect()
+      assert(late.length === 1 && late.head.z.isEmpty && !late.head.is_anomaly,
+        "late hour unscored, unflagged")
+      val h8 = spark.sql("select * from anom_out where series='x' and hour_bucket=8")
+        .as[Streams.HourAnomaly].collect().head
+      assert(h8.z.isDefined, "in-order hour after a late one still scores")
     } finally q.stop()
   }
 
@@ -113,6 +124,11 @@ class StreamsSpec extends SparkSpec {
       assert(out(100L) === 10L, "batch 1: ts 200 sees ref ts 100")
       assert(out(101L) === -1L, "batch 1: before any ref row")
       assert(out(102L) === 11L, "batch 2: ts 400 sees ref ts 300")
+      // replay-idempotency shape: one enrich_batch partition per batch,
+      // so a replayed batch overwrites itself instead of duplicating
+      val parts = spark.read.parquet(s"$dir/out")
+        .select("enrich_batch").distinct().count()
+      assert(parts === 2L, "one partition per micro-batch")
     } finally q.stop()
   }
 

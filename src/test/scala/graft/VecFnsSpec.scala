@@ -97,11 +97,15 @@ class VecFnsSpec extends SparkSpec {
     }
     // JL sanity on real vectors: a vector's nearest neighbor by cosine
     // usually stays nearer than a random far vector after 64→16 projection
-    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(60)
-    val proj = e.select($"vec_id",
+    // ONE action: limit() subsets are not stable across separate
+    // collects, so derive raw and projected maps from the same rows
+    val rows = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(60)
+      .select($"vec_id", $"embedding",
         Embed.randomProject(VecFns.quantize($"embedding"), 64, 16, "rp").as("p"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
-    val raw = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      .collect()
+    val raw = rows.map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val proj = rows.map(r => r.getLong(0) -> r.getSeq[Long](2).toArray).toMap
     def cos(a: Array[Float], b: Array[Float]) = {
       val d = a.zip(b).map { case (x, y0) => x * y0 }.sum
       d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)

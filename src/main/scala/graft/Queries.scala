@@ -140,6 +140,15 @@ object Queries {
           col("view_value"))
         .orderBy("event_id")
     }),
+    // ordered funnel signup→click→purchase: each stage must follow the
+    // previous IN TIME (per-user min-folds over one collected list)
+    "events_funnel" -> ((s, dir) =>
+      Events.funnel(Tables(s, dir, "events"), "user_id", "event_type",
+        Seq("signup", "click", "purchase"))),
+    // first-seen-day cohorts × active-day offsets (engagement decay)
+    "events_retention" -> ((s, dir) =>
+      Events.retentionCohorts(Tables(s, dir, "events"), "user_id")
+        .orderBy("cohort_day", "day_offset")),
     // hourly volume z-scores per event type (ingest-monitoring signal);
     // exact integer moments so the oracle is engine-identical
     "events_anomaly" -> ((s, dir) =>

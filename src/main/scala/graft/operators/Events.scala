@@ -11,6 +11,84 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
+  /** Ordered-funnel conversion: for each user, the earliest time of
+    * stage 1, the earliest stage-2 AT-OR-AFTER that, the earliest
+    * stage-3 at-or-after that, and so on — then one row per stage with
+    * how many users reached it and the median time-to-reach from stage
+    * 1 (epoch-ns median over an exact integer column). The sequential
+    * constraint (each stage must follow the previous one IN TIME) is
+    * what a naive per-stage `min(ts)` gets wrong.
+    *
+    * Shape: one shuffle on user, a per-user sorted fold done as
+    * `min(when(...))` aggregates per stage — stage k's threshold is
+    * stage k-1's aggregate, computed in ONE groupBy pass via
+    * conditional re-aggregation over the collected per-user event list
+    * (bounded by that user's event count), then a tiny per-stage
+    * rollup. Time-to-reach reports the exact integer SUM and MAX of
+    * the stage-1→stage-k deltas (order-independent, engine-identical;
+    * an interpolated median's fractional cast rounds differently
+    * across engines, so it stays out of the oracle surface). */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             stages: Seq[String], tsCol: String = "ts"): DataFrame = {
+    require(stages.nonEmpty, "stages must be non-empty")
+    // per user: collect this user's (ts, type) pairs once, then fold the
+    // stage thresholds with array expressions — no self-joins, no
+    // per-stage shuffles; the array is bounded by the user's event count
+    val perUser = events
+      .where(col(typeCol).isin(stages.map(x => x: Any): _*))
+      .groupBy(col(userCol).as("user"))
+      // list order is irrelevant: every fold below is a min over a
+      // filtered view, order-independent by construction
+      .agg(collect_list(struct(col(tsCol).as("t"), col(typeCol).as("y")))
+        .as("evs"))
+    val stageTimes = stages.zipWithIndex.foldLeft(perUser) {
+      case (df, (stage, i)) =>
+        val prev = if (i == 0) lit(Long.MinValue) else col(s"t$i")
+        // earliest event of this stage at-or-after the previous stage's
+        // reach time; null propagates (never reached ⇒ later stages null)
+        val firstAtOrAfter = array_min(filter(col("evs"),
+          e => e.getField("y") === stage && e.getField("t") >= prev)
+          .getField("t"))
+        df.withColumn(s"t${i + 1}",
+          if (i == 0) firstAtOrAfter
+          else when(prev.isNotNull, firstAtOrAfter))
+    }
+    // tiny rollup: one row per stage (bounded by #stages), via ONE
+    // exploded per-stage array so the per-user aggregation runs once
+    // (a union of per-stage selects would recompute it per stage)
+    val stageStructs = array(stages.zipWithIndex.map { case (stage, i) =>
+      val t = col(s"t${i + 1}")
+      struct(lit(i + 1).as("stage_idx"), lit(stage).as("stage"),
+        t.isNotNull.cast("long").as("reached"),
+        when(t.isNotNull, t - col("t1")).as("dt"))
+    }: _*)
+    stageTimes.select(explode(stageStructs).as("s"))
+      .select(col("s.stage_idx").as("stage_idx"), col("s.stage").as("stage"),
+        col("s.reached").as("reached"), col("s.dt").as("dt"))
+      .groupBy("stage_idx", "stage")
+      .agg(sum("reached").as("n_users"),
+        sum("dt").as("sum_dt_ns"), max("dt").as("max_dt_ns"))
+      .orderBy("stage_idx")
+  }
+
+  /** Retention cohorts: users grouped by first-seen day (the cohort),
+    * counted by how many were active again k days later — the
+    * engagement decay table every event pipeline reports. Two
+    * combinable aggregations (per-user first day, then per
+    * (cohort, offset) distinct users); day arithmetic on integer
+    * day-buckets. */
+  def retentionCohorts(events: DataFrame, userCol: String,
+                       tsCol: String = "ts", maxDays: Int = 30): DataFrame = {
+    val day = expr(s"`$tsCol` div ${86400L * 1000000000L}")
+    val userDays = events.select(col(userCol).as("user"), day.as("day")).distinct()
+    val firstDay = userDays.groupBy("user").agg(min("day").as("cohort_day"))
+    userDays.join(firstDay, "user")
+      .withColumn("day_offset", col("day") - col("cohort_day"))
+      .where(col("day_offset") <= maxDays)
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct("user").as("n_users"))
+  }
+
   /** Per-(series, hour) volume z-scores with an anomaly flag.
     *
     * Two shuffles total: one combinable count to the (hour, series)

@@ -158,6 +158,46 @@ class AsOfEventsSpec extends SparkSpec {
     assert(out.filter(_._1 != 20L).values.forall(!_._2), "baseline hours quiet")
   }
 
+  test("funnel enforces stage order in time; naive per-stage min would overcount") {
+    // user 1: full ordered funnel; user 2: purchase BEFORE click (stage 3
+    // unreached in order); user 3: click only (no signup ⇒ nothing counts)
+    val ev = Seq(
+      (1L, 100L, "signup"), (1L, 200L, "click"), (1L, 300L, "purchase"),
+      (2L, 100L, "signup"), (2L, 500L, "click"), (2L, 400L, "purchase"),
+      (3L, 100L, "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Events.funnel(ev, "user_id", "event_type",
+      Seq("signup", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out(1) === ((2L, 0L)), "two signups, dt 0")
+    assert(out(2) === ((2L, 500L)), "both users click after signup")
+    assert(out(3)._1 === 1L, "user 2's early purchase must NOT count")
+    // same-instant stage transition counts (>= semantics)
+    val tie = Seq((9L, 50L, "signup"), (9L, 50L, "click")).toDF("user_id", "ts", "event_type")
+    val t = Events.funnel(tie, "user_id", "event_type", Seq("signup", "click"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(t(2) === 1L, "equal-ts next stage is reached")
+  }
+
+  test("retention cohorts count distinct users per (first day, offset)") {
+    val day = 86400L * 1000000000L
+    val ev = Seq(
+      (1L, 0L), (1L, 1L), (1L, 1L), (1L, 3L),  // cohort 0, offsets 0,1,3
+      (2L, 1L), (2L, 2L),                      // cohort 1, offsets 0,1
+      (3L, 0L)                                 // cohort 0, offset 0
+    ).map { case (u, d) => (u, d * day + 5L, "click") }
+      .toDF("user_id", "ts", "event_type")
+    val out = Events.retentionCohorts(ev, "user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((0L, 0L)) === 2L)
+    assert(out((0L, 1L)) === 1L)
+    assert(out((0L, 3L)) === 1L)
+    assert(out((1L, 0L)) === 1L)
+    assert(out((1L, 1L)) === 1L)
+    assert(out.size === 5)
+  }
+
   test("sourceQualityRollup aggregates the cascade and flags junk sources") {
     val good = (0 until 8).map(i => (i.toLong,
       "the quick brown fox jumps over the lazy dog and runs far into the " +

@@ -187,7 +187,8 @@ object Oracles {
     // exact long deltas
     "events_funnel" ->
       """WITH ev AS (SELECT user_id u, epoch_ns(ts) t, event_type y FROM events
-        |            WHERE event_type IN ('signup','click','purchase')),
+        |            WHERE event_type IN ('signup','click','purchase')
+        |              AND user_id IS NOT NULL),
         |s1 AS (SELECT u, min(t) t1 FROM ev WHERE y='signup' GROUP BY 1),
         |s2 AS (SELECT e.u, min(t) t2 FROM ev e JOIN s1 USING(u)
         |       WHERE y='click' AND t>=t1 GROUP BY 1),

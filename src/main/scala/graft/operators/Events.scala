@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Event-stream analytics beyond the windowed rollups in
@@ -14,20 +14,23 @@ object Events {
   /** Ordered-funnel conversion: for each user, the earliest time of
     * stage 1, the earliest stage-2 AT-OR-AFTER that, the earliest
     * stage-3 at-or-after that, and so on — then one row per stage with
-    * how many users reached it and the median time-to-reach from stage
-    * 1 (epoch-ns median over an exact integer column). The sequential
+    * how many users reached it and the exact integer SUM and MAX of the
+    * stage-1→stage-k deltas (order-independent, engine-identical; an
+    * interpolated median's fractional cast rounds differently across
+    * engines, so it stays out of the oracle surface). The sequential
     * constraint (each stage must follow the previous one IN TIME) is
     * what a naive per-stage `min(ts)` gets wrong.
     *
-    * Shape: one shuffle on user, a per-user sorted fold done as
-    * `min(when(...))` aggregates per stage — stage k's threshold is
-    * stage k-1's aggregate, computed in ONE groupBy pass via
-    * conditional re-aggregation over the collected per-user event list
-    * (bounded by that user's event count), then a tiny per-stage
-    * rollup. Time-to-reach reports the exact integer SUM and MAX of
-    * the stage-1→stage-k deltas (order-independent, engine-identical;
-    * an interpolated median's fractional cast rounds differently
-    * across engines, so it stays out of the oracle surface). */
+    * Shape: one shuffle on user, a per-user fold done as min-over-
+    * filtered-view array expressions per stage over ONE collected
+    * per-user event list (bounded by that user's STAGE-event count),
+    * then a tiny per-stage rollup. Null users are excluded up front
+    * (the oracle's equi-join semantics — NULL never equals NULL), and
+    * the rollup is TOTAL: every stage emits a row even over an empty
+    * input (count 0, null delta sums — same as the oracle's aggregate
+    * over an empty frame). A pathological power user concentrates that
+    * user's stage events into one array row; [[funnelIterative]] is the
+    * per-stage-aggregate twin with no per-user array for that regime. */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
              stages: Seq[String], tsCol: String = "ts"): DataFrame = {
     require(stages.nonEmpty, "stages must be non-empty")
@@ -35,7 +38,8 @@ object Events {
     // stage thresholds with array expressions — no self-joins, no
     // per-stage shuffles; the array is bounded by the user's event count
     val perUser = events
-      .where(col(typeCol).isin(stages.map(x => x: Any): _*))
+      .where(col(typeCol).isin(stages.map(x => x: Any): _*) &&
+        col(userCol).isNotNull)
       .groupBy(col(userCol).as("user"))
       // list order is irrelevant: every fold below is a min over a
       // filtered view, order-independent by construction
@@ -62,13 +66,71 @@ object Events {
         t.isNotNull.cast("long").as("reached"),
         when(t.isNotNull, t - col("t1")).as("dt"))
     }: _*)
-    stageTimes.select(explode(stageStructs).as("s"))
+    val agg = stageTimes.select(explode(stageStructs).as("s"))
       .select(col("s.stage_idx").as("stage_idx"), col("s.stage").as("stage"),
         col("s.reached").as("reached"), col("s.dt").as("dt"))
       .groupBy("stage_idx", "stage")
       .agg(sum("reached").as("n_users"),
         sum("dt").as("sum_dt_ns"), max("dt").as("max_dt_ns"))
+    stageRollupTotal(events.sparkSession, stages, agg)
+  }
+
+  /** Left-join the aggregated stage rows onto the full literal stage
+    * list so the rollup is TOTAL — one row per stage even when nothing
+    * matched (n_users 0, null deltas), the oracle's aggregate-over-
+    * empty-frame semantics. */
+  private def stageRollupTotal(spark: SparkSession, stages: Seq[String],
+                               agg: DataFrame): DataFrame = {
+    import spark.implicits._
+    val all = stages.zipWithIndex
+      .map { case (stage, i) => (i + 1, stage) }.toDF("stage_idx", "stage")
+    all.join(agg, Seq("stage_idx", "stage"), "left")
+      .select(col("stage_idx"), col("stage"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"),
+        col("sum_dt_ns"), col("max_dt_ns"))
       .orderBy("stage_idx")
+  }
+
+  /** The no-per-user-array twin of [[funnel]] for pathologically hot
+    * users: stage k's reach times come from a per-stage aggregation
+    * chain (the oracle's own shape) — S aggregation passes over the
+    * stage events, each a combinable min keyed by user, no
+    * collect_list, so one bot user with millions of stage events never
+    * concentrates into a single array row. Results are identical by
+    * construction (property-pinned in AsOfEventsSpec); prefer it when
+    * per-user stage-event counts are unbounded, [[funnel]] when S
+    * passes over the event table cost more than one. */
+  def funnelIterative(events: DataFrame, userCol: String, typeCol: String,
+                      stages: Seq[String], tsCol: String = "ts"): DataFrame = {
+    require(stages.nonEmpty, "stages must be non-empty")
+    val ev = events.where(col(typeCol).isin(stages.map(x => x: Any): _*) &&
+        col(userCol).isNotNull)
+      .select(col(userCol).as("user"), col(tsCol).as("t"), col(typeCol).as("y"))
+    val users = ev.select("user").distinct()
+    val wide = stages.zipWithIndex.foldLeft(users) { case (acc, (stage, i)) =>
+      val reach =
+        if (i == 0)
+          ev.where(col("y") === stage).groupBy("user").agg(min("t").as("t1"))
+        else
+          ev.where(col("y") === stage)
+            .join(acc.where(col(s"t$i").isNotNull).select(col("user"), col(s"t$i")), "user")
+            .where(col("t") >= col(s"t$i"))
+            .groupBy("user").agg(min("t").as(s"t${i + 1}"))
+      acc.join(reach, Seq("user"), "left")
+    }
+    val stageStructs = array(stages.zipWithIndex.map { case (stage, i) =>
+      val t = col(s"t${i + 1}")
+      struct(lit(i + 1).as("stage_idx"), lit(stage).as("stage"),
+        t.isNotNull.cast("long").as("reached"),
+        when(t.isNotNull, t - col("t1")).as("dt"))
+    }: _*)
+    val agg = wide.select(explode(stageStructs).as("s"))
+      .select(col("s.stage_idx").as("stage_idx"), col("s.stage").as("stage"),
+        col("s.reached").as("reached"), col("s.dt").as("dt"))
+      .groupBy("stage_idx", "stage")
+      .agg(sum("reached").as("n_users"),
+        sum("dt").as("sum_dt_ns"), max("dt").as("max_dt_ns"))
+    stageRollupTotal(events.sparkSession, stages, agg)
   }
 
   /** Retention cohorts: users grouped by first-seen day (the cohort),

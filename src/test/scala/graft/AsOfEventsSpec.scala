@@ -180,6 +180,36 @@ class AsOfEventsSpec extends SparkSpec {
     assert(t(2) === 1L, "equal-ts next stage is reached")
   }
 
+  test("funnel: total rollup on empty input, null users excluded, iterative twin equal") {
+    val empty = Seq.empty[(Long, Long, String)].toDF("user_id", "ts", "event_type")
+    val e = Events.funnel(empty, "user_id", "event_type", Seq("a", "b")).collect()
+    assert(e.length === 2, "one row per stage even over empty input")
+    assert(e.forall(r => r.getLong(2) === 0L && r.isNullAt(3) && r.isNullAt(4)))
+    // null users never count (oracle equi-join semantics)
+    val withNull = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(null, 1L, "a"),
+        org.apache.spark.sql.Row(java.lang.Long.valueOf(7L), 2L, "a")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType, true),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType, false))))
+    val n = Events.funnel(withNull, "user_id", "event_type", Seq("a"))
+      .collect().head.getLong(2)
+    assert(n === 1L, "null-user stage event excluded")
+    // iterative twin: identical rows on a random corpus
+    val rnd = new scala.util.Random(31)
+    val stages = Seq("s1", "s2", "s3")
+    val ev = (0 until 600).map(_ => ((rnd.nextInt(20) + 1).toLong,
+      rnd.nextInt(500).toLong, stages(rnd.nextInt(3)))).toDF("user_id", "ts", "event_type")
+    val a = Events.funnel(ev, "user_id", "event_type", stages).collect().toSeq
+    val b = Events.funnelIterative(ev, "user_id", "event_type", stages).collect().toSeq
+    assert(a === b, s"single-pass vs iterative diverge:\n$a\n$b")
+  }
+
   test("retention cohorts count distinct users per (first day, offset)") {
     val day = 86400L * 1000000000L
     val ev = Seq(

@@ -624,6 +624,22 @@ object Oracles {
          |  CAST(len(t) AS BIGINT) n_tokens,
          |  CAST(len(covered) AS BIGINT) n_stripped
          |FROM cv ORDER BY doc_id""".stripMargin,
+    // overlap twin: same distinct-shingle grammar, df cap by DOCUMENT
+    // count, source-pair self-join with string-order dedup
+    "source_overlap" ->
+      s"""WITH $Toks,
+         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t)>=3 THEN
+         |  [list_aggr(t[i:i+2],'string_agg','_') for i in range(1, len(t)-1)]
+         |  ELSE [] END) g FROM toks),
+         |el AS (SELECT d.source, s.doc_id, unnest(s.g) sg
+         |       FROM sh s JOIN documents d USING(doc_id)),
+         |keep AS (SELECT sg FROM el GROUP BY 1
+         |         HAVING count(DISTINCT doc_id) <= 100),
+         |ss AS (SELECT DISTINCT source, sg FROM el JOIN keep USING(sg))
+         |SELECT a.source source_a, b.source source_b,
+         |  CAST(count(*) AS BIGINT) n_shared_shingles
+         |FROM ss a JOIN ss b ON a.sg=b.sg AND a.source<b.source
+         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     // rollup twin: per-doc q_score on the same rounded-stats grid as
     // quality_top_decile + the same cascade as quality_filter, then a
     // per-source aggregate whose mean rides the integer 1e-6 grid

@@ -373,6 +373,12 @@ object Queries {
     "strip_repeats" -> ((s, dir) =>
       TextAnalysis.stripRepeats(docs(s, dir), "doc_id", "text", 3)
         .orderBy("doc_id")),
+    // cross-source duplication report: shared sub-cap shingles per
+    // source pair (who republishes whom, before mixing)
+    "source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlap(docs(s, dir), "doc_id", "text", "source",
+        n = 3, maxDf = 100)
+        .orderBy("source_a", "source_b")),
     // domain-level filtering: per-source kept fraction + mean quality
     // signal + keep/drop decision (one narrow pass, one combinable agg)
     "source_quality_rollup" -> ((s, dir) =>

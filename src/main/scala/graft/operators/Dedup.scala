@@ -187,6 +187,36 @@ object Dedup {
     scoped(materialize, sized)(shingleJaccard(sized, cand, threshold))
   }
 
+  /** Cross-source overlap matrix — the corpus-level duplication report a
+    * pipeline reads before mixing sources: for every source pair, how
+    * many distinct sub-cap n-gram shingles both contain. High counts
+    * mean one source republishes another (mirror sites, syndication) —
+    * near-dup work then targets those pairs first. Shingles in more
+    * than `maxDf` DOCUMENTS are excluded: boilerplate claims every pair
+    * overlaps (the [[graft.operators.TextAnalysis.boilerplateNgrams]]
+    * regime) and says nothing about real duplication.
+    *
+    * Scale shape: one combinable df count on the shingle key, a
+    * distinct (source, shingle) projection, and a shingle-keyed
+    * self-join whose fan-out per shingle is ≤ C(#sources, 2) — sources
+    * are bounded (hosts/shards), so the join never goes quadratic in
+    * DOCUMENTS the way a doc-level shared-shingle join does. Output is
+    * ≤ C(#sources, 2) rows. */
+  def sourceOverlap(docs: DataFrame, idCol: String, textCol: String,
+                    sourceCol: String, n: Int = 3,
+                    maxDf: Long = 100): DataFrame = {
+    val el = docs.select(col(sourceCol).as("source"),
+      col(idCol).cast("long").as("doc_id"),
+      explode(array_distinct(TextFns.shingles(TextFns.tokens(col(textCol)), n))).as("s"))
+    val keep = el.groupBy("s").agg(countDistinct("doc_id").as("sdf"))
+      .where(col("sdf") <= maxDf).select("s")
+    val srcSh = el.join(keep, "s").select("source", "s").distinct()
+    srcSh.as("a").join(srcSh.as("b"),
+        col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+  }
+
   /** Shared-shingle candidate variant with a document-frequency cap —
     * exact recall for pairs connected through any sub-cap shingle; right
     * when shingles are selective (large vocab), wrong when they are hot.

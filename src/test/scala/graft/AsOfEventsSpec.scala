@@ -228,6 +228,26 @@ class AsOfEventsSpec extends SparkSpec {
     assert(out.size === 5)
   }
 
+  test("sourceOverlap counts shared sub-cap shingles; boilerplate above the cap is excluded") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "sa"),       // shares 'alpha beta gamma'…
+      (2L, "alpha beta gamma epsilon", "sb"),     // …with sa (2 shared 3-grams? one: a_b_g)
+      (3L, "zeta eta theta iota", "sc"),          // disjoint
+      // boilerplate phrase in EVERY doc of all sources would claim all
+      // pairs overlap; with maxDf=3 a phrase in 4 docs is excluded
+      (4L, "common footer text here", "sa"),
+      (5L, "common footer text here", "sb"),
+      (6L, "common footer text here", "sc"),
+      (7L, "common footer text here", "sc")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlap(docs, "doc_id", "text", "source", n = 3, maxDf = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out(("sa", "sb")) === 1L, "alpha_beta_gamma shared (sub-cap)")
+    assert(!out.contains(("sa", "sc")), "footer shingles sit in 4 docs > cap — excluded")
+    assert(!out.contains(("sb", "sc")))
+  }
+
   test("sourceQualityRollup aggregates the cascade and flags junk sources") {
     val good = (0 until 8).map(i => (i.toLong,
       "the quick brown fox jumps over the lazy dog and runs far into the " +

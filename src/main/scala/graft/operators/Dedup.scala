@@ -203,18 +203,26 @@ object Dedup {
     * DOCUMENTS the way a doc-level shared-shingle join does. Output is
     * ≤ C(#sources, 2) rows. */
   def sourceOverlap(docs: DataFrame, idCol: String, textCol: String,
-                    sourceCol: String, n: Int = 3,
-                    maxDf: Long = 100): DataFrame = {
-    val el = docs.select(col(sourceCol).as("source"),
-      col(idCol).cast("long").as("doc_id"),
-      explode(array_distinct(TextFns.shingles(TextFns.tokens(col(textCol)), n))).as("s"))
+                    sourceCol: String, n: Int = 3, maxDf: Long = 100,
+                    materialize: Boolean = true): DataFrame = {
+    // the tokenize+shingle+explode over every document is the dominant
+    // cost and is referenced by BOTH the df-cap aggregate and the
+    // (source, shingle) projection — cache it once (the file-wide
+    // materialize discipline; the two subplans shuffle differently, so
+    // ReuseExchange alone cannot dedupe them)
+    val el = maybeCache(
+      docs.select(col(sourceCol).as("source"),
+        col(idCol).cast("long").as("doc_id"),
+        explode(array_distinct(TextFns.shingles(TextFns.tokens(col(textCol)), n))).as("s")),
+      materialize)
     val keep = el.groupBy("s").agg(countDistinct("doc_id").as("sdf"))
       .where(col("sdf") <= maxDf).select("s")
     val srcSh = el.join(keep, "s").select("source", "s").distinct()
-    srcSh.as("a").join(srcSh.as("b"),
-        col("a.s") === col("b.s") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
-      .agg(count(lit(1)).as("n_shared_shingles"))
+    scoped(materialize, el)(
+      srcSh.as("a").join(srcSh.as("b"),
+          col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared_shingles")))
   }
 
   /** Shared-shingle candidate variant with a document-frequency cap —

@@ -107,17 +107,24 @@ object Events {
         col(userCol).isNotNull)
       .select(col(userCol).as("user"), col(tsCol).as("t"), col(typeCol).as("y"))
     val users = ev.select("user").distinct()
-    val wide = stages.zipWithIndex.foldLeft(users) { case (acc, (stage, i)) =>
-      val reach =
-        if (i == 0)
-          ev.where(col("y") === stage).groupBy("user").agg(min("t").as("t1"))
-        else
-          ev.where(col("y") === stage)
-            .join(acc.where(col(s"t$i").isNotNull).select(col("user"), col(s"t$i")), "user")
-            .where(col("t") >= col(s"t$i"))
-            .groupBy("user").agg(min("t").as(s"t${i + 1}"))
-      acc.join(reach, Seq("user"), "left")
-    }
+    // each stage's reach derives from the PREVIOUS reach frame (which by
+    // construction holds only users that reached it — no null filter
+    // needed), keeping plan lineage linear in S; folding the growing
+    // wide frame back in instead would embed acc twice per stage and
+    // double the logical plan each step
+    val reaches = stages.zipWithIndex.foldLeft(List.empty[DataFrame]) {
+      case (acc, (stage, i)) =>
+        val r =
+          if (i == 0)
+            ev.where(col("y") === stage).groupBy("user").agg(min("t").as("t1"))
+          else
+            ev.where(col("y") === stage)
+              .join(acc.head.select(col("user"), col(s"t$i")), "user")
+              .where(col("t") >= col(s"t$i"))
+              .groupBy("user").agg(min("t").as(s"t${i + 1}"))
+        r :: acc
+    }.reverse
+    val wide = reaches.foldLeft(users)((acc, r) => acc.join(r, Seq("user"), "left"))
     val stageStructs = array(stages.zipWithIndex.map { case (stage, i) =>
       val t = col(s"t${i + 1}")
       struct(lit(i + 1).as("stage_idx"), lit(stage).as("stage"),

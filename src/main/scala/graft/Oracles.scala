@@ -508,6 +508,22 @@ object Oracles {
          |round(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)/len(t),6) mean_tok_len
          |FROM documents JOIN toks USING(doc_id) ORDER BY doc_id""".stripMargin
     },
+    // budget-select twin: the naive global ordered cumsum IS the spec
+    // (same q_score grid as quality_top_decile; inclusive fit)
+    "budget_select" -> {
+      val stop = graft.operators.TextAnalysis.StopwordsEn.map(s => s"'$s'").mkString("[", ",", "]")
+      s"""WITH $Toks,
+         |q AS (SELECT doc_id, CAST(len(t) AS BIGINT) n_tok, round(
+         |    (CASE WHEN len(t)>0 THEN round(CAST(len(list_filter(t, x -> list_contains($stop, x))) AS DOUBLE)/len(t),6) ELSE 0.0 END)*0.5
+         |  + (CASE WHEN len(t)>0 THEN round(CAST(len(list_distinct(t)) AS DOUBLE)/len(t),6) ELSE 0.0 END)*0.3
+         |  + least((CASE WHEN len(t)>0 THEN round(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)/len(t),6) ELSE 0.0 END)/10.0, 1.0)*0.2, 6) qs
+         |  FROM toks),
+         |c AS (SELECT doc_id, qs, n_tok,
+         |  sum(n_tok) OVER (ORDER BY qs DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum FROM q)
+         |SELECT doc_id, qs AS q_score, n_tok, CAST(cum AS BIGINT) cum_tok
+         |FROM c WHERE cum <= 5000 ORDER BY doc_id""".stripMargin
+    },
     // shard-packing twin: the naive global ordered cumsum IS the spec —
     // the Spark side's two-pass prefix sum must equal it exactly
     "pack_shards" ->

@@ -340,6 +340,15 @@ object Queries {
     "pack_shards" -> ((s, dir) =>
       Shards.packShards(docs(s, dir), "doc_id", "text", tokensPerShard = 500L)
         .orderBy("doc_id")),
+    // token-budget data-diet cut: best docs by composite quality until
+    // 5000 tokens, inclusive-fit semantics (two-pass prefix sum)
+    "budget_select" -> ((s, dir) => {
+      val st = TextAnalysis.qualityStats(docs(s, dir), "doc_id", "text")
+      val scored = st.withColumn("q",
+        TextAnalysis.qScore6(col("stop_ratio"), col("ttr"), col("mean_tok_len")))
+      Shards.budgetSelect(scored, "doc_id", "q", "n_tokens", budget = 5000L)
+        .orderBy("doc_id")
+    }),
     // Gopher-style dominant-bigram repetition signal
     "repetition_stats" -> ((s, dir) =>
       TextAnalysis.repetitionStats(docs(s, dir), "doc_id", "text")

@@ -61,4 +61,43 @@ object Shards {
       .select(col("doc_id"), col("n_tok"),
         floor((col("offset") + col("cum_before")) / tokensPerShard).as("shard"))
   }
+
+  /** Token-budget selection — the "data diet" cut: take documents in
+    * descending score order (doc_id ascending as the total-order
+    * tie-break) until the token budget is exhausted; a document is kept
+    * iff its INCLUSIVE cumulative token count fits the budget (no
+    * straddler — selection under budget, unlike [[packShards]]' layout
+    * semantics). This is the selection step between quality scoring and
+    * export when the training recipe fixes a token count, not a rate.
+    *
+    * Same two-pass prefix-sum discipline as [[packShards]], with the
+    * range exchange keyed on (score DESC, id): the naive form is a
+    * GLOBAL ordered cumsum = a single task seeing the corpus. Input is
+    * any frame carrying (id, score, token-count) — compose with
+    * [[TextAnalysis.qualityStats]]/qScore6 upstream. */
+  def budgetSelect(scored: DataFrame, idCol: String, scoreCol: String,
+                   tokCol: String, budget: Long, width: Int = 0): DataFrame = {
+    val spark = scored.sparkSession
+    val w = if (width > 0) width
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = scored.select(col(idCol).cast("long").as("doc_id"),
+        col(scoreCol).as("q_score"), col(tokCol).cast("long").as("n_tok"))
+      .repartitionByRange(w, col("q_score").desc, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = ranged.groupBy("pid").agg(sum("n_tok").as("ptok"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (pid, t) => val o = (pid, acc); acc += t; o }
+    val offsetsDf = spark.createDataFrame(offsets.toSeq).toDF("pid", "offset")
+    val inPart = Window.partitionBy("pid")
+      .orderBy(col("q_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn("cum_in", sum("n_tok").over(inPart))
+      .join(broadcast(offsetsDf), "pid")
+      .withColumn("cum_tok", col("offset") + col("cum_in"))
+      .where(col("cum_tok") <= budget)
+      .select(col("doc_id"), col("q_score"), col("n_tok"), col("cum_tok"))
+  }
 }

@@ -291,6 +291,24 @@ class AsOfEventsSpec extends SparkSpec {
     assert(twice.values.forall(_ === 0L), "second pass strips nothing")
   }
 
+  test("budgetSelect keeps best-score docs with inclusive budget fit and id tie-break") {
+    import graft.operators.Shards
+    val scored = Seq(
+      (1L, 0.9, 40L),  // rank 1 → cum 40 ✓
+      (2L, 0.5, 30L),  // rank 4 → cum 120 > 100 ✗
+      (3L, 0.7, 30L),  // rank 2 (tie with 4, lower id first) → cum 70 ✓
+      (4L, 0.7, 20L),  // rank 3 → cum 90 ✓
+      (5L, 0.1, 5L)    // rank 5 — budget already blown for rank 4 but 5 fits? NO: cum is positional
+    ).toDF("doc_id", "q", "n_tok")
+    val out = Shards.budgetSelect(scored, "doc_id", "q", "n_tok", budget = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out.keySet === Set(1L, 3L, 4L), s"greedy prefix only: $out")
+    assert(out(1L) === 40L && out(3L) === 70L && out(4L) === 90L)
+    // whole corpus fits → everything kept, cum equals the total order
+    val all = Shards.budgetSelect(scored, "doc_id", "q", "n_tok", budget = 10000L)
+    assert(all.count() === 5L)
+  }
+
   test("compactParquet merges small files; clusterBy yields disjoint per-file key ranges") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-compact-spec").toString
     val df = (0 until 1000).map(i => (i.toLong, s"text $i")).toDF("doc_id", "text")

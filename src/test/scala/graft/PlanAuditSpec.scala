@@ -279,6 +279,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), "global window collapsed to one partition")
   }
 
+  test("budget select never plans a single-partition global window") {
+    val docs = Tables(spark, sf, "documents")
+    val st = graft.operators.TextAnalysis.qualityStats(docs, "doc_id", "text")
+      .withColumn("q", graft.operators.TextAnalysis.qScore6(
+        col("stop_ratio"), col("ttr"), col("mean_tok_len")))
+    val p = plan(graft.operators.Shards.budgetSelect(st, "doc_id", "q",
+      "n_tokens", budget = 5000L))
+    assert(!p.contains("SinglePartition"), "global cumsum collapsed to one partition")
+  }
+
   test("quality percentile window partitions by the stratum, never a global sort") {
     val p = plan(graft.operators.TextAnalysis.qualityPercentile(
       Tables(spark, sf, "documents"), "doc_id", "text", "lang", minRank = 0.9))

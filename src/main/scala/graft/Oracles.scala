@@ -214,6 +214,18 @@ object Oracles {
         |  CAST(count(DISTINCT u) AS BIGINT) n_users
         |FROM ud JOIN f USING(u) WHERE d-cd <= 30
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "hot_keys" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) n FROM events GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) tot FROM events)
+        |SELECT user_id, n, round(CAST(n AS DOUBLE)/tot, 6) AS "share"
+        |FROM c CROSS JOIN t ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
+    "column_profile" ->
+      """SELECT 'doc_id' AS "column", CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) n_null, CAST(count(DISTINCT doc_id) AS BIGINT) n_distinct FROM documents
+        |UNION ALL SELECT 'lang', CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT), CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'n_chars', CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT), CAST(count(DISTINCT n_chars) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'source', CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT), CAST(count(DISTINCT source) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'text', CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT), CAST(count(DISTINCT text) AS BIGINT) FROM documents
+        |ORDER BY "column"""".stripMargin,
     // anomaly twin: identical integer moments (n, Σx, Σx²) and the same
     // division/sqrt order as Events.hourlyAnomalies — bit-equal doubles
     "events_anomaly" ->

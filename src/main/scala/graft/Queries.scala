@@ -149,6 +149,16 @@ object Queries {
     "events_retention" -> ((s, dir) =>
       Events.retentionCohorts(Tables(s, dir, "events"), "user_id")
         .orderBy("cohort_day", "day_offset")),
+    // skew probe: top-10 hottest users with share (the audit input to
+    // every salting/bucketing decision)
+    "hot_keys" -> ((s, dir) =>
+      Profile.hotKeys(Tables(s, dir, "events"), Seq("user_id"), k = 10)),
+    // pre-ingest integrity profile: per-column null count + exact
+    // distinct cardinality in one aggregation pass
+    "column_profile" -> ((s, dir) =>
+      Profile.columnProfile(docs(s, dir),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy("column")),
     // hourly volume z-scores per event type (ingest-monitoring signal);
     // exact integer moments so the oracle is engine-identical
     "events_anomaly" -> ((s, dir) =>

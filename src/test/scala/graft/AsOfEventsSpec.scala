@@ -291,6 +291,23 @@ class AsOfEventsSpec extends SparkSpec {
     assert(twice.values.forall(_ === 0L), "second pass strips nothing")
   }
 
+  test("profile: hotKeys ranks with deterministic ties; columnProfile counts nulls/distincts") {
+    import graft.operators.Profile
+    val ev = (Seq.fill(5)(1L) ++ Seq.fill(5)(2L) ++ Seq.fill(3)(3L))
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("event_id", "user_id")
+    val hot = Profile.hotKeys(ev, Seq("user_id"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hot.toSeq === Seq((1L, 5L, 0.384615), (2L, 5L, 0.384615)),
+      "equal counts break ties by key ascending")
+    val docs = Seq((1L, "a", null: String), (2L, "a", "x"), (3L, null: String, "x"))
+      .toDF("id", "t", "s")
+    val prof = Profile.columnProfile(docs, Seq("id", "t", "s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(prof("id") === ((0L, 3L)))
+    assert(prof("t") === ((1L, 1L)), "null excluded from distinct")
+    assert(prof("s") === ((1L, 1L)))
+  }
+
   test("budgetSelect keeps best-score docs with inclusive budget fit and id tie-break") {
     import graft.operators.Shards
     val scored = Seq(

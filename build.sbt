@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver keeps only a 2000-char stdout tail of `runMain
+// graft.Bench` and parses the LAST complete JSON line in it. sbt's
+// trailing "[success] Total time: …" line (~75 chars) would otherwise
+// land after Bench's final compact artifact line and eat its budget.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+// Forward the forked run JVM's stdout raw instead of through sbt's
+// "[info] " line decoration: Bench's final artifact line must fit the
+// driver's 2000-char tail whole, and 7 chars/line of decoration is
+// budget (stderr keeps the default strategy's tagging).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

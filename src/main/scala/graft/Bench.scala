@@ -511,7 +511,59 @@ object Bench {
     // which breaks naive line parsers — the file carries the clean line
     val json = writeArtifact(serveJson)
     println(json)
+    // The driver's round artifact keeps only a 2000-char stdout TAIL and
+    // json-parses what it finds there — the full line above is ~10 kB and
+    // arrives truncated from the front (BENCH_r01..r10: parsed null every
+    // round). So the LAST line printed is a compact summary that carries
+    // every cold row at degraded-but-sufficient precision, sized to fit
+    // the tail whole (build.sbt suppresses sbt's trailing "[success]"
+    // line so nothing lands after it).
+    println(compactJson(samples.toMap, named.map(_._1), sfDir))
     spark.stop()
+  }
+
+  /** One tail-sized JSON line: every measured query's min-over-passes at
+    * the highest precision/envelope level that keeps the line ≤ maxLen
+    * (2000-char driver tail, minus the trailing newline, minus slack —
+    * build.sbt's StdoutOutput strategy removes sbt's per-line "[info] "
+    * decoration so the budget is the line itself). Degradation ladder:
+    * uniform 3/2/1 decimals → adaptive (1 dec under 10 s, whole seconds
+    * above) → adaptive with a minimal envelope → whole seconds with the
+    * minimal envelope (never expected; 92 queries fit the level above). */
+  private[graft] def compactJson(
+      samples: Map[String, List[(Double, Option[String], Int)]],
+      names: Seq[String], sfDir: String, maxLen: Int = 1995): String = {
+    val pairs = names.sorted.flatMap { name =>
+      samples.get(name).flatMap { runsOut =>
+        val ok = runsOut.collect { case (t, None, _) => t }
+        if (ok.nonEmpty) Some(name -> ok.min) else None
+      }
+    }
+    val nFailed = names.count(n =>
+      samples.get(n).exists(rs => rs.nonEmpty && rs.forall(_._2.isDefined)))
+    val total = pairs.map(_._2).sum
+    val sfTok = "sf([0-9.]+)$".r.findFirstMatchIn(
+      sfDir.stripSuffix("/")).map(_.group(1)).getOrElse("0")
+    def trim(s: String): String =
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      else s
+    def line(dec: Int, full: Boolean): String = {
+      def f(v: Double) = trim(dec match {
+        case -1 => fmt(v, 0)
+        case 0  => fmt(v, if (v >= 10) 0 else 1)
+        case d  => fmt(v, d)
+      })
+      val qs = pairs.map { case (k, v) => s""""$k":${f(v)}""" }
+        .mkString("{", ",", "}")
+      if (full)
+        s"""{"metric":"total","value":${trim(fmt(total, 2))},"unit":"sec",""" +
+          s""""sf":$sfTok,"n_failed":$nFailed,"queries":$qs}"""
+      else
+        s"""{"metric":"total","value":${trim(fmt(total, 1))},"sf":$sfTok,"queries":$qs}"""
+    }
+    val levels = Seq((3, true), (2, true), (1, true), (0, true), (0, false), (-1, false))
+    levels.map { case (d, fl) => line(d, fl) }.find(_.length <= maxLen)
+      .getOrElse(line(-1, full = false))
   }
 }
 

@@ -782,13 +782,15 @@ object Oracles {
          |WHERE ${h60("doc_id::VARCHAR")} < CAST(floor(rate*1152921504606846976.0) AS BIGINT)
          |ORDER BY doc_id""".stripMargin,
     // projection twin: the SAME ±1 literals (regenerated from the shared
-    // md5 family) against the quantized grid — exact integer sums
+    // md5 family) against the quantized grid — exact integer sums,
+    // flattened to scalar columns p0..p7 (array cells crash the driver's
+    // pandas sort; mirrors the Spark side's reshape)
     "random_project" -> {
       val cols = (0 until 8).map { j =>
-        s"CAST(list_dot_product(qv, ${signsSql(Queries.Dim, j, "rp")}) AS BIGINT)"
-      }.mkString("[", ", ", "]")
+        s"CAST(list_dot_product(qv, ${signsSql(Queries.Dim, j, "rp")}) AS BIGINT) AS p$j"
+      }.mkString(", ")
       s"""WITH $EmbQ
-         |SELECT vec_id, $cols AS proj FROM e ORDER BY vec_id""".stripMargin
+         |SELECT vec_id, $cols FROM e ORDER BY vec_id""".stripMargin
     },
     "mix_sources" -> {
       val vals = graft.Queries.MixWeights.toSeq.sortBy(_._1)

@@ -378,9 +378,13 @@ object Queries {
     "parquet_compact_roundtrip" -> ((s, dir) => {
       // FIXED per-JVM scratch path, overwritten each run — a fresh
       // createTempDirectory per execution would accumulate two corpus
-      // copies per bench/verify pass and eventually fill the temp FS
+      // copies per bench/verify pass and eventually fill the temp FS.
+      // Suffixed with the Spark app id so two concurrent graft JVMs on
+      // one host (bench + verify) cannot clobber each other's frag/out
+      // directories mid-read
       val tmp = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft-compact-roundtrip").toString
+        System.getProperty("java.io.tmpdir"),
+        s"graft-compact-roundtrip-${s.sparkContext.applicationId}").toString
       docs(s, dir).repartition(64).write.mode("overwrite").parquet(s"$tmp/frag")
       Compact.compactParquet(s, s"$tmp/frag", s"$tmp/out",
         targetBytes = 1L << 30, clusterBy = Seq("doc_id"))
@@ -441,12 +445,14 @@ object Queries {
         .select("doc_id", "source", "keep_rate").orderBy("doc_id")
     }),
     // JL-style ±1 random projection 64→8 dims over the quantized grid
-    // (exact integer sums — engine-identical, no stored model)
-    "random_project" -> ((s, dir) =>
-      emb(s, dir).select(col("vec_id"),
-        Embed.randomProject(VecFns.quantize(col("embedding")), Dim, 8, "rp")
-          .as("proj"))
-        .orderBy("vec_id")),
+    // (exact integer sums — engine-identical, no stored model). Emitted
+    // as 8 scalar columns p0..p7, not array<bigint>: the driver's pandas
+    // checker cannot sort array cells (CORRECTNESS_r10's only red row)
+    "random_project" -> ((s, dir) => {
+      val ps = Embed.randomProjectCols(VecFns.quantize(col("embedding")), Dim, 8, "rp")
+        .zipWithIndex.map { case (c, j) => c.as(s"p$j") }
+      emb(s, dir).select(col("vec_id") +: ps: _*).orderBy("vec_id")
+    }),
     // integer source-weight mixing: one replica per epoch per weight unit
     "mix_sources" -> ((s, dir) =>
       Sampling.mixSources(docs(s, dir), "source", MixWeights)

@@ -43,10 +43,18 @@ object Embed {
     * against array literals, no shuffle, no UDF. */
   def randomProject(vecQ: org.apache.spark.sql.Column, dim: Int, k: Int,
                     seed: String = "rp"): org.apache.spark.sql.Column =
-    array((0 until k).map { j =>
+    array(randomProjectCols(vecQ, dim, k, seed): _*)
+
+  /** The k projection components of [[randomProject]] as individual
+    * columns — the flat shape external checkers can sort/hash (array
+    * cells defeat pandas-style comparators; see CORRECTNESS_r10
+    * random_project). Same math, same sign family. */
+  def randomProjectCols(vecQ: org.apache.spark.sql.Column, dim: Int, k: Int,
+                        seed: String = "rp"): Seq[org.apache.spark.sql.Column] =
+    (0 until k).map { j =>
       val signs = typedLit(Similarity.hyperplaneSigns(dim, j, seed))
       graft.functions.VecFns.dot(vecQ, signs).cast("long")
-    }: _*)
+    }
 
   /** Dense embedding column from sparse entries (map lookup per slot). */
   def toDense(entries: DataFrame, dim: Int): DataFrame = {

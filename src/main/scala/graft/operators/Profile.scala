@@ -16,16 +16,22 @@ object Profile {
   /** Top-k hottest keys with their share of the table — ONE combinable
     * count keyed by the key columns, a 1-row total attach (the
     * corpus-stats broadcast pattern), and a TakeOrdered top-k. Ties
-    * break by the key itself, so the report is deterministic. At 100 TB
-    * this is the cheapest possible skew probe: the aggregate is
-    * map-side combined and only k rows survive. */
+    * break by the key itself (NULLS LAST, matching DuckDB's default
+    * null order so a null hot key at the k-boundary cannot diverge from
+    * the oracle), so the report is deterministic. At 100 TB this is the
+    * cheapest possible skew probe: ONE map-side-combined scan of the
+    * table — the per-key counts are materialized once
+    * (localCheckpoint), and both the grand total (Σn over the already
+    * aggregated |keys| rows) and the top-k read that materialization
+    * instead of re-scanning df. */
   def hotKeys(df: DataFrame, keyCols: Seq[String], k: Int = 10): DataFrame = {
     val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
-    val total = df.agg(count(lit(1)).as("tot"))
+      .localCheckpoint()
+    val total = counts.agg(sum("n").as("tot"))
     counts.crossJoin(broadcast(total))
       .select(keyCols.map(col) :+ col("n") :+
         round(col("n").cast("double") / col("tot"), 6).as("share"): _*)
-      .orderBy(desc("n") +: keyCols.map(asc): _*)
+      .orderBy(desc("n") +: keyCols.map(c => asc_nulls_last(c)): _*)
       .limit(k)
   }
 

@@ -31,15 +31,23 @@ import org.apache.spark.sql.functions._
   */
 object Shards {
 
+  /** Range-exchange width: the caller's override, else the session's
+    * shuffle parallelism — defensively parsed (the conf value may be
+    * non-numeric under AQE-adjacent configs or user overrides). */
+  private def rangeWidth(spark: org.apache.spark.sql.SparkSession, width: Int): Int =
+    if (width > 0) width
+    else scala.util.Try(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .toOption.filter(_ > 0).getOrElse(32)
+
   /** (doc_id, n_tok, shard) for every document. `width` bounds the range
     * partitioning (and so the driver-side offset table). */
   def packShards(docs: DataFrame, idCol: String, textCol: String,
                  tokensPerShard: Long, width: Int = 0): DataFrame = {
     val spark = docs.sparkSession
-    val w = if (width > 0) width
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val w = rangeWidth(spark, width)
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
-      size(TextFns.tokens(col(textCol))).cast("long").as("n_tok"))
+      coalesce(greatest(size(TextFns.tokens(col(textCol))), lit(0))
+        .cast("long"), lit(0L)).as("n_tok"))
     // snapshot AFTER the range exchange: the partition id must be the
     // same value in the totals pass and the final pass (range boundaries
     // are sampled, so re-executing the exchange could re-cut them)
@@ -48,7 +56,8 @@ object Shards {
       .localCheckpoint()
     // pass 1: per-partition totals — W rows of planning data
     val totals = ranged.groupBy("pid").agg(sum("n_tok").as("ptok"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .sortBy(_._1)
     var acc = 0L
     val offsets = totals.map { case (pid, t) => val o = (pid, acc); acc += t; o }
     val offsetsDf = spark.createDataFrame(offsets.toSeq).toDF("pid", "offset")
@@ -78,15 +87,18 @@ object Shards {
   def budgetSelect(scored: DataFrame, idCol: String, scoreCol: String,
                    tokCol: String, budget: Long, width: Int = 0): DataFrame = {
     val spark = scored.sparkSession
-    val w = if (width > 0) width
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val w = rangeWidth(spark, width)
+    // null token counts contribute 0 to every cumulative sum (instead of
+    // NPE-ing the totals collect below or silently nulling cum_tok)
     val ranged = scored.select(col(idCol).cast("long").as("doc_id"),
-        col(scoreCol).as("q_score"), col(tokCol).cast("long").as("n_tok"))
+        col(scoreCol).as("q_score"),
+        coalesce(col(tokCol).cast("long"), lit(0L)).as("n_tok"))
       .repartitionByRange(w, col("q_score").desc, col("doc_id"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
     val totals = ranged.groupBy("pid").agg(sum("n_tok").as("ptok"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .sortBy(_._1)
     var acc = 0L
     val offsets = totals.map { case (pid, t) => val o = (pid, acc); acc += t; o }
     val offsetsDf = spark.createDataFrame(offsets.toSeq).toDF("pid", "offset")

@@ -393,13 +393,15 @@ object TextAnalysis {
       rebuild(staged.select(col("doc_id"), col("toks"), covered.as("covered")))
     } else {
       // JOIN path (large mined sets): positions explode once, membership
-      // is a broadcast hash join (hash relation built once per task —
-      // the per-row set build above would be O(rows × |bl|)), and only
-      // HIT positions shuffle (grouped per doc) before rejoining the
-      // token stream. Two bounded shuffles; the corpus-side scans stay
-      // narrow.
+      // is a hash join against the mined set, and only HIT positions
+      // shuffle (grouped per doc) before rejoining the token stream.
+      // NO forced broadcast hint: the mined set is unbounded above
+      // denseSetMax (that is why this path exists), so a forced
+      // broadcast would OOM the driver exactly when this branch is
+      // chosen at scale — AQE sees the checkpointed side's runtime size
+      // and picks broadcast-hash itself whenever it actually fits.
       val hits = toksDf.select(col("doc_id"), posexplode(col("sh")).as(Seq("p0", "gram")))
-        .join(broadcast(mined.select(col("ngram").as("gram"))), "gram")
+        .join(mined.select(col("ngram").as("gram")), "gram")
         .select(col("doc_id"), (col("p0") + 1).as("start"))
       val covered = hits
         .select(col("doc_id"), explode(sequence(col("start"), col("start") + (n - 1))).as("cov"))

@@ -124,6 +124,21 @@ class PlanAuditSpec extends SparkSpec {
       "rewrite side gained a keyed shuffle")
   }
 
+  test("boilerplate strip JOIN path: no forced broadcast on the mined side") {
+    // above denseSetMax the mined set is unbounded — a forced broadcast
+    // hint there OOMs the driver exactly when the branch triggers at
+    // scale. The hint must be absent (AQE picks broadcast at runtime
+    // only when the checkpointed side actually fits); membership stays
+    // an equi-join on the gram key, never a nested loop.
+    val df = graft.operators.TextAnalysis.stripBoilerplate(
+      Tables(spark, sf, "documents"), "doc_id", "text", 3, 5, denseSetMax = 0)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("ResolvedHint"),
+      "forced broadcast hint survived on the join path")
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "mined-set membership degenerated to a nested loop")
+  }
+
   test("as-of join is union+window: no join operator, one keyed shuffle") {
     val p = plan(Queries.all("events_asof_attrib")(spark, sf))
     // the point of the formulation: NO range join materializing

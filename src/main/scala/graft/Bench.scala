@@ -307,6 +307,52 @@ object Bench {
         s"""{"error":"${esc(e.toString)}"}"""
     }
 
+  /** Recall@20 of the three approximate-similarity forms vs exact
+    * cosine, at the registered queries' own parameters — recorded per
+    * round so a parameter change can never silently trade recall for
+    * the latency the bench rewards (the floors themselves are pinned in
+    * AnnRecallSpec; this is the per-round measurement). */
+  private[graft] def recallSection(spark: SparkSession, sfDir: String): String =
+    try {
+      import graft.operators.Similarity
+      import org.apache.spark.sql.DataFrame
+      val k = 20
+      val e = Tables(spark, sfDir, "embeddings").cache()
+      val present = e.select("vec_id").where(col("vec_id")
+        .isin(Seq(0L, 7L, 42L, 99L, 123L).map(x => x: Any): _*))
+        .collect().map(_.getLong(0)).toSeq.sorted
+      def topIds(df: DataFrame): Set[Long] =
+        df.select("vec_id").collect().map(_.getLong(0)).toSet
+      val forms: Seq[(String, (DataFrame, Array[Float]) => DataFrame)] = Seq(
+        ("ann_topk", (d, qv) =>
+          Similarity.annTopK(d, "vec_id", "embedding", qv, Queries.Dim, nBits = 4, k = k)),
+        ("ann_multiprobe", (d, qv) =>
+          Similarity.annTopKMultiProbe(
+            Similarity.annIndex(d, "vec_id", "embedding", Queries.Dim, nBits = 4),
+            qv, Queries.Dim, nBits = 4, k = k, hamming = 1)),
+        ("ivf_topk", (d, qv) =>
+          Similarity.ivfTopK(d, "vec_id", "embedding", typedLit(qv),
+            nCentroids = 16, nProbe = 4, k = k)))
+      val out = forms.map { case (name, approx) =>
+        val rs = present.map { qid =>
+          val qv = e.where(col("vec_id") === qid)
+            .select("embedding").head().getSeq[Float](0).toArray
+          val exact = topIds(Similarity.cosineTopK(e, "vec_id", "embedding",
+            typedLit(qv), k, excludeId = Some(qid)))
+          val got = topIds(approx(e, qv).where(col("vec_id") =!= qid))
+          (exact & got).size.toDouble / exact.size
+        }
+        s""""$name":${fmt(rs.sum / math.max(1, rs.size), 3)}"""
+      }
+      e.unpersist()
+      (out :+ s""""k":$k""" :+ s""""n_queries":${present.size}""")
+        .mkString("{", ",", "}")
+    } catch {
+      case ex: Throwable =>
+        System.err.println(s"[bench] recall section skipped: $ex")
+        "null"
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -365,6 +411,9 @@ object Bench {
     // contended, and mins achieved only in such passes are flagged noisy
     val passSentinelS = scala.collection.mutable.Map.empty[Int, Double]
     var deadlineHit = false
+    // filled between the cold suite and the serve section; "null" until
+    // measured so mid-run artifact rewrites stay parseable
+    var recallJson = "null"
 
     // partial artifact > no artifact: rebuild the full JSON line from
     // whatever has completed so far and REWRITE the file after every
@@ -422,7 +471,8 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","cold_runs":$coldRuns,"queries":$qs,""" +
         s""""query_detail":$detail,"sentinel_s":$sentinelJson,"n_noisy":$nNoisy,""" +
         s""""n_failed":$nFailed,"failed":$failed,"skipped":$skipped,""" +
-        s""""deadline_hit":$deadlineHit,"serve":$serveJson,"sf":"$sfDir"}"""
+        s""""deadline_hit":$deadlineHit,"recall_at_20":$recallJson,""" +
+        s""""serve":$serveJson,"sf":"$sfDir"}"""
     }
     def writeArtifact(serveJson: String): String = {
       val json = artifactJson(serveJson)
@@ -503,7 +553,8 @@ object Bench {
       System.err.println(s"[bench] deadline ${deadlineS.getOrElse(0)}s exceeded — " +
         s"skipping remaining cold passes (${named.count(n => !samples.contains(n._1))} queries unmeasured)")
 
-    // ── part 2: warm serving path ────────────────────────────────────
+    // ── part 2: ANN recall + warm serving path ───────────────────────
+    recallJson = recallSection(spark, sfDir)
     val runs = sys.env.getOrElse("SPARK_GRAFT_SERVE_RUNS", "15").toInt
     val serveJson = serveSection(spark, sfDir, runs)
 

@@ -207,6 +207,33 @@ object Oracles {
         |  SELECT 3, 'purchase', CAST(count(t3) AS BIGINT),
         |    CAST(sum(t3-t1) AS BIGINT), CAST(max(t3-t1) AS BIGINT) FROM w)
         |SELECT * FROM r ORDER BY stage_idx""".stripMargin,
+    // windowed twin: identical chain with each step's min constrained to
+    // [t_{k-1}, t_{k-1} + W] — the window constant comes from Queries so
+    // both sides can never drift
+    "funnel_windowed" -> {
+      val w = graft.Queries.FunnelWindowNs
+      s"""WITH ev AS (SELECT user_id u, epoch_ns(ts) t, event_type y FROM events
+         |            WHERE event_type IN ('signup','click','purchase')
+         |              AND user_id IS NOT NULL),
+         |s1 AS (SELECT u, min(t) t1 FROM ev WHERE y='signup' GROUP BY 1),
+         |s2 AS (SELECT e.u, min(t) t2 FROM ev e JOIN s1 USING(u)
+         |       WHERE y='click' AND t>=t1 AND t<=t1+$w GROUP BY 1),
+         |s3 AS (SELECT e.u, min(t) t3 FROM ev e JOIN s2 USING(u)
+         |       WHERE y='purchase' AND t>=t2 AND t<=t2+$w GROUP BY 1),
+         |u0 AS (SELECT DISTINCT u FROM ev),
+         |w AS (SELECT u0.u, t1, t2, t3 FROM u0
+         |      LEFT JOIN s1 USING(u) LEFT JOIN s2 USING(u) LEFT JOIN s3 USING(u)),
+         |r AS (
+         |  SELECT 1 stage_idx, 'signup' stage, CAST(count(t1) AS BIGINT) n_users,
+         |    CAST(sum(t1-t1) AS BIGINT) sum_dt_ns, CAST(max(t1-t1) AS BIGINT) max_dt_ns FROM w
+         |  UNION ALL
+         |  SELECT 2, 'click', CAST(count(t2) AS BIGINT),
+         |    CAST(sum(t2-t1) AS BIGINT), CAST(max(t2-t1) AS BIGINT) FROM w
+         |  UNION ALL
+         |  SELECT 3, 'purchase', CAST(count(t3) AS BIGINT),
+         |    CAST(sum(t3-t1) AS BIGINT), CAST(max(t3-t1) AS BIGINT) FROM w)
+         |SELECT * FROM r ORDER BY stage_idx""".stripMargin
+    },
     "events_retention" ->
       """WITH ud AS (SELECT DISTINCT user_id u, epoch_ns(ts)//86400000000000 d FROM events),
         |f AS (SELECT u, min(d) cd FROM ud GROUP BY 1)

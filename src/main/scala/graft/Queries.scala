@@ -27,6 +27,10 @@ object Queries {
   val Cutoff = "1997-06-30"
   val Dim = 64
 
+  /** funnel_windowed's per-step conversion window (2 days in ns; the
+    * oracle reads this constant so both sides stay in sync) */
+  val FunnelWindowNs: Long = 2L * 86400L * 1000000000L
+
   // integer-cents grid for money aggregates: exact, order-independent
   private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
 
@@ -145,6 +149,13 @@ object Queries {
     "events_funnel" -> ((s, dir) =>
       Events.funnel(Tables(s, dir, "events"), "user_id", "event_type",
         Seq("signup", "click", "purchase"))),
+    // windowed conversion: each step must land within 2 days of the
+    // previous stage's reach (the bounded-window form of real funnel
+    // reports; the fixture's step deltas median ~1.2 d, so the bound
+    // genuinely prunes)
+    "funnel_windowed" -> ((s, dir) =>
+      Events.funnel(Tables(s, dir, "events"), "user_id", "event_type",
+        Seq("signup", "click", "purchase"), maxStepNs = Some(FunnelWindowNs))),
     // first-seen-day cohorts × active-day offsets (engagement decay)
     "events_retention" -> ((s, dir) =>
       Events.retentionCohorts(Tables(s, dir, "events"), "user_id")

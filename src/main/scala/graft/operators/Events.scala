@@ -30,10 +30,21 @@ object Events {
     * input (count 0, null delta sums — same as the oracle's aggregate
     * over an empty frame). A pathological power user concentrates that
     * user's stage events into one array row; [[funnelIterative]] is the
-    * per-stage-aggregate twin with no per-user array for that regime. */
+    * per-stage-aggregate twin with no per-user array for that regime.
+    *
+    * `maxStepNs` bounds each CONVERSION STEP: stage k counts only if
+    * its earliest qualifying event lands within `maxStepNs` of stage
+    * k-1's reach time (t_k = min{t : t >= t_{k-1} ∧ t - t_{k-1} ≤ T}) —
+    * the windowed-conversion knob of real funnel reports ("purchased
+    * within 7 days of clicking"). Stage 1 is never windowed (it has no
+    * predecessor), and a stage missed because every candidate fell
+    * outside the window nulls all later stages, exactly like a stage
+    * with no events at all. */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
-             stages: Seq[String], tsCol: String = "ts"): DataFrame = {
+             stages: Seq[String], tsCol: String = "ts",
+             maxStepNs: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "stages must be non-empty")
+    require(maxStepNs.forall(_ > 0), "maxStepNs must be positive")
     // per user: collect this user's (ts, type) pairs once, then fold the
     // stage thresholds with array expressions — no self-joins, no
     // per-stage shuffles; the array is bounded by the user's event count
@@ -49,10 +60,17 @@ object Events {
       case (df, (stage, i)) =>
         val prev = if (i == 0) lit(Long.MinValue) else col(s"t$i")
         // earliest event of this stage at-or-after the previous stage's
-        // reach time; null propagates (never reached ⇒ later stages null)
+        // reach time; null propagates (never reached ⇒ later stages null).
+        // The window bound applies only past stage 1 (stage 1 has no
+        // predecessor, and prev + T would overflow off Long.MinValue)
         val firstAtOrAfter = array_min(filter(col("evs"),
-          e => e.getField("y") === stage && e.getField("t") >= prev)
-          .getField("t"))
+          e => {
+            val base = e.getField("y") === stage && e.getField("t") >= prev
+            maxStepNs match {
+              case Some(t) if i > 0 => base && e.getField("t") <= prev + t
+              case _                => base
+            }
+          }).getField("t"))
         df.withColumn(s"t${i + 1}",
           if (i == 0) firstAtOrAfter
           else when(prev.isNotNull, firstAtOrAfter))
@@ -101,8 +119,10 @@ object Events {
     * per-user stage-event counts are unbounded, [[funnel]] when S
     * passes over the event table cost more than one. */
   def funnelIterative(events: DataFrame, userCol: String, typeCol: String,
-                      stages: Seq[String], tsCol: String = "ts"): DataFrame = {
+                      stages: Seq[String], tsCol: String = "ts",
+                      maxStepNs: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "stages must be non-empty")
+    require(maxStepNs.forall(_ > 0), "maxStepNs must be positive")
     val ev = events.where(col(typeCol).isin(stages.map(x => x: Any): _*) &&
         col(userCol).isNotNull)
       .select(col(userCol).as("user"), col(tsCol).as("t"), col(typeCol).as("y"))
@@ -120,7 +140,8 @@ object Events {
           else
             ev.where(col("y") === stage)
               .join(acc.head.select(col("user"), col(s"t$i")), "user")
-              .where(col("t") >= col(s"t$i"))
+              .where(col("t") >= col(s"t$i") &&
+                maxStepNs.map(t => col("t") <= col(s"t$i") + t).getOrElse(lit(true)))
               .groupBy("user").agg(min("t").as(s"t${i + 1}"))
         r :: acc
     }.reverse

@@ -210,6 +210,40 @@ class AsOfEventsSpec extends SparkSpec {
     assert(a === b, s"single-pass vs iterative diverge:\n$a\n$b")
   }
 
+  test("windowed funnel bounds each conversion step; twins agree under the bound") {
+    // user 1 clicks 150 ns after signup (inside a 200 ns window), user 2
+    // clicks 300 ns after (outside); user 4 has a late click AND an
+    // in-window one — min-in-window must pick the in-window event, and a
+    // stage missed on the window nulls the later stages
+    val ev = Seq(
+      (1L, 100L, "signup"), (1L, 250L, "click"), (1L, 400L, "purchase"),
+      (2L, 100L, "signup"), (2L, 400L, "click"), (2L, 450L, "purchase"),
+      (4L, 100L, "signup"), (4L, 180L, "click"), (4L, 500L, "click")
+    ).toDF("user_id", "ts", "event_type")
+    val stages = Seq("signup", "click", "purchase")
+    val out = Events.funnel(ev, "user_id", "event_type", stages,
+        maxStepNs = Some(200L))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(out(1) === 3L, "all signed up")
+    assert(out(2) === 2L, "user 2's 300 ns click falls outside the window")
+    assert(out(3) === 1L, "only user 1 purchases within 200 ns of the click")
+    // unwindowed ⊇ windowed at every stage, and the two twins stay
+    // identical under the bound on a random corpus
+    val rnd = new scala.util.Random(77)
+    val big = (0 until 600).map(_ => ((rnd.nextInt(20) + 1).toLong,
+      rnd.nextInt(500).toLong, Seq("s1", "s2", "s3")(rnd.nextInt(3))))
+      .toDF("user_id", "ts", "event_type")
+    val w = Events.funnel(big, "user_id", "event_type", Seq("s1", "s2", "s3"),
+      maxStepNs = Some(60L)).collect().toSeq
+    val wi = Events.funnelIterative(big, "user_id", "event_type",
+      Seq("s1", "s2", "s3"), maxStepNs = Some(60L)).collect().toSeq
+    assert(w === wi, s"windowed single-pass vs iterative diverge:\n$w\n$wi")
+    val un = Events.funnel(big, "user_id", "event_type", Seq("s1", "s2", "s3"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    w.foreach(r => assert(r.getLong(2) <= un(r.getInt(0)),
+      "window must only prune, never add"))
+  }
+
   test("retention cohorts count distinct users per (first day, offset)") {
     val day = 86400L * 1000000000L
     val ev = Seq(

@@ -529,12 +529,13 @@ object Oracles {
       s"""WITH $Toks, $Posting,
          |d AS (SELECT term, CAST(sum(tf) AS BIGINT) cf FROM p GROUP BY 1),
          |tot AS (SELECT CAST(sum(cf) AS BIGINT) tt, CAST(count(*) AS BIGINT) vv FROM d),
-         |w AS (SELECT doc_id, dl, sum(tf * round(ln((cf+1.0)/(tt+vv))*1e6)) sw
-         |      FROM p JOIN d USING(term) CROSS JOIN tot GROUP BY 1,2)
+         |w AS (SELECT doc_id, dl, sum(tf * floor(ln((cf+1.0)/(tt+vv))*1e6)) sw
+         |      FROM p JOIN d USING(term) CROSS JOIN tot GROUP BY 1,2),
+         |g AS (SELECT doc_id, dl, (0 - CAST(sw AS BIGINT)) // dl neg6 FROM w)
          |SELECT doc_id, CAST(dl AS BIGINT) n_tokens,
-         |round(sw/1e6/dl, 6) avg_logprob,
-         |round(exp(-sw/1e6/dl), 6) ppl
-         |FROM w ORDER BY doc_id""".stripMargin,
+         |-(CAST(neg6 AS DOUBLE))/1e6 avg_logprob,
+         |round(exp(CAST(neg6 AS DOUBLE)/1e6), 6) ppl
+         |FROM g ORDER BY doc_id""".stripMargin,
     "text_quality" -> {
       val stop = graft.operators.TextAnalysis.StopwordsEn.map(s => s"'$s'").mkString("[", ",", "]")
       s"""WITH $Toks
@@ -607,7 +608,7 @@ object Oracles {
          |cv AS (SELECT doc_id, t,
          |  list_distinct(flatten([range(j, j+3) for j in starts])) covered FROM st)
          |SELECT doc_id,
-         |  array_to_string([t[i] for i in range(1, len(t)+1) if NOT list_contains(covered, i)], ' ') text_clean,
+         |  coalesce(array_to_string([t[i] for i in range(1, len(t)+1) if NOT list_contains(covered, i)], ' '), '') text_clean,
          |  CAST(len(t) AS BIGINT) n_tokens,
          |  CAST(len(covered) AS BIGINT) n_stripped
          |FROM cv ORDER BY doc_id""".stripMargin,
@@ -675,7 +676,7 @@ object Oracles {
          |cv AS (SELECT doc_id, t,
          |  list_distinct(flatten([range(j, j+3) for j in dstarts])) covered FROM st)
          |SELECT doc_id,
-         |  array_to_string([t[i] for i in range(1, len(t)+1) if NOT list_contains(covered, i)], ' ') text_clean,
+         |  coalesce(array_to_string([t[i] for i in range(1, len(t)+1) if NOT list_contains(covered, i)], ' '), '') text_clean,
          |  CAST(len(t) AS BIGINT) n_tokens,
          |  CAST(len(covered) AS BIGINT) n_stripped
          |FROM cv ORDER BY doc_id""".stripMargin,
@@ -730,7 +731,7 @@ object Oracles {
          |SELECT source, CAST(count(*) AS BIGINT) n_docs,
          |  CAST(sum(kept) AS BIGINT) n_kept,
          |  round(CAST(sum(kept) AS DOUBLE)/count(*),6) kept_frac,
-         |  round(CAST(sum(q6) AS BIGINT)/(count(*)*1e6),6) mean_q,
+         |  CAST(CAST(sum(q6) AS BIGINT)//count(*) AS DOUBLE)/1e6 mean_q,
          |  round(CAST(sum(kept) AS DOUBLE)/count(*),6) >= 0.5 keep_source
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
     },

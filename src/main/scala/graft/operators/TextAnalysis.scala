@@ -159,8 +159,15 @@ object TextAnalysis {
       "doc_id", "text")
     val dict = post.groupBy("term").agg(sum("tf").as("cf"))
     val totals = dict.agg(sum("cf").as("tt"), count("*").as("vv"))
-    // quantized token log-prob: integral double on the 1e-6 grid
-    val lp = round(log((col("cf") + lit(1.0)) /
+    // quantized token log-prob: integral double on the 1e-6 grid. FLOOR,
+    // not round: round-to-nearest puts the decision boundary at .5,
+    // where Spark (BigDecimal of the double's shortest string repr) and
+    // C++ engines (std::round of the double) can disagree on the SAME
+    // value — one vocabulary term flipping by 1 micro-unit shifts every
+    // containing doc's sw (seen at sf0.1). floor's boundary is an
+    // integer, which only a genuine cross-engine ln() divergence can
+    // straddle — ulp-rare instead of shortest-repr-common.
+    val lp = floor(log((col("cf") + lit(1.0)) /
       (col("tt") + col("vv"))) * lit(1e6))
     // no broadcast HINT on the dictionary: it is the FULL vocabulary,
     // unbounded at corpus scale (a forced broadcast would OOM the
@@ -171,9 +178,22 @@ object TextAnalysis {
     val scored = post.join(dict, "term").crossJoin(broadcast(totals))
       .select(col("doc_id"), col("dl"), (col("tf") * lp).as("w"))
       .groupBy("doc_id", "dl").agg(sum("w").as("sw"))
+    // per-token average STAYS on the integer micro grid: sw is integral
+    // micro-logprob, so sw/1e6/dl has 7th-decimal digits and lands
+    // EXACTLY on the round-6 half boundary whenever sw ≡ 5·dl (mod
+    // 10·dl) — a value round-half can never make cross-engine stable
+    // (seen at sf0.1: doc with dl=10, sw ending in …55). Floor-divide
+    // the micro units by dl instead — on NEGATED (positive) operands,
+    // because Spark's `div` truncates toward zero while DuckDB's `//`
+    // floors, and the two agree only for non-negative inputs — and
+    // never call round on the quotient. ppl then exponentiates that
+    // exact grid point (identical double on both engines; exp's true
+    // value is never ON the grid — transcendental — so its round is
+    // ulp-stable).
+    val neg6 = expr("(0 - CAST(sw AS BIGINT)) div dl")
     scored.select(col("doc_id"), col("dl").cast("long").as("n_tokens"),
-        round(col("sw") / lit(1e6) / col("dl"), 6).as("avg_logprob"),
-        round(exp(-(col("sw") / lit(1e6)) / col("dl")), 6).as("ppl"))
+        (-neg6.cast("double") / 1e6).as("avg_logprob"),
+        round(exp(neg6.cast("double") / 1e6), 6).as("ppl"))
       .orderBy("doc_id")
   }
 
@@ -270,9 +290,13 @@ object TextAnalysis {
     perDoc.groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_kept"),
         sum("q6").as("sum_q6"))
+      // mean on the integer grid: sum_q6 div n (exact floor division of
+      // two identical longs on both engines) back to units — NO
+      // round-half call, whose .5 boundary a double mean can land on
+      // exactly (sum≡125 mod 250 flipped Spark vs DuckDB at sf0.1)
       .select(col("source"), col("n_docs"), col("n_kept"),
         round(col("n_kept").cast("double") / col("n_docs"), 6).as("kept_frac"),
-        round(col("sum_q6") / (col("n_docs") * 1e6), 6).as("mean_q"),
+        (expr("sum_q6 div n_docs").cast("double") / 1e6).as("mean_q"),
         (round(col("n_kept").cast("double") / col("n_docs"), 6) >= minKeptFrac)
           .as("keep_source"))
   }

@@ -39,11 +39,15 @@ class TextAnalysisSpec extends AnyFunSuite {
     val docs = Seq((1L, "a a a b"), (2L, "c d")).toDF("doc_id", "text")
     val out = TextAnalysis.lmPerplexity(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
-    def lp(cf: Long) = math.round(math.log((cf + 1.0) / 10.0) * 1e6)
-    val ppl1 = BigDecimal(math.exp(-(3 * lp(3) + 1 * lp(1)) / 1e6 / 4))
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val ppl2 = BigDecimal(math.exp(-(lp(1) + lp(1)) / 1e6 / 2))
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // floor quantization + exp of the 6-dp-rounded avg: the operator's
+    // cross-engine determinism contract (round-half's .5 boundary is
+    // where engines disagree on identical doubles)
+    def lp(cf: Long) = math.floor(math.log((cf + 1.0) / 10.0) * 1e6).toLong
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def neg6(sw: Long, dl: Long) = (0L - sw) / dl // positive: trunc == floor
+    val ppl1 = r6(math.exp(neg6(3 * lp(3) + 1 * lp(1), 4) / 1e6))
+    val ppl2 = r6(math.exp(neg6(lp(1) + lp(1), 2) / 1e6))
     assert(out(1L) === ((4L, ppl1)))
     assert(out(2L) === ((2L, ppl2)))
     // the doc dominated by the frequent token is less surprising

@@ -17,10 +17,13 @@ run / fork := true
 // land after Bench's final compact artifact line and eat its budget.
 Global / showSuccess := false
 Global / excludeLintKeys += showSuccess
-// Forward the forked run JVM's stdout raw instead of through sbt's
-// "[info] " line decoration: Bench's final artifact line must fit the
-// driver's 2000-char tail whole, and 7 chars/line of decoration is
-// budget (stderr keeps the default strategy's tagging).
+// Forward the forked run JVM's streams raw instead of through sbt's
+// log decoration ("[info] " on stdout, "[error] " on stderr): Bench's
+// final artifact line must fit the driver's 2000-char STDOUT tail
+// whole, and 7 chars/line of decoration is budget. NOTE this strategy
+// forwards BOTH streams undecorated — Spark logs arrive on stderr as
+// bare INFO/WARN lines (they stay on the stderr fd, so they cannot
+// land in a stdout-only tail capture).
 run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -307,51 +307,75 @@ object Bench {
         s"""{"error":"${esc(e.toString)}"}"""
     }
 
+  /** The shared recall@k harness (AnnRecallSpec pins its floors through
+    * the SAME code, so the per-round numbers and the pinned thresholds
+    * can never desynchronize): per-query vector + exact-cosine top-k
+    * baseline, computed ONCE per qid and reused across every
+    * approximate form. */
+  private[graft] def recallBaselines(e: org.apache.spark.sql.DataFrame,
+      qids: Seq[Long], k: Int): Seq[(Long, Array[Float], Set[Long])] =
+    qids.map { qid =>
+      val qv = e.where(col("vec_id") === qid)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val exact = graft.operators.Similarity.cosineTopK(e, "vec_id", "embedding",
+          typedLit(qv), k, excludeId = Some(qid))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (qid, qv, exact)
+    }
+
+  /** Mean recall of one approximate form against precomputed baselines. */
+  private[graft] def recallFrom(e: org.apache.spark.sql.DataFrame,
+      pre: Seq[(Long, Array[Float], Set[Long])],
+      approx: (org.apache.spark.sql.DataFrame, Array[Float]) =>
+        org.apache.spark.sql.DataFrame): Double = {
+    val rs = pre.map { case (qid, qv, exact) =>
+      val got = approx(e, qv).where(col("vec_id") =!= qid)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    if (rs.isEmpty) 0.0 else rs.sum / rs.size
+  }
+
   /** Recall@20 of the three approximate-similarity forms vs exact
     * cosine, at the registered queries' own parameters — recorded per
     * round so a parameter change can never silently trade recall for
     * the latency the bench rewards (the floors themselves are pinned in
-    * AnnRecallSpec; this is the per-round measurement). */
-  private[graft] def recallSection(spark: SparkSession, sfDir: String): String =
+    * AnnRecallSpec; this is the per-round measurement). The exact
+    * baselines are computed once across all three forms and the
+    * multi-probe index plan is hoisted out of the per-query loop. */
+  private[graft] def recallSection(spark: SparkSession, sfDir: String): String = {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.DataFrame
+    var cached: Option[DataFrame] = None
     try {
-      import graft.operators.Similarity
-      import org.apache.spark.sql.DataFrame
       val k = 20
       val e = Tables(spark, sfDir, "embeddings").cache()
+      cached = Some(e)
       val present = e.select("vec_id").where(col("vec_id")
         .isin(Seq(0L, 7L, 42L, 99L, 123L).map(x => x: Any): _*))
         .collect().map(_.getLong(0)).toSeq.sorted
-      def topIds(df: DataFrame): Set[Long] =
-        df.select("vec_id").collect().map(_.getLong(0)).toSet
+      val pre = recallBaselines(e, present, k)
+      val annIdx = Similarity.annIndex(e, "vec_id", "embedding", Queries.Dim, nBits = 4)
       val forms: Seq[(String, (DataFrame, Array[Float]) => DataFrame)] = Seq(
         ("ann_topk", (d, qv) =>
           Similarity.annTopK(d, "vec_id", "embedding", qv, Queries.Dim, nBits = 4, k = k)),
-        ("ann_multiprobe", (d, qv) =>
-          Similarity.annTopKMultiProbe(
-            Similarity.annIndex(d, "vec_id", "embedding", Queries.Dim, nBits = 4),
-            qv, Queries.Dim, nBits = 4, k = k, hamming = 1)),
+        ("ann_multiprobe", (_, qv) =>
+          Similarity.annTopKMultiProbe(annIdx, qv, Queries.Dim,
+            nBits = 4, k = k, hamming = 1)),
         ("ivf_topk", (d, qv) =>
           Similarity.ivfTopK(d, "vec_id", "embedding", typedLit(qv),
             nCentroids = 16, nProbe = 4, k = k)))
       val out = forms.map { case (name, approx) =>
-        val rs = present.map { qid =>
-          val qv = e.where(col("vec_id") === qid)
-            .select("embedding").head().getSeq[Float](0).toArray
-          val exact = topIds(Similarity.cosineTopK(e, "vec_id", "embedding",
-            typedLit(qv), k, excludeId = Some(qid)))
-          val got = topIds(approx(e, qv).where(col("vec_id") =!= qid))
-          (exact & got).size.toDouble / exact.size
-        }
-        s""""$name":${fmt(rs.sum / math.max(1, rs.size), 3)}"""
+        s""""$name":${fmt(recallFrom(e, pre, approx), 3)}"""
       }
-      e.unpersist()
       (out :+ s""""k":$k""" :+ s""""n_queries":${present.size}""")
         .mkString("{", ",", "}")
     } catch {
       case ex: Throwable =>
         System.err.println(s"[bench] recall section skipped: $ex")
         "null"
-    }
+    } finally cached.foreach(_.unpersist())
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -554,7 +578,10 @@ object Bench {
         s"skipping remaining cold passes (${named.count(n => !samples.contains(n._1))} queries unmeasured)")
 
     // ── part 2: ANN recall + warm serving path ───────────────────────
-    recallJson = recallSection(spark, sfDir)
+    // skipped when the deadline already truncated the cold suite: the
+    // run is being cut short for time, and the recall numbers only
+    // change when ANN parameters do (the floors stay spec-pinned)
+    if (!deadlineHit) recallJson = recallSection(spark, sfDir)
     val runs = sys.env.getOrElse("SPARK_GRAFT_SERVE_RUNS", "15").toInt
     val serveJson = serveSection(spark, sfDir, runs)
 

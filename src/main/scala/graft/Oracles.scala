@@ -244,7 +244,7 @@ object Oracles {
     "hot_keys" ->
       """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) n FROM events GROUP BY 1),
         |t AS (SELECT CAST(count(*) AS BIGINT) tot FROM events)
-        |SELECT user_id, n, round(CAST(n AS DOUBLE)/tot, 6) AS "share"
+        |SELECT user_id, n, floor(CAST(n AS DOUBLE)/tot*1e6)/1e6 AS "share"
         |FROM c CROSS JOIN t ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
     "column_profile" ->
       """SELECT 'doc_id' AS "column", CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) n_null, CAST(count(DISTINCT doc_id) AS BIGINT) n_distinct FROM documents
@@ -558,8 +558,8 @@ object Oracles {
          |  + (CASE WHEN len(t)>0 THEN round(CAST(len(list_distinct(t)) AS DOUBLE)/len(t),6) ELSE 0.0 END)*0.3
          |  + least((CASE WHEN len(t)>0 THEN round(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)/len(t),6) ELSE 0.0 END)/10.0, 1.0)*0.2, 6) qs
          |  FROM toks),
-         |c AS (SELECT doc_id, qs, n_tok,
-         |  sum(n_tok) OVER (ORDER BY qs DESC, doc_id
+         |c AS (SELECT doc_id, qs, coalesce(n_tok, 0) n_tok,
+         |  sum(coalesce(n_tok, 0)) OVER (ORDER BY qs DESC, doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum FROM q)
          |SELECT doc_id, qs AS q_score, n_tok, CAST(cum AS BIGINT) cum_tok
          |FROM c WHERE cum <= 5000 ORDER BY doc_id""".stripMargin
@@ -567,10 +567,12 @@ object Oracles {
     // shard-packing twin: the naive global ordered cumsum IS the spec —
     // the Spark side's two-pass prefix sum must equal it exactly
     "pack_shards" ->
+      // coalesce mirrors the engine's null-token hardening (null text
+      // contributes 0 tokens on both sides, never a NULL row)
       s"""WITH $Toks
-         |SELECT doc_id, CAST(len(t) AS BIGINT) n_tok,
-         |CAST(floor((sum(len(t)) OVER (ORDER BY doc_id
-         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - len(t))/500.0) AS BIGINT) shard
+         |SELECT doc_id, coalesce(CAST(len(t) AS BIGINT), 0) n_tok,
+         |CAST(floor((sum(coalesce(len(t), 0)) OVER (ORDER BY doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - coalesce(len(t), 0))/500.0) AS BIGINT) shard
          |FROM toks ORDER BY doc_id""".stripMargin,
     // dominant-bigram repetition twin: same '_'-joined shingle grammar as
     // the contamination CTE; sub-n docs emit no row on either engine
@@ -730,9 +732,9 @@ object Oracles {
          |      FROM documents JOIN r USING(doc_id) JOIN q USING(doc_id))
          |SELECT source, CAST(count(*) AS BIGINT) n_docs,
          |  CAST(sum(kept) AS BIGINT) n_kept,
-         |  round(CAST(sum(kept) AS DOUBLE)/count(*),6) kept_frac,
+         |  floor(CAST(sum(kept) AS DOUBLE)/count(*)*1e6)/1e6 kept_frac,
          |  CAST(CAST(sum(q6) AS BIGINT)//count(*) AS DOUBLE)/1e6 mean_q,
-         |  round(CAST(sum(kept) AS DOUBLE)/count(*),6) >= 0.5 keep_source
+         |  CAST(sum(kept) AS DOUBLE)/count(*) >= 0.5 keep_source
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
     },
     "length_buckets" ->

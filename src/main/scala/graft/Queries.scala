@@ -31,6 +31,20 @@ object Queries {
     * oracle reads this constant so both sides stay in sync) */
   val FunnelWindowNs: Long = 2L * 86400L * 1000000000L
 
+  private val scratchHooks = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Register a scratch directory for recursive deletion at JVM exit —
+    * once per path, so repeated query runs don't stack hooks. */
+  private def registerScratchCleanup(dir: String): Unit =
+    if (scratchHooks.add(dir)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(dir))
+      }))
+    }
+
   // integer-cents grid for money aggregates: exact, order-independent
   private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
 
@@ -389,13 +403,17 @@ object Queries {
     "parquet_compact_roundtrip" -> ((s, dir) => {
       // FIXED per-JVM scratch path, overwritten each run — a fresh
       // createTempDirectory per execution would accumulate two corpus
-      // copies per bench/verify pass and eventually fill the temp FS.
-      // Suffixed with the Spark app id so two concurrent graft JVMs on
-      // one host (bench + verify) cannot clobber each other's frag/out
-      // directories mid-read
+      // copies per bench/verify pass within one JVM. Suffixed with the
+      // Spark app id so two concurrent graft JVMs on one host (bench +
+      // verify) cannot clobber each other's frag/out directories
+      // mid-read — and deleted at JVM exit (the app id is fresh per
+      // JVM, so without the hook every run would LEAVE two corpus
+      // copies and refill the temp FS across rounds). Exit-time, not
+      // in-query: the returned frame reads $tmp/out lazily.
       val tmp = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
         s"graft-compact-roundtrip-${s.sparkContext.applicationId}").toString
+      registerScratchCleanup(tmp)
       docs(s, dir).repartition(64).write.mode("overwrite").parquet(s"$tmp/frag")
       Compact.compactParquet(s, s"$tmp/frag", s"$tmp/out",
         targetBytes = 1L << 30, clusterBy = Seq("doc_id"))

@@ -29,8 +29,11 @@ object Profile {
       .localCheckpoint()
     val total = counts.agg(sum("n").as("tot"))
     counts.crossJoin(broadcast(total))
+      // share floors onto the 1e-6 grid (never round-half: a count
+      // ratio can sit exactly on the .5 boundary, where engines
+      // disagree on the same double — the library's rounding doctrine)
       .select(keyCols.map(col) :+ col("n") :+
-        round(col("n").cast("double") / col("tot"), 6).as("share"): _*)
+        (floor(col("n").cast("double") / col("tot") * 1e6) / 1e6).as("share"): _*)
       .orderBy(desc("n") +: keyCols.map(c => asc_nulls_last(c)): _*)
       .limit(k)
   }

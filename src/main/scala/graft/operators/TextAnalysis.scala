@@ -290,14 +290,20 @@ object TextAnalysis {
     perDoc.groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_kept"),
         sum("q6").as("sum_q6"))
-      // mean on the integer grid: sum_q6 div n (exact floor division of
-      // two identical longs on both engines) back to units — NO
-      // round-half call, whose .5 boundary a double mean can land on
-      // exactly (sum≡125 mod 250 flipped Spark vs DuckDB at sf0.1)
+      // grid outputs with NO round-half call anywhere: a ratio of grid
+      // integers can land exactly on the round-6 half boundary, where
+      // Spark (BigDecimal of shortest repr) and C++ engines
+      // (std::round) disagree on the same double (sum≡125 mod 250
+      // flipped mean_q at sf0.1). mean_q floors on the integer grid
+      // (div ≡ // for non-negatives); kept_frac floors the double
+      // ratio (floor is a pure function of the identical double — no
+      // algorithmic variance); keep_source compares the RAW ratio (the
+      // division is deterministic, >= is exact)
       .select(col("source"), col("n_docs"), col("n_kept"),
-        round(col("n_kept").cast("double") / col("n_docs"), 6).as("kept_frac"),
+        (floor(col("n_kept").cast("double") / col("n_docs") * 1e6) / 1e6)
+          .as("kept_frac"),
         (expr("sum_q6 div n_docs").cast("double") / 1e6).as("mean_q"),
-        (round(col("n_kept").cast("double") / col("n_docs"), 6) >= minKeptFrac)
+        (col("n_kept").cast("double") / col("n_docs") >= minKeptFrac)
           .as("keep_source"))
   }
 

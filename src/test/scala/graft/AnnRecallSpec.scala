@@ -22,21 +22,13 @@ class AnnRecallSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.1" // 2000 vectors — the largest local corpus
   private val K = 20
 
-  private def topIds(df: DataFrame): Set[Long] =
-    df.select("vec_id").collect().map(_.getLong(0)).toSet
-
+  // the SAME harness Bench.recallSection reports through each round —
+  // one implementation, so the pinned floors and the per-round artifact
+  // numbers can never desynchronize
   private def recallAt(qids: Seq[Long], approx: (DataFrame, Array[Float]) => DataFrame): Double = {
     val e = Tables(spark, sf, "embeddings").cache()
-    val rs = qids.map { qid =>
-      val qv = e.where(col("vec_id") === qid)
-        .select("embedding").head().getSeq[Float](0).toArray
-      val exact = topIds(Similarity.cosineTopK(e, "vec_id", "embedding",
-        typedLit(qv), K, excludeId = Some(qid)))
-      val got = topIds(approx(e, qv).where(col("vec_id") =!= qid))
-      (exact & got).size.toDouble / exact.size
-    }
-    e.unpersist()
-    rs.sum / rs.size
+    try Bench.recallFrom(e, Bench.recallBaselines(e, qids, K), approx)
+    finally e.unpersist(): Unit
   }
 
   test("semanticDedupSurvivors: exact-duplicate vectors keep only the lowest id") {

@@ -357,8 +357,8 @@ object Bench {
       val pre = recallBaselines(e, present, k)
       val annIdx = Similarity.annIndex(e, "vec_id", "embedding", Queries.Dim, nBits = 4)
       val forms: Seq[(String, (DataFrame, Array[Float]) => DataFrame)] = Seq(
-        ("ann_topk", (d, qv) =>
-          Similarity.annTopK(d, "vec_id", "embedding", qv, Queries.Dim, nBits = 4, k = k)),
+        ("ann_topk", (_, qv) =>
+          Similarity.annTopKWith(annIdx, qv, Queries.Dim, nBits = 4, k = k)),
         ("ann_multiprobe", (_, qv) =>
           Similarity.annTopKMultiProbe(annIdx, qv, Queries.Dim,
             nBits = 4, k = k, hamming = 1)),
@@ -374,7 +374,13 @@ object Bench {
       case ex: Throwable =>
         System.err.println(s"[bench] recall section skipped: $ex")
         "null"
-    } finally cached.foreach(_.unpersist())
+    } finally {
+      // best-effort: unpersist on a stopped SparkContext throws, and an
+      // exception escaping the finally would replace the handled one and
+      // kill the run before the artifact lines print
+      try cached.foreach(_.unpersist())
+      catch { case _: Throwable => () }
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -574,6 +574,13 @@ object Oracles {
          |CAST(floor((sum(coalesce(len(t), 0)) OVER (ORDER BY doc_id
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - coalesce(len(t), 0))/500.0) AS BIGINT) shard
          |FROM toks ORDER BY doc_id""".stripMargin,
+    // shuffle twin: the NAIVE global row_number over the md5 order IS
+    // the spec (ties broken by doc_id; md5 of the same string is
+    // engine-identical)
+    "shuffle_order" ->
+      """SELECT doc_id, md5(concat('ep0:', CAST(doc_id AS VARCHAR))) shuffle_key,
+        |CAST(ROW_NUMBER() OVER (ORDER BY md5(concat('ep0:', CAST(doc_id AS VARCHAR))), doc_id) - 1 AS BIGINT) pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // dominant-bigram repetition twin: same '_'-joined shingle grammar as
     // the contamination CTE; sub-n docs emit no row on either engine
     "repetition_stats" ->

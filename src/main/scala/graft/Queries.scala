@@ -375,6 +375,12 @@ object Queries {
     "pack_shards" -> ((s, dir) =>
       Shards.packShards(docs(s, dir), "doc_id", "text", tokensPerShard = 500L)
         .orderBy("doc_id")),
+    // deterministic epoch shuffle: md5-keyed total order as positions
+    // 0..n-1 (two-pass prefix count — the naive row_number-over-global-
+    // order twin is the oracle)
+    "shuffle_order" -> ((s, dir) =>
+      Shards.shuffleOrder(docs(s, dir), "doc_id", seed = "ep0")
+        .orderBy("doc_id")),
     // token-budget data-diet cut: best docs by composite quality until
     // 5000 tokens, inclusive-fit semantics (two-pass prefix sum)
     "budget_select" -> ((s, dir) => {

@@ -112,4 +112,44 @@ object Shards {
       .where(col("cum_tok") <= budget)
       .select(col("doc_id"), col("q_score"), col("n_tok"), col("cum_tok"))
   }
+
+  /** Deterministic corpus shuffle — the training-export ordering step:
+    * every document gets a stable pseudo-random position 0..n-1, the
+    * total order being (md5(seed ":" id), id). Changing the seed gives
+    * an uncorrelated new epoch order; the same seed reproduces the
+    * exact order on any engine (md5 of the same string is
+    * engine-identical — the library's sampling-grid doctrine, here as
+    * an ORDER).
+    *
+    * Scale shape: the naive form is `row_number() OVER (ORDER BY hash)`
+    * — a SinglePartition window, one task sorting 100 TB. This is the
+    * two-pass prefix-count instead (the [[packShards]] discipline):
+    * range-exchange on the hash key, per-partition counts to the driver
+    * (W rows of planning data), prefix offsets broadcast back, and a
+    * per-PARTITION row_number. Two corpus shuffles, no global sort on
+    * one task; the output is exactly the naive form's permutation. */
+  def shuffleOrder(docs: DataFrame, idCol: String, seed: String,
+                   width: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    val w = rangeWidth(spark, width)
+    val keyed = docs.select(col(idCol).cast("long").as("doc_id"))
+      .withColumn("shuffle_key",
+        md5(concat(lit(seed), lit(":"), col("doc_id").cast("string"))))
+    // snapshot after the exchange: range boundaries are sampled, so the
+    // counts pass and the final pass must see the SAME cuts
+    val ranged = keyed.repartitionByRange(w, col("shuffle_key"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = ranged.groupBy("pid").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, n) => val o = (pid, acc); acc += n; o }
+    val offsetsDf = spark.createDataFrame(offsets.toSeq).toDF("pid", "offset")
+    val inPart = Window.partitionBy("pid").orderBy("shuffle_key", "doc_id")
+    ranged
+      .withColumn("rn", row_number().over(inPart).cast("long"))
+      .join(broadcast(offsetsDf), "pid")
+      .select(col("doc_id"), col("shuffle_key"),
+        (col("offset") + col("rn") - 1).as("pos"))
+  }
 }

@@ -304,6 +304,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), "global cumsum collapsed to one partition")
   }
 
+  test("shuffle order never plans a single-partition global window") {
+    val p = plan(graft.operators.Shards.shuffleOrder(
+      Tables(spark, sf, "documents"), "doc_id", "ep0"))
+    assert(!p.contains("SinglePartition"), "global row_number collapsed to one partition")
+  }
+
   test("quality percentile window partitions by the stratum, never a global sort") {
     val p = plan(graft.operators.TextAnalysis.qualityPercentile(
       Tables(spark, sf, "documents"), "doc_id", "text", "lang", minRank = 0.9))

@@ -26,4 +26,28 @@ class ShardsSpec extends AnyFunSuite {
       assert(got === expect, s"width=$w")
     }
   }
+
+  test("shuffle order: exact permutation of the naive global form, width-invariant, seed-sensitive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 97L).toDF("doc_id")
+    // the naive single-window spec the two-pass form must reproduce
+    val naive = docs
+      .withColumn("k", md5(concat(lit("ep0:"), col("doc_id").cast("string"))))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("k", "doc_id")).cast("long") - 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for (w <- Seq(1, 3, 8)) {
+      val got = Shards.shuffleOrder(docs, "doc_id", "ep0", width = w)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got === naive, s"width=$w diverges from the naive global order")
+    }
+    // positions are a permutation of 0..n-1
+    assert(naive.values.toSeq.sorted === (0L until 97L))
+    // a different seed gives a genuinely different epoch order
+    val ep1 = Shards.shuffleOrder(docs, "doc_id", "ep1")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ep1 !== naive)
+    assert(ep1.values.toSeq.sorted === (0L until 97L))
+  }
 }

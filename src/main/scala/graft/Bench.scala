@@ -613,7 +613,7 @@ object Bench {
     * decoration so the budget is the line itself). Degradation ladder:
     * uniform 3/2/1 decimals → adaptive (1 dec under 10 s, whole seconds
     * above) → adaptive with a minimal envelope → whole seconds with the
-    * minimal envelope (never expected; 92 queries fit the level above). */
+    * minimal envelope (never expected; 96 queries fit the level above). */
   private[graft] def compactJson(
       samples: Map[String, List[(Double, Option[String], Int)]],
       names: Seq[String], sfDir: String, maxLen: Int = 1995): String = {

@@ -246,6 +246,34 @@ object Oracles {
         |t AS (SELECT CAST(count(*) AS BIGINT) tot FROM events)
         |SELECT user_id, n, floor(CAST(n AS DOUBLE)/tot*1e6)/1e6 AS "share"
         |FROM c CROSS JOIN t ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
+    // heavy-hitters twin: the sketch pass is exact by the Misra-Gries
+    // superset guarantee, so the oracle is the plain GROUP BY + integer
+    // threshold (n·m > total — no division on either engine)
+    "heavy_hitters" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) n FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) tot FROM documents)
+        |SELECT lang, n FROM c CROSS JOIN t WHERE n*7 > tot
+        |ORDER BY n DESC, lang""".stripMargin,
+    // rolling twin: same hourly grain, same RANGE frame on the integer
+    // hour bucket; floor-average of non-negative longs (`//` ≡ `div`)
+    "events_rolling" ->
+      """WITH h AS (SELECT epoch_ns(ts)//3600000000000 hour_bucket, event_type,
+        |  CAST(count(*) AS BIGINT) n_events FROM events GROUP BY 1,2)
+        |SELECT hour_bucket, event_type, n_events,
+        |  CAST(sum(n_events) OVER w AS BIGINT) win_n,
+        |  CAST(count(*) OVER w AS BIGINT) win_hours,
+        |  CAST(sum(n_events) OVER w AS BIGINT) // CAST(count(*) OVER w AS BIGINT) AS avg_n
+        |FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour_bucket
+        |  RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
+        |ORDER BY hour_bucket, event_type""".stripMargin,
+    // interval-join twin: the declarative range predicate the bucketed
+    // decomposition must reproduce pair-for-pair (inclusive both ends)
+    "events_interval_join" ->
+      """WITH ev AS (SELECT event_id, event_type, epoch_ns(ts) t FROM events),
+        |iv AS (SELECT event_type iv_type, min(t) s FROM ev GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.t AS ts_ns, iv.iv_type
+        |FROM ev e JOIN iv ON e.t >= iv.s AND e.t <= iv.s + 21600000000000
+        |ORDER BY event_id, iv_type""".stripMargin,
     "column_profile" ->
       """SELECT 'doc_id' AS "column", CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) n_null, CAST(count(DISTINCT doc_id) AS BIGINT) n_distinct FROM documents
         |UNION ALL SELECT 'lang', CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT), CAST(count(DISTINCT lang) AS BIGINT) FROM documents
@@ -294,6 +322,14 @@ object Oracles {
         |  SELECT p.doc_id, p.checksum FROM prev p
         |  WHERE NOT EXISTS (SELECT 1 FROM changed c WHERE c.doc_id=p.doc_id)
         |  UNION ALL SELECT doc_id, checksum FROM changed)
+        |ORDER BY doc_id""".stripMargin,
+    // bloom twin: the prefilter is exact by the filter's no-false-
+    // negative guarantee + the anti-join confirm, so the oracle is the
+    // plain NOT EXISTS the operator must reproduce row-for-row
+    "bloom_seen_filter" ->
+      """WITH seen AS (SELECT doc_id FROM documents WHERE doc_id%3=0)
+        |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.doc_id=d.doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     // ── lexical index + BM25 ───────────────────────────────────────────

@@ -178,6 +178,33 @@ object Queries {
     // every salting/bucketing decision)
     "hot_keys" -> ((s, dir) =>
       Profile.hotKeys(Tables(s, dir, "events"), Seq("user_id"), k = 10)),
+    // EXACT heavy hitters (count > n/7) via the narrow Misra-Gries
+    // sketch + candidate-only confirm — the no-full-key-shuffle twin of
+    // hot_keys; m=7 genuinely separates at every SF ('en' always, the
+    // mid-languages flip in and out with their exact counts)
+    "heavy_hitters" -> ((s, dir) =>
+      Profile.heavyHitters(docs(s, dir), "lang", m = 7)),
+    // trailing-24h rolling volume per event type on the hourly grain —
+    // longs only (floor-average), RANGE-framed so silent hours age out
+    // by bucket distance
+    "events_rolling" -> ((s, dir) =>
+      Events.rollingHourly(Tables(s, dir, "events"), "event_type")
+        .orderBy("hour_bucket", "event_type")),
+    // interval join: per-type launch windows (first event + 6h) matched
+    // to every event inside them — bucketed range-containment join, no
+    // nested loop (AsOf.intervalJoin scaladoc has the 100 TB shape)
+    "events_interval_join" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"))
+      val iv = ev.groupBy(col("event_type").as("iv_type"))
+        .agg(min("ts").as("iv_start"))
+        .withColumn("iv_end", col("iv_start") + (6L * 3600L * 1000000000L))
+      AsOf.intervalJoin(ev, iv, "ts", "iv_start", "iv_end",
+          bucketWidth = 3600000000000L, ivCols = Seq("iv_type"))
+        .select(col("event_id"), col("event_type"), col("ts").as("ts_ns"),
+          col("iv_type"))
+        .orderBy("event_id", "iv_type")
+    }),
     // pre-ingest integrity profile: per-column null count + exact
     // distinct cardinality in one aggregation pass
     "column_profile" -> ((s, dir) =>
@@ -212,6 +239,15 @@ object Queries {
       val changed = Incremental.changed(fresh, prev, "doc_id", "checksum")
       Incremental.upsert(prev, changed, "doc_id")
         .select("doc_id", "checksum").orderBy("doc_id")
+    }),
+    // bloom-prefiltered seen-ledger skip: crawl docs whose id is not in
+    // the ledger (doc_id ≡ 0 mod 3) — exact result, but only
+    // bloom-positive rows ever reach the anti-join's exchange
+    "bloom_seen_filter" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val seen = d.where(col("doc_id") % 3 === 0).select(col("doc_id"))
+      Incremental.bloomAntiJoin(d, seen, "doc_id")
+        .select("doc_id", "source", "n_chars").orderBy("doc_id")
     }),
 
     // ── lexical index + BM25 ───────────────────────────────────────────

@@ -173,4 +173,59 @@ object AsOf {
         col(s"w.$keyCol") <=> col(s"pc.$keyCol") && col("w._b") === col("pc._b"))
       .select(out: _*)
   }
+
+  /** Interval (range-containment) join: every (probe row, interval) pair
+    * with `start <= ts <= end` (both ends inclusive), with no equi-key
+    * required — the other range-join Spark lacks natively (window
+    * attribution, outage/incident overlap, feature windows). The naive
+    * `probe JOIN intervals ON ts BETWEEN start AND end` plans a
+    * BroadcastNestedLoopJoin — O(|P|·|I|) comparisons — because Catalyst
+    * has no equi-key to hash on.
+    *
+    * This is the bucketed decomposition instead: each interval EXPLODES
+    * to the time buckets it covers (`sequence(start div W, end div W)`),
+    * each probe row lands in exactly ONE bucket (`ts div W`), and the
+    * pair space collapses to a hash equi-join on the bucket id plus the
+    * exact range residual-filter. Truncating division is monotonic for
+    * positive W, so `start <= ts <= end` implies the bucket ids align —
+    * no pair is lost — and the single probe bucket means no pair is
+    * DUPLICATED, so no distinct pass is needed.
+    *
+    * Scale: the shuffle is keyed by time bucket — probe side moves once;
+    * interval replication is `span/W + 1` rows each, so pick `W` near
+    * the median interval span (replication ~2× while keeping bucket
+    * fan-in low). A degenerate timeline-spanning interval replicates to
+    * every bucket, which IS the correct plan — that interval matches
+    * everything, and replicating it is the broadcast it needs. Null or
+    * inverted intervals and null-ts probes match nothing and drop up
+    * front (range-predicate semantics, same doctrine as [[asofJoin]]).
+    *
+    * @param probe    probe side; ALL its columns pass through
+    * @param intervals frame holding `startCol`/`endCol` long bounds
+    * @param ivCols   interval payload columns to attach to each match
+    * @param bucketWidth time-bucket width in the ts unit (e.g. ns)
+    */
+  def intervalJoin(probe: DataFrame, intervals: DataFrame, tsCol: String,
+                   startCol: String, endCol: String, bucketWidth: Long,
+                   ivCols: Seq[String]): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val ivPayload = Seq(startCol, endCol) ++
+      ivCols.filterNot(c => c == startCol || c == endCol)
+    val clash = ivPayload.toSet.intersect(probe.columns.toSet)
+    require(clash.isEmpty, s"interval columns collide with probe columns: $clash")
+    val iv = intervals
+      .where(col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(startCol) <= col(endCol))
+      .select(ivPayload.map(c => col(c).as(s"_iv_$c")): _*)
+      .withColumn("_b", explode(sequence(
+        expr(s"`_iv_$startCol` div $bucketWidth"),
+        expr(s"`_iv_$endCol` div $bucketWidth"))))
+    val p = probe.where(col(tsCol).isNotNull)
+      .withColumn("_b", expr(s"`$tsCol` div $bucketWidth"))
+    p.join(iv, Seq("_b"))
+      .where(col(tsCol) >= col(s"_iv_$startCol") &&
+        col(tsCol) <= col(s"_iv_$endCol"))
+      .select(probe.columns.toSeq.map(col) ++
+        ivPayload.map(c => col(s"_iv_$c").as(c)): _*)
+  }
 }

@@ -179,6 +179,41 @@ object Events {
       .agg(countDistinct("user").as("n_users"))
   }
 
+  /** Trailing-window rolling statistics over the hourly volume series:
+    * for each (hour, series) the window count, observed-hour count, and
+    * floor-average over the trailing `windowHours` hours — the smoothed
+    * ingest-volume view that [[hourlyAnomalies]]' global z-score cannot
+    * give (a diurnal corpus needs "vs the last day", not "vs all
+    * time").
+    *
+    * Shape: ONE combinable count collapses events to the hourly grain
+    * (the only pass that sees data-scale rows), then a per-series
+    * RANGE-framed window over the ≤ #series × #hours hourly frame —
+    * RANGE, not ROWS, so a silent hour (missing row) still ages out of
+    * the window by its bucket distance rather than by row position.
+    * All outputs are longs: the average is integer floor-division of
+    * non-negative counts (`div` ≡ `//` there — the library's rounding
+    * doctrine; a double mean can land on a round-half boundary where
+    * engines disagree). At 100 TB the events-scale work is the grouped
+    * count's map-side combine; the window exchange moves only the tiny
+    * hourly frame, re-keyed by series. */
+  def rollingHourly(events: DataFrame, seriesCol: String,
+                    tsCol: String = "ts", windowHours: Int = 24): DataFrame = {
+    require(windowHours >= 1, "windowHours must be >= 1")
+    val hourly = events
+      .groupBy(expr(s"`$tsCol` div 3600000000000").as("hour_bucket"), col(seriesCol))
+      .agg(count(lit(1)).as("n_events"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(seriesCol)
+      .orderBy("hour_bucket")
+      .rangeBetween(-(windowHours - 1).toLong, 0L)
+    hourly
+      .withColumn("win_n", sum("n_events").over(w))
+      .withColumn("win_hours", count(lit(1)).over(w))
+      .withColumn("avg_n", expr("win_n div win_hours"))
+      .select(col("hour_bucket"), col(seriesCol), col("n_events"),
+        col("win_n"), col("win_hours"), col("avg_n"))
+  }
+
   /** Per-(series, hour) volume z-scores with an anomaly flag.
     *
     * Two shuffles total: one combinable count to the (hour, series)

@@ -22,4 +22,65 @@ object Incremental {
     * upserts; no transactional table format in scope). */
   def upsert(prev: DataFrame, batch: DataFrame, idCol: String): DataFrame =
     prev.join(batch.select(idCol), Seq(idCol), "left_anti").unionByName(batch)
+
+  /** Bloom-prefiltered anti-join — EXACT `df ▷ seen` (rows of `df` whose
+    * key is not in `seen`), shaped for the regime where `df` is the
+    * 100 TB crawl and `seen` is a billion-key ledger of already-ingested
+    * ids: a plain `left_anti` shuffles ALL of `df` on the key, but with
+    * a Bloom filter over the ledger broadcast to the scan, every
+    * definite non-member (the overwhelming mass of a mostly-fresh crawl)
+    * is kept WITHOUT entering any exchange — only rows the filter
+    * cannot rule out (true members + an fpp-fraction of false
+    * positives) proceed to the exact anti-join, which kicks the false
+    * positives back in. No false negatives exist by the filter's
+    * one-sided guarantee, so the result is row-identical to the plain
+    * anti-join (property-pinned in DedupSpec).
+    *
+    * Sizing: the broadcast costs n·ln(1/fpp)/ln²2 bits — ~1.2 GB for
+    * 10⁹ keys at 1% fpp — and must fit each executor; raise `fpp` (or
+    * shard the ledger and cascade) past that. The membership probe is a
+    * UDF (licensed: Spark's only public column-level Bloom surface is
+    * `DataFrameStatFunctions.bloomFilter` + the driver-side sketch
+    * object; the Catalyst `might_contain` expression is reserved for
+    * AQE's internal runtime filters) — one xxhash-class probe per row,
+    * on the narrow prefilter leg only.
+    *
+    * Key column must be integral or string (`util.sketch.BloomFilter`'s
+    * domain). NULL-key rows never match an equi-anti-join, so they are
+    * kept, bloom-free, exactly like `left_anti`. An empty ledger
+    * degenerates to `df` with no bloom pass at all.
+    *
+    * The two legs scan `df` twice — deliberate: folding the probe into
+    * the anti-join's own condition would still move every row through
+    * the join's exchange (non-equi conditions evaluate post-shuffle),
+    * while two narrow pushdown-friendly scans + a candidates-only
+    * shuffle is the cheap side of the trade at any scale where this
+    * operator is worth using. Callers with an expensive upstream (not
+    * a scan) should checkpoint it first. */
+  def bloomAntiJoin(df: DataFrame, seen: DataFrame, keyCol: String,
+                    fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types._
+    val isString = df.schema(keyCol).dataType match {
+      case StringType => true
+      case ByteType | ShortType | IntegerType | LongType => false
+      case t => throw new IllegalArgumentException(
+        s"bloomAntiJoin key must be integral or string, got $t")
+    }
+    val seenKeys = seen.select(col(keyCol)).where(col(keyCol).isNotNull)
+    val nSeen = seenKeys.count()
+    if (nSeen == 0L) return df
+    val bf = seenKeys.stat.bloomFilter(keyCol, nSeen, fpp)
+    val bc = df.sparkSession.sparkContext.broadcast(bf)
+    val mightContain =
+      if (isString)
+        udf((k: String) => k != null && bc.value.mightContainString(k))
+          .apply(col(keyCol))
+      else
+        udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+          .apply(col(keyCol).cast("long"))
+    val definiteKeep = df.where(!mightContain)
+    val candidates = df.where(mightContain)
+      .join(seenKeys, Seq(keyCol), "left_anti")
+    definiteKeep.unionByName(candidates)
+  }
 }

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
 
 /** Data-profiling operators — the pre-ingest inspection pass a pipeline
   * runs on every new batch before it touches the expensive stages:
@@ -36,6 +37,68 @@ object Profile {
         (floor(col("n").cast("double") / col("tot") * 1e6) / 1e6).as("share"): _*)
       .orderBy(desc("n") +: keyCols.map(c => asc_nulls_last(c)): _*)
       .limit(k)
+  }
+
+  /** EXACT heavy hitters — every key whose count strictly exceeds
+    * `total/m` — without ever shuffling the full key space. Two passes:
+    *
+    *  1. a NARROW Misra-Gries sketch pass (`mapPartitions`, capacity `m`
+    *     counters per partition, no shuffle): any key with global count
+    *     > n/m must have partition count > n_p/m in at least one
+    *     partition (pigeonhole over Σf_p = f > Σn_p/m), and capacity-m
+    *     Misra-Gries keeps every key with partition count > n_p/(m+1) ⊇
+    *     that — so the union of per-partition survivors is a GUARANTEED
+    *     superset of the answer, at most m·P candidate rows (the same
+    *     pass also counts each partition's rows, so the grand total
+    *     costs no extra scan);
+    *  2. an exact confirm: broadcast the candidate set, semi-join the
+    *     table to it (map-side combined count over ≤ m·P keys), and keep
+    *     keys with `n·m > total` — exact integer comparison, no
+    *     division, so the oracle matches on any engine.
+    *
+    * [[hotKeys]] shuffles every distinct key to rank the top-k; at
+    * 100 TB with billions of distinct keys that exchange IS the cost,
+    * and this sketch path replaces it with one narrow scan plus a
+    * candidate-only aggregate whose shuffle is bounded by m·P rows
+    * regardless of data volume. NULL keys count as a key (matching the
+    * oracle's GROUP BY) via a null-safe candidate join. */
+  def heavyHitters(df: DataFrame, keyCol: String, m: Int): DataFrame = {
+    require(m >= 2, "m must be >= 2")
+    val keyDf = df.select(col(keyCol))
+    // the sentinel row carries a null key even over a non-nullable column
+    val outSchema = StructType(keyDf.schema.fields.map(_.copy(nullable = true)) ++ Seq(
+      StructField("_s", BooleanType, nullable = false),
+      StructField("_pn", LongType, nullable = false)))
+    val sketch = keyDf.mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[Any, Long]
+      var nPart = 0L
+      it.foreach { row =>
+        val k = row.get(0)
+        nPart += 1L
+        counters.get(k) match {
+          case Some(c) => counters.update(k, c + 1L)
+          case None if counters.size < m => counters.update(k, 1L)
+          case None =>
+            // decrement-all step: amortized O(1) per input row (each
+            // such step retires m+1 previously-added count units)
+            val dead = counters.iterator.collect { case (kk, 1L) => kk }.toList
+            counters.mapValuesInPlace((_, c) => c - 1L)
+            dead.foreach(counters.remove)
+        }
+      }
+      counters.keysIterator.map(k => Row(k, false, 0L)) ++
+        Iterator.single(Row(null, true, nPart))
+    }(Encoders.row(outSchema)).localCheckpoint()
+    val cand = sketch.where(!col("_s"))
+      .select(col(keyCol).as("_hk")).distinct()
+    val total = sketch.where(col("_s"))
+      .agg(coalesce(sum("_pn"), lit(0L)).as("tot"))
+    df.join(broadcast(cand), col(keyCol) <=> col("_hk"))
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .where(col("n") * m > col("tot"))
+      .select(col(keyCol), col("n"))
+      .orderBy(desc("n"), asc_nulls_last(keyCol))
   }
 
   /** Per-column integrity profile: null count and exact distinct

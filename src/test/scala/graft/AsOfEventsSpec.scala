@@ -382,6 +382,118 @@ class AsOfEventsSpec extends SparkSpec {
     }
   }
 
+  test("heavyHitters equals the exact GROUP BY threshold, nulls and strict > included") {
+    import graft.operators.Profile
+    val rnd = new scala.util.Random(17)
+    val keys: Seq[Option[String]] =
+      Seq.fill(600)(Some("a")) ++ Seq.fill(300)(Some("b")) ++
+        Seq.fill(80)(None) ++ (0 until 400).map(i => Some(s"t${rnd.nextInt(200)}"))
+    val df = keys.zipWithIndex.map { case (k, i) => (i.toLong, k.orNull) }
+      .toDF("id", "k")
+    val total = keys.size.toLong
+    Seq(2, 5, 20, 200).foreach { m =>
+      val expected = keys.groupBy(identity).view
+        .mapValues(_.size.toLong).filter { case (_, n) => n * m > total }
+        .map { case (k, n) => k.orNull -> n }.toMap
+      val got = Profile.heavyHitters(df, "k", m)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"m=$m")
+    }
+    // strictness: n*m == total is NOT a heavy hitter
+    val half = (Seq.fill(5)("x") ++ Seq.fill(5)("y")).zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    assert(Profile.heavyHitters(half, "k", 2).count() === 0L)
+    // empty input → empty result (and no divide-by-zero on the total)
+    assert(Profile.heavyHitters(half.where(lit(false)), "k", 3).count() === 0L)
+  }
+
+  test("bloomAntiJoin is row-identical to left_anti for long and string keys") {
+    import graft.operators.Incremental
+    val rnd = new scala.util.Random(23)
+    val big = (0 until 500).map { i =>
+      (i.toLong, if (i % 37 == 0) null else java.lang.Long.valueOf(rnd.nextInt(100).toLong))
+    }.toDF("id", "k")
+    val seen = ((0 until 99 by 7) ++ Seq(500, 501)).map(_.toLong).toDF("k")
+    val expected = big.join(seen, Seq("k"), "left_anti")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val got = Incremental.bloomAntiJoin(big, seen, "k")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === expected)
+    assert(got.contains(0L), "null-key rows are kept")
+    val bigS = big.withColumn("k", concat(lit("s"), col("k")))
+    val seenS = seen.withColumn("k", concat(lit("s"), col("k")))
+    val expS = bigS.join(seenS, Seq("k"), "left_anti")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val gotS = Incremental.bloomAntiJoin(bigS, seenS, "k")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(gotS === expS)
+    // empty ledger degenerates to the input; unsupported key types refuse
+    assert(Incremental.bloomAntiJoin(big, seen.where(lit(false)), "k").count()
+      === big.count())
+    intercept[IllegalArgumentException] {
+      Incremental.bloomAntiJoin(big.withColumn("k", col("k").cast("double")),
+        seen, "k")
+    }
+  }
+
+  test("rollingHourly: RANGE frame ages silent hours out by bucket distance") {
+    import graft.operators.Events
+    val h = 3600000000000L
+    val ev = Seq(
+      (1L, "a", 0L * h + 5L), (2L, "a", 0L * h + 9L),   // hour 0: n=2
+      (3L, "a", 1L * h + 1L),                           // hour 1: n=1
+      (4L, "a", 26L * h + 2L), (5L, "a", 26L * h + 3L), (6L, "a", 26L * h + 4L),
+      (7L, "b", 0L * h + 1L)                            // series isolation
+    ).toDF("event_id", "event_type", "ts")
+    val out = Events.rollingHourly(ev, "event_type")
+      .collect().map(r => (r.getString(1), r.getLong(0)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(("a", 0L)) === ((2L, 2L, 1L, 2L)))
+    assert(out(("a", 1L)) === ((1L, 3L, 2L, 1L)), "trailing window spans hours 0-1")
+    // hour 26 is 25 buckets past hour 1: a ROWS frame would still see it,
+    // the RANGE frame must not
+    assert(out(("a", 26L)) === ((3L, 3L, 1L, 3L)), "silent gap evicts older hours")
+    assert(out(("b", 0L)) === ((1L, 1L, 1L, 1L)))
+  }
+
+  test("intervalJoin equals the naive range predicate across bucket widths") {
+    val rnd = new scala.util.Random(13)
+    val probe = (0 until 200).map { i =>
+      (i.toLong, if (i % 41 == 0) null else java.lang.Long.valueOf(rnd.nextInt(1000).toLong))
+    }
+    def jl(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+    val ivs: Seq[(Long, java.lang.Long, java.lang.Long)] = (0 until 40).map { i =>
+      val s = rnd.nextInt(1000).toLong - 100L
+      val span = rnd.nextInt(300).toLong
+      val (lo, hi): (java.lang.Long, java.lang.Long) = i % 10 match {
+        case 7 => (jl(s), jl(s - 10L))  // inverted → dropped
+        case 8 => (null, jl(s))         // null bound → dropped
+        case 9 => (jl(s), jl(s))        // zero-length → point match
+        case _ => (jl(s), jl(s + span))
+      }
+      (i.toLong, lo, hi)
+    }
+    val expected = (for {
+      (pid, ts) <- probe if ts != null
+      (ivId, lo, hi) <- ivs
+      if lo != null && hi != null && lo <= hi && lo <= ts && ts <= hi
+    } yield (pid, ivId)).toSet
+    val pDf = probe.toDF("pid", "ts")
+    val ivDf = ivs.toDF("iv_id", "lo", "hi")
+    Seq(1L, 7L, 100000L).foreach { w =>
+      val got = AsOf.intervalJoin(pDf, ivDf, "ts", "lo", "hi",
+          bucketWidth = w, ivCols = Seq("iv_id"))
+        .select("pid", "iv_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected, s"width=$w")
+    }
+    // column-collision guard
+    intercept[IllegalArgumentException] {
+      AsOf.intervalJoin(pDf.withColumn("iv_id", lit(1L)), ivDf, "ts", "lo", "hi",
+        bucketWidth = 10L, ivCols = Seq("iv_id"))
+    }
+  }
+
   test("lengthBuckets partitions every doc exactly once") {
     val df = Seq((1L, "a b c"), (2L, "a b c d e"), (3L, ("t " * 40).trim))
       .toDF("doc_id", "text")

@@ -17,7 +17,7 @@ class BenchArtifactSpec extends AnyFunSuite {
     }.toMap
 
   test("compact line fits the tail and carries every measured query") {
-    for (n <- Seq(90, 92, 110)) {
+    for (n <- Seq(90, 96, 110)) {
       val samples = mk(n)
       val line = Bench.compactJson(samples, samples.keys.toSeq, "/root/testdata/sf0.1")
       assert(line.length <= 1995, s"$n queries: ${line.length} chars")

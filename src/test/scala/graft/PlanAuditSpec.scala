@@ -78,6 +78,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!pl.contains("CartesianProduct"), "lm perplexity plans a cartesian")
   }
 
+  test("interval join plans a hash equi-join on the bucket, never a nested loop") {
+    val p = plan(Queries.all("events_interval_join")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "interval join fell back to the O(|P|·|I|) nested loop")
+    assert(!p.contains("CartesianProduct"), "interval join plans a cartesian")
+  }
+
+  test("heavy hitters: candidate confirm broadcasts; rolling window never collapses to one partition") {
+    val ph = plan(Queries.all("heavy_hitters")(spark, sf))
+    assert(ph.contains("BroadcastHashJoin") || ph.contains("BroadcastExchange"),
+      "candidate set not broadcast — confirm pass would shuffle the table")
+    val pr = plan(Queries.all("events_rolling")(spark, sf))
+    assert(!pr.contains("SinglePartition"),
+      "rolling window degenerated to a single-partition sort")
+    assert(pr.contains("partial_count") || pr.contains("HashAggregate"),
+      "hourly grain lacks map-side combine")
+  }
+
+  test("bloom seen-filter: only the candidate leg joins; no cartesian anywhere") {
+    val p = plan(Queries.all("bloom_seen_filter")(spark, sf))
+    assert(p.contains("Union"), "missing the definite-keep ∪ confirmed split")
+    assert(p.contains("LeftAnti"), "exact confirm leg lost its anti-join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("lexical probes broadcast the query-term side") {
     val p = plan(Queries.all("bm25_topk")(spark, sf))
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),

@@ -194,32 +194,48 @@ object AsOf {
     * Scale: the shuffle is keyed by time bucket — probe side moves once;
     * interval replication is `span/W + 1` rows each, so pick `W` near
     * the median interval span (replication ~2× while keeping bucket
-    * fan-in low). A degenerate timeline-spanning interval replicates to
-    * every bucket, which IS the correct plan — that interval matches
-    * everything, and replicating it is the broadcast it needs. Null or
-    * inverted intervals and null-ts probes match nothing and drop up
-    * front (range-predicate semantics, same doctrine as [[asofJoin]]).
+    * fan-in low). An interval spanning more than
+    * `maxBucketsPerInterval` buckets FAILS the job with a clear error
+    * instead of silently exploding (a Long.MaxValue "open end" sentinel
+    * at seconds grain would otherwise ask `sequence` for ~10⁹ elements
+    * and die opaquely, or straggle one task with millions of replicas) —
+    * clamp open-ended intervals to the probe's ts range, or widen `W`,
+    * before joining. Null or inverted intervals and null-ts probes match
+    * nothing and drop up front (range-predicate semantics, same
+    * doctrine as [[asofJoin]]).
     *
     * @param probe    probe side; ALL its columns pass through
     * @param intervals frame holding `startCol`/`endCol` long bounds
     * @param ivCols   interval payload columns to attach to each match
     * @param bucketWidth time-bucket width in the ts unit (e.g. ns)
+    * @param maxBucketsPerInterval replication bound per interval; an
+    *                 interval over it raises rather than explodes
     */
   def intervalJoin(probe: DataFrame, intervals: DataFrame, tsCol: String,
                    startCol: String, endCol: String, bucketWidth: Long,
-                   ivCols: Seq[String]): DataFrame = {
+                   ivCols: Seq[String],
+                   maxBucketsPerInterval: Int = 1 << 20): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
     val ivPayload = Seq(startCol, endCol) ++
       ivCols.filterNot(c => c == startCol || c == endCol)
-    val clash = ivPayload.toSet.intersect(probe.columns.toSet)
+    val clash = (ivPayload :+ "_b").toSet.intersect(probe.columns.toSet)
     require(clash.isEmpty, s"interval columns collide with probe columns: $clash")
+    val sb = expr(s"`_iv_$startCol` div $bucketWidth")
+    val eb = expr(s"`_iv_$endCol` div $bucketWidth")
     val iv = intervals
       .where(col(startCol).isNotNull && col(endCol).isNotNull &&
         col(startCol) <= col(endCol))
       .select(ivPayload.map(c => col(c).as(s"_iv_$c")): _*)
-      .withColumn("_b", explode(sequence(
-        expr(s"`_iv_$startCol` div $bucketWidth"),
-        expr(s"`_iv_$endCol` div $bucketWidth"))))
+      .withColumn("_b", explode(sequence(sb, {
+        val err = raise_error(concat(
+          lit(s"intervalJoin: interval spans > $maxBucketsPerInterval " +
+            s"buckets at width $bucketWidth (start="),
+          col(s"_iv_$startCol"), lit(", end="), col(s"_iv_$endCol"),
+          lit(") — clamp open-ended intervals or widen bucketWidth")))
+        when(eb - sb >= maxBucketsPerInterval.toLong, err.cast("long"))
+          .otherwise(eb)
+      })))
     val p = probe.where(col(tsCol).isNotNull)
       .withColumn("_b", expr(s"`$tsCol` div $bucketWidth"))
     p.join(iv, Seq("_b"))

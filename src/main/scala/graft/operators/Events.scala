@@ -200,9 +200,7 @@ object Events {
   def rollingHourly(events: DataFrame, seriesCol: String,
                     tsCol: String = "ts", windowHours: Int = 24): DataFrame = {
     require(windowHours >= 1, "windowHours must be >= 1")
-    val hourly = events
-      .groupBy(expr(s"`$tsCol` div 3600000000000").as("hour_bucket"), col(seriesCol))
-      .agg(count(lit(1)).as("n_events"))
+    val hourly = hourlyCounts(events, seriesCol, tsCol)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(seriesCol)
       .orderBy("hour_bucket")
       .rangeBetween(-(windowHours - 1).toLong, 0L)
@@ -230,12 +228,21 @@ object Events {
     * @param tsCol     the long-nanos timestamp column name
     * @param zFlag     |z| at or above which `is_anomaly` fires
     */
+  /** The shared hourly grain (one combinable count — the only pass that
+    * sees event-scale rows): (hour_bucket, series, n_events) with the
+    * bucket as integer `div` of the long-nanos ts. BOTH
+    * [[hourlyAnomalies]] and [[rollingHourly]] (and their oracles)
+    * define the grain through this one expression. */
+  private def hourlyCounts(events: DataFrame, seriesCol: String,
+                           tsCol: String): DataFrame =
+    events
+      .groupBy(expr(s"`$tsCol` div 3600000000000").as("hour_bucket"), col(seriesCol))
+      .agg(count(lit(1)).as("n_events"))
+
   def hourlyAnomalies(events: DataFrame, seriesCol: String,
                       tsCol: String = "ts",
                       zFlag: Double = 3.0): DataFrame = {
-    val hourly = events
-      .groupBy(expr(s"`$tsCol` div 3600000000000").as("hour_bucket"), col(seriesCol))
-      .agg(count("*").as("n_events"))
+    val hourly = hourlyCounts(events, seriesCol, tsCol)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(seriesCol)
     val cnt = count(lit(1)).over(w)
     val s1 = sum(col("n_events")).over(w)

@@ -34,7 +34,7 @@ object Incremental {
     * positives) proceed to the exact anti-join, which kicks the false
     * positives back in. No false negatives exist by the filter's
     * one-sided guarantee, so the result is row-identical to the plain
-    * anti-join (property-pinned in DedupSpec).
+    * anti-join (property-pinned in AsOfEventsSpec).
     *
     * Sizing: the broadcast costs n·ln(1/fpp)/ln²2 bits — ~1.2 GB for
     * 10⁹ keys at 1% fpp — and must fit each executor; raise `fpp` (or
@@ -60,12 +60,20 @@ object Incremental {
   def bloomAntiJoin(df: DataFrame, seen: DataFrame, keyCol: String,
                     fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.types._
-    val isString = df.schema(keyCol).dataType match {
-      case StringType => true
-      case ByteType | ShortType | IntegerType | LongType => false
-      case t => throw new IllegalArgumentException(
-        s"bloomAntiJoin key must be integral or string, got $t")
+    def family(t: DataType): String = t match {
+      case StringType => "string"
+      case ByteType | ShortType | IntegerType | LongType => "integral"
+      case other => throw new IllegalArgumentException(
+        s"bloomAntiJoin key must be integral or string, got $other")
     }
+    val dfFam = family(df.schema(keyCol).dataType)
+    val seenFam = family(seen.schema(keyCol).dataType)
+    // a cross-family pair would build the bloom with one hash encoding
+    // and probe with the other: every probe tests negative and matched
+    // rows are silently KEPT — refuse instead of diverging from left_anti
+    require(dfFam == seenFam,
+      s"bloomAntiJoin key type families differ: df=$dfFam seen=$seenFam")
+    val isString = dfFam == "string"
     val seenKeys = seen.select(col(keyCol)).where(col(keyCol).isNotNull)
     val nSeen = seenKeys.count()
     if (nSeen == 0L) return df

@@ -434,6 +434,11 @@ class AsOfEventsSpec extends SparkSpec {
       Incremental.bloomAntiJoin(big.withColumn("k", col("k").cast("double")),
         seen, "k")
     }
+    // cross-family keys would probe with the wrong hash encoding and
+    // silently keep matched rows — must refuse up front
+    intercept[IllegalArgumentException] {
+      Incremental.bloomAntiJoin(big, seenS, "k")
+    }
   }
 
   test("rollingHourly: RANGE frame ages silent hours out by bucket distance") {
@@ -487,11 +492,28 @@ class AsOfEventsSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got === expected, s"width=$w")
     }
-    // column-collision guard
+    // column-collision guards, including the internal bucket column
     intercept[IllegalArgumentException] {
       AsOf.intervalJoin(pDf.withColumn("iv_id", lit(1L)), ivDf, "ts", "lo", "hi",
         bucketWidth = 10L, ivCols = Seq("iv_id"))
     }
+    intercept[IllegalArgumentException] {
+      AsOf.intervalJoin(pDf.withColumn("_b", lit(1L)), ivDf, "ts", "lo", "hi",
+        bucketWidth = 10L, ivCols = Seq("iv_id"))
+    }
+    // an open-ended sentinel interval must fail loudly, not explode a
+    // billion-element sequence in one task
+    val openEnded = Seq((1L, 0L, Long.MaxValue)).toDF("iv_id", "lo", "hi")
+    val ex = intercept[Exception] {
+      AsOf.intervalJoin(pDf, openEnded, "ts", "lo", "hi",
+        bucketWidth = 10L, ivCols = Seq("iv_id"), maxBucketsPerInterval = 100)
+        .count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("clamp open-ended intervals")),
+      s"unexpected error: $ex")
   }
 
   test("lengthBuckets partitions every doc exactly once") {

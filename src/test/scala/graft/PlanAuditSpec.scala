@@ -87,8 +87,15 @@ class PlanAuditSpec extends SparkSpec {
 
   test("heavy hitters: candidate confirm broadcasts; rolling window never collapses to one partition") {
     val ph = plan(Queries.all("heavy_hitters")(spark, sf))
-    assert(ph.contains("BroadcastHashJoin") || ph.contains("BroadcastExchange"),
-      "candidate set not broadcast — confirm pass would shuffle the table")
+    // the total's 1-row crossJoin always broadcasts, so BroadcastExchange
+    // alone would be vacuous: the candidate CONFIRM must be a broadcast
+    // hash join and no sort-merge join may appear anywhere (a regressed
+    // confirm leg is exactly the full-table shuffle this path exists to
+    // avoid)
+    assert(ph.contains("BroadcastHashJoin"),
+      "candidate confirm is not a broadcast hash join")
+    assert(!ph.contains("SortMergeJoin"),
+      "confirm pass regressed to a shuffled sort-merge join")
     val pr = plan(Queries.all("events_rolling")(spark, sf))
     assert(!pr.contains("SinglePartition"),
       "rolling window degenerated to a single-partition sort")

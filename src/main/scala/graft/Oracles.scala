@@ -246,6 +246,42 @@ object Oracles {
         |t AS (SELECT CAST(count(*) AS BIGINT) tot FROM events)
         |SELECT user_id, n, floor(CAST(n AS DOUBLE)/tot*1e6)/1e6 AS "share"
         |FROM c CROSS JOIN t ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
+    // session-assignment twin: same lag-gap flag + running sum, same
+    // (ts, event_id) total order inside each user partition
+    "session_assign" ->
+      """WITH x AS (SELECT event_id, user_id, epoch_ns(ts) t,
+        |  lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) prev
+        |  FROM events)
+        |SELECT event_id, user_id, t AS ts_ns,
+        |  CAST(sum(CASE WHEN prev IS NULL OR t - prev > 1800000000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) session_seq
+        |FROM x ORDER BY event_id""".stripMargin,
+    // nearest-rank percentile twin: identical integer rank formula; the
+    // value at sorted position r is well-defined even under duplicate
+    // values, so row_number tie assignment cannot diverge the output
+    "percentile_bands" ->
+      """WITH x AS (SELECT lang, n_chars v,
+        |  row_number() OVER (PARTITION BY lang ORDER BY n_chars) rn,
+        |  CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) n
+        |  FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT lang,
+        |  CAST(max(CASE WHEN rn=(50*n+99)//100 THEN v END) AS BIGINT) p50,
+        |  CAST(max(CASE WHEN rn=(90*n+99)//100 THEN v END) AS BIGINT) p90,
+        |  CAST(max(CASE WHEN rn=(99*n+99)//100 THEN v END) AS BIGINT) p99
+        |FROM x GROUP BY lang ORDER BY lang""".stripMargin,
+    // top-k twin: the plain window form the bounded-heap pass must equal
+    "topk_per_group" ->
+      """SELECT lang, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) rn
+        |  FROM documents WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL)
+        |WHERE rn <= 3 ORDER BY doc_id""".stripMargin,
+    // salted-join twin: the plain inner join the salted form must
+    // reproduce row-for-row (salt is an internal spreading detail)
+    "salted_join" ->
+      """SELECT l_orderkey, CAST(round(l_extendedprice*100) AS BIGINT) price_c, o_custkey
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_quantity >= 49 ORDER BY 1, 2, 3""".stripMargin,
     // heavy-hitters twin: the sketch pass is exact by the Misra-Gries
     // superset guarantee, so the oracle is the plain GROUP BY + integer
     // threshold (n·m > total — no division on either engine)

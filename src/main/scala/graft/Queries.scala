@@ -170,6 +170,13 @@ object Queries {
     "funnel_windowed" -> ((s, dir) =>
       Events.funnel(Tables(s, dir, "events"), "user_id", "event_type",
         Seq("signup", "click", "purchase"), maxStepNs = Some(FunnelWindowNs))),
+    // row-level session ids: every event tagged with its user-scoped
+    // session ordinal (the event-grain twin of events_sessions)
+    "session_assign" -> ((s, dir) =>
+      Events.assignSessions(Tables(s, dir, "events"), "user_id")
+        .select(col("event_id"), col("user_id"), col("ts").as("ts_ns"),
+          col("session_seq"))
+        .orderBy("event_id")),
     // first-seen-day cohorts × active-day offsets (engagement decay)
     "events_retention" -> ((s, dir) =>
       Events.retentionCohorts(Tables(s, dir, "events"), "user_id")
@@ -184,6 +191,30 @@ object Queries {
     // mid-languages flip in and out with their exact counts)
     "heavy_hitters" -> ((s, dir) =>
       Profile.heavyHitters(docs(s, dir), "lang", m = 7)),
+    // exact nearest-rank length percentiles per language — integer rank
+    // arithmetic, no interpolation (the cross-engine-stable definition)
+    "percentile_bands" -> ((s, dir) =>
+      Profile.percentileBands(docs(s, dir), "lang", "n_chars")
+        .orderBy("lang")),
+    // top-3 longest docs per language via the bounded-heap partial pass
+    // (the k>1 scale twin of keep_best_doc — kP candidates shuffle, not
+    // the corpus)
+    "topk_per_group" -> ((s, dir) =>
+      Dedup.topKPerGroup(docs(s, dir).select("lang", "doc_id", "n_chars"),
+          Seq("lang"), "n_chars", "doc_id", k = 3)
+        .orderBy("doc_id")),
+    // skew-spreading salted join, pinned row-identical to the plain
+    // inner join (Joins.saltedJoin scaladoc has the when-to-reach
+    // doctrine vs broadcast and AQE skew split)
+    "salted_join" -> ((s, dir) => {
+      val facts = Tables(s, dir, "lineitem").where(col("l_quantity") >= 49)
+        .select(col("l_orderkey"), cents(col("l_extendedprice")).as("price_c"))
+      val dim = Tables(s, dir, "orders").select(
+        col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      Joins.saltedJoin(facts, dim, "l_orderkey", nSalt = 8)
+        .select("l_orderkey", "price_c", "o_custkey")
+        .orderBy("l_orderkey", "price_c", "o_custkey")
+    }),
     // trailing-24h rolling volume per event type on the hourly grain —
     // longs only (floor-average), RANGE-framed so silent hours age out
     // by bucket distance

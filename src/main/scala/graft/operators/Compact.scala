@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Small-file compaction — the table-maintenance pass every large lake
   * runs continuously: streaming sinks, incremental upserts, and
@@ -46,6 +46,72 @@ object Compact {
           .sortWithinPartitions(clusterBy.map(col): _*)
       else df.repartition(nOut)
     out.write.mode("overwrite").parquet(outDir)
+    val rows = spark.read.parquet(outDir).count()
+    val (filesOut, bytesOut) = dirStats(spark, outDir)
+    CompactStats(filesIn, bytesIn, filesOut, bytesOut, rows)
+  }
+
+  /** Morton (Z-order) interleave of two non-negative coordinates' low
+    * `bits` bits: bit i of `a` lands at output bit 2i, bit i of `b` at
+    * 2i+1 — a pure builtin column expression (shift/and/or fold, stays
+    * inside whole-stage codegen), no UDF. Sorting by the z-value makes
+    * rows close in BOTH dimensions file-neighbors, which single-key
+    * range clustering cannot (the second key's min/max spans the whole
+    * domain in every file). Inputs must already lie in [0, 2^bits) —
+    * [[compactParquetZOrder]] normalizes arbitrary columns first. */
+  def zValue(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in 1..31")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftrightunsigned(a.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)))
+        .bitwiseOR(shiftrightunsigned(b.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }
+  }
+
+  /** [[compactParquet]]'s two-dimensional layout twin: rewrite clustered
+    * by the Z-order curve over (`colA`, `colB`) so a later scan filtered
+    * on EITHER column (or both) prunes files by footer min/max — the
+    * data-layout optimization single-key range clustering cannot give
+    * (its second key is unsorted inside every file). The pipeline use:
+    * a corpus scanned both by source and by time, or embeddings shards
+    * probed by (centroid, shard).
+    *
+    * Normalization: each column maps to [0, 2^bits) via `width_bucket`
+    * between its own min/max (ONE tiny agg job; uniform value-width
+    * buckets, the cheap stand-in for Delta-style sampled range ids — a
+    * heavily value-skewed column degrades bucket BALANCE but never
+    * correctness, and the range exchange still balances ROW counts by
+    * sampling the z-values). The z column is computed, range-clustered
+    * on, and dropped — the written schema is unchanged. At 100 TB this
+    * is one narrow pass + one range exchange, the same cost shape as
+    * the single-key path. */
+  def compactParquetZOrder(spark: SparkSession, inDir: String, outDir: String,
+                           colA: String, colB: String,
+                           targetBytes: Long = 128L * 1024 * 1024,
+                           bits: Int = 8): CompactStats = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val (filesIn, bytesIn) = dirStats(spark, inDir)
+    val nOut = math.max(1L, (bytesIn + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(inDir)
+    val Row2 = df.agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    val n = 1L << bits
+    // width_bucket has Postgres semantics: v == hi lands in bucket n+1
+    // and v < lo in bucket 0 — clamp into [0, 2^bits) and send NULLs to
+    // 0 so every row gets a valid z coordinate
+    def coord(c: String, lo: Double, hi: Double): Column =
+      if (Row2.anyNull || lo >= hi) lit(0L)
+      else coalesce(greatest(least(
+        width_bucket(col(c).cast("double"), lit(lo), lit(hi), lit(n)) - lit(1L),
+        lit(n - 1L)), lit(0L)), lit(0L))
+    val z = zValue(coord(colA, Row2.getDouble(0), Row2.getDouble(1)),
+      coord(colB, Row2.getDouble(2), Row2.getDouble(3)), bits)
+    spark.read.parquet(inDir)
+      .withColumn("_z", z)
+      .repartitionByRange(nOut, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(outDir)
     val rows = spark.read.parquet(outDir).count()
     val (filesOut, bytesOut) = dirStats(spark, outDir)
     CompactStats(filesIn, bytesIn, filesOut, bytesOut, rows)

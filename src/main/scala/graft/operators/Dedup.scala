@@ -67,6 +67,67 @@ object Dedup {
     docs.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
   }
 
+  /** Top-k rows per group WITHOUT sorting whole groups — the k>1 scale
+    * twin of [[keepBest]]. The direct window form shuffles EVERY row to
+    * its group's task and sorts the whole group; this runs a narrow
+    * per-partition pass first (one bounded min-heap per (partition,
+    * group) — O(log k) per row, never a sort of the partition), so at
+    * most k·P candidate rows per group enter the exchange, then the
+    * exact window ranks that tiny candidate frame. Output is identical
+    * to the window form (heap eviction uses the same (order DESC, tie
+    * ASC) total order — property-pinned in DedupSpec).
+    *
+    * Memory bound: k × (distinct groups seen per partition) heap entries
+    * per task. With billions of tiny groups the partial pass stops
+    * paying (every row is its own candidate) — use the plain window
+    * then; this form wins when groups are large or skewed (one viral
+    * group no longer sorts in a single task's memory).
+    *
+    * Rows with a NULL order or tie value cannot rank and are dropped
+    * (the oracle's `WHERE v IS NOT NULL`); a NULL GROUP is a group like
+    * any other (both engines put all-null partition keys in one window
+    * partition). Order and tie columns must be longs — the heap
+    * comparator and the window ordering must be the same total order,
+    * and a double grid would reopen the cross-engine comparison
+    * doctrine for no operator value. */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], orderCol: String,
+                   tieCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    require(k >= 1, "k must be >= 1")
+    val sch = df.schema
+    require(sch(orderCol).dataType == LongType && sch(tieCol).dataType == LongType,
+      s"order/tie columns must be LongType, got " +
+        s"${sch(orderCol).dataType}/${sch(tieCol).dataType}")
+    val gi = groupCols.map(sch.fieldIndex)
+    val oi = sch.fieldIndex(orderCol)
+    val ti = sch.fieldIndex(tieCol)
+    // head of the heap = the WORST kept row (lowest order, then highest
+    // tie) = the eviction candidate
+    val worstFirst: Ordering[(Long, Long, org.apache.spark.sql.Row)] =
+      Ordering.by { case (o, t, _) => (-o, t) }
+    val pruned = df.where(col(orderCol).isNotNull && col(tieCol).isNotNull)
+    val partial = pruned.mapPartitions { it =>
+      val heaps = scala.collection.mutable.HashMap
+        .empty[Seq[Any], scala.collection.mutable.PriorityQueue[(Long, Long, org.apache.spark.sql.Row)]]
+      it.foreach { r =>
+        val h = heaps.getOrElseUpdate(gi.map(r.get),
+          scala.collection.mutable.PriorityQueue.empty(worstFirst))
+        val o = r.getLong(oi)
+        val t = r.getLong(ti)
+        if (h.size < k) h.enqueue((o, t, r))
+        else {
+          val (wo, wt, _) = h.head
+          if (o > wo || (o == wo && t < wt)) { h.dequeue(); h.enqueue((o, t, r)) }
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator.map(_._3))
+    }(org.apache.spark.sql.Encoders.row(sch))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(desc(orderCol), asc(tieCol))
+    partial.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k).drop("_rn")
+  }
+
   /** Universal-hash family for MinHash: h_s(x) = (a_s·h31(x) + b_s) mod p,
     * p = 2³¹−1. One md5 per ELEMENT (not per element×seed — round-4 bench
     * fix: the seeded-md5 form cost 16× the hashing and a 16× row

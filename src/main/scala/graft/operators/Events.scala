@@ -161,6 +161,38 @@ object Events {
     stageRollupTotal(events.sparkSession, stages, agg)
   }
 
+  /** Row-level session assignment — the event-grain twin of the
+    * `events_sessions` rollup: every event tagged with its user-scoped
+    * session ordinal (`session_seq`, 1-based), the key downstream
+    * grouping/sequence-extraction steps need (a per-session document of
+    * a user's actions, session-scoped features). Same single user-keyed
+    * window as the rollup: a lag gap flag, then its running sum.
+    *
+    * Scale: ONE shuffle + per-user sort. A pathologically hot user pins
+    * one task's sort; session boundaries are a sequential fold, so the
+    * (key, time-bucket) spread of [[AsOf.asofJoinBucketed]] composes
+    * only with boundary stitching across buckets — at that skew,
+    * pre-split the user's timeline and stitch the first session of each
+    * bucket onto the previous bucket's last. Not built here: the
+    * stitching pass costs more than the sort until a single user
+    * exceeds a task's memory. */
+  def assignSessions(events: DataFrame, userCol: String,
+                     tsCol: String = "ts", idCol: String = "event_id",
+                     gapNs: Long = 1800000000000L): DataFrame = {
+    require(gapNs > 0, "gapNs must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(tsCol, idCol)
+    events
+      .withColumn("_prev", lag(tsCol, 1).over(w))
+      .withColumn("_new",
+        when(col("_prev").isNull || col(tsCol) - col("_prev") > gapNs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum("_new").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .drop("_prev", "_new")
+  }
+
   /** Retention cohorts: users grouped by first-seen day (the cohort),
     * counted by how many were active again k days later — the
     * engagement decay table every event pipeline reports. Two

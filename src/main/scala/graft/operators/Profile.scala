@@ -101,6 +101,44 @@ object Profile {
       .orderBy(desc("n"), asc_nulls_last(keyCol))
   }
 
+  /** EXACT nearest-rank percentiles of an integer column per group —
+    * `p`-th percentile = the value at ascending rank `ceil(p·n/100)`
+    * (= `(p·n + 99) div 100` in pure integer arithmetic, so the rank —
+    * and the value read at it — is bit-identical on any engine; the
+    * interpolated definition every builtin `percentile` uses multiplies
+    * doubles and reopens the cross-engine rounding doctrine).
+    * Duplicate values make `row_number` assignment among equals
+    * engine-arbitrary, but the VALUE at sorted position r of a multiset
+    * is well-defined regardless — only values are emitted. NULL values
+    * cannot rank and are excluded (both engines).
+    *
+    * Shape: one group-keyed sort window over the value column (the
+    * grouped sort IS the cost). For unbounded/skewed groups swap in a
+    * sketch ([[graft.operators.TextAnalysis]]'s approx-percentile twin
+    * doctrine) or a two-pass rank prefix ([[graft.operators.Shards]]'
+    * prefix-count machinery) — exactness here is what makes the oracle
+    * exact. */
+  def percentileBands(df: DataFrame, groupCol: String, valueCol: String,
+                      ps: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      "percentiles must be in 1..100")
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, LongType)
+        .contains(df.schema(valueCol).dataType),
+      s"valueCol must be integral, got ${df.schema(valueCol).dataType}")
+    val ranked = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast("long").as("_v"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(groupCol).orderBy("_v")))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(groupCol)))
+    val aggs = ps.map(p =>
+      max(when(col("_rn") === expr(s"($p * _n + 99) div 100"), col("_v")))
+        .as(s"p$p"))
+    ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Per-column integrity profile: null count and exact distinct
     * cardinality, one output row per requested column. ONE aggregation
     * pass (Spark plans the multiple distinct aggregates through a

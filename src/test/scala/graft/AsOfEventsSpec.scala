@@ -516,6 +516,123 @@ class AsOfEventsSpec extends SparkSpec {
       s"unexpected error: $ex")
   }
 
+  test("assignSessions tags events with 1-based user-scoped session ordinals") {
+    import graft.operators.Events
+    val ev = Seq(
+      (1L, 1L, 0L), (2L, 1L, 100L),      // session 1
+      (3L, 1L, 2000L), (4L, 1L, 2100L),  // gap 1900 > 1000 → session 2
+      (5L, 2L, 50L),                     // other user: own numbering
+      (6L, 1L, 2100L)                    // same ts as 4 → id order, same session
+    ).toDF("event_id", "user_id", "ts")
+    val out = Events.assignSessions(ev, "user_id", gapNs = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L, 6L -> 2L))
+    // parity with the events_sessions rollup: max ordinal == session count
+    val rolled = Events.assignSessions(ev, "user_id", gapNs = 1000L)
+      .groupBy("user_id").agg(max("session_seq").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rolled === Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("percentileBands reads exact nearest-rank values, duplicates and singletons included") {
+    import graft.operators.Profile
+    val df = ((1 to 10).map(v => ("a", java.lang.Long.valueOf(v.toLong))) ++
+      Seq(("b", java.lang.Long.valueOf(7L))) ++
+      Seq(("c", java.lang.Long.valueOf(2L)), ("c", java.lang.Long.valueOf(2L)),
+        ("c", java.lang.Long.valueOf(2L)), ("c", java.lang.Long.valueOf(5L))) ++
+      Seq(("d", null.asInstanceOf[java.lang.Long]))).toDF("g", "v")
+    val out = Profile.percentileBands(df, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("a") === ((5L, 9L, 10L)), "1..10: ranks 5/9/10")
+    assert(out("b") === ((7L, 7L, 7L)), "singleton: every band is the value")
+    assert(out("c") === ((2L, 5L, 5L)), "duplicates: rank-2 value 2, rank-4 value 5")
+    assert(!out.contains("d"), "all-null group has no rankable values")
+    intercept[IllegalArgumentException] {
+      Profile.percentileBands(df.withColumn("v", col("v").cast("double")), "g", "v")
+    }
+  }
+
+  test("saltedJoin is row-identical to the plain inner join, duplicates and null keys included") {
+    import graft.operators.Joins
+    val rnd = new scala.util.Random(41)
+    // skewed facts (key 5 hot), duplicate dim keys, null keys both sides
+    val facts = (0 until 400).map { i =>
+      (i.toLong, if (i % 53 == 0) null
+       else java.lang.Long.valueOf(if (rnd.nextInt(3) > 0) 5L else rnd.nextInt(20).toLong))
+    }.toDF("fid", "k")
+    val dim = (0 until 30).map { i =>
+      (if (i % 11 == 0) null else java.lang.Long.valueOf(rnd.nextInt(20).toLong),
+        i.toLong)
+    }.toDF("k", "did")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("fid", "k", "did").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val plain = rowsOf(facts.join(dim, Seq("k")))
+    for (nSalt <- Seq(1, 8)) {
+      assert(rowsOf(Joins.saltedJoin(facts, dim, "k", nSalt)) === plain,
+        s"nSalt=$nSalt")
+    }
+    intercept[IllegalArgumentException] {
+      Joins.saltedJoin(facts.withColumn("did", lit(1L)), dim, "k", 4)
+    }
+  }
+
+  test("zValue matches the reference Morton interleave, boundaries included") {
+    import graft.operators.Compact
+    def morton(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L)((acc, i) =>
+        acc | ((a >> i & 1L) << (2 * i)) | ((b >> i & 1L) << (2 * i + 1)))
+    val rnd = new scala.util.Random(47)
+    val bits = 8
+    val pts = Seq((0L, 0L), (255L, 255L), (0L, 255L), (255L, 0L)) ++
+      (0 until 200).map(_ => (rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+    val got = pts.toDF("a", "b")
+      .select(col("a"), col("b"), Compact.zValue(col("a"), col("b"), bits).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (a, b) =>
+      assert(got((a, b)) === morton(a, b, bits), s"($a,$b)")
+    }
+  }
+
+  test("z-order compaction bounds per-file ranges on BOTH dimensions") {
+    import graft.operators.Compact
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder-spec").toString
+    // full 64×64 grid — a single-key sort on x would leave every file's
+    // y range at the full domain (63)
+    val df = (0 until 4096).map(i => (i.toLong, (i % 64).toLong, (i / 64).toLong))
+      .toDF("id", "x", "y")
+    df.repartition(16).write.mode("overwrite").parquet(s"$tmp/frag")
+    val fragBytes = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.startsWith("part-")) f.length else 0L
+      walk(new java.io.File(s"$tmp/frag"))
+    }
+    val stats = Compact.compactParquetZOrder(spark, s"$tmp/frag", s"$tmp/out",
+      "x", "y", targetBytes = fragBytes / 8 + 1, bits = 6)
+    assert(stats.rows === 4096L, "rows preserved")
+    val back = spark.read.parquet(s"$tmp/out")
+    assert(back.select("id").collect().map(_.getLong(0)).toSet ===
+      (0L until 4096L).toSet, "content preserved")
+    val ranges = back.select(input_file_name().as("f"), col("x"), col("y"))
+      .groupBy("f").agg((max("x") - min("x")).as("xr"), (max("y") - min("y")).as("yr"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(ranges.length >= 4, s"too few files: ${ranges.length}")
+    // a contiguous Morton range that crosses a high-order curve boundary
+    // can legitimately span one full dimension, so the claim is
+    // distributional, not worst-case: MOST files are bounded on BOTH
+    // dims, and the mean range of EACH dim is far below the domain —
+    // a single-key x-sort leaves yr = 63 for EVERY file
+    val boxed = ranges.count { case (xr, yr) => xr <= 48 && yr <= 48 }
+    assert(boxed * 2 >= ranges.length,
+      s"most files should bound both dims: ${ranges.toSeq}")
+    val meanXr = ranges.map(_._1).sum.toDouble / ranges.length
+    val meanYr = ranges.map(_._2).sum.toDouble / ranges.length
+    assert(meanXr < 50.0 && meanYr < 50.0,
+      s"not clustered in both dims: mean ($meanXr, $meanYr) of ${ranges.toSeq}")
+  }
+
   test("lengthBuckets partitions every doc exactly once") {
     val df = Seq((1L, "a b c"), (2L, "a b c d e"), (3L, ("t " * 40).trim))
       .toDF("doc_id", "text")

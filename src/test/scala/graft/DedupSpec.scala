@@ -205,6 +205,37 @@ class DedupSpec extends SparkSpec {
     assert(got.forall { case (a, b) => a >= 10L && b < 10L })
   }
 
+  test("topKPerGroup equals the window form on random skewed data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // hot group 0 (~half the rows), duplicate order values, null order
+    // and null group rows; 32 partitions so partial heaps really merge
+    val rows = (0 until 800).map { i =>
+      val g = if (rnd.nextInt(2) == 0) "g0" else s"g${rnd.nextInt(6) + 1}"
+      (i.toLong,
+        if (i % 97 == 0) null else g,
+        if (i % 89 == 0) null else java.lang.Long.valueOf(rnd.nextInt(40).toLong))
+    }
+    val df = rows.toDF("doc_id", "g", "v").repartition(32)
+    for (k <- Seq(1, 3, 10, 1000)) {
+      def key(x: (Long, String, Long)) = (Option(x._2).getOrElse(""), x._1)
+      val got = Dedup.topKPerGroup(df, Seq("g"), "v", "doc_id", k)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(key).toSeq
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(desc("v"), asc("doc_id"))
+      val expected = df.where(col("v").isNotNull)
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(key).toSeq
+      assert(got === expected, s"k=$k")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.topKPerGroup(df.withColumn("v", col("v").cast("double")),
+        Seq("g"), "v", "doc_id", 3)
+    }
+  }
+
   test("connected components fail loudly when the iteration bound is hit") {
     import spark.implicits._
     // a 10-node path needs ~9 propagation rounds; maxIter=2 must throw,

@@ -103,6 +103,16 @@ class PlanAuditSpec extends SparkSpec {
       "hourly grain lacks map-side combine")
   }
 
+  test("salted join keys the exchange by (key, salt); group windows never collapse to one partition") {
+    val ps = plan(Queries.all("salted_join")(spark, sf))
+    assert(ps.contains("_salt"), "join lost the salt key — hot key would pin one task")
+    assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoopJoin"))
+    Seq("session_assign", "percentile_bands", "topk_per_group").foreach { q =>
+      val p = plan(Queries.all(q)(spark, sf))
+      assert(!p.contains("SinglePartition"), s"$q window collapsed to one partition")
+    }
+  }
+
   test("bloom seen-filter: only the candidate leg joins; no cartesian anywhere") {
     val p = plan(Queries.all("bloom_seen_filter")(spark, sf))
     assert(p.contains("Union"), "missing the definite-keep ∪ confirmed split")

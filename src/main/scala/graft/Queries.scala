@@ -119,13 +119,11 @@ object Queries {
         .orderBy("window_start", "event_type")
     }),
     "events_sessions" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      Tables(s, dir, "events")
-        .withColumn("prev", lag("ts", 1).over(w))
-        .withColumn("new_sess",
-          when(col("prev").isNull || col("ts") - col("prev") > 1800000000000L, 1L).otherwise(0L))
+      // the rollup IS the event-grain assignment aggregated: max ordinal
+      // = session count (one sessionization definition, two queries)
+      Events.assignSessions(Tables(s, dir, "events"), "user_id")
         .groupBy("user_id")
-        .agg(sum("new_sess").as("n_sessions"), count("*").as("n_events"))
+        .agg(max("session_seq").as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy("user_id")
     }),
     // as-of attribution join: each purchase credited to the user's most

@@ -93,20 +93,30 @@ object Compact {
     val (filesIn, bytesIn) = dirStats(spark, inDir)
     val nOut = math.max(1L, (bytesIn + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.parquet(inDir)
-    val Row2 = df.agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+    require(!df.columns.contains("_z"),
+      "a column named _z collides with the internal z-value column")
+    val bounds = df.agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    def bound(i: Int): Option[Double] =
+      if (bounds.isNullAt(i)) None else Some(bounds.getDouble(i))
     val n = 1L << bits
     // width_bucket has Postgres semantics: v == hi lands in bucket n+1
     // and v < lo in bucket 0 — clamp into [0, 2^bits) and send NULLs to
-    // 0 so every row gets a valid z coordinate
-    def coord(c: String, lo: Double, hi: Double): Column =
-      if (Row2.anyNull || lo >= hi) lit(0L)
-      else coalesce(greatest(least(
-        width_bucket(col(c).cast("double"), lit(lo), lit(hi), lit(n)) - lit(1L),
-        lit(n - 1L)), lit(0L)), lit(0L))
-    val z = zValue(coord(colA, Row2.getDouble(0), Row2.getDouble(1)),
-      coord(colB, Row2.getDouble(2), Row2.getDouble(3)), bits)
-    spark.read.parquet(inDir)
+    // 0 so every row gets a valid z coordinate. A column with no
+    // comparable values (empty input, all NULL, casts to null) or a
+    // constant column collapses to coordinate 0 — the rewrite then
+    // degrades to the other dimension's ordering instead of crashing.
+    def coord(c: String, lo: Option[Double], hi: Option[Double]): Column =
+      (lo, hi) match {
+        case (Some(l), Some(h)) if l < h =>
+          coalesce(greatest(least(
+            width_bucket(col(c).cast("double"), lit(l), lit(h), lit(n)) - lit(1L),
+            lit(n - 1L)), lit(0L)), lit(0L))
+        case _ => lit(0L)
+      }
+    val z = zValue(coord(colA, bound(0), bound(1)),
+      coord(colB, bound(2), bound(3)), bits)
+    df
       .withColumn("_z", z)
       .repartitionByRange(nOut, col("_z"))
       .sortWithinPartitions(col("_z"))

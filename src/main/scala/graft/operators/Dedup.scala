@@ -98,13 +98,20 @@ object Dedup {
     require(sch(orderCol).dataType == LongType && sch(tieCol).dataType == LongType,
       s"order/tie columns must be LongType, got " +
         s"${sch(orderCol).dataType}/${sch(tieCol).dataType}")
+    require(!df.columns.contains("_rn"),
+      "a column named _rn collides with the internal rank column")
     val gi = groupCols.map(sch.fieldIndex)
     val oi = sch.fieldIndex(orderCol)
     val ti = sch.fieldIndex(tieCol)
     // head of the heap = the WORST kept row (lowest order, then highest
-    // tie) = the eviction candidate
+    // tie) = the eviction candidate. Explicit comparator, NOT
+    // Ordering.by(-o, …): negating Long.MinValue overflows back to
+    // itself and would sort the worst row as the best.
     val worstFirst: Ordering[(Long, Long, org.apache.spark.sql.Row)] =
-      Ordering.by { case (o, t, _) => (-o, t) }
+      (a, b) => {
+        val c = java.lang.Long.compare(b._1, a._1) // lower order = worse = larger
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2) // higher tie = worse
+      }
     val pruned = df.where(col(orderCol).isNotNull && col(tieCol).isNotNull)
     val partial = pruned.mapPartitions { it =>
       val heaps = scala.collection.mutable.HashMap

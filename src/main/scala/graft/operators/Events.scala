@@ -180,6 +180,9 @@ object Events {
                      tsCol: String = "ts", idCol: String = "event_id",
                      gapNs: Long = 1800000000000L): DataFrame = {
     require(gapNs > 0, "gapNs must be positive")
+    val clash = Seq("_prev", "_new", "session_seq")
+      .filter(events.columns.contains)
+    require(clash.isEmpty, s"columns collide with session working/output names: $clash")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(userCol).orderBy(tsCol, idCol)
     events

@@ -631,6 +631,20 @@ class AsOfEventsSpec extends SparkSpec {
     val meanYr = ranges.map(_._2).sum.toDouble / ranges.length
     assert(meanXr < 50.0 && meanYr < 50.0,
       s"not clustered in both dims: mean ($meanXr, $meanYr) of ${ranges.toSeq}")
+    // degenerate inputs must degrade, not crash: an all-null dimension
+    // collapses to coordinate 0 (regression pin for the eager getDouble)
+    val nullDim = (0 until 50)
+      .map(i => (i.toLong, null.asInstanceOf[java.lang.Long], (i % 8).toLong))
+      .toDF("id", "x", "y")
+    nullDim.write.mode("overwrite").parquet(s"$tmp/nullfrag")
+    val st2 = Compact.compactParquetZOrder(spark, s"$tmp/nullfrag",
+      s"$tmp/nullout", "x", "y", targetBytes = 1L << 20, bits = 4)
+    assert(st2.rows === 50L)
+    // internal column guard
+    intercept[IllegalArgumentException] {
+      df.withColumn("_z", lit(1L)).write.mode("overwrite").parquet(s"$tmp/zfrag")
+      Compact.compactParquetZOrder(spark, s"$tmp/zfrag", s"$tmp/zout", "x", "y")
+    }
   }
 
   test("lengthBuckets partitions every doc exactly once") {

@@ -234,6 +234,13 @@ class DedupSpec extends SparkSpec {
       Dedup.topKPerGroup(df.withColumn("v", col("v").cast("double")),
         Seq("g"), "v", "doc_id", 3)
     }
+    // Long.MinValue order values: a negate-based heap comparator wraps
+    // and evicts the wrong row (regression pin for the explicit compare)
+    val extreme = Seq((1L, "g", Long.MinValue), (2L, "g", 1L), (3L, "g", 2L))
+      .toDF("doc_id", "g", "v").coalesce(1)
+    val kept = Dedup.topKPerGroup(extreme, Seq("g"), "v", "doc_id", 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L), "MinValue row must be the one evicted")
   }
 
   test("connected components fail loudly when the iteration bound is hit") {

@@ -105,7 +105,12 @@ class PlanAuditSpec extends SparkSpec {
 
   test("salted join keys the exchange by (key, salt); group windows never collapse to one partition") {
     val ps = plan(Queries.all("salted_join")(spark, sf))
-    assert(ps.contains("_salt"), "join lost the salt key — hot key would pin one task")
+    // assert on the JOIN NODE's key list, not the whole plan string —
+    // the withColumn projection mentions _salt even if the join stops
+    // keying on it (the vacuous-assert class the heavy-hitters audit
+    // already fixed)
+    assert(ps.linesIterator.exists(l => l.contains("Join") && l.contains("_salt")),
+      "join node lost the salt key — hot key would pin one task")
     assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoopJoin"))
     Seq("session_assign", "percentile_bands", "topk_per_group").foreach { q =>
       val p = plan(Queries.all(q)(spark, sf))

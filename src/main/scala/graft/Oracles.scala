@@ -269,6 +269,26 @@ object Oracles {
         |  CAST(max(CASE WHEN rn=(90*n+99)//100 THEN v END) AS BIGINT) p90,
         |  CAST(max(CASE WHEN rn=(99*n+99)//100 THEN v END) AS BIGINT) p99
         |FROM x GROUP BY lang ORDER BY lang""".stripMargin,
+    // global-percentile twin: the naive global window the two-pass
+    // prefix-count form must equal (same integer rank formula)
+    "percentile_global" ->
+      """WITH x AS (SELECT n_chars v,
+        |  row_number() OVER (ORDER BY n_chars) rn,
+        |  CAST(count(*) OVER () AS BIGINT) n
+        |  FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT
+        |  CAST(max(CASE WHEN rn=(50*n+99)//100 THEN v END) AS BIGINT) p50,
+        |  CAST(max(CASE WHEN rn=(90*n+99)//100 THEN v END) AS BIGINT) p90,
+        |  CAST(max(CASE WHEN rn=(99*n+99)//100 THEN v END) AS BIGINT) p99
+        |FROM x""".stripMargin,
+    // per-source cap twin: the same seeded-md5 rank order (string
+    // hex ordering is engine-identical — the md5-grid doctrine)
+    "source_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(concat('42:', CAST(doc_id AS VARCHAR))), doc_id) rn
+        |  FROM documents) WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
     // top-k twin: the plain window form the bounded-heap pass must equal
     "topk_per_group" ->
       """SELECT lang, doc_id, n_chars FROM (

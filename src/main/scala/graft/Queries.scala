@@ -194,6 +194,11 @@ object Queries {
     "percentile_bands" -> ((s, dir) =>
       Profile.percentileBands(docs(s, dir), "lang", "n_chars")
         .orderBy("lang")),
+    // exact GLOBAL percentiles via the two-pass prefix-count shape —
+    // the naive global row_number is a SinglePartition window (one task
+    // sorting 100 TB); this is plan-audited free of it
+    "percentile_global" -> ((s, dir) =>
+      Profile.percentileGlobal(docs(s, dir), "n_chars")),
     // top-3 longest docs per language via the bounded-heap partial pass
     // (the k>1 scale twin of keep_best_doc — kP candidates shuffle, not
     // the corpus)
@@ -530,6 +535,12 @@ object Queries {
       Sampling.assignSplits(docs(s, dir), "doc_id")
         .select("doc_id", "split").orderBy("doc_id")),
     // fixed quota of 20 docs per language in hash order (corpus balancing)
+    // deterministic per-source cap (seeded-md5 rank order): the mix
+    // step bounding any one source's dominance; cap 10 of 25-250
+    // docs/source genuinely binds at every SF
+    "source_cap" -> ((s, dir) =>
+      Sampling.capPerGroup(docs(s, dir), "source", "doc_id", n = 10, seed = "42")
+        .select("doc_id", "source").orderBy("doc_id")),
     "stratified_sample" -> ((s, dir) =>
       Sampling.stratifiedSample(docs(s, dir), "doc_id", "lang", 20)
         .select("doc_id", "lang").orderBy("doc_id")),

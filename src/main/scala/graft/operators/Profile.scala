@@ -139,6 +139,61 @@ object Profile {
     ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** EXACT GLOBAL nearest-rank percentiles of an integral column — the
+    * whole-table twin of [[percentileBands]] whose naive form
+    * (`row_number() OVER (ORDER BY v)`) is a SinglePartition window:
+    * one task sorting 100 TB. This is the two-pass prefix-count shape
+    * instead ([[graft.operators.Shards.shuffleOrder]]'s machinery
+    * applied to rank SELECTION): range-exchange on the value, snapshot
+    * the cuts, collect the W per-partition counts (bounded by the
+    * exchange width, never data-scale), convert each requested rank to
+    * (partition, local index) on the driver, and read exactly those
+    * rows with a per-partition window. Output is ONE row of `p<N>`
+    * columns (an empty/all-null input yields one all-null row — the
+    * oracle's aggregate-over-empty semantics). */
+  def percentileGlobal(df: DataFrame, valueCol: String,
+                       ps: Seq[Int] = Seq(50, 90, 99),
+                       width: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      "percentiles must be in 1..100")
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, LongType)
+        .contains(df.schema(valueCol).dataType),
+      s"valueCol must be integral, got ${df.schema(valueCol).dataType}")
+    val spark = df.sparkSession
+    val w = Shards.rangeWidth(spark, width)
+    // snapshot after the exchange: range boundaries are sampled, so the
+    // counts pass and the selection pass must see the SAME cuts
+    val ranged = df.where(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("_v"))
+      .repartitionByRange(w, col("_v"))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = ranged.groupBy("_pid").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    // rank → (partition, local index): walk the bounded offset table
+    val offsets = counts.scanLeft(0L)(_ + _._2) // rows before partition i
+    val targets = ps.flatMap { p =>
+      if (total == 0L) None
+      else {
+        val rank = (p.toLong * total + 99L) / 100L // ceil, positive operands
+        val i = counts.indices.find(i => rank <= offsets(i) + counts(i)._2).get
+        Some((counts(i)._1, rank - offsets(i), p))
+      }
+    }
+    import spark.implicits._
+    val tDf = targets.toDF("_pid", "_lrn", "_p")
+    val hits = ranged
+      .withColumn("_lrn", row_number().over(
+        Window.partitionBy("_pid").orderBy("_v")).cast("long"))
+      .join(broadcast(tDf), Seq("_pid", "_lrn"))
+    val aggs = ps.map(p => max(when(col("_p") === p, col("_v"))).as(s"p$p"))
+    hits.groupBy().agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Per-column integrity profile: null count and exact distinct
     * cardinality, one output row per requested column. ONE aggregation
     * pass (Spark plans the multiple distinct aggregates through a
@@ -147,10 +202,26 @@ object Profile {
     * `approx_count_distinct` at scales where cardinality itself is the
     * bottleneck (the profile is then sketch-accurate, not
     * oracle-matchable). */
-  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, c => countDistinct(col(c)))
+
+  /** [[columnProfile]]'s sketch twin for the scale where exact distinct
+    * cardinality is itself the bottleneck (a multi-distinct expand over
+    * billions of distinct values shuffles every distinct value): each
+    * cardinality is a HyperLogLog++ estimate at `rsd` relative standard
+    * deviation — fixed sketch memory per column, one combinable pass,
+    * no expand. Null counts stay exact. NOT oracle-matchable by
+    * construction (estimates are engine-specific); agreement with the
+    * exact form is pinned within tolerance in AsOfEventsSpec. */
+  def columnProfileApprox(df: DataFrame, cols: Seq[String],
+                          rsd: Double = 0.05): DataFrame =
+    profileWith(df, cols, c => approx_count_distinct(col(c), rsd))
+
+  private def profileWith(df: DataFrame, cols: Seq[String],
+                          distinct: String => org.apache.spark.sql.Column): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(sum(col(c).isNull.cast("long")).as(s"__null_$c"),
-        countDistinct(col(c)).as(s"__dist_$c"))
+        distinct(c).as(s"__dist_$c"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
     val entries = array(cols.map { c =>

@@ -30,6 +30,33 @@ object Sampling {
   def sampleByHash(docs: DataFrame, idCol: String, num: Int, den: Int): DataFrame =
     docs.where(hashKey(col(idCol)) % den < num)
 
+  /** Deterministic per-group cap: keep at most `n` rows per group,
+    * chosen by the seeded-md5 total order (md5(seed ":" id), id) — the
+    * mix-assembly step that bounds any ONE source's dominance while the
+    * selection stays reproducible on any engine (the md5-grid doctrine
+    * as an ORDER, same as [[graft.operators.Shards.shuffleOrder]]); a
+    * new seed redraws the kept set, nested caps are NOT subsets (unlike
+    * [[sampleByHash]]'s residue classes — rank-based, not
+    * threshold-based).
+    *
+    * Shape: one group-keyed window (shuffle + per-group sort). A
+    * pathologically dominant group degrades to one task's sort — at
+    * that skew compose with [[graft.operators.Dedup.topKPerGroup]]
+    * (order = negated 60-bit [[hashKey]], tie = id): the bounded-heap
+    * pass caps what reaches the exchange at n·P rows per group. */
+  def capPerGroup(docs: DataFrame, groupCol: String, idCol: String,
+                  n: Int, seed: String): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val clash = Seq("_ck", "_rn").filter(docs.columns.contains)
+    require(clash.isEmpty, s"columns collide with cap working names: $clash")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("_ck"), col(idCol))
+    docs
+      .withColumn("_ck", md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= n).drop("_ck", "_rn")
+  }
+
   /** Deterministic train/val/test split assignment: hash-bucket each id
     * into 100 cells, carve [0,trainPct) / [trainPct,trainPct+valPct) /
     * rest. One narrow projection; the split column then drives

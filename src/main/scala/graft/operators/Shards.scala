@@ -34,7 +34,7 @@ object Shards {
   /** Range-exchange width: the caller's override, else the session's
     * shuffle parallelism — defensively parsed (the conf value may be
     * non-numeric under AQE-adjacent configs or user overrides). */
-  private def rangeWidth(spark: org.apache.spark.sql.SparkSession, width: Int): Int =
+  private[operators] def rangeWidth(spark: org.apache.spark.sql.SparkSession, width: Int): Int =
     if (width > 0) width
     else scala.util.Try(spark.conf.get("spark.sql.shuffle.partitions").toInt)
       .toOption.filter(_ > 0).getOrElse(32)

@@ -168,6 +168,36 @@ object Streams {
       }
       .start()
 
+  /** Streaming interval attribution — [[asofEnrich]]'s range-containment
+    * sibling: every micro-batch joined to a (slowly-rebuilt) interval
+    * table via [[graft.operators.AsOf.intervalJoin]] (bucketed
+    * decomposition — a naive BETWEEN per batch would nested-loop), with
+    * the same replay-idempotence contract: one `enrich_batch=<id>`
+    * partition per micro-batch under dynamic partition overwrite, so a
+    * replayed batch rewrites itself. The composition an incident/
+    * campaign pipeline needs when windows arrive from a control table
+    * and events stream. */
+  def intervalEnrich(stream: DataFrame, intervals: () => DataFrame,
+                     tsCol: String, startCol: String, endCol: String,
+                     bucketWidth: Long, ivCols: Seq[String],
+                     outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.AsOf
+          .intervalJoin(batch, intervals(), tsCol, startCol, endCol,
+            bucketWidth, ivCols)
+          .withColumn("enrich_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("enrich_batch")
+          .parquet(outPath)
+        ()
+      }
+      .start()
+
   /** Continuous index maintenance: each micro-batch is checksum-gated
     * through the SAME anti-join upsert as the batch path (P4/J6) — the
     * streaming rendition of the reference's re-ingest story

@@ -647,6 +647,63 @@ class AsOfEventsSpec extends SparkSpec {
     }
   }
 
+  test("percentileGlobal equals the driver-computed nearest-rank across widths") {
+    import graft.operators.Profile
+    val rnd = new scala.util.Random(53)
+    val vals = (0 until 700).map(_ => rnd.nextInt(1000).toLong)
+    val df = (vals.map(v => Some(v)) ++ Seq(None, None)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(java.lang.Long.valueOf).orNull) }
+      .toDF("id", "v").repartition(16)
+    val sorted = vals.sorted
+    def nearest(p: Int): Long = sorted(((p.toLong * vals.size + 99) / 100 - 1).toInt)
+    for (w <- Seq(1, 3, 8)) {
+      val row = Profile.percentileGlobal(df, "v", Seq(50, 90, 99), width = w).head()
+      assert((row.getLong(0), row.getLong(1), row.getLong(2)) ===
+        ((nearest(50), nearest(90), nearest(99))), s"width=$w")
+    }
+    // empty input → one all-null row (the oracle's aggregate-over-empty)
+    val empty = Profile.percentileGlobal(df.where(lit(false)), "v").collect()
+    assert(empty.length === 1 && empty.head.isNullAt(0) && empty.head.isNullAt(2))
+  }
+
+  test("capPerGroup keeps exactly the seeded-md5 rank prefix per group") {
+    import graft.operators.Sampling
+    val df = (0 until 300).map(i => (i.toLong, s"s${i % 7}")).toDF("doc_id", "g")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expected = (0 until 300).map(i => (i.toLong, s"s${i % 7}"))
+      .groupBy(_._2).flatMap { case (_, rows) =>
+        rows.sortBy { case (id, _) => (md5hex(s"42:$id"), id) }.take(10)
+      }.map(_._1).toSet
+    val kept = Sampling.capPerGroup(df, "g", "doc_id", n = 10, seed = "42")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === expected)
+    // a different seed redraws; groups smaller than n keep everything
+    val kept7 = Sampling.capPerGroup(df, "g", "doc_id", n = 10, seed = "7")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept7 !== kept, "new seed must redraw the kept set")
+    assert(Sampling.capPerGroup(df, "g", "doc_id", n = 1000, seed = "42").count()
+      === 300L)
+  }
+
+  test("columnProfileApprox tracks the exact profile within sketch tolerance") {
+    import graft.operators.Profile
+    val df = (0 until 2000)
+      .map(i => (i.toLong, s"v${i % 317}", if (i % 13 == 0) null else s"w${i % 5}"))
+      .toDF("id", "a", "b")
+    val exact = Profile.columnProfile(df, Seq("id", "a", "b"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = Profile.columnProfileApprox(df, Seq("id", "a", "b"), rsd = 0.02)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    exact.foreach { case (c, (nNull, nDist)) =>
+      val (aNull, aDist) = approx(c)
+      assert(aNull === nNull, s"$c null counts stay exact")
+      assert(math.abs(aDist - nDist) <= math.max(3L, (nDist * 0.06).toLong),
+        s"$c distinct estimate $aDist vs exact $nDist")
+    }
+  }
+
   test("lengthBuckets partitions every doc exactly once") {
     val df = Seq((1L, "a b c"), (2L, "a b c d e"), (3L, ("t " * 40).trim))
       .toDF("doc_id", "text")

@@ -112,10 +112,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(ps.linesIterator.exists(l => l.contains("Join") && l.contains("_salt")),
       "join node lost the salt key — hot key would pin one task")
     assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoopJoin"))
-    Seq("session_assign", "percentile_bands", "topk_per_group").foreach { q =>
-      val p = plan(Queries.all(q)(spark, sf))
-      assert(!p.contains("SinglePartition"), s"$q window collapsed to one partition")
-    }
+    Seq("session_assign", "percentile_bands", "topk_per_group", "source_cap")
+      .foreach { q =>
+        val p = plan(Queries.all(q)(spark, sf))
+        assert(!p.contains("SinglePartition"), s"$q window collapsed to one partition")
+      }
+    // percentile_global's final agg over <=|ps| hit rows is a legitimate
+    // SinglePartition exchange; the data-scale WINDOW must stay keyed by
+    // _pid (the two-pass prefix-count contract)
+    val pg = plan(Queries.all("percentile_global")(spark, sf))
+    assert(pg.linesIterator.filter(_.contains("Window")).forall(_.contains("_pid")),
+      "percentile_global rank window lost its partition key — one task sorts the table")
+    assert(pg.contains("Window"), "percentile_global lost its per-partition rank window")
   }
 
   test("bloom seen-filter: only the candidate leg joins; no cartesian anywhere") {

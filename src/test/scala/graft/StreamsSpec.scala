@@ -132,6 +132,32 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming interval enrichment attributes events to windows per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-iv-stream").toString
+    // two campaign windows; bucket width 100 so window A spans buckets
+    val iv = Seq(("A", 100L, 350L), ("B", 400L, 450L)).toDF("iv_id", "s", "e")
+    val mem = MemoryStream[(Long, Long)]
+    val stream = mem.toDF().toDF("event_id", "ts")
+    val q = Streams.intervalEnrich(stream, () => iv, "ts", "s", "e",
+      bucketWidth = 100L, ivCols = Seq("iv_id"), s"$dir/out", s"$dir/ckpt")
+    try {
+      mem.addData((1L, 150L), (2L, 50L), (3L, 350L))
+      q.processAllAvailable()
+      mem.addData((4L, 420L), (5L, 360L))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out")
+        .select("event_id", "iv_id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(out === Set((1L, "A"), (3L, "A"), (4L, "B")),
+        "inclusive ends, non-matching events dropped")
+      val parts = spark.read.parquet(s"$dir/out")
+        .select("enrich_batch").distinct().count()
+      assert(parts === 2L, "one partition per micro-batch (replay idempotence)")
+    } finally q.stop()
+  }
+
   test("streaming incremental upsert maintains parquet state via foreachBatch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -281,6 +281,22 @@ object Oracles {
         |  CAST(max(CASE WHEN rn=(90*n+99)//100 THEN v END) AS BIGINT) p90,
         |  CAST(max(CASE WHEN rn=(99*n+99)//100 THEN v END) AS BIGINT) p99
         |FROM x""".stripMargin,
+    // rollup twin: GROUP BY ROLLUP with the SQL-standard GROUPING
+    // bitmask; display cols coalesced on BOTH sides so no null ships
+    "rollup_counts" ->
+      """SELECT coalesce(source, '(all)') source, coalesce(lang, '(all)') lang,
+        |CAST(GROUPING(source, lang) AS INT) gid,
+        |count(*) n, CAST(sum(n_chars) AS BIGINT) sum_v
+        |FROM documents GROUP BY ROLLUP(source, lang)
+        |ORDER BY gid, source, lang""".stripMargin,
+    // histogram twin: identical all-integer bucket formula (operands
+    // non-negative, so // and Spark div agree)
+    "hist_chars" ->
+      """WITH v AS (SELECT n_chars v FROM documents WHERE n_chars IS NOT NULL),
+        |b AS (SELECT min(v) lo, max(v) hi FROM v)
+        |SELECT ((v - lo) * 20) // (hi - lo + 1) AS bucket,
+        |count(*) n, CAST(min(v) AS BIGINT) min_v, CAST(max(v) AS BIGINT) max_v
+        |FROM v, b GROUP BY 1 ORDER BY bucket""".stripMargin,
     // per-source cap twin: the same seeded-md5 rank order (string
     // hex ordering is engine-identical — the md5-grid doctrine)
     "source_cap" ->
@@ -379,6 +395,21 @@ object Oracles {
         |  WHERE NOT EXISTS (SELECT 1 FROM changed c WHERE c.doc_id=p.doc_id)
         |  UNION ALL SELECT doc_id, checksum FROM changed)
         |ORDER BY doc_id""".stripMargin,
+    // SCD2 twin: the merge semantics spelled out as a union — changed
+    // keys (%6==0: the _v2 suffix always differs) close at 100 and
+    // reopen; every other key (incl. touched-but-unchanged %3 odds)
+    // keeps its single open row
+    "scd2_merge" ->
+      """SELECT doc_id, source, lang,
+        |  CAST(0 AS BIGINT) valid_from, CAST(100 AS BIGINT) valid_to
+        |FROM documents WHERE doc_id % 6 = 0
+        |UNION ALL
+        |SELECT doc_id, source || '_v2', lang, CAST(100 AS BIGINT), CAST(NULL AS BIGINT)
+        |FROM documents WHERE doc_id % 6 = 0
+        |UNION ALL
+        |SELECT doc_id, source, lang, CAST(0 AS BIGINT), CAST(NULL AS BIGINT)
+        |FROM documents WHERE doc_id % 6 <> 0
+        |ORDER BY doc_id, valid_from""".stripMargin,
     // bloom twin: the prefilter is exact by the filter's no-false-
     // negative guarantee + the anti-join confirm, so the oracle is the
     // plain NOT EXISTS the operator must reproduce row-for-row
@@ -673,6 +704,39 @@ object Oracles {
       """SELECT doc_id, md5(concat('ep0:', CAST(doc_id AS VARCHAR))) shuffle_key,
         |CAST(ROW_NUMBER() OVER (ORDER BY md5(concat('ep0:', CAST(doc_id AS VARCHAR))), doc_id) - 1 AS BIGINT) pos
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // tf-idf twin: same integer grid (cf_src · floor(ln(n_docs/df)·1e6)),
+    // same (score DESC, term) total order per source
+    "tfidf_top_terms" ->
+      s"""WITH $Toks, $Posting,
+         |ps AS (SELECT source, term, CAST(sum(tf) AS BIGINT) cf_src
+         |  FROM p JOIN documents USING(doc_id) GROUP BY 1,2),
+         |d AS (SELECT term, CAST(count(*) AS BIGINT) df FROM p GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) n_docs FROM documents),
+         |sc AS (SELECT source, term, cf_src,
+         |  cf_src * CAST(floor(ln(CAST(n_docs AS DOUBLE)/df)*1e6) AS BIGINT) score
+         |  FROM ps JOIN d USING(term) CROSS JOIN n),
+         |r AS (SELECT source, term, cf_src, score,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY score DESC, term) AS INT) rank FROM sc)
+         |SELECT source, rank, term, cf_src, score FROM r
+         |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+    // PMI twin: lockstep-unnested adjacent pairs, the IDENTICAL IEEE
+    // double expression fed to ln, floor onto the micro grid
+    "pmi_bigrams" ->
+      s"""WITH $Toks,
+         |pr AS (SELECT unnest(CASE WHEN len(t)>=2 THEN t[1:len(t)-1] ELSE [] END) a,
+         |       unnest(CASE WHEN len(t)>=2 THEN t[2:len(t)] ELSE [] END) b FROM toks),
+         |u AS (SELECT term, CAST(count(*) AS BIGINT) c FROM
+         |  (SELECT unnest(t) term FROM toks) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) m_tok FROM u),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) n_big FROM pr),
+         |big AS (SELECT a, b, CAST(count(*) AS BIGINT) c_ab FROM pr
+         |  GROUP BY 1,2 HAVING count(*) >= 5)
+         |SELECT a, b, c_ab,
+         |  CAST(floor(ln((CAST(c_ab AS DOUBLE) * m_tok * m_tok)
+         |    / (CAST(ua.c AS DOUBLE) * ub.c * n_big)) * 1e6) AS BIGINT) pmi6
+         |FROM big JOIN u ua ON big.a=ua.term JOIN u ub ON big.b=ub.term
+         |CROSS JOIN tot CROSS JOIN nb ORDER BY a, b""".stripMargin,
     // dominant-bigram repetition twin: same '_'-joined shingle grammar as
     // the contamination CTE; sub-n docs emit no row on either engine
     "repetition_stats" ->

@@ -199,6 +199,17 @@ object Queries {
     // sorting 100 TB); this is plan-audited free of it
     "percentile_global" -> ((s, dir) =>
       Profile.percentileGlobal(docs(s, dir), "n_chars")),
+    // every prefix grain of (source, lang) in ONE Expand pass — the
+    // report that replaces G separate groupBy scans; gid is the SQL
+    // grouping bitmask, display cols coalesced so no nulls ship
+    "rollup_counts" -> ((s, dir) =>
+      Profile.rollupGrains(docs(s, dir), Seq("source", "lang"), "n_chars")
+        .orderBy("gid", "source", "lang")),
+    // 20-bucket equi-width length histogram — all-integer bucket
+    // assignment (engine-identical), nb-wide exchange at any scale
+    "hist_chars" -> ((s, dir) =>
+      Profile.histogram(docs(s, dir), "n_chars", nb = 20)
+        .orderBy("bucket")),
     // top-3 longest docs per language via the bounded-heap partial pass
     // (the k>1 scale twin of keep_best_doc — kP candidates shuffle, not
     // the corpus)
@@ -273,6 +284,23 @@ object Queries {
       val changed = Incremental.changed(fresh, prev, "doc_id", "checksum")
       Incremental.upsert(prev, changed, "doc_id")
         .select("doc_id", "checksum").orderBy("doc_id")
+    }),
+    // type-2 SCD merge: a snapshot batch at t=100 touches every
+    // doc_id%3==0 key but only doc_id%6==0 actually changes (source
+    // gets a _v2 suffix) — changed keys close + reopen, touched-but-
+    // unchanged keys stay single open rows (the semantics the oracle's
+    // union spells out)
+    "scd2_merge" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val history = d.select(col("doc_id"), col("source"), col("lang"),
+        lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+      val updates = d.where(col("doc_id") % 3 === 0).select(col("doc_id"),
+        when(col("doc_id") % 6 === 0, concat(col("source"), lit("_v2")))
+          .otherwise(col("source")).as("source"),
+        col("lang"))
+      Incremental.scd2Merge(history, updates, "doc_id",
+          Seq("source", "lang"), asOf = 100L)
+        .orderBy("doc_id", "valid_from")
     }),
     // bloom-prefiltered seen-ledger skip: crawl docs whose id is not in
     // the ledger (doc_id ≡ 0 mod 3) — exact result, but only
@@ -460,6 +488,16 @@ object Queries {
       Shards.budgetSelect(scored, "doc_id", "q", "n_tokens", budget = 5000L)
         .orderBy("doc_id")
     }),
+    // per-source top-5 distinguishing terms by integer-grid TF·IDF —
+    // the "what is each source about" report behind mixing decisions
+    "tfidf_top_terms" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", "source", k = 5)
+        .orderBy("source", "rank")),
+    // adjacent-bigram collocations by micro-quantized PMI (identical
+    // IEEE expression on both engines before the one ln call)
+    "pmi_bigrams" -> ((s, dir) =>
+      TextAnalysis.pmiBigrams(docs(s, dir), "doc_id", "text", minCount = 5)
+        .orderBy("a", "b")),
     // Gopher-style dominant-bigram repetition signal
     "repetition_stats" -> ((s, dir) =>
       TextAnalysis.repetitionStats(docs(s, dir), "doc_id", "text")

@@ -297,4 +297,22 @@ object Events {
       .select(col("hour_bucket"), col(seriesCol), col("n_events"),
         col("z"), col("is_anomaly"))
   }
+
+  /** Sketch twin of `events_hourly`'s per-bucket `count(DISTINCT user)`
+    * for the scale where the exact form is itself the bottleneck: exact
+    * distinct-per-group plans an Expand that shuffles every (bucket,
+    * user) pair — at 100 TB of events that exchange carries the table.
+    * This is ONE combinable pass instead: each task folds its rows into
+    * fixed-size HyperLogLog++ sketches (one per live bucket), merge is
+    * sketch-union. NOT oracle-matchable by construction (estimates are
+    * engine-specific); agreement with the exact form is pinned within
+    * rsd tolerance in AsOfEventsSpec — the same twin contract as
+    * [[graft.operators.Profile.columnProfileApprox]]. */
+  def hourlyUsersApprox(events: DataFrame, userCol: String,
+                        tsCol: String = "ts",
+                        rsd: Double = 0.05): DataFrame =
+    events
+      .groupBy(expr(s"`$tsCol` div 3600000000000").as("hour_bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col(userCol), rsd).as("n_users_est"))
 }

@@ -139,6 +139,57 @@ object Profile {
     ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Multi-grain rollup report in ONE pass: count + value sum at every
+    * prefix grain of `grainCols` (finest → grand total), the report face
+    * of `GROUP BY ROLLUP`. Spark plans this as a single scan through an
+    * `Expand` (one replicated row per grain) into ONE combinable
+    * aggregate — at 100 TB that is strictly cheaper than the G separate
+    * groupBy passes it replaces (G× fewer scans; the Expand fan-out is
+    * map-side and partially aggregated before the only exchange).
+    * `gid` is the SQL-standard grouping bitmask (first grain column =
+    * MSB — identical in DuckDB's `GROUPING(...)`), which disambiguates a
+    * rolled-up placeholder from a genuine null key; display columns are
+    * coalesced to `(all)` so the report carries no nulls at all (and no
+    * cross-engine null-ordering hazard). */
+  def rollupGrains(df: DataFrame, grainCols: Seq[String],
+                   valueCol: String): DataFrame = {
+    require(grainCols.nonEmpty, "need at least one grain column")
+    val disp = grainCols.map(c => coalesce(col(c), lit("(all)")).as(c))
+    df.rollup(grainCols.map(col): _*)
+      .agg(grouping_id().cast("int").as("gid"), count(lit(1)).as("n"),
+        sum(col(valueCol)).as("sum_v"))
+      .select(disp :+ col("gid") :+ col("n") :+ col("sum_v"): _*)
+  }
+
+  /** Equi-width histogram of an integral column over its OWN min/max
+    * range — all-integer bucket arithmetic so any engine computes the
+    * identical assignment: `bucket = (v - lo) * nb / (hi - lo + 1)`
+    * (non-negative operands, so floor-division and truncation agree —
+    * the library's integer-grid doctrine; the +1 denominator pins the
+    * maximum into bucket nb-1 and makes a constant column one bucket-0
+    * bar instead of a division by zero). Two passes: a 2-long bounds
+    * aggregate (tiny, broadcast) and ONE combinable count keyed by ≤nb
+    * buckets — the exchange is nb rows wide regardless of data scale.
+    * Caller's domain must satisfy (hi-lo)·nb < 2^63 (true for any
+    * real-world measure column; runtime-guarded — a wider span, e.g.
+    * epoch NANOSECONDS, raises instead of silently wrapping the long
+    * multiply into garbage buckets). Null values are excluded; empty
+    * input yields an empty histogram. */
+  def histogram(df: DataFrame, valueCol: String, nb: Int = 20): DataFrame = {
+    require(nb >= 1, "need at least one bucket")
+    val v = df.where(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("_v"))
+    val bounds = v.agg(min("_v").as("_lo"), max("_v").as("_hi"))
+    v.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        when(col("_hi") - col("_lo") >= lit(Long.MaxValue / nb),
+          raise_error(lit(s"histogram: value span * $nb overflows long — " +
+            "rescale the column (e.g. ns -> hours) or lower nb")).cast("long"))
+          .otherwise(expr(s"((_v - _lo) * $nb) div (_hi - _lo + 1)")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("_v").as("min_v"), max("_v").as("max_v"))
+  }
+
   /** EXACT GLOBAL nearest-rank percentiles of an integral column — the
     * whole-table twin of [[percentileBands]] whose naive form
     * (`row_number() OVER (ORDER BY v)`) is a SinglePartition window:

@@ -366,4 +366,71 @@ object Similarity {
       .select(col("vec_id"), round(VecFns.cosineQ(col("qv"), qvec), 6).as("cos"))
       .orderBy(desc("cos"), asc("vec_id")).limit(k)
   }
+
+  /** Maximal-marginal-relevance rerank: the diversified top-k a serving
+    * layer returns when plain cosine top-k collapses onto near-duplicate
+    * hits (the retrieval-side face of semanticDedupSurvivors' corpus-side
+    * dedup). Greedy: pick argmax `λ·cos(q,d) − (1−λ)·max_{s∈S} cos(d,s)`
+    * k times (ties: higher relevance, then lower id; the first pick is
+    * exactly the cosine top-1). λ=1 degenerates to plain top-k.
+    *
+    * Shape: the candidate generation is DISTRIBUTED exact cosine top-C
+    * (a TakeOrderedAndProject — same plan as cosineTopK; at index scale
+    * swap in [[annTopKWith]]/[[ivfTopK]] candidates); only the ≤C
+    * (id, vector) survivors reach the driver — a COUNTED collect,
+    * C ≤ 4096 by contract, never data-scale — where the O(k·C·dim)
+    * greedy runs. MMR's selection is inherently sequential (each pick
+    * changes every remaining score), so the bounded-candidate collect
+    * IS the scale design, not a shortcut. Spec-pinned (DedupSpec-style
+    * brute-force twin); not oracle-registered — a greedy loop has no
+    * engine-stable single-statement SQL twin. */
+  def mmrRerank(emb: DataFrame, idCol: String, vecCol: String,
+                q: Array[Float], k: Int, lambda: Double = 0.7,
+                nCandidates: Int = 128): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    // k may exceed the pool (the whole pool comes back, ranked); the
+    // upper bound is the counted-collect contract
+    require(nCandidates >= 1 && nCandidates <= 4096,
+      s"candidate pool must satisfy 1 <= C <= 4096, got $nCandidates")
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0,1]")
+    val spark = emb.sparkSession
+    val qvec = typedLit(VecFns.quantizeLocal(q).toSeq)
+    val cand = emb
+      .select(col(idCol).cast("long").as("vec_id"),
+        VecFns.quantize(col(vecCol)).as("qv"))
+      .withColumn("cos", round(VecFns.cosineQ(col("qv"), qvec), 6))
+      // NaN (a zero-norm vector's 0/0) sorts ABOVE every real double in
+      // desc order — drop it with the nulls or it becomes pick #1
+      .where(col("cos").isNotNull && !isnan(col("cos")))
+      .orderBy(desc("cos"), asc("vec_id")).limit(nCandidates)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    def cosLocal(a: Array[Double], b: Array[Double]): Double = {
+      var sab = 0.0; var saa = 0.0; var sbb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { sab += a(i) * b(i); saa += a(i) * a(i); sbb += b(i) * b(i); i += 1 }
+      if (saa == 0.0 || sbb == 0.0) 0.0 else sab / (math.sqrt(saa) * math.sqrt(sbb))
+    }
+    val maxToSel = scala.collection.mutable.HashMap.empty[Long, Double]
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      cand.map(c => c._1 -> c): _*)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    while (picked.size < k && remaining.nonEmpty) {
+      val best = remaining.valuesIterator.map { case (id, v, rel) =>
+        val mmr = lambda * rel - (1 - lambda) * maxToSel.getOrElse(id, 0.0)
+        (mmr, rel, id, v)
+      }.reduceLeft { (a, b) =>
+        if (b._1 > a._1 || (b._1 == a._1 && (b._2 > a._2 ||
+          (b._2 == a._2 && b._3 < a._3)))) b else a
+      }
+      picked += ((picked.size + 1, best._3, best._2, best._1))
+      remaining.remove(best._3)
+      remaining.valuesIterator.foreach { case (id, v, _) =>
+        val s = cosLocal(v, best._4)
+        if (s > maxToSel.getOrElse(id, Double.NegativeInfinity)) maxToSel(id) = s
+      }
+    }
+    import spark.implicits._
+    picked.toSeq.toDF("rank", "vec_id", "cos", "mmr")
+  }
 }

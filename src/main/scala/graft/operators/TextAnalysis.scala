@@ -554,4 +554,86 @@ object TextAnalysis {
       .groupBy("doc_id", "bench_id").agg(count("*").as("n_shared"))
       .where(col("n_shared") >= minOverlap)
   }
+
+  /** Per-source top-k distinguishing terms by TF·IDF — the corpus
+    * fingerprint report ("what is each source actually about") every
+    * mixing decision reads. Scoring stays on the exact integer grid:
+    * `score = cf_src · floor(ln(n_docs/df)·1e6)` — term frequency within
+    * the source times the micro-quantized IDF (floor per the library's
+    * transcendental doctrine; n_docs ≥ df so ln ≥ 0 and ln(1)=0 exactly,
+    * no negative-operand hazard), so rank and ties are engine-identical.
+    *
+    * Shape: ONE tokenize/explode pass feeding two combinable aggregates
+    * ((source,term) frequency; per-term document frequency), a term-keyed
+    * join AQE broadcasts while the dictionary is small (never a forced
+    * hint — the vocabulary is unbounded at corpus scale), a 1-row n_docs
+    * broadcast, and a per-source top-k window. The window partitions by
+    * source (bounded set) over vocabulary-sized groups — the same
+    * group-sort shape as percentile_bands; at a vocabulary where that
+    * sort dominates, pre-thin with [[graft.operators.Dedup.topKPerGroup]]
+    * on (score, hash-tie) and re-rank the kP survivors exactly. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    srcCol: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val posting = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(srcCol).as("source"),
+        explode(TextFns.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "source", "term").agg(count(lit(1)).as("tf"))
+    val srcTf = posting.groupBy("source", "term").agg(sum("tf").as("cf_src"))
+    val dict = posting.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val idf6 = floor(log(col("n_docs").cast("double") / col("df")) * lit(1e6))
+      .cast("long")
+    val scored = srcTf.join(dict, "term").crossJoin(broadcast(nDocs))
+      .select(col("source"), col("term"), col("cf_src"),
+        (col("cf_src") * idf6).as("score"))
+    val w = Window.partitionBy("source").orderBy(desc("score"), asc("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("source"), col("rank"), col("term"), col("cf_src"), col("score"))
+  }
+
+  /** Adjacent-bigram collocations by pointwise mutual information —
+    * which word pairs co-occur far above chance (named entities, fixed
+    * phrases, tokenizer-merge candidates). For each ordered adjacent
+    * pair (a,b) with count ≥ minCount:
+    * `pmi = ln( (c_ab·M·M) / (c_a·c_b·N) )` where c_* are corpus
+    * unigram counts, M total tokens, N total bigrams — micro-quantized
+    * with floor into `pmi6` (the oracle computes the IDENTICAL double
+    * expression, so the same IEEE value reaches both engines' ln).
+    * Bigrams are built as token PAIRS, not joined strings: '_' is a
+    * word character in [[TextFns.TokenSep]], so a joined rendering
+    * could not be split back unambiguously.
+    *
+    * Shape: one explode into pairs + one into unigrams (both map-side
+    * combinable), two term-keyed dictionary joins (AQE-sized — never a
+    * forced broadcast of an unbounded vocabulary), two 1-row total
+    * broadcasts. minCount bounds the join fan-in: only pairs that
+    * repeat survive to the dictionary lookups. */
+  def pmiBigrams(docs: DataFrame, idCol: String, textCol: String,
+                 minCount: Long = 5): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      TextFns.tokens(col(textCol)).as("t"))
+    val pairs = toks
+      .select(explode(expr(
+        "transform(slice(t, 1, greatest(size(t)-1, 0)), (x, i) -> struct(x as a, t[i+1] as b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val uni = toks.select(explode(col("t")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    // ONE pair explode: totals derive from the already-aggregated pair
+    // counts (vocabulary²-bounded), never a second pass over the corpus
+    val bigAll = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val big = bigAll.where(col("c_ab") >= minCount)
+    val totU = uni.agg(sum("c").as("m_tok"))
+    val totB = bigAll.agg(sum("c_ab").as("n_big"))
+    val scored = big
+      .join(uni.withColumnRenamed("term", "a").withColumnRenamed("c", "c_a"), "a")
+      .join(uni.withColumnRenamed("term", "b").withColumnRenamed("c", "c_b"), "b")
+      .crossJoin(broadcast(totU)).crossJoin(broadcast(totB))
+    scored.select(col("a"), col("b"), col("c_ab"),
+      floor(log((col("c_ab").cast("double") * col("m_tok") * col("m_tok")) /
+        (col("c_a").cast("double") * col("c_b") * col("n_big"))) * lit(1e6))
+        .cast("long").as("pmi6"))
+  }
 }

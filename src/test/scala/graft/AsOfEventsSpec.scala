@@ -704,6 +704,118 @@ class AsOfEventsSpec extends SparkSpec {
     }
   }
 
+  test("rollupGrains reports every prefix grain with the standard bitmask") {
+    import graft.operators.Profile
+    val df = Seq(("a", "en", 10L), ("a", "fr", 20L), ("b", "en", 5L),
+      (null, "en", 1L)).toDF("src", "lang", "v")
+    val out = Profile.rollupGrains(df, Seq("src", "lang"), "v")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(out === Set(
+      ("a", "en", 0, 1L, 10L), ("a", "fr", 0, 1L, 20L), ("b", "en", 0, 1L, 5L),
+      ("(all)", "en", 0, 1L, 1L),           // REAL null key: gid stays 0
+      ("a", "(all)", 1, 2L, 30L), ("b", "(all)", 1, 1L, 5L),
+      ("(all)", "(all)", 1, 1L, 1L),        // rolled lang under the null key
+      ("(all)", "(all)", 3, 4L, 36L)))      // grand total: gid=3
+  }
+
+  test("histogram buckets by exact integer arithmetic; edges land inside") {
+    import graft.operators.Profile
+    val df = (0L to 100L).toDF("v")
+    val h = Profile.histogram(df, "v", nb = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(h.keySet === (0L to 9L).toSet)
+    assert(h(0L) === ((11L, 0L, 10L)), "0..10 → bucket 0 ((v*10) div 101)")
+    assert(h(9L)._3 === 100L, "max value pinned into the last bucket")
+    assert(h.values.map(_._1).sum === 101L)
+    // constant column → one bucket-0 bar, no division blow-up
+    val const = Profile.histogram(Seq(7L, 7L, 7L).toDF("v"), "v", nb = 10)
+      .collect()
+    assert(const.length === 1 && const.head.getLong(0) === 0L
+      && const.head.getLong(1) === 3L)
+    assert(Profile.histogram(df.where(lit(false)), "v", 5).count() === 0L)
+  }
+
+  test("hourlyUsersApprox tracks exact distinct users within sketch tolerance") {
+    val ev = (0 until 4000).map { i =>
+      (i.toLong, (i % 700).toLong, (i % 3).toLong * 3600000000000L + i)
+    }.toDF("event_id", "user_id", "ts")
+    val exact = ev.groupBy(expr("ts div 3600000000000").as("hour_bucket"))
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = Events.hourlyUsersApprox(ev, "user_id", rsd = 0.02)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (h, n) =>
+      assert(math.abs(approx(h) - n) <= math.max(3L, (n * 0.06).toLong),
+        s"hour $h: est ${approx(h)} vs exact $n")
+    }
+  }
+
+  test("scd2Merge: close+reopen on change, untouched otherwise, chains across merges") {
+    import graft.operators.Incremental
+    def hist(rows: Seq[(Long, String, Long, Option[Long])]) =
+      rows.map { case (k, a, f, t) => (k, a, f, t.map(java.lang.Long.valueOf).orNull) }
+        .toDF("id", "attr", "valid_from", "valid_to")
+    val h0 = hist(Seq(
+      (1L, "a", 0L, None),            // will change
+      (2L, "b", 0L, None),            // update arrives, identical → untouched
+      (3L, "c", 0L, None),            // absent from batch → untouched
+      (4L, "old", 0L, Some(50L)),     // closed history: must pass through
+      (4L, "d", 50L, None),           // current row of a key with history
+      (5L, null, 0L, None)))          // null attr → value is a CHANGE (null-safe)
+    val u = Seq((1L, "a2"), (2L, "b"), (5L, "e"), (6L, "f")).toDF("id", "attr")
+    val out = Incremental.scd2Merge(h0, u, "id", Seq("attr"), asOf = 100L)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(got === Set(
+      (1L, "a", 0L, Some(100L)), (1L, "a2", 100L, None),
+      (2L, "b", 0L, None),
+      (3L, "c", 0L, None),
+      (4L, "old", 0L, Some(50L)), (4L, "d", 50L, None),
+      (5L, null, 0L, Some(100L)), (5L, "e", 100L, None),
+      (6L, "f", 100L, None)))
+    // second merge chains a third version; exactly one open row per key
+    val u2 = Seq((1L, "a3")).toDF("id", "attr")
+    val out2 = Incremental.scd2Merge(out, u2, "id", Seq("attr"), asOf = 200L)
+    val v1 = out2.where(col("id") === 1L).collect()
+      .map(r => (r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(v1 === Set(("a", 0L, Some(100L)), ("a2", 100L, Some(200L)),
+      ("a3", 200L, None)))
+    val opens = out2.where(col("valid_to").isNull).groupBy("id").count()
+      .collect().map(_.getLong(1))
+    assert(opens.forall(_ === 1L), "exactly one open row per key")
+  }
+
+  test("mmrRerank diversifies duplicate hits; lambda=1 is plain top-k") {
+    import graft.operators.Similarity
+    // vec 1 and 2 are IDENTICAL and closest to q; vec 3 is orthogonal
+    // (max marginal gain), vec 4 correlates with pick 1 (penalized);
+    // plain top-2 = {1,2}, MMR top-2 = {1,3}
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.5f, 0.5f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Array(1.0f, 0.1f, 0.0f)
+    val mmr = Similarity.mmrRerank(emb, "vec_id", "embedding", q,
+      k = 2, lambda = 0.5, nCandidates = 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(mmr(1) === 1L, "first pick is the cosine top-1")
+    assert(mmr(2) === 3L, "second pick skips the duplicate of pick 1")
+    val plain = Similarity.mmrRerank(emb, "vec_id", "embedding", q,
+      k = 2, lambda = 1.0, nCandidates = 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(plain === Map(1 -> 1L, 2 -> 2L), "λ=1 degenerates to cosine order")
+    // k beyond the pool returns the whole pool, ranked
+    val all = Similarity.mmrRerank(emb, "vec_id", "embedding", q,
+      k = 10, lambda = 0.5, nCandidates = 4).collect()
+    assert(all.length === 4 && all.map(_.getInt(0)).toSeq === Seq(1, 2, 3, 4))
+  }
+
   test("lengthBuckets partitions every doc exactly once") {
     val df = Seq((1L, "a b c"), (2L, "a b c d e"), (3L, ("t " * 40).trim))
       .toDF("doc_id", "text")

@@ -124,6 +124,47 @@ class PlanAuditSpec extends SparkSpec {
     assert(pg.linesIterator.filter(_.contains("Window")).forall(_.contains("_pid")),
       "percentile_global rank window lost its partition key — one task sorts the table")
     assert(pg.contains("Window"), "percentile_global lost its per-partition rank window")
+    // tfidf's 1-row n_docs attach is a legitimate broadcast nested loop;
+    // the per-source rank window must stay keyed by source
+    val tf = plan(Queries.all("tfidf_top_terms")(spark, sf))
+    assert(tf.linesIterator.filter(_.contains("Window")).forall(_.contains("source")),
+      "tfidf rank window lost its source key — one task sorts the vocabulary")
+  }
+
+  test("scd2 merge is ONE keyed join + one explode, never a join per branch") {
+    val p = plan(Queries.all("scd2_merge")(spark, sf))
+    val joins = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")
+        || l.contains("BroadcastHashJoin"))
+    assert(joins === 1, s"expected exactly one keyed join, saw $joins")
+    assert(p.contains("Generate"), "lost the single-pass explode emit")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("rollup report is ONE Expand pass, not G separate scans") {
+    val p = plan(Queries.all("rollup_counts")(spark, sf))
+    assert(p.contains("Expand"), "rollup lost its Expand — grains re-scan the table")
+    assert(p.split("Scan parquet|FileScan|Scan ExistingRDD").length - 1 <= 1,
+      "rollup scans the table more than once")
+  }
+
+  test("histogram: broadcast bounds attach, bucket-keyed aggregate") {
+    val p = plan(Queries.all("hist_chars")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "1-row bounds frame stopped broadcasting")
+    assert(p.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("keys=[bucket")),
+      "final aggregate no longer keyed by bucket")
+  }
+
+  test("pmi: no cartesian; pair counts reused for the total, not re-exploded") {
+    val p = plan(Queries.all("pmi_bigrams")(spark, sf))
+    assert(!p.contains("CartesianProduct"), "dictionary join went cartesian")
+    // the (a,b) count exchange feeds both the minCount filter and the
+    // n_big total — a second Generate-over-corpus means the explode ran twice
+    val generates = p.linesIterator.count(_.trim.startsWith("Generate"))
+    assert(generates <= 2, // one pair explode + one unigram explode
+      s"pair explode runs more than once: $generates Generate nodes\n$p")
   }
 
   test("bloom seen-filter: only the candidate leg joins; no cartesian anywhere") {

@@ -202,4 +202,44 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
     assert(joined === got)
   }
+
+  test("tfidf top terms: universal terms score zero, ranks are exact") {
+    import spark.implicits._
+    // 'the' appears in every doc (idf=ln(1)=0 → score 0);
+    // 'alpha' is srcA-only, 'beta' srcB-only
+    val docs = Seq(
+      (1L, "the alpha alpha", "A"), (2L, "the alpha", "A"),
+      (3L, "the beta", "B"), (4L, "the beta beta beta", "B")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", "source", k = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    val idf6 = math.floor(math.log(4.0 / 2.0) * 1e6).toLong // df(alpha)=df(beta)=2
+    assert(out(("A", 1)) === (("alpha", 3L, 3L * idf6)))
+    assert(out(("B", 1)) === (("beta", 4L, 4L * idf6)))
+    // rank 2 is the universal term at score 0 (cf·ln(1)·1e6 = 0)
+    assert(out(("A", 2))._1 === "the" && out(("A", 2))._3 === 0L)
+    assert(out(("B", 2))._3 === 0L)
+  }
+
+  test("pmi bigrams: perfect collocation beats independence; counts exact") {
+    import spark.implicits._
+    // 'new york' always adjacent; 'a'/'b' co-occur at chance
+    val docs = Seq(
+      (1L, "new york a b"), (2L, "new york b a"), (3L, "a new york b"),
+      (4L, "b a new york"), (5L, "new york a b")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiBigrams(docs, "doc_id", "text", minCount = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // only (new,york) reaches count 5 — every other adjacent pair varies
+    assert(out.keySet === Set(("new", "york")))
+    val (cAb, pmi6) = out(("new", "york"))
+    assert(cAb === 5L)
+    // local recompute of the exact same expression: m_tok=20, n_big=15,
+    // c_new=c_york=5
+    val expected = math.floor(math.log((5.0 * 20 * 20) / (5.0 * 5 * 15)) * 1e6).toLong
+    assert(pmi6 === expected)
+    assert(pmi6 > 0L, "a perfect collocation has positive PMI")
+  }
 }

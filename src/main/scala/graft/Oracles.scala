@@ -621,6 +621,50 @@ object Oracles {
          |SELECT vec_id, ${cosQ("qv", "qq")} cos FROM asg CROSS JOIN q
          |WHERE centroid IN (SELECT i FROM probe)
          |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+    // cluster-cohesion twin: identical integer-relational arithmetic —
+    // long per-dim sums, HUGEINT dot/|S|² (a double fold would be
+    // summation-order-unstable past 2^53), floor-micro cosines, floored
+    // mean of the exact micro sum
+    "cluster_stats" ->
+      """WITH r AS (SELECT vec_id, label,
+        |    CAST(unnest(list_transform(embedding, x -> round(x*1e7))) AS BIGINT) v,
+        |    unnest(range(1, len(embedding)+1)) dim
+        |  FROM embeddings),
+        |s AS (SELECT label, dim, CAST(sum(v) AS BIGINT) s FROM r GROUP BY 1,2),
+        |pv AS (SELECT r.label, vec_id,
+        |    sum(CAST(r.v AS HUGEINT) * s.s) dot,
+        |    CAST(sum(r.v * r.v) AS BIGINT) nv
+        |  FROM r JOIN s ON r.label=s.label AND r.dim=s.dim GROUP BY 1,2),
+        |ns AS (SELECT label, sum(CAST(s AS HUGEINT) * s) ns2 FROM s GROUP BY 1),
+        |c AS (SELECT pv.label,
+        |    CAST(floor(CAST(dot AS DOUBLE)
+        |      / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(ns2 AS DOUBLE))) * 1e6) AS BIGINT) cos6
+        |  FROM pv JOIN ns USING(label) WHERE nv > 0 AND ns2 > 0)
+        |SELECT CAST(label AS INT) AS label, count(*) n,
+        |  CAST(floor(CAST(sum(cos6) AS DOUBLE) / count(*)) AS BIGINT) mean_cos6
+        |FROM c GROUP BY 1 ORDER BY label""".stripMargin,
+    // duplicated-span twin: same 1-based start/cover arithmetic as the
+    // strip oracle, df>=2 gram set met in a JOIN (a membership list
+    // would be corpus-vocabulary-scale), integer-grid fraction
+    "dup_span_stats" ->
+      s"""WITH $Toks,
+         |g AS (SELECT doc_id,
+         |  unnest(CASE WHEN len(t)>=5 THEN
+         |    [list_aggr(t[i:i+4],'string_agg','_') for i in range(1, len(t)-3)]
+         |    ELSE [] END) g,
+         |  unnest(CASE WHEN len(t)>=5 THEN range(1, len(t)-3) ELSE [] END) j
+         |  FROM toks),
+         |dup AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) df FROM g
+         |  GROUP BY 1) WHERE df >= 2),
+         |cov AS (SELECT DISTINCT doc_id, j + k i
+         |  FROM g JOIN dup USING(g), (SELECT unnest(range(0, 5)) k)),
+         |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_dup FROM cov GROUP BY 1)
+         |SELECT t.doc_id, CAST(coalesce(len(t.t), 0) AS BIGINT) n_tokens,
+         |  coalesce(c.n_dup, 0) n_dup_tokens,
+         |  CASE WHEN coalesce(len(t.t), 0) > 0
+         |    THEN (coalesce(c.n_dup, 0) * 1000000) // len(t.t)
+         |    ELSE CAST(0 AS BIGINT) END dup_frac6
+         |FROM toks t LEFT JOIN c USING(doc_id) ORDER BY doc_id""".stripMargin,
     // SemDeDup survivors twin: the same seed-centroid assignment CTE as
     // ivf_topk; a vector survives iff no lower-id same-cluster vector
     // sits at cosine >= tau

@@ -450,6 +450,16 @@ object Queries {
         nCentroids = 16, tau = 0.3)),
     "hash_embed" -> ((s, dir) =>
       Embed.hashEmbedEntries(docs(s, dir), "doc_id", "text", Dim).orderBy("doc_id", "bucket")),
+    // per-label cohesion (mean cosine to centroid) — all-integer
+    // relational arithmetic: decimal dot/norms, micro-floored cosines
+    "cluster_stats" -> ((s, dir) =>
+      Similarity.clusterStats(emb(s, dir), "vec_id", "embedding", "label")
+        .orderBy("label")),
+    // duplicated-span coverage: tokens inside any 5-gram that occurs in
+    // another doc, as an integer-grid fraction per doc
+    "dup_span_stats" -> ((s, dir) =>
+      Dedup.dupSpanStats(docs(s, dir), "doc_id", "text", n = 5)
+        .orderBy("doc_id")),
 
     // ── text analysis ──────────────────────────────────────────────────
     // CCNet-style LM-perplexity quality signal (corpus-unigram stand-in

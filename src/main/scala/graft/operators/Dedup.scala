@@ -789,4 +789,45 @@ object Dedup {
         .select("a", "b", "hamming")
     }
   }
+
+  /** Per-document duplicated-SPAN coverage — the substring-dedup audit
+    * metric (Lee et al.'s "deduplicating training data" measure, span
+    * granularity): for each doc, how many of its tokens sit inside at
+    * least one n-gram that also occurs in ANOTHER document, and that
+    * count as a 1e-6-grid fraction of the doc. Near-dup pair mining
+    * (minhash/simhash) says WHICH docs overlap; this says HOW MUCH of
+    * each doc is non-novel text — the number a data-diet curriculum
+    * thresholds on.
+    *
+    * Shape: positions explode (narrow), a gram-keyed df count, a
+    * LEFT-SEMI join of occurrences against the df≥2 gram set (equi on
+    * the gram, AQE-sized — the dup-gram set is corpus-vocabulary-scale,
+    * never broadcastable by contract), a covered-index explode bounded
+    * by n per occurrence, and a doc-keyed distinct+count. Overlapping
+    * occurrences union via the distinct — no per-doc array ever forms.
+    * All-integer output: `dup_frac6 = n_dup·1e6 div n_tokens`
+    * (non-negative operands — engine-identical). */
+  def dupSpanStats(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 5): DataFrame = {
+    require(n >= 2, "span length must be >= 2")
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      graft.functions.TextFns.tokens(col(textCol)).as("t"))
+    val lens = toks.select(col("doc_id"),
+      when(col("t").isNotNull, size(col("t"))).otherwise(0)
+        .cast("long").as("n_tokens"))
+    val grams = toks.select(col("doc_id"),
+      posexplode(graft.functions.TextFns.shingles(col("t"), n)).as(Seq("j", "g")))
+    val dup = grams.groupBy("g").agg(countDistinct("doc_id").as("df"))
+      .where(col("df") >= 2).select("g")
+    val covered = grams.join(dup, Seq("g"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("j"), col("j") + lit(n - 1))).as("i"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_tokens"))
+    lens.join(covered, Seq("doc_id"), "left")
+      .withColumn("n_dup_tokens", coalesce(col("n_dup_tokens"), lit(0L)))
+      .withColumn("dup_frac6",
+        when(col("n_tokens") > 0,
+          expr("(n_dup_tokens * 1000000) div n_tokens")).otherwise(lit(0L)))
+  }
 }

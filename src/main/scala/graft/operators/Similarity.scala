@@ -433,4 +433,59 @@ object Similarity {
     import spark.implicits._
     picked.toSeq.toDF("rank", "vec_id", "cos", "mmr")
   }
+
+  /** Per-label embedding cohesion report: for every label, the member
+    * count and the mean cosine of members to their label CENTROID —
+    * the cluster-quality number that decides whether a labeling (or a
+    * k-means fit) is tight enough to drive semanticDedup / IVF probes.
+    *
+    * Exactness discipline (the reason the whole computation is
+    * relational integer arithmetic, never a float fold):
+    * cos(v, centroid) = cos(v, S) where S = Σ members (the 1/n scale
+    * cancels), so every input stays on the quantized integer grid:
+    * per-dim sums S_d are exact long sums; dot(v,S) and |S|² accumulate
+    * in decimal(38,0) (a per-dim product v_d·S_d already exceeds
+    * double's 2^53 exact range at ~10³ members — a double sum would be
+    * partition-order-dependent and cross-engine unstable, HUGEINT/
+    * decimal is exact at any membership); |v|² fits a long. The only
+    * doubles are the final sqrt/division of identical integers (same
+    * IEEE values on any engine), floored onto the 1e-6 grid, and the
+    * per-label mean floors the exact micro sum. Zero-norm vectors (and
+    * labels whose members cancel to a zero centroid) are excluded
+    * before the mean — 0/0 is NaN on one engine and an error path on
+    * another.
+    *
+    * Shape: TWO corpus passes (the histogram bounds+assign shape) — one
+    * posexplode into the (label,dim)-keyed sum, which MATERIALIZES
+    * (localCheckpoint: |labels|·dim rows, report-sized by construction)
+    * so both downstream readers (|S|² and the join back) reuse it
+    * instead of re-exploding the corpus a third time; then the second
+    * pass joins positions to the tiny sum table (AQE broadcasts it) and
+    * folds two label-keyed combinable aggregates. */
+  def clusterStats(emb: DataFrame, idCol: String, vecCol: String,
+                   labelCol: String): DataFrame = {
+    val rows = emb.select(col(labelCol).cast("int").as("label"),
+        col(idCol).cast("long").as("vec_id"),
+        posexplode(VecFns.quantize(col(vecCol))).as(Seq("dim", "v")))
+      .withColumn("vl", col("v").cast("long"))
+    val s = rows.groupBy("label", "dim").agg(sum("vl").as("s"))
+      .localCheckpoint()
+    val perVec = rows.join(s, Seq("label", "dim"))
+      .groupBy("label", "vec_id")
+      .agg(sum(col("vl").cast("decimal(38,0)") * col("s")).as("dot"),
+        sum(col("vl") * col("vl")).as("nv"))
+    val ns = s.groupBy("label")
+      .agg(sum(col("s").cast("decimal(38,0)") * col("s")).as("ns2"))
+    val cos6 = floor(col("dot").cast("double") /
+      (sqrt(col("nv").cast("double")) * sqrt(col("ns2").cast("double"))) * 1e6)
+      .cast("long")
+    perVec.join(ns, "label")
+      .where(col("nv") > 0 && col("ns2") > 0)
+      .select(col("label"), cos6.as("cos6"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), sum("cos6").as("sum_cos6"))
+      .withColumn("mean_cos6",
+        floor(col("sum_cos6").cast("double") / col("n")).cast("long"))
+      .select("label", "n", "mean_cos6")
+  }
 }

@@ -243,6 +243,47 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(2L, 3L), "MinValue row must be the one evicted")
   }
 
+  test("dupSpanStats: overlapping shared spans union; unique docs report zero") {
+    import spark.implicits._
+    val d = Seq(
+      // docs 1+2 share the 6-token run "a b c d e f": two overlapping
+      // 5-grams -> 6 covered tokens each, never 10
+      (1L, "a b c d e f x y"),
+      (2L, "q a b c d e f"),
+      (3L, "totally novel text with no shared span anywhere"),
+      (4L, "a b c")) // shorter than n: no grams, zero coverage
+      .toDF("doc_id", "text")
+    val got = Dedup.dupSpanStats(d, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((8L, 6L, 6L * 1000000L / 8L)))
+    assert(got(2L) === ((7L, 6L, 6L * 1000000L / 7L)))
+    assert(got(3L) === ((8L, 0L, 0L)))
+    assert(got(4L) === ((3L, 0L, 0L)))
+    // a doc repeating ITS OWN 5-gram is not cross-document duplication
+    val self = Seq((1L, "u v w x y u v w x y"), (2L, "none of that here ok"))
+      .toDF("doc_id", "text")
+    val selfGot = Dedup.dupSpanStats(self, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(selfGot === Map(1L -> 0L, 2L -> 0L))
+  }
+
+  test("clusterStats: identical members cohere at 1.0; zero vectors drop") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(1.0f, 0.0f), 1), (4L, Array(0.0f, 1.0f), 1),
+      (5L, Array(0.0f, 0.0f), 2)) // zero-norm: excluded, label vanishes
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.clusterStats(e, "vec_id", "embedding", "label")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(0) === ((2L, 1000000L)), "identical members: mean cos exactly 1")
+    // label 1: S=(1e7,1e7); cos(v,S)=1/sqrt(2) both members
+    val c = math.floor(1e6 / math.sqrt(2.0)).toLong
+    assert(got(1) === ((2L, c)))
+    assert(!got.contains(2), "zero-norm-only label emits no row")
+  }
+
   test("connected components fail loudly when the iteration bound is hit") {
     import spark.implicits._
     // a 10-node path needs ~9 propagation rounds; maxIter=2 must throw,

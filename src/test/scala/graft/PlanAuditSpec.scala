@@ -148,6 +148,18 @@ class PlanAuditSpec extends SparkSpec {
       "rollup scans the table more than once")
   }
 
+  test("dup spans: gram set met in a semi-join; cohesion reuses the checkpointed sums") {
+    val p = plan(Queries.all("dup_span_stats")(spark, sf))
+    assert(p.contains("LeftSemi"), "dup-gram membership lost its semi-join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    val pc = plan(Queries.all("cluster_stats")(spark, sf))
+    // one Generate: the sum table is checkpointed, so only the join-side
+    // posexplode remains in this plan (two corpus passes total)
+    assert(pc.linesIterator.count(_.trim.startsWith("Generate")) <= 1,
+      "cluster_stats re-explodes the corpus beyond the two-pass contract")
+    assert(!pc.contains("CartesianProduct") && !pc.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("histogram: broadcast bounds attach, bucket-keyed aggregate") {
     val p = plan(Queries.all("hist_chars")(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),

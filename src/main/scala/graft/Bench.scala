@@ -647,7 +647,26 @@ object Bench {
     }
     val levels = Seq((3, true), (2, true), (1, true), (0, true), (0, false), (-1, false))
     levels.map { case (d, fl) => line(d, fl) }.find(_.length <= maxLen)
-      .getOrElse(line(-1, full = false))
+      .getOrElse {
+        // registry too wide for per-query rows at ANY precision (first
+        // hit at 109 queries: 2135 chars of mostly name bytes). Keep
+        // the SLOWEST rows — the ones a baseline comparison reads —
+        // and roll the fast tail into an explicit (rest_n, rest_s)
+        // pair: the truncation is visible, never silent.
+        val bySlow = pairs.sortBy { case (k, v) => (-v, k) }
+        def topLine(k: Int): String = {
+          val top = bySlow.take(k)
+          val rest = bySlow.drop(k)
+          val qs = top.map { case (n, v) => s""""$n":${trim(fmt(v, 1))}""" }
+            .mkString("{", ",", "}")
+          s"""{"metric":"total","value":${trim(fmt(total, 1))},"sf":$sfTok,""" +
+            s""""n_total":${pairs.size},"n_failed":$nFailed,""" +
+            s""""rest_n":${rest.size},"rest_s":${trim(fmt(rest.map(_._2).sum, 1))},""" +
+            s""""queries":$qs}"""
+        }
+        (pairs.size to 0 by -1).iterator.map(topLine)
+          .find(_.length <= maxLen).getOrElse(topLine(0))
+      }
   }
 }
 

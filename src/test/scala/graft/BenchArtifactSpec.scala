@@ -29,6 +29,47 @@ class BenchArtifactSpec extends AnyFunSuite {
     }
   }
 
+  test("past the per-row capacity, slowest rows survive and the rest rolls up visibly") {
+    // REAL registry names are ~16 chars; at 109+ the all-rows minimal
+    // envelope exceeds the tail (measured 2135 at 109), so the ladder
+    // must fall through to the slowest-rows + explicit-rest level
+    val n = 130
+    val samples = (0 until n).map { i =>
+      f"realistically_long_query_name_$i%03d" -> List((i * 0.137 + 0.08, None: Option[String], 1))
+    }.toMap
+    val line = Bench.compactJson(samples, samples.keys.toSeq, "/root/testdata/sf0.1")
+    assert(line.length <= 1995, s"${line.length} chars")
+    val tree = mapper.readTree(line)
+    val kept = tree.get("queries").size()
+    assert(kept > 0 && kept < n)
+    assert(tree.get("n_total").asInt() === n)
+    assert(tree.get("rest_n").asInt() === n - kept, "truncation must be explicit")
+    // the kept rows are the SLOWEST ones
+    val names = tree.get("queries").fieldNames()
+    val keptIdx = Iterator.continually(names).takeWhile(_ => names.hasNext)
+      .map(_.next()).map(_.takeRight(3).toInt).toSet
+    assert(keptIdx === ((n - kept) until n).toSet, "kept set is not the slowest tail")
+    // total is conserved: rows + rest ≈ value
+    val rowSum = {
+      val it = tree.get("queries").elements(); var s = 0.0
+      while (it.hasNext) s += it.next().asDouble(); s
+    }
+    assert(math.abs(rowSum + tree.get("rest_s").asDouble()
+      - tree.get("value").asDouble()) < 0.5 + 0.05 * n)
+  }
+
+  test("the REAL registry's compact line parses inside the tail") {
+    val names = Queries.all.keys.toSeq
+    val samples = names.map(n => n -> List((1.3, None: Option[String], 1))).toMap
+    val line = Bench.compactJson(samples, names, "/root/testdata/sf0.1")
+    assert(line.length <= 1995, s"${names.length} real queries: ${line.length} chars")
+    val tree = mapper.readTree(line)
+    val covered =
+      if (tree.has("n_total")) tree.get("queries").size() + tree.get("rest_n").asInt()
+      else tree.get("queries").size()
+    assert(covered === names.length, "every registered query accounted for")
+  }
+
   test("failed queries are excluded from rows but counted") {
     val samples = mk(10) +
       ("broken_query" -> List((0.5, Some("boom"), 1), (0.6, Some("boom"), 2)))

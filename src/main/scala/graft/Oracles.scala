@@ -297,6 +297,39 @@ object Oracles {
         |SELECT ((v - lo) * 20) // (hi - lo + 1) AS bucket,
         |count(*) n, CAST(min(v) AS BIGINT) min_v, CAST(max(v) AS BIGINT) max_v
         |FROM v, b GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // session-duration histogram twin: the events_sessions lag/sum CTE
+    // extended to per-session spans, then the identical integer bucket
+    // formula (one sessionization definition, one histogram definition)
+    "session_length_hist" ->
+      """WITH x AS (SELECT user_id, event_id, epoch_ns(ts) tsn,
+        |  lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev
+        |  FROM events),
+        |y AS (SELECT user_id, tsn,
+        |  sum(CASE WHEN prev IS NULL OR tsn-prev > 1800000000000 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY tsn, event_id
+        |          ROWS UNBOUNDED PRECEDING) seq FROM x),
+        |d AS (SELECT user_id, seq, (max(tsn)-min(tsn))//1000000000 v
+        |  FROM y GROUP BY 1,2),
+        |b AS (SELECT min(v) lo, max(v) hi FROM d)
+        |SELECT ((v-lo)*20)//(hi-lo+1) AS bucket, count(*) n,
+        |CAST(min(v) AS BIGINT) min_v, CAST(max(v) AS BIGINT) max_v
+        |FROM d, b GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // KL twin: identical grids — micro-floored ln terms over the same
+    // IEEE ratio, HUGEINT weighted sum, floored normalization
+    "source_kl" ->
+      """WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) n_gc
+        |  FROM documents GROUP BY 1,2),
+        |g AS (SELECT source, CAST(sum(n_gc) AS BIGINT) n_g FROM c GROUP BY 1),
+        |l AS (SELECT lang, CAST(sum(n_gc) AS BIGINT) n_c FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_gc) AS BIGINT) n FROM c),
+        |w AS (SELECT c.source, sum(CAST(n_gc AS HUGEINT) *
+        |    CAST(floor(ln((CAST(n_gc AS DOUBLE) * n)
+        |      / (CAST(n_g AS DOUBLE) * n_c)) * 1e6) AS BIGINT)) sw
+        |  FROM c JOIN g USING(source) JOIN l USING(lang) CROSS JOIN t
+        |  GROUP BY 1)
+        |SELECT w.source, g.n_g AS n_docs,
+        |  CAST(floor(CAST(sw AS DOUBLE) / n_g) AS BIGINT) kl6
+        |FROM w JOIN g USING(source) ORDER BY source""".stripMargin,
     // per-source cap twin: the same seeded-md5 rank order (string
     // hex ordering is engine-identical — the md5-grid doctrine)
     "source_cap" ->

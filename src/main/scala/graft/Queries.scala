@@ -210,6 +210,20 @@ object Queries {
     "hist_chars" -> ((s, dir) =>
       Profile.histogram(docs(s, dir), "n_chars", nb = 20)
         .orderBy("bucket")),
+    // operator COMPOSITION: sessionize → per-session duration (integer
+    // seconds) → the same integer histogram; one sessionization
+    // definition, third consumer
+    "session_length_hist" -> ((s, dir) => {
+      val durs = Events.assignSessions(Tables(s, dir, "events"), "user_id")
+        .groupBy("user_id", "session_seq")
+        .agg(expr("(max(ts) - min(ts)) div 1000000000").as("dur_s"))
+      Profile.histogram(durs, "dur_s", nb = 20).orderBy("bucket")
+    }),
+    // per-source language-mix KL divergence from the corpus profile —
+    // the reweighting diagnostic, on the micro-ln grid
+    "source_kl" -> ((s, dir) =>
+      Profile.klDivergence(docs(s, dir), "source", "lang")
+        .orderBy("source")),
     // top-3 longest docs per language via the bounded-heap partial pass
     // (the k>1 scale twin of keep_best_doc — kP candidates shuffle, not
     // the corpus)

@@ -139,6 +139,40 @@ object Profile {
     ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-group KL divergence of a class distribution from the corpus
+    * distribution — the mixing diagnostic ("how unlike the corpus is
+    * this source's language profile") that decides reweighting before
+    * export. KL(P_g ‖ Q) = Σ_c p ln(p/q) with p = n_gc/n_g,
+    * q = n_c/N, computed on the library's exact grids: each class term
+    * micro-quantizes `ln((n_gc·N)/(n_g·n_c))` with floor (the IDENTICAL
+    * IEEE double expression on both engines feeds ln), the weighted sum
+    * Σ n_gc·t6 accumulates in decimal(38,0)/HUGEINT (exact at any
+    * count scale), and the 1/n_g normalization floors the exact integer
+    * (micro-grid result can be slightly negative — quantization noise
+    * around 0 for a group matching the corpus exactly; floor is
+    * sign-safe where integer div is not).
+    *
+    * Shape: ONE corpus scan into the (group, class) count table, which
+    * MATERIALIZES (localCheckpoint — |groups|·|classes| rows, report-
+    * sized) so the three marginals derive from it without re-scanning;
+    * everything after is report-scale joins. */
+  def klDivergence(df: DataFrame, groupCol: String,
+                   classCol: String): DataFrame = {
+    val c = df.groupBy(col(groupCol), col(classCol))
+      .agg(count(lit(1)).as("n_gc")).localCheckpoint()
+    val g = c.groupBy(groupCol).agg(sum("n_gc").as("n_g"))
+    val k = c.groupBy(classCol).agg(sum("n_gc").as("n_c"))
+    val tot = c.agg(sum("n_gc").as("n"))
+    val t6 = floor(log((col("n_gc").cast("double") * col("n")) /
+      (col("n_g").cast("double") * col("n_c"))) * lit(1e6)).cast("long")
+    c.join(g, groupCol).join(k, classCol).crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_g"),
+        (col("n_gc").cast("decimal(38,0)") * t6).as("w"))
+      .groupBy(groupCol, "n_g").agg(sum("w").as("sw"))
+      .select(col(groupCol), col("n_g").as("n_docs"),
+        floor(col("sw").cast("double") / col("n_g")).cast("long").as("kl6"))
+  }
+
   /** Multi-grain rollup report in ONE pass: count + value sum at every
     * prefix grain of `grainCols` (finest → grand total), the report face
     * of `GROUP BY ROLLUP`. Spark plans this as a single scan through an

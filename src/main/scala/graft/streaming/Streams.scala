@@ -384,4 +384,53 @@ object Streams {
         batch.unpersist(); changed.unpersist(); ()
       }
       .start()
+
+  /** Streaming type-2 SCD maintenance — [[incrementalUpsert]]'s
+    * history-preserving sibling: each micro-batch merges through the
+    * SAME [[graft.operators.Incremental.scd2Merge]] as the batch path,
+    * with `asOf = batchId` (versions are stamped at batch granularity).
+    * State is parquet partitioned by a key-hash bucket; a batch
+    * rewrites ONLY the buckets its keys hash to (dynamic partition
+    * overwrite + a bucket-pruned state read), so at 100 TB of history a
+    * micro-batch touches ~|batch|/|state| of the files.
+    *
+    * Replay-idempotent BY the merge semantics: re-running batch B
+    * against already-merged state finds every key's current attrs equal
+    * to the batch's and rewrites the identical rows. Same-key rows
+    * within one micro-batch resolve deterministically to the
+    * lexicographically greatest attr tuple (arrival order inside a
+    * batch is meaningless; pre-dedupe upstream for a different rule). */
+  def scd2Stream(stream: DataFrame, statePath: String, keyCol: String,
+                 attrCols: Seq[String], checkpoint: String,
+                 nBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val spark = batch0.sparkSession
+        val dedup = batch0.groupBy(col(keyCol))
+          .agg(max(struct(attrCols.map(col): _*)).as("_a"))
+          .select(col(keyCol) +: attrCols.map(c => col(s"_a.$c").as(c)): _*)
+          .withColumn("bucket", pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)))
+          .cache()
+        val batchBuckets = dedup.select("bucket").distinct()
+          .collect().map(_.getLong(0)).toSeq
+        val hasData = pathHasData(spark, statePath)
+        val prevB =
+          if (hasData)
+            spark.read.parquet(statePath)
+              .where(col("bucket").isin(batchBuckets: _*))
+          else
+            dedup.withColumn("valid_from", lit(0L))
+              .withColumn("valid_to", lit(null).cast("long")).limit(0)
+        val merged = Incremental.scd2Merge(
+            prevB, dedup, keyCol, attrCols, asOf = batchId)
+          .withColumn("bucket", pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)))
+          .localCheckpoint()
+        merged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("bucket").parquet(statePath)
+        dedup.unpersist(); ()
+      }
+      .start()
 }

@@ -816,6 +816,30 @@ class AsOfEventsSpec extends SparkSpec {
     assert(all.length === 4 && all.map(_.getInt(0)).toSeq === Seq(1, 2, 3, 4))
   }
 
+  test("klDivergence: corpus-matching group scores 0; skew scores positive") {
+    import graft.operators.Profile
+    // A skews en, B skews fr, C matches the corpus marginal exactly
+    val rows =
+      Seq.fill(8)(("A", "en")) ++ Seq.fill(2)(("A", "fr")) ++
+      Seq.fill(2)(("B", "en")) ++ Seq.fill(8)(("B", "fr")) ++
+      Seq.fill(5)(("C", "en")) ++ Seq.fill(5)(("C", "fr"))
+    val df = rows.zipWithIndex.map { case ((s, l), i) => (i.toLong, s, l) }
+      .toDF("id", "src", "lang")
+    val got = Profile.klDivergence(df, "src", "lang")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // local recompute of the exact grid: N=30, n_c(en)=n_c(fr)=15
+    def t6(nGc: Long, nG: Long, nC: Long): Long =
+      math.floor(math.log((nGc.toDouble * 30) / (nG.toDouble * nC)) * 1e6).toLong
+    def kl6(pairs: (Long, Long)*): Long = {
+      val sw = pairs.map { case (nGc, nC) => nGc * t6(nGc, 10, nC) }.sum
+      math.floor(sw.toDouble / 10).toLong
+    }
+    assert(got("C") === ((10L, 0L)), "p=q exactly -> ln(1)=0 on any engine")
+    assert(got("A") === ((10L, kl6((8L, 15L), (2L, 15L)))))
+    assert(got("A")._2 > 0L && got("B")._2 > 0L)
+    assert(got("A")._2 === got("B")._2, "mirror skews score identically")
+  }
+
   test("lengthBuckets partitions every doc exactly once") {
     val df = Seq((1L, "a b c"), (2L, "a b c d e"), (3L, ("t " * 40).trim))
       .toDF("doc_id", "text")

@@ -167,6 +167,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.linesIterator.exists(l =>
       l.contains("HashAggregate") && l.contains("keys=[bucket")),
       "final aggregate no longer keyed by bucket")
+    // composition keeps both contracts: the sessionize window stays
+    // user-keyed (the bounds attach is the histogram's own 1-row agg)
+    val ps = plan(Queries.all("session_length_hist")(spark, sf))
+    assert(ps.linesIterator.filter(_.contains("Window")).forall(_.contains("user_id")),
+      "session window lost its user key")
+    // KL: counts localCheckpoint — the final plan reads the snapshot,
+    // never a second corpus scan
+    val pk = plan(Queries.all("source_kl")(spark, sf))
+    assert(!pk.contains("Scan parquet") || pk.contains("ExistingRDD"),
+      "source_kl re-scans the corpus past the checkpointed count table")
+    assert(!pk.contains("CartesianProduct"))
   }
 
   test("pmi: no cartesian; pair counts reused for the total, not re-exploded") {

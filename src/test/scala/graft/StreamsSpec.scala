@@ -158,6 +158,36 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SCD2 maintains versioned history; intra-batch dupes resolve deterministically") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2-stream").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.scd2Stream(mem.toDF().toDF("id", "attr"),
+      s"$dir/state", "id", Seq("attr"), s"$dir/ckpt", nBuckets = 4)
+    try {
+      // batch 0: key 3 arrives twice — lexicographically greatest wins
+      mem.addData((1L, "a"), (2L, "b"), (3L, "x"), (3L, "y"))
+      q.processAllAvailable()
+      val s0 = spark.read.parquet(s"$dir/state")
+        .select("id", "attr", "valid_from", "valid_to").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.isNullAt(3))).toSet
+      assert(s0 === Set((1L, "a", 0L, true), (2L, "b", 0L, true),
+        (3L, "y", 0L, true)))
+      // batch 1: key 1 changes (close + reopen at asOf=1), key 2 is
+      // touched-but-unchanged, key 3 untouched
+      mem.addData((1L, "a2"), (2L, "b"))
+      q.processAllAvailable()
+      val s1 = spark.read.parquet(s"$dir/state")
+        .select("id", "attr", "valid_from", "valid_to").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+      assert(s1 === Set(
+        (1L, "a", 0L, 1L), (1L, "a2", 1L, -1L),
+        (2L, "b", 0L, -1L), (3L, "y", 0L, -1L)))
+    } finally q.stop()
+  }
+
   test("streaming incremental upsert maintains parquet state via foreachBatch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

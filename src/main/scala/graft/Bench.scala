@@ -657,8 +657,13 @@ object Bench {
         def topLine(k: Int): String = {
           val top = bySlow.take(k)
           val rest = bySlow.drop(k)
-          val qs = top.map { case (n, v) => s""""$n":${trim(fmt(v, 1))}""" }
-            .mkString("{", ",", "}")
+          // adaptive precision (the ladder's own rule): the kept rows
+          // are the slowest, where >=10 s prints whole seconds — fixed
+          // 1 dp would spend 2 chars per slow row and roll more rows
+          // into the rest bucket than the boundary requires
+          val qs = top.map { case (n, v) =>
+            s""""$n":${trim(fmt(v, if (v >= 10) 0 else 1))}"""
+          }.mkString("{", ",", "}")
           s"""{"metric":"total","value":${trim(fmt(total, 1))},"sf":$sfTok,""" +
             s""""n_total":${pairs.size},"n_failed":$nFailed,""" +
             s""""rest_n":${rest.size},"rest_s":${trim(fmt(rest.map(_._2).sum, 1))},""" +

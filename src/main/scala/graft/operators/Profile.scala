@@ -158,6 +158,9 @@ object Profile {
     * everything after is report-scale joins. */
   def klDivergence(df: DataFrame, groupCol: String,
                    classCol: String): DataFrame = {
+    val clash = Seq("n_gc", "n_g", "n_c", "n", "w", "sw", "n_docs", "kl6")
+      .filter(Seq(groupCol, classCol).contains)
+    require(clash.isEmpty, s"columns collide with KL working names: $clash")
     val c = df.groupBy(col(groupCol), col(classCol))
       .agg(count(lit(1)).as("n_gc")).localCheckpoint()
     val g = c.groupBy(groupCol).agg(sum("n_gc").as("n_g"))

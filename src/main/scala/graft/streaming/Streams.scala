@@ -390,19 +390,25 @@ object Streams {
     * SAME [[graft.operators.Incremental.scd2Merge]] as the batch path,
     * with `asOf = batchId` (versions are stamped at batch granularity).
     * State is parquet partitioned by a key-hash bucket; a batch
-    * rewrites ONLY the buckets its keys hash to (dynamic partition
-    * overwrite + a bucket-pruned state read), so at 100 TB of history a
-    * micro-batch touches ~|batch|/|state| of the files.
+    * rewrites ONLY the buckets holding keys whose attrs null-safe
+    * DIFFER from their current open row (or brand-new keys) — dynamic
+    * partition overwrite + a bucket-pruned state read — so at 100 TB
+    * of history a micro-batch touches ~|changed|/|state| of the files,
+    * and a heartbeat/replay batch of unchanged keys writes nothing.
     *
     * Replay-idempotent BY the merge semantics: re-running batch B
-    * against already-merged state finds every key's current attrs equal
-    * to the batch's and rewrites the identical rows. Same-key rows
+    * against already-merged state finds every key unchanged and skips
+    * the write outright. Same-key rows
     * within one micro-batch resolve deterministically to the
     * lexicographically greatest attr tuple (arrival order inside a
     * batch is meaningless; pre-dedupe upstream for a different rule). */
   def scd2Stream(stream: DataFrame, statePath: String, keyCol: String,
                  attrCols: Seq[String], checkpoint: String,
-                 nBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+                 nBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+    val clash = Seq("bucket", "valid_from", "valid_to")
+      .filter((keyCol +: attrCols).contains)
+    require(clash.isEmpty,
+      s"key/attr columns collide with SCD2 state column names: $clash")
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("update")
@@ -423,14 +429,30 @@ object Streams {
           else
             dedup.withColumn("valid_from", lit(0L))
               .withColumn("valid_to", lit(null).cast("long")).limit(0)
-        val merged = Incremental.scd2Merge(
-            prevB, dedup, keyCol, attrCols, asOf = batchId)
-          .withColumn("bucket", pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)))
-          .localCheckpoint()
-        merged.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("bucket").parquet(statePath)
-        dedup.unpersist(); ()
+        // dirty pruning (the incrementalUpsert shape): only keys whose
+        // attrs null-safe-differ from the current open row — or new
+        // keys — make a bucket dirty; heartbeat/replay batches of
+        // unchanged keys rewrite NOTHING, and an all-clean batch skips
+        // the write job entirely
+        val open = prevB.where(col("valid_to").isNull)
+        val changedCond = col(s"u.$keyCol") === col(s"c.$keyCol") &&
+          attrCols.map(a => col(s"u.$a") <=> col(s"c.$a")).reduce(_ && _)
+        val changed = dedup.as("u")
+          .join(open.as("c"), changedCond, "left_anti").cache()
+        val dirty = changed.select("bucket").distinct()
+          .collect().map(_.getLong(0)).toSeq
+        if (dirty.nonEmpty) {
+          val merged = Incremental.scd2Merge(
+              prevB.where(col("bucket").isin(dirty: _*)),
+              changed.drop("bucket"), keyCol, attrCols, asOf = batchId)
+            .withColumn("bucket", pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong)))
+            .localCheckpoint()
+          merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket").parquet(statePath)
+        }
+        dedup.unpersist(); changed.unpersist(); ()
       }
       .start()
+  }
 }

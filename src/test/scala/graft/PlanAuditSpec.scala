@@ -174,8 +174,11 @@ class PlanAuditSpec extends SparkSpec {
       "session window lost its user key")
     // KL: counts localCheckpoint — the final plan reads the snapshot,
     // never a second corpus scan
+    // NOT `... || contains(ExistingRDD)`: the checkpoint guarantees an
+    // ExistingRDD scan, which would make the assert vacuous (the class
+    // the salted-join audit fix established)
     val pk = plan(Queries.all("source_kl")(spark, sf))
-    assert(!pk.contains("Scan parquet") || pk.contains("ExistingRDD"),
+    assert(!pk.contains("Scan parquet"),
       "source_kl re-scans the corpus past the checkpointed count table")
     assert(!pk.contains("CartesianProduct"))
   }

@@ -185,6 +185,15 @@ class StreamsSpec extends SparkSpec {
       assert(s1 === Set(
         (1L, "a", 0L, 1L), (1L, "a2", 1L, -1L),
         (2L, "b", 0L, -1L), (3L, "y", 0L, -1L)))
+      // heartbeat batch of only unchanged keys: dirty set empty, no
+      // bucket rewritten — state files untouched, content identical
+      val before = new java.io.File(s"$dir/state").listFiles().map(f =>
+        f.getName -> f.lastModified()).toMap
+      mem.addData((1L, "a2"), (3L, "y"))
+      q.processAllAvailable()
+      val after = new java.io.File(s"$dir/state").listFiles().map(f =>
+        f.getName -> f.lastModified()).toMap
+      assert(after === before, "all-clean batch must not rewrite any bucket")
     } finally q.stop()
   }
 

@@ -330,6 +330,20 @@ object Oracles {
         |SELECT w.source, g.n_g AS n_docs,
         |  CAST(floor(CAST(sw AS DOUBLE) / n_g) AS BIGINT) kl6
         |FROM w JOIN g USING(source) ORDER BY source""".stripMargin,
+    // winsorize twin: the naive global-window nearest-rank [p1,p99]
+    // (same integer rank formula as percentile_global) + CASE clip
+    "clip_outliers" ->
+      """WITH x AS (SELECT n_chars v, row_number() OVER (ORDER BY n_chars) rn,
+        |  CAST(count(*) OVER () AS BIGINT) n
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |p AS (SELECT
+        |  CAST(max(CASE WHEN rn=(1*n+99)//100 THEN v END) AS BIGINT) p1,
+        |  CAST(max(CASE WHEN rn=(99*n+99)//100 THEN v END) AS BIGINT) p99
+        |  FROM x)
+        |SELECT doc_id, n_chars,
+        |  least(greatest(n_chars, p1), p99) AS clipped,
+        |  (n_chars < p1 OR n_chars > p99) AS is_clipped
+        |FROM documents, p ORDER BY doc_id""".stripMargin,
     // per-source cap twin: the same seeded-md5 rank order (string
     // hex ordering is engine-identical — the md5-grid doctrine)
     "source_cap" ->

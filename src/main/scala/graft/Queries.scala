@@ -224,6 +224,18 @@ object Queries {
     "source_kl" -> ((s, dir) =>
       Profile.klDivergence(docs(s, dir), "source", "lang")
         .orderBy("source")),
+    // winsorization at the exact global [p1, p99] — percentileGlobal's
+    // two-pass rank machinery composed into a narrow clip map
+    "clip_outliers" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val b = Profile.percentileGlobal(d, "n_chars", Seq(1, 99))
+      d.crossJoin(broadcast(b))
+        .select(col("doc_id"), col("n_chars"),
+          least(greatest(col("n_chars"), col("p1")), col("p99")).as("clipped"),
+          (col("n_chars") < col("p1") || col("n_chars") > col("p99"))
+            .as("is_clipped"))
+        .orderBy("doc_id")
+    }),
     // top-3 longest docs per language via the bounded-heap partial pass
     // (the k>1 scale twin of keep_best_doc — kP candidates shuffle, not
     // the corpus)

@@ -152,4 +152,38 @@ object Shards {
       .select(col("doc_id"), col("shuffle_key"),
         (col("offset") + col("rn") - 1).as("pos"))
   }
+
+  /** Materialize the training export: [[packShards]]' assignment joined
+    * back to the full rows, written as parquet partitioned by shard,
+    * plus a manifest (one row per shard: doc count, token sum, sha256
+    * over the comma-joined SORTED doc ids) written as JSON next to the
+    * data — the receipt a downstream trainer (or a re-export audit)
+    * verifies against without re-reading the corpus. Returns the
+    * manifest frame.
+    *
+    * Shape: the assignment join is doc-keyed (AQE-sized); the data
+    * write streams through the partitioner (no extra shuffle beyond
+    * packShards' own range exchange); the manifest aggregate keys by
+    * shard — each shard's id array is bounded by tokensPerShard/mean-dl
+    * BY CONSTRUCTION (the packer caps shard token mass), so the
+    * per-shard collect_list can never hold a data-scale array. The
+    * manifest itself writes distributed (coalesce(1) of |shards| rows —
+    * planning-scale, not data-scale). */
+  def writeShards(docs: DataFrame, idCol: String, textCol: String,
+                  tokensPerShard: Long, outPath: String,
+                  width: Int = 0): DataFrame = {
+    val assign = packShards(docs, idCol, textCol, tokensPerShard, width)
+      .withColumnRenamed("doc_id", "_shard_did")
+    val joined = docs
+      .join(assign, col(idCol).cast("long") === col("_shard_did"))
+      .drop("_shard_did")
+    joined.write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$outPath/data")
+    val manifest = joined.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        sha2(concat_ws(",",
+          sort_array(collect_list(col(idCol).cast("long")))), 256).as("ids_sha256"))
+    manifest.coalesce(1).write.mode("overwrite").json(s"$outPath/manifest")
+    manifest
+  }
 }

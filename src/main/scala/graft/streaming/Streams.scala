@@ -24,6 +24,26 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Windowed APPROX distinct users — [[windowedCounts]]'s sibling for
+    * the aggregate exact streaming can't do: `count(DISTINCT user)` is
+    * unsupported in streaming aggregation (state would hold every user
+    * id per open window); the HyperLogLog++ sketch IS the streaming-
+    * legal form, with fixed per-window state and mergeable partials —
+    * the stream face of [[graft.operators.Events.hourlyUsersApprox]],
+    * same rsd contract (estimates pinned within tolerance in
+    * StreamsSpec, never oracle-matchable). */
+  def windowedUsersApprox(events: DataFrame, userCol: String,
+                          windowLen: String = "1 hour",
+                          watermark: String = "2 hours",
+                          rsd: Double = 0.05): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col(userCol), rsd).as("n_users_est"))
+      .select(col("window.start").as("window_start"),
+        col("n_events"), col("n_users_est"))
+
   final case class Ev(ts: java.sql.Timestamp, user_id: Long,
                       event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int)

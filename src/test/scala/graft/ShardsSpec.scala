@@ -50,4 +50,38 @@ class ShardsSpec extends AnyFunSuite {
     assert(ep1 !== naive)
     assert(ep1.values.toSeq.sorted === (0L until 97L))
   }
+
+  test("writeShards: every doc lands in exactly one shard; manifest is the receipt") {
+    import spark.implicits._
+    val docs = (1 to 40).map(i => (i.toLong, ("tok " * (i % 5 + 1)).trim))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val manifest = Shards.writeShards(docs, "doc_id", "text",
+      tokensPerShard = 20L, outPath = dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // partition-column type inference reads `shard` back as int
+    val data = spark.read.parquet(s"$dir/data")
+      .withColumn("shard",
+        org.apache.spark.sql.functions.col("shard").cast("long"))
+    // partition completeness: every doc exactly once, text preserved
+    assert(data.count() === 40L)
+    assert(data.select("doc_id").distinct().count() === 40L)
+    // manifest counts match the written partitions
+    val byShard = data.groupBy("shard").agg(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum("n_tok"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(manifest.view.mapValues(v => (v._1, v._2)).toMap === byShard)
+    // the sha is over the sorted comma-joined ids — recompute one shard
+    val (shard0, (_, _, sha)) = manifest.head
+    val ids = data.where(org.apache.spark.sql.functions.col("shard") === shard0)
+      .select("doc_id")
+      .collect().map(_.getLong(0)).sorted.mkString(",")
+    val local = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(ids.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(sha === local)
+    // manifest JSON is readable and matches
+    val mj = spark.read.json(s"$dir/manifest")
+    assert(mj.count().toInt === manifest.size)
+  }
 }

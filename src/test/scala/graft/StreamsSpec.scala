@@ -36,6 +36,26 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed approx users: streaming-legal distinct, tracks exact per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.windowedUsersApprox(mem.toDF(), "user_id", "1 hour", rsd = 0.02)
+      .writeStream.format("memory").queryName("wu_out").outputMode("complete").start()
+    try {
+      // hour 0: users {1,2,3} (user 1 twice); hour 1: user {1}
+      mem.addData(Ev(ts(0), 1, "click", 1.0), Ev(ts(5), 2, "click", 1.0),
+        Ev(ts(10), 3, "view", 1.0), Ev(ts(15), 1, "view", 1.0),
+        Ev(ts(65), 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("select * from wu_out order by window_start").collect()
+      assert(rows.length === 2)
+      assert(rows(0).getLong(1) === 4L && rows(0).getLong(2) === 3L,
+        "hour 0: 4 events, 3 distinct users (sketch exact at this cardinality)")
+      assert(rows(1).getLong(2) === 1L)
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions after the gap (event-time timeout)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -65,6 +65,32 @@ object Oracles {
        |       ), 6) bm25 FROM m GROUP BY 1)""".stripMargin
   }
 
+  // lang-id fragments (mirror TextAnalysis.langId) — shared by the
+  // prediction and confusion oracles so the heuristic has ONE SQL twin
+  private val LangIdCtes = {
+    import graft.operators.TextAnalysis._
+    def lst(ws: Seq[String]) = ws.map(s => s"'$s'").mkString("[", ",", "]")
+    s"""v AS (SELECT doc_id,
+       |  len(list_intersect(list_distinct(t), ${lst(StopwordsEn)})) ven,
+       |  len(list_intersect(list_distinct(t), ${lst(StopwordsDe)})) vde,
+       |  len(list_intersect(list_distinct(t), ${lst(StopwordsFr)})) vfr,
+       |  len(list_intersect(list_distinct(t), ${lst(StopwordsEs)})) ves
+       |  FROM toks),
+       |r AS (SELECT doc_id,
+       |  length(text)-length(regexp_replace(text,'[؀-ۿ]','','g')) n_ar,
+       |  length(text)-length(regexp_replace(text,'[一-鿿]','','g')) n_cjk,
+       |  length(text)-length(regexp_replace(text,'[a-zA-Z؀-ۿ一-鿿]','','g')) n_alpha
+       |  FROM documents)""".stripMargin
+  }
+  private val LangIdCase =
+    """CASE
+      |  WHEN n_alpha>0 AND CAST(n_ar AS DOUBLE)/n_alpha > 0.5 THEN 'ar'
+      |  WHEN n_alpha>0 AND CAST(n_cjk AS DOUBLE)/n_alpha > 0.3 THEN 'zh'
+      |  WHEN ven>=vde AND ven>=vfr AND ven>=ves THEN 'en'
+      |  WHEN vde>=vfr AND vde>=ves THEN 'de'
+      |  WHEN vfr>=ves THEN 'fr'
+      |  ELSE 'es' END""".stripMargin
+
   // quantized-vector fragments (mirror VecFns.quantize / cosineQ)
   private val EmbQ =
     "e AS (SELECT vec_id, list_transform(embedding, x -> round(x*1e7)) qv FROM embeddings)"
@@ -998,30 +1024,40 @@ object Oracles {
          |  CAST(sum(n_tokens) AS BIGINT) sum_tokens,
          |  min(n_tokens) min_tokens, max(n_tokens) max_tokens
          |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
-    "lang_id" -> {
-      import graft.operators.TextAnalysis._
-      def lst(ws: Seq[String]) = ws.map(s => s"'$s'").mkString("[", ",", "]")
-      s"""WITH $Toks,
-         |v AS (SELECT doc_id,
-         |  len(list_intersect(list_distinct(t), ${lst(StopwordsEn)})) ven,
-         |  len(list_intersect(list_distinct(t), ${lst(StopwordsDe)})) vde,
-         |  len(list_intersect(list_distinct(t), ${lst(StopwordsFr)})) vfr,
-         |  len(list_intersect(list_distinct(t), ${lst(StopwordsEs)})) ves
-         |  FROM toks),
-         |r AS (SELECT doc_id,
-         |  length(text)-length(regexp_replace(text,'[؀-ۿ]','','g')) n_ar,
-         |  length(text)-length(regexp_replace(text,'[一-鿿]','','g')) n_cjk,
-         |  length(text)-length(regexp_replace(text,'[a-zA-Z؀-ۿ一-鿿]','','g')) n_alpha
-         |  FROM documents)
-         |SELECT doc_id, CASE
-         |  WHEN n_alpha>0 AND CAST(n_ar AS DOUBLE)/n_alpha > 0.5 THEN 'ar'
-         |  WHEN n_alpha>0 AND CAST(n_cjk AS DOUBLE)/n_alpha > 0.3 THEN 'zh'
-         |  WHEN ven>=vde AND ven>=vfr AND ven>=ves THEN 'en'
-         |  WHEN vde>=vfr AND vde>=ves THEN 'de'
-         |  WHEN vfr>=ves THEN 'fr'
-         |  ELSE 'es' END lang_guess
-         |FROM v JOIN r USING(doc_id) ORDER BY doc_id""".stripMargin
-    },
+    "lang_id" ->
+      s"""WITH $Toks, $LangIdCtes
+         |SELECT doc_id, $LangIdCase lang_guess
+         |FROM v JOIN r USING(doc_id) ORDER BY doc_id""".stripMargin,
+    // confusion twin: the SAME lang-id CTEs joined back to the label —
+    // one heuristic definition, two oracle consumers
+    "lang_confusion" ->
+      s"""WITH $Toks, $LangIdCtes,
+         |lid AS (SELECT doc_id, $LangIdCase lang_guess
+         |  FROM v JOIN r USING(doc_id))
+         |SELECT d.lang, lid.lang_guess, count(*) n
+         |FROM lid JOIN documents d USING(doc_id)
+         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // outlier twin: cluster_stats' per-member CTE chain, flag instead
+    // of mean (one cosine definition, two reports)
+    "embedding_outliers" ->
+      """WITH r AS (SELECT vec_id, label,
+        |    CAST(unnest(list_transform(embedding, x -> round(x*1e7))) AS BIGINT) v,
+        |    unnest(range(1, len(embedding)+1)) dim
+        |  FROM embeddings),
+        |s AS (SELECT label, dim, CAST(sum(v) AS BIGINT) s FROM r GROUP BY 1,2),
+        |pv AS (SELECT r.label, vec_id,
+        |    sum(CAST(r.v AS HUGEINT) * s.s) dot,
+        |    CAST(sum(r.v * r.v) AS BIGINT) nv
+        |  FROM r JOIN s ON r.label=s.label AND r.dim=s.dim GROUP BY 1,2),
+        |ns AS (SELECT label, sum(CAST(s AS HUGEINT) * s) ns2 FROM s GROUP BY 1)
+        |SELECT vec_id, CAST(pv.label AS INT) AS label,
+        |  CAST(floor(CAST(dot AS DOUBLE)
+        |    / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(ns2 AS DOUBLE))) * 1e6) AS BIGINT) cos6,
+        |  CAST(floor(CAST(dot AS DOUBLE)
+        |    / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(ns2 AS DOUBLE))) * 1e6) AS BIGINT) < 0
+        |    AS is_outlier
+        |FROM pv JOIN ns USING(label) WHERE nv > 0 AND ns2 > 0
+        |ORDER BY vec_id""".stripMargin,
     "token_counts" ->
       """SELECT doc_id,
         |CAST(len(list_filter(regexp_split_to_array(text,'\s+'), x -> len(x)>0)) AS BIGINT) n_ws,

@@ -486,6 +486,21 @@ object Queries {
     "dup_span_stats" -> ((s, dir) =>
       Dedup.dupSpanStats(docs(s, dir), "doc_id", "text", n = 5)
         .orderBy("doc_id")),
+    // row-level drill-down on the SAME centroid-cosine grid: members
+    // below micro-cos 0 point AWAY from their label centroid
+    "embedding_outliers" -> ((s, dir) =>
+      Similarity.centroidOutliers(emb(s, dir), "vec_id", "embedding",
+          "label", minCos6 = 0L)
+        .orderBy("vec_id")),
+    // lang-id audit: predicted vs labeled confusion counts (the
+    // heuristic's quality surface, not just its predictions)
+    "lang_confusion" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.langId(d, "doc_id", "text")
+        .join(d.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy("lang", "lang_guess").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_guess")
+    }),
 
     // ── text analysis ──────────────────────────────────────────────────
     // CCNet-style LM-perplexity quality signal (corpus-unigram stand-in

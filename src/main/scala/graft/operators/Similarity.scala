@@ -463,7 +463,31 @@ object Similarity {
     * pass joins positions to the tiny sum table (AQE broadcasts it) and
     * folds two label-keyed combinable aggregates. */
   def clusterStats(emb: DataFrame, idCol: String, vecCol: String,
-                   labelCol: String): DataFrame = {
+                   labelCol: String): DataFrame =
+    centroidCos6(emb, idCol, vecCol, labelCol)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), sum("cos6").as("sum_cos6"))
+      .withColumn("mean_cos6",
+        floor(col("sum_cos6").cast("double") / col("n")).cast("long"))
+      .select("label", "n", "mean_cos6")
+
+  /** Per-member mislabel/outlier flags on the SAME centroid-cosine grid
+    * as [[clusterStats]] (one cosine definition, two reports): a member
+    * whose micro-cosine to its own label centroid falls below `minCos6`
+    * is flagged — the row-level drill-down a label-quality audit reads
+    * after the per-label mean says a cluster is loose. */
+  def centroidOutliers(emb: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, minCos6: Long): DataFrame =
+    centroidCos6(emb, idCol, vecCol, labelCol)
+      .withColumn("is_outlier", col("cos6") < minCos6)
+      .select("vec_id", "label", "cos6", "is_outlier")
+
+  /** Shared core of [[clusterStats]] / [[centroidOutliers]]: each
+    * member's micro-floored cosine to its label centroid, on the exact
+    * integer grids (see clusterStats' scaladoc for the exactness
+    * discipline and the two-pass shape). */
+  private def centroidCos6(emb: DataFrame, idCol: String, vecCol: String,
+                           labelCol: String): DataFrame = {
     val rows = emb.select(col(labelCol).cast("int").as("label"),
         col(idCol).cast("long").as("vec_id"),
         posexplode(VecFns.quantize(col(vecCol))).as(Seq("dim", "v")))
@@ -481,11 +505,6 @@ object Similarity {
       .cast("long")
     perVec.join(ns, "label")
       .where(col("nv") > 0 && col("ns2") > 0)
-      .select(col("label"), cos6.as("cos6"))
-      .groupBy("label")
-      .agg(count(lit(1)).as("n"), sum("cos6").as("sum_cos6"))
-      .withColumn("mean_cos6",
-        floor(col("sum_cos6").cast("double") / col("n")).cast("long"))
-      .select("label", "n", "mean_cos6")
+      .select(col("label"), col("vec_id"), cos6.as("cos6"))
   }
 }

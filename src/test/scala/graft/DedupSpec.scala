@@ -284,6 +284,27 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains(2), "zero-norm-only label emits no row")
   }
 
+  test("centroidOutliers flags members pointing away from their centroid") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.1f), 0),
+      (3L, Array(-1.0f, 0.0f), 0), // anti-aligned with label 0's centroid
+      (4L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.operators.Similarity
+      .centroidOutliers(e, "vec_id", "embedding", "label", minCos6 = 0L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(!got(1L)._2 && !got(2L)._2 && !got(4L)._2)
+    assert(got(3L)._2 && got(3L)._1 < 0L, "anti-aligned member flags negative")
+    // one cosine definition: the per-label mean equals the mean of the
+    // drill-down rows (clusterStats over the same fixture)
+    val mean0 = graft.operators.Similarity
+      .clusterStats(e, "vec_id", "embedding", "label")
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val drill = got.filterKeys(Set(1L, 2L, 3L)).values.map(_._1).sum
+    assert(mean0(0) === math.floor(drill.toDouble / 3).toLong)
+  }
+
   test("connected components fail loudly when the iteration bound is hit") {
     import spark.implicits._
     // a 10-node path needs ~9 propagation rounds; maxIter=2 must throw,

@@ -91,6 +91,25 @@ object Oracles {
       |  WHEN vfr>=ves THEN 'fr'
       |  ELSE 'es' END""".stripMargin
 
+  // centroid-cosine fragments (mirror Similarity.centroidCos6) — ONE
+  // SQL twin of the integer-relational grid, consumed by cluster_stats
+  // AND embedding_outliers so the two reports cannot drift
+  private val CentroidCtes =
+    """r AS (SELECT vec_id, label,
+      |    CAST(unnest(list_transform(embedding, x -> round(x*1e7))) AS BIGINT) v,
+      |    unnest(range(1, len(embedding)+1)) dim
+      |  FROM embeddings),
+      |s AS (SELECT label, dim, CAST(sum(v) AS BIGINT) s FROM r GROUP BY 1,2),
+      |pv AS (SELECT r.label, vec_id,
+      |    sum(CAST(r.v AS HUGEINT) * s.s) dot,
+      |    CAST(sum(r.v * r.v) AS BIGINT) nv
+      |  FROM r JOIN s ON r.label=s.label AND r.dim=s.dim GROUP BY 1,2),
+      |ns AS (SELECT label, sum(CAST(s AS HUGEINT) * s) ns2 FROM s GROUP BY 1),
+      |cc AS (SELECT vec_id, pv.label,
+      |    CAST(floor(CAST(dot AS DOUBLE)
+      |      / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(ns2 AS DOUBLE))) * 1e6) AS BIGINT) cos6
+      |  FROM pv JOIN ns USING(label) WHERE nv > 0 AND ns2 > 0)""".stripMargin
+
   // quantized-vector fragments (mirror VecFns.quantize / cosineQ)
   private val EmbQ =
     "e AS (SELECT vec_id, list_transform(embedding, x -> round(x*1e7)) qv FROM embeddings)"
@@ -699,23 +718,10 @@ object Oracles {
     // summation-order-unstable past 2^53), floor-micro cosines, floored
     // mean of the exact micro sum
     "cluster_stats" ->
-      """WITH r AS (SELECT vec_id, label,
-        |    CAST(unnest(list_transform(embedding, x -> round(x*1e7))) AS BIGINT) v,
-        |    unnest(range(1, len(embedding)+1)) dim
-        |  FROM embeddings),
-        |s AS (SELECT label, dim, CAST(sum(v) AS BIGINT) s FROM r GROUP BY 1,2),
-        |pv AS (SELECT r.label, vec_id,
-        |    sum(CAST(r.v AS HUGEINT) * s.s) dot,
-        |    CAST(sum(r.v * r.v) AS BIGINT) nv
-        |  FROM r JOIN s ON r.label=s.label AND r.dim=s.dim GROUP BY 1,2),
-        |ns AS (SELECT label, sum(CAST(s AS HUGEINT) * s) ns2 FROM s GROUP BY 1),
-        |c AS (SELECT pv.label,
-        |    CAST(floor(CAST(dot AS DOUBLE)
-        |      / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(ns2 AS DOUBLE))) * 1e6) AS BIGINT) cos6
-        |  FROM pv JOIN ns USING(label) WHERE nv > 0 AND ns2 > 0)
-        |SELECT CAST(label AS INT) AS label, count(*) n,
-        |  CAST(floor(CAST(sum(cos6) AS DOUBLE) / count(*)) AS BIGINT) mean_cos6
-        |FROM c GROUP BY 1 ORDER BY label""".stripMargin,
+      s"""WITH $CentroidCtes
+         |SELECT CAST(label AS INT) AS label, count(*) n,
+         |  CAST(floor(CAST(sum(cos6) AS DOUBLE) / count(*)) AS BIGINT) mean_cos6
+         |FROM cc GROUP BY 1 ORDER BY label""".stripMargin,
     // duplicated-span twin: same 1-based start/cover arithmetic as the
     // strip oracle, df>=2 gram set met in a JOIN (a membership list
     // would be corpus-vocabulary-scale), integer-grid fraction
@@ -1040,24 +1046,10 @@ object Oracles {
     // outlier twin: cluster_stats' per-member CTE chain, flag instead
     // of mean (one cosine definition, two reports)
     "embedding_outliers" ->
-      """WITH r AS (SELECT vec_id, label,
-        |    CAST(unnest(list_transform(embedding, x -> round(x*1e7))) AS BIGINT) v,
-        |    unnest(range(1, len(embedding)+1)) dim
-        |  FROM embeddings),
-        |s AS (SELECT label, dim, CAST(sum(v) AS BIGINT) s FROM r GROUP BY 1,2),
-        |pv AS (SELECT r.label, vec_id,
-        |    sum(CAST(r.v AS HUGEINT) * s.s) dot,
-        |    CAST(sum(r.v * r.v) AS BIGINT) nv
-        |  FROM r JOIN s ON r.label=s.label AND r.dim=s.dim GROUP BY 1,2),
-        |ns AS (SELECT label, sum(CAST(s AS HUGEINT) * s) ns2 FROM s GROUP BY 1)
-        |SELECT vec_id, CAST(pv.label AS INT) AS label,
-        |  CAST(floor(CAST(dot AS DOUBLE)
-        |    / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(ns2 AS DOUBLE))) * 1e6) AS BIGINT) cos6,
-        |  CAST(floor(CAST(dot AS DOUBLE)
-        |    / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(ns2 AS DOUBLE))) * 1e6) AS BIGINT) < 0
-        |    AS is_outlier
-        |FROM pv JOIN ns USING(label) WHERE nv > 0 AND ns2 > 0
-        |ORDER BY vec_id""".stripMargin,
+      s"""WITH $CentroidCtes
+         |SELECT vec_id, CAST(label AS INT) AS label, cos6,
+         |  cos6 < 0 AS is_outlier
+         |FROM cc ORDER BY vec_id""".stripMargin,
     "token_counts" ->
       """SELECT doc_id,
         |CAST(len(list_filter(regexp_split_to_array(text,'\s+'), x -> len(x)>0)) AS BIGINT) n_ws,

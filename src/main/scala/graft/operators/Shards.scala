@@ -155,35 +155,49 @@ object Shards {
 
   /** Materialize the training export: [[packShards]]' assignment joined
     * back to the full rows, written as parquet partitioned by shard,
-    * plus a manifest (one row per shard: doc count, token sum, sha256
-    * over the comma-joined SORTED doc ids) written as JSON next to the
-    * data — the receipt a downstream trainer (or a re-export audit)
-    * verifies against without re-reading the corpus. Returns the
-    * manifest frame.
+    * plus a manifest (one row per shard: doc count, token sum, and an
+    * order-insensitive id checksum) written as JSON next to the data —
+    * the receipt a downstream trainer (or a re-export audit) verifies
+    * against. Returns the manifest frame.
     *
-    * Shape: the assignment join is doc-keyed (AQE-sized); the data
-    * write streams through the partitioner (no extra shuffle beyond
-    * packShards' own range exchange); the manifest aggregate keys by
-    * shard — each shard's id array is bounded by tokensPerShard/mean-dl
-    * BY CONSTRUCTION (the packer caps shard token mass), so the
-    * per-shard collect_list can never hold a data-scale array. The
-    * manifest itself writes distributed (coalesce(1) of |shards| rows —
-    * planning-scale, not data-scale). */
+    * The checksum is `Σ pmod(xxhash64(id), 2^61-1)` accumulated in
+    * decimal(38,0) — commutative and O(1) aggregation state per shard,
+    * deliberately NOT a sorted-concat digest: a shard's id list is NOT
+    * bounded by tokensPerShard (zero-token documents consume no budget,
+    * so a pre-filter corpus can legally pack millions of empty docs
+    * into one shard), and a collect_list there is an executor OOM.
+    * Verify by recomputing the same aggregate over a shard's ids.
+    *
+    * Shape: ONE corpus pass — the doc-keyed assignment join streams
+    * straight into the partitioned write; the manifest then aggregates
+    * the JUST-WRITTEN files (the on-disk data is the cache — no
+    * re-execution of the join, and the receipt describes the bytes
+    * actually on disk, not a recomputation that could diverge). The
+    * manifest write is |shards| rows — planning-scale. */
   def writeShards(docs: DataFrame, idCol: String, textCol: String,
                   tokensPerShard: Long, outPath: String,
                   width: Int = 0): DataFrame = {
     val assign = packShards(docs, idCol, textCol, tokensPerShard, width)
       .withColumnRenamed("doc_id", "_shard_did")
-    val joined = docs
+    docs
       .join(assign, col(idCol).cast("long") === col("_shard_did"))
       .drop("_shard_did")
-    joined.write.mode("overwrite").partitionBy("shard")
+      .write.mode("overwrite").partitionBy("shard")
       .parquet(s"$outPath/data")
-    val manifest = joined.groupBy("shard")
-      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
-        sha2(concat_ws(",",
-          sort_array(collect_list(col(idCol).cast("long")))), 256).as("ids_sha256"))
+    val manifest = shardManifest(docs.sparkSession, s"$outPath/data", idCol)
     manifest.coalesce(1).write.mode("overwrite").json(s"$outPath/manifest")
     manifest
   }
+
+  /** The manifest aggregate over a written shard directory — exposed so
+    * an audit can recompute the receipt independently of the export. */
+  def shardManifest(spark: org.apache.spark.sql.SparkSession,
+                    dataPath: String, idCol: String): DataFrame =
+    spark.read.parquet(dataPath)
+      // parquet partition-column inference reads the shard id back as int
+      .withColumn("shard", col("shard").cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        sum(pmod(xxhash64(col(idCol).cast("long")), lit(2305843009213693951L))
+          .cast("decimal(38,0)")).as("ids_checksum"))
 }

@@ -152,12 +152,25 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(Queries.all("dup_span_stats")(spark, sf))
     assert(p.contains("LeftSemi"), "dup-gram membership lost its semi-join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
-    val pc = plan(Queries.all("cluster_stats")(spark, sf))
-    // one Generate: the sum table is checkpointed, so only the join-side
-    // posexplode remains in this plan (two corpus passes total)
-    assert(pc.linesIterator.count(_.trim.startsWith("Generate")) <= 1,
-      "cluster_stats re-explodes the corpus beyond the two-pass contract")
-    assert(!pc.contains("CartesianProduct") && !pc.contains("BroadcastNestedLoopJoin"))
+    // both centroid-grid reports ride the checkpointed sum table: one
+    // Generate = only the join-side posexplode (two corpus passes)
+    Seq("cluster_stats", "embedding_outliers").foreach { q =>
+      val pc = plan(Queries.all(q)(spark, sf))
+      assert(pc.linesIterator.count(_.trim.startsWith("Generate")) <= 1,
+        s"$q re-explodes the corpus beyond the two-pass contract")
+      assert(!pc.contains("CartesianProduct") && !pc.contains("BroadcastNestedLoopJoin"))
+    }
+  }
+
+  test("clip attaches its 1-row bounds by broadcast; confusion joins keyed, no cartesian") {
+    val p = plan(Queries.all("clip_outliers")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "percentile bounds stopped broadcasting")
+    assert(!p.contains("CartesianProduct"))
+    val pl = plan(Queries.all("lang_confusion")(spark, sf))
+    assert(pl.linesIterator.exists(l => l.contains("Join") && l.contains("doc_id")),
+      "confusion join lost its doc key")
+    assert(!pl.contains("CartesianProduct") && !pl.contains("BroadcastNestedLoopJoin"))
   }
 
   test("histogram: broadcast bounds attach, bucket-keyed aggregate") {

@@ -58,7 +58,8 @@ class ShardsSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
     val manifest = Shards.writeShards(docs, "doc_id", "text",
       tokensPerShard = 20L, outPath = dir).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDecimal(3)))).toMap
     // partition-column type inference reads `shard` back as int
     val data = spark.read.parquet(s"$dir/data")
       .withColumn("shard",
@@ -72,14 +73,10 @@ class ShardsSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.sum("n_tok"))
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(manifest.view.mapValues(v => (v._1, v._2)).toMap === byShard)
-    // the sha is over the sorted comma-joined ids — recompute one shard
-    val (shard0, (_, _, sha)) = manifest.head
-    val ids = data.where(org.apache.spark.sql.functions.col("shard") === shard0)
-      .select("doc_id")
-      .collect().map(_.getLong(0)).sorted.mkString(",")
-    val local = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(ids.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    assert(sha === local)
+    // the checksum is order-insensitive and independently recomputable
+    val audit = Shards.shardManifest(spark, s"$dir/data", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getDecimal(3)).toMap
+    assert(manifest.view.mapValues(_._3).toMap === audit)
     // manifest JSON is readable and matches
     val mj = spark.read.json(s"$dir/manifest")
     assert(mj.count().toInt === manifest.size)

@@ -502,6 +502,16 @@ object Oracles {
         |SELECT doc_id, source, lang, CAST(0 AS BIGINT), CAST(NULL AS BIGINT)
         |FROM documents WHERE doc_id % 6 <> 0
         |ORDER BY doc_id, valid_from""".stripMargin,
+    // time-travel twin: at t=50 the snapshot IS the original table; at
+    // t=150 the %6 keys show their _v2 attrs — spelled as two selects
+    "scd2_asof" ->
+      """SELECT doc_id, source, CAST(50 AS BIGINT) t FROM documents
+        |UNION ALL
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 6 = 0 THEN source || '_v2' ELSE source END,
+        |  CAST(150 AS BIGINT)
+        |FROM documents
+        |ORDER BY t, doc_id""".stripMargin,
     // bloom twin: the prefilter is exact by the filter's no-false-
     // negative guarantee + the anti-join confirm, so the oracle is the
     // plain NOT EXISTS the operator must reproduce row-for-row

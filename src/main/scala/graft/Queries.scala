@@ -328,6 +328,25 @@ object Queries {
           Seq("source", "lang"), asOf = 100L)
         .orderBy("doc_id", "valid_from")
     }),
+    // time travel over the SAME merged history: at t=50 every change is
+    // in the future (the snapshot is the original table); at t=150 the
+    // _v2 versions show — both reconstructed from one history frame
+    "scd2_asof" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val history = d.select(col("doc_id"), col("source"), col("lang"),
+        lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+      val updates = d.where(col("doc_id") % 3 === 0).select(col("doc_id"),
+        when(col("doc_id") % 6 === 0, concat(col("source"), lit("_v2")))
+          .otherwise(col("source")).as("source"),
+        col("lang"))
+      val merged = Incremental.scd2Merge(history, updates, "doc_id",
+        Seq("source", "lang"), asOf = 100L)
+      Incremental.scd2AsOf(merged, 50L)
+        .select(col("doc_id"), col("source"), lit(50L).as("t"))
+        .unionByName(Incremental.scd2AsOf(merged, 150L)
+          .select(col("doc_id"), col("source"), lit(150L).as("t")))
+        .orderBy("t", "doc_id")
+    }),
     // bloom-prefiltered seen-ledger skip: crawl docs whose id is not in
     // the ledger (doc_id ≡ 0 mod 3) — exact result, but only
     // bloom-positive rows ever reach the anti-join's exchange

@@ -139,4 +139,17 @@ object Incremental {
     past.unionByName(
       j.select(explode(rows).as("_r")).select(outCols.map(c => col(s"_r.$c")): _*))
   }
+
+  /** Time-travel read over [[scd2Merge]] history: the dimension snapshot
+    * as of time `t` — rows whose `[valid_from, valid_to)` interval
+    * contains t (open rows have NULL `valid_to` = ∞). A key versioned
+    * after t shows its OLD attrs; a key first seen after t is absent.
+    * ONE narrow filter over the history scan — with the history stored
+    * partitioned/range-clustered on `valid_from` the scan prunes to
+    * files whose min valid_from ≤ t; no shuffle at any scale. */
+  def scd2AsOf(history: DataFrame, t: Long,
+               fromCol: String = "valid_from",
+               toCol: String = "valid_to"): DataFrame =
+    history.where(col(fromCol) <= t &&
+      (col(toCol).isNull || col(toCol) > t))
 }

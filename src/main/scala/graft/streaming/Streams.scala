@@ -44,6 +44,21 @@ object Streams {
       .select(col("window.start").as("window_start"),
         col("n_events"), col("n_users_est"))
 
+  /** Streaming EXACT dedup with bounded state: drop rows whose key was
+    * already seen within the watermark horizon.
+    * `dropDuplicatesWithinWatermark` evicts each key's state once the
+    * watermark passes it — plain `dropDuplicates` on a stream holds
+    * EVERY key forever (state = all history, the unbounded-state trap);
+    * this is the firehose-legal form, with the contract that a
+    * duplicate arriving AFTER the horizon is re-admitted (cross-horizon
+    * exactness belongs to the persisted ledger — compose with
+    * [[graft.operators.Incremental.bloomAntiJoin]] in the sink).
+    * Key on a content checksum (F18) for content-dedup semantics. */
+  def dedupStream(stream: DataFrame, keyCols: Seq[String],
+                  watermark: String, tsCol: String = "ts"): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class Ev(ts: java.sql.Timestamp, user_id: Long,
                       event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int)

@@ -787,6 +787,15 @@ class AsOfEventsSpec extends SparkSpec {
     val opens = out2.where(col("valid_to").isNull).groupBy("id").count()
       .collect().map(_.getLong(1))
     assert(opens.forall(_ === 1L), "exactly one open row per key")
+    // time travel over the same chain: boundary semantics are
+    // [valid_from, valid_to) — at EXACTLY the version time the NEW
+    // attrs show; one instant before, the old
+    def attrAt(t: Long): String = Incremental.scd2AsOf(out2, t)
+      .where(col("id") === 1L).head().getString(1)
+    assert(attrAt(99L) === "a" && attrAt(100L) === "a2")
+    assert(attrAt(199L) === "a2" && attrAt(200L) === "a3")
+    // a key first seen at 100 is absent from the t=50 snapshot
+    assert(Incremental.scd2AsOf(out2, 50L).where(col("id") === 6L).count() === 0L)
   }
 
   test("mmrRerank diversifies duplicate hits; lambda=1 is plain top-k") {

@@ -56,6 +56,31 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops within-horizon repeats, state evicts with the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.dedupStream(mem.toDF(), Seq("user_id"), "10 minutes")
+      .writeStream.format("memory").queryName("dd_out").outputMode("append").start()
+    try {
+      mem.addData(Ev(ts(0), 1, "click", 1.0), Ev(ts(1), 2, "click", 1.0),
+        Ev(ts(2), 1, "view", 1.0)) // same key within horizon → dropped
+      q.processAllAvailable()
+      mem.addData(Ev(ts(3), 1, "view", 2.0)) // still within horizon → dropped
+      q.processAllAvailable()
+      val n1 = spark.sql("select count(*) from dd_out").head().getLong(0)
+      assert(n1 === 2L, "within-horizon repeats of key 1 must drop")
+      // advance event time far past the watermark: key 1 re-admits
+      mem.addData(Ev(ts(120), 1, "click", 3.0))
+      q.processAllAvailable()
+      mem.addData(Ev(ts(121), 1, "click", 4.0))
+      q.processAllAvailable()
+      val users = spark.sql("select * from dd_out").collect().map(_.getLong(1))
+      assert(users.count(_ == 1L) === 2L,
+        "key re-admits exactly once after its state evicts")
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions after the gap (event-time timeout)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

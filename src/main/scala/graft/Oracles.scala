@@ -820,6 +820,25 @@ object Oracles {
          |SELECT doc_id, qs AS q_score, n_tok, CAST(cum AS BIGINT) cum_tok
          |FROM c WHERE cum <= 5000 ORDER BY doc_id""".stripMargin
     },
+    // curriculum twin: floor of the UNROUNDED composite (no round-half
+    // anywhere — the half boundary diverges cross-engine, caught at
+    // sf0.1), the histogram bucket formula as strata, the md5 order as
+    // the intra-stratum shuffle
+    "curriculum_order" -> {
+      val stop = graft.operators.TextAnalysis.StopwordsEn.map(s => s"'$s'").mkString("[", ",", "]")
+      s"""WITH $Toks,
+         |q AS (SELECT doc_id, CAST(floor((
+         |    (CASE WHEN len(t)>0 THEN round(CAST(len(list_filter(t, x -> list_contains($stop, x))) AS DOUBLE)/len(t),6) ELSE 0.0 END)*0.5
+         |  + (CASE WHEN len(t)>0 THEN round(CAST(len(list_distinct(t)) AS DOUBLE)/len(t),6) ELSE 0.0 END)*0.3
+         |  + least((CASE WHEN len(t)>0 THEN round(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)/len(t),6) ELSE 0.0 END)/10.0, 1.0)*0.2)
+         |  * 1e6) AS BIGINT) q6 FROM toks),
+         |b AS (SELECT min(q6) lo, max(q6) hi FROM q),
+         |s AS (SELECT doc_id, q6, ((q6-lo)*10)//(hi-lo+1) stratum FROM q, b)
+         |SELECT doc_id, q6, stratum,
+         |  row_number() OVER (PARTITION BY stratum
+         |    ORDER BY md5(concat('cur:', CAST(doc_id AS VARCHAR))), doc_id) pos
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
     // shard-packing twin: the naive global ordered cumsum IS the spec —
     // the Spark side's two-pass prefix sum must equal it exactly
     "pack_shards" ->

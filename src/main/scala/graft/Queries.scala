@@ -652,6 +652,22 @@ object Queries {
     "stratified_sample" -> ((s, dir) =>
       Sampling.stratifiedSample(docs(s, dir), "doc_id", "lang", 20)
         .select("doc_id", "lang").orderBy("doc_id")),
+    // curriculum export layout: quality deciles (integer bucket grid)
+    // with a seeded-md5 shuffle inside each stratum
+    "curriculum_order" -> ((s, dir) => {
+      val st = TextAnalysis.qualityStats(docs(s, dir), "doc_id", "text")
+      // floor of the UNROUNDED composite: qScore6's round-half CAN land
+      // exactly on the 1e-6 half boundary (sum of grid terms), where
+      // Spark HALF_UP and C++ round disagree on the same double — the
+      // sf0.1 sweep caught doc 1741 doing exactly that. floor of the
+      // identical IEEE expression has no such boundary.
+      val comp = col("stop_ratio") * 0.5 + col("ttr") * 0.3 +
+        least(col("mean_tok_len") / 10.0, lit(1.0)) * 0.2
+      val scored = st.select(col("doc_id"),
+        floor(comp * 1e6).cast("long").as("q6"))
+      Sampling.curriculumOrder(scored, "doc_id", "q6", nStrata = 10, seed = "cur")
+        .select("doc_id", "q6", "stratum", "pos").orderBy("doc_id")
+    }),
     // α=1/2 temperature rebalancing: keep rate ∝ √|source| (sqrt is
     // IEEE-exact, so the kept set is engine-identical). The fixture's
     // sources are uniform (rate would be 1.0 everywhere, leaving the

@@ -57,6 +57,37 @@ object Sampling {
       .where(col("_rn") <= n).drop("_ck", "_rn")
   }
 
+  /** Curriculum export order: stratify by a long-grid score (histogram-
+    * style all-integer bucket assignment over the score's own range —
+    * engine-identical), then a deterministic seeded-md5 shuffle WITHIN
+    * each stratum — the "order by difficulty, random inside a level"
+    * layout curriculum training reads, reproducible on any engine (the
+    * md5-grid doctrine as an order, same family as
+    * [[graft.operators.Shards.shuffleOrder]]).
+    *
+    * Shape: a 1-row bounds broadcast + ONE stratum-keyed window.
+    * nStrata is small by design, so each stratum's sort is n/nStrata
+    * rows in one task's partition — at the scale where that binds,
+    * compose the two-pass prefix-count machinery per stratum
+    * (shuffleOrder's shape, stratum-scoped) instead. */
+  def curriculumOrder(scored: DataFrame, idCol: String, scoreCol: String,
+                      nStrata: Int, seed: String): DataFrame = {
+    require(nStrata >= 1, "need at least one stratum")
+    val clash = Seq("_ck", "_lo", "_hi", "stratum", "pos")
+      .filter(scored.columns.contains)
+    require(clash.isEmpty, s"columns collide with curriculum names: $clash")
+    val b = scored.agg(min(scoreCol).as("_lo"), max(scoreCol).as("_hi"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("stratum").orderBy(col("_ck"), col(idCol))
+    scored.crossJoin(broadcast(b))
+      .withColumn("stratum",
+        expr(s"((`$scoreCol` - _lo) * $nStrata) div (_hi - _lo + 1)"))
+      .withColumn("_ck",
+        md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_ck", "_lo", "_hi")
+  }
+
   /** Deterministic train/val/test split assignment: hash-bucket each id
     * into 100 cells, carve [0,trainPct) / [trainPct,trainPct+valPct) /
     * rest. One narrow projection; the split column then drives

@@ -849,6 +849,27 @@ class AsOfEventsSpec extends SparkSpec {
     assert(got("A")._2 === got("B")._2, "mirror skews score identically")
   }
 
+  test("curriculumOrder: strata partition the score range; positions permute each stratum") {
+    import graft.operators.Sampling
+    val df = (0 until 100).map(i => (i.toLong, i.toLong * 10)).toDF("id", "score")
+    val out = Sampling.curriculumOrder(df, "id", "score", nStrata = 4, seed = "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // bucket formula: ((score-0)*4) div 991 — kept in lockstep with a
+    // local recompute
+    out.foreach { case (_, sc, st, _) =>
+      assert(st === sc * 4 / 991, s"score $sc") }
+    // positions are 1..|stratum| inside every stratum
+    out.groupBy(_._3).foreach { case (st, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === (1L to rows.length), s"stratum $st") }
+    // same seed reproduces; a new seed redraws at least one stratum
+    val again = Sampling.curriculumOrder(df, "id", "score", 4, "s")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(out.map(r => r._1 -> r._4).toMap === again)
+    val redrawn = Sampling.curriculumOrder(df, "id", "score", 4, "t")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(redrawn !== again)
+  }
+
   test("lengthBuckets partitions every doc exactly once") {
     val df = Seq((1L, "a b c"), (2L, "a b c d e"), (3L, ("t " * 40).trim))
       .toDF("doc_id", "text")

@@ -185,6 +185,10 @@ class PlanAuditSpec extends SparkSpec {
     val ps = plan(Queries.all("session_length_hist")(spark, sf))
     assert(ps.linesIterator.filter(_.contains("Window")).forall(_.contains("user_id")),
       "session window lost its user key")
+    // curriculum: the shuffle window stays stratum-keyed
+    val pcu = plan(Queries.all("curriculum_order")(spark, sf))
+    assert(pcu.linesIterator.filter(_.contains("Window")).forall(_.contains("stratum")),
+      "curriculum window lost its stratum key")
     // KL: counts localCheckpoint — the final plan reads the snapshot,
     // never a second corpus scan
     // NOT `... || contains(ExistingRDD)`: the checkpoint guarantees an

@@ -661,8 +661,8 @@ object Queries {
       // Spark HALF_UP and C++ round disagree on the same double — the
       // sf0.1 sweep caught doc 1741 doing exactly that. floor of the
       // identical IEEE expression has no such boundary.
-      val comp = col("stop_ratio") * 0.5 + col("ttr") * 0.3 +
-        least(col("mean_tok_len") / 10.0, lit(1.0)) * 0.2
+      val comp = TextAnalysis.qComposite(col("stop_ratio"), col("ttr"),
+        col("mean_tok_len"))
       val scored = st.select(col("doc_id"),
         floor(comp * 1e6).cast("long").as("q6"))
       Sampling.curriculumOrder(scored, "doc_id", "q6", nStrata = 10, seed = "cur")

@@ -65,23 +65,34 @@ object Sampling {
     * md5-grid doctrine as an order, same family as
     * [[graft.operators.Shards.shuffleOrder]]).
     *
-    * Shape: a 1-row bounds broadcast + ONE stratum-keyed window.
-    * nStrata is small by design, so each stratum's sort is n/nStrata
-    * rows in one task's partition — at the scale where that binds,
-    * compose the two-pass prefix-count machinery per stratum
-    * (shuffleOrder's shape, stratum-scoped) instead. */
+    * Shape: the score projection MATERIALIZES (localCheckpoint) so the
+    * bounds aggregate and the main branch read one snapshot instead of
+    * re-executing an arbitrarily expensive upstream (a quality-scored
+    * input would tokenize the corpus twice otherwise — the
+    * percentileGlobal/shuffleOrder snapshot doctrine), then a 1-row
+    * bounds broadcast + ONE stratum-keyed window. nStrata is small by
+    * design, so each stratum's sort is n/nStrata rows in one task's
+    * partition — at the scale where that binds, compose the two-pass
+    * prefix-count machinery per stratum (shuffleOrder's shape,
+    * stratum-scoped) instead. Same runtime overflow guard as
+    * [[graft.operators.Profile.histogram]]'s identical bucket formula:
+    * a span·nStrata past 2^63 raises instead of silently wrapping. */
   def curriculumOrder(scored: DataFrame, idCol: String, scoreCol: String,
                       nStrata: Int, seed: String): DataFrame = {
     require(nStrata >= 1, "need at least one stratum")
     val clash = Seq("_ck", "_lo", "_hi", "stratum", "pos")
       .filter(scored.columns.contains)
     require(clash.isEmpty, s"columns collide with curriculum names: $clash")
-    val b = scored.agg(min(scoreCol).as("_lo"), max(scoreCol).as("_hi"))
+    val snap = scored.localCheckpoint()
+    val b = snap.agg(min(scoreCol).as("_lo"), max(scoreCol).as("_hi"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("stratum").orderBy(col("_ck"), col(idCol))
-    scored.crossJoin(broadcast(b))
+    snap.crossJoin(broadcast(b))
       .withColumn("stratum",
-        expr(s"((`$scoreCol` - _lo) * $nStrata) div (_hi - _lo + 1)"))
+        when(col("_hi") - col("_lo") >= lit(Long.MaxValue / nStrata),
+          raise_error(lit(s"curriculumOrder: score span * $nStrata overflows " +
+            "long — rescale the score grid or lower nStrata")).cast("long"))
+          .otherwise(expr(s"((`$scoreCol` - _lo) * $nStrata) div (_hi - _lo + 1)")))
       .withColumn("_ck",
         md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))))
       .withColumn("pos", row_number().over(w).cast("long"))

@@ -41,15 +41,22 @@ object TextAnalysis {
       passThrough.map(col): _*)
   }
 
-  /** The composite quality signal on [[qualityStats]]' rounded grid:
-    * 0.5·stop_ratio + 0.3·ttr + 0.2·min(mean_tok_len/10, 1), rounded to
-    * the 1e-6 grid — ONE definition shared by [[qualityPercentile]],
-    * [[qualityPercentileApprox]] and [[sourceQualityRollup]] (and
-    * hand-mirrored by their oracles; a weight tweak edits exactly two
-    * sites: here and the oracle strings). */
+  /** The UNROUNDED composite quality signal over [[qualityStats]]'
+    * rounded inputs: 0.5·stop_ratio + 0.3·ttr +
+    * 0.2·min(mean_tok_len/10, 1) — ONE weight definition shared by
+    * every consumer ([[qScore6]]'s round-half grid for the
+    * cut/rollup queries; curriculum_order's floor-micro grid, which
+    * must NOT round-half: the composite can sit exactly on the 1e-6
+    * half boundary, where engines disagree — caught at sf0.1). A
+    * weight tweak edits exactly two sites: here and the oracle
+    * strings. */
+  def qComposite(stopRatio: Column, ttr: Column, meanTokLen: Column): Column =
+    stopRatio * 0.5 + ttr * 0.3 + least(meanTokLen / 10.0, lit(1.0)) * 0.2
+
+  /** [[qComposite]] on the 1e-6 round-half grid (the historical form
+    * the cut/rollup oracles mirror). */
   def qScore6(stopRatio: Column, ttr: Column, meanTokLen: Column): Column =
-    round(stopRatio * 0.5 + ttr * 0.3 +
-      least(meanTokLen / 10.0, lit(1.0)) * 0.2, 6)
+    round(qComposite(stopRatio, ttr, meanTokLen), 6)
 
   /** Per-stratum quality-percentile cut — the thresholding step a
     * training pipeline runs after scoring ("keep the top keepTop

@@ -213,6 +213,39 @@ object Oracles {
         |count(*) AS n_events, round(sum(value),6) AS sum_value,
         |count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // merge twin: the DIRECT aggregate — partial-merge must equal it
+    "hourly_merge" ->
+      """SELECT epoch_ns(ts)//3600000000000 AS hour_bucket, event_type,
+        |count(*) AS n_events
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // FK twin: NOT EXISTS per check (null child keys orphan, matching
+    // the rows an inner join would drop)
+    "fk_orphans" ->
+      """SELECT 'lineitem_orders' AS fk,
+        |  (SELECT count(*) FROM lineitem) n_child,
+        |  (SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NULL OR NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) n_orphans
+        |UNION ALL
+        |SELECT 'lineitem_orders_thinned',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NULL OR NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey % 7 <> 0
+        |       AND o.o_orderkey = l.l_orderkey))
+        |UNION ALL
+        |SELECT 'orders_customer',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders r WHERE r.o_custkey IS NULL OR NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = r.o_custkey))
+        |ORDER BY fk""".stripMargin,
+    // Q18 twin: integral quantities and cents grid, top-100 total order
+    "q18_big_orders" ->
+      """WITH big AS (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(round(o_totalprice*100) AS BIGINT) total_c, sum_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN big ON o_orderkey = l_orderkey
+        |ORDER BY total_c DESC, o_orderkey LIMIT 100""".stripMargin,
     "stream_windowed_counts" ->
       """SELECT make_timestamp((epoch_ns(ts)//3600000000000)*3600000000) AS window_start,
         |event_type, count(*) AS n_events, round(sum(value),6) AS sum_value

@@ -110,6 +110,46 @@ object Queries {
           countDistinct("user_id").as("n_users"))
         .orderBy("hour_bucket", "event_type")
     }),
+    // incremental rollup maintenance: two disjoint batch partials merge
+    // into EXACTLY the direct aggregate (count decomposability — the
+    // oracle IS the direct form)
+    "hourly_merge" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      Events.mergeHourly("event_type",
+          Events.hourlyGrain(ev.where(col("event_id") % 2 === 0), "event_type"),
+          Events.hourlyGrain(ev.where(col("event_id") % 2 =!= 0), "event_type"))
+        .orderBy("hour_bucket", "event_type")
+    }),
+    // referential-integrity audit: the intact FKs report 0 orphans, the
+    // deliberately thinned parent (o_orderkey % 7 removed) reports the
+    // rows an inner join would silently drop
+    "fk_orphans" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      Profile.fkOrphans(li, "l_orderkey", o, "o_orderkey")
+        .withColumn("fk", lit("lineitem_orders"))
+        .unionByName(Profile.fkOrphans(li, "l_orderkey",
+            o.where(col("o_orderkey") % 7 =!= 0), "o_orderkey")
+          .withColumn("fk", lit("lineitem_orders_thinned")))
+        .unionByName(Profile.fkOrphans(o, "o_custkey", c, "c_custkey")
+          .withColumn("fk", lit("orders_customer")))
+        .select("fk", "n_child", "n_orphans").orderBy("fk")
+    }),
+    // TPC-H Q18 shape (large-volume customers): big-orders aggregate
+    // feeds a two-table join, top-100 by price — TakeOrdered, no sort
+    "q18_big_orders" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val big = li.groupBy("l_orderkey")
+        .agg(sum("l_quantity").cast("long").as("sum_qty"))
+        .where(col("sum_qty") > 150)
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("total_c"), col("sum_qty"))
+        .orderBy(desc("total_c"), asc("o_orderkey")).limit(100)
+    }),
     "stream_windowed_counts" -> ((s, dir) => {
       // the streaming windowed rollup run on the batch frame — identical
       // declarative plan both ways (Streams.windowedCounts)

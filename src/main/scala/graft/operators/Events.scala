@@ -274,6 +274,27 @@ object Events {
       .groupBy(expr(s"`$tsCol` div 3600000000000").as("hour_bucket"), col(seriesCol))
       .agg(count(lit(1)).as("n_events"))
 
+  /** The shared hourly grain as a PUBLIC partial aggregate — the piece
+    * an incremental rollup pipeline materializes per ingest batch.
+    * Counts are re-aggregable: see [[mergeHourly]]. */
+  def hourlyGrain(events: DataFrame, seriesCol: String,
+                  tsCol: String = "ts"): DataFrame =
+    hourlyCounts(events, seriesCol, tsCol)
+
+  /** Merge partial hourly rollups — incremental aggregate maintenance:
+    * a new batch's [[hourlyGrain]] merges into the stored rollup with
+    * ONE combinable sum over |buckets| rows (never re-scanning event
+    * history; counts are decomposable, so merge(partials) ≡ the direct
+    * aggregate — the oracle pins that equality). At 100 TB of events
+    * this is the difference between an O(|day|) nightly update and an
+    * O(|history|) recompute. */
+  def mergeHourly(seriesCol: String, parts: DataFrame*): DataFrame = {
+    require(parts.nonEmpty, "need at least one partial rollup")
+    parts.reduce(_.unionByName(_))
+      .groupBy("hour_bucket", seriesCol)
+      .agg(sum("n_events").as("n_events"))
+  }
+
   def hourlyAnomalies(events: DataFrame, seriesCol: String,
                       tsCol: String = "ts",
                       zFlag: Double = 3.0): DataFrame = {

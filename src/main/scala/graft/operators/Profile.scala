@@ -139,6 +139,24 @@ object Profile {
     ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Referential-integrity audit: how many child rows reference no
+    * parent — the pre-join data-quality number a pipeline checks before
+    * trusting an equi-join (a silently-broken FK turns inner joins into
+    * row loss). NULL child keys count as orphans (they can reference
+    * nothing — same rows an inner join would drop). ONE keyed left
+    * join (AQE broadcasts the deduped parent-key set while small, else
+    * the shuffle join the check would need anyway) + one combinable
+    * aggregate; output is a single (n_child, n_orphans) row. */
+  def fkOrphans(child: DataFrame, childKey: String,
+                parent: DataFrame, parentKey: String): DataFrame = {
+    val keys = parent.select(col(parentKey).as("_pk"))
+      .where(col("_pk").isNotNull).distinct()
+    child.select(col(childKey).as("_ck2"))
+      .join(keys, col("_ck2") === col("_pk"), "left")
+      .agg(count(lit(1)).as("n_child"),
+        sum(col("_pk").isNull.cast("long")).as("n_orphans"))
+  }
+
   /** Per-group KL divergence of a class distribution from the corpus
     * distribution — the mixing diagnostic ("how unlike the corpus is
     * this source's language profile") that decides reweighting before

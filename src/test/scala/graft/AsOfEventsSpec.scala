@@ -870,6 +870,27 @@ class AsOfEventsSpec extends SparkSpec {
     assert(redrawn !== again)
   }
 
+  test("mergeHourly(partials) equals the direct aggregate; fkOrphans counts nulls") {
+    import graft.operators.Profile
+    val ev = (0 until 500).map { i =>
+      (i.toLong, (i % 3).toLong * 3600000000000L + i, s"t${i % 2}")
+    }.toDF("event_id", "ts", "event_type")
+    val direct = Events.hourlyGrain(ev, "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val merged = Events.mergeHourly("event_type",
+        Events.hourlyGrain(ev.where(col("event_id") < 200), "event_type"),
+        Events.hourlyGrain(ev.where(col("event_id") >= 200 && col("event_id") < 350), "event_type"),
+        Events.hourlyGrain(ev.where(col("event_id") >= 350), "event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(merged === direct, "3-way partial merge must equal the direct aggregate")
+    // fkOrphans: null child key is an orphan; dangling ref is an orphan
+    val child = Seq(Some(1L), Some(2L), Some(9L), None)
+      .map(v => Tuple1(v.map(java.lang.Long.valueOf).orNull)).toDF("k")
+    val parent = Seq(1L, 2L, 3L).toDF("p")
+    val r = Profile.fkOrphans(child, "k", parent, "p").head()
+    assert((r.getLong(0), r.getLong(1)) === ((4L, 2L)), "9 dangles + null = 2 orphans")
+  }
+
   test("lengthBuckets partitions every doc exactly once") {
     val df = Seq((1L, "a b c"), (2L, "a b c d e"), (3L, ("t " * 40).trim))
       .toDF("doc_id", "text")

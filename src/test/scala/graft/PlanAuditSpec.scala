@@ -162,6 +162,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q18 is a TakeOrdered over keyed joins; FK audit never goes cartesian") {
+    val p = plan(Queries.all("q18_big_orders")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), "top-100 regressed to a global sort")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    val pf = plan(Queries.all("fk_orphans")(spark, sf))
+    assert(!pf.contains("CartesianProduct") && !pf.contains("BroadcastNestedLoopJoin"))
+    val pm = plan(Queries.all("hourly_merge")(spark, sf))
+    assert(pm.contains("partial_sum") || pm.contains("HashAggregate"),
+      "merge lost its map-side combine")
+  }
+
   test("clip attaches its 1-row bounds by broadcast; confusion joins keyed, no cartesian") {
     val p = plan(Queries.all("clip_outliers")(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),

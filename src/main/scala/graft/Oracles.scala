@@ -239,7 +239,7 @@ object Oracles {
         |ORDER BY fk""".stripMargin,
     // Q18 twin: integral quantities and cents grid, top-100 total order
     "q18_big_orders" ->
-      """WITH big AS (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) sum_qty
+      """WITH big AS (SELECT l_orderkey, CAST(floor(sum(l_quantity)) AS BIGINT) sum_qty
         |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150)
         |SELECT c_name, c_custkey, o_orderkey,
         |  CAST(round(o_totalprice*100) AS BIGINT) total_c, sum_qty

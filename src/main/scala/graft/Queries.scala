@@ -115,9 +115,13 @@ object Queries {
     // oracle IS the direct form)
     "hourly_merge" -> ((s, dir) => {
       val ev = Tables(s, dir, "events")
+      // the split must be EXHAUSTIVE: a null event_id fails BOTH mod
+      // predicates and would vanish from the merge while the direct
+      // oracle counts it
       Events.mergeHourly("event_type",
           Events.hourlyGrain(ev.where(col("event_id") % 2 === 0), "event_type"),
-          Events.hourlyGrain(ev.where(col("event_id") % 2 =!= 0), "event_type"))
+          Events.hourlyGrain(ev.where(col("event_id") % 2 =!= 0
+            || col("event_id").isNull), "event_type"))
         .orderBy("hour_bucket", "event_type")
     }),
     // referential-integrity audit: the intact FKs report 0 orphans, the
@@ -140,9 +144,13 @@ object Queries {
     // feeds a two-table join, top-100 by price — TakeOrdered, no sort
     "q18_big_orders" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem")
+      // filter on the UNCAST sum (the oracle's HAVING placement): the
+      // truncation cast would diverge from DuckDB's rounding CAST on
+      // any fractional quantity sum
       val big = li.groupBy("l_orderkey")
-        .agg(sum("l_quantity").cast("long").as("sum_qty"))
-        .where(col("sum_qty") > 150)
+        .agg(sum("l_quantity").as("_qsum"))
+        .where(col("_qsum") > 150)
+        .select(col("l_orderkey"), floor(col("_qsum")).cast("long").as("sum_qty"))
       Tables(s, dir, "customer")
         .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
         .join(big, col("o_orderkey") === col("l_orderkey"))

@@ -154,7 +154,9 @@ object Profile {
     child.select(col(childKey).as("_ck2"))
       .join(keys, col("_ck2") === col("_pk"), "left")
       .agg(count(lit(1)).as("n_child"),
-        sum(col("_pk").isNull.cast("long")).as("n_orphans"))
+        // coalesce: sum over an EMPTY child is NULL, which would read
+        // as "unknown" (and NPE a getLong) instead of "no orphans"
+        coalesce(sum(col("_pk").isNull.cast("long")), lit(0L)).as("n_orphans"))
   }
 
   /** Per-group KL divergence of a class distribution from the corpus

@@ -237,6 +237,16 @@ object Oracles {
         |  (SELECT count(*) FROM orders r WHERE r.o_custkey IS NULL OR NOT EXISTS
         |    (SELECT 1 FROM customer c WHERE c.c_custkey = r.o_custkey))
         |ORDER BY fk""".stripMargin,
+    // supplier×brand twin: same cents grid, BIGINT casts
+    "supplier_brand_volume" ->
+      """SELECT n_name, p_brand, count(*) n_items,
+        |CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) revenue_c,
+        |count(DISTINCT l_partkey) n_parts
+        |FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     // Q18 twin: integral quantities and cents grid, top-100 total order
     "q18_big_orders" ->
       """WITH big AS (SELECT l_orderkey, CAST(floor(sum(l_quantity)) AS BIGINT) sum_qty

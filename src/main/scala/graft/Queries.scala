@@ -140,6 +140,26 @@ object Queries {
           .withColumn("fk", lit("orders_customer")))
         .select("fk", "n_child", "n_orphans").orderBy("fk")
     }),
+    // supplier×part fact rollup (Q9-ish shape): revenue and distinct
+    // parts per supplier nation and brand — the fact table shuffles on
+    // its own agg keys; BOTH dimensions broadcast (they are
+    // domain-bounded); covers the two remaining TPC-H tables
+    "supplier_brand_volume" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val sup = Tables(s, dir, "supplier")
+        .join(Tables(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val part = Tables(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      li.select(col("l_suppkey"), col("l_partkey"),
+          cents(col("l_extendedprice")).as("price_c"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy("n_name", "p_brand")
+        .agg(count(lit(1)).as("n_items"), sum("price_c").as("revenue_c"),
+          countDistinct("l_partkey").as("n_parts"))
+        .orderBy("n_name", "p_brand")
+    }),
     // TPC-H Q18 shape (large-volume customers): big-orders aggregate
     // feeds a two-table join, top-100 by price — TakeOrdered, no sort
     "q18_big_orders" -> ((s, dir) => {

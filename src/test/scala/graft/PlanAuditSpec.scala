@@ -166,6 +166,10 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(Queries.all("q18_big_orders")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), "top-100 regressed to a global sort")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // supplier/part dimensions broadcast; the fact never shuffles for the joins
+    val ps2 = plan(Queries.all("supplier_brand_volume")(spark, sf))
+    assert(ps2.contains("BroadcastHashJoin"), "dimension joins stopped broadcasting")
+    assert(!ps2.contains("CartesianProduct"))
     val pf = plan(Queries.all("fk_orphans")(spark, sf))
     assert(!pf.contains("CartesianProduct") && !pf.contains("BroadcastNestedLoopJoin"))
     // falsifiable form — `|| contains(HashAggregate)` can never fail

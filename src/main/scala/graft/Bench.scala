@@ -32,6 +32,39 @@ object Bench {
   private def fmt(v: Double, decimals: Int): String =
     String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
 
+  /** Cumulative shuffle/spill tally across all tasks — wall time on 32
+    * local cores hides shuffle-VOLUME regressions that dominate at
+    * cluster scale, so the artifact records per-query shuffle bytes
+    * (delta of this counter around each cold run). Listener events are
+    * async; [[stableDelta]] polls until the counters settle, which is
+    * exact enough for telemetry (queries run strictly sequentially). */
+  private final class ShuffleTally extends org.apache.spark.scheduler.SparkListener {
+    val write = new java.util.concurrent.atomic.AtomicLong
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val spill = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled): Unit
+      }
+    }
+    def snapshot: (Long, Long, Long) = (write.get, read.get, spill.get)
+    /** snapshot once the async listener queue has gone quiet (two equal
+      * reads 20 ms apart, 500 ms cap). */
+    def settled(): (Long, Long, Long) = {
+      var prev = snapshot
+      var i = 0
+      while (i < 25) {
+        Thread.sleep(20)
+        val cur = snapshot
+        if (cur == prev) i = 25 else { prev = cur; i += 1 }
+      }
+      prev
+    }
+  }
+
   /** Rotation pools for the two point-lookup warm queries: repeated
     * IDENTICAL keys would let any JVM/plan-level residue make the timed
     * runs unrepresentative (the engines deliberately keep no result
@@ -140,8 +173,10 @@ object Bench {
           () => df.collect(): Unit
         },
         "ann_topk_warm" -> {
-          val df = graft.operators.Similarity.annTopKWith(annIdx, ev,
-            Queries.Dim, nBits = 4, k = 20)
+          // the REGISTERED default form (multi-probe, hamming=1) — the
+          // warm row must measure the query users actually run
+          val df = graft.operators.Similarity.annTopKMultiProbe(annIdx, ev,
+            Queries.Dim, nBits = 4, k = 20, hamming = 1)
           () => df.collect(): Unit
         })
 
@@ -323,12 +358,16 @@ object Bench {
       (qid, qv, exact)
     }
 
-  /** Mean recall of one approximate form against precomputed baselines. */
+  /** Mean recall of one approximate form against precomputed baselines.
+    * Queries whose exact baseline set is EMPTY are skipped (a degenerate
+    * fixture — single vector, all-NaN cosines — would otherwise divide
+    * by zero and print a bare NaN into the artifact line, breaking the
+    * round driver's JSON parse). */
   private[graft] def recallFrom(e: org.apache.spark.sql.DataFrame,
       pre: Seq[(Long, Array[Float], Set[Long])],
       approx: (org.apache.spark.sql.DataFrame, Array[Float]) =>
         org.apache.spark.sql.DataFrame): Double = {
-    val rs = pre.map { case (qid, qv, exact) =>
+    val rs = pre.collect { case (qid, qv, exact) if exact.nonEmpty =>
       val got = approx(e, qv).where(col("vec_id") =!= qid)
         .select("vec_id").collect().map(_.getLong(0)).toSet
       (exact & got).size.toDouble / exact.size
@@ -343,7 +382,7 @@ object Bench {
     * AnnRecallSpec; this is the per-round measurement). The exact
     * baselines are computed once across all three forms and the
     * multi-probe index plan is hoisted out of the per-query loop. */
-  private[graft] def recallSection(spark: SparkSession, sfDir: String): String = {
+  private[graft] def recallSection(spark: SparkSession, sfDir: String): (String, Option[Double]) = {
     import graft.operators.Similarity
     import org.apache.spark.sql.DataFrame
     var cached: Option[DataFrame] = None
@@ -356,24 +395,31 @@ object Bench {
         .collect().map(_.getLong(0)).toSeq.sorted
       val pre = recallBaselines(e, present, k)
       val annIdx = Similarity.annIndex(e, "vec_id", "embedding", Queries.Dim, nBits = 4)
+      // mirrors the REGISTERED forms: ann_topk is the multi-probe default
+      // (r12 — the single-bucket probe is the explicit floor variant)
       val forms: Seq[(String, (DataFrame, Array[Float]) => DataFrame)] = Seq(
         ("ann_topk", (_, qv) =>
-          Similarity.annTopKWith(annIdx, qv, Queries.Dim, nBits = 4, k = k)),
-        ("ann_multiprobe", (_, qv) =>
           Similarity.annTopKMultiProbe(annIdx, qv, Queries.Dim,
             nBits = 4, k = k, hamming = 1)),
+        ("ann_multiprobe", (_, qv) =>
+          Similarity.annTopKMultiProbe(annIdx, qv, Queries.Dim,
+            nBits = 4, k = k, hamming = 2)),
+        ("ann_bucket_floor", (_, qv) =>
+          Similarity.annTopKWith(annIdx, qv, Queries.Dim, nBits = 4, k = k)),
         ("ivf_topk", (d, qv) =>
           Similarity.ivfTopK(d, "vec_id", "embedding", typedLit(qv),
             nCentroids = 16, nProbe = 4, k = k)))
-      val out = forms.map { case (name, approx) =>
-        s""""$name":${fmt(recallFrom(e, pre, approx), 3)}"""
+      val measured = forms.map { case (name, approx) =>
+        name -> recallFrom(e, pre, approx)
       }
-      (out :+ s""""k":$k""" :+ s""""n_queries":${present.size}""")
-        .mkString("{", ",", "}")
+      val out = measured.map { case (name, r) => s""""$name":${fmt(r, 3)}""" }
+      ((out :+ s""""k":$k""" :+ s""""n_queries":${present.size}""")
+        .mkString("{", ",", "}"),
+        measured.collectFirst { case ("ann_topk", r) => r })
     } catch {
       case ex: Throwable =>
         System.err.println(s"[bench] recall section skipped: $ex")
-        "null"
+        ("null", None)
     } finally {
       // best-effort: unpersist on a stopped SparkContext throws, and an
       // exception escaping the finally would replace the handled one and
@@ -436,6 +482,12 @@ object Bench {
     // per query: (seconds, error, pass index) — pass index keys into
     // passSentinelS for the noise flag
     val samples = scala.collection.mutable.Map.empty[String, List[(Double, Option[String], Int)]]
+    // per query: (shuffle_write, shuffle_read, spill) bytes from the
+    // first successful pass (passes are plan-identical; re-measuring
+    // would only add listener noise)
+    val shuffleStats = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
     // per-pass sentinel: one fixed CPU-bound job timed at the start of
     // each pass; a pass whose sentinel runs > 2× the quietest pass was
     // contended, and mins achieved only in such passes are flagged noisy
@@ -450,9 +502,11 @@ object Bench {
     // single query run — a kill at any point leaves the freshest state
     // on disk (r8's bench ran 2,695 s, was killed, and wrote nothing
     // because the old code wrote only at exit).
-    def artifactJson(serveJson: String): String = {
+    // per-query rollup shared by the full artifact and the compact tail
+    // line (min over ok passes, error fallback, noisy flag)
+    def coldResults(): Seq[(String, Double, Option[String], List[Double], Boolean)] = {
       val sMin = if (passSentinelS.nonEmpty) passSentinelS.values.min else 0.0
-      val results = named.flatMap { case (name, _) =>
+      named.flatMap { case (name, _) =>
         samples.get(name).map { runsOut =>
           // min over SUCCESSFUL passes only: a fast-failing pass would
           // report an artificially small "cold" time, and one transient
@@ -480,13 +534,21 @@ object Bench {
             Nil: List[Double], false)
         }
       }
+    }
+    def artifactJson(serveJson: String): String = {
+      val results = coldResults()
       // ms precision keeps the one-line artifact short enough for tail
       // captures that truncate from the front (a full-precision double per
       // query tripled the line length and broke downstream parsers)
       val qs = results.map { case (k, v, _, _, _) => s""""$k":${fmt(v, 3)}""" }
         .mkString("{", ",", "}")
       val detail = results.collect { case (k, _, None, passes, noisy) =>
-        s""""$k":{"passes":[${passes.map(fmt(_, 2)).mkString(",")}],"noisy":$noisy}"""
+        val sh = shuffleStats.get(k).map { case (w, r, sp) =>
+          s""","shuffle_w_mb":${fmt(w / 1048576.0, 1)}""" +
+            s""","shuffle_r_mb":${fmt(r / 1048576.0, 1)}""" +
+            s""","spill_mb":${fmt(sp / 1048576.0, 1)}"""
+        }.getOrElse("")
+        s""""$k":{"passes":[${passes.map(fmt(_, 2)).mkString(",")}],"noisy":$noisy$sh}"""
       }.mkString("{", ",", "}")
       val failed = results.collect { case (k, _, Some(e), _, _) => s"\"$k\":\"${esc(e)}\"" }
         .mkString("{", ",", "}")
@@ -547,6 +609,8 @@ object Bench {
           spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
             if (!staged.contains(id)) rdd.unpersist(false)
           }
+          val preShuffle = if (shuffleStats.contains(name)) (0L, 0L, 0L)
+                           else tally.settled()
           val t0 = System.nanoTime()
           // Per-query cap: the deadline only fires BETWEEN queries, so one
           // wedged query would otherwise eat the whole window (r8 died
@@ -575,6 +639,10 @@ object Bench {
             }
           samples(name) = samples.getOrElse(name, Nil) :+
             (((System.nanoTime() - t0) / 1e9, err, pass))
+          if (err.isEmpty && !shuffleStats.contains(name)) {
+            val (w1, r1, s1) = tally.settled()
+            shuffleStats(name) = (w1 - preShuffle._1, r1 - preShuffle._2, s1 - preShuffle._3)
+          }
           writeArtifact("\"pending\"")
         }
       }
@@ -587,7 +655,11 @@ object Bench {
     // skipped when the deadline already truncated the cold suite: the
     // run is being cut short for time, and the recall numbers only
     // change when ANN parameters do (the floors stay spec-pinned)
-    if (!deadlineHit) recallJson = recallSection(spark, sfDir)
+    var recallDefault: Option[Double] = None
+    if (!deadlineHit) {
+      val (rj, rd) = recallSection(spark, sfDir)
+      recallJson = rj; recallDefault = rd
+    }
     val runs = sys.env.getOrElse("SPARK_GRAFT_SERVE_RUNS", "15").toInt
     val serveJson = serveSection(spark, sfDir, runs)
 
@@ -602,7 +674,19 @@ object Bench {
     // every cold row at degraded-but-sufficient precision, sized to fit
     // the tail whole (build.sbt suppresses sbt's trailing "[success]"
     // line so nothing lands after it).
-    println(compactJson(samples.toMap, named.map(_._1), sfDir))
+    // driver-visible per-round guarantees ride the compact line too:
+    // the default ANN form's recall@20 and the noisy-measurement count
+    // (the full artifact has the complete recall/noise sections)
+    // top-5 shuffle movers (write+read MB): the cluster-scale cost the
+    // 32-core wall clock hides — full per-query numbers in query_detail
+    val shuffleTop = shuffleStats.toSeq
+      .sortBy { case (n, (w, r, _)) => (-(w + r), n) }.take(5)
+      .map { case (n, (w, r, _)) => s""""$n":${fmt((w + r) / 1048576.0, 0)}""" }
+      .mkString("{", ",", "}")
+    val extra = recallDefault.map(r => s""""recall20_ann":${fmt(r, 2)},""").getOrElse("") +
+      s""""n_noisy":${coldResults().count(_._5)},""" +
+      (if (shuffleStats.nonEmpty) s""""shuffle_top_mb":$shuffleTop,""" else "")
+    println(compactJson(samples.toMap, named.map(_._1), sfDir, extra = extra))
     spark.stop()
   }
 
@@ -616,7 +700,8 @@ object Bench {
     * minimal envelope (never expected; 96 queries fit the level above). */
   private[graft] def compactJson(
       samples: Map[String, List[(Double, Option[String], Int)]],
-      names: Seq[String], sfDir: String, maxLen: Int = 1995): String = {
+      names: Seq[String], sfDir: String, maxLen: Int = 1995,
+      extra: String = ""): String = {
     val pairs = names.sorted.flatMap { name =>
       samples.get(name).flatMap { runsOut =>
         val ok = runsOut.collect { case (t, None, _) => t }
@@ -641,9 +726,9 @@ object Bench {
         .mkString("{", ",", "}")
       if (full)
         s"""{"metric":"total","value":${trim(fmt(total, 2))},"unit":"sec",""" +
-          s""""sf":$sfTok,"n_failed":$nFailed,"queries":$qs}"""
+          s"""$extra"sf":$sfTok,"n_failed":$nFailed,"queries":$qs}"""
       else
-        s"""{"metric":"total","value":${trim(fmt(total, 1))},"sf":$sfTok,"queries":$qs}"""
+        s"""{"metric":"total","value":${trim(fmt(total, 1))},$extra"sf":$sfTok,"queries":$qs}"""
     }
     val levels = Seq((3, true), (2, true), (1, true), (0, true), (0, false), (-1, false))
     levels.map { case (d, fl) => line(d, fl) }.find(_.length <= maxLen)
@@ -664,7 +749,7 @@ object Bench {
           val qs = top.map { case (n, v) =>
             s""""$n":${trim(fmt(v, if (v >= 10) 0 else 1))}"""
           }.mkString("{", ",", "}")
-          s"""{"metric":"total","value":${trim(fmt(total, 1))},"sf":$sfTok,""" +
+          s"""{"metric":"total","value":${trim(fmt(total, 1))},$extra"sf":$sfTok,""" +
             s""""n_total":${pairs.size},"n_failed":$nFailed,""" +
             s""""rest_n":${rest.size},"rest_s":${trim(fmt(rest.map(_._2).sum, 1))},""" +
             s""""queries":$qs}"""

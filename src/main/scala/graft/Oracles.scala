@@ -256,6 +256,15 @@ object Oracles {
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |  JOIN big ON o_orderkey = l_orderkey
         |ORDER BY total_c DESC, o_orderkey LIMIT 100""".stripMargin,
+    // exists/not-exists shapes: ONE SQL text, shared verbatim with the
+    // Spark side (Queries.Q21Sql / Q22Sql) — zero translation surface
+    "q21_waiting_supplier" -> Queries.Q21Sql,
+    "q22_idle_customers" -> Queries.Q22Sql,
+    // the streaming dedup emits exactly the distinct key set (see the
+    // query's determinism note: only key columns are emitted)
+    "stream_dedup_keys" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
     "stream_windowed_counts" ->
       """SELECT make_timestamp((epoch_ns(ts)//3600000000000)*3600000000) AS window_start,
         |event_type, count(*) AS n_events, round(sum(value),6) AS sum_value
@@ -735,21 +744,30 @@ object Oracles {
          |v AS (SELECT a, b, ${cosQ("x.qv", "y.qv")} cos FROM cand
          |      JOIN k x ON x.id=a JOIN k y ON y.id=b)
          |SELECT a, b, cos FROM v WHERE cos>=0.3 ORDER BY a, b""".stripMargin,
+    // default ANN = multi-probe: the probe set is every bucket within
+    // Hamming distance 1 of the query's (bit_count over xor — the SQL
+    // mirror of the driver-enumerated isin list)
     "ann_topk" ->
       s"""WITH $EmbQ,
          |k AS (SELECT vec_id, qv, ${bucketExpr("qv", Queries.Dim, 4, "")} bucket FROM e),
          |q AS (SELECT qv qq, bucket qb FROM k WHERE vec_id=0)
          |SELECT vec_id, ${cosQ("qv", "qq")} cos FROM k CROSS JOIN q
+         |WHERE bit_count(xor(bucket, qb)) <= 1
+         |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+    // single-bucket scan-fraction floor twin
+    "ann_bucket_floor" ->
+      s"""WITH $EmbQ,
+         |k AS (SELECT vec_id, qv, ${bucketExpr("qv", Queries.Dim, 4, "")} bucket FROM e),
+         |q AS (SELECT qv qq, bucket qb FROM k WHERE vec_id=0)
+         |SELECT vec_id, ${cosQ("qv", "qq")} cos FROM k CROSS JOIN q
          |WHERE bucket=qb ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
-    // multi-probe twin: same bucket CTE; the probe set is every bucket
-    // within Hamming distance 1 of the query's (bit_count over xor —
-    // the SQL mirror of the driver-enumerated isin list)
+    // Hamming-≤2 rung of the same ladder
     "ann_multiprobe" ->
       s"""WITH $EmbQ,
          |k AS (SELECT vec_id, qv, ${bucketExpr("qv", Queries.Dim, 4, "")} bucket FROM e),
          |q AS (SELECT qv qq, bucket qb FROM k WHERE vec_id=0)
          |SELECT vec_id, ${cosQ("qv", "qq")} cos FROM k CROSS JOIN q
-         |WHERE bit_count(xor(bucket, qb)) <= 1
+         |WHERE bit_count(xor(bucket, qb)) <= 2
          |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
     "ivf_topk" ->
       s"""WITH $EmbQ,

@@ -32,4 +32,25 @@ object Tables {
       }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
+
+  /** The events table as a STREAMING source (file source over the same
+    * parquet), with the identical ts normalization as the batch loader —
+    * epoch NANOS as a long. Used by the registered stream_* queries so a
+    * real micro-batch execution consumes exactly the oracle's input. At
+    * cluster scale the same code points at an arriving-files directory. */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val sch = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // the fixture table is a single FILE; the streaming file source
+    // lists a directory, so stream the SF dir filtered to this table
+    // (a cluster layout would be a directory of arriving files)
+    val df = spark.readStream.schema(sch)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    sch("ts").dataType match {
+      case LongType => df
+      case _ => df.withColumn("ts",
+        unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+    }
+  }
 }

@@ -55,8 +55,13 @@ object Incremental {
     * the join's exchange (non-equi conditions evaluate post-shuffle),
     * while two narrow pushdown-friendly scans + a candidates-only
     * shuffle is the cheap side of the trade at any scale where this
-    * operator is worth using. Callers with an expensive upstream (not
-    * a scan) should checkpoint it first. */
+    * operator is worth using. CONTRACT: `df` must therefore be
+    * DETERMINISTIC across re-evaluation — the complementary filters
+    * re-compute it, and a non-deterministic upstream (`sample` without
+    * a seed, `uuid()`, a source mutated between scans) can drop or
+    * duplicate rows relative to the plain `left_anti` identity.
+    * Cache/localCheckpoint such an upstream first; the same holds for
+    * any expensive non-scan upstream (cost, not correctness). */
   def bloomAntiJoin(df: DataFrame, seen: DataFrame, keyCol: String,
                     fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.types._
@@ -118,8 +123,15 @@ object Incremental {
                 toCol: String = "valid_to"): DataFrame = {
     val outCols = (keyCol +: attrCols) :+ fromCol :+ toCol
     val past = history.where(col(toCol).isNotNull).select(outCols.map(col): _*)
-    val cur = history.where(col(toCol).isNull)
+    // explicit side-presence markers: `c.key IS NULL` would misread a
+    // genuine NULL-key open row as "brand-new" and rewrite it from the
+    // absent update side as an all-null row (losing its attrs and
+    // valid_from). With markers, NULL-key rows are carried losslessly —
+    // each side independently, since the equality join never pairs them
+    // (a NULL-key update row opens its own history line).
+    val cur = history.where(col(toCol).isNull).withColumn("_c", lit(true))
     val u = updates.select(col(keyCol) +: attrCols.map(col): _*)
+      .withColumn("_u", lit(true))
     val j = cur.as("c").join(u.as("u"),
       col(s"c.$keyCol") === col(s"u.$keyCol"), "full_outer")
     val changed = attrCols.map(c => !(col(s"c.$c") <=> col(s"u.$c")))
@@ -129,9 +141,9 @@ object Incremental {
         attrCols.map(c => col(s"$side.$c").as(c))) :+
         from.as(fromCol) :+ to.cast("long").as(toCol): _*)
     val openNull = lit(null).cast("long")
-    val rows = when(col(s"c.$keyCol").isNull,                // brand-new key
+    val rows = when(col("c._c").isNull,                      // brand-new key
         array(row("u", lit(asOf), openNull)))
-      .when(col(s"u.$keyCol").isNull || !changed,            // no batch row / unchanged
+      .when(col("u._u").isNull || !changed,                  // no batch row / unchanged
         array(row("c", col(s"c.$fromCol"), openNull)))
       .otherwise(array(                                      // changed: close + insert
         row("c", col(s"c.$fromCol"), lit(asOf)),

@@ -59,6 +59,24 @@ object Streams {
     stream.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Run a streaming frame to a parquet sink with Trigger.AvailableNow
+    * (process everything currently available, then stop) and return the
+    * materialized result table. This is how the registered stream_*
+    * queries get a DRIVER-ORACLE-comparable table out of a REAL
+    * micro-batch execution — the oracle is plain SQL over the same
+    * input the file source consumed. At cluster scale the trigger
+    * becomes a processing-time schedule and the read-back is the
+    * downstream consumer. */
+  def runToParquet(df: DataFrame, scratchDir: String): DataFrame = {
+    val q = df.writeStream.format("parquet")
+      .option("path", s"$scratchDir/out")
+      .option("checkpointLocation", s"$scratchDir/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.read.parquet(s"$scratchDir/out")
+  }
+
   final case class Ev(ts: java.sql.Timestamp, user_id: Long,
                       event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int)

@@ -119,6 +119,19 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.1, f"multi-probe recall degraded: $r%.3f")
   }
 
+  test("REGISTERED default ann_topk (multi-probe nBits=4, hamming=1) holds recall@20 >= 0.4") {
+    // the r11 verdict's bar: the default registered ANN form must have
+    // recall someone would actually ship. These are the exact parameters
+    // of Queries.all("ann_topk") (and Bench.recallSection's ann_topk
+    // row); deterministic fixture + fixed hyperplanes, measured 0.43.
+    val r = recallAt(Seq(0L, 7L, 42L, 99L, 123L), (e, qv) =>
+      Similarity.annTopKMultiProbe(
+        Similarity.annIndex(e, "vec_id", "embedding", Queries.Dim, nBits = 4),
+        qv, Queries.Dim, nBits = 4, k = K + 1, hamming = 1))
+    info(f"default ann_topk recall@20 = $r%.3f")
+    assert(r >= 0.4, f"default ANN recall below the shippable bar: $r%.3f")
+  }
+
   test("annTopK recall@20 vs exact cosine (nBits=3 — 1/8 of the corpus scanned)") {
     // measured ≈0.10 on these uniform vectors (single-bucket LSH pays the
     // full no-structure penalty; a banded variant recovers recall — see

@@ -798,6 +798,27 @@ class AsOfEventsSpec extends SparkSpec {
     assert(Incremental.scd2AsOf(out2, 50L).where(col("id") === 6L).count() === 0L)
   }
 
+  test("scd2Merge: NULL-key rows carry losslessly on both sides (presence markers)") {
+    // regression (r11 ADVICE): `c.key IS NULL` misread a NULL-key open
+    // history row as brand-new and rewrote it from the absent update
+    // side as an all-null row — attrs and valid_from silently lost
+    import graft.operators.Incremental
+    val h0 = Seq((java.lang.Long.valueOf(7L), "kept", 0L, null: java.lang.Long),
+        (null: java.lang.Long, "nullkey-attrs", 5L, null: java.lang.Long))
+      .toDF("id", "attr", "valid_from", "valid_to")
+    val u = Seq((java.lang.Long.valueOf(7L), "kept"),
+        (null: java.lang.Long, "nullkey-new"))
+      .toDF("id", "attr")
+    val out = Incremental.scd2Merge(h0, u, "id", Seq("attr"), asOf = 100L)
+    val got = out.collect().map(r =>
+      (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getString(1),
+        r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    assert(got === Set(
+      (Some(7L), "kept", 0L, None),            // unchanged, untouched
+      (None, "nullkey-attrs", 5L, None),       // NULL-key history: LOSSLESS
+      (None, "nullkey-new", 100L, None)))      // NULL-key update opens its own line
+  }
+
   test("mmrRerank diversifies duplicate hits; lambda=1 is plain top-k") {
     import graft.operators.Similarity
     // vec 1 and 2 are IDENTICAL and closest to q; vec 3 is orthogonal

@@ -70,6 +70,20 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(covered === names.length, "every registered query accounted for")
   }
 
+  test("extra fields (recall/noise) ride the compact line at every ladder level") {
+    for (n <- Seq(96, 130)) {
+      val samples = (0 until n).map { i =>
+        f"realistically_long_query_name_$i%03d" -> List((i * 0.137 + 0.08, None: Option[String], 1))
+      }.toMap
+      val line = Bench.compactJson(samples, samples.keys.toSeq, "/root/testdata/sf0.1",
+        extra = """"recall20_ann":0.43,"n_noisy":3,""")
+      assert(line.length <= 1995, s"$n queries with extra: ${line.length} chars")
+      val tree = mapper.readTree(line)
+      assert(tree.get("recall20_ann").asDouble() === 0.43)
+      assert(tree.get("n_noisy").asInt() === 3)
+    }
+  }
+
   test("failed queries are excluded from rows but counted") {
     val samples = mk(10) +
       ("broken_query" -> List((0.5, Some("boom"), 1), (0.6, Some("boom"), 2)))

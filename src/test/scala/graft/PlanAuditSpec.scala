@@ -12,11 +12,18 @@ class PlanAuditSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
   private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
 
-  test("q3: filters push to the parquet scans and the dimension side broadcasts") {
-    val p = plan(Queries.all("q3_top_orders")(spark, sf))
+  test("q3: filters push to the scans; no forced hint — AQE picks the join") {
+    val df = Queries.all("q3_top_orders")(spark, sf)
+    // the real invariant: no FORCED broadcast of the SF-scaled customer
+    // side (the hint would OOM the driver at cluster scale); AQE still
+    // broadcasts at this size because the filtered side actually fits
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "forced broadcast hint survives on an SF-scaled side")
+    val p = plan(df)
     assert(p.contains("PushedFilters: [IsNotNull"), "no pushed filters")
-    assert(p.contains("BroadcastHashJoin"), "no broadcast join")
+    assert(p.contains("BroadcastHashJoin"), "AQE stopped broadcasting the filtered dim at sf0.001")
     assert(p.contains("TakeOrderedAndProject"), "top-k not TakeOrdered")
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("q1: partial (map-side) aggregation before the shuffle") {
@@ -166,9 +173,14 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(Queries.all("q18_big_orders")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), "top-100 regressed to a global sort")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
-    // supplier/part dimensions broadcast; the fact never shuffles for the joins
-    val ps2 = plan(Queries.all("supplier_brand_volume")(spark, sf))
-    assert(ps2.contains("BroadcastHashJoin"), "dimension joins stopped broadcasting")
+    // supplier/part joins: no FORCED hint (both dims are SF-scaled —
+    // TPC-H 10k·SF / 200k·SF); AQE still broadcasts the pruned 2-column
+    // dims at this size, and the fact never shuffles for the joins
+    val sbv = Queries.all("supplier_brand_volume")(spark, sf)
+    assert(!sbv.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "forced broadcast hint survives on an SF-scaled dim")
+    val ps2 = plan(sbv)
+    assert(ps2.contains("BroadcastHashJoin"), "AQE stopped broadcasting the pruned dims at sf0.001")
     assert(!ps2.contains("CartesianProduct"))
     val pf = plan(Queries.all("fk_orphans")(spark, sf))
     assert(!pf.contains("CartesianProduct") && !pf.contains("BroadcastNestedLoopJoin"))
@@ -554,6 +566,87 @@ class PlanAuditSpec extends SparkSpec {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
+  }
+
+  test("q21/q22: exists decorrelates to semi/anti EQUI-joins — never a nested loop") {
+    // the whole point of using NOT EXISTS over NOT IN: the null-aware
+    // anti-join form is broadcast-only in Spark (falls back to
+    // BroadcastNestedLoopJoin when the subquery side outgrows the
+    // driver); the decorrelated equi anti-join shuffles on its key and
+    // survives any scale
+    val p21 = plan(Queries.all("q21_waiting_supplier")(spark, sf))
+    assert(p21.contains("LeftSemi"), "EXISTS lost its semi-join")
+    assert(p21.contains("LeftAnti"), "NOT EXISTS lost its anti-join")
+    assert(!p21.contains("BroadcastNestedLoopJoin") && !p21.contains("CartesianProduct"),
+      "q21 subquery degenerated to a nested loop")
+    assert(p21.contains("TakeOrderedAndProject"), "q21 top-100 regressed to a global sort")
+    val p22 = plan(Queries.all("q22_idle_customers")(spark, sf))
+    assert(p22.contains("LeftAnti"), "NOT EXISTS lost its anti-join")
+    assert(!p22.contains("BroadcastNestedLoopJoin") && !p22.contains("CartesianProduct"),
+      "q22 anti side degenerated to a nested loop")
+  }
+
+  test("registry-wide: every forced-broadcast hint sits on a bounded-by-construction side") {
+    // The doctrine (round 10, extended registry-wide in round 12): a
+    // broadcast() hint is legitimate ONLY when the hinted side is bounded
+    // by construction — a fixed-cardinality dim (region/nation), a
+    // driver-made relation (collected ≤k rows, literal weights), a
+    // cardinality-collapsing subtree (Aggregate/Limit), or a point lookup
+    // on a key column. An SF-scaled side under a forced hint OOMs the
+    // driver exactly at the scale this library targets (the class of bug
+    // q3_top_orders and supplier_brand_volume carried through r11).
+    // The hadith map is excluded: those engines read the fixed reference
+    // corpus and their warm plans are audited by the serve-plan tests.
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Cast, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val boundedTables = Set("region", "nation") // fixed rows at every SF
+    // CONTRACT-bounded hint sites: the operator's scaladoc bounds the
+    // hinted side, and the fixture query feeds it an SF slice only
+    // because the synthetic testdata has no separate bounded table.
+    val contractBounded = Map(
+      "contamination_pairs" -> ("bench side is fixed benchmark suites by " +
+        "contract (TextAnalysis.contaminationPairs scaladoc); the fixture " +
+        "slices documents to stand in for one"),
+      "knn_join" -> ("small-probe regime by contract — the large-probe " +
+        "scale path is the registered knn_join_bucketed"))
+    def stripCast(e: Expression): Expression = e match {
+      case Cast(c, _, _, _) => stripCast(c); case x => x
+    }
+    // a POINT lookup on a key column bounds the side to ~1 row
+    def keyEq(e: Expression): Boolean = e.exists {
+      case EqualTo(l, r) => Seq(stripCast(l), stripCast(r)).exists {
+        case a: AttributeReference => a.name.endsWith("_id") || a.name.endsWith("_key")
+        case _ => false
+      } && Seq(l, r).exists(_.foldable)
+      case _ => false
+    }
+    val offenders = Queries.base.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => contractBounded.contains(name) }
+      .flatMap { case (name, q) =>
+      val analyzed = q(spark, sf).queryExecution.analyzed
+      analyzed.collect {
+        case h: ResolvedHint if h.hints.strategy.isDefined => h.child
+      }.flatMap { sub =>
+        val fileLeaves = sub.collectLeaves().flatMap {
+          case lr: LogicalRelation => lr.relation match {
+            case fs: HadoopFsRelation => fs.location.rootPaths.map(p =>
+              p.getName.replaceAll("\\.(parquet|jsonl|json)$", ""))
+            case _ => Nil
+          }
+          case _ => Nil // local/driver-made relations are bounded
+        }
+        val bounded = fileLeaves.isEmpty ||
+          fileLeaves.forall(boundedTables.contains) ||
+          sub.exists(p => p.isInstanceOf[Aggregate] ||
+            p.isInstanceOf[GlobalLimit] || p.isInstanceOf[LocalLimit]) ||
+          sub.exists { case Filter(c, _) => keyEq(c); case _ => false }
+        if (bounded) Nil
+        else Seq(s"$name: forced broadcast over [${fileLeaves.distinct.mkString(",")}]")
+      }
+    }
+    assert(offenders.isEmpty,
+      s"forced broadcasts on unbounded sides:\n${offenders.mkString("\n")}")
   }
 
   test("capped LSH candidate plans keep the hot-bucket guard as a broadcast anti-join") {

@@ -29,7 +29,7 @@ object Bench {
 
   // Locale.ROOT: the f interpolator uses the default locale, and a
   // decimal-comma locale (de_DE, tr_TR, …) would render invalid JSON
-  private def fmt(v: Double, decimals: Int): String =
+  private[graft] def fmt(v: Double, decimals: Int): String =
     String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
 
   /** Cumulative shuffle/spill tally across all tasks — wall time on 32
@@ -38,7 +38,7 @@ object Bench {
     * (delta of this counter around each cold run). Listener events are
     * async; [[stableDelta]] polls until the counters settle, which is
     * exact enough for telemetry (queries run strictly sequentially). */
-  private final class ShuffleTally extends org.apache.spark.scheduler.SparkListener {
+  private[graft] final class ShuffleTally extends org.apache.spark.scheduler.SparkListener {
     val write = new java.util.concurrent.atomic.AtomicLong
     val read = new java.util.concurrent.atomic.AtomicLong
     val spill = new java.util.concurrent.atomic.AtomicLong
@@ -488,6 +488,12 @@ object Bench {
     val shuffleStats = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
     val tally = new ShuffleTally
     spark.sparkContext.addSparkListener(tally)
+    // telemetry quarantine after a TIMEOUT: cancelJobGroup is async and
+    // non-interruptible tasks run on, still incrementing the tally —
+    // recording the next queries' deltas would bill the zombie's bytes
+    // to them. Skip recording for the next few queries (first-success
+    // recording lets a later pass fill them in cleanly).
+    var tallyQuarantine = 0
     // per-pass sentinel: one fixed CPU-bound job timed at the start of
     // each pass; a pass whose sentinel runs > 2× the quietest pass was
     // contended, and mins achieved only in such passes are flagged noisy
@@ -631,6 +637,7 @@ object Bench {
             } catch {
               case _: java.util.concurrent.TimeoutException =>
                 spark.sparkContext.cancelJobGroup(group)
+                tallyQuarantine = 3
                 System.err.println(s"[bench] TIMEOUT $name after ${queryCapS}s")
                 Some(s"timeout after ${queryCapS}s")
               case e: Throwable =>
@@ -639,10 +646,10 @@ object Bench {
             }
           samples(name) = samples.getOrElse(name, Nil) :+
             (((System.nanoTime() - t0) / 1e9, err, pass))
-          if (err.isEmpty && !shuffleStats.contains(name)) {
+          if (err.isEmpty && !shuffleStats.contains(name) && tallyQuarantine == 0) {
             val (w1, r1, s1) = tally.settled()
             shuffleStats(name) = (w1 - preShuffle._1, r1 - preShuffle._2, s1 - preShuffle._3)
-          }
+          } else if (err.isEmpty && tallyQuarantine > 0) tallyQuarantine -= 1
           writeArtifact("\"pending\"")
         }
       }
@@ -757,6 +764,64 @@ object Bench {
         (pairs.size to 0 by -1).iterator.map(topLine)
           .find(_.length <= maxLen).getOrElse(topLine(0))
       }
+  }
+}
+
+/** Targeted skew benchmark: times the skew-SENSITIVE queries on a
+  * uniform fixture dir vs its [[SkewGen]] twin and prints one JSON line
+  * (`{"metric":"skew", "queries":{q:{"uniform":s,"skew":s,"ratio":r}}}`).
+  * The operators under test (salted join, bucketed as-of, bounded-heap
+  * top-k, per-group caps, LSH hot-bucket paths) exist FOR zipf data;
+  * this is their honest wall-clock under a hot key, next to the uniform
+  * baseline the main bench measures. Usage:
+  *   runMain graft.BenchSkew [uniformDir] [skewDir]
+  */
+object BenchSkew {
+  private val Sensitive = Seq(
+    "salted_join", "events_asof_bucketed", "topk_per_group", "source_cap",
+    "session_assign", "events_sessions", "minhash_lsh_pairs",
+    "ngram_jaccard_pairs", "near_dup_pairs", "ann_topk", "semantic_dedup",
+    "curriculum_order", "mix_temperature")
+
+  def main(args: Array[String]): Unit = {
+    val uniform = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val skew = if (args.length > 1) args(1)
+               else s"testdata-skew/${uniform.stripSuffix("/").split('/').last}"
+    val spark = SparkSession.builder().master(
+        s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(q: String, dir: String): Double = {
+      spark.catalog.clearCache()
+      val staged = graft.operators.Dedup.stagedSnapshotIds
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!staged.contains(id)) rdd.unpersist(false)
+      }
+      val t0 = System.nanoTime()
+      Queries.all(q)(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val rows = Sensitive.map { q =>
+      // one UNTIMED warm-up per dir (JIT + codegen would otherwise land
+      // entirely on whichever side runs first and write the ratio), then
+      // min-of-2 per dir, dirs INTERLEAVED so a contention burst hits
+      // both sides of the ratio rather than one
+      time(q, uniform); time(q, skew)
+      val u1 = time(q, uniform); val s1 = time(q, skew)
+      val u2 = time(q, uniform); val s2 = time(q, skew)
+      val u = math.min(u1, u2); val s = math.min(s1, s2)
+      val ratio = if (u > 0) s / u else 0.0
+      q -> s""""$q":{"uniform":${Bench.fmt(u, 2)},"skew":${Bench.fmt(s, 2)},"ratio":${Bench.fmt(ratio, 2)}}"""
+    }
+    val json = rows.map(_._2).mkString(
+      s"""{"metric":"skew","uniform_dir":"$uniform","skew_dir":"$skew","queries":{""",
+      ",", "}}")
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SKEW.json"),
+      json.getBytes("UTF-8"))
+    spark.stop()
   }
 }
 

@@ -260,6 +260,7 @@ object Oracles {
     // Spark side (Queries.Q21Sql / Q22Sql) — zero translation surface
     "q21_waiting_supplier" -> Queries.Q21Sql,
     "q22_idle_customers" -> Queries.Q22Sql,
+    "q_top_order_per_cust" -> Queries.QCorrScalarSql,
     // the streaming dedup emits exactly the distinct key set (see the
     // query's determinism note: only key columns are emitted)
     "stream_dedup_keys" ->

@@ -55,6 +55,19 @@ object Queries {
       |ORDER BY numwait DESC, s_name
       |LIMIT 100""".stripMargin
 
+  /** Correlated-scalar-subquery shape (shared verbatim with the oracle,
+    * like [[Q21Sql]]): per-customer top-price order(s) — ties both
+    * emit, identically in both engines (the equality is on the stored
+    * double, no arithmetic). Decorrelates to one aggregate + one
+    * equi-join; plan-audited against per-row re-execution shapes. */
+  val QCorrScalarSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |       CAST(round(o_totalprice * 100) AS BIGINT) AS total_c
+      |FROM orders o1
+      |WHERE o_totalprice = (SELECT max(o_totalprice) FROM orders o2
+      |                      WHERE o2.o_custkey = o1.o_custkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** TPC-H Q22-class shape (c_nationkey stands in for the phone country
     * code this schema lacks): positive-balance-above-average customers
     * with no ONGOING ('O'-status) order, rolled up per nation. (The
@@ -248,6 +261,18 @@ object Queries {
       Seq("customer", "orders")
         .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
       s.sql(Q22Sql)
+    }),
+    // correlated SCALAR subquery decorrelation (the third subquery
+    // family next to EXISTS/NOT EXISTS): each customer's single
+    // top-price order. Catalyst rewrites the per-row subquery into ONE
+    // max-aggregate + an equi-join on the correlation key — linear at
+    // any scale where a naive per-row re-execution is quadratic. The
+    // price equality compares the SAME stored double in both engines
+    // (no arithmetic), and the cents projection keeps the output on the
+    // exact grid.
+    "q_top_order_per_cust" -> ((s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(QCorrScalarSql)
     }),
     // REAL streaming execution, driver-oracled (r11 verdict #5): file
     // source over the events parquet → dropDuplicatesWithinWatermark on

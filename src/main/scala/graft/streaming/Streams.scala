@@ -67,13 +67,25 @@ object Streams {
     * input the file source consumed. At cluster scale the trigger
     * becomes a processing-time schedule and the read-back is the
     * downstream consumer. */
-  def runToParquet(df: DataFrame, scratchDir: String): DataFrame = {
+  def runToParquet(df: DataFrame, scratchDir: String,
+                   timeoutMs: Long = 600000L): DataFrame = {
     val q = df.writeStream.format("parquet")
       .option("path", s"$scratchDir/out")
       .option("checkpointLocation", s"$scratchDir/ck")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    // BOUNDED wait + explicit stop: StreamExecution runs its micro-batch
+    // jobs under its OWN job group, so a caller-side cancelJobGroup (the
+    // bench's per-query cap) can never reach them — an unbounded
+    // awaitTermination would leave a wedged stream running (and a
+    // blocked thread) for the rest of the process. On expiry the query
+    // is stopped before raising.
+    val done = q.awaitTermination(timeoutMs)
+    if (!done) {
+      q.stop()
+      throw new java.util.concurrent.TimeoutException(
+        s"streaming run exceeded ${timeoutMs}ms; query stopped")
+    }
     df.sparkSession.read.parquet(s"$scratchDir/out")
   }
 

@@ -584,6 +584,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p22.contains("LeftAnti"), "NOT EXISTS lost its anti-join")
     assert(!p22.contains("BroadcastNestedLoopJoin") && !p22.contains("CartesianProduct"),
       "q22 anti side degenerated to a nested loop")
+    // correlated scalar: ONE max-aggregate + a custkey equi-join — the
+    // decorrelated linear shape, never a per-row re-execution
+    val pc = plan(Queries.all("q_top_order_per_cust")(spark, sf))
+    assert(pc.contains("HashAggregate") || pc.contains("SortAggregate"),
+      "correlated max did not decorrelate to an aggregate")
+    assert(pc.linesIterator.exists(l => l.contains("Join") && l.contains("o_custkey")),
+      "decorrelated join lost its correlation key")
+    assert(!pc.contains("BroadcastNestedLoopJoin") && !pc.contains("CartesianProduct"),
+      "correlated scalar degenerated to a nested loop")
   }
 
   test("registry-wide: every forced-broadcast hint sits on a bounded-by-construction side") {
@@ -601,15 +610,24 @@ class PlanAuditSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.plans.logical._
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val boundedTables = Set("region", "nation") // fixed rows at every SF
-    // CONTRACT-bounded hint sites: the operator's scaladoc bounds the
+    // CONTRACT-bounded hint BUDGET: the operator's scaladoc bounds the
     // hinted side, and the fixture query feeds it an SF slice only
     // because the synthetic testdata has no separate bounded table.
-    val contractBounded = Map(
-      "contamination_pairs" -> ("bench side is fixed benchmark suites by " +
-        "contract (TextAnalysis.contaminationPairs scaladoc); the fixture " +
-        "slices documents to stand in for one"),
-      "knn_join" -> ("small-probe regime by contract — the large-probe " +
-        "scale path is the registered knn_join_bucketed"))
+    // These queries are still audited — each may carry AT MOST this many
+    // structurally-unbounded hints, so a SECOND unbounded hint added to
+    // one of them still fails.
+    val contractBudget = Map(
+      // bench side is fixed benchmark suites by contract
+      // (TextAnalysis.contaminationPairs scaladoc)
+      "contamination_pairs" -> 1,
+      // small-probe regime by contract — the large-probe scale path is
+      // the registered knn_join_bucketed
+      "knn_join" -> 1)
+    // constructors that RUN a full execution just to build their frame
+    // (a real streaming run whose returned plan is a sink read-back scan
+    // that can never carry a hint) — excluded for suite wall-time, with
+    // the same rationale as the hadith map
+    val planlessConstructors = Set("stream_dedup_keys")
     def stripCast(e: Expression): Expression = e match {
       case Cast(c, _, _, _) => stripCast(c); case x => x
     }
@@ -621,11 +639,25 @@ class PlanAuditSpec extends SparkSpec {
       } && Seq(l, r).exists(_.foldable)
       case _ => false
     }
+    // an Aggregate collapses cardinality ONLY when it is not keyed by a
+    // data-scale key: a 1-row (ungrouped) aggregate or a grouping whose
+    // keys carry no *_id/*_key column. (broadcast(fact.groupBy(key))
+    // has SF-scaled groups — exactly the driver-OOM class this audit
+    // exists to forbid.)
+    def collapsingAgg(p: LogicalPlan): Boolean = p match {
+      case a: Aggregate => a.groupingExpressions.isEmpty ||
+        !a.groupingExpressions.exists(_.exists {
+          case ar: AttributeReference =>
+            ar.name.endsWith("_id") || ar.name.endsWith("_key")
+          case _ => false
+        })
+      case _ => false
+    }
     val offenders = Queries.base.toSeq.sortBy(_._1)
-      .filterNot { case (name, _) => contractBounded.contains(name) }
+      .filterNot { case (name, _) => planlessConstructors.contains(name) }
       .flatMap { case (name, q) =>
       val analyzed = q(spark, sf).queryExecution.analyzed
-      analyzed.collect {
+      val unbounded = analyzed.collect {
         case h: ResolvedHint if h.hints.strategy.isDefined => h.child
       }.flatMap { sub =>
         val fileLeaves = sub.collectLeaves().flatMap {
@@ -638,12 +670,15 @@ class PlanAuditSpec extends SparkSpec {
         }
         val bounded = fileLeaves.isEmpty ||
           fileLeaves.forall(boundedTables.contains) ||
-          sub.exists(p => p.isInstanceOf[Aggregate] ||
-            p.isInstanceOf[GlobalLimit] || p.isInstanceOf[LocalLimit]) ||
+          sub.exists(collapsingAgg) ||
+          sub.exists(p => p.isInstanceOf[GlobalLimit] || p.isInstanceOf[LocalLimit]) ||
           sub.exists { case Filter(c, _) => keyEq(c); case _ => false }
-        if (bounded) Nil
-        else Seq(s"$name: forced broadcast over [${fileLeaves.distinct.mkString(",")}]")
+        if (bounded) Nil else Seq(fileLeaves.distinct.mkString(","))
       }
+      if (unbounded.size > contractBudget.getOrElse(name, 0))
+        Seq(s"$name: ${unbounded.size} forced broadcast(s) over " +
+          s"[${unbounded.mkString("; ")}] (budget ${contractBudget.getOrElse(name, 0)})")
+      else Nil
     }
     assert(offenders.isEmpty,
       s"forced broadcasts on unbounded sides:\n${offenders.mkString("\n")}")

@@ -406,6 +406,9 @@ object Bench {
             nBits = 4, k = k, hamming = 2)),
         ("ann_bucket_floor", (_, qv) =>
           Similarity.annTopKWith(annIdx, qv, Queries.Dim, nBits = 4, k = k)),
+        ("ann_ensemble", (d, qv) =>
+          Similarity.annTopKEnsemble(d, "vec_id", "embedding", qv,
+            Queries.Dim, nBits = 4, nTables = 3, k = k)),
         ("ivf_topk", (d, qv) =>
           Similarity.ivfTopK(d, "vec_id", "embedding", typedLit(qv),
             nCentroids = 16, nProbe = 4, k = k)))

@@ -277,6 +277,9 @@ object Oracles {
         |CAST(sum(CASE WHEN prev IS NULL OR epoch_ns(ts)-epoch_ns(prev) > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |count(*) AS n_events FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_asof_attrib" -> AsofSql,
+    // the streaming foreachBatch composition must reproduce the batch
+    // as-of EXACTLY (micro-batching-invariant per-left-row semantics)
+    "stream_asof_enrich" -> AsofSql,
     // the bucketed form is semantics-identical by contract — it must
     // reproduce the SAME oracle rows as the plain form
     "events_asof_bucketed" -> AsofSql,
@@ -762,6 +765,19 @@ object Oracles {
          |q AS (SELECT qv qq, bucket qb FROM k WHERE vec_id=0)
          |SELECT vec_id, ${cosQ("qv", "qq")} cos FROM k CROSS JOIN q
          |WHERE bucket=qb ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+    // multi-table rung: 3 independent seeded hyperplane sets, OR of
+    // single-bucket probes (the SQL mirror of the driver's per-table
+    // literal buckets)
+    "ann_ensemble" ->
+      s"""WITH $EmbQ,
+         |k AS (SELECT vec_id, qv,
+         |  ${bucketExpr("qv", Queries.Dim, 4, "b0")} k0,
+         |  ${bucketExpr("qv", Queries.Dim, 4, "b1")} k1,
+         |  ${bucketExpr("qv", Queries.Dim, 4, "b2")} k2 FROM e),
+         |q AS (SELECT qv qq, k0 q0, k1 q1, k2 q2 FROM k WHERE vec_id=0)
+         |SELECT vec_id, ${cosQ("qv", "qq")} cos FROM k CROSS JOIN q
+         |WHERE k0=q0 OR k1=q1 OR k2=q2
+         |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
     // Hamming-≤2 rung of the same ladder
     "ann_multiprobe" ->
       s"""WITH $EmbQ,

@@ -294,6 +294,37 @@ object Queries {
         .runToParquet(dd.select("user_id", "event_type"), scratch)
         .orderBy("user_id", "event_type")
     }),
+    // second genuinely-streaming row: the foreachBatch as-of composition
+    // (Streams.asofEnrich — micro-batched purchases enriched against the
+    // static view table, idempotent per-batch partitions) must reproduce
+    // the BATCH asofJoin answer exactly — same oracle as
+    // events_asof_attrib. As-of enrichment is per-LEFT-row, so the
+    // result is micro-batching-invariant by construction; enrich_batch
+    // is dropped (the only batching-dependent column).
+    "stream_asof_enrich" -> ((s, dir) => {
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft-stream-asof").toString
+      registerScratchCleanup(scratch)
+      val purchases = Tables.eventsStream(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = () => Tables(s, dir, "events")
+        .where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val q = graft.streaming.Streams.asofEnrich(purchases, views,
+        "user_id", "ts", "event_id", Seq("value"),
+        s"$scratch/out", s"$scratch/ck",
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      if (!q.awaitTermination(600000L)) {
+        q.stop()
+        throw new java.util.concurrent.TimeoutException("stream_asof_enrich wedged")
+      }
+      s.read.parquet(s"$scratch/out")
+        .select(col("event_id"), col("user_id"), col("ts").as("ts_ns"),
+          col("value"), col("asof_event_id").as("view_event_id"),
+          col("asof_ts").as("view_ts_ns"), col("asof_value").as("view_value"))
+        .orderBy("event_id")
+    }),
     "stream_windowed_counts" -> ((s, dir) => {
       // the streaming windowed rollup run on the batch frame — identical
       // declarative plan both ways (Streams.windowedCounts)
@@ -671,6 +702,15 @@ object Queries {
       val q = e.where(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
       Similarity.annTopK(e, "vec_id", "embedding",
         q.toArray, Dim, nBits = 4, k = 20)
+    }),
+    // multi-TABLE rung: 3 independent hyperplane tables, one bucket
+    // each (≈3/16 scan) — decorrelated misses vs the multi-probe's
+    // near-bucket schedule (Similarity.annTopKEnsemble scaladoc)
+    "ann_ensemble" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+      Similarity.annTopKEnsemble(e, "vec_id", "embedding",
+        q.toArray, Dim, nBits = 4, nTables = 3, k = 20)
     }),
     // wider probe rung: Hamming-≤2 neighborhood (11/16 buckets) — the
     // recall ladder's high end short of exact cosine

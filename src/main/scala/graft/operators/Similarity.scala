@@ -350,6 +350,39 @@ object Similarity {
       .map(qb ^ _)
   }
 
+  /** Multi-TABLE LSH ANN (the classic ensemble-of-hash-tables form):
+    * `nTables` INDEPENDENT hyperplane sets, the query probes its one
+    * bucket in each, candidates are the union, then exact rerank.
+    * Complements [[annTopKMultiProbe]]'s neighbor-bucket schedule: the
+    * multi-probe explores NEAR buckets of one table (cheap, correlated
+    * candidates); the ensemble draws from INDEPENDENT projections
+    * (decorrelated misses — a vector mis-hashed by one table gets
+    * nTables−1 more chances), the standard recall lever when one
+    * table's bucketing is unlucky.
+    *
+    * 100 TB shape: this inline form is ONE narrow scan evaluating
+    * nTables nBits-bit sign projections per row (scan fraction ≈
+    * nTables/2^nBits after the OR-filter); a persisted layout adds one
+    * `bucket_t` column per table (or one [[graft.GraftIndexes.writeAnn]]
+    * partition tree per table) so each probe partition-prunes instead
+    * of scanning. Seeds `b0..b(n-1)` are the same md5 family the DuckDB
+    * oracle mirrors (Oracles.bucketExpr). */
+  def annTopKEnsemble(emb: DataFrame, idCol: String, vecCol: String,
+                      q: Array[Float], dim: Int, nBits: Int, nTables: Int,
+                      k: Int): DataFrame = {
+    val qq = graft.functions.VecFns.quantizeLocal(q)
+    val base = emb.select(col(idCol).cast("long").as("vec_id"),
+      VecFns.quantize(col(vecCol)).as("qv"))
+    val hit = (0 until nTables).map { t =>
+      lshBucket(col("qv"), dim, nBits, s"b$t") ===
+        lit(queryBucket(q, dim, nBits, s"b$t"))
+    }.reduce(_ || _)
+    base.where(hit)
+      .select(col("vec_id"),
+        round(VecFns.cosineQ(col("qv"), typedLit(qq.toSeq)), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id")).limit(k)
+  }
+
   /** Multi-probe ANN over a prebuilt [[annIndex]]: candidates from the
     * query bucket AND its Hamming-≤h neighbors, then exact rerank — the
     * standard recall knob for sign-LSH (one extra probed bucket costs

@@ -215,11 +215,13 @@ object Streams {
   def asofEnrich(stream: DataFrame, right: () => DataFrame,
                  keyCol: String, tsCol: String, tieCol: String,
                  rightCols: Seq[String], outPath: String, checkpoint: String,
-                 toleranceNs: Option[Long] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
+                 toleranceNs: Option[Long] = None,
+                 trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w0 = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
+    trigger.fold(w0)(w0.trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.AsOf
           .asofJoin(batch, right(), keyCol, tsCol, tieCol, rightCols,
@@ -232,6 +234,7 @@ object Streams {
         ()
       }
       .start()
+  }
 
   /** Streaming interval attribution — [[asofEnrich]]'s range-containment
     * sibling: every micro-batch joined to a (slowly-rebuilt) interval

@@ -132,6 +132,17 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.4, f"default ANN recall below the shippable bar: $r%.3f")
   }
 
+  test("multi-table ensemble (nBits=4, 3 tables ≈ 3/16 scan) holds recall@20 >= 0.25") {
+    // independent tables decorrelate misses: measured 0.35 here vs 0.43
+    // for multi-probe h=1 at 5/16 scan — BETTER recall per scanned row
+    // (the registered ann_ensemble's parameters)
+    val r = recallAt(Seq(0L, 7L, 42L, 99L, 123L), (e, qv) =>
+      Similarity.annTopKEnsemble(e, "vec_id", "embedding", qv,
+        Queries.Dim, nBits = 4, nTables = 3, k = K + 1))
+    info(f"ensemble recall@20 = $r%.3f")
+    assert(r >= 0.25, f"ensemble recall degraded: $r%.3f")
+  }
+
   test("annTopK recall@20 vs exact cosine (nBits=3 — 1/8 of the corpus scanned)") {
     // measured ≈0.10 on these uniform vectors (single-bucket LSH pays the
     // full no-structure penalty; a banded variant recovers recall — see

@@ -35,7 +35,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("top-k queries compile to TakeOrderedAndProject, not a global sort") {
-    Seq("bm25_topk", "cosine_topk").foreach { q =>
+    Seq("bm25_topk", "cosine_topk", "ann_topk", "ann_ensemble").foreach { q =>
       val p = plan(Queries.all(q)(spark, sf))
       assert(p.contains("TakeOrderedAndProject"), s"$q lacks TakeOrdered")
     }
@@ -627,7 +627,7 @@ class PlanAuditSpec extends SparkSpec {
     // (a real streaming run whose returned plan is a sink read-back scan
     // that can never carry a hint) — excluded for suite wall-time, with
     // the same rationale as the hadith map
-    val planlessConstructors = Set("stream_dedup_keys")
+    val planlessConstructors = Set("stream_dedup_keys", "stream_asof_enrich")
     def stripCast(e: Expression): Expression = e match {
       case Cast(c, _, _, _) => stripCast(c); case x => x
     }

@@ -396,22 +396,27 @@ object Bench {
       val pre = recallBaselines(e, present, k)
       val annIdx = Similarity.annIndex(e, "vec_id", "embedding", Queries.Dim, nBits = 4)
       // mirrors the REGISTERED forms: ann_topk is the multi-probe default
-      // (r12 — the single-bucket probe is the explicit floor variant)
+      // (r12 — the single-bucket probe is the explicit floor variant).
+      // Probes ask for k+1, AnnRecallSpec's exact methodology: every
+      // form returns the query vector itself at rank 1 (cos=1) and
+      // recallFrom drops it, so a k-probe could surface at most k−1
+      // true neighbors — the artifact would sit ~1/k below the
+      // spec-pinned number for a regression that never happened.
       val forms: Seq[(String, (DataFrame, Array[Float]) => DataFrame)] = Seq(
         ("ann_topk", (_, qv) =>
           Similarity.annTopKMultiProbe(annIdx, qv, Queries.Dim,
-            nBits = 4, k = k, hamming = 1)),
+            nBits = 4, k = k + 1, hamming = 1)),
         ("ann_multiprobe", (_, qv) =>
           Similarity.annTopKMultiProbe(annIdx, qv, Queries.Dim,
-            nBits = 4, k = k, hamming = 2)),
+            nBits = 4, k = k + 1, hamming = 2)),
         ("ann_bucket_floor", (_, qv) =>
-          Similarity.annTopKWith(annIdx, qv, Queries.Dim, nBits = 4, k = k)),
+          Similarity.annTopKWith(annIdx, qv, Queries.Dim, nBits = 4, k = k + 1)),
         ("ann_ensemble", (d, qv) =>
           Similarity.annTopKEnsemble(d, "vec_id", "embedding", qv,
-            Queries.Dim, nBits = 4, nTables = 3, k = k)),
+            Queries.Dim, nBits = 4, nTables = 3, k = k + 1)),
         ("ivf_topk", (d, qv) =>
           Similarity.ivfTopK(d, "vec_id", "embedding", typedLit(qv),
-            nCentroids = 16, nProbe = 4, k = k)))
+            nCentroids = 16, nProbe = 4, k = k + 1)))
       val measured = forms.map { case (name, approx) =>
         name -> recallFrom(e, pre, approx)
       }

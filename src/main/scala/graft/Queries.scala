@@ -315,11 +315,13 @@ object Queries {
         "user_id", "ts", "event_id", Seq("value"),
         s"$scratch/out", s"$scratch/ck",
         trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
-      if (!q.awaitTermination(600000L)) {
-        q.stop()
-        throw new java.util.concurrent.TimeoutException("stream_asof_enrich wedged")
-      }
-      s.read.parquet(s"$scratch/out")
+      // expected read-back schema from a 0-row batch twin (+ the int
+      // partition column), so an empty purchase leg stays an EMPTY
+      // green frame instead of a schema-inference failure
+      val expected = AsOf.asofJoin(views().limit(0), views(),
+          "user_id", "ts", "event_id", Seq("value"))
+        .schema.add("enrich_batch", org.apache.spark.sql.types.IntegerType)
+      graft.streaming.Streams.awaitAndRead(q, s, s"$scratch/out", expected)
         .select(col("event_id"), col("user_id"), col("ts").as("ts_ns"),
           col("value"), col("asof_event_id").as("view_event_id"),
           col("asof_ts").as("view_ts_ns"), col("asof_value").as("view_value"))

@@ -74,19 +74,31 @@ object Streams {
       .option("checkpointLocation", s"$scratchDir/ck")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    // BOUNDED wait + explicit stop: StreamExecution runs its micro-batch
-    // jobs under its OWN job group, so a caller-side cancelJobGroup (the
-    // bench's per-query cap) can never reach them — an unbounded
-    // awaitTermination would leave a wedged stream running (and a
-    // blocked thread) for the rest of the process. On expiry the query
-    // is stopped before raising.
+    awaitAndRead(q, df.sparkSession, s"$scratchDir/out", df.schema, timeoutMs)
+  }
+
+  /** The bounded-wait/stop/read-back contract shared by every
+    * driver-oracled streaming run ([[runToParquet]], the
+    * [[asofEnrich]]-based registered query): StreamExecution runs its
+    * micro-batch jobs under its OWN job group, so a caller-side
+    * cancelJobGroup (the bench's per-query cap) can never reach them —
+    * an unbounded awaitTermination would leave a wedged stream running
+    * (and a blocked thread) for the rest of the process. On expiry the
+    * query is stopped before raising. The read-back carries the
+    * EXPECTED schema: a run whose input had zero matching rows writes
+    * no data files, and schema inference over an empty sink dir would
+    * turn an empty-but-correct result into a hard failure. */
+  def awaitAndRead(q: org.apache.spark.sql.streaming.StreamingQuery,
+                   spark: SparkSession, outPath: String,
+                   schema: org.apache.spark.sql.types.StructType,
+                   timeoutMs: Long = 600000L): DataFrame = {
     val done = q.awaitTermination(timeoutMs)
     if (!done) {
       q.stop()
       throw new java.util.concurrent.TimeoutException(
         s"streaming run exceeded ${timeoutMs}ms; query stopped")
     }
-    df.sparkSession.read.parquet(s"$scratchDir/out")
+    spark.read.schema(schema).parquet(outPath)
   }
 
   final case class Ev(ts: java.sql.Timestamp, user_id: Long,

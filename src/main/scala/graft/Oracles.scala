@@ -218,6 +218,12 @@ object Oracles {
       """SELECT epoch_ns(ts)//3600000000000 AS hour_bucket, event_type,
         |count(*) AS n_events
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // the streaming rollup-maintenance twin merges per-batch partials;
+    // decomposability means the oracle IS the same direct aggregate
+    "stream_hourly_merge" ->
+      """SELECT epoch_ns(ts)//3600000000000 AS hour_bucket, event_type,
+        |count(*) AS n_events
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     // FK twin: NOT EXISTS per check (null child keys orphan, matching
     // the rows an inner join would drop)
     "fk_orphans" ->

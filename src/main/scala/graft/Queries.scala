@@ -327,6 +327,26 @@ object Queries {
           col("asof_ts").as("view_ts_ns"), col("asof_value").as("view_value"))
         .orderBy("event_id")
     }),
+    // third genuinely-streaming row: incremental ROLLUP maintenance —
+    // per micro-batch hourly partials (idempotent partitions) merged by
+    // one combinable sum must equal the DIRECT aggregate over all
+    // events (count decomposability makes the result micro-batching-
+    // invariant; same oracle family as hourly_merge)
+    "stream_hourly_merge" -> ((s, dir) => {
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft-stream-rollup").toString
+      registerScratchCleanup(scratch)
+      val q = graft.streaming.Streams.rollupMaintain(
+        Tables.eventsStream(s, dir), "event_type",
+        s"$scratch/parts", s"$scratch/ck",
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      val expected = Events.hourlyGrain(Tables(s, dir, "events").limit(0), "event_type")
+        .schema.add("part_batch", org.apache.spark.sql.types.IntegerType)
+      val parts = graft.streaming.Streams
+        .awaitAndRead(q, s, s"$scratch/parts", expected)
+      Events.mergeHourly("event_type", parts.drop("part_batch"))
+        .orderBy("hour_bucket", "event_type")
+    }),
     "stream_windowed_counts" -> ((s, dir) => {
       // the streaming windowed rollup run on the batch frame — identical
       // declarative plan both ways (Streams.windowedCounts)

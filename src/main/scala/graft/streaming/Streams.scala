@@ -248,6 +248,37 @@ object Streams {
       .start()
   }
 
+  /** Streaming incremental ROLLUP maintenance — the streaming face of
+    * [[graft.operators.Events.mergeHourly]]: each micro-batch's
+    * [[graft.operators.Events.hourlyGrain]] partial lands as its own
+    * idempotent `part_batch=<id>` partition (dynamic overwrite — a
+    * replayed batch rewrites itself, the [[asofEnrich]] doctrine), and
+    * the serving read merges partials with ONE O(|buckets|) combinable
+    * sum. Counts are decomposable, so the merged result is
+    * micro-batching-INVARIANT and equals the direct aggregate over all
+    * events — which is exactly the registered oracle. At 100 TB this is
+    * the nightly-rollup path: O(|batch|) per ingest, never an
+    * O(|history|) recompute. */
+  def rollupMaintain(stream: DataFrame, seriesCol: String,
+                     outPath: String, checkpoint: String,
+                     trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w0 = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+    trigger.fold(w0)(w0.trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Events.hourlyGrain(batch, seriesCol)
+          .withColumn("part_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("part_batch")
+          .parquet(outPath)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming interval attribution — [[asofEnrich]]'s range-containment
     * sibling: every micro-batch joined to a (slowly-rebuilt) interval
     * table via [[graft.operators.AsOf.intervalJoin]] (bucketed

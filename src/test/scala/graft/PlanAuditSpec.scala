@@ -627,7 +627,8 @@ class PlanAuditSpec extends SparkSpec {
     // (a real streaming run whose returned plan is a sink read-back scan
     // that can never carry a hint) — excluded for suite wall-time, with
     // the same rationale as the hadith map
-    val planlessConstructors = Set("stream_dedup_keys", "stream_asof_enrich")
+    val planlessConstructors =
+      Set("stream_dedup_keys", "stream_asof_enrich", "stream_hourly_merge")
     def stripCast(e: Expression): Expression = e match {
       case Cast(c, _, _, _) => stripCast(c); case x => x
     }

@@ -29,6 +29,14 @@ object Oracles {
   // as-of twin: the naive per-left max formulation (rank over the range
   // join); ties mirror AsOf.asofJoin's contract (right-before-left at
   // equal ts via <=, highest event_id among equal-ts right rows)
+  // the direct hourly aggregate — shared by the batch partial-merge
+  // query AND its streaming rollup-maintenance twin (decomposability
+  // means both must equal exactly this)
+  private val HourlyDirectSql =
+    """SELECT epoch_ns(ts)//3600000000000 AS hour_bucket, event_type,
+      |count(*) AS n_events
+      |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
   private val AsofSql =
     """WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) tsn, event_type, value FROM events),
       |p AS (SELECT event_id, user_id, tsn, value FROM ev WHERE event_type='purchase'),
@@ -214,16 +222,11 @@ object Oracles {
         |count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     // merge twin: the DIRECT aggregate — partial-merge must equal it
-    "hourly_merge" ->
-      """SELECT epoch_ns(ts)//3600000000000 AS hour_bucket, event_type,
-        |count(*) AS n_events
-        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "hourly_merge" -> HourlyDirectSql,
     // the streaming rollup-maintenance twin merges per-batch partials;
-    // decomposability means the oracle IS the same direct aggregate
-    "stream_hourly_merge" ->
-      """SELECT epoch_ns(ts)//3600000000000 AS hour_bucket, event_type,
-        |count(*) AS n_events
-        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // decomposability means the oracle IS the same direct aggregate —
+    // ONE shared value, so the twins can never gate against different SQL
+    "stream_hourly_merge" -> HourlyDirectSql,
     // FK twin: NOT EXISTS per check (null child keys orphan, matching
     // the rows an inner join would drop)
     "fk_orphans" ->

@@ -224,29 +224,44 @@ object Streams {
     * `enrich_batch=<id>` partition per micro-batch written with dynamic
     * partition overwrite, so a batch replayed after a crash REWRITES
     * its own partition instead of appending duplicates. */
-  def asofEnrich(stream: DataFrame, right: () => DataFrame,
-                 keyCol: String, tsCol: String, tieCol: String,
-                 rightCols: Seq[String], outPath: String, checkpoint: String,
-                 toleranceNs: Option[Long] = None,
-                 trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+  /** The ONE implementation of the replay-idempotent per-batch sink
+    * every foreachBatch surface shares ([[asofEnrich]],
+    * [[intervalEnrich]], [[rollupMaintain]]): the transformed batch
+    * lands as its own `partCol=<batchId>` partition under dynamic
+    * partition overwrite, so a batch replayed after a crash REWRITES
+    * its own partition instead of appending duplicates. The
+    * idempotency-critical write options live here and nowhere else. */
+  private def partitionedBatchSink(stream: DataFrame,
+      transform: (DataFrame, Long) => DataFrame, partCol: String,
+      outPath: String, checkpoint: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger])
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val w0 = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
     trigger.fold(w0)(w0.trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.AsOf
-          .asofJoin(batch, right(), keyCol, tsCol, tieCol, rightCols,
-            toleranceNs)
-          .withColumn("enrich_batch", lit(batchId))
+        transform(batch, batchId)
+          .withColumn(partCol, lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("enrich_batch")
+          .partitionBy(partCol)
           .parquet(outPath)
         ()
       }
       .start()
   }
+
+  def asofEnrich(stream: DataFrame, right: () => DataFrame,
+                 keyCol: String, tsCol: String, tieCol: String,
+                 rightCols: Seq[String], outPath: String, checkpoint: String,
+                 toleranceNs: Option[Long] = None,
+                 trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    partitionedBatchSink(stream, (batch, _) =>
+        graft.operators.AsOf.asofJoin(batch, right(), keyCol, tsCol, tieCol,
+          rightCols, toleranceNs),
+      "enrich_batch", outPath, checkpoint, trigger)
 
   /** Streaming incremental ROLLUP maintenance — the streaming face of
     * [[graft.operators.Events.mergeHourly]]: each micro-batch's
@@ -262,22 +277,10 @@ object Streams {
   def rollupMaintain(stream: DataFrame, seriesCol: String,
                      outPath: String, checkpoint: String,
                      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val w0 = stream.writeStream
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append")
-    trigger.fold(w0)(w0.trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Events.hourlyGrain(batch, seriesCol)
-          .withColumn("part_batch", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("part_batch")
-          .parquet(outPath)
-        ()
-      }
-      .start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    partitionedBatchSink(stream, (batch, _) =>
+        graft.operators.Events.hourlyGrain(batch, seriesCol),
+      "part_batch", outPath, checkpoint, trigger)
 
   /** Streaming interval attribution — [[asofEnrich]]'s range-containment
     * sibling: every micro-batch joined to a (slowly-rebuilt) interval
@@ -293,21 +296,10 @@ object Streams {
                      bucketWidth: Long, ivCols: Seq[String],
                      outPath: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.AsOf
-          .intervalJoin(batch, intervals(), tsCol, startCol, endCol,
-            bucketWidth, ivCols)
-          .withColumn("enrich_batch", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("enrich_batch")
-          .parquet(outPath)
-        ()
-      }
-      .start()
+    partitionedBatchSink(stream, (batch, _) =>
+        graft.operators.AsOf.intervalJoin(batch, intervals(), tsCol,
+          startCol, endCol, bucketWidth, ivCols),
+      "enrich_batch", outPath, checkpoint, None)
 
   /** Continuous index maintenance: each micro-batch is checksum-gated
     * through the SAME anti-join upsert as the batch path (P4/J6) — the

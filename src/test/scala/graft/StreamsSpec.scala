@@ -177,6 +177,36 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rollup maintenance: multi-batch partials merge to the direct aggregate, one partition per batch") {
+    // the oracle gate runs ONE micro-batch (single fixture file), which
+    // cannot distinguish dynamic partition overwrite from a
+    // wipe-everything overwrite — this pins the MULTI-batch contract:
+    // two batches → two part_batch partitions, merged == direct
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-rollup-stream").toString
+    val mem = MemoryStream[(Long, Long, String)]
+    val stream = mem.toDF().toDF("event_id", "ts", "event_type")
+    val q = Streams.rollupMaintain(stream, "event_type",
+      s"$dir/parts", s"$dir/ckpt")
+    try {
+      val h = 3600000000000L // 1 hour in ns
+      mem.addData((1L, 0L, "view"), (2L, h / 2, "view"), (3L, h, "click"))
+      q.processAllAvailable()
+      mem.addData((4L, h / 4, "view"), (5L, h + 1, "click"), (6L, 2 * h, "view"))
+      q.processAllAvailable()
+      val parts = spark.read.parquet(s"$dir/parts")
+      assert(parts.select("part_batch").distinct().count() === 2L,
+        "one partition per micro-batch (dynamic overwrite, not wipe-all)")
+      val merged = graft.operators.Events
+        .mergeHourly("event_type", parts.drop("part_batch"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(merged === Map(
+        (0L, "view") -> 3L, (1L, "click") -> 2L, (2L, "view") -> 1L),
+        "merged partials equal the direct aggregate over all events")
+    } finally q.stop()
+  }
+
   test("streaming interval enrichment attributes events to windows per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1195,6 +1195,24 @@ object Oracles {
          |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
          |    ORDER BY ${h60("doc_id::VARCHAR")}, doc_id) rk FROM documents)
          |WHERE rk <= 20 ORDER BY doc_id""".stripMargin,
+    // negative-sampling twin: the identical seeded md5 ring — bucket
+    // assignment, k probe buckets per anchor, per-(anchor, probe)
+    // md5-min candidate (cand tie-break)
+    "negative_pairs" -> {
+      val s = Queries.NegSeed; val nb = Queries.NegBuckets
+      s"""WITH b AS (SELECT doc_id cand,
+         |    ${h60(s"'$s:b:'||doc_id::VARCHAR")} % $nb bkt FROM documents),
+         |p AS (SELECT d.doc_id anchor, j,
+         |    ${h60(s"'$s:p:'||d.doc_id::VARCHAR||':'||j::VARCHAR")} % $nb pbkt
+         |  FROM documents d, (SELECT unnest(range(${Queries.NegK})) j)),
+         |c AS (SELECT anchor, j, cand,
+         |    ${h60(s"'$s:r:'||anchor::VARCHAR||':'||cand::VARCHAR")} hr
+         |  FROM p JOIN b ON pbkt = bkt WHERE cand <> anchor),
+         |r AS (SELECT anchor, j, cand, row_number() OVER (
+         |    PARTITION BY anchor, j ORDER BY hr, cand) rn FROM c)
+         |SELECT anchor, CAST(j AS INT) j, cand AS negative FROM r
+         |WHERE rn = 1 ORDER BY anchor, j""".stripMargin
+    },
     // temperature twin: identical IEEE sequence — sqrt (correctly
     // rounded), one division, one multiply by the exact power 2^60,
     // floor → the same threshold longs as Sampling.sqrtTemperatureSample

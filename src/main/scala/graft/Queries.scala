@@ -112,6 +112,12 @@ object Queries {
     * oracle's VALUES list via [[Oracles]] reading this map) */
   val MixWeights: Map[String, Int] = Map("src0" -> 3, "src1" -> 2, "src2" -> 1, "src3" -> 1)
 
+  /** negative_pairs parameters (the oracle interpolates these, so both
+    * engines always sample the same ring) */
+  val NegK = 3
+  val NegBuckets = 16
+  val NegSeed = "neg12"
+
   /** Synthetic-PII enrichment for the pii_* queries: the fixture corpus
     * has no PII, so each doc gets one email / IPv4 / SSN / phone derived
     * from its doc_id. The oracle SQL concatenates the identical string
@@ -914,6 +920,13 @@ object Queries {
     "stratified_sample" -> ((s, dir) =>
       Sampling.stratifiedSample(docs(s, dir), "doc_id", "lang", 20)
         .select("doc_id", "lang").orderBy("doc_id")),
+    // contrastive negative mining on the hash ring: k seeded bucket
+    // probes per anchor, per-anchor md5-min candidate in each — a
+    // bucket equi-join, never anchors×corpus (negativePairs scaladoc)
+    "negative_pairs" -> ((s, dir) =>
+      Sampling.negativePairs(docs(s, dir), "doc_id",
+          k = NegK, nBuckets = NegBuckets, seed = NegSeed)
+        .orderBy("anchor", "j")),
     // curriculum export layout: quality deciles (integer bucket grid)
     // with a seeded-md5 shuffle inside each stratum
     "curriculum_order" -> ((s, dir) => {

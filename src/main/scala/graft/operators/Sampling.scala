@@ -219,4 +219,45 @@ object Sampling {
       .withColumn("keep_rate", round(col("__gst_rate"), 6))
       .select((docs.columns.map(col) :+ col("keep_rate")).toIndexedSeq: _*)
   }
+
+  /** Deterministic contrastive NEGATIVE sampling via a hash ring:
+    * every doc gets a seeded bucket; each anchor probes `k` seeded
+    * buckets and takes the per-anchor md5-min candidate (≠ itself) from
+    * each — k pseudo-random negatives per anchor, reproducible on any
+    * engine (pure md5-grid, no RNG state). The pair-mining step a
+    * contrastive/embedding training recipe needs at corpus scale.
+    *
+    * Shape — the whole point vs the naive draw: "k random non-self
+    * docs per anchor" as a sampled cross join is anchors×corpus; here
+    * candidates meet in a BUCKET equi-join (|anchors|·k·(corpus/
+    * nBuckets) joined rows) and the per-(anchor, probe) min is one
+    * window over those — pick nBuckets ∝ corpus/targetBucketSize and
+    * the cost is linear with a bounded constant. Caveats, by
+    * construction: an empty probed bucket yields no row for that
+    * (anchor, j), and two probes of one anchor can land in the same
+    * bucket and repeat a negative — callers needing exactly-k distinct
+    * draw with a larger k and dedupe. Negatives are uniform over the
+    * ring, NOT hardness-mined; compose with
+    * [[graft.operators.Similarity.knnJoinBucketed]] minus
+    * near-duplicates for hard negatives. */
+  def negativePairs(docs: DataFrame, idCol: String, k: Int, nBuckets: Int,
+                    seed: String): DataFrame = {
+    require(k > 0 && nBuckets > 0, "k and nBuckets must be positive")
+    val id = col(idCol).cast("long")
+    val b = docs.select(id.as("cand"),
+      (hashKey(concat(lit(s"$seed:b:"), id.cast("string"))) % nBuckets).as("bkt"))
+    val p = docs.select(id.as("anchor"))
+      .withColumn("j", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("pbkt", hashKey(concat(lit(s"$seed:p:"),
+        col("anchor").cast("string"), lit(":"), col("j").cast("string"))) % nBuckets)
+    val c = p.join(b, col("pbkt") === col("bkt"))
+      .where(col("cand") =!= col("anchor"))
+      .withColumn("hr", hashKey(concat(lit(s"$seed:r:"),
+        col("anchor").cast("string"), lit(":"), col("cand").cast("string"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("anchor", "j").orderBy(col("hr"), col("cand"))
+    c.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("anchor"), col("j").cast("int").as("j"),
+        col("cand").as("negative"))
+  }
 }

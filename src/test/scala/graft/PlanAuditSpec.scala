@@ -124,6 +124,14 @@ class PlanAuditSpec extends SparkSpec {
         val p = plan(Queries.all(q)(spark, sf))
         assert(!p.contains("SinglePartition"), s"$q window collapsed to one partition")
       }
+    // negative sampling: candidates meet in a bucket EQUI-join (never
+    // anchors×corpus) and the per-probe min window stays (anchor, j)-keyed
+    val pn = plan(Queries.all("negative_pairs")(spark, sf))
+    assert(!pn.contains("CartesianProduct") && !pn.contains("BroadcastNestedLoopJoin"),
+      "negative sampling degenerated to a cross join")
+    assert(!pn.contains("SinglePartition"), "negative window collapsed to one partition")
+    assert(pn.linesIterator.filter(_.contains("Window")).forall(_.contains("anchor")),
+      "negative min-window lost its anchor key")
     // percentile_global's final agg over <=|ps| hit rows is a legitimate
     // SinglePartition exchange; the data-scale WINDOW must stay keyed by
     // _pid (the two-pass prefix-count contract)

@@ -136,6 +136,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(again === expected)
   }
 
+  test("negativePairs: deterministic, self-free, ≤k per anchor, partitioning-invariant") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    val d = spark.range(0L, 60L).selectExpr("id as doc_id", "concat('t', id) as text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.negativePairs(df, "doc_id", k = 3, nBuckets = 8, seed = "t")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val a = run(d)
+    assert(a === run(d), "two runs differ — RNG leaked into the ring")
+    assert(a === run(d.repartition(7)), "result depends on physical partitioning")
+    assert(a.forall { case (anchor, _, neg) => anchor != neg }, "self negative")
+    val perAnchor = a.groupBy(_._1).view.mapValues(_.size)
+    assert(perAnchor.values.forall(_ <= 3), "more than k probes emitted")
+    // with 60 docs over 8 buckets no probed bucket is empty-or-self-only
+    assert(perAnchor.size === 60 && perAnchor.values.forall(_ === 3),
+      "dense ring should yield exactly k rows per anchor")
+    // probes draw from DIFFERENT buckets most of the time: the negatives
+    // are not one global constant (ring collapse would break training)
+    assert(a.map(_._3).size > 8, "negatives collapsed to a tiny set")
+  }
+
   test("PII: redaction order (SSN before phone), counts don't cross-match") {
     import spark.implicits._
     val d = Seq(

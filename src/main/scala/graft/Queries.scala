@@ -113,7 +113,11 @@ object Queries {
   val MixWeights: Map[String, Int] = Map("src0" -> 3, "src1" -> 2, "src2" -> 1, "src3" -> 1)
 
   /** negative_pairs parameters (the oracle interpolates these, so both
-    * engines always sample the same ring) */
+    * engines always sample the same ring). NegBuckets=16 is
+    * FIXTURE-scale: the operator's linearity contract requires
+    * nBuckets ∝ corpus/targetBucketSize (negativePairs scaladoc) — a
+    * production pipeline derives it from the corpus count, it is a
+    * constant here only because the oracle must interpolate a literal. */
   val NegK = 3
   val NegBuckets = 16
   val NegSeed = "neg12"

@@ -243,10 +243,13 @@ object Sampling {
   def negativePairs(docs: DataFrame, idCol: String, k: Int, nBuckets: Int,
                     seed: String): DataFrame = {
     require(k > 0 && nBuckets > 0, "k and nBuckets must be positive")
-    val id = col(idCol).cast("long")
-    val b = docs.select(id.as("cand"),
-      (hashKey(concat(lit(s"$seed:b:"), id.cast("string"))) % nBuckets).as("bkt"))
-    val p = docs.select(id.as("anchor"))
+    // ids hash THROUGH their string form (any id type works — a long
+    // cast would null out string ids and silently return zero pairs,
+    // the sibling operators' any-type contract); null ids never
+    // equi-join, so they yield no pairs on either side, like left_anti
+    val b = docs.select(col(idCol).as("cand"),
+      (hashKey(concat(lit(s"$seed:b:"), col(idCol).cast("string"))) % nBuckets).as("bkt"))
+    val p = docs.select(col(idCol).as("anchor"))
       .withColumn("j", explode(sequence(lit(0), lit(k - 1))))
       .withColumn("pbkt", hashKey(concat(lit(s"$seed:p:"),
         col("anchor").cast("string"), lit(":"), col("j").cast("string"))) % nBuckets)

@@ -130,6 +130,9 @@ class PlanAuditSpec extends SparkSpec {
     assert(!pn.contains("CartesianProduct") && !pn.contains("BroadcastNestedLoopJoin"),
       "negative sampling degenerated to a cross join")
     assert(!pn.contains("SinglePartition"), "negative window collapsed to one partition")
+    // non-vacuity first (the vacuous-assert class): a plan with NO
+    // window at all must fail, not slip past the forall
+    assert(pn.contains("Window"), "negative sampling lost its min-window entirely")
     assert(pn.linesIterator.filter(_.contains("Window")).forall(_.contains("anchor")),
       "negative min-window lost its anchor key")
     // percentile_global's final agg over <=|ps| hit rows is a legitimate

@@ -113,13 +113,17 @@ object Queries {
   val MixWeights: Map[String, Int] = Map("src0" -> 3, "src1" -> 2, "src2" -> 1, "src3" -> 1)
 
   /** negative_pairs parameters (the oracle interpolates these, so both
-    * engines always sample the same ring). NegBuckets=16 is
-    * FIXTURE-scale: the operator's linearity contract requires
-    * nBuckets ∝ corpus/targetBucketSize (negativePairs scaladoc) — a
-    * production pipeline derives it from the corpus count, it is a
-    * constant here only because the oracle must interpolate a literal. */
+    * engines always sample the same ring). NegBuckets is FIXTURE-scale:
+    * the operator's linearity contract requires nBuckets ∝
+    * corpus/targetBucketSize (negativePairs scaladoc) — a production
+    * pipeline derives it from the corpus count; it is a constant here
+    * only because the oracle must interpolate a literal. 64 keeps the
+    * sf0.1 bucket at ~78 docs (16 made negative_pairs the slowest row
+    * in the suite at 10.4 s — the scale warning demonstrating itself);
+    * at sf0.001 (50 docs) most probe buckets are empty, which is the
+    * documented sparse-ring behavior and stays oracle-symmetric. */
   val NegK = 3
-  val NegBuckets = 16
+  val NegBuckets = 64
   val NegSeed = "neg12"
 
   /** Synthetic-PII enrichment for the pii_* queries: the fixture corpus

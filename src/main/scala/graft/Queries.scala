@@ -77,10 +77,18 @@ object Queries {
     * comparison rides the integer-cents grid with NO division —
     * `cents·n > sum_cents` is exact in both engines regardless of
     * summation order (a double avg could flip a boundary customer per
-    * engine). NOT EXISTS → one LeftAnti equi-join on the customer key. */
+    * engine). NOT EXISTS → one LeftAnti equi-join on the customer key.
+    * The OUTER sum is re-cast to BIGINT: DuckDB widens sum(BIGINT) to
+    * HUGEINT, which pandas-style readers render as float64 ("2378545.0")
+    * while Spark's BIGINT renders "2378545" — identical values, divergent
+    * serialization, hash mismatch (the r12 red cell). The cast is a
+    * Spark-side no-op, so the shared-verbatim discipline survives; the
+    * doctrine is "no final output column may carry an engine-divergent
+    * type widening" (see SURVEY §7 oracle-determinism rules). */
   val Q22Sql: String =
     """SELECT c_nationkey, count(*) AS numcust,
-      |       sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS totacctbal_c
+      |       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |         AS totacctbal_c
       |FROM customer
       |WHERE CAST(round(c_acctbal * 100) AS BIGINT) *
       |      (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
@@ -329,12 +337,13 @@ object Queries {
         "user_id", "ts", "event_id", Seq("value"),
         s"$scratch/out", s"$scratch/ck",
         trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
-      // expected read-back schema from a 0-row batch twin (+ the int
-      // partition column), so an empty purchase leg stays an EMPTY
-      // green frame instead of a schema-inference failure
+      // expected read-back schema from a 0-row batch twin (+ the
+      // partition column — LongType: partitionedBatchSink stamps it
+      // from foreachBatch's Long batchId), so an empty purchase leg
+      // stays an EMPTY green frame instead of a schema-inference failure
       val expected = AsOf.asofJoin(views().limit(0), views(),
           "user_id", "ts", "event_id", Seq("value"))
-        .schema.add("enrich_batch", org.apache.spark.sql.types.IntegerType)
+        .schema.add("enrich_batch", org.apache.spark.sql.types.LongType)
       graft.streaming.Streams.awaitAndRead(q, s, s"$scratch/out", expected)
         .select(col("event_id"), col("user_id"), col("ts").as("ts_ns"),
           col("value"), col("asof_event_id").as("view_event_id"),
@@ -355,7 +364,7 @@ object Queries {
         s"$scratch/parts", s"$scratch/ck",
         trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       val expected = Events.hourlyGrain(Tables(s, dir, "events").limit(0), "event_type")
-        .schema.add("part_batch", org.apache.spark.sql.types.IntegerType)
+        .schema.add("part_batch", org.apache.spark.sql.types.LongType)
       val parts = graft.streaming.Streams
         .awaitAndRead(q, s, s"$scratch/parts", expected)
       Events.mergeHourly("event_type", parts.drop("part_batch"))

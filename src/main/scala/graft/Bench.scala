@@ -120,6 +120,11 @@ object Bench {
       val annIdx = graft.operators.Similarity
         .annIndex(embT, "vec_id", "embedding", Queries.Dim, nBits = 4).cache()
       annIdx.count()
+      // trained-IVF index (the r13 registered default's prepared form)
+      val (ivfAsg0, ivfCents) = graft.operators.Similarity
+        .ivfIndexGrid(embT, "vec_id", "embedding", nCentroids = 16, lloydIters = 1)
+      val ivfAsg = ivfAsg0.cache()
+      ivfAsg.count()
       val ev = embT.where(col("vec_id") === 0)
         .head().getSeq[Float](1).toArray
       // indexes are built — now the per-QUERY tune (AQE off: stage
@@ -173,10 +178,11 @@ object Bench {
           () => df.collect(): Unit
         },
         "ann_topk_warm" -> {
-          // the REGISTERED default form (multi-probe, hamming=1) — the
-          // warm row must measure the query users actually run
-          val df = graft.operators.Similarity.annTopKMultiProbe(annIdx, ev,
-            Queries.Dim, nBits = 4, k = 20, hamming = 1)
+          // the REGISTERED default form (grid-trained IVF 16/5) probed
+          // against its prepared index — the warm row must measure the
+          // query users actually run
+          val df = graft.operators.Similarity.ivfProbeGrid(ivfAsg, ivfCents,
+            ev, nProbe = 5, k = 20)
           () => df.collect(): Unit
         })
 
@@ -395,15 +401,23 @@ object Bench {
         .collect().map(_.getLong(0)).toSeq.sorted
       val pre = recallBaselines(e, present, k)
       val annIdx = Similarity.annIndex(e, "vec_id", "embedding", Queries.Dim, nBits = 4)
-      // mirrors the REGISTERED forms: ann_topk is the multi-probe default
-      // (r12 — the single-bucket probe is the explicit floor variant).
-      // Probes ask for k+1, AnnRecallSpec's exact methodology: every
-      // form returns the query vector itself at rank 1 (cos=1) and
-      // recallFrom drops it, so a k-probe could surface at most k−1
-      // true neighbors — the artifact would sit ~1/k below the
-      // spec-pinned number for a regression that never happened.
+      // trained-IVF index hoisted like annIdx (trains once, probes per
+      // query — the registered default's own serving shape)
+      val (ivfAsg, ivfCents) = Similarity.ivfIndexGrid(e, "vec_id", "embedding",
+        nCentroids = 16, lloydIters = 1)
+      // mirrors the REGISTERED forms: ann_topk is the grid-trained IVF
+      // default (r13 — the single-bucket probe is the explicit floor
+      // variant; the r12 multi-probe h=1 default stays measured as
+      // ann_multiprobe_h1). Probes ask for k+1, AnnRecallSpec's exact
+      // methodology: every form returns the query vector itself at
+      // rank 1 (cos=1) and recallFrom drops it, so a k-probe could
+      // surface at most k−1 true neighbors — the artifact would sit
+      // ~1/k below the spec-pinned number for a regression that never
+      // happened.
       val forms: Seq[(String, (DataFrame, Array[Float]) => DataFrame)] = Seq(
         ("ann_topk", (_, qv) =>
+          Similarity.ivfProbeGrid(ivfAsg, ivfCents, qv, nProbe = 5, k = k + 1)),
+        ("ann_multiprobe_h1", (_, qv) =>
           Similarity.annTopKMultiProbe(annIdx, qv, Queries.Dim,
             nBits = 4, k = k + 1, hamming = 1)),
         ("ann_multiprobe", (_, qv) =>

@@ -757,15 +757,40 @@ object Oracles {
          |v AS (SELECT a, b, ${cosQ("x.qv", "y.qv")} cos FROM cand
          |      JOIN k x ON x.id=a JOIN k y ON y.id=b)
          |SELECT a, b, cos FROM v WHERE cos>=0.3 ORDER BY a, b""".stripMargin,
-    // default ANN = multi-probe: the probe set is every bucket within
-    // Hamming distance 1 of the query's (bit_count over xor — the SQL
-    // mirror of the driver-enumerated isin list)
+    // default ANN (r13) = integer-grid Lloyd-trained IVF: seed centroids
+    // are the 16 lowest-id vectors; ONE refinement step replaces each
+    // centroid coordinate with the TRUNCATED integer mean of its
+    // members (HUGEINT sum `//` count — DuckDB truncates toward zero,
+    // exactly Scala's Long division; exact integer arithmetic, so the
+    // refined assignment and probe ranking replay Spark bit-for-bit);
+    // empty clusters keep their seed. Probe the 5 nearest refined
+    // lists, exact rerank.
     "ann_topk" ->
       s"""WITH $EmbQ,
-         |k AS (SELECT vec_id, qv, ${bucketExpr("qv", Queries.Dim, 4, "")} bucket FROM e),
-         |q AS (SELECT qv qq, bucket qb FROM k WHERE vec_id=0)
-         |SELECT vec_id, ${cosQ("qv", "qq")} cos FROM k CROSS JOIN q
-         |WHERE bit_count(xor(bucket, qb)) <= 1
+         |c0 AS (SELECT row_number() OVER (ORDER BY vec_id)-1 i, qv cqv
+         |       FROM (SELECT vec_id, qv FROM e ORDER BY vec_id LIMIT 16)),
+         |a0 AS (SELECT vec_id, qv, i centroid FROM (
+         |  SELECT e.vec_id, e.qv, c0.i,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.qv, c0.cqv) DESC, c0.i) rn
+         |  FROM e CROSS JOIN c0) WHERE rn=1),
+         |cells AS (SELECT centroid i, p, sum(CAST(qv[p+1] AS BIGINT)) s, count(*) n
+         |  FROM a0 CROSS JOIN (SELECT unnest(range(0, ${Queries.Dim})) p)
+         |  GROUP BY 1, 2),
+         |c1 AS (SELECT i, list(CAST(s // n AS DOUBLE) ORDER BY p) cqv
+         |       FROM cells GROUP BY i),
+         |cf AS (SELECT c0.i, coalesce(c1.cqv, c0.cqv) cqv
+         |       FROM c0 LEFT JOIN c1 USING(i)),
+         |a1 AS (SELECT vec_id, qv, i centroid FROM (
+         |  SELECT e.vec_id, e.qv, cf.i,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.qv, cf.cqv) DESC, cf.i) rn
+         |  FROM e CROSS JOIN cf) WHERE rn=1),
+         |q AS (SELECT qv qq FROM e WHERE vec_id=0),
+         |probe AS (SELECT cf.i FROM cf CROSS JOIN q
+         |          ORDER BY list_dot_product(qq, cf.cqv) DESC, cf.i LIMIT 5)
+         |SELECT vec_id, ${cosQ("qv", "qq")} cos FROM a1 CROSS JOIN q
+         |WHERE centroid IN (SELECT i FROM probe)
          |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
     // single-bucket scan-fraction floor twin
     "ann_bucket_floor" ->

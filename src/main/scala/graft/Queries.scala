@@ -727,17 +727,20 @@ object Queries {
     "near_dup_pairs" -> ((s, dir) =>
       Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding", 0.3, Dim,
         nBits = 8, nBands = 2).orderBy("a", "b")),
-    // DEFAULT ANN form (r12): multi-probe LSH — query bucket + Hamming-1
-    // neighbors, exact rerank. Recall@20 ≈ 0.43 on the worst-case
-    // uniform fixture (AnnRecallSpec pins ≥0.4); the single-bucket probe
-    // below is the explicit scan-fraction-floor variant, not the default
-    // anyone should ship.
+    // DEFAULT ANN form (r13): integer-grid Lloyd-trained IVF — 16
+    // centroids refined one step on the truncated-integer-mean grid
+    // (oracle replays the training bit-for-bit), probe the 5 nearest
+    // lists (5/16 ≈ 31% nominal scan), exact rerank. Recall@20 ≈ 0.72
+    // on the worst-case uniform fixture (AnnRecallSpec pins ≥0.6 at
+    // these registered parameters) vs 0.43 for the r12 multiprobe
+    // default at the same nominal scan; the h=1 multiprobe stays
+    // measured in the bench recall ladder, and the single-bucket probe
+    // below remains the explicit scan-fraction-floor variant.
     "ann_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.where(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
-      Similarity.annTopKMultiProbe(
-        Similarity.annIndex(e, "vec_id", "embedding", Dim, nBits = 4),
-        q.toArray, Dim, nBits = 4, k = 20, hamming = 1)
+      Similarity.ivfTopKTrainedGrid(e, "vec_id", "embedding", typedLit(q.toArray),
+        nCentroids = 16, nProbe = 5, k = 20, lloydIters = 1)
     }),
     // scan-fraction FLOOR variant: one bucket = 1/16 of the corpus
     // scanned; recall ≈ 0.04 on uniform vectors — registered to keep the

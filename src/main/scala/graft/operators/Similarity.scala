@@ -166,6 +166,64 @@ object Similarity {
       ivfTopKWith(q, lloydCentroids(q, nCentroids, lloydIters), queryVec, nProbe, k))
   }
 
+  /** Integer-GRID trained IVF — the shippable default ANN rung (r13):
+    * [[ivfTopKTrained]]'s recall at [[ivfTopK]]'s oracle-reproducibility.
+    * The Lloyd refinement keeps every centroid coordinate ON the
+    * quantized integer grid by taking the TRUNCATED integer mean
+    * `sum / n` (Scala `Long` division; DuckDB `//` — identical
+    * truncate-toward-zero semantics, probed before shipping), so all
+    * downstream dot products stay exact integer arithmetic in doubles
+    * (order-independent below 2^53) and the whole trained assignment +
+    * probe replays bit-for-bit in the DuckDB oracle — which a
+    * double-mean centroid cannot (its dot sums become rounding-order-
+    * dependent). Truncation costs <1 part in ~1e7 per coordinate:
+    * unmeasurable against recall.
+    *
+    * Scale shape (100 TB): identical to [[ivfTopK]] — one narrow
+    * assignment scan against K broadcast centroid literals per Lloyd
+    * iteration (the per-iteration `K·dim` cell collect is planning
+    * data, not row data), then each query reads ~nProbe/K of the
+    * corpus (registered default: 4/16 = 25% scan fraction at
+    * recall@20 ≈ 0.7 on the worst-case uniform fixture — measured per
+    * round in the bench recall section, floor pinned in
+    * AnnRecallSpec). */
+  def ivfTopKTrainedGrid(emb: DataFrame, idCol: String, vecCol: String, queryVec: Column,
+                         nCentroids: Int, nProbe: Int, k: Int,
+                         lloydIters: Int = 1,
+                         materialize: Boolean = true): DataFrame = {
+    val q = Dedup.maybeCache(quantized(emb, idCol, vecCol), materialize)
+    Dedup.scoped(materialize, q)(
+      ivfTopKWith(q, lloydCentroidsGrid(q, nCentroids, lloydIters), queryVec, nProbe, k))
+  }
+
+  /** `iters` integer-grid Lloyd steps from the deterministic seeds:
+    * assign → per-cluster per-dim TRUNCATED integer mean (`sum / n` on
+    * `Long`s — exact, order-independent, and equal to DuckDB's `//`)
+    * → repeat. Empty clusters keep their previous centroid. The
+    * refined centroids remain integer-valued doubles, so
+    * [[bestCentroid]]'s dots stay exact — see [[ivfTopKTrainedGrid]]. */
+  def lloydCentroidsGrid(q: DataFrame, nCentroids: Int, iters: Int = 1): Array[Array[Double]] = {
+    var cents = seedCentroids(q, nCentroids)
+    for (_ <- 0 until iters) {
+      val assigned = q.withColumn("centroid", bestCentroid(col("qv"), cents))
+      val cells = assigned
+        .select(col("centroid"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy("centroid", "pos")
+        .agg(sum(col("v").cast("long")).as("s"), count("*").as("n"))
+        .collect() // K·dim cells — driver-side planning data, tiny
+      val byC = cells.groupBy(_.getInt(0))
+      cents = cents.indices.map { i =>
+        byC.get(i) match {
+          case Some(rows) =>
+            rows.sortBy(_.getInt(1))
+              .map(r => (r.getLong(2) / r.getLong(3)).toDouble).toArray
+          case None => cents(i)
+        }
+      }.toArray
+    }
+    cents
+  }
+
   private def quantized(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol).cast("long").as("vec_id"), VecFns.quantize(col(vecCol)).as("qv"))
 
@@ -207,23 +265,55 @@ object Similarity {
     cents
   }
 
+  private def dotLocal(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < math.min(a.length, b.length)) { s += a(i) * b(i); i += 1 }; s
+  }
+
   private def ivfTopKWith(q: DataFrame, cents: Array[Array[Double]],
                           queryVec: Column, nProbe: Int, k: Int): DataFrame = {
     val assigned = q.withColumn("centroid", bestCentroid(col("qv"), cents))
     val qvec = VecFns.quantize(queryVec)
     // centroid ranking for the query happens on the driver (K tiny)
     val qRow = q.sparkSession.range(1).select(qvec.as("qv")).head().getSeq[Double](0).toArray
-    def dotLocal(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < math.min(a.length, b.length)) { s += a(i) * b(i); i += 1 }; s
-    }
+    ivfProbe(assigned, cents, qRow, nProbe, k)
+  }
+
+  /** Query-independent trained-IVF index — the IVF face of [[annIndex]]:
+    * (vec_id, qv, centroid) rows plus the trained centroids (planning
+    * data, K·dim doubles). Build ONCE per corpus version; a serving
+    * session caches the assignment (or persists it partitioned by
+    * `centroid`, making every probe partition pruning) and answers each
+    * query with [[ivfProbeGrid]]'s nProbe-list scan + exact rerank. The
+    * caller owns caching `emb` if `lloydIters` > 1 (each iteration
+    * re-scans it once). */
+  def ivfIndexGrid(emb: DataFrame, idCol: String, vecCol: String,
+                   nCentroids: Int, lloydIters: Int = 1)
+      : (DataFrame, Array[Array[Double]]) = {
+    val q = quantized(emb, idCol, vecCol)
+    val cents = lloydCentroidsGrid(q, nCentroids, lloydIters)
+    (q.withColumn("centroid", bestCentroid(col("qv"), cents)), cents)
+  }
+
+  /** Array-query probe of a prebuilt [[ivfIndexGrid]]: quantization and
+    * centroid ranking on the DRIVER (bit-equal to the column form —
+    * `VecFns.quantizeLocal` is pinned element-identical to `quantize`),
+    * so the centroid filter is a LITERAL isin over ≤nProbe ints — a
+    * cached or bucket-partitioned assignment prunes on it without
+    * re-deriving anything per row (the [[annTopKWith]] doctrine). */
+  def ivfProbeGrid(assigned: DataFrame, cents: Array[Array[Double]],
+                   q: Array[Float], nProbe: Int, k: Int): DataFrame =
+    ivfProbe(assigned, cents, graft.functions.VecFns.quantizeLocal(q), nProbe, k)
+
+  private def ivfProbe(assigned: DataFrame, cents: Array[Array[Double]],
+                       qRow: Array[Double], nProbe: Int, k: Int): DataFrame = {
     val probeSet = cents.zipWithIndex
       .map { case (cv, i) => (dotLocal(qRow, cv), i) }
       .sortBy { case (d, i) => (-d, i) }.take(nProbe).map(_._2)
     assigned.where(col("centroid").isin(probeSet: _*))
-      // qRow (the query's quantized values, already evaluated once
-      // above) re-enters as a LITERAL — the qvec expression would
-      // re-quantize the query per scanned row
+      // qRow (the query's quantized values, already evaluated once)
+      // enters as a LITERAL — a quantize expression would re-quantize
+      // the query per scanned row
       .select(col("vec_id"),
         round(VecFns.cosineQ(col("qv"), typedLit(qRow.toSeq)), 6).as("cos"))
       .orderBy(desc("cos"), asc("vec_id")).limit(k)

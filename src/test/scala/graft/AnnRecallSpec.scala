@@ -119,17 +119,62 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.1, f"multi-probe recall degraded: $r%.3f")
   }
 
-  test("REGISTERED default ann_topk (multi-probe nBits=4, hamming=1) holds recall@20 >= 0.4") {
-    // the r11 verdict's bar: the default registered ANN form must have
-    // recall someone would actually ship. These are the exact parameters
-    // of Queries.all("ann_topk") (and Bench.recallSection's ann_topk
-    // row); deterministic fixture + fixed hyperplanes, measured 0.43.
+  test("REGISTERED default ann_topk (grid-trained IVF 16/5, 1 Lloyd iter) holds recall@20 >= 0.6") {
+    // the r12 verdict's bar: default ANN recall ≥0.6 at a documented
+    // scan fraction (5/16 ≈ 31% nominal). These are the exact
+    // parameters of Queries.all("ann_topk") (and Bench.recallSection's
+    // ann_topk row); deterministic fixture + deterministic integer-grid
+    // training, measured 0.72.
+    val r = recallAt(Seq(0L, 7L, 42L, 99L, 123L), (e, qv) =>
+      Similarity.ivfTopKTrainedGrid(e, "vec_id", "embedding", typedLit(qv),
+        nCentroids = 16, nProbe = 5, k = K + 1, lloydIters = 1))
+    info(f"default ann_topk recall@20 = $r%.3f")
+    assert(r >= 0.6, f"default ANN recall below the shippable bar: $r%.3f")
+  }
+
+  test("multi-probe ladder rung (nBits=4, hamming=1) holds recall@20 >= 0.4") {
+    // the r12 default, kept as a measured ladder rung (bucket-index
+    // family — the serving path's prebuilt-index probe shape)
     val r = recallAt(Seq(0L, 7L, 42L, 99L, 123L), (e, qv) =>
       Similarity.annTopKMultiProbe(
         Similarity.annIndex(e, "vec_id", "embedding", Queries.Dim, nBits = 4),
         qv, Queries.Dim, nBits = 4, k = K + 1, hamming = 1))
-    info(f"default ann_topk recall@20 = $r%.3f")
-    assert(r >= 0.4, f"default ANN recall below the shippable bar: $r%.3f")
+    info(f"multi-probe h1 recall@20 = $r%.3f")
+    assert(r >= 0.4, f"multi-probe h1 recall degraded: $r%.3f")
+  }
+
+  test("lloydCentroidsGrid stays on the integer grid and keeps seeds for empty clusters") {
+    import spark.implicits._
+    // three tight groups + a far singleton; 4 centroids, seeds = ids 0-3
+    val rows = Seq(
+      (0L, Array(10f, 0f, 0f, 0f)), (1L, Array(0f, 10f, 0f, 0f)),
+      (2L, Array(0f, 0f, 10f, 0f)), (3L, Array(0f, 0f, 0f, 10f)),
+      (4L, Array(10f, 1f, 0f, 0f)), (5L, Array(0f, 10f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val q = rows.select(col("vec_id"),
+      graft.functions.VecFns.quantize(col("embedding")).as("qv"))
+    val cents = Similarity.lloydCentroidsGrid(q, nCentroids = 4, iters = 2)
+    assert(cents.length === 4)
+    // every trained coordinate is integer-valued (the exactness contract
+    // that lets the DuckDB oracle replay the training bit-for-bit)
+    for (c <- cents; x <- c) assert(x == math.floor(x) && !x.isNaN,
+      s"non-integer trained centroid coordinate $x")
+    // cluster 0 absorbed vec 4: its mean over {(1e8,0,..),(1e8,1e7,..)}
+    // truncates to (1e8, 5e6, 0, 0)
+    assert(cents(0).toSeq === Seq(1e8, 5e6, 0.0, 0.0))
+    // a centroid whose list goes EMPTY keeps its previous value: seeds 0
+    // and 1 identical → every member ties → lowest centroid index wins →
+    // centroid 1 gets no members and must keep its seed vector
+    val dup = Seq(
+      (0L, Array(10f, 0f, 0f, 0f)), (1L, Array(10f, 0f, 0f, 0f)),
+      (2L, Array(10f, 2f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        graft.functions.VecFns.quantize(col("embedding")).as("qv"))
+    val cents2 = Similarity.lloydCentroidsGrid(dup, nCentroids = 2, iters = 1)
+    assert(cents2(1).toSeq === Seq(1e8, 0.0, 0.0, 0.0),
+      "empty cluster must keep its seed centroid")
+    assert(cents2(0).toSeq === Seq(1e8, (2e7.toLong / 3).toDouble, 0.0, 0.0))
   }
 
   test("multi-table ensemble (nBits=4, 3 tables ≈ 3/16 scan) holds recall@20 >= 0.25") {

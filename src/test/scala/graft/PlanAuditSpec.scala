@@ -35,10 +35,26 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("top-k queries compile to TakeOrderedAndProject, not a global sort") {
-    Seq("bm25_topk", "cosine_topk", "ann_topk", "ann_ensemble").foreach { q =>
+    Seq("bm25_topk", "cosine_topk", "ann_ensemble").foreach { q =>
       val p = plan(Queries.all(q)(spark, sf))
       assert(p.contains("TakeOrderedAndProject"), s"$q lacks TakeOrdered")
     }
+    // the registered ann_topk (grid-trained IVF) snapshots its ≤k rows
+    // (Dedup.scoped), so its returned plan is a checkpoint scan — audit
+    // the LAZY pipeline, the near-dup-paths doctrine
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.typedLit
+    val e = Tables(spark, sf, "embeddings")
+    val qv = e.where(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val lazyAnn = Similarity.ivfTopKTrainedGrid(e, "vec_id", "embedding",
+      typedLit(qv), nCentroids = 16, nProbe = 5, k = 20, lloydIters = 1,
+      materialize = false)
+    val p = plan(lazyAnn)
+    assert(p.contains("TakeOrderedAndProject"), "ann_topk (lazy) lacks TakeOrdered")
+    // the probe is partition pruning on the centroid literal set, never
+    // a join against the centroid table
+    assert(!p.contains("Join"), "ann_topk probe plans a join")
   }
 
   test("near-dup candidate paths contain no nested-loop join") {

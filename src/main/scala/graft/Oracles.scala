@@ -1347,6 +1347,26 @@ object Oracles {
         |       ELSE 0 END AS INT) n_frames
         |FROM m ORDER BY asset_id""".stripMargin,
 
+    // image_decode twin: replay the synthPng pixel formulas over an
+    // (x, y) grid and sum the SAME BT.601 integer lumas — PNG is
+    // lossless and decodeImage keeps the luma on the undivided integer
+    // grid, so equality is exact. Outer sum re-cast to BIGINT (DuckDB
+    // widens sum(BIGINT) to HUGEINT — the q22 doctrine).
+    "image_decode" ->
+      s"""WITH d AS (SELECT doc_id, 8 + doc_id % 9 w, 8 + doc_id % 7 h
+         |  FROM documents WHERE doc_id < 64),
+         |px AS (SELECT doc_id, w, h,
+         |    299*((doc_id*31 + x*7 + y*13) % 256)
+         |  + 587*((doc_id*17 + x*11 + y*3) % 256)
+         |  + 114*((doc_id*23 + x*5 + y*19) % 256) l
+         |  FROM d
+         |  CROSS JOIN (SELECT unnest(range(0, 17)) x)
+         |  CROSS JOIN (SELECT unnest(range(0, 15)) y)
+         |  WHERE x < w AND y < h)
+         |SELECT doc_id, CAST(w AS INT) width, CAST(h AS INT) height,
+         |  CAST(sum(l) AS BIGINT) luma_sum, CAST(w*h AS BIGINT) n_px
+         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
     // ── quran engine (reference corpus fixtures; absolute path) ────────
     "tafsir_stats" ->
       s"""SELECT count(*) AS entries, count(DISTINCT surah) AS surahs

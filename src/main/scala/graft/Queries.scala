@@ -1128,6 +1128,25 @@ object Queries {
         .select(col("asset_id"), col("modality"), col("decoded.width").as("width"),
           size(col("features")).as("n_features"), size(col("frame_idx")).as("n_frames"))
         .orderBy("asset_id")),
+    // REAL codec round trip (r13): deterministic PNGs rendered from
+    // doc_id by pure integer pixel arithmetic (Multimodal.synthPng),
+    // then decoded back through JDK ImageIO (Multimodal.decodeImage).
+    // PNG is lossless, so the decoded (width, height, Σ BT.601 integer
+    // luma) replays verbatim in the oracle from the same formulas — the
+    // npz_embeddings digest pattern, now through an actual image codec.
+    // ≤64 fixture rows at any SF (doc_id < 64); per-row narrow decode.
+    "image_decode" -> ((s, dir) => {
+      val d = docs(s, dir).where(col("doc_id") < 64)
+        .select(col("doc_id"),
+          (lit(8) + col("doc_id") % 9).cast("int").as("w"),
+          (lit(8) + col("doc_id") % 7).cast("int").as("h"))
+      d.withColumn("png", Multimodal.synthPng(col("doc_id"), col("w"), col("h")))
+        .select(col("doc_id"), Multimodal.decodeImage(col("png")).as("m"))
+        .select(col("doc_id"), col("m.width").as("width"),
+          col("m.height").as("height"), col("m.luma_sum").as("luma_sum"),
+          col("m.n_px").as("n_px"))
+        .orderBy("doc_id")
+    }),
 
     // ── quran engine (reference corpus fixtures; sfDir-independent) ────
     "tafsir_stats" -> ((s, _) =>

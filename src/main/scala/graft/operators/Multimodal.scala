@@ -8,14 +8,23 @@ import org.apache.spark.sql.types._
   * ride as opaque `binary` columns with typed metadata; decode /
   * feature-extract / resize / frame-sample are per-partition transforms.
   *
-  * The real decode needs image/audio codecs that are not in this build,
-  * so `decodeStub` is a clearly-marked deterministic fake — but every
-  * piece of Spark plumbing around it is real and tested: the schema, the
-  * binary column handling, the partition-parallel transform shape, the
-  * batch-friendly feature extraction (pure column expressions over
-  * bytes), and the frame-sampling index math.
+  * IMAGE decode is REAL (r13): [[decodeImage]] reads PNG/BMP/JPEG/GIF
+  * through the JDK's own ImageIO readers — zero new dependencies — and
+  * is oracle-checked end-to-end on deterministic fixtures
+  * ([[synthPng]], the `image_decode` registered query). Audio/video
+  * codecs are genuinely absent from this build, so `decodeStub` remains
+  * the clearly-marked deterministic stand-in for THOSE modalities only;
+  * all surrounding Spark plumbing (schema, binary columns, the
+  * partition-parallel transform shape, columnar feature extraction,
+  * frame-sampling index math) is real and tested.
   */
 object Multimodal {
+
+  /** Decoded-image metadata: exact-integer luma (`luma_sum` =
+    * Σ 299r+587g+114b over pixels, undivided — the BT.601 integer
+    * grid) so the value replays exactly in any engine; consumers divide
+    * by `1000·n_px` for mean luma when they want a float. */
+  case class ImageMeta(width: Int, height: Int, luma_sum: Long, n_px: Long)
 
   /** Canonical media-table schema: one row per asset. */
   val mediaSchema: StructType = StructType(Seq(
@@ -34,10 +43,74 @@ object Multimodal {
       col(textCol).cast("binary").as("bytes"),
       map(lit("codec"), lit("fake"), lit("source"), lit("synthetic")).as("meta"))
 
-  /** STUB decode — deterministic fake in place of a codec: "dimensions"
-    * parsed from the payload length, "duration" from a byte checksum.
-    * A production build swaps ONLY this function for a real decoder
-    * running in the same mapPartitions/column shape. */
+  /** REAL image decode (licensed UDF — SURVEY §2.11: no builtin or
+    * Expression can run a media codec; same license class as the Bloom
+    * probe and html-unescape). JDK `ImageIO` reads PNG/BMP/JPEG/GIF with
+    * zero new dependencies. Returns `null` for payloads no reader
+    * accepts (corrupt bytes, other codecs) — callers branch or filter on
+    * it. Per-row narrow work, embarrassingly parallel: at 100 TB the
+    * decode rides in the scan projection (no shuffle, no state), and
+    * binary payloads stream through one task at a time — executor memory
+    * bounds the max SINGLE image, not the corpus. */
+  val decodeImage: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { bytes: Array[Byte] =>
+      if (bytes == null) None
+      else try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          var s = 0L; var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              s += 299L * ((p >> 16) & 255) + 587L * ((p >> 8) & 255) + 114L * (p & 255)
+              x += 1
+            }
+            y += 1
+          }
+          Some(ImageMeta(w, h, s, w.toLong * h))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** Deterministic PNG fixture generator (licensed UDF, fixture-only):
+    * pixel (x, y) of image `id` is
+    * r = (id·31 + x·7 + y·13) mod 256, g = (id·17 + x·11 + y·3) mod 256,
+    * b = (id·23 + x·5 + y·19) mod 256 — pure integer arithmetic a SQL
+    * oracle replays verbatim, and PNG is lossless, so
+    * [[decodeImage]] ∘ [[synthPng]] is exactly the formula. This is how
+    * the `image_decode` registered query gets REAL codec bytes out of
+    * the relational testdata (the digest-style oracle pattern of
+    * npz_embeddings). */
+  val synthPng: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (id: Long, w: Int, h: Int) =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+          val g = ((id * 17 + x * 11 + y * 3) % 256).toInt
+          val b = ((id * 23 + x * 5 + y * 19) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+  /** STUB decode — deterministic fake in place of an AUDIO/VIDEO codec
+    * (absent from this build by design): "dimensions" parsed from the
+    * payload length, "duration" from a byte checksum. A production
+    * build swaps ONLY this function for a real decoder running in the
+    * same narrow column shape — exactly as [[decodeImage]] already does
+    * for images. */
   def decodeStub(bytes: Column): Column =
     struct(
       (length(bytes) % 1920).cast("int").as("width"),
@@ -90,12 +163,18 @@ object Multimodal {
   def features(media: DataFrame, bins: Int = 64): DataFrame =
     media.select(col("asset_id"), featuresCol(bins).as("features"))
 
-  /** Full per-modality pipeline: decode (stub) + features + sampling —
-    * ONE narrow select over the media table (no join, no shuffle),
-    * embarrassingly parallel at any corpus size. */
+  /** Full per-modality pipeline: decode (REAL ImageIO for images, stub
+    * for audio/video) + features + sampling — ONE narrow select over the
+    * media table (no join, no shuffle), embarrassingly parallel at any
+    * corpus size. `image` carries the real decode result (null when the
+    * payload isn't a decodable image — e.g. the synthetic fixtures'
+    * text bytes); `decoded` keeps the stub stand-in for the modalities
+    * whose codecs this build lacks. */
   def enrich(media: DataFrame, bins: Int = 64, frames: Int = 8): DataFrame =
     media
       .withColumn("features", featuresCol(bins))
+      .withColumn("image",
+        when(col("modality") === "image", decodeImage(col("bytes"))))
       .withColumn("decoded", decodeStub(col("bytes")))
       .withColumn("frame_idx",
         when(col("modality") === "video",

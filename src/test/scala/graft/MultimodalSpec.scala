@@ -76,6 +76,53 @@ class MultimodalSpec extends SparkSpec {
       val isVideo = r.getAs[String]("modality") == "video"
       val fi = r.getSeq[Int](r.fieldIndex("frame_idx"))
       assert(if (isVideo) fi.nonEmpty else fi.isEmpty)
+      // the synthetic "image" payloads are UTF-8 text, not a decodable
+      // codec — the REAL decoder must yield null, never garbage
+      assert(r.isNullAt(r.fieldIndex("image")))
+    }
+  }
+
+  test("decodeImage: PNG and BMP round-trip exactly; garbage decodes to null") {
+    // hand-built 2x2 image through both JDK encoders
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = Seq((0, 0, 10, 20, 30), (1, 0, 0, 0, 255), (0, 1, 255, 255, 255), (1, 1, 1, 2, 3))
+    px.foreach { case (x, y, r, g, b) => img.setRGB(x, y, (r << 16) | (g << 8) | b) }
+    val expectedLuma = px.map { case (_, _, r, g, b) => 299L * r + 587L * g + 114L * b }.sum
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos); bos.toByteArray
+    }
+    val rows = Seq(("png", enc("png")), ("bmp", enc("bmp")),
+      ("garbage", "not an image at all".getBytes("UTF-8")))
+      .toDF("fmt", "bytes")
+      .select($"fmt", Multimodal.decodeImage($"bytes").as("m")).collect()
+    rows.foreach { r =>
+      if (r.getString(0) == "garbage") assert(r.isNullAt(1))
+      else {
+        val m = r.getStruct(1)
+        assert(m.getInt(0) === 2 && m.getInt(1) === 2, s"${r.getString(0)} dims")
+        assert(m.getLong(2) === expectedLuma, s"${r.getString(0)} luma")
+        assert(m.getLong(3) === 4L)
+      }
+    }
+  }
+
+  test("decodeImage ∘ synthPng equals the integer pixel formula (the image_decode oracle contract)") {
+    val d = Seq((5L, 9, 11), (12L, 16, 8)).toDF("id", "w", "h")
+      .select($"id", $"w", $"h",
+        Multimodal.decodeImage(Multimodal.synthPng($"id", $"w", $"h")).as("m"))
+      .collect()
+    d.foreach { r =>
+      val (id, w, h) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      val m = r.getStruct(3)
+      val expected = (for { x <- 0 until w; y <- 0 until h } yield
+        299L * ((id * 31 + x * 7 + y * 13) % 256) +
+        587L * ((id * 17 + x * 11 + y * 3) % 256) +
+        114L * ((id * 23 + x * 5 + y * 19) % 256)).sum
+      assert(m.getInt(0) === w && m.getInt(1) === h)
+      assert(m.getLong(2) === expected, s"id=$id")
+      assert(m.getLong(3) === w.toLong * h)
     }
   }
 }

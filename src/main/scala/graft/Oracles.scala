@@ -279,6 +279,27 @@ object Oracles {
       """SELECT make_timestamp((epoch_ns(ts)//3600000000000)*3600000000) AS window_start,
         |event_type, count(*) AS n_events, round(sum(value),6) AS sum_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // two-phase streaming SCD2 twin: phase value = per-key max
+    // event_type over the even/odd event_id half (the stream's
+    // within-batch max-attr-tuple rule on a 1-attr tuple); a key whose
+    // phase values differ carries its CLOSED phase-1 row + the open
+    // phase-2 row; otherwise one open row (phase-2 value if present,
+    // else the untouched phase-1 state)
+    "stream_scd2_merge" ->
+      """WITH v1 AS (SELECT user_id, max(event_type) et FROM events
+        |            WHERE event_id % 2 = 0 GROUP BY 1),
+        |v2 AS (SELECT user_id, max(event_type) et FROM events
+        |       WHERE event_id % 2 = 1 GROUP BY 1),
+        |j AS (SELECT coalesce(v1.user_id, v2.user_id) user_id,
+        |             v1.et e1, v2.et e2,
+        |             v1.user_id IS NOT NULL h1, v2.user_id IS NOT NULL h2
+        |      FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id)
+        |SELECT user_id, event_type, is_open FROM (
+        |  SELECT user_id, e1 event_type, FALSE is_open FROM j
+        |  WHERE h1 AND h2 AND e1 <> e2
+        |  UNION ALL
+        |  SELECT user_id, CASE WHEN h2 THEN e2 ELSE e1 END, TRUE FROM j)
+        |ORDER BY user_id, event_type""".stripMargin,
     "events_sessions" ->
       """WITH x AS (SELECT user_id, ts,
         |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev FROM events)

@@ -370,6 +370,47 @@ object Queries {
       Events.mergeHourly("event_type", parts.drop("part_batch"))
         .orderBy("hour_bucket", "event_type")
     }),
+    // fourth genuinely-streaming row (r13): TWO consecutive AvailableNow
+    // scd2Stream RUNS over one state store — phase 1 ingests the
+    // even-event_id half, phase 2 the odd half — so the second run's
+    // merge evolves REAL persisted state across runs: keys whose
+    // per-phase max event_type differs get a CLOSED history row plus
+    // the new open row (cross-batch SCD2 state evolution, not a batch
+    // twin). Version stamps are batch-granular (batching-DEPENDENT), so
+    // only the batching-invariant columns are emitted: (key, attrs,
+    // is_open). The deterministic even/odd split replays verbatim in
+    // SQL (full-outer of the two per-phase max aggregates).
+    "stream_scd2_merge" -> ((s, dir) => {
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft-stream-scd2").toString
+      registerScratchCleanup(scratch)
+      val state = s"$scratch/state"
+      def run(phase: Int): org.apache.spark.sql.streaming.StreamingQuery =
+        graft.streaming.Streams.scd2Stream(
+          Tables.eventsStream(s, dir)
+            .where(pmod(col("event_id"), lit(2L)) === phase)
+            .select(col("user_id"), col("event_type")),
+          state, "user_id", Seq("event_type"), s"$scratch/ck$phase",
+          nBuckets = 16,
+          trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+      graft.streaming.Streams.awaitDone(run(0))
+      val q2 = run(1)
+      val expected = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("valid_from",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("valid_to",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.LongType)))
+      graft.streaming.Streams.awaitAndRead(q2, s, state, expected)
+        .select(col("user_id"), col("event_type"),
+          col("valid_to").isNull.as("is_open"))
+        .orderBy("user_id", "event_type")
+    }),
     "stream_windowed_counts" -> ((s, dir) => {
       // the streaming windowed rollup run on the batch frame — identical
       // declarative plan both ways (Streams.windowedCounts)

@@ -92,13 +92,22 @@ object Streams {
                    spark: SparkSession, outPath: String,
                    schema: org.apache.spark.sql.types.StructType,
                    timeoutMs: Long = 600000L): DataFrame = {
+    awaitDone(q, timeoutMs)
+    spark.read.schema(schema).parquet(outPath)
+  }
+
+  /** Bounded wait without the read-back — for multi-RUN state evolution
+    * (e.g. the two-phase `stream_scd2_merge` oracle row), where only the
+    * LAST run's state is read. Same stop-on-expiry contract as
+    * [[awaitAndRead]]. */
+  def awaitDone(q: org.apache.spark.sql.streaming.StreamingQuery,
+                timeoutMs: Long = 600000L): Unit = {
     val done = q.awaitTermination(timeoutMs)
     if (!done) {
       q.stop()
       throw new java.util.concurrent.TimeoutException(
         s"streaming run exceeded ${timeoutMs}ms; query stopped")
     }
-    spark.read.schema(schema).parquet(outPath)
   }
 
   final case class Ev(ts: java.sql.Timestamp, user_id: Long,
@@ -349,16 +358,19 @@ object Streams {
   def nearDupIngest(stream: DataFrame, corpusPath: String, indexPath: String,
                     checkpoint: String, idCol: String, textCol: String,
                     threshold: Double = 0.9, numHashes: Int = 16,
-                    rowsPerBand: Int = 16,
-                    maxBucket: Int = 10000): org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
+                    rowsPerBand: Int = 16, maxBucket: Int = 10000,
+                    trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w0 = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
+    trigger.fold(w0)(w0.trigger)
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         nearDupIngestBatch(batch0, batchId, corpusPath, indexPath, idCol,
           textCol, threshold, numHashes, rowsPerBand, maxBucket)
       }
       .start()
+  }
 
   /** One [[nearDupIngest]] micro-batch, IDEMPOTENT under foreachBatch's
     * at-least-once retry semantics: state grows as one
@@ -507,14 +519,17 @@ object Streams {
     * batch is meaningless; pre-dedupe upstream for a different rule). */
   def scd2Stream(stream: DataFrame, statePath: String, keyCol: String,
                  attrCols: Seq[String], checkpoint: String,
-                 nBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+                 nBuckets: Int = 64,
+                 trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val clash = Seq("bucket", "valid_from", "valid_to")
       .filter((keyCol +: attrCols).contains)
     require(clash.isEmpty,
       s"key/attr columns collide with SCD2 state column names: $clash")
-    stream.writeStream
+    val w0 = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("update")
+    trigger.fold(w0)(w0.trigger)
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         val spark = batch0.sparkSession
         val dedup = batch0.groupBy(col(keyCol))

@@ -655,7 +655,8 @@ class PlanAuditSpec extends SparkSpec {
     // that can never carry a hint) — excluded for suite wall-time, with
     // the same rationale as the hadith map
     val planlessConstructors =
-      Set("stream_dedup_keys", "stream_asof_enrich", "stream_hourly_merge")
+      Set("stream_dedup_keys", "stream_asof_enrich", "stream_hourly_merge",
+        "stream_scd2_merge")
     def stripCast(e: Expression): Expression = e match {
       case Cast(c, _, _, _) => stripCast(c); case x => x
     }

@@ -982,6 +982,17 @@ object Oracles {
          |CAST(floor((sum(coalesce(len(t), 0)) OVER (ORDER BY doc_id
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - coalesce(len(t), 0))/500.0) AS BIGINT) shard
          |FROM toks ORDER BY doc_id""".stripMargin,
+    // subword-measure twin: identical global-cumsum spec, the cost per
+    // word is 1 + (len-1)//4 (TextFns.subwordCount — ceil(len/4))
+    "pack_shards_subword" ->
+      s"""WITH $Toks,
+         |sw AS (SELECT doc_id,
+         |  coalesce(CAST(list_sum(list_transform(t, x -> 1 + (len(x)-1)//4)) AS BIGINT), 0) n_tok
+         |  FROM toks)
+         |SELECT doc_id, n_tok,
+         |CAST(floor((sum(n_tok) OVER (ORDER BY doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)/500.0) AS BIGINT) shard
+         |FROM sw ORDER BY doc_id""".stripMargin,
     // shuffle twin: the NAIVE global row_number over the md5 order IS
     // the spec (ties broken by doc_id; md5 of the same string is
     // engine-identical)
@@ -1217,6 +1228,12 @@ object Oracles {
         |CAST(len(list_filter(regexp_split_to_array(text,'\s+'), x -> len(x)>0)) AS BIGINT) n_ws,
         |CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) n_sub
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // subword estimate twin: ceil(len/4) pieces per regex-class word
+    "subword_counts" ->
+      s"""WITH $Toks
+         |SELECT doc_id,
+         |coalesce(CAST(list_sum(list_transform(t, x -> 1 + (len(x)-1)//4)) AS BIGINT), 0) n_subword
+         |FROM toks ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
       s"""WITH $Toks
          |SELECT doc_id, list_reduce(list_prepend(0::BIGINT,

@@ -872,6 +872,14 @@ object Queries {
     "pack_shards" -> ((s, dir) =>
       Shards.packShards(docs(s, dir), "doc_id", "text", tokensPerShard = 500L)
         .orderBy("doc_id")),
+    // the SAME packing parameterized by the subword measure (r13):
+    // trainers budget in subword tokens — ceil(len/4) pieces per word,
+    // the vocabulary-free BPE estimate (TextFns.subwordCount). Plan
+    // shape identical to pack_shards; only the cost column changes.
+    "pack_shards_subword" -> ((s, dir) =>
+      Shards.packShards(docs(s, dir), "doc_id", "text", tokensPerShard = 500L,
+        measure = Shards.TokenMeasure.subwords)
+        .orderBy("doc_id")),
     // deterministic epoch shuffle: md5-keyed total order as positions
     // 0..n-1 (two-pass prefix count — the naive row_number-over-global-
     // order twin is the oracle)
@@ -957,6 +965,12 @@ object Queries {
       TextAnalysis.langId(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
     "token_counts" -> ((s, dir) =>
       TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+    // subword-token estimate per doc (the packing measure, standalone —
+    // oracle-checked like token_counts)
+    "subword_counts" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        graft.functions.TextFns.subwordCount(col("text")).as("n_subword"))
+        .orderBy("doc_id")),
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
 

@@ -34,6 +34,25 @@ object TextFns {
 
   def distinctTokens(c: Column): Column = array_distinct(tokens(c))
 
+  /** Vocabulary-free SUBWORD token estimate (r13): every [[tokens]]
+    * word costs `ceil(len/4)` pieces — `1 + (len−1) div 4` on the
+    * integer grid. Mimics where a trained BPE actually spends tokens
+    * (common short words ≈ 1 piece; long/rare words split every ~4
+    * chars — the classic "~4 chars/token" English rule), with zero
+    * vocabulary artifact, so it is deterministic, engine-portable
+    * (DuckDB: `1 + (len(x)-1)//4`), and cheap at 100 TB (a narrow
+    * per-row pass; no model file shipped to executors). Trainers
+    * budget in subword tokens — this is the measure shard packing and
+    * token-budget selection should run on when the recipe's budget is
+    * subword-denominated. Division by 4 (a power of two) is exact in
+    * doubles, so `floor` lands identically in both engines. */
+  def subwordCount(c: Column): Column =
+    coalesce(
+      aggregate(tokens(c), lit(0L),
+        (acc, w) => acc + lit(1L) +
+          floor((length(w) - lit(1)) / lit(4.0)).cast(LongType)),
+      lit(0L))
+
   /** Portable 60-bit hash: first 15 hex chars of md5, as a non-negative
     * long. DuckDB equivalent: ('0x' || substring(md5(x),1,15))::BIGINT. */
   def hash60(c: Column): Column =

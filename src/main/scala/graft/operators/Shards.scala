@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFns
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -39,15 +39,27 @@ object Shards {
     else scala.util.Try(spark.conf.get("spark.sql.shuffle.partitions").toInt)
       .toOption.filter(_ > 0).getOrElse(32)
 
+  /** Token measures for packing/budgeting: what one "token" costs.
+    * `words` = the regex-class word count (the default everywhere);
+    * `subwords` = the vocabulary-free BPE-style estimate
+    * ([[TextFns.subwordCount]]) — use it when the training recipe's
+    * budget is subword-denominated. Both are narrow per-row column
+    * expressions; swapping the measure changes no plan shape. */
+  object TokenMeasure {
+    val words: Column => Column = t => size(TextFns.tokens(t)).cast("long")
+    val subwords: Column => Column = t => TextFns.subwordCount(t)
+  }
+
   /** (doc_id, n_tok, shard) for every document. `width` bounds the range
-    * partitioning (and so the driver-side offset table). */
+    * partitioning (and so the driver-side offset table); `measure`
+    * picks the token denomination ([[TokenMeasure]]). */
   def packShards(docs: DataFrame, idCol: String, textCol: String,
-                 tokensPerShard: Long, width: Int = 0): DataFrame = {
+                 tokensPerShard: Long, width: Int = 0,
+                 measure: Column => Column = TokenMeasure.words): DataFrame = {
     val spark = docs.sparkSession
     val w = rangeWidth(spark, width)
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
-      coalesce(greatest(size(TextFns.tokens(col(textCol))), lit(0))
-        .cast("long"), lit(0L)).as("n_tok"))
+      coalesce(greatest(measure(col(textCol)), lit(0L)), lit(0L)).as("n_tok"))
     // snapshot AFTER the range exchange: the partition id must be the
     // same value in the totals pass and the final pass (range boundaries
     // are sampled, so re-executing the exchange could re-cut them)

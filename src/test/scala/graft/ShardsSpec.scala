@@ -27,6 +27,29 @@ class ShardsSpec extends AnyFunSuite {
     }
   }
 
+  test("subword measure: ceil(len/4) pieces per word; packing respects the measure") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "a bcde internationalization"), // 1 + 1 + ceil(20/4)=5 → 7
+      (2L, ""),                            // no tokens → 0
+      (3L, "abcd abcde")                   // ceil(4/4)=1 + ceil(5/4)=2 → 3
+    ).toDF("doc_id", "text")
+    val counts = docs.select(col("doc_id"),
+      graft.functions.TextFns.subwordCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts === Map(1L -> 7L, 2L -> 0L, 3L -> 3L))
+    // packing with the subword measure cuts on subword budget, and the
+    // two-pass prefix sum stays width-invariant under it
+    val expect = Map(1L -> 0L, 2L -> 1L, 3L -> 1L) // cum_before 0, 7, 7 at budget 6
+    for (w <- Seq(1, 2, 3)) {
+      val got = Shards.packShards(docs, "doc_id", "text", tokensPerShard = 6L,
+        width = w, measure = Shards.TokenMeasure.subwords)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got === expect, s"width=$w")
+    }
+  }
+
   test("shuffle order: exact permutation of the naive global form, width-invariant, seed-sensitive") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

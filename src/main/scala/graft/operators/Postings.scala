@@ -75,14 +75,22 @@ object Postings {
     }
   }
 
-  /** Build postings from a document table. */
+  /** Build postings from a document table — SHUFFLE-FREE (r13): term
+    * frequencies are computed inside each document row
+    * ([[graft.plans.TermTf]] — a doc's counts depend on nothing outside
+    * the doc) and exploded, replacing the old
+    * `groupBy(doc_id, dl, term).count` whose exchange moved the whole
+    * postings table once before [[clusterByTerm]] moved it again.
+    * Identical rows (tf values, dl, column types); requires unique
+    * corpus ids, which every caller's corpus has by construction. */
   def build(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
       TextFns.tokens(col(textCol)).as("toks"))
     toks
-      .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("term"))
-      .groupBy("doc_id", "dl", "term")
-      .agg(count("*").as("tf"))
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(graft.plans.TermTf(col("toks"))).as("e"))
+      .select(col("doc_id"), col("dl"),
+        col("e.term").as("term"), col("e.tf").cast("long").as("tf"))
   }
 
   /** (term, df, cf) dictionary from postings. */

@@ -84,20 +84,18 @@ object Hybrid {
     * bit-equal to the old per-query shuffle aggregation (integer sums
     * below 2^53 are exact in double regardless of order). */
   def embedSlots(docs: DataFrame, idCol: String, textCol: String,
-                 dim: Int): DataFrame = {
-    val ent = Embed.hashEmbedEntries(docs, idCol, textCol, dim)
-    val nrm = ent.groupBy("doc_id").agg(sqrt(sum(col("v") * col("v"))).as("n"))
-    ent.join(nrm, "doc_id").where(col("n") > 0)
-      .select(col("doc_id"), col("bucket"),
-        round(round(col("v") / col("n"), 6) * lit(VecFns.Scale)).as("qs"))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("bucket"), col("qs")))).as("e"))
-      .select(col("doc_id"),
-        transform(col("e"), x => x.getField("bucket")).as("buckets"),
-        transform(col("e"), x => x.getField("qs")).as("qs"),
-        sqrt(aggregate(transform(col("e"), x => x.getField("qs") * x.getField("qs")),
-          lit(0.0), (a, v) => a + v)).as("na"))
-  }
+                 dim: Int): DataFrame =
+    // r13: the whole explode/groupBy/norm-join/collect_list pipeline is
+    // one per-row expression (graft.plans.EmbedSlots — every quantity
+    // depends on nothing outside the document), so the build is a pure
+    // scan projection with ZERO exchanges; bit-equality to the old
+    // chain is pinned in EmbedSlotsSpec
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        graft.plans.EmbedSlots(
+          graft.functions.TextFns.tokens(col(textCol)), dim).as("sl"))
+      .where(col("sl").isNotNull)
+      .select(col("doc_id"), col("sl.buckets").as("buckets"),
+        col("sl.qs").as("qs"), col("sl.na").as("na"))
 
   /** Query-dependent half: sparse dot of each doc's slot arrays against
     * the driver-quantized query literal — one narrow pass, no shuffle. */

@@ -284,7 +284,11 @@ object Oracles {
     // within-batch max-attr-tuple rule on a 1-attr tuple); a key whose
     // phase values differ carries its CLOSED phase-1 row + the open
     // phase-2 row; otherwise one open row (phase-2 value if present,
-    // else the untouched phase-1 state)
+    // else the untouched phase-1 state). IS DISTINCT FROM, not <>:
+    // scd2Stream closes on NULL-SAFE difference (<=>), and a plain <>
+    // would silently drop the closed row if an attr were ever NULL
+    // (unreachable on this fixture — event_type has no nulls — but the
+    // twin must carry the operator's semantics, not the fixture's)
     "stream_scd2_merge" ->
       """WITH v1 AS (SELECT user_id, max(event_type) et FROM events
         |            WHERE event_id % 2 = 0 GROUP BY 1),
@@ -296,7 +300,7 @@ object Oracles {
         |      FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id)
         |SELECT user_id, event_type, is_open FROM (
         |  SELECT user_id, e1 event_type, FALSE is_open FROM j
-        |  WHERE h1 AND h2 AND e1 <> e2
+        |  WHERE h1 AND h2 AND e1 IS DISTINCT FROM e2
         |  UNION ALL
         |  SELECT user_id, CASE WHEN h2 THEN e2 ELSE e1 END, TRUE FROM j)
         |ORDER BY user_id, event_type""".stripMargin,

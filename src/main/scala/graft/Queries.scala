@@ -380,6 +380,13 @@ object Queries {
     // only the batching-invariant columns are emitted: (key, attrs,
     // is_open). The deterministic even/odd split replays verbatim in
     // SQL (full-outer of the two per-phase max aggregates).
+    // BATCHING CONTRACT: each phase must execute as ONE micro-batch —
+    // which Tables.eventsStream guarantees (a single file, no
+    // maxFilesPerTrigger). A multi-file source would split a phase into
+    // several batches and a key whose per-batch maxes differ would gain
+    // a within-phase closed row the per-half oracle never produces; if
+    // eventsStream ever goes multi-file, re-derive the oracle from the
+    // batch sequence (or pin maxFilesPerTrigger off here explicitly).
     "stream_scd2_merge" -> ((s, dir) => {
       val scratch = java.nio.file.Files
         .createTempDirectory("graft-stream-scd2").toString

@@ -37,11 +37,17 @@ object Verify {
     // pandas hasher — a phantom red row for something that isn't a query
     // (the r8 `npz_embeddings_full` failure).
     val auxDir = Paths.get(outDir).toAbsolutePath.toString + "_aux"
-    try graft.sources.Npz.embeddings(spark, Queries.NpzPath)
-      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/npz_embeddings_full")
-    catch { case e: Throwable =>
-      System.err.println(s"[verify] npz_embeddings_full dump failed: ${e.getMessage}")
-    }
+    // selected-oracle view (identical to the full map in the driver's
+    // 2-arg call); the aux dump is skipped when no selected oracle
+    // replays over it — the single-query dev loop stays fast
+    val selected = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
+    if (selected.values.exists(_.contains("__VERIFY_AUX__")))
+      try graft.sources.Npz.embeddings(spark, Queries.NpzPath)
+        .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/npz_embeddings_full")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] npz_embeddings_full dump failed: ${e.getMessage}")
+      }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -57,8 +63,7 @@ object Verify {
     // oracle SQL may replay over THIS run's dumped parquet (e.g. the
     // quran_hybrid vector leg reads the npz_embeddings dump, the only
     // SQL-readable form of the binary cache) — bake the AUX dump dir in
-    val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
+    val json = selected
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("__VERIFY_AUX__", auxDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -89,13 +89,16 @@ object Hybrid {
     // one per-row expression (graft.plans.EmbedSlots — every quantity
     // depends on nothing outside the document), so the build is a pure
     // scan projection with ZERO exchanges; bit-equality to the old
-    // chain is pinned in EmbedSlotsSpec
+    // chain is pinned in EmbedSlotsSpec. The null-drop goes through
+    // inline() — a Generate is a predicate-pushdown barrier, so the
+    // filter CANNOT be substituted below the projection (a plain
+    // .where(sl.isNotNull) was pushed under the Project and evaluated
+    // the expression twice per row — one md5 per token, doubled)
     docs.select(col(idCol).cast("long").as("doc_id"),
         graft.plans.EmbedSlots(
           graft.functions.TextFns.tokens(col(textCol)), dim).as("sl"))
-      .where(col("sl").isNotNull)
-      .select(col("doc_id"), col("sl.buckets").as("buckets"),
-        col("sl.qs").as("qs"), col("sl.na").as("na"))
+      .select(col("doc_id"), inline(array(col("sl"))))
+      .where(col("na").isNotNull)
 
   /** Query-dependent half: sparse dot of each doc's slot arrays against
     * the driver-quantized query literal — one narrow pass, no shuffle. */

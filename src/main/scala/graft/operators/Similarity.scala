@@ -183,10 +183,11 @@ object Similarity {
     * assignment scan against K broadcast centroid literals per Lloyd
     * iteration (the per-iteration `K·dim` cell collect is planning
     * data, not row data), then each query reads ~nProbe/K of the
-    * corpus (registered default: 4/16 = 25% scan fraction at
-    * recall@20 ≈ 0.7 on the worst-case uniform fixture — measured per
-    * round in the bench recall section, floor pinned in
-    * AnnRecallSpec). */
+    * corpus (registered default: nProbe=5 of 16 ≈ 31% nominal scan at
+    * recall@20 0.72 on the worst-case uniform fixture — measured per
+    * round in the bench recall section, floor ≥0.6 pinned in
+    * AnnRecallSpec; the 4/16 point is the UNTRAINED ivf_topk
+    * registered form at 0.67). */
   def ivfTopKTrainedGrid(emb: DataFrame, idCol: String, vecCol: String, queryVec: Column,
                          nCentroids: Int, nProbe: Int, k: Int,
                          lloydIters: Int = 1,
@@ -197,32 +198,14 @@ object Similarity {
   }
 
   /** `iters` integer-grid Lloyd steps from the deterministic seeds:
-    * assign → per-cluster per-dim TRUNCATED integer mean (`sum / n` on
-    * `Long`s — exact, order-independent, and equal to DuckDB's `//`)
-    * → repeat. Empty clusters keep their previous centroid. The
+    * [[lloydLoop]] with the per-cluster per-dim TRUNCATED integer mean
+    * (`sum / n` on `Long`s — exact, order-independent, and equal to
+    * DuckDB's `//`). Empty clusters keep their previous centroid. The
     * refined centroids remain integer-valued doubles, so
     * [[bestCentroid]]'s dots stay exact — see [[ivfTopKTrainedGrid]]. */
-  def lloydCentroidsGrid(q: DataFrame, nCentroids: Int, iters: Int = 1): Array[Array[Double]] = {
-    var cents = seedCentroids(q, nCentroids)
-    for (_ <- 0 until iters) {
-      val assigned = q.withColumn("centroid", bestCentroid(col("qv"), cents))
-      val cells = assigned
-        .select(col("centroid"), posexplode(col("qv")).as(Seq("pos", "v")))
-        .groupBy("centroid", "pos")
-        .agg(sum(col("v").cast("long")).as("s"), count("*").as("n"))
-        .collect() // K·dim cells — driver-side planning data, tiny
-      val byC = cells.groupBy(_.getInt(0))
-      cents = cents.indices.map { i =>
-        byC.get(i) match {
-          case Some(rows) =>
-            rows.sortBy(_.getInt(1))
-              .map(r => (r.getLong(2) / r.getLong(3)).toDouble).toArray
-          case None => cents(i)
-        }
-      }.toArray
-    }
-    cents
-  }
+  def lloydCentroidsGrid(q: DataFrame, nCentroids: Int, iters: Int = 1): Array[Array[Double]] =
+    lloydLoop(q, nCentroids, iters, sum(col("v").cast("long")),
+      r => (r.getLong(2) / r.getLong(3)).toDouble)
 
   private def quantized(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol).cast("long").as("vec_id"), VecFns.quantize(col(vecCol)).as("qv"))
@@ -245,19 +228,28 @@ object Similarity {
     * cluster elementwise mean (posexplode/groupBy — one narrow shuffle of
     * K·dim cells, order-independent exact sums) → repeat. Empty clusters
     * keep their previous centroid. */
-  def lloydCentroids(q: DataFrame, nCentroids: Int, iters: Int = 1): Array[Array[Double]] = {
+  def lloydCentroids(q: DataFrame, nCentroids: Int, iters: Int = 1): Array[Array[Double]] =
+    lloydLoop(q, nCentroids, iters, sum("v"),
+      r => r.getDouble(2) / r.getLong(3))
+
+  /** The ONE Lloyd training loop both variants share (assign →
+    * per-(cluster, dim) cell aggregate → keep-seed-on-empty), so the
+    * scaffolding can never diverge between them; only the per-cell
+    * mean differs (exact double mean vs truncated integer mean). */
+  private def lloydLoop(q: DataFrame, nCentroids: Int, iters: Int,
+                        sumExpr: Column,
+                        mean: org.apache.spark.sql.Row => Double): Array[Array[Double]] = {
     var cents = seedCentroids(q, nCentroids)
     for (_ <- 0 until iters) {
       val assigned = q.withColumn("centroid", bestCentroid(col("qv"), cents))
       val cells = assigned
         .select(col("centroid"), posexplode(col("qv")).as(Seq("pos", "v")))
-        .groupBy("centroid", "pos").agg(sum("v").as("s"), count("*").as("n"))
+        .groupBy("centroid", "pos").agg(sumExpr.as("s"), count("*").as("n"))
         .collect() // K·dim cells — driver-side planning data, tiny
       val byC = cells.groupBy(_.getInt(0))
       cents = cents.indices.map { i =>
         byC.get(i) match {
-          case Some(rows) =>
-            rows.sortBy(_.getInt(1)).map(r => r.getDouble(2) / r.getLong(3)).toArray
+          case Some(rows) => rows.sortBy(_.getInt(1)).map(mean).toArray
           case None => cents(i)
         }
       }.toArray

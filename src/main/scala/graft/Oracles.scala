@@ -289,6 +289,72 @@ object Oracles {
     // would silently drop the closed row if an attr were ever NULL
     // (unreachable on this fixture — event_type has no nulls — but the
     // twin must carry the operator's semantics, not the fixture's)
+    // two-phase streaming near-dup-ingest twin: phase 1 = min-id
+    // survivor per verified component within the EVEN doc_ids (the
+    // near_dup_survivors closure, parity-scoped); phase 2 = the same
+    // within the odds, then the odd survivors that band-collide with a
+    // phase-1 survivor AND verify at jacc>=0.9 drop (the engine's
+    // persisted-index probe). Caps mirror the engine's domains: whole
+    // batch for intra-phase candidates, phase-1 SURVIVORS for the index
+    // side, probe side uncapped (incrementalNearDupPairs does not cap
+    // the delta bands).
+    "stream_near_dup_ingest" ->
+      s"""WITH RECURSIVE $Toks,
+         |elems AS (SELECT doc_id, unnest(list_distinct(t)) elem FROM toks),
+         |${minhashSigsCte(16)},
+         |banded0 AS (SELECT doc_id, seed//16 band,
+         |  md5(string_agg(minh::VARCHAR, ':' ORDER BY seed)) band_key
+         |  FROM sigs GROUP BY doc_id, seed//16),
+         |dt AS (SELECT doc_id, list_distinct(t) s, len(list_distinct(t)) n FROM toks),
+         |e0 AS (SELECT * FROM banded0 WHERE doc_id % 2 = 0),
+         |${capCte("e0", "eb", Seq("band", "band_key"))},
+         |ecand AS (SELECT DISTINCT x.doc_id a, y.doc_id b FROM eb x JOIN eb y
+         |  ON x.band=y.band AND x.band_key=y.band_key AND x.doc_id<y.doc_id),
+         |ej AS (SELECT a, b FROM (SELECT a, b,
+         |    round(CAST(len(list_intersect(x.s,y.s)) AS DOUBLE)
+         |      /(x.n+y.n-len(list_intersect(x.s,y.s))),6) jacc
+         |  FROM ecand JOIN dt x ON x.doc_id=a JOIN dt y ON y.doc_id=b)
+         |  WHERE jacc>=0.9),
+         |esym AS (SELECT a, b FROM ej UNION ALL SELECT b, a FROM ej),
+         |enodes AS (SELECT DISTINCT a AS node FROM esym),
+         |ereach AS (SELECT node, node AS label FROM enodes
+         |  UNION
+         |  SELECT s.b AS node, r.label FROM ereach r JOIN esym s ON s.a = r.node),
+         |ecomp AS (SELECT node, min(label) component FROM ereach GROUP BY 1),
+         |surv1 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+         |  AND doc_id NOT IN (SELECT node FROM ecomp WHERE node <> component)),
+         |o0 AS (SELECT * FROM banded0 WHERE doc_id % 2 = 1),
+         |${capCte("o0", "ob", Seq("band", "band_key"))},
+         |ocand AS (SELECT DISTINCT x.doc_id a, y.doc_id b FROM ob x JOIN ob y
+         |  ON x.band=y.band AND x.band_key=y.band_key AND x.doc_id<y.doc_id),
+         |oj AS (SELECT a, b FROM (SELECT a, b,
+         |    round(CAST(len(list_intersect(x.s,y.s)) AS DOUBLE)
+         |      /(x.n+y.n-len(list_intersect(x.s,y.s))),6) jacc
+         |  FROM ocand JOIN dt x ON x.doc_id=a JOIN dt y ON y.doc_id=b)
+         |  WHERE jacc>=0.9),
+         |osym AS (SELECT a, b FROM oj UNION ALL SELECT b, a FROM oj),
+         |onodes AS (SELECT DISTINCT a AS node FROM osym),
+         |oreach AS (SELECT node, node AS label FROM onodes
+         |  UNION
+         |  SELECT s.b AS node, r.label FROM oreach r JOIN osym s ON s.a = r.node),
+         |ocomp AS (SELECT node, min(label) component FROM oreach GROUP BY 1),
+         |surv2a AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+         |  AND doc_id NOT IN (SELECT node FROM ocomp WHERE node <> component)),
+         |ix0 AS (SELECT b0.* FROM banded0 b0 JOIN surv1 s ON b0.doc_id = s.doc_id),
+         |${capCte("ix0", "ixb", Seq("band", "band_key"))},
+         |qb AS (SELECT b0.* FROM banded0 b0 JOIN surv2a s ON b0.doc_id = s.doc_id),
+         |xcand AS (SELECT DISTINCT q.doc_id a, x.doc_id b FROM qb q JOIN ixb x
+         |  ON q.band=x.band AND q.band_key=x.band_key),
+         |xdrop AS (SELECT DISTINCT a FROM (SELECT a,
+         |    round(CAST(len(list_intersect(x.s,y.s)) AS DOUBLE)
+         |      /(x.n+y.n-len(list_intersect(x.s,y.s))),6) jacc
+         |  FROM xcand JOIN dt x ON x.doc_id=a JOIN dt y ON y.doc_id=b)
+         |  WHERE jacc>=0.9)
+         |SELECT doc_id, CAST(doc_id % 2 AS BIGINT) ingest_batch FROM (
+         |  SELECT doc_id FROM surv1
+         |  UNION ALL
+         |  SELECT doc_id FROM surv2a WHERE doc_id NOT IN (SELECT a FROM xdrop))
+         |ORDER BY doc_id""".stripMargin,
     "stream_scd2_merge" ->
       """WITH v1 AS (SELECT user_id, max(event_type) et FROM events
         |            WHERE event_id % 2 = 0 GROUP BY 1),

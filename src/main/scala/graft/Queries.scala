@@ -418,6 +418,46 @@ object Queries {
           col("valid_to").isNull.as("is_open"))
         .orderBy("user_id", "event_type")
     }),
+    // fifth genuinely-streaming row (r13): production near-dup INGEST —
+    // TWO consecutive AvailableNow nearDupIngest runs over one
+    // corpus+index store (even doc_ids, then odd; batchIdOffset keeps
+    // the second run's state partition distinct). Run 1 dedupes the
+    // evens against themselves (min-id survivor per verified component)
+    // and persists survivors + their band index; run 2 dedupes the odds
+    // intra-batch, then probes run 1's PERSISTED index through the
+    // band equi-join and appends only novel docs — the 100 TB firehose
+    // ingest shape, driver-oracled end to end. Same batching contract
+    // as stream_scd2_merge: each phase is ONE micro-batch (single-file
+    // documentsStream). Output = final corpus (doc_id, ingest_batch);
+    // the oracle replays both phases from the shared minhash CTEs.
+    "stream_near_dup_ingest" -> ((s, dir) => {
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft-stream-ndi").toString
+      registerScratchCleanup(scratch)
+      val corpus = s"$scratch/corpus"
+      val index = s"$scratch/index"
+      def run(phase: Int): org.apache.spark.sql.streaming.StreamingQuery =
+        graft.streaming.Streams.nearDupIngest(
+          Tables.documentsStream(s, dir)
+            .where(pmod(col("doc_id"), lit(2L)) === phase)
+            .select(col("doc_id"), col("text")),
+          corpus, index, s"$scratch/ck$phase", "doc_id", "text",
+          threshold = 0.9,
+          trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+          batchIdOffset = phase.toLong)
+      graft.streaming.Streams.awaitDone(run(0))
+      val q2 = run(1)
+      val expected = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ingest_batch",
+          org.apache.spark.sql.types.LongType)))
+      graft.streaming.Streams.awaitAndRead(q2, s, corpus, expected)
+        .select(col("doc_id"), col("ingest_batch"))
+        .orderBy("doc_id")
+    }),
     "stream_windowed_counts" -> ((s, dir) => {
       // the streaming windowed rollup run on the batch frame — identical
       // declarative plan both ways (Streams.windowedCounts)

@@ -53,4 +53,14 @@ object Tables {
         unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
     }
   }
+
+  /** The documents table as a STREAMING source — [[eventsStream]]'s
+    * pattern for the text corpus (no column normalization needed).
+    * Single fixture file ⇒ one micro-batch per AvailableNow run, the
+    * batching contract the stream_* oracles rely on. */
+  def documentsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val sch = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    spark.readStream.schema(sch)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+  }
 }

@@ -355,19 +355,29 @@ object Streams {
     * capped at the NEXT index rebuild, not retroactively — the audit view
     * ([[Dedup.hotBuckets]]) over the index shows what a rebuild would
     * drop. */
+  /** `batchIdOffset` shifts the state-partition ids — REQUIRED when a
+    * SECOND AvailableNow run (fresh checkpoint, so foreachBatch's
+    * batchId restarts at 0) continues ingesting into the SAME
+    * corpus/index paths: without it run 2's batch 0 would overwrite run
+    * 1's `ingest_batch=0` partition AND prune it out of its own
+    * cross-batch probe (the prior-batches read excludes the current
+    * id). A resumed run on the ORIGINAL checkpoint needs no offset —
+    * its batchIds continue where they left off. */
   def nearDupIngest(stream: DataFrame, corpusPath: String, indexPath: String,
                     checkpoint: String, idCol: String, textCol: String,
                     threshold: Double = 0.9, numHashes: Int = 16,
                     rowsPerBand: Int = 16, maxBucket: Int = 10000,
-                    trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+                    trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
+                    batchIdOffset: Long = 0L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val w0 = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
     trigger.fold(w0)(w0.trigger)
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
-        nearDupIngestBatch(batch0, batchId, corpusPath, indexPath, idCol,
-          textCol, threshold, numHashes, rowsPerBand, maxBucket)
+        nearDupIngestBatch(batch0, batchId + batchIdOffset, corpusPath,
+          indexPath, idCol, textCol, threshold, numHashes, rowsPerBand,
+          maxBucket)
       }
       .start()
   }

@@ -656,7 +656,7 @@ class PlanAuditSpec extends SparkSpec {
     // the same rationale as the hadith map
     val planlessConstructors =
       Set("stream_dedup_keys", "stream_asof_enrich", "stream_hourly_merge",
-        "stream_scd2_merge")
+        "stream_scd2_merge", "stream_near_dup_ingest")
     def stripCast(e: Expression): Expression = e match {
       case Cast(c, _, _, _) => stripCast(c); case x => x
     }

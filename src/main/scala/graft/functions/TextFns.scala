@@ -66,10 +66,24 @@ object TextFns {
 
   /** Scala-side twin of [[hash31]] for driver-side planning (query-vector
     * encoding, LSH hyperplane signs). Bit-identical to the column version. */
-  def hash31Local(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2147483647L
+  def hash31Local(s: String): Long =
+    hash31Bytes(java.security.MessageDigest.getInstance("MD5"),
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Allocation-light core of [[hash31Local]] for PER-ROW expression
+    * hot paths ([[graft.plans.EmbedSlots]]): the same md5-based 60-bit
+    * value read straight from the digest bytes — the first 15 hex chars
+    * are bytes 0–6 plus the HIGH nibble of byte 7 — with a reusable
+    * MessageDigest and no hex-string formatting (the
+    * `"%02x".format` hex path costs a java.util.Formatter per byte —
+    * measured as the bulk of the per-row slots build). Equality with
+    * the string form is pinned in EmbedSlotsSpec. */
+  def hash31Bytes(md: java.security.MessageDigest, utf8: Array[Byte]): Long = {
+    val d = md.digest(utf8) // digest() resets md for the next call
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    ((h << 4) | ((d(7) & 0xffL) >>> 4)) % 2147483647L
   }
 
   /** F18: record checksum — sha256 over U+241F-joined fields

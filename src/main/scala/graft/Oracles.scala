@@ -179,6 +179,36 @@ object Oracles {
        |$out AS (SELECT $src.* FROM $src ANTI JOIN hot_$out USING($ks))""".stripMargin
   }
 
+  /** Exact-Jaccard over the `dt` distinct-token sets (x = side a,
+    * y = side b) — the one verify expression every near-dup oracle leg
+    * shares. */
+  private val JaccExpr =
+    "round(CAST(len(list_intersect(x.s,y.s)) AS DOUBLE)" +
+      "/(x.n+y.n-len(list_intersect(x.s,y.s))),6)"
+
+  /** Parity-scoped near-dup closure CTEs for the two-phase streaming
+    * ingest oracle: capped bands of one parity half → candidate
+    * self-join → exact-Jaccard verify → min-label recursive closure →
+    * `${p}surv` survivors. ONE emitter for both phases, so their
+    * semantics (threshold, rounding, closure rule) can never drift. */
+  private def parityClosureCtes(p: String, parity: Int): String =
+    s"""${p}0 AS (SELECT * FROM banded0 WHERE doc_id % 2 = $parity),
+       |${capCte(s"${p}0", s"${p}b", Seq("band", "band_key"))},
+       |${p}cand AS (SELECT DISTINCT x.doc_id a, y.doc_id b FROM ${p}b x JOIN ${p}b y
+       |  ON x.band=y.band AND x.band_key=y.band_key AND x.doc_id<y.doc_id),
+       |${p}j AS (SELECT a, b FROM (SELECT a, b, $JaccExpr jacc
+       |  FROM ${p}cand JOIN dt x ON x.doc_id=a JOIN dt y ON y.doc_id=b)
+       |  WHERE jacc>=0.9),
+       |${p}sym AS (SELECT a, b FROM ${p}j UNION ALL SELECT b, a FROM ${p}j),
+       |${p}nodes AS (SELECT DISTINCT a AS node FROM ${p}sym),
+       |${p}reach AS (SELECT node, node AS label FROM ${p}nodes
+       |  UNION
+       |  SELECT s.b AS node, r.label FROM ${p}reach r JOIN ${p}sym s ON s.a = r.node),
+       |${p}comp AS (SELECT node, min(label) component FROM ${p}reach GROUP BY 1),
+       |${p}surv AS (SELECT doc_id FROM documents WHERE doc_id % 2 = $parity
+       |  AND NOT EXISTS (SELECT 1 FROM ${p}comp
+       |                  WHERE node = doc_id AND node <> component))""".stripMargin
+
   private lazy val MinhashPairCtes: String =
     s"""$Toks,
        |elems AS (SELECT doc_id, unnest(list_distinct(t)) elem FROM toks),
@@ -306,54 +336,21 @@ object Oracles {
          |  md5(string_agg(minh::VARCHAR, ':' ORDER BY seed)) band_key
          |  FROM sigs GROUP BY doc_id, seed//16),
          |dt AS (SELECT doc_id, list_distinct(t) s, len(list_distinct(t)) n FROM toks),
-         |e0 AS (SELECT * FROM banded0 WHERE doc_id % 2 = 0),
-         |${capCte("e0", "eb", Seq("band", "band_key"))},
-         |ecand AS (SELECT DISTINCT x.doc_id a, y.doc_id b FROM eb x JOIN eb y
-         |  ON x.band=y.band AND x.band_key=y.band_key AND x.doc_id<y.doc_id),
-         |ej AS (SELECT a, b FROM (SELECT a, b,
-         |    round(CAST(len(list_intersect(x.s,y.s)) AS DOUBLE)
-         |      /(x.n+y.n-len(list_intersect(x.s,y.s))),6) jacc
-         |  FROM ecand JOIN dt x ON x.doc_id=a JOIN dt y ON y.doc_id=b)
-         |  WHERE jacc>=0.9),
-         |esym AS (SELECT a, b FROM ej UNION ALL SELECT b, a FROM ej),
-         |enodes AS (SELECT DISTINCT a AS node FROM esym),
-         |ereach AS (SELECT node, node AS label FROM enodes
-         |  UNION
-         |  SELECT s.b AS node, r.label FROM ereach r JOIN esym s ON s.a = r.node),
-         |ecomp AS (SELECT node, min(label) component FROM ereach GROUP BY 1),
-         |surv1 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0
-         |  AND doc_id NOT IN (SELECT node FROM ecomp WHERE node <> component)),
-         |o0 AS (SELECT * FROM banded0 WHERE doc_id % 2 = 1),
-         |${capCte("o0", "ob", Seq("band", "band_key"))},
-         |ocand AS (SELECT DISTINCT x.doc_id a, y.doc_id b FROM ob x JOIN ob y
-         |  ON x.band=y.band AND x.band_key=y.band_key AND x.doc_id<y.doc_id),
-         |oj AS (SELECT a, b FROM (SELECT a, b,
-         |    round(CAST(len(list_intersect(x.s,y.s)) AS DOUBLE)
-         |      /(x.n+y.n-len(list_intersect(x.s,y.s))),6) jacc
-         |  FROM ocand JOIN dt x ON x.doc_id=a JOIN dt y ON y.doc_id=b)
-         |  WHERE jacc>=0.9),
-         |osym AS (SELECT a, b FROM oj UNION ALL SELECT b, a FROM oj),
-         |onodes AS (SELECT DISTINCT a AS node FROM osym),
-         |oreach AS (SELECT node, node AS label FROM onodes
-         |  UNION
-         |  SELECT s.b AS node, r.label FROM oreach r JOIN osym s ON s.a = r.node),
-         |ocomp AS (SELECT node, min(label) component FROM oreach GROUP BY 1),
-         |surv2a AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1
-         |  AND doc_id NOT IN (SELECT node FROM ocomp WHERE node <> component)),
-         |ix0 AS (SELECT b0.* FROM banded0 b0 JOIN surv1 s ON b0.doc_id = s.doc_id),
+         |${parityClosureCtes("e", 0)},
+         |${parityClosureCtes("o", 1)},
+         |ix0 AS (SELECT b0.* FROM banded0 b0 JOIN esurv s ON b0.doc_id = s.doc_id),
          |${capCte("ix0", "ixb", Seq("band", "band_key"))},
-         |qb AS (SELECT b0.* FROM banded0 b0 JOIN surv2a s ON b0.doc_id = s.doc_id),
+         |qb AS (SELECT b0.* FROM banded0 b0 JOIN osurv s ON b0.doc_id = s.doc_id),
          |xcand AS (SELECT DISTINCT q.doc_id a, x.doc_id b FROM qb q JOIN ixb x
          |  ON q.band=x.band AND q.band_key=x.band_key),
-         |xdrop AS (SELECT DISTINCT a FROM (SELECT a,
-         |    round(CAST(len(list_intersect(x.s,y.s)) AS DOUBLE)
-         |      /(x.n+y.n-len(list_intersect(x.s,y.s))),6) jacc
+         |xdrop AS (SELECT DISTINCT a FROM (SELECT a, $JaccExpr jacc
          |  FROM xcand JOIN dt x ON x.doc_id=a JOIN dt y ON y.doc_id=b)
          |  WHERE jacc>=0.9)
          |SELECT doc_id, CAST(doc_id % 2 AS BIGINT) ingest_batch FROM (
-         |  SELECT doc_id FROM surv1
+         |  SELECT doc_id FROM esurv
          |  UNION ALL
-         |  SELECT doc_id FROM surv2a WHERE doc_id NOT IN (SELECT a FROM xdrop))
+         |  SELECT doc_id FROM osurv o
+         |  WHERE NOT EXISTS (SELECT 1 FROM xdrop WHERE a = o.doc_id))
          |ORDER BY doc_id""".stripMargin,
     "stream_scd2_merge" ->
       """WITH v1 AS (SELECT user_id, max(event_type) et FROM events

@@ -354,15 +354,22 @@ object Streams {
     * append; a bucket that only crosses the cap across many appends is
     * capped at the NEXT index rebuild, not retroactively — the audit view
     * ([[Dedup.hotBuckets]]) over the index shows what a rebuild would
-    * drop. */
-  /** `batchIdOffset` shifts the state-partition ids — REQUIRED when a
+    * drop.
+    *
+    * `batchIdOffset` shifts the state-partition ids — REQUIRED when a
     * SECOND AvailableNow run (fresh checkpoint, so foreachBatch's
     * batchId restarts at 0) continues ingesting into the SAME
     * corpus/index paths: without it run 2's batch 0 would overwrite run
     * 1's `ingest_batch=0` partition AND prune it out of its own
     * cross-batch probe (the prior-batches read excludes the current
-    * id). A resumed run on the ORIGINAL checkpoint needs no offset —
-    * its batchIds continue where they left off. */
+    * id). A non-zero offset is GUARDED at stream start: it must clear
+    * every existing partition id in both stores (offset >
+    * max ingest_batch), or the run fails loudly instead of silently
+    * destroying prior state (an offset of 1 after a 3-batch first run
+    * would overwrite its middle partition). A resumed run on the
+    * ORIGINAL checkpoint needs no offset — its batchIds continue where
+    * they left off, and the zero offset is exempt from the guard (a
+    * replayed batch MUST land on its own prior partition). */
   def nearDupIngest(stream: DataFrame, corpusPath: String, indexPath: String,
                     checkpoint: String, idCol: String, textCol: String,
                     threshold: Double = 0.9, numHashes: Int = 16,
@@ -370,6 +377,15 @@ object Streams {
                     trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
                     batchIdOffset: Long = 0L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    if (batchIdOffset > 0) {
+      val maxExisting = Seq(corpusPath, indexPath)
+        .flatMap(p => maxIngestBatch(stream.sparkSession, p))
+        .reduceOption(_ max _)
+      maxExisting.foreach(m => require(batchIdOffset > m,
+        s"batchIdOffset=$batchIdOffset collides with existing state " +
+          s"(max ingest_batch=$m): a colliding run would overwrite prior " +
+          s"partitions and prune them out of its own probe"))
+    }
     val w0 = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -380,6 +396,24 @@ object Streams {
           maxBucket)
       }
       .start()
+  }
+
+  /** Highest `ingest_batch=<id>` partition present under `path`, if any
+    * — the [[nearDupIngest]] offset-collision guard's view of prior
+    * state. Same failure doctrine as [[pathHasData]]: only not-found
+    * means empty; transient FS errors propagate. */
+  private def maxIngestBatch(spark: SparkSession, path: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("ingest_batch=") =>
+        n.stripPrefix("ingest_batch=").toLong
+      } match {
+        case Seq() => None
+        case ids => Some(ids.max)
+      }
   }
 
   /** One [[nearDupIngest]] micro-batch, IDEMPOTENT under foreachBatch's

@@ -299,6 +299,28 @@ class StreamsSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-nd").toString
+    // offset-collision guard: a non-zero offset that does not clear the
+    // existing partition ids must fail LOUDLY at stream start (offset 1
+    // against existing ingest_batch=0..2 would overwrite id 1 and prune
+    // it out of its own probe); a clearing offset starts fine
+    for (b <- 0L to 2L)
+      Seq((100L + b, s"seed $b")).toDF("doc_id", "text")
+        .write.parquet(s"$dir/corpus/ingest_batch=$b")
+    val memG = MemoryStream[(Long, String)]
+    val bad = intercept[IllegalArgumentException] {
+      Streams.nearDupIngest(memG.toDF().toDF("doc_id", "text"),
+        s"$dir/corpus", s"$dir/index", s"$dir/ckptg", "doc_id", "text",
+        batchIdOffset = 1L)
+    }
+    assert(bad.getMessage.contains("collides"))
+    Streams.nearDupIngest(memG.toDF().toDF("doc_id", "text"),
+      s"$dir/corpus", s"$dir/index", s"$dir/ckptg", "doc_id", "text",
+      batchIdOffset = 3L).stop() // clears max id 2 → allowed
+    // clean slate for the ingest assertions below
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(s"$dir/corpus"))
     val mem = MemoryStream[(Long, String)]
     val q = Streams.nearDupIngest(mem.toDF().toDF("doc_id", "text"),
       s"$dir/corpus", s"$dir/index", s"$dir/ckpt", "doc_id", "text")

@@ -1472,6 +1472,35 @@ object Oracles {
          |  CAST(sum(l) AS BIGINT) luma_sum, CAST(w*h AS BIGINT) n_px
          |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
 
+    // image_resize twin: the nearest-neighbor source lookup is the
+    // integer truncation ((x·16)//w, (y·12)//h), so the resized luma is
+    // the synthPng formula evaluated at the sampled source coordinates
+    "image_resize" ->
+      s"""WITH d AS (SELECT doc_id, 4 + doc_id % 5 w, 3 + doc_id % 4 h
+         |  FROM documents WHERE doc_id < 64),
+         |px AS (SELECT doc_id, w, h,
+         |    299*((doc_id*31 + ((x*16)//w)*7 + ((y*12)//h)*13) % 256)
+         |  + 587*((doc_id*17 + ((x*16)//w)*11 + ((y*12)//h)*3) % 256)
+         |  + 114*((doc_id*23 + ((x*16)//w)*5 + ((y*12)//h)*19) % 256) l
+         |  FROM d
+         |  CROSS JOIN (SELECT unnest(range(0, 9)) x)
+         |  CROSS JOIN (SELECT unnest(range(0, 7)) y)
+         |  WHERE x < w AND y < h)
+         |SELECT doc_id, CAST(w AS INT) width, CAST(h AS INT) height,
+         |  CAST(sum(l) AS BIGINT) luma_sum, CAST(w*h AS BIGINT) n_px
+         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    // audio_decode twin: replay the PCM16 sample formula and sum the
+    // absolute values on the signed-16-bit integer grid
+    "audio_decode" ->
+      s"""WITH d AS (SELECT doc_id, 64 + doc_id % 17 n
+         |  FROM documents WHERE doc_id < 64),
+         |sm AS (SELECT doc_id, n,
+         |  abs(((doc_id*7919 + i*104729) % 65536) - 32768) a
+         |  FROM d CROSS JOIN (SELECT unnest(range(0, 81)) i) WHERE i < n)
+         |SELECT doc_id, CAST(8000 AS INT) sample_rate, CAST(1 AS INT) channels,
+         |  CAST(n AS BIGINT) n_samples, CAST(sum(a) AS BIGINT) abs_sum
+         |FROM sm GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+
     // ── quran engine (reference corpus fixtures; absolute path) ────────
     "tafsir_stats" ->
       s"""SELECT count(*) AS entries, count(DISTINCT surah) AS surahs

@@ -1249,6 +1249,36 @@ object Queries {
           col("m.n_px").as("n_px"))
         .orderBy("doc_id")
     }),
+    // REAL resize path (r13): 16×12 synth PNG → nearest-neighbor
+    // downscale through ImageIO rasters → decode. The oracle replays
+    // the source-pixel lookup ((x·16)//w, (y·12)//h — integer
+    // truncation, the nearest-neighbor grid) over the dst lattice.
+    "image_resize" -> ((s, dir) => {
+      val d = docs(s, dir).where(col("doc_id") < 64)
+        .select(col("doc_id"),
+          (lit(4) + col("doc_id") % 5).cast("int").as("w"),
+          (lit(3) + col("doc_id") % 4).cast("int").as("h"))
+      d.withColumn("png", Multimodal.synthPng(col("doc_id"), lit(16), lit(12)))
+        .withColumn("small", Multimodal.resizeImage(col("png"), col("w"), col("h")))
+        .select(col("doc_id"), Multimodal.decodeImage(col("small")).as("m"))
+        .select(col("doc_id"), col("m.width").as("width"),
+          col("m.height").as("height"), col("m.luma_sum").as("luma_sum"),
+          col("m.n_px").as("n_px"))
+        .orderBy("doc_id")
+    }),
+    // REAL audio codec round trip (r13): deterministic PCM16 WAVs
+    // (integer sample formula) through a real RIFF container, parsed
+    // back by the JDK's own AudioSystem reader; |sample| sum on the
+    // exact signed-16-bit grid replays verbatim in the oracle.
+    "audio_decode" -> ((s, dir) =>
+      docs(s, dir).where(col("doc_id") < 64)
+        .select(col("doc_id"),
+          Multimodal.decodeWav(Multimodal.synthWav(col("doc_id"),
+            (lit(64) + col("doc_id") % 17).cast("int"), lit(8000))).as("m"))
+        .select(col("doc_id"), col("m.sample_rate").as("sample_rate"),
+          col("m.channels").as("channels"),
+          col("m.n_samples").as("n_samples"), col("m.abs_sum").as("abs_sum"))
+        .orderBy("doc_id")),
 
     // ── quran engine (reference corpus fixtures; sfDir-independent) ────
     "tafsir_stats" -> ((s, _) =>

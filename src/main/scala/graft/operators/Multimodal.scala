@@ -105,12 +105,114 @@ object Multimodal {
       bos.toByteArray
     }
 
-  /** STUB decode — deterministic fake in place of an AUDIO/VIDEO codec
-    * (absent from this build by design): "dimensions" parsed from the
-    * payload length, "duration" from a byte checksum. A production
-    * build swaps ONLY this function for a real decoder running in the
-    * same narrow column shape — exactly as [[decodeImage]] already does
-    * for images. */
+  /** REAL nearest-neighbor image RESIZE (licensed UDF, same codec
+    * license as [[decodeImage]]): decode via ImageIO, sample source
+    * pixel `((x·srcW) / dstW, (y·srcH) / dstH)` (integer truncation —
+    * the classic nearest-neighbor grid, exactly replayable in SQL),
+    * re-encode PNG. Null for undecodable input or non-positive target
+    * dims. Narrow per-row work like the decode; at 100 TB the resize
+    * rides in the scan projection between decode and feature
+    * extraction — the training-pipeline "thumbnail before embed"
+    * step. */
+  val resizeImage: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte], dstW: Int, dstH: Int) =>
+      if (bytes == null || dstW <= 0 || dstH <= 0) None
+      else try {
+        val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (src == null) None
+        else {
+          val out = new java.awt.image.BufferedImage(
+            dstW, dstH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val (sw, sh) = (src.getWidth, src.getHeight)
+          var y = 0
+          while (y < dstH) {
+            var x = 0
+            while (x < dstW) {
+              out.setRGB(x, y, src.getRGB(x * sw / dstW, y * sh / dstH) & 0xffffff)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Some(bos.toByteArray)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** Decoded-audio metadata — [[ImageMeta]]'s audio sibling, exact
+    * integer amplitude sum (Σ |16-bit sample|, undivided) so the value
+    * replays in SQL; duration derives as n_samples / sample_rate. */
+  case class AudioMeta(sample_rate: Int, channels: Int,
+                       n_samples: Long, abs_sum: Long)
+
+  /** REAL audio decode for WAV/PCM (licensed UDF): the JDK's own
+    * `javax.sound.sampled.AudioSystem` parses the RIFF container and
+    * format chunk — zero new dependencies, a genuine codec path like
+    * [[decodeImage]]. Emits (sample_rate, channels, n_samples,
+    * Σ |sample|) with the amplitude sum on the exact signed-16-bit
+    * integer grid. Null for anything AudioSystem rejects (MP3/OGG/
+    * corrupt bytes). With this, `decodeStub` stands in ONLY for video
+    * (the one modality whose codecs this build truly lacks). */
+  val decodeWav: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { bytes: Array[Byte] =>
+      if (bytes == null) None
+      else try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f = in.getFormat
+          if (f.getSampleSizeInBits != 16) None
+          else {
+            val bigEndian = f.isBigEndian
+            val data = in.readAllBytes()
+            val n = data.length / 2
+            var s = 0L
+            var i = 0
+            while (i < n) {
+              val lo = data(2 * i) & 0xff
+              val hi = data(2 * i + 1) & 0xff
+              val v = (if (bigEndian) (lo << 8) | hi else (hi << 8) | lo).toShort
+              s += math.abs(v.toLong)
+              i += 1
+            }
+            Some(AudioMeta(f.getSampleRate.toInt, f.getChannels, n.toLong, s))
+          }
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** Deterministic PCM16 mono WAV fixture generator ([[synthPng]]'s
+    * audio sibling, fixture-only): sample i of clip `id` is
+    * `((id·7919 + i·104729) mod 65536) − 32768` — pure integer
+    * arithmetic a SQL oracle replays verbatim, emitted through a real
+    * RIFF/WAVE container that [[decodeWav]] parses back with the JDK's
+    * own reader. */
+  val synthWav: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (id: Long, n: Int, sampleRate: Int) =>
+      val samples = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val v = (((id * 7919 + i.toLong * 104729) % 65536) - 32768).toShort
+        samples(2 * i) = (v & 0xff).toByte
+        samples(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(samples), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+  /** STUB decode — deterministic fake in place of a VIDEO codec (the
+    * one modality whose codecs this build truly lacks; images decode
+    * through [[decodeImage]] and WAV audio through [[decodeWav]]):
+    * "dimensions" parsed from the payload length, "duration" from a
+    * byte checksum. A production build swaps ONLY this function for a
+    * real decoder running in the same narrow column shape. */
   def decodeStub(bytes: Column): Column =
     struct(
       (length(bytes) % 1920).cast("int").as("width"),

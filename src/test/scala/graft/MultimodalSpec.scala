@@ -108,6 +108,50 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resizeImage: nearest-neighbor source lookup; identity resize is lossless; garbage is null") {
+    val d = Seq((9L, 16, 12, 5, 4)).toDF("id", "sw", "sh", "w", "h")
+      .select($"id", $"sw", $"sh", $"w", $"h",
+        Multimodal.decodeImage(Multimodal.resizeImage(
+          Multimodal.synthPng($"id", $"sw", $"sh"), $"w", $"h")).as("m"),
+        Multimodal.decodeImage(Multimodal.resizeImage(
+          Multimodal.synthPng($"id", $"sw", $"sh"), $"sw", $"sh")).as("same"))
+      .head()
+    val (id, sw, sh, w, h) = (d.getLong(0), d.getInt(1), d.getInt(2), d.getInt(3), d.getInt(4))
+    val m = d.getStruct(5)
+    def luma(x: Long, y: Long): Long =
+      299L * ((id * 31 + x * 7 + y * 13) % 256) +
+      587L * ((id * 17 + x * 11 + y * 3) % 256) +
+      114L * ((id * 23 + x * 5 + y * 19) % 256)
+    val expected = (for { x <- 0 until w; y <- 0 until h } yield
+      luma(x.toLong * sw / w, y.toLong * sh / h)).sum
+    assert(m.getInt(0) === w && m.getInt(1) === h && m.getLong(2) === expected)
+    // identity resize samples every source pixel exactly once
+    val same = d.getStruct(6)
+    val full = (for { x <- 0 until sw; y <- 0 until sh } yield luma(x, y)).sum
+    assert(same.getLong(2) === full)
+    val bad = Seq(("x", "junk".getBytes("UTF-8"))).toDF("k", "b")
+      .select(Multimodal.resizeImage($"b", lit(2), lit(2))).head()
+    assert(bad.isNullAt(0))
+  }
+
+  test("decodeWav ∘ synthWav equals the PCM16 sample formula; non-audio is null") {
+    val rows = Seq((3L, 50, 8000), (11L, 7, 16000)).toDF("id", "n", "rate")
+      .select($"id", $"n", $"rate",
+        Multimodal.decodeWav(Multimodal.synthWav($"id", $"n", $"rate")).as("m"))
+      .collect()
+    rows.foreach { r =>
+      val (id, n, rate) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      val m = r.getStruct(3)
+      val expected = (0 until n).map(i =>
+        math.abs(((id * 7919 + i.toLong * 104729) % 65536) - 32768)).sum
+      assert(m.getInt(0) === rate && m.getInt(1) === 1)
+      assert(m.getLong(2) === n.toLong && m.getLong(3) === expected, s"id=$id")
+    }
+    val bad = Seq(("x", "definitely not audio".getBytes("UTF-8"))).toDF("k", "b")
+      .select(Multimodal.decodeWav($"b")).head()
+    assert(bad.isNullAt(0))
+  }
+
   test("decodeImage ∘ synthPng equals the integer pixel formula (the image_decode oracle contract)") {
     val d = Seq((5L, 9, 11), (12L, 16, 8)).toDF("id", "w", "h")
       .select($"id", $"w", $"h",

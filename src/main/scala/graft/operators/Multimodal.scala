@@ -128,7 +128,11 @@ object Multimodal {
           while (y < dstH) {
             var x = 0
             while (x < dstW) {
-              out.setRGB(x, y, src.getRGB(x * sw / dstW, y * sh / dstH) & 0xffffff)
+              // Long math: x·sw overflows Int for panorama-scale inputs
+              // (40k×60k), and the NonFatal catch would turn the wrap
+              // into a silent null for a perfectly decodable image
+              out.setRGB(x, y, src.getRGB((x.toLong * sw / dstW).toInt,
+                (y.toLong * sh / dstH).toInt) & 0xffffff)
               x += 1
             }
             y += 1
@@ -141,8 +145,10 @@ object Multimodal {
     }
 
   /** Decoded-audio metadata — [[ImageMeta]]'s audio sibling, exact
-    * integer amplitude sum (Σ |16-bit sample|, undivided) so the value
-    * replays in SQL; duration derives as n_samples / sample_rate. */
+    * integer amplitude sum (Σ |16-bit sample| over EVERY channel
+    * sample, undivided) so the value replays in SQL. `n_samples`
+    * counts FRAMES (per-channel sample count), so duration =
+    * n_samples / sample_rate holds for any channel count. */
   case class AudioMeta(sample_rate: Int, channels: Int,
                        n_samples: Long, abs_sum: Long)
 
@@ -166,7 +172,7 @@ object Multimodal {
           else {
             val bigEndian = f.isBigEndian
             val data = in.readAllBytes()
-            val n = data.length / 2
+            val n = data.length / 2 // channel-samples
             var s = 0L
             var i = 0
             while (i < n) {
@@ -176,7 +182,10 @@ object Multimodal {
               s += math.abs(v.toLong)
               i += 1
             }
-            Some(AudioMeta(f.getSampleRate.toInt, f.getChannels, n.toLong, s))
+            // FRAMES, not interleaved channel-samples — a stereo clip's
+            // duration (n_samples / sample_rate) must not double
+            Some(AudioMeta(f.getSampleRate.toInt, f.getChannels,
+              n.toLong / math.max(1, f.getChannels), s))
           }
         } finally in.close()
       } catch { case scala.util.control.NonFatal(_) => None }

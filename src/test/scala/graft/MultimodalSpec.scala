@@ -150,6 +150,28 @@ class MultimodalSpec extends SparkSpec {
     val bad = Seq(("x", "definitely not audio".getBytes("UTF-8"))).toDF("k", "b")
       .select(Multimodal.decodeWav($"b")).head()
     assert(bad.isNullAt(0))
+    // STEREO: n_samples counts FRAMES (duration = n/rate must not
+    // double), abs_sum covers every channel sample
+    val nFrames = 10
+    val pcm = new Array[Byte](nFrames * 2 * 2)
+    var absSum = 0L
+    for (i <- 0 until nFrames * 2) {
+      val v = (100 * i - 500).toShort // mixed signs
+      absSum += math.abs(v.toLong)
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val st = Seq(("s", bos.toByteArray)).toDF("k", "b")
+      .select(Multimodal.decodeWav($"b").as("m")).head().getStruct(0)
+    assert(st.getInt(1) === 2, "channels")
+    assert(st.getLong(2) === nFrames.toLong, "frames, not channel-samples")
+    assert(st.getLong(3) === absSum)
   }
 
   test("decodeImage ∘ synthPng equals the integer pixel formula (the image_decode oracle contract)") {

@@ -1498,6 +1498,24 @@ object Oracles {
          |SELECT doc_id, CAST(w AS INT) width, CAST(h AS INT) height,
          |  CAST(sum(l) AS BIGINT) luma_sum, CAST(w*h AS BIGINT) n_px
          |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    // video_frames twin: sampled frame indices are (i·n)//2 for i in
+    // 0..1 (n in 3..6, so always 0 and n//2); frame f's luma replays
+    // the synthPng formula at effective id doc_id·100 + f over the
+    // fixed 8×6 lattice
+    "video_frames" ->
+      s"""WITH d AS (SELECT doc_id, 3 + doc_id % 4 n
+         |  FROM documents WHERE doc_id < 64),
+         |fr AS (SELECT doc_id, n, unnest([0, n // 2]) f FROM d),
+         |px AS (SELECT doc_id, f,
+         |    299*(((doc_id*100 + f)*31 + x*7 + y*13) % 256)
+         |  + 587*(((doc_id*100 + f)*17 + x*11 + y*3) % 256)
+         |  + 114*(((doc_id*100 + f)*23 + x*5 + y*19) % 256) l
+         |  FROM fr
+         |  CROSS JOIN (SELECT unnest(range(0, 8)) x)
+         |  CROSS JOIN (SELECT unnest(range(0, 6)) y))
+         |SELECT doc_id, CAST(f AS INT) frame, CAST(8 AS INT) width,
+         |  CAST(6 AS INT) height, CAST(sum(l) AS BIGINT) luma_sum
+         |FROM px GROUP BY doc_id, f ORDER BY doc_id, frame""".stripMargin,
     // audio_decode twin: replay the PCM16 sample formula and sum the
     // absolute values on the signed-16-bit integer grid
     "audio_decode" ->

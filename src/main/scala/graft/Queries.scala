@@ -1277,6 +1277,24 @@ object Queries {
           col("m.n_px").as("n_px"))
         .orderBy("doc_id")
     }),
+    // REAL frame sampling (r13): a strip of real PNG frames per doc,
+    // k=2 evenly spaced frames ((i·n)/2 integer truncation — the
+    // frameSampleIndices math) decoded back through ImageIO; the
+    // oracle replays the per-frame pixel formula at the sampled
+    // indices. The container is the declared stand-in; frames and
+    // their decode are real codec work.
+    "video_frames" -> ((s, dir) =>
+      docs(s, dir).where(col("doc_id") < 64)
+        .select(col("doc_id"),
+          Multimodal.sampleFrames(
+            Multimodal.synthVideo(col("doc_id"),
+              (lit(3) + col("doc_id") % 4).cast("int"), lit(8), lit(6)),
+            lit(2)).as("fs"))
+        .select(col("doc_id"), explode(col("fs")).as("f"))
+        .select(col("doc_id"), col("f.frame").as("frame"),
+          col("f.width").as("width"), col("f.height").as("height"),
+          col("f.luma_sum").as("luma_sum"))
+        .orderBy("doc_id", "frame")),
     // REAL audio codec round trip (r13): deterministic PCM16 WAVs
     // (integer sample formula) through a real RIFF container, parsed
     // back by the JDK's own AudioSystem reader; |sample| sum on the

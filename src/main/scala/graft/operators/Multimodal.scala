@@ -75,34 +75,110 @@ object Multimodal {
       } catch { case scala.util.control.NonFatal(_) => None }
     }
 
-  /** Deterministic PNG fixture generator (licensed UDF, fixture-only):
-    * pixel (x, y) of image `id` is
+  /** The ONE synthetic-pixel PNG encoder behind [[synthPng]] and
+    * [[synthVideo]]: pixel (x, y) of image `id` is
     * r = (id·31 + x·7 + y·13) mod 256, g = (id·17 + x·11 + y·3) mod 256,
-    * b = (id·23 + x·5 + y·19) mod 256 — pure integer arithmetic a SQL
+    * b = (id·23 + x·5 + y·19) mod 256. */
+  private def pngBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((id * 17 + x * 11 + y * 3) % 256).toInt
+        val b = ((id * 23 + x * 5 + y * 19) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic PNG fixture generator (licensed UDF, fixture-only):
+    * [[pngBytes]]'s integer pixel formulas — pure arithmetic a SQL
     * oracle replays verbatim, and PNG is lossless, so
     * [[decodeImage]] ∘ [[synthPng]] is exactly the formula. This is how
     * the `image_decode` registered query gets REAL codec bytes out of
     * the relational testdata (the digest-style oracle pattern of
     * npz_embeddings). */
   val synthPng: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (id: Long, w: Int, h: Int) =>
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
-          val g = ((id * 17 + x * 11 + y * 3) % 256).toInt
-          val b = ((id * 23 + x * 5 + y * 19) % 256).toInt
-          img.setRGB(x, y, (r << 16) | (g << 8) | b)
-          x += 1
-        }
-        y += 1
-      }
+    udf { (id: Long, w: Int, h: Int) => pngBytes(id, w, h) }
+
+  /** Deterministic VIDEO fixture (licensed UDF, fixture-only): a
+    * length-prefixed strip of REAL PNG frames — frame f of clip `id`
+    * is [[pngBytes]] at effective id `id·100 + f`. The CONTAINER layer
+    * is the declared stand-in (mp4/h264 demuxers are genuinely absent
+    * from this build); every frame inside it is a real codec payload
+    * the JDK decoder parses back. */
+  val synthVideo: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (id: Long, nFrames: Int, w: Int, h: Int) =>
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
+      val out = new java.io.DataOutputStream(bos)
+      var f = 0
+      while (f < nFrames) {
+        val png = pngBytes(id * 100 + f, w, h)
+        out.writeInt(png.length)
+        out.write(png)
+        f += 1
+      }
       bos.toByteArray
+    }
+
+  /** Per-frame metadata from [[sampleFrames]] — [[ImageMeta]] plus the
+    * sampled frame index. */
+  case class FrameMeta(frame: Int, width: Int, height: Int, luma_sum: Long)
+
+  /** REAL frame sampling + decode (licensed UDF): split the
+    * length-prefixed strip, pick `k` evenly spaced frames with the SAME
+    * index math as [[frameSampleIndices]] (`(i·n) / k` integer
+    * truncation; all frames when n ≤ k), and decode each through
+    * ImageIO — (frame, width, height, Σ BT.601 integer luma) per
+    * sampled frame, exactly [[decodeImage]]'s grid. Null for a
+    * malformed strip. At 100 TB this is the per-row "sample 8 frames
+    * before embedding" step: narrow scan work whose cost is k decodes
+    * per asset regardless of clip length. */
+  val sampleFrames: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte], k: Int) =>
+      if (bytes == null || k <= 0) None
+      else try {
+        val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+        val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        while (in.available() >= 4) {
+          val len = in.readInt()
+          if (len < 0 || len > in.available()) throw new java.io.IOException("bad frame length")
+          val buf = new Array[Byte](len)
+          in.readFully(buf)
+          frames += buf
+        }
+        val n = frames.length
+        if (n == 0) None
+        else {
+          val idx = if (n <= k) 0 until n else (0 until k).map(i => i * n / k)
+          val metas = idx.map { f =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(frames(f)))
+            if (img == null) throw new java.io.IOException(s"frame $f undecodable")
+            val (w, h) = (img.getWidth, img.getHeight)
+            var s = 0L; var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                s += 299L * ((p >> 16) & 255) + 587L * ((p >> 8) & 255) + 114L * (p & 255)
+                x += 1
+              }
+              y += 1
+            }
+            FrameMeta(f, w, h, s)
+          }
+          Some(metas)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
     }
 
   /** REAL nearest-neighbor image RESIZE (licensed UDF, same codec

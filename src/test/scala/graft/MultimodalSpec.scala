@@ -174,6 +174,33 @@ class MultimodalSpec extends SparkSpec {
     assert(st.getLong(3) === absSum)
   }
 
+  test("sampleFrames: frameSampleIndices math, per-frame decode formula, malformed strip is null") {
+    val rows = Seq((5L, 6, 2), (8L, 2, 4)).toDF("id", "n", "k")
+      .select($"id", $"n", $"k",
+        Multimodal.sampleFrames(
+          Multimodal.synthVideo($"id", $"n", lit(8), lit(6)), $"k").as("fs"))
+      .collect()
+    rows.foreach { r =>
+      val (id, n, k) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      val fs = r.getSeq[org.apache.spark.sql.Row](3)
+      val expectIdx = if (n <= k) 0 until n else (0 until k).map(i => i * n / k)
+      assert(fs.map(_.getInt(0)) === expectIdx, s"id=$id sampled indices")
+      fs.foreach { f =>
+        val fi = f.getInt(0)
+        val eff = id * 100 + fi
+        val expected = (for { x <- 0 until 8; y <- 0 until 6 } yield
+          299L * ((eff * 31 + x * 7 + y * 13) % 256) +
+          587L * ((eff * 17 + x * 11 + y * 3) % 256) +
+          114L * ((eff * 23 + x * 5 + y * 19) % 256)).sum
+        assert(f.getInt(1) === 8 && f.getInt(2) === 6)
+        assert(f.getLong(3) === expected, s"id=$id frame=$fi")
+      }
+    }
+    val bad = Seq(("x", Array[Byte](0, 0, 0, 99, 1, 2))).toDF("k", "b")
+      .select(Multimodal.sampleFrames($"b", lit(2))).head()
+    assert(bad.isNullAt(0), "truncated strip must be null")
+  }
+
   test("decodeImage ∘ synthPng equals the integer pixel formula (the image_decode oracle contract)") {
     val d = Seq((5L, 9, 11), (12L, 16, 8)).toDF("id", "w", "h")
       .select($"id", $"w", $"h",

@@ -142,6 +142,17 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.8, f"high-recall rung degraded: $r%.3f")
   }
 
+  test("bench recall section emits the full seven-rung ladder (no silent drop)") {
+    // the per-round artifact's recall JSON must carry every registered
+    // rung — a refactor that drops one would silently shrink the
+    // driver-visible ladder (sf0.001 keeps the structural pin cheap)
+    val (json, default) = Bench.recallSection(spark, "/root/testdata/sf0.001")
+    Seq("ann_topk", "ann_ivf_wide", "ann_multiprobe_h1", "ann_multiprobe",
+      "ann_bucket_floor", "ann_ensemble", "ivf_topk")
+      .foreach(k => assert(json.contains("\"" + k + "\""), s"ladder rung $k missing"))
+    assert(default.isDefined, "default ann_topk recall missing from the tail")
+  }
+
   test("multi-probe ladder rung (nBits=4, hamming=1) holds recall@20 >= 0.4") {
     // the r12 default, kept as a measured ladder rung (bucket-index
     // family — the serving path's prebuilt-index probe shape)

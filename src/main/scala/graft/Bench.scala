@@ -402,26 +402,35 @@ object Bench {
         .collect().map(_.getLong(0)).toSeq.sorted
       val pre = recallBaselines(e, present, k)
       val annIdx = Similarity.annIndex(e, "vec_id", "embedding", Queries.Dim, nBits = 4)
-      // trained-IVF index hoisted like annIdx (trains once, probes per
-      // query — the registered default's own serving shape); the
-      // assignment is CACHED so the 5 probes don't each re-derive the
-      // per-row bestCentroid scan
+      // trained-IVF indexes hoisted like annIdx (train once, probe per
+      // query — the registered defaults' own serving shape); the
+      // assignments are CACHED so the 5 probes don't each re-derive the
+      // per-row centroid scan
       val (ivfAsg0, ivfCents) = Similarity.ivfIndexGrid(e, "vec_id", "embedding",
         nCentroids = 16, lloydIters = 1)
       val ivfAsg = ivfAsg0.cache()
       cached ::= ivfAsg
-      // mirrors the REGISTERED forms: ann_topk is the grid-trained IVF
-      // default (r13 — the single-bucket probe is the explicit floor
-      // variant; the r12 multi-probe h=1 default stays measured as
-      // ann_multiprobe_h1). Probes ask for k+1, AnnRecallSpec's exact
-      // methodology: every form returns the query vector itself at
-      // rank 1 (cos=1) and recallFrom drops it, so a k-probe could
-      // surface at most k−1 true neighbors — the artifact would sit
-      // ~1/k below the spec-pinned number for a regression that never
-      // happened.
+      // the r14 scale-aware spill default: K from corpus size, ~5.5%
+      // nominal scan at any N (Similarity.nListsFor scaladoc)
+      val nTotal = e.count()
+      val nLists = Similarity.nListsFor(nTotal)
+      val nProbe = Similarity.nProbeFor(nLists)
+      val (spillAsg0, spillCents) = Similarity.ivfIndexSpill(e, "vec_id", "embedding",
+        nCentroids = nLists)
+      val spillAsg = spillAsg0.cache()
+      cached ::= spillAsg
+      // mirrors the REGISTERED forms: ann_topk is the scale-aware
+      // spherical spill IVF (r14 — the single-bucket probe is the
+      // explicit floor variant; the r12 multi-probe h=1 default stays
+      // measured as ann_multiprobe_h1). Probes ask for k+1,
+      // AnnRecallSpec's exact methodology: every form returns the query
+      // vector itself at rank 1 (cos=1) and recallFrom drops it, so a
+      // k-probe could surface at most k−1 true neighbors — the artifact
+      // would sit ~1/k below the spec-pinned number for a regression
+      // that never happened.
       val forms: Seq[(String, (DataFrame, Array[Float]) => DataFrame)] = Seq(
         ("ann_topk", (_, qv) =>
-          Similarity.ivfProbeGrid(ivfAsg, ivfCents, qv, nProbe = 5, k = k + 1)),
+          Similarity.ivfProbeSpill(spillAsg, spillCents, qv, nProbe, k = k + 1)),
         ("ann_ivf_wide", (_, qv) =>
           Similarity.ivfProbeGrid(ivfAsg, ivfCents, qv, nProbe = 10, k = k + 1)),
         ("ann_multiprobe_h1", (_, qv) =>
@@ -441,8 +450,22 @@ object Bench {
       val measured = forms.map { case (name, approx) =>
         name -> recallFrom(e, pre, approx)
       }
+      // scanned-row fraction of the default's probe (index rows whose
+      // centroid is in the probe schedule, spill duplicates INCLUDED —
+      // the honest rows-read number), averaged over the same queries:
+      // the ≤6%-at-any-scale pin the K ∝ √N sizing exists to hold
+      val scanFrac = {
+        val fs = pre.map { case (_, qv, _) =>
+          val ps = Similarity.spillProbeSet(spillCents, qv, nProbe)
+          spillAsg.where(col("centroid").isin(ps.map(x => x: Any): _*))
+            .count().toDouble / nTotal.toDouble
+        }
+        if (fs.isEmpty) 0.0 else fs.sum / fs.size
+      }
       val out = measured.map { case (name, r) => s""""$name":${fmt(r, 3)}""" }
-      ((out :+ s""""k":$k""" :+ s""""n_queries":${present.size}""")
+      ((out :+ s""""ann_topk_scan":${fmt(scanFrac, 3)}"""
+        :+ s""""ann_topk_lists":$nLists""" :+ s""""ann_topk_nprobe":$nProbe"""
+        :+ s""""k":$k""" :+ s""""n_queries":${present.size}""")
         .mkString("{", ",", "}"),
         measured.collectFirst { case ("ann_topk", r) => r })
     } catch {

@@ -186,10 +186,61 @@ object Oracles {
     "round(CAST(len(list_intersect(x.s,y.s)) AS DOUBLE)" +
       "/(x.n+y.n-len(list_intersect(x.s,y.s))),6)"
 
+  /** SCALE-AWARE spherical spill-IVF replay (the r14 `ann_topk`
+    * default — Similarity.ivfTopKSpill): derives K and nProbe from
+    * count(*) with the same pow2(round(log2(3·√N))) / max(2, 7K//128)
+    * formulas as nListsFor/nProbeFor, trains `iters` spherical Lloyd
+    * steps on the truncated-integer-mean grid (assignment ranks
+    * dot/|c| — |v| cancels; the norm guard CASE mirrors centNorms),
+    * double-assigns boundary vectors whose top-2 centroid cosines are
+    * within `delta`, probes the nProbe spherically-nearest lists, and
+    * exact-reranks. Every arithmetic step is either exact integer
+    * math or one correctly-rounded IEEE sqrt/division of identical
+    * inputs, so the replay is bit-for-bit. */
+  private def ivfSpillOracle(iters: Int, delta: Double): String = {
+    def norm(c: String) =
+      s"(CASE WHEN sqrt(list_dot_product($c,$c))=0 THEN 1 ELSE sqrt(list_dot_product($c,$c)) END)"
+    def itCte(t: Int): String = {
+      val sph = s"list_dot_product(e.qv, c$t.cqv)/${norm(s"c$t.cqv")}"
+      s"""a$t AS (SELECT vec_id, qv, i centroid FROM (
+         |  SELECT e.vec_id, e.qv, c$t.i,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY $sph DESC, c$t.i) rn
+         |  FROM e CROSS JOIN c$t) WHERE rn=1),
+         |cells$t AS (SELECT centroid i, p, sum(CAST(qv[p+1] AS BIGINT)) s, count(*) n
+         |  FROM a$t CROSS JOIN (SELECT unnest(range(0, ${Queries.Dim})) p) GROUP BY 1,2),
+         |cm$t AS (SELECT i, list(CAST(s // n AS DOUBLE) ORDER BY p) cqv FROM cells$t GROUP BY i),
+         |c${t + 1} AS (SELECT c$t.i, coalesce(cm$t.cqv, c$t.cqv) cqv FROM c$t LEFT JOIN cm$t USING(i))""".stripMargin
+    }
+    val kexpr = "CAST(POWER(2, LEAST(18, GREATEST(4, ROUND(LOG2(3*SQRT(n)))))) AS INT)"
+    val sphf = s"list_dot_product(e.qv, cf.cqv)/${norm("cf.cqv")}"
+    s"""WITH $EmbQ,
+       |kk AS (SELECT $kexpr k, GREATEST(2, (7*$kexpr)//128) np FROM (SELECT count(*) n FROM e)),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id)-1 i, qv cqv FROM e
+       |       QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kk)),
+       |${(0 until iters).map(itCte).mkString(",\n")},
+       |cf AS (SELECT i, cqv FROM c$iters),
+       |ax AS (SELECT vec_id, qv, i, dn, rn FROM (
+       |  SELECT e.vec_id, e.qv, cf.i, $sphf dn,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY $sphf DESC, cf.i) rn
+       |  FROM e CROSS JOIN cf) WHERE rn<=2),
+       |asg AS (SELECT vec_id, qv, i centroid FROM ax WHERE rn=1
+       |  UNION ALL
+       |  SELECT a2.vec_id, a2.qv, a2.i FROM ax a2 JOIN ax a1
+       |    ON a1.vec_id=a2.vec_id AND a1.rn=1 AND a2.rn=2
+       |  WHERE (a1.dn - a2.dn)/sqrt(list_dot_product(a2.qv,a2.qv)) <= $delta),
+       |q AS (SELECT qv qq FROM e WHERE vec_id=0),
+       |probe AS (SELECT cf.i FROM cf CROSS JOIN q
+       |  QUALIFY row_number() OVER (
+       |    ORDER BY list_dot_product(qq, cf.cqv)/${norm("cf.cqv")} DESC, cf.i) <= (SELECT np FROM kk)),
+       |cand AS (SELECT DISTINCT vec_id, qv FROM asg WHERE centroid IN (SELECT i FROM probe))
+       |SELECT vec_id, ${cosQ("qv", "qq")} cos FROM cand CROSS JOIN q
+       |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin
+  }
+
   /** Integer-grid Lloyd-trained IVF replay, parameterized ONLY by the
-    * probe width — the `ann_topk` default (nProbe=5) and the
-    * `ann_ivf_wide` high-recall rung (nProbe=10) share every other
-    * character, so the training replay cannot drift between them. */
+    * probe width — kept for the `ann_ivf_wide` high-recall rung
+    * (nProbe=10 of 16); the scale-aware spill default has its own
+    * emitter above. */
   private def ivfGridOracle(nProbe: Int): String =
     s"""WITH $EmbQ,
        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id)-1 i, qv cqv
@@ -877,15 +928,16 @@ object Oracles {
          |v AS (SELECT a, b, ${cosQ("x.qv", "y.qv")} cos FROM cand
          |      JOIN k x ON x.id=a JOIN k y ON y.id=b)
          |SELECT a, b, cos FROM v WHERE cos>=0.3 ORDER BY a, b""".stripMargin,
-    // default ANN (r13) = integer-grid Lloyd-trained IVF: seed centroids
-    // are the 16 lowest-id vectors; ONE refinement step replaces each
-    // centroid coordinate with the TRUNCATED integer mean of its
-    // members (HUGEINT sum `//` count — DuckDB truncates toward zero,
-    // exactly Scala's Long division; exact integer arithmetic, so the
-    // refined assignment and probe ranking replay Spark bit-for-bit);
-    // empty clusters keep their seed. Probe the 5 nearest refined
-    // lists, exact rerank.
-    "ann_topk" -> ivfGridOracle(nProbe = 5),
+    // default ANN (r14) = SCALE-AWARE spherical spill-IVF: K and
+    // nProbe derived from count(*) (pow2(round(log2(3·√N))),
+    // max(2, 7K//128)); 3 spherical Lloyd steps on the truncated-
+    // integer-mean grid (HUGEINT sum `//` count — DuckDB truncates
+    // toward zero, exactly Scala's Long division; assignment ranks
+    // dot/|c|, one correctly-rounded sqrt+division of exact integers,
+    // bit-identical cross-engine); boundary vectors within cosine
+    // margin 0.03 of their second list are double-assigned; probe the
+    // nProbe spherically-nearest lists, dedupe, exact rerank.
+    "ann_topk" -> ivfSpillOracle(iters = 3, delta = graft.operators.Similarity.SpillDelta),
     // high-recall rung: the SAME trained replay probing the 10 nearest
     // lists (~62% nominal scan, recall@20 0.91 — the HNSW-class tier)
     "ann_ivf_wide" -> ivfGridOracle(nProbe = 10),

@@ -815,20 +815,22 @@ object Queries {
     "near_dup_pairs" -> ((s, dir) =>
       Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding", 0.3, Dim,
         nBits = 8, nBands = 2).orderBy("a", "b")),
-    // DEFAULT ANN form (r13): integer-grid Lloyd-trained IVF — 16
-    // centroids refined one step on the truncated-integer-mean grid
-    // (oracle replays the training bit-for-bit), probe the 5 nearest
-    // lists (5/16 ≈ 31% nominal scan), exact rerank. Recall@20 ≈ 0.72
-    // on the worst-case uniform fixture (AnnRecallSpec pins ≥0.6 at
-    // these registered parameters) vs 0.43 for the r12 multiprobe
-    // default at the same nominal scan; the h=1 multiprobe stays
-    // measured in the bench recall ladder, and the single-bucket probe
-    // below remains the explicit scan-fraction-floor variant.
+    // DEFAULT ANN form (r14): SCALE-AWARE spherical grid-trained IVF
+    // with boundary spill. K = nListsFor(N) grows as ~3·√N (128 lists
+    // at sf0.1's 2000 vectors), nProbe = nProbeFor(K) holds the
+    // nominal scan at ~5.5% at ANY corpus size — the r13 fixed-K=16
+    // default scanned 31% and would approach a full scan at 100 TB.
+    // Three spherical Lloyd iterations on the truncated-integer-mean
+    // grid + δ=0.03 second-list spill: recall@20 0.73 at 5.9% scanned
+    // rows on the worst-case uniform sf0.1 fixture (AnnRecallSpec pins
+    // ≥0.7 recall and ≤0.06 scan; the DuckDB oracle replays K
+    // derivation, spherical training, spill, and probe bit-for-bit).
     "ann_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.where(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
-      Similarity.ivfTopKTrainedGrid(e, "vec_id", "embedding", typedLit(q.toArray),
-        nCentroids = 16, nProbe = 5, k = 20, lloydIters = 1)
+      val nLists = Similarity.nListsFor(e.count())
+      Similarity.ivfTopKSpill(e, "vec_id", "embedding", q.toArray, k = 20,
+        nCentroids = nLists, nProbe = Similarity.nProbeFor(nLists))
     }),
     // scan-fraction FLOOR variant: one bucket = 1/16 of the corpus
     // scanned; recall ≈ 0.04 on uniform vectors — registered to keep the

@@ -210,6 +210,171 @@ object Similarity {
   private def quantized(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol).cast("long").as("vec_id"), VecFns.quantize(col(vecCol)).as("qv"))
 
+  /** Scale-aware IVF list count: the power of two nearest to 3·√N,
+    * clamped to [16, 2^18]. The r13 default hard-shaped K=16, so its
+    * nProbe=5 probe scanned ~31% of the corpus — a near-full scan at
+    * 100 TB. Growing K with √N keeps per-list size ≈ N/K ≈ √N/3 and the
+    * probe's nominal scan fraction CONSTANT (≈5.5%, see [[nProbeFor]])
+    * at any corpus size: 2000 vectors → 128 lists; 2·10⁹ → ~2^17 —
+    * the same K ∝ √N rule FAISS documents for IVF sizing. The rounding
+    * (log2 → round → pow2) is mirrored digit-for-digit by the DuckDB
+    * oracle (POWER(2, ROUND(LOG2(3*SQRT(n))))), so the trained replay
+    * derives the same K from the same count. */
+  def nListsFor(n: Long): Int = {
+    val r = 3.0 * math.sqrt(math.max(1L, n).toDouble)
+    val e = math.round(math.log(r) / math.log(2.0)).toInt
+    1 << math.min(18, math.max(4, e))
+  }
+
+  /** Probe width for a [[nListsFor]]-sized quantizer: ~5.5% of the
+    * lists (7 of 128 at the sf0.1 operating point, the measured
+    * recall-0.73 knee), floor 2. Oracle twin: GREATEST(2, (7*K)//128). */
+  def nProbeFor(nCentroids: Int): Int = math.max(2, (7 * nCentroids) / 128)
+
+  /** Spherical-IVF spill threshold: a vector is ALSO indexed under its
+    * second-nearest centroid when the two centroid cosines are within
+    * this margin — the boundary-vector insurance that buys the last
+    * ~5 recall points for ~0.5% extra index rows (measured at sf0.1:
+    * recall@20 0.70 → 0.73, scan 5.4% → 5.9%). */
+  val SpillDelta: Double = 0.03
+
+  /** Per-centroid L2 norms with the empty-centroid guard (norm 0 → 1,
+    * so a degenerate all-zero centroid divides to 0 instead of NaN);
+    * the DuckDB oracle mirrors the guard with an identical CASE. */
+  private def centNorms(cents: Array[Array[Double]]): Array[Double] =
+    cents.map { c =>
+      val n = math.sqrt(dotLocal(c, c)); if (n == 0.0) 1.0 else n
+    }
+
+  /** Array of SPHERICAL centroid scores dot(v,cⱼ)/|cⱼ| for all K
+    * centroids — the cosine-ranking geometry (|v| cancels in any
+    * argmax/ordering over j). ONE 2-D literal + a transform loop, so
+    * the expression tree stays O(1) in K instead of K unrolled dot
+    * expressions (the codegen-method-limit lesson from hyperplaneSigns).
+    * Exactness: dot is exact integer arithmetic (quantized grid), |cⱼ|
+    * is a correctly-rounded sqrt of an exact integer, and the division
+    * is one correctly-rounded IEEE op — bit-identical on any engine,
+    * which is what lets the DuckDB oracle replay spherical training. */
+  private def sphDots(v: Column, cents: Array[Array[Double]]): Column = {
+    val cLit = typedLit(cents.map(_.toSeq).toSeq)
+    val nLit = typedLit(centNorms(cents).toSeq)
+    transform(sequence(lit(0), lit(cents.length - 1)),
+      j => VecFns.dot(v, element_at(cLit, j + 1)) / element_at(nLit, j + 1))
+  }
+
+  /** Spherical argmax assignment (ties → lowest index, exactly like
+    * [[bestCentroid]]): the right quantizer geometry for COSINE
+    * retrieval — raw-dot assignment biases toward long centroids, and
+    * the trained lists stop matching the probe metric (measured: the
+    * spherical form is worth ~6 recall points at the same scan). */
+  private def bestCentroidSph(v: Column, cents: Array[Array[Double]]): Column = {
+    val dn = sphDots(v, cents)
+    (array_position(dn, array_max(dn)) - 1).cast("int")
+  }
+
+  /** Integer-grid Lloyd under SPHERICAL assignment: [[lloydCentroidsGrid]]'s
+    * truncated-integer-mean update (centroids stay on the quantized grid,
+    * oracle-replayable) with cluster membership decided by cosine-to-
+    * centroid instead of raw dot. */
+  def lloydCentroidsSphGrid(q: DataFrame, nCentroids: Int, iters: Int = 1): Array[Array[Double]] =
+    lloydLoop(q, nCentroids, iters, sum(col("v").cast("long")),
+      r => (r.getLong(2) / r.getLong(3)).toDouble, bestCentroidSph)
+
+  /** Spherical grid-trained IVF index WITH boundary spill — the
+    * scale-aware ANN default (r14). Each vector is indexed under its
+    * nearest centroid (by cosine), and ALSO under its second-nearest
+    * when the two centroid cosines are within `spillDelta` (boundary
+    * vectors are the ones an nProbe cut misses; duplicating just them
+    * costs ~0.5% extra rows at δ=0.03 on the uniform fixture).
+    *
+    * 100 TB shape: K = [[nListsFor]](N) grows with √N, so the probe's
+    * nominal scan fraction stays ≈5.5% at ANY corpus size (the r13
+    * fixed-K=16 default degraded to a 31% scan); training is
+    * `lloydIters` narrow scans against one broadcast 2-D centroid
+    * literal (K·dim doubles — planning data); the index is one explode
+    * of ≤2 entries per row, persisted partitioned by `centroid` so
+    * every probe partition-prunes. Returns (assignment rows
+    * (vec_id, qv, centroid), trained centroids). The caller owns
+    * caching `emb`'s quantized scan if lloydIters > 1. */
+  def ivfIndexSpill(emb: DataFrame, idCol: String, vecCol: String,
+                    nCentroids: Int, lloydIters: Int = 3,
+                    spillDelta: Double = SpillDelta)
+      : (DataFrame, Array[Array[Double]]) =
+    ivfIndexSpillQ(quantized(emb, idCol, vecCol), nCentroids, lloydIters, spillDelta)
+
+  /** [[ivfIndexSpill]] over an ALREADY-quantized (vec_id, qv) frame —
+    * the shared core, so a caller that caches the quantized scan (the
+    * cold [[ivfTopKSpill]]) cannot accidentally quantize twice. */
+  private def ivfIndexSpillQ(q: DataFrame, nCentroids: Int, lloydIters: Int,
+                             spillDelta: Double)
+      : (DataFrame, Array[Array[Double]]) = {
+    val cents = lloydCentroidsSphGrid(q, nCentroids, lloydIters)
+    // dn is consumed by four downstream expressions — materialize it as
+    // a column so CollapseProject cannot inline four copies of the
+    // K·dim dot loop into one row pass
+    val scored = q.withColumn("dn", sphDots(col("qv"), cents))
+      .withColumn("m1", array_max(col("dn")))
+      .withColumn("i1", (array_position(col("dn"), col("m1")) - 1).cast("int"))
+    val masked = scored
+      .withColumn("dn2", transform(col("dn"), (x, i) =>
+        when(i === col("i1"), lit(Double.NegativeInfinity)).otherwise(x)))
+      .withColumn("m2", array_max(col("dn2")))
+      .withColumn("i2", (array_position(col("dn2"), col("m2")) - 1).cast("int"))
+      // spill test is on TRUE cosine: (dot/|c|)/|v| margins
+      .withColumn("spill",
+        (col("m1") - col("m2")) / VecFns.norm2(col("qv")) <= lit(spillDelta))
+    val assigned = masked.select(col("vec_id"), col("qv"),
+      explode(when(col("spill"), array(col("i1"), col("i2")))
+        .otherwise(array(col("i1")))).as("centroid"))
+    (assigned, cents)
+  }
+
+  /** Probe a prebuilt [[ivfIndexSpill]]: centroids ranked on the DRIVER
+    * by spherical score (K tiny — planning data), the nProbe list
+    * filter is a LITERAL isin (partition pruning on a persisted
+    * layout), spilled duplicates collapse via dropDuplicates(vec_id)
+    * (both copies carry identical qv), then exact cosine rerank. */
+  def ivfProbeSpill(assigned: DataFrame, cents: Array[Array[Double]],
+                    q: Array[Float], nProbe: Int, k: Int): DataFrame = {
+    val qRow = VecFns.quantizeLocal(q)
+    val probeSet = spillProbeSet(cents, q, nProbe)
+    assigned.where(col("centroid").isin(probeSet: _*))
+      .dropDuplicates("vec_id")
+      .select(col("vec_id"),
+        round(VecFns.cosineQ(col("qv"), typedLit(qRow.toSeq)), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id")).limit(k)
+  }
+
+  /** The nProbe spherically-nearest centroid indices for a query —
+    * [[ivfProbeSpill]]'s list schedule, exposed so the bench can count
+    * the SCANNED rows of a probe (the ≤6%-scan pin) without re-deriving
+    * the ranking. */
+  def spillProbeSet(cents: Array[Array[Double]], q: Array[Float],
+                    nProbe: Int): Seq[Int] = {
+    val qRow = VecFns.quantizeLocal(q)
+    val norms = centNorms(cents)
+    cents.zipWithIndex
+      .map { case (cv, i) => (dotLocal(qRow, cv) / norms(i), i) }
+      .sortBy { case (d, i) => (-d, i) }.take(nProbe).map(_._2).toSeq
+  }
+
+  /** Cold form of the scale-aware spill IVF: train + index + probe in
+    * one call (the registered `ann_topk` default — recall@20 0.73 at
+    * 5.9% scanned rows on the worst-case uniform sf0.1 fixture,
+    * AnnRecallSpec-pinned ≥0.7 / ≤0.06). Serving sessions should build
+    * [[ivfIndexSpill]] once and probe with [[ivfProbeSpill]]. */
+  def ivfTopKSpill(emb: DataFrame, idCol: String, vecCol: String,
+                   q: Array[Float], k: Int, nCentroids: Int, nProbe: Int,
+                   lloydIters: Int = 3, spillDelta: Double = SpillDelta,
+                   materialize: Boolean = true): DataFrame = {
+    // the Lloyd passes + final assignment re-scan the quantized corpus
+    // (lloydIters + 1)×: cache it for the cold call's duration
+    val qd = Dedup.maybeCache(quantized(emb, idCol, vecCol), materialize)
+    val (assigned, cents) = ivfIndexSpillQ(qd, nCentroids, lloydIters, spillDelta)
+    Dedup.scoped(materialize, qd)(
+      ivfProbeSpill(assigned, cents, q, nProbe, k))
+  }
+
   /** Deterministic coarse-quantizer seeds: the K lowest-id vectors. */
   private def seedCentroids(q: DataFrame, nCentroids: Int): Array[Array[Double]] =
     q.orderBy("vec_id").limit(nCentroids)
@@ -232,16 +397,19 @@ object Similarity {
     lloydLoop(q, nCentroids, iters, sum("v"),
       r => r.getDouble(2) / r.getLong(3))
 
-  /** The ONE Lloyd training loop both variants share (assign →
+  /** The ONE Lloyd training loop all variants share (assign →
     * per-(cluster, dim) cell aggregate → keep-seed-on-empty), so the
     * scaffolding can never diverge between them; only the per-cell
-    * mean differs (exact double mean vs truncated integer mean). */
+    * mean (exact double vs truncated integer) and the assignment
+    * geometry (raw dot vs spherical) differ. */
   private def lloydLoop(q: DataFrame, nCentroids: Int, iters: Int,
                         sumExpr: Column,
-                        mean: org.apache.spark.sql.Row => Double): Array[Array[Double]] = {
+                        mean: org.apache.spark.sql.Row => Double,
+                        best: (Column, Array[Array[Double]]) => Column = bestCentroid)
+      : Array[Array[Double]] = {
     var cents = seedCentroids(q, nCentroids)
     for (_ <- 0 until iters) {
-      val assigned = q.withColumn("centroid", bestCentroid(col("qv"), cents))
+      val assigned = q.withColumn("centroid", best(col("qv"), cents))
       val cells = assigned
         .select(col("centroid"), posexplode(col("qv")).as(Seq("pos", "v")))
         .groupBy("centroid", "pos").agg(sumExpr.as("s"), count("*").as("n"))

@@ -119,17 +119,64 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.1, f"multi-probe recall degraded: $r%.3f")
   }
 
-  test("REGISTERED default ann_topk (grid-trained IVF 16/5, 1 Lloyd iter) holds recall@20 >= 0.6") {
-    // the r12 verdict's bar: default ANN recall ≥0.6 at a documented
-    // scan fraction (5/16 ≈ 31% nominal). These are the exact
-    // parameters of Queries.all("ann_topk") (and Bench.recallSection's
-    // ann_topk row); deterministic fixture + deterministic integer-grid
-    // training, measured 0.72.
+  test("grid-trained IVF 16/5 rung (the r13 default) holds recall@20 >= 0.6") {
+    // superseded as the registered default by the scale-aware spill
+    // form below, kept as a measured ladder point: 31% nominal scan,
+    // deterministic integer-grid training, measured 0.72
     val r = recallAt(Seq(0L, 7L, 42L, 99L, 123L), (e, qv) =>
       Similarity.ivfTopKTrainedGrid(e, "vec_id", "embedding", typedLit(qv),
         nCentroids = 16, nProbe = 5, k = K + 1, lloydIters = 1))
-    info(f"default ann_topk recall@20 = $r%.3f")
-    assert(r >= 0.6, f"default ANN recall below the shippable bar: $r%.3f")
+    info(f"ivf 16/5 recall@20 = $r%.3f")
+    assert(r >= 0.6, f"IVF 16/5 rung degraded: $r%.3f")
+  }
+
+  test("REGISTERED default ann_topk (scale-aware spherical spill IVF) holds recall@20 >= 0.7 at <= 6% scanned rows") {
+    // the r13 verdict's 100×-scale bar: recall ≥0.7 at ≤6% nominal
+    // scan. Exact parameters of Queries.all("ann_topk") at sf0.1:
+    // K = nListsFor(2000) = 128 lists, nProbe = 7, 3 spherical Lloyd
+    // iterations, spill δ=0.03 — measured recall@20 0.73 at 5.9%
+    // scanned rows (deterministic fixture + deterministic training, so
+    // the pins have zero run-to-run noise).
+    val e = Tables(spark, sf, "embeddings").cache()
+    try {
+      val n = e.count()
+      val nLists = Similarity.nListsFor(n)
+      val nProbe = Similarity.nProbeFor(nLists)
+      assert(nLists === 128 && nProbe === 7, s"sizing drift: K=$nLists nP=$nProbe")
+      val (asg0, cents) = Similarity.ivfIndexSpill(e, "vec_id", "embedding",
+        nCentroids = nLists)
+      val asg = asg0.cache()
+      try {
+        val qids = Seq(0L, 7L, 42L, 99L, 123L)
+        val pre = Bench.recallBaselines(e, qids, K)
+        val r = Bench.recallFrom(e, pre, (_, qv) =>
+          Similarity.ivfProbeSpill(asg, cents, qv, nProbe, K + 1))
+        val scan = pre.map { case (_, qv, _) =>
+          val ps = Similarity.spillProbeSet(cents, qv, nProbe)
+          asg.where(col("centroid").isin(ps.map(x => x: Any): _*))
+            .count().toDouble / n
+        }.sum / pre.size
+        info(f"default ann_topk recall@20 = $r%.3f at scan fraction $scan%.3f")
+        assert(r >= 0.7, f"default ANN recall below the shippable bar: $r%.3f")
+        assert(scan <= 0.06, f"default ANN probe scans more than 6%%: $scan%.3f")
+      } finally asg.unpersist(): Unit
+    } finally e.unpersist(): Unit
+  }
+
+  test("spill-IVF probing ALL lists degenerates to exact cosine top-k") {
+    // with nProbe = K every list is probed: candidates = the whole
+    // corpus, so the rerank must equal the exact form row-for-row —
+    // pins assignment/spill/dedupe against dropped or duplicated rows
+    val e = Tables(spark, sf, "embeddings")
+    val qv = e.where(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toArray
+    val (asg, cents) = Similarity.ivfIndexSpill(e, "vec_id", "embedding",
+      nCentroids = 16, lloydIters = 1)
+    val full = Similarity.ivfProbeSpill(asg, cents, qv, nProbe = 16, k = K)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = Similarity.cosineTopK(e, "vec_id", "embedding",
+        typedLit(qv), K)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full === exact)
   }
 
   test("high-recall rung ann_ivf_wide (grid-trained IVF 16/10) holds recall@20 >= 0.8") {

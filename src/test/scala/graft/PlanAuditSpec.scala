@@ -47,14 +47,22 @@ class PlanAuditSpec extends SparkSpec {
     val e = Tables(spark, sf, "embeddings")
     val qv = e.where(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0).toArray
-    val lazyAnn = Similarity.ivfTopKTrainedGrid(e, "vec_id", "embedding",
+    val lazyGrid = Similarity.ivfTopKTrainedGrid(e, "vec_id", "embedding",
       typedLit(qv), nCentroids = 16, nProbe = 5, k = 20, lloydIters = 1,
       materialize = false)
-    val p = plan(lazyAnn)
-    assert(p.contains("TakeOrderedAndProject"), "ann_topk (lazy) lacks TakeOrdered")
+    val p = plan(lazyGrid)
+    assert(p.contains("TakeOrderedAndProject"), "ivf grid (lazy) lacks TakeOrdered")
     // the probe is partition pruning on the centroid literal set, never
     // a join against the centroid table
-    assert(!p.contains("Join"), "ann_topk probe plans a join")
+    assert(!p.contains("Join"), "ivf grid probe plans a join")
+    // the r14 scale-aware spill default: same doctrine — centroid-literal
+    // filter (partition pruning), no join, top-k as TakeOrdered
+    val lazySpill = Similarity.ivfTopKSpill(e, "vec_id", "embedding", qv,
+      k = 20, nCentroids = 16, nProbe = 2, lloydIters = 1,
+      materialize = false)
+    val ps = plan(lazySpill)
+    assert(ps.contains("TakeOrderedAndProject"), "ann_topk spill (lazy) lacks TakeOrdered")
+    assert(!ps.contains("Join"), "ann_topk spill probe plans a join")
   }
 
   test("near-dup candidate paths contain no nested-loop join") {

@@ -1497,19 +1497,29 @@ object Oracles {
         |CAST(count(*) AS DOUBLE) AS v
         |FROM ix GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
-    // enrich twin: the registered query's output exposes only the
-    // SQL-expressible legs (payload-length width, feature cardinality,
-    // frame-sample count) — the crc32 decode stub stays out of it, so
-    // the whole pipeline shape is oracle-checkable after all
+    // enrich twin (r14 — REAL codec round trips in every leg): image
+    // dims are the synthPng fixture formulas; audio duration is
+    // n_samples/8000 (one correctly-rounded division of exact
+    // integers, identical on both engines); video dims/duration come
+    // from the AVI header the demuxer reads back (8×6, nf frames at
+    // 100000 µs/frame → nf·100000/1e6 s); frame schedule = all nf
+    // frames (nf ≤ 8 = the sampling budget). n_features = 64 (real
+    // codec payloads are never empty).
     "multimodal_enrich" ->
       """WITH m AS (SELECT doc_id AS asset_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |       ELSE 'video' END modality,
-        |  octet_length(CAST(text AS BLOB)) olen FROM documents)
+        |  doc_id FROM documents WHERE doc_id < 64)
         |SELECT asset_id, modality,
-        |  CAST(olen % 1920 AS INT) width,
-        |  CASE WHEN olen > 0 THEN CAST(64 AS INT) ELSE CAST(NULL AS INT) END n_features,
-        |  CAST(CASE WHEN modality = 'video' THEN least(olen % 240 + 1, 8)
+        |  CAST(CASE modality WHEN 'image' THEN 8 + doc_id % 9
+        |       WHEN 'video' THEN 8 END AS INT) width,
+        |  CAST(CASE modality WHEN 'image' THEN 8 + doc_id % 7
+        |       WHEN 'video' THEN 6 END AS INT) height,
+        |  CAST(CASE modality WHEN 'image' THEN 0.0
+        |       WHEN 'audio' THEN (64 + doc_id % 17) / 8000.0
+        |       ELSE ((3 + doc_id % 4) * 100000) / 1000000.0 END AS DOUBLE) duration_s,
+        |  CAST(64 AS INT) n_features,
+        |  CAST(CASE WHEN modality = 'video' THEN 3 + doc_id % 4
         |       ELSE 0 END AS INT) n_frames
         |FROM m ORDER BY asset_id""".stripMargin,
 

@@ -1235,13 +1235,20 @@ object Queries {
       Multimodal.byteHistogramTable(
         Multimodal.syntheticMedia(docs(s, dir), "doc_id", "text"), bins = 64)
         .orderBy("asset_id", "bin")),
-    // decode stub + features + frame sampling; the selected output
-    // exposes only SQL-expressible legs (the crc32 stub never reaches
-    // it), so the pipeline shape IS oracle-checked
+    // REAL end-to-end enrich (r14): every modality's payload goes
+    // through its real codec/container round trip — PNG images, WAV
+    // audio, RIFF/AVI video (the r13 crc32 decodeStub is deleted) —
+    // and every exposed number (dims, duration, frame schedule)
+    // replays from the generator formulas in the oracle. ≤64 fixture
+    // rows at any SF (the codec-query budget); per-row narrow decode.
     "multimodal_enrich" -> ((s, dir) =>
-      Multimodal.enrich(Multimodal.syntheticMedia(docs(s, dir), "doc_id", "text"))
-        .select(col("asset_id"), col("modality"), col("decoded.width").as("width"),
-          size(col("features")).as("n_features"), size(col("frame_idx")).as("n_frames"))
+      Multimodal.enrich(
+        Multimodal.realMedia(docs(s, dir).where(col("doc_id") < 64), "doc_id"))
+        .select(col("asset_id"), col("modality"),
+          col("decoded.width").as("width"), col("decoded.height").as("height"),
+          col("decoded.duration_s").as("duration_s"),
+          size(col("features")).as("n_features"),
+          size(col("frame_idx")).as("n_frames"))
         .orderBy("asset_id")),
     // REAL codec round trip (r13): deterministic PNGs rendered from
     // doc_id by pure integer pixel arithmetic (Multimodal.synthPng),
@@ -1279,17 +1286,18 @@ object Queries {
           col("m.n_px").as("n_px"))
         .orderBy("doc_id")
     }),
-    // REAL frame sampling (r13): a strip of real PNG frames per doc,
-    // k=2 evenly spaced frames ((i·n)/2 integer truncation — the
-    // frameSampleIndices math) decoded back through ImageIO; the
-    // oracle replays the per-frame pixel formula at the sampled
-    // indices. The container is the declared stand-in; frames and
-    // their decode are real codec work.
+    // REAL container + frame sampling (r14): PNG frames in a REAL
+    // RIFF/AVI (Multimodal.synthAvi — the r13 length-prefixed strip is
+    // retired), demuxed by the pure-JDK AVI walker, k=2 evenly spaced
+    // frames ((i·n)/2 integer truncation — the frameSampleIndices
+    // math) decoded back through ImageIO; the oracle replays the
+    // per-frame pixel formula at the sampled indices (MPNG frames are
+    // lossless, so equality is exact).
     "video_frames" -> ((s, dir) =>
       docs(s, dir).where(col("doc_id") < 64)
         .select(col("doc_id"),
           Multimodal.sampleFrames(
-            Multimodal.synthVideo(col("doc_id"),
+            Multimodal.synthAvi(col("doc_id"),
               (lit(3) + col("doc_id") % 4).cast("int"), lit(8), lit(6)),
             lit(2)).as("fs"))
         .select(col("doc_id"), explode(col("fs")).as("f"))

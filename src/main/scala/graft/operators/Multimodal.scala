@@ -8,15 +8,17 @@ import org.apache.spark.sql.types._
   * ride as opaque `binary` columns with typed metadata; decode /
   * feature-extract / resize / frame-sample are per-partition transforms.
   *
-  * IMAGE decode is REAL (r13): [[decodeImage]] reads PNG/BMP/JPEG/GIF
-  * through the JDK's own ImageIO readers — zero new dependencies — and
-  * is oracle-checked end-to-end on deterministic fixtures
-  * ([[synthPng]], the `image_decode` registered query). Audio/video
-  * codecs are genuinely absent from this build, so `decodeStub` remains
-  * the clearly-marked deterministic stand-in for THOSE modalities only;
-  * all surrounding Spark plumbing (schema, binary columns, the
-  * partition-parallel transform shape, columnar feature extraction,
-  * frame-sampling index math) is real and tested.
+  * ALL THREE modalities decode for real with zero new dependencies
+  * (r14 — no stand-ins remain): [[decodeImage]] reads PNG/BMP/JPEG/GIF
+  * through the JDK's own ImageIO readers, [[decodeWav]] parses
+  * RIFF/WAVE PCM16 through AudioSystem, and video rides a genuine
+  * RIFF/AVI container — written by [[aviBytes]], walked back by the
+  * pure-JDK [[demuxAvi]] (LIST recursion, even-byte padding, avih
+  * header, '00dc' frame chunks), frames decoded per-sample through
+  * ImageIO ([[sampleFrames]], [[decodeAvi]]). Each path is
+  * oracle-checked end-to-end on deterministic fixtures ([[synthPng]] /
+  * [[synthWav]] / [[synthAvi]] — integer generator formulas a SQL
+  * oracle replays verbatim through lossless codecs).
   */
 object Multimodal {
 
@@ -60,23 +62,13 @@ object Multimodal {
         if (img == null) None
         else {
           val w = img.getWidth; val h = img.getHeight
-          var s = 0L; var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val p = img.getRGB(x, y)
-              s += 299L * ((p >> 16) & 255) + 587L * ((p >> 8) & 255) + 114L * (p & 255)
-              x += 1
-            }
-            y += 1
-          }
-          Some(ImageMeta(w, h, s, w.toLong * h))
+          Some(ImageMeta(w, h, lumaOf(img), w.toLong * h))
         }
       } catch { case scala.util.control.NonFatal(_) => None }
     }
 
   /** The ONE synthetic-pixel PNG encoder behind [[synthPng]] and
-    * [[synthVideo]]: pixel (x, y) of image `id` is
+    * [[synthAvi]]: pixel (x, y) of image `id` is
     * r = (id·31 + x·7 + y·13) mod 256, g = (id·17 + x·11 + y·3) mod 256,
     * b = (id·23 + x·5 + y·19) mod 256. */
   private def pngBytes(id: Long, w: Int, h: Int): Array[Byte] = {
@@ -109,76 +101,205 @@ object Multimodal {
   val synthPng: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (id: Long, w: Int, h: Int) => pngBytes(id, w, h) }
 
-  /** Deterministic VIDEO fixture (licensed UDF, fixture-only): a
-    * length-prefixed strip of REAL PNG frames — frame f of clip `id`
-    * is [[pngBytes]] at effective id `id·100 + f`. The CONTAINER layer
-    * is the declared stand-in (mp4/h264 demuxers are genuinely absent
-    * from this build); every frame inside it is a real codec payload
-    * the JDK decoder parses back. */
-  val synthVideo: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (id: Long, nFrames: Int, w: Int, h: Int) =>
+  /** Σ BT.601 integer luma over a decoded image — the ONE pixel loop
+    * [[decodeImage]] and [[sampleFrames]] share. */
+  private def lumaOf(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var s = 0L; var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        s += 299L * ((p >> 16) & 255) + 587L * ((p >> 8) & 255) + 114L * (p & 255)
+        x += 1
+      }
+      y += 1
+    }
+    s
+  }
+
+  // ── RIFF/AVI container (pure JDK, r14 — retires the length-prefixed
+  //    strip AND the decodeStub: video now rides a REAL container) ────
+
+  /** RIFF chunk: fourcc + little-endian size + payload + even pad. */
+  private def riffChunk(id: String, payload: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(id.getBytes("US-ASCII"))
+    writeU32(bos, payload.length.toLong)
+    bos.write(payload)
+    if ((payload.length & 1) == 1) bos.write(0)
+    bos.toByteArray
+  }
+
+  /** RIFF LIST: "LIST" + size + list type + concatenated children. */
+  private def riffList(typ: String, children: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", typ.getBytes("US-ASCII") ++ children)
+
+  private def writeU32(bos: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt)
+    bos.write(((v >> 16) & 0xff).toInt); bos.write(((v >> 24) & 0xff).toInt)
+  }
+
+  private def u32Bytes(vs: Long*): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    vs.foreach(writeU32(bos, _))
+    bos.toByteArray
+  }
+
+  /** Minimal standard AVI writer: RIFF('AVI ') → LIST hdrl (avih +
+    * LIST strl (strh 'vids' + strf BITMAPINFOHEADER)) → LIST movi
+    * ('00dc' chunk per encoded frame, even-padded) → idx1. One video
+    * stream; `fourcc` is the frame codec tag ('MJPG' for JPEG frames,
+    * 'MPNG' for PNG frames — both are real registered handlers the
+    * demuxer treats identically, since ImageIO sniffs the payload). */
+  private[graft] def aviBytes(frames: Seq[Array[Byte]], w: Int, h: Int,
+                              usPerFrame: Int, fourcc: String): Array[Byte] = {
+    val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+    val avih = u32Bytes(usPerFrame.toLong, 0L, 0L, 0x10L /*AVIF_HASINDEX*/,
+      frames.length.toLong, 0L, 1L, maxFrame.toLong, w.toLong, h.toLong,
+      0L, 0L, 0L, 0L)
+    val strh = {
       val bos = new java.io.ByteArrayOutputStream()
-      val out = new java.io.DataOutputStream(bos)
-      var f = 0
-      while (f < nFrames) {
-        val png = pngBytes(id * 100 + f, w, h)
-        out.writeInt(png.length)
-        out.write(png)
-        f += 1
+      bos.write("vids".getBytes("US-ASCII"))
+      bos.write(fourcc.getBytes("US-ASCII"))
+      writeU32(bos, 0L) // flags
+      bos.write(0); bos.write(0); bos.write(0); bos.write(0) // prio + language
+      writeU32(bos, 0L) // initial frames
+      writeU32(bos, 1L) // scale
+      writeU32(bos, (1000000L / math.max(1, usPerFrame))) // rate (fps)
+      writeU32(bos, 0L) // start
+      writeU32(bos, frames.length.toLong)
+      writeU32(bos, maxFrame.toLong)
+      writeU32(bos, 0L) // quality
+      writeU32(bos, 0L) // sample size
+      // rcFrame (left, top, right, bottom as LE u16s)
+      bos.write(u32Bytes(0L, w.toLong | (h.toLong << 16)))
+      bos.toByteArray
+    }
+    val strf = u32Bytes(40L, w.toLong, h.toLong) ++
+      Array[Byte](1, 0, 24, 0) ++ // planes=1, bitcount=24
+      fourcc.getBytes("US-ASCII") ++
+      u32Bytes(w.toLong * h * 3, 0L, 0L, 0L, 0L)
+    val hdrl = riffList("hdrl",
+      riffChunk("avih", avih) ++
+        riffList("strl", riffChunk("strh", strh) ++ riffChunk("strf", strf)))
+    val moviChildren = frames.map(f => (riffChunk("00dc", f), f.length))
+    val movi = riffList("movi", moviChildren.flatMap(_._1).toArray)
+    // idx1: one entry per chunk, offsets counted from the 'movi' fourcc
+    val idx1 = {
+      val bos = new java.io.ByteArrayOutputStream()
+      var off = 4L
+      moviChildren.foreach { case (chunk, payloadLen) =>
+        bos.write("00dc".getBytes("US-ASCII"))
+        writeU32(bos, 0x10L) // AVIIF_KEYFRAME
+        writeU32(bos, off)
+        writeU32(bos, payloadLen.toLong)
+        off += chunk.length
       }
       bos.toByteArray
+    }
+    riffChunk("RIFF",
+      "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi ++ riffChunk("idx1", idx1))
+  }
+
+  /** REAL RIFF/AVI demuxer (pure JDK): validates the RIFF('AVI ')
+    * envelope, walks the chunk tree (LIST recursion, even-byte chunk
+    * padding, idx1 skipped), reads the avih main header (µs/frame,
+    * width, height at payload offsets 0/32/36), and collects every
+    * video-frame chunk ('##dc'/'##db') payload in stream order.
+    * Returns (width, height, µsPerFrame, frames) — None for anything
+    * that is not a well-formed AVI. The frame payloads are whatever
+    * the codec tag says (MJPG/MPNG → ImageIO decodes both). */
+  private[operators] def demuxAvi(bytes: Array[Byte])
+      : Option[(Int, Int, Long, Vector[Array[Byte]])] = {
+    if (bytes == null || bytes.length < 12) return None
+    def fourcc(o: Int) = new String(bytes, o, 4, "US-ASCII")
+    def u32(o: Int): Long = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    var w = 0; var h = 0; var usf = -1L
+    val frames = Vector.newBuilder[Array[Byte]]
+    def walk(start: Int, end: Int): Unit = {
+      var p = start
+      while (p + 8 <= end) {
+        val id = fourcc(p); val sz = u32(p + 4).toInt
+        if (sz < 0 || p + 8 + sz > end) throw new java.io.IOException(s"bad chunk $id")
+        if (id == "LIST") walk(p + 12, p + 8 + sz)
+        else if (id == "avih") {
+          if (sz < 40) throw new java.io.IOException("short avih")
+          usf = u32(p + 8); w = u32(p + 40).toInt; h = u32(p + 44).toInt
+        } else if (id.charAt(2) == 'd' && (id.charAt(3) == 'c' || id.charAt(3) == 'b') &&
+          id.charAt(0).isDigit && id.charAt(1).isDigit)
+          frames += java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + sz)
+        p += 8 + sz + (sz & 1)
+      }
+    }
+    try {
+      walk(12, math.min(bytes.length.toLong, 8L + u32(4)).toInt)
+      if (usf < 0) None else Some((w, h, usf, frames.result()))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic VIDEO fixture (licensed UDF, fixture-only): frame f
+    * of clip `id` is [[pngBytes]] at effective id `id·100 + f`, carried
+    * in a REAL RIFF/AVI container ([[aviBytes]], codec tag MPNG, 10
+    * fps) — the r13 length-prefixed strip's one remaining stand-in
+    * layer, retired. PNG frames keep the pixel formula lossless, so
+    * the `video_frames` oracle replays the sampled lumas verbatim;
+    * the demuxer itself is codec-agnostic (MJPG-tested in
+    * MultimodalSpec). */
+  val synthAvi: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (id: Long, nFrames: Int, w: Int, h: Int) =>
+      aviBytes((0 until nFrames).map(f => pngBytes(id * 100 + f, w, h)),
+        w, h, usPerFrame = 100000, fourcc = "MPNG")
+    }
+
+  /** Demuxed-video metadata: container header dims, frame count from
+    * the actual movi chunks, duration from the header clock —
+    * `n_frames · µsPerFrame / 1e6` (exact integer product, one
+    * correctly-rounded division: SQL-replayable). */
+  case class VideoMeta(width: Int, height: Int, n_frames: Int, duration_s: Double)
+
+  /** REAL video decode (licensed UDF): [[demuxAvi]] the container,
+    * report header dims + true frame count + duration. Null for
+    * non-AVI payloads. This replaces the r13 `decodeStub` — no fake
+    * legs remain in any modality. */
+  val decodeAvi: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { bytes: Array[Byte] =>
+      demuxAvi(bytes).map { case (w, h, usf, frames) =>
+        VideoMeta(w, h, frames.length, (frames.length.toLong * usf).toDouble / 1e6)
+      }
     }
 
   /** Per-frame metadata from [[sampleFrames]] — [[ImageMeta]] plus the
     * sampled frame index. */
   case class FrameMeta(frame: Int, width: Int, height: Int, luma_sum: Long)
 
-  /** REAL frame sampling + decode (licensed UDF): split the
-    * length-prefixed strip, pick `k` evenly spaced frames with the SAME
-    * index math as [[frameSampleIndices]] (`(i·n) / k` integer
-    * truncation; all frames when n ≤ k), and decode each through
-    * ImageIO — (frame, width, height, Σ BT.601 integer luma) per
-    * sampled frame, exactly [[decodeImage]]'s grid. Null for a
-    * malformed strip. At 100 TB this is the per-row "sample 8 frames
-    * before embedding" step: narrow scan work whose cost is k decodes
-    * per asset regardless of clip length. */
+  /** REAL frame sampling + decode (licensed UDF): [[demuxAvi]] the AVI,
+    * pick `k` evenly spaced frames with the SAME index math as
+    * [[frameSampleIndices]] (`(i·n) / k` integer truncation; all frames
+    * when n ≤ k), and decode each through ImageIO — (frame, width,
+    * height, Σ BT.601 integer luma) per sampled frame, exactly
+    * [[decodeImage]]'s grid. Null for non-AVI bytes or undecodable
+    * frames. At 100 TB this is the per-row "sample 8 frames before
+    * embedding" step: narrow scan work whose cost is k decodes per
+    * asset regardless of clip length. */
   val sampleFrames: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (bytes: Array[Byte], k: Int) =>
-      if (bytes == null || k <= 0) None
-      else try {
-        val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
-        val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-        while (in.available() >= 4) {
-          val len = in.readInt()
-          if (len < 0 || len > in.available()) throw new java.io.IOException("bad frame length")
-          val buf = new Array[Byte](len)
-          in.readFully(buf)
-          frames += buf
-        }
+      if (k <= 0) None
+      else demuxAvi(bytes).flatMap { case (_, _, _, frames) =>
         val n = frames.length
         if (n == 0) None
-        else {
+        else try {
           val idx = if (n <= k) 0 until n else (0 until k).map(i => i * n / k)
-          val metas = idx.map { f =>
+          Some(idx.map { f =>
             val img = javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(frames(f)))
             if (img == null) throw new java.io.IOException(s"frame $f undecodable")
-            val (w, h) = (img.getWidth, img.getHeight)
-            var s = 0L; var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val p = img.getRGB(x, y)
-                s += 299L * ((p >> 16) & 255) + 587L * ((p >> 8) & 255) + 114L * (p & 255)
-                x += 1
-              }
-              y += 1
-            }
-            FrameMeta(f, w, h, s)
-          }
-          Some(metas)
-        }
-      } catch { case scala.util.control.NonFatal(_) => None }
+            FrameMeta(f, img.getWidth, img.getHeight, lumaOf(img))
+          })
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
     }
 
   /** REAL nearest-neighbor image RESIZE (licensed UDF, same codec
@@ -234,8 +355,7 @@ object Multimodal {
     * [[decodeImage]]. Emits (sample_rate, channels, n_samples,
     * Σ |sample|) with the amplitude sum on the exact signed-16-bit
     * integer grid. Null for anything AudioSystem rejects (MP3/OGG/
-    * corrupt bytes). With this, `decodeStub` stands in ONLY for video
-    * (the one modality whose codecs this build truly lacks). */
+    * corrupt bytes). */
   val decodeWav: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { bytes: Array[Byte] =>
       if (bytes == null) None
@@ -292,18 +412,6 @@ object Multimodal {
       bos.toByteArray
     }
 
-  /** STUB decode — deterministic fake in place of a VIDEO codec (the
-    * one modality whose codecs this build truly lacks; images decode
-    * through [[decodeImage]] and WAV audio through [[decodeWav]]):
-    * "dimensions" parsed from the payload length, "duration" from a
-    * byte checksum. A production build swaps ONLY this function for a
-    * real decoder running in the same narrow column shape. */
-  def decodeStub(bytes: Column): Column =
-    struct(
-      (length(bytes) % 1920).cast("int").as("width"),
-      (length(bytes) % 1080).cast("int").as("height"),
-      (crc32(bytes) % 3600).cast("double").as("duration_s"))
-
   /** Feature extraction that is REAL columnar work: a 64-bin byte
     * histogram over the payload, L2-normalized — the universal
     * cheap-embedding baseline for opaque bytes. Pure codegen-able
@@ -350,21 +458,62 @@ object Multimodal {
   def features(media: DataFrame, bins: Int = 64): DataFrame =
     media.select(col("asset_id"), featuresCol(bins).as("features"))
 
-  /** Full per-modality pipeline: decode (REAL ImageIO for images, stub
-    * for audio/video) + features + sampling — ONE narrow select over the
+  /** Real-codec media fixture ([[syntheticMedia]]'s fully-decodable
+    * sibling, fixture-only): modality by id mod 3, payload through the
+    * REAL encoder for that modality — [[synthPng]] images (8+id%9 ×
+    * 8+id%7), [[synthWav]] mono PCM16 audio (64+id%17 samples @ 8 kHz),
+    * [[synthAvi]] MPNG video (3+id%4 frames, 8×6, 10 fps). Every
+    * payload round-trips through its real JDK codec/container and
+    * every decoded number replays from the generator formulas in SQL. */
+  def realMedia(docs: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol).cast("long")
+    docs.select(
+      id.as("asset_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (id % 3 + 1).cast("int")).as("modality"),
+      when(id % 3 === 0,
+          synthPng(id, (lit(8) + id % 9).cast("int"), (lit(8) + id % 7).cast("int")))
+        .when(id % 3 === 1, synthWav(id, (lit(64) + id % 17).cast("int"), lit(8000)))
+        .otherwise(synthAvi(id, (lit(3) + id % 4).cast("int"), lit(8), lit(6)))
+        .as("bytes"),
+      map(lit("codec"),
+        element_at(array(lit("png"), lit("wav"), lit("avi-mpng")),
+          (id % 3 + 1).cast("int")),
+        lit("source"), lit("synthetic")).as("meta"))
+  }
+
+  /** Full per-modality pipeline — every modality decodes through its
+    * REAL codec/container (ImageIO images, AudioSystem WAV, the
+    * [[demuxAvi]] RIFF/AVI path; the r13 crc32 `decodeStub` is gone):
+    * decode + features + frame sampling in ONE narrow select over the
     * media table (no join, no shuffle), embarrassingly parallel at any
-    * corpus size. `image` carries the real decode result (null when the
-    * payload isn't a decodable image — e.g. the synthetic fixtures'
-    * text bytes); `decoded` keeps the stub stand-in for the modalities
-    * whose codecs this build lacks. */
+    * corpus size. `decoded` is the unified (width, height, duration_s)
+    * view — dims null for audio, duration 0 for stills, everything
+    * null for payloads the modality's decoder rejects; `frame_idx` is
+    * the [[frameSampleIndices]] schedule over the demuxed TRUE frame
+    * count. */
   def enrich(media: DataFrame, bins: Int = 64, frames: Int = 8): DataFrame =
     media
       .withColumn("features", featuresCol(bins))
       .withColumn("image",
         when(col("modality") === "image", decodeImage(col("bytes"))))
-      .withColumn("decoded", decodeStub(col("bytes")))
+      .withColumn("audio",
+        when(col("modality") === "audio", decodeWav(col("bytes"))))
+      .withColumn("video",
+        when(col("modality") === "video", decodeAvi(col("bytes"))))
+      .withColumn("decoded",
+        when(col("modality") === "image", struct(
+          col("image.width").as("width"), col("image.height").as("height"),
+          when(col("image").isNotNull, lit(0.0)).as("duration_s")))
+          .when(col("modality") === "audio", struct(
+            lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+            (col("audio.n_samples").cast("double") / col("audio.sample_rate"))
+              .as("duration_s")))
+          .when(col("modality") === "video", struct(
+            col("video.width").as("width"), col("video.height").as("height"),
+            col("video.duration_s").as("duration_s"))))
       .withColumn("frame_idx",
-        when(col("modality") === "video",
-          frameSampleIndices((length(col("bytes")) % 240 + 1).cast("int"), frames))
+        when(col("modality") === "video" && col("video").isNotNull,
+          frameSampleIndices(col("video.n_frames"), frames))
           .otherwise(array()))
 }

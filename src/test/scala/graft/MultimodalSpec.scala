@@ -34,11 +34,49 @@ class MultimodalSpec extends SparkSpec {
     counts1.foreach { case (bin, c) => assert(table((1L, bin)) === c) }
   }
 
-  test("decode stub is deterministic plumbing") {
-    val d = media.select($"asset_id", Multimodal.decodeStub($"bytes").as("d")).collect()
-    d.foreach { r =>
-      val s = r.getStruct(1)
-      assert(s.getInt(0) >= 0 && s.getInt(1) >= 0 && s.getDouble(2) >= 0.0)
+  test("decodeAvi: header metadata round-trips; junk and truncated AVIs are null") {
+    val rows = Seq((4L, 5), (9L, 3)).toDF("id", "n")
+      .select($"id", $"n",
+        Multimodal.decodeAvi(Multimodal.synthAvi($"id", $"n", lit(8), lit(6))).as("m"))
+      .collect()
+    rows.foreach { r =>
+      val m = r.getStruct(2)
+      assert(m.getInt(0) === 8 && m.getInt(1) === 6, "header dims")
+      assert(m.getInt(2) === r.getInt(1), "movi frame count")
+      // 100000 µs/frame → n/10 seconds, exactly
+      assert(m.getDouble(3) === r.getInt(1) * 100000L / 1e6)
+    }
+    val junk = Seq(("x", "RIFFxxxxJUNK".getBytes("UTF-8")),
+      ("y", "not even riff".getBytes("UTF-8"))).toDF("k", "b")
+      .select(Multimodal.decodeAvi($"b")).collect()
+    junk.foreach(r => assert(r.isNullAt(0)))
+    // a well-formed AVI truncated mid-chunk must be null, not garbage
+    val whole = Seq((1L, 1)).toDF("id", "n")
+      .select(Multimodal.synthAvi($"id", $"n", lit(8), lit(6))).head().getAs[Array[Byte]](0)
+    val cut = Seq(("t", whole.take(whole.length / 2))).toDF("k", "b")
+      .select(Multimodal.decodeAvi($"b")).head()
+    assert(cut.isNullAt(0), "truncated AVI must be null")
+  }
+
+  test("demuxAvi handles a genuine MJPG AVI (lossy JPEG frames through the same container)") {
+    // real JPEG payloads via the JDK encoder — proves the demuxer is
+    // codec-agnostic, not an MPNG-shaped parser
+    val img = new java.awt.image.BufferedImage(8, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 8; y <- 0 until 6) img.setRGB(x, y, (x * 30 << 16) | (y * 40 << 8))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpeg = bos.toByteArray
+    // the public fixture path writes MPNG; tag this one MJPG with real
+    // JPEG payloads (the sampleFrames UDF then decodes the JPEGs)
+    val avi = Multimodal.aviBytes(Seq(jpeg, jpeg, jpeg), 8, 6, 100000, "MJPG")
+    val fs = Seq(("a", avi)).toDF("k", "b")
+      .select(Multimodal.sampleFrames($"b", lit(2)).as("fs"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(fs.map(_.getInt(0)) === Seq(0, 1), "sampled indices over 3 frames, k=2")
+    fs.foreach { f =>
+      assert(f.getInt(1) === 8 && f.getInt(2) === 6, "JPEG frame dims")
+      assert(f.getLong(3) > 0L, "non-trivial decoded luma")
     }
   }
 
@@ -68,18 +106,35 @@ class MultimodalSpec extends SparkSpec {
     assert(empty.isNullAt(1))
   }
 
-  test("enrich composes decode + features + sampling per modality") {
-    val e = Multimodal.enrich(media, bins = 16, frames = 4).collect()
-    assert(e.length === 3)
-    e.foreach { r =>
+  test("enrich composes REAL decode + features + sampling per modality") {
+    // realMedia: id 0 → PNG image (8×8), 1 → WAV audio (65 samples @
+    // 8 kHz), 2 → MPNG AVI video (5 frames, 8×6, 10 fps)
+    val rm = Multimodal.realMedia(
+      Seq(0L, 1L, 2L).toDF("doc_id"), "doc_id")
+    val e = Multimodal.enrich(rm, bins = 16, frames = 4)
+      .collect().map(r => r.getAs[String]("modality") -> r).toMap
+    assert(e.size === 3)
+    e.values.foreach { r =>
       assert(r.getSeq[Double](r.fieldIndex("features")).length === 16)
-      val isVideo = r.getAs[String]("modality") == "video"
-      val fi = r.getSeq[Int](r.fieldIndex("frame_idx"))
-      assert(if (isVideo) fi.nonEmpty else fi.isEmpty)
-      // the synthetic "image" payloads are UTF-8 text, not a decodable
-      // codec — the REAL decoder must yield null, never garbage
-      assert(r.isNullAt(r.fieldIndex("image")))
     }
+    val img = e("image").getStruct(e("image").fieldIndex("decoded"))
+    assert(img.getInt(0) === 8 && img.getInt(1) === 8 && img.getDouble(2) === 0.0)
+    val aud = e("audio").getStruct(e("audio").fieldIndex("decoded"))
+    assert(aud.isNullAt(0) && aud.isNullAt(1))
+    assert(aud.getDouble(2) === 65.0 / 8000)
+    val vid = e("video").getStruct(e("video").fieldIndex("decoded"))
+    assert(vid.getInt(0) === 8 && vid.getInt(1) === 6)
+    assert(vid.getDouble(2) === 5 * 100000L / 1e6)
+    // frame schedule over the TRUE demuxed frame count (5 frames, k=4)
+    assert(e("video").getSeq[Int](e("video").fieldIndex("frame_idx")) ===
+      Seq(0, 1, 2, 3).map(i => i * 5 / 4))
+    assert(e("image").getSeq[Int](e("image").fieldIndex("frame_idx")).isEmpty)
+    // an UNDECODABLE payload yields null decode legs, never garbage
+    val bad = Multimodal.enrich(
+      Seq((9L, "video", "not an avi".getBytes("UTF-8"), Map("codec" -> "fake")))
+        .toDF("asset_id", "modality", "bytes", "meta"), bins = 16).head()
+    assert(bad.isNullAt(bad.fieldIndex("video")))
+    assert(bad.getSeq[Int](bad.fieldIndex("frame_idx")).isEmpty)
   }
 
   test("decodeImage: PNG and BMP round-trip exactly; garbage decodes to null") {
@@ -174,11 +229,11 @@ class MultimodalSpec extends SparkSpec {
     assert(st.getLong(3) === absSum)
   }
 
-  test("sampleFrames: frameSampleIndices math, per-frame decode formula, malformed strip is null") {
+  test("sampleFrames: frameSampleIndices math, per-frame decode formula, malformed AVI is null") {
     val rows = Seq((5L, 6, 2), (8L, 2, 4)).toDF("id", "n", "k")
       .select($"id", $"n", $"k",
         Multimodal.sampleFrames(
-          Multimodal.synthVideo($"id", $"n", lit(8), lit(6)), $"k").as("fs"))
+          Multimodal.synthAvi($"id", $"n", lit(8), lit(6)), $"k").as("fs"))
       .collect()
     rows.foreach { r =>
       val (id, n, k) = (r.getLong(0), r.getInt(1), r.getInt(2))
@@ -198,7 +253,7 @@ class MultimodalSpec extends SparkSpec {
     }
     val bad = Seq(("x", Array[Byte](0, 0, 0, 99, 1, 2))).toDF("k", "b")
       .select(Multimodal.sampleFrames($"b", lit(2))).head()
-    assert(bad.isNullAt(0), "truncated strip must be null")
+    assert(bad.isNullAt(0), "non-AVI bytes must be null")
   }
 
   test("decodeImage ∘ synthPng equals the integer pixel formula (the image_decode oracle contract)") {

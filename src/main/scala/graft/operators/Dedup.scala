@@ -213,15 +213,44 @@ object Dedup {
                         materialize: Boolean = true): DataFrame = {
     // cached: the bucket-size count and the candidate self-join all scan it
     val banded = maybeCache(bandKeys(sigs, rowsPerBand), materialize)
+    scoped(materialize, banded)(candidatesFromBands(banded, maxBucket))
+  }
+
+  /** Candidate pairs (a < b) from an already-built band-key frame — the
+    * core of [[lshCandidatePairs]], exposed for callers that CACHE the
+    * (|docs|·bands)-scale band frame themselves and derive several
+    * consumers from it (the streaming ingest's per-batch kit: candidate
+    * self-join, cross-batch probe, index append — one band build, three
+    * readers). */
+  private[graft] def candidatesFromBands(banded: DataFrame, maxBucket: Int): DataFrame = {
     val capped = capBuckets(banded, Seq("band", "band_key"), maxBucket)
     val a = capped.select(col("band"), col("band_key"), col("doc_id").as("a"))
     val b = capped.select(col("band"), col("band_key"), col("doc_id").as("b"))
-    scoped(materialize, banded) {
-      a.join(b, Seq("band", "band_key"))
-        .where(col("a") < col("b"))
-        .select("a", "b").distinct()
-    }
+    a.join(b, Seq("band", "band_key"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
   }
+
+  /** (doc_id, shingles, n_sh) distinct-token sets — [[jaccardVerify]]'s
+    * internal frame, exposed so a caller can cache it ONCE per batch and
+    * feed several [[verifyPairs]] consumers (same rationale as
+    * [[candidatesFromBands]]). */
+  private[graft] def tokenSetsSized(docs: DataFrame, idCol: String,
+                                    textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        TextFns.distinctTokens(col(textCol)).as("shingles"))
+      .select(col("doc_id"), col("shingles"), size(col("shingles")).as("n_sh"))
+
+  /** Exact-Jaccard verify over a precomputed [[tokenSetsSized]] frame. */
+  private[graft] def verifyPairs(sized: DataFrame, pairs: DataFrame,
+                                 threshold: Double): DataFrame =
+    shingleJaccard(sized, pairs, threshold)
+
+  /** Cap + project an already-built band frame into the persisted-index
+    * shape — [[bandIndex]]'s core for callers holding cached bands. */
+  private[graft] def indexFromBands(banded: DataFrame, maxBucket: Int): DataFrame =
+    capBuckets(banded, Seq("band", "band_key"), maxBucket)
+      .select(col("band"), col("band_key"), col("doc_id"))
 
   /** Exact Jaccard over distinct token sets for given candidate pairs. */
   def jaccardVerify(docs: DataFrame, idCol: String, textCol: String,
@@ -694,11 +723,10 @@ object Dedup {
     * partitions and meets the index in a bucket-local equi-join. */
   def bandIndex(docs: DataFrame, idCol: String, textCol: String,
                 numHashes: Int = 16, rowsPerBand: Int = 16,
-                maxBucket: Int = 10000): DataFrame = {
-    val banded = bandKeys(minhashSignatures(docs, idCol, textCol, numHashes), rowsPerBand)
-    capBuckets(banded, Seq("band", "band_key"), maxBucket)
-      .select(col("band"), col("band_key"), col("doc_id"))
-  }
+                maxBucket: Int = 10000): DataFrame =
+    indexFromBands(
+      bandKeys(minhashSignatures(docs, idCol, textCol, numHashes), rowsPerBand),
+      maxBucket)
 
   /** Incremental near-dup detection: a DELTA batch probed against an
     * existing corpus's [[bandIndex]]. The delta's band keys equi-join the

@@ -438,35 +438,55 @@ object Streams {
       maxBucket: Int = 10000): Unit = {
     val spark = batch0.sparkSession
     val batch = batch0.cache()
+    // The batch's token sets and band keys are built ONCE and cached —
+    // both are |batch|-scale (one row per doc / per doc·band, never
+    // pair-scale) and feed FOUR consumers below: the intra-batch
+    // candidate self-join, both exact-Jaccard verifies, the cross-batch
+    // index probe, and the index append. Before r14 each consumer
+    // re-tokenized and re-hashed the batch from scratch (~3 redundant
+    // pipeline evaluations per micro-batch, the bulk of the stream's
+    // fixed cost). Pair-scale frames stay LAZY: an r14 A/B measured the
+    // localCheckpoint snapshots of the ~7·10⁴-pair frames costing MORE
+    // than their single evaluation saves at stream cadence.
+    val sized = Dedup.tokenSetsSized(batch, idCol, textCol).cache()
+    val banded = Dedup.bandKeys(
+      Dedup.minhashFromElems(
+        sized.select(col("doc_id"), explode(col("shingles")).as("elem")),
+        numHashes),
+      rowsPerBand).cache()
     // 1. intra-batch: min-id survivor per verified near-dup component
-    //    (materialize=false: the batch is already cached, and per-batch
-    //    checkpoint snapshots would churn the block manager at stream
-    //    cadence)
-    val intraPairs = Dedup.jaccardVerify(batch, idCol, textCol,
-      Dedup.lshCandidatePairs(
-        Dedup.minhashSignatures(batch, idCol, textCol, numHashes),
-        rowsPerBand, maxBucket, materialize = false),
-      threshold, materialize = false)
+    val intraPairs = Dedup.verifyPairs(sized,
+      Dedup.candidatesFromBands(banded, maxBucket), threshold)
     val intraDup = Dedup.connectedComponents(intraPairs)
       .where(col("doc_id") =!= col("component"))
       .select(col("doc_id").as("dup"))
     val survivors = batch.join(intraDup,
       col(idCol).cast("long") === col("dup"), "left_anti")
-    // 2. cross-batch: survivors probe the persisted band index; only
-    //    colliding pairs pay the exact-Jaccard verify. Both reads prune
-    //    away this batch's own partition (see idempotency note above).
+    // 2. cross-batch: survivors probe the persisted band index through
+    //    the CACHED band frame (bands are per-doc, so a semi-join on the
+    //    survivor ids equals re-banding the survivors); only colliding
+    //    pairs pay the exact-Jaccard verify, with the delta side's token
+    //    sets read from the cache and the corpus side's from the store.
+    //    Both reads prune away this batch's own partition (idempotency
+    //    note above).
     def prior(path: String): DataFrame =
       spark.read.parquet(path)
         .where(col("ingest_batch") =!= batchId).drop("ingest_batch")
     val dupVsCorpus =
       if (hasPriorBatches(spark, corpusPath, batchId) &&
-          hasPriorBatches(spark, indexPath, batchId))
-        Dedup.incrementalNearDupPairs(
-          prior(indexPath), prior(corpusPath),
-          survivors, idCol, textCol, threshold, numHashes, rowsPerBand,
-          materialize = false)
+          hasPriorBatches(spark, indexPath, batchId)) {
+        val survivorBands = banded.join(
+          survivors.select(col(idCol).cast("long").as("doc_id")),
+          Seq("doc_id"), "left_semi")
+        val cand = survivorBands.select(col("band"), col("band_key"), col("doc_id").as("a"))
+          .join(prior(indexPath).select(col("band"), col("band_key"), col("doc_id").as("b")),
+            Seq("band", "band_key"))
+          .select("a", "b").distinct()
+        val sizedBoth = sized.unionByName(
+          Dedup.tokenSetsSized(prior(corpusPath), idCol, textCol))
+        Dedup.verifyPairs(sizedBoth, cand, threshold)
           .select(col("a").as("dup")).distinct()
-      else batch.select(col(idCol).cast("long").as("dup")).limit(0)
+      } else batch.select(col(idCol).cast("long").as("dup")).limit(0)
     // localCheckpoint: evaluated once, feeds both writes below
     val novel = survivors.join(dupVsCorpus,
       col(idCol).cast("long") === col("dup"), "left_anti")
@@ -474,12 +494,17 @@ object Streams {
     // 3. append-only state growth — at the BATCH granularity: new
     //    partitions accrete, existing ones are never rewritten (except a
     //    retry overwriting its own), so per batch the I/O is
-    //    O(|batch| + collisions) regardless of corpus size
+    //    O(|batch| + collisions) regardless of corpus size. The index
+    //    append derives from the same cached bands (semi-join on the
+    //    novel ids == Dedup.bandIndex(novel), minus the rebuild).
     novel.write.mode("overwrite")
       .parquet(s"$corpusPath/ingest_batch=$batchId")
-    Dedup.bandIndex(novel, idCol, textCol, numHashes, rowsPerBand, maxBucket)
+    Dedup.indexFromBands(
+      banded.join(novel.select(col(idCol).cast("long").as("doc_id")),
+        Seq("doc_id"), "left_semi"),
+      maxBucket)
       .write.mode("overwrite").parquet(s"$indexPath/ingest_batch=$batchId")
-    batch.unpersist(); ()
+    sized.unpersist(); banded.unpersist(); batch.unpersist(); ()
   }
 
   /** True when `path` holds state from a batch OTHER than `batchId`:

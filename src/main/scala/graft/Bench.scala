@@ -555,6 +555,8 @@ object Bench {
     // filled between the cold suite and the serve section; "null" until
     // measured so mid-run artifact rewrites stay parseable
     var recallJson = "null"
+    var goldenJson = "null"
+    var goldenCompact: Option[String] = None
 
     // partial artifact > no artifact: rebuild the full JSON line from
     // whatever has completed so far and REWRITE the file after every
@@ -623,6 +625,7 @@ object Bench {
         s""""query_detail":$detail,"sentinel_s":$sentinelJson,"n_noisy":$nNoisy,""" +
         s""""n_failed":$nFailed,"failed":$failed,"skipped":$skipped,""" +
         s""""deadline_hit":$deadlineHit,"recall_at_20":$recallJson,""" +
+        s""""golden":$goldenJson,""" +
         s""""serve":$serveJson,"sf":"$sfDir"}"""
     }
     def writeArtifact(serveJson: String): String = {
@@ -719,6 +722,18 @@ object Bench {
     if (!deadlineHit) {
       val (rj, rd) = recallSection(spark, sfDir)
       recallJson = rj; recallDefault = rd
+      // the 86-query success-criteria scoreboard (TEST_QUERIES.md bars) —
+      // ONE implementation with GoldenQueriesSpec's asserts (graft.Golden),
+      // emitted per round so the driver sees the measured rates, not just
+      // a green test name. ~30 s warm-index work; skipped with the rest
+      // of part 2 when the deadline truncated the run.
+      try {
+        val (full, compact) = Golden.scoreboard(spark)
+        goldenJson = full; goldenCompact = Some(compact)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] golden scoreboard skipped: $e")
+      }
     }
     val runs = sys.env.getOrElse("SPARK_GRAFT_SERVE_RUNS", "15").toInt
     val serveJson = serveSection(spark, sfDir, runs)
@@ -744,6 +759,7 @@ object Bench {
       .map { case (n, (w, r, _)) => s""""$n":${fmt((w + r) / 1048576.0, 0)}""" }
       .mkString("{", ",", "}")
     val extra = recallDefault.map(r => s""""recall20_ann":${fmt(r, 2)},""").getOrElse("") +
+      goldenCompact.map(g => s""""golden":$g,""").getOrElse("") +
       s""""n_noisy":${coldResults().count(_._5)},""" +
       (if (shuffleStats.nonEmpty) s""""shuffle_top_mb":$shuffleTop,""" else "")
     println(compactJson(samples.toMap, named.map(_._1), sfDir, extra = extra))

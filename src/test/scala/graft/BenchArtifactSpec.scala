@@ -70,16 +70,21 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(covered === names.length, "every registered query accounted for")
   }
 
-  test("extra fields (recall/noise) ride the compact line at every ladder level") {
+  test("extra fields (recall/golden/noise) ride the compact line at every ladder level") {
+    // the golden twin is the REAL compact shape Bench emits (Golden
+    // .scoreboard's second element) — pinned here at full realistic size
+    val golden = """{"cat1":1.00,"phx":1.00,"narr":1.00,"phr":1.00,""" +
+      """"ref":1.00,"xling":1.00,"cov":0.69}"""
     for (n <- Seq(96, 130)) {
       val samples = (0 until n).map { i =>
         f"realistically_long_query_name_$i%03d" -> List((i * 0.137 + 0.08, None: Option[String], 1))
       }.toMap
       val line = Bench.compactJson(samples, samples.keys.toSeq, "/root/testdata/sf0.1",
-        extra = """"recall20_ann":0.43,"n_noisy":3,""")
+        extra = s""""recall20_ann":0.43,"golden":$golden,"n_noisy":3,""")
       assert(line.length <= 1995, s"$n queries with extra: ${line.length} chars")
       val tree = mapper.readTree(line)
       assert(tree.get("recall20_ann").asDouble() === 0.43)
+      assert(tree.get("golden").get("cov").asDouble() === 0.69)
       assert(tree.get("n_noisy").asInt() === 3)
     }
   }

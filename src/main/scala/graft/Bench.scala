@@ -557,6 +557,8 @@ object Bench {
     var recallJson = "null"
     var goldenJson = "null"
     var goldenCompact: Option[String] = None
+    var soakJson = "null"
+    var soakCompact: Option[String] = None
 
     // partial artifact > no artifact: rebuild the full JSON line from
     // whatever has completed so far and REWRITE the file after every
@@ -625,7 +627,7 @@ object Bench {
         s""""query_detail":$detail,"sentinel_s":$sentinelJson,"n_noisy":$nNoisy,""" +
         s""""n_failed":$nFailed,"failed":$failed,"skipped":$skipped,""" +
         s""""deadline_hit":$deadlineHit,"recall_at_20":$recallJson,""" +
-        s""""golden":$goldenJson,""" +
+        s""""golden":$goldenJson,"soak":$soakJson,""" +
         s""""serve":$serveJson,"sf":"$sfDir"}"""
     }
     def writeArtifact(serveJson: String): String = {
@@ -734,6 +736,29 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] golden scoreboard skipped: $e")
       }
+      // dedup-spine scale soak (1× vs 10× of the zipf twin): wall-clock
+      // scaling + shuffle + spill + hot-bucket trips for the three
+      // production near-dup paths — the per-round proof that the banded
+      // shapes stay ~linear and spill-free as the corpus grows (see
+      // Soak's scaladoc). Skippable via SPARK_GRAFT_SOAK=0; guarded by
+      // the same deadline as the rest of part 2.
+      if (!pastDeadline && sys.env.getOrElse("SPARK_GRAFT_SOAK", "1") != "0") {
+        try {
+          val (full, scales) = Soak.run(spark, "/root/repo/testdata-skew/sf0.1", Seq(1, 10))
+          soakJson = full
+          soakCompact = for {
+            s1 <- scales.collectFirst { case (1, s) => s }
+            s10 <- scales.collectFirst { case (10, s) => s }
+          } yield f"""{"stage_r":${s10.stageS / s1.stageS}%.1f,""" +
+            f""""incr_r":${s10.incrS / s1.incrS}%.1f,""" +
+            f""""stream_r":${s10.streamS / s1.streamS}%.1f,""" +
+            f""""spill_mb":${s1.spillMb + s10.spillMb}%.0f,""" +
+            f""""trips":${s1.trips + s10.trips}}"""
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] scale soak skipped: $e")
+        }
+      }
     }
     val runs = sys.env.getOrElse("SPARK_GRAFT_SERVE_RUNS", "15").toInt
     val serveJson = serveSection(spark, sfDir, runs)
@@ -760,6 +785,7 @@ object Bench {
       .mkString("{", ",", "}")
     val extra = recallDefault.map(r => s""""recall20_ann":${fmt(r, 2)},""").getOrElse("") +
       goldenCompact.map(g => s""""golden":$g,""").getOrElse("") +
+      soakCompact.map(s => s""""soak10x":$s,""").getOrElse("") +
       s""""n_noisy":${coldResults().count(_._5)},""" +
       (if (shuffleStats.nonEmpty) s""""shuffle_top_mb":$shuffleTop,""" else "")
     println(compactJson(samples.toMap, named.map(_._1), sfDir, extra = extra))

@@ -1,0 +1,158 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup-spine scale soak (dev harness, like [[SkewGen]]/[[Bench]]):
+  * runs the three production near-dup paths — full corpus stage,
+  * incremental delta probe, two-run streaming ingest — on the zipf
+  * skew twin at 1× and at a derived 10× corpus (sf1-class doc count),
+  * and reports wall time, shuffle, spill, and hot-bucket-cap trips per
+  * scale. The claim under test is the 100 TB shape: banded candidate
+  * generation keeps the work ~linear in rows (never all-pairs), zero
+  * spill at both scales, and the skew twin's viral clique stays under
+  * the hot-bucket cap even at 10×.
+  *
+  * The 10× corpus is derived deterministically from the skew twin:
+  * replica k>0 of doc d gets doc_id k·(max+1)+d and ~30% of its tokens
+  * rewritten by an md5 keyed on (doc_id, position) — far enough below
+  * the 0.9 Jaccard bar that replicas are NOT near-dups of their source
+  * (the dup DENSITY stays the twin's own: the viral clique and natural
+  * dups), so scaling measures volume, not an artificial clique
+  * explosion. Rerunning reproduces byte-identical content.
+  *
+  * Output: one JSON line (+ SOAK_LOCAL.json) with per-scale sections
+  * and the 10×/1× wall-clock ratios.
+  */
+object Soak {
+
+  /** ~30% deterministic token rewrite for replica docs (k > 0). */
+  private def mutateText(text: org.apache.spark.sql.Column,
+                         seed: org.apache.spark.sql.Column) = {
+    val toks = split(text, "\\s+")
+    array_join(
+      zip_with(toks, sequence(lit(0), greatest(size(toks) - 1, lit(0))),
+        (t, i) => when(
+          conv(substring(md5(concat_ws(":", seed, i.cast("string"), t)), 1, 13), 16, 10)
+            .cast("long") % 10 < 3,
+          concat(lit("tok"), substring(md5(concat_ws("#", seed, i.cast("string"))), 1, 8)))
+          .otherwise(t)),
+      " ")
+  }
+
+  /** The skew twin's documents replicated `factor`×, replicas mutated. */
+  private[graft] def corpusAt(docs: DataFrame, factor: Int): DataFrame = {
+    if (factor <= 1) docs.select(col("doc_id"), col("text"))
+    else {
+      val maxId = docs.agg(max("doc_id")).head().getLong(0) + 1
+      docs.select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), lit(factor - 1))).as("k"))
+        .select(
+          (col("k").cast("long") * maxId + col("doc_id")).as("doc_id"),
+          when(col("k") === 0, col("text"))
+            .otherwise(mutateText(col("text"),
+              concat_ws("/", col("doc_id").cast("string"), col("k").cast("string"))))
+            .as("text"))
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/repo/testdata-skew/sf0.1")
+    val factors = args.lift(1).map(_.split(",").toSeq.map(_.toInt))
+      .getOrElse(Seq(1, 10))
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (json, _) = run(spark, src, factors)
+    java.nio.file.Files.write(java.nio.file.Paths.get("SOAK_LOCAL.json"),
+      json.getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+
+  /** Per-scale wall/shuffle/spill numbers for one stage run. */
+  final case class Scale(nDocs: Long, stageS: Double, incrS: Double,
+                         streamS: Double, spillMb: Double, trips: Long)
+
+  /** Run the soak on an EXISTING session (the bench embeds this) —
+    * returns (full JSON, per-factor numbers). */
+  def run(spark: SparkSession, src: String, factors: Seq[Int])
+      : (String, Seq[(Int, Scale)]) = {
+    val tally = new Bench.ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+
+    def section(factor: Int): (String, Scale) = {
+      val scratchDocs = java.nio.file.Files
+        .createTempDirectory(s"soak-docs-$factor").toString
+      // materialize the derived corpus to parquet so every stage reads
+      // files (the production shape), not a cached lineage
+      corpusAt(Tables(spark, src, "documents"), factor)
+        .repartition(32).write.mode("overwrite").parquet(scratchDocs)
+      val docs = spark.read.parquet(scratchDocs)
+      val n = docs.count()
+      def timed(tag: String)(f: => Long): (Double, Long, (Long, Long, Long)) = {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.foreach(_._2.unpersist(false))
+        val pre = tally.settled()
+        val t0 = System.nanoTime()
+        val rows = f
+        val el = (System.nanoTime() - t0) / 1e9
+        val post = tally.settled()
+        System.err.println(f"[soak] x$factor $tag%-12s $el%7.2f s  rows=$rows")
+        (el, rows, (post._1 - pre._1, post._2 - pre._2, post._3 - pre._3))
+      }
+      // 1. full-corpus near-dup stage → survivors
+      val (tStage, nSurv, shStage) = timed("stage") {
+        Dedup.nearDupStage(docs, "doc_id", "text").survivors.count()
+      }
+      // 2. incremental: 90/10 split, delta probes the existing index
+      val (tIncr, nIncrPairs, shIncr) = timed("incremental") {
+        val existing = docs.where(col("doc_id") % 10 =!= 0)
+        val delta = docs.where(col("doc_id") % 10 === 0)
+        Dedup.incrementalNearDupPairs(
+          Dedup.bandIndex(existing, "doc_id", "text"),
+          existing, delta, "doc_id", "text", 0.9).count()
+      }
+      // 3. streaming ingest: two real AvailableNow runs (even, then odd)
+      val (tStream, nCorpus, shStream) = timed("stream") {
+        val scratch = java.nio.file.Files
+          .createTempDirectory(s"soak-ndi-$factor").toString
+        def run(phase: Int) = {
+          val q = graft.streaming.Streams.nearDupIngest(
+            spark.readStream.schema(docs.schema).parquet(scratchDocs)
+              .where(pmod(col("doc_id"), lit(2L)) === phase),
+            s"$scratch/corpus", s"$scratch/index", s"$scratch/ck$phase",
+            "doc_id", "text",
+            trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
+            batchIdOffset = phase.toLong)
+          graft.streaming.Streams.awaitDone(q)
+        }
+        run(0); run(1)
+        spark.read.parquet(s"$scratch/corpus").count()
+      }
+      // hot-bucket audit: cap trips at this scale (must stay zero)
+      val trips = Dedup.hotBuckets(
+        Dedup.bandKeys(Dedup.minhashSignatures(docs, "doc_id", "text", 16), 16),
+        Seq("band", "band_key"), 10000).count()
+      def sh(t: (Long, Long, Long)) =
+        f"""{"w_mb":${t._1 / 1048576.0}%.1f,"r_mb":${t._2 / 1048576.0}%.1f,"spill_mb":${t._3 / 1048576.0}%.1f}"""
+      val spillMb = (shStage._3 + shIncr._3 + shStream._3) / 1048576.0
+      val json =
+        f""""x$factor":{"n_docs":$n,"stage_s":$tStage%.2f,"survivors":$nSurv,""" +
+          f""""incr_s":$tIncr%.2f,"incr_pairs":$nIncrPairs,""" +
+          f""""stream_s":$tStream%.2f,"stream_corpus":$nCorpus,""" +
+          f""""hot_bucket_trips":$trips,""" +
+          s""""stage_shuffle":${sh(shStage)},"incr_shuffle":${sh(shIncr)},"stream_shuffle":${sh(shStream)}}"""
+      (json, Scale(n, tStage, tIncr, tStream, spillMb, trips))
+    }
+
+    val sections = factors.map(f => f -> section(f))
+    val json = sections.map(_._2._1).mkString("{\"soak\":{", ",", "},") +
+      s""""src":"$src"}"""
+    (json, sections.map { case (f, (_, s)) => f -> s })
+  }
+}

@@ -392,16 +392,6 @@ object Oracles {
       """SELECT make_timestamp((epoch_ns(ts)//3600000000000)*3600000000) AS window_start,
         |event_type, count(*) AS n_events, round(sum(value),6) AS sum_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
-    // two-phase streaming SCD2 twin: phase value = per-key max
-    // event_type over the even/odd event_id half (the stream's
-    // within-batch max-attr-tuple rule on a 1-attr tuple); a key whose
-    // phase values differ carries its CLOSED phase-1 row + the open
-    // phase-2 row; otherwise one open row (phase-2 value if present,
-    // else the untouched phase-1 state). IS DISTINCT FROM, not <>:
-    // scd2Stream closes on NULL-SAFE difference (<=>), and a plain <>
-    // would silently drop the closed row if an attr were ever NULL
-    // (unreachable on this fixture — event_type has no nulls — but the
-    // twin must carry the operator's semantics, not the fixture's)
     // two-phase streaming near-dup-ingest twin: phase 1 = min-id
     // survivor per verified component within the EVEN doc_ids (the
     // near_dup_survivors closure, parity-scoped); phase 2 = the same
@@ -435,6 +425,16 @@ object Oracles {
          |  SELECT doc_id FROM osurv o
          |  WHERE NOT EXISTS (SELECT 1 FROM xdrop WHERE a = o.doc_id))
          |ORDER BY doc_id""".stripMargin,
+    // two-phase streaming SCD2 twin: phase value = per-key max
+    // event_type over the even/odd event_id half (the stream's
+    // within-batch max-attr-tuple rule on a 1-attr tuple); a key whose
+    // phase values differ carries its CLOSED phase-1 row + the open
+    // phase-2 row; otherwise one open row (phase-2 value if present,
+    // else the untouched phase-1 state). IS DISTINCT FROM, not <>:
+    // scd2Stream closes on NULL-SAFE difference (<=>), and a plain <>
+    // would silently drop the closed row if an attr were ever NULL
+    // (unreachable on this fixture — event_type has no nulls — but the
+    // twin must carry the operator's semantics, not the fixture's)
     "stream_scd2_merge" ->
       """WITH v1 AS (SELECT user_id, max(event_type) et FROM events
         |            WHERE event_id % 2 = 0 GROUP BY 1),
@@ -1642,6 +1642,17 @@ object Oracles {
          |CAST(sum(un) AS BIGINT) AS narrator_slots FROM bs""".stripMargin,
     // S4 sink round-trip: aggregate re-derived from the RAW corpus; any
     // row/field the JSONL sink drops or mangles breaks the hash
+    // crawl_resume twin: replay the injected transport's presence and
+    // body formulas over the (group, seq) lattice — the crawl's spool
+    // must equal this set row for row (1..n_g pages, minus the g%3=0
+    // hole at seq 2; bodies share the md5 derivation)
+    "crawl_resume" ->
+      """WITH p AS (SELECT g, unnest(range(1, 8)) seq
+        |  FROM (SELECT unnest(range(0, 10)) g))
+        |SELECT CAST(g AS INT) "group", CAST(seq AS INT) seq,
+        |  'page-' || g || '-' || seq || '-' || md5(g || ':' || seq) body
+        |FROM p WHERE seq <= 3 + (g*7) % 5 AND NOT (g % 3 = 0 AND seq = 2)
+        |ORDER BY 1, 2""".stripMargin,
     "jsonl_sink_roundtrip" ->
       s"""WITH v AS (SELECT book_id, hadith_id_site, checksum
          |  FROM read_json_auto('$HadithGlob', union_by_name=true)

@@ -1390,6 +1390,36 @@ object Queries {
             col("total_chapters").cast("long").as("total_chapters"))
           .orderBy("book_id")
       }),
+      // S8 oracle row (r14 — the S4 round-trip pattern applied to the
+      // paged crawl): a deterministic injected transport serves group g
+      // pages 1..(3 + 7g mod 5), with page 2 MISSING when g%3=0 (one
+      // mid-run miss — proves the 2-consecutive-miss rule resets, not
+      // accumulates); page bodies are md5-derived so the oracle
+      // re-derives every row from the same formulas. Phase 1 crawls
+      // groups 0-4 and commits their cursors; phase 2 crawls 0-9 with a
+      // transport that THROWS on any committed group — a resume that
+      // re-fetched finished work fails the row outright, and the
+      // returned frame must still be the COMPLETE crawl (the spool
+      // read-back contract), which the hash gate checks row for row.
+      "crawl_resume" -> ((s, _) => {
+        val state = java.nio.file.Files.createTempDirectory("graft-crawl").toString
+        registerScratchCleanup(state)
+        def present(g: Int, seq: Int): Boolean =
+          seq <= 3 + (g * 7) % 5 && !(g % 3 == 0 && seq == 2)
+        def body(g: Int, seq: Int): String = {
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$g:$seq".getBytes("UTF-8"))
+          s"page-$g-$seq-" + d.map("%02x".format(_)).mkString
+        }
+        def fetchOk(g: Int, seq: Int): Option[String] =
+          if (present(g, seq)) Some(body(g, seq)) else None
+        graft.sources.Scrape.crawlPaged(s, 0 until 5, fetchOk, state)
+        graft.sources.Scrape.crawlPaged(s, 0 until 10, (g, seq) => {
+          if (g < 5) throw new IllegalStateException(
+            s"resume re-fetched committed group $g")
+          fetchOk(g, seq)
+        }, state).orderBy("group", "seq")
+      }),
       // S4: the JSONL document sink round-trip — write silver columns out
       // through the sink, read them back, aggregate; the oracle re-derives
       // the same aggregate from the RAW corpus, so a dropped or mangled

@@ -72,18 +72,23 @@ object EmbedSlots {
   /** One TreeMap per row (bucket-ascending iteration = the old
     * sort_array order). Returns null for a zero-norm document. One
     * MessageDigest per ROW, bytes straight from the UTF8String — no
-    * String, no hex formatting ([[TextFns.hash31Bytes]]). */
+    * String, no hex formatting ([[TextFns.hash31Bytes]]). NULL elements
+    * are skipped — same doctrine as [[TermTf.counts]]: the tokenizer
+    * never yields them, but a conservatively-marked containsNull array
+    * must not NPE on getUTF8String (r13 advice). */
   def slots(arr: ArrayData, dim: Int): InternalRow = {
     val n = arr.numElements()
     val md = java.security.MessageDigest.getInstance("MD5")
     val acc = new java.util.TreeMap[java.lang.Long, Array[Double]]()
     var i = 0
     while (i < n) {
-      val h = TextFns.hash31Bytes(md, arr.getUTF8String(i).getBytes)
-      val b = java.lang.Long.valueOf(h % dim)
-      val s = if ((h / dim) % 2 == 0) 1.0 else -1.0
-      val c = acc.get(b)
-      if (c == null) acc.put(b, Array(s)) else c(0) += s
+      if (!arr.isNullAt(i)) {
+        val h = TextFns.hash31Bytes(md, arr.getUTF8String(i).getBytes)
+        val b = java.lang.Long.valueOf(h % dim)
+        val s = if ((h / dim) % 2 == 0) 1.0 else -1.0
+        val c = acc.get(b)
+        if (c == null) acc.put(b, Array(s)) else c(0) += s
+      }
       i += 1
     }
     if (acc.isEmpty) return null

@@ -63,15 +63,21 @@ object TermTf {
 
   /** One pass + one LinkedHashMap per row (first-occurrence order keeps
     * the result deterministic; downstream explodes it, so order is
-    * semantically irrelevant anyway). */
+    * semantically irrelevant anyway). NULL elements are skipped — the
+    * tokenizer never yields them, but checkInputDataTypes accepts
+    * `containsNull = true` arrays (Spark marks split/transform output
+    * conservatively), and a null token must not become a null `term` in
+    * a non-nullable field (r13 advice). */
   def counts(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val m = new java.util.LinkedHashMap[UTF8String, Array[Int]]()
     var i = 0
     while (i < n) {
-      val t = arr.getUTF8String(i)
-      val c = m.get(t)
-      if (c == null) m.put(t, Array(1)) else c(0) += 1
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        val c = m.get(t)
+        if (c == null) m.put(t, Array(1)) else c(0) += 1
+      }
       i += 1
     }
     val out = new Array[Any](m.size())

@@ -368,8 +368,11 @@ object Streams {
     * destroying prior state (an offset of 1 after a 3-batch first run
     * would overwrite its middle partition). A resumed run on the
     * ORIGINAL checkpoint needs no offset — its batchIds continue where
-    * they left off, and the zero offset is exempt from the guard (a
-    * replayed batch MUST land on its own prior partition). */
+    * they left off and a replayed batch MUST land on its own prior
+    * partition — but a zero offset with existing state demands a
+    * checkpoint that HAS commits: a fresh checkpoint would restart
+    * batchIds at 0 and silently destroy `ingest_batch=0`, so that
+    * combination fails loudly too (r13 advice). */
   def nearDupIngest(stream: DataFrame, corpusPath: String, indexPath: String,
                     checkpoint: String, idCol: String, textCol: String,
                     threshold: Double = 0.9, numHashes: Int = 16,
@@ -377,14 +380,36 @@ object Streams {
                     trigger: Option[org.apache.spark.sql.streaming.Trigger] = None,
                     batchIdOffset: Long = 0L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    val maxExisting = Seq(corpusPath, indexPath)
+      .flatMap(p => maxIngestBatch(stream.sparkSession, p))
+      .reduceOption(_ max _)
     if (batchIdOffset > 0) {
-      val maxExisting = Seq(corpusPath, indexPath)
-        .flatMap(p => maxIngestBatch(stream.sparkSession, p))
-        .reduceOption(_ max _)
       maxExisting.foreach(m => require(batchIdOffset > m,
         s"batchIdOffset=$batchIdOffset collides with existing state " +
           s"(max ingest_batch=$m): a colliding run would overwrite prior " +
           s"partitions and prune them out of its own probe"))
+    } else {
+      // offset 0 against EXISTING state is legal only as a RESUME of the
+      // ORIGINAL checkpoint (its batchIds continue where they left off,
+      // and a replayed batch must land on its own prior partition). A
+      // FRESH checkpoint restarts batchIds at 0, so its batch 0 would
+      // silently overwrite ingest_batch=0 and prune it out of its own
+      // cross-batch probe — the likeliest operator error, failed loudly
+      // here (r13 advice). Resume ⇔ the checkpoint has committed batches.
+      maxExisting.foreach { m =>
+        val ck = new org.apache.hadoop.fs.Path(s"$checkpoint/commits")
+        val fs = ck.getFileSystem(stream.sparkSession.sparkContext.hadoopConfiguration)
+        val resumed = fs.exists(ck) && fs.listStatus(ck).exists { st =>
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+        require(resumed,
+          s"fresh checkpoint ($checkpoint has no commits) with existing " +
+            s"state (max ingest_batch=$m) at offset 0: this run's batch 0 " +
+            s"would overwrite ingest_batch=0 and prune it from its own " +
+            s"probe — pass batchIdOffset > $m for a new run, or point at " +
+            s"the original checkpoint to resume")
+      }
     }
     val w0 = stream.writeStream
       .option("checkpointLocation", checkpoint)

@@ -100,4 +100,29 @@ class EmbedSlotsSpec extends SparkSpec {
       assert(neu === old)
     }
   }
+
+  test("null array elements are skipped, never emitted or NPE'd (TermTf + EmbedSlots)") {
+    // the tokenizer never yields null tokens, but checkInputDataTypes
+    // accepts containsNull=true (Spark marks split/transform output
+    // conservatively) — a null element must act like an absent token
+    // (r13 advice), identically in the interpreted and codegen paths
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq((1L, Seq[String]("a", null, "b", "a", null)),
+      (2L, Seq[String](null, null)))
+      .toDF("id", "toks")
+    val tf = rows.select($"id", graft.plans.TermTf($"toks").as("tf")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getString(0), x.getInt(1)))).toMap
+    assert(tf(1L) === Seq(("a", 2), ("b", 1)))
+    assert(tf(2L) === Seq(), "all-null token array = empty counts")
+    val clean = Seq((1L, Seq("a", "b", "a"))).toDF("id", "toks")
+      .select(graft.plans.EmbedSlots($"toks", 8).as("s")).head()
+    val dirty = rows.where($"id" === 1)
+      .select(graft.plans.EmbedSlots($"toks", 8).as("s")).head()
+    assert(dirty === clean, "null elements must not shift the slots")
+    val allNull = rows.where($"id" === 2)
+      .select(graft.plans.EmbedSlots($"toks", 8).as("s")).head()
+    assert(allNull.isNullAt(0), "all-null tokens = token-less doc → null slots")
+  }
 }

@@ -316,6 +316,14 @@ class StreamsSpec extends SparkSpec {
     Streams.nearDupIngest(memG.toDF().toDF("doc_id", "text"),
       s"$dir/corpus", s"$dir/index", s"$dir/ckptg", "doc_id", "text",
       batchIdOffset = 3L).stop() // clears max id 2 → allowed
+    // fresh-start guard (r13 advice): offset 0 + existing state + a
+    // checkpoint with NO commits is the likeliest operator error — run
+    // 2's batch 0 would silently overwrite ingest_batch=0; must fail
+    val fresh = intercept[IllegalArgumentException] {
+      Streams.nearDupIngest(memG.toDF().toDF("doc_id", "text"),
+        s"$dir/corpus", s"$dir/index", s"$dir/ckfresh", "doc_id", "text")
+    }
+    assert(fresh.getMessage.contains("fresh checkpoint"))
     // clean slate for the ingest assertions below
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
@@ -351,6 +359,11 @@ class StreamsSpec extends SparkSpec {
       q.processAllAvailable()
       assert(spark.read.parquet(s"$dir/corpus").count() === 3)
     } finally q.stop()
+    // a checkpoint that HAS commits is a legitimate offset-0 RESUME
+    // against the existing state (replayed batches land on their own
+    // partitions) — the fresh-start guard must let it through
+    Streams.nearDupIngest(mem.toDF().toDF("doc_id", "text"),
+      s"$dir/corpus", s"$dir/index", s"$dir/ckpt", "doc_id", "text").stop()
   }
 
   test("near-dup ingest batches are idempotent under foreachBatch retry") {

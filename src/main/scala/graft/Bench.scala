@@ -727,9 +727,10 @@ object Bench {
       // the 86-query success-criteria scoreboard (TEST_QUERIES.md bars) —
       // ONE implementation with GoldenQueriesSpec's asserts (graft.Golden),
       // emitted per round so the driver sees the measured rates, not just
-      // a green test name. ~30 s warm-index work; skipped with the rest
-      // of part 2 when the deadline truncated the run.
-      try {
+      // a green test name. ~30 s warm-index work; deadline-guarded like
+      // the soak below (a run that burned its budget in recallSection
+      // must not overshoot by the scoreboard's whole cost — r14 review).
+      if (!pastDeadline) try {
         val (full, compact) = Golden.scoreboard(spark)
         goldenJson = full; goldenCompact = Some(compact)
       } catch {

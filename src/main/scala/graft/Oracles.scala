@@ -211,10 +211,17 @@ object Oracles {
          |cm$t AS (SELECT i, list(CAST(s // n AS DOUBLE) ORDER BY p) cqv FROM cells$t GROUP BY i),
          |c${t + 1} AS (SELECT c$t.i, coalesce(cm$t.cqv, c$t.cqv) cqv FROM c$t LEFT JOIN cm$t USING(i))""".stripMargin
     }
-    val kexpr = "CAST(POWER(2, LEAST(18, GREATEST(4, ROUND(LOG2(3*SQRT(n)))))) AS INT)"
+    // K via EXACT integer comparisons (nListsFor's twin): e = smallest
+    // exponent in [4,18] with 9N < 2^(2e+1); powers of two ≤ 2^37 are
+    // exact doubles, so the comparison cannot round differently from
+    // the Scala side (a libm LOG2 could — r14 review)
     val sphf = s"list_dot_product(e.qv, cf.cqv)/${norm("cf.cqv")}"
     s"""WITH $EmbQ,
-       |kk AS (SELECT $kexpr k, GREATEST(2, (7*$kexpr)//128) np FROM (SELECT count(*) n FROM e)),
+       |kk AS (SELECT CAST(POWER(2, ee) AS INT) k,
+       |              GREATEST(2, (7*CAST(POWER(2, ee) AS INT))//128) np
+       |       FROM (SELECT coalesce(min(x), 18) ee
+       |             FROM (SELECT unnest(range(4, 18)) x), (SELECT count(*) n FROM e)
+       |             WHERE 9*n < POWER(2, 2*x+1))),
        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id)-1 i, qv cqv FROM e
        |       QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kk)),
        |${(0 until iters).map(itCte).mkString(",\n")},

@@ -79,15 +79,22 @@ object Soak {
                          streamS: Double, spillMb: Double, trips: Long)
 
   /** Run the soak on an EXISTING session (the bench embeds this) —
-    * returns (full JSON, per-factor numbers). */
+    * returns (full JSON, per-factor numbers). The listener and every
+    * scratch tree are torn down on exit: the bench calls this each
+    * round on a long-lived session, and leaked listeners/10× parquet
+    * trees would stack round over round (r14 review). */
   def run(spark: SparkSession, src: String, factors: Seq[Int])
       : (String, Seq[(Int, Scale)]) = {
     val tally = new Bench.ShuffleTally
     spark.sparkContext.addSparkListener(tally)
+    val scratches = scala.collection.mutable.ArrayBuffer.empty[String]
+    def scratch(tag: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(tag).toString
+      scratches += d; d
+    }
 
     def section(factor: Int): (String, Scale) = {
-      val scratchDocs = java.nio.file.Files
-        .createTempDirectory(s"soak-docs-$factor").toString
+      val scratchDocs = scratch(s"soak-docs-$factor")
       // materialize the derived corpus to parquet so every stage reads
       // files (the production shape), not a cached lineage
       corpusAt(Tables(spark, src, "documents"), factor)
@@ -119,20 +126,19 @@ object Soak {
       }
       // 3. streaming ingest: two real AvailableNow runs (even, then odd)
       val (tStream, nCorpus, shStream) = timed("stream") {
-        val scratch = java.nio.file.Files
-          .createTempDirectory(s"soak-ndi-$factor").toString
+        val sdir = scratch(s"soak-ndi-$factor")
         def run(phase: Int) = {
           val q = graft.streaming.Streams.nearDupIngest(
             spark.readStream.schema(docs.schema).parquet(scratchDocs)
               .where(pmod(col("doc_id"), lit(2L)) === phase),
-            s"$scratch/corpus", s"$scratch/index", s"$scratch/ck$phase",
+            s"$sdir/corpus", s"$sdir/index", s"$sdir/ck$phase",
             "doc_id", "text",
             trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
             batchIdOffset = phase.toLong)
           graft.streaming.Streams.awaitDone(q)
         }
         run(0); run(1)
-        spark.read.parquet(s"$scratch/corpus").count()
+        spark.read.parquet(s"$sdir/corpus").count()
       }
       // hot-bucket audit: cap trips at this scale (must stay zero)
       val trips = Dedup.hotBuckets(
@@ -150,9 +156,19 @@ object Soak {
       (json, Scale(n, tStage, tIncr, tStream, spillMb, trips))
     }
 
-    val sections = factors.map(f => f -> section(f))
-    val json = sections.map(_._2._1).mkString("{\"soak\":{", ",", "},") +
-      s""""src":"$src"}"""
-    (json, sections.map { case (f, (_, s)) => f -> s })
+    try {
+      val sections = factors.map(f => f -> section(f))
+      val json = sections.map(_._2._1).mkString("{\"soak\":{", ",", "},") +
+        s""""src":"$src"}"""
+      (json, sections.map { case (f, (_, s)) => f -> s })
+    } finally {
+      spark.sparkContext.removeSparkListener(tally)
+      scratches.foreach { d =>
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p): Unit)
+        finally walk.close()
+      }
+    }
   }
 }

@@ -210,20 +210,24 @@ object Similarity {
   private def quantized(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol).cast("long").as("vec_id"), VecFns.quantize(col(vecCol)).as("qv"))
 
-  /** Scale-aware IVF list count: the power of two nearest to 3·√N,
-    * clamped to [16, 2^18]. The r13 default hard-shaped K=16, so its
-    * nProbe=5 probe scanned ~31% of the corpus — a near-full scan at
-    * 100 TB. Growing K with √N keeps per-list size ≈ N/K ≈ √N/3 and the
-    * probe's nominal scan fraction CONSTANT (≈5.5%, see [[nProbeFor]])
-    * at any corpus size: 2000 vectors → 128 lists; 2·10⁹ → ~2^17 —
-    * the same K ∝ √N rule FAISS documents for IVF sizing. The rounding
-    * (log2 → round → pow2) is mirrored digit-for-digit by the DuckDB
-    * oracle (POWER(2, ROUND(LOG2(3*SQRT(n))))), so the trained replay
-    * derives the same K from the same count. */
+  /** Scale-aware IVF list count: the power of two nearest (in log
+    * scale) to 3·√N, clamped to [16, 2^18]. The r13 default hard-shaped
+    * K=16, so its nProbe=5 probe scanned ~31% of the corpus — a
+    * near-full scan at 100 TB. Growing K with √N keeps per-list size ≈
+    * N/K ≈ √N/3 and the probe's nominal scan fraction CONSTANT (≈5.5%,
+    * see [[nProbeFor]]) at any corpus size: 2000 vectors → 128 lists;
+    * 2·10⁹ → ~2^17 — the same K ∝ √N rule FAISS documents for IVF
+    * sizing. Derivation is EXACT integer arithmetic, never a libm log
+    * (whose last-ulp rounding differs between engines): round(log2
+    * (3√N)) = e ⟺ 2^(e−1/2) ≤ 3√N < 2^(e+1/2) ⟺ 2^(2e−1) ≤ 9N <
+    * 2^(2e+1) — so e is the smallest exponent with 9N < 2^(2e+1)
+    * (half-up ties like math.round), and the DuckDB oracle replays the
+    * same comparison over count(*) with exact power-of-two doubles. */
   def nListsFor(n: Long): Int = {
-    val r = 3.0 * math.sqrt(math.max(1L, n).toDouble)
-    val e = math.round(math.log(r) / math.log(2.0)).toInt
-    1 << math.min(18, math.max(4, e))
+    val t = 9.0 * math.max(1L, math.min(n, 1L << 49)).toDouble // exact ≤ 2^53
+    var e = 4
+    while (e < 18 && t >= math.pow(2.0, 2 * e + 1)) e += 1
+    1 << e
   }
 
   /** Probe width for a [[nListsFor]]-sized quantizer: ~5.5% of the

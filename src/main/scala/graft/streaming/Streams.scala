@@ -395,20 +395,25 @@ object Streams {
       // FRESH checkpoint restarts batchIds at 0, so its batch 0 would
       // silently overwrite ingest_batch=0 and prune it out of its own
       // cross-batch probe — the likeliest operator error, failed loudly
-      // here (r13 advice). Resume ⇔ the checkpoint has committed batches.
+      // here (r13 advice). Resume ⇔ the checkpoint has STARTED batches:
+      // probe the offsets log, not commits — Spark writes offsets/0
+      // BEFORE running batch 0, so a crash between the state writes and
+      // the commit (the exact replay case nearDupIngestBatch's
+      // idempotency contract covers) still reads as a resume; a
+      // commits-only probe would brick that recovery (r14 review).
       maxExisting.foreach { m =>
-        val ck = new org.apache.hadoop.fs.Path(s"$checkpoint/commits")
+        val ck = new org.apache.hadoop.fs.Path(s"$checkpoint/offsets")
         val fs = ck.getFileSystem(stream.sparkSession.sparkContext.hadoopConfiguration)
         val resumed = fs.exists(ck) && fs.listStatus(ck).exists { st =>
           val n = st.getPath.getName
           !n.startsWith("_") && !n.startsWith(".")
         }
         require(resumed,
-          s"fresh checkpoint ($checkpoint has no commits) with existing " +
-            s"state (max ingest_batch=$m) at offset 0: this run's batch 0 " +
-            s"would overwrite ingest_batch=0 and prune it from its own " +
-            s"probe — pass batchIdOffset > $m for a new run, or point at " +
-            s"the original checkpoint to resume")
+          s"fresh checkpoint ($checkpoint has no started batches) with " +
+            s"existing state (max ingest_batch=$m) at offset 0: this run's " +
+            s"batch 0 would overwrite ingest_batch=0 and prune it from its " +
+            s"own probe — pass batchIdOffset > $m for a new run, or point " +
+            s"at the original checkpoint to resume")
       }
     }
     val w0 = stream.writeStream

@@ -324,6 +324,15 @@ class StreamsSpec extends SparkSpec {
         s"$dir/corpus", s"$dir/index", s"$dir/ckfresh", "doc_id", "text")
     }
     assert(fresh.getMessage.contains("fresh checkpoint"))
+    // crash-recovery replay must NOT trip the guard: offsets/0 written,
+    // state written, crash BEFORE commits/0 — the restart replays batch
+    // 0 onto its own partition (the idempotency contract), so a
+    // checkpoint with STARTED batches passes even with zero commits
+    val offsets = new java.io.File(s"$dir/ckcrash/offsets")
+    offsets.mkdirs()
+    java.nio.file.Files.write(offsets.toPath.resolve("0"), "v1".getBytes("UTF-8"))
+    Streams.nearDupIngest(memG.toDF().toDF("doc_id", "text"),
+      s"$dir/corpus", s"$dir/index", s"$dir/ckcrash", "doc_id", "text").stop()
     // clean slate for the ingest assertions below
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit

@@ -402,16 +402,11 @@ object Bench {
         .collect().map(_.getLong(0)).toSeq.sorted
       val pre = recallBaselines(e, present, k)
       val annIdx = Similarity.annIndex(e, "vec_id", "embedding", Queries.Dim, nBits = 4)
-      // trained-IVF indexes hoisted like annIdx (train once, probe per
-      // query — the registered defaults' own serving shape); the
-      // assignments are CACHED so the 5 probes don't each re-derive the
-      // per-row centroid scan
-      val (ivfAsg0, ivfCents) = Similarity.ivfIndexGrid(e, "vec_id", "embedding",
-        nCentroids = 16, lloydIters = 1)
-      val ivfAsg = ivfAsg0.cache()
-      cached ::= ivfAsg
-      // the r14 scale-aware spill default: K from corpus size, ~5.5%
-      // nominal scan at any N (Similarity.nListsFor scaladoc)
+      // the r14 scale-aware spill index, hoisted like annIdx (train
+      // once, probe per query — the registered defaults' own serving
+      // shape); the assignment is CACHED so the probes don't each
+      // re-derive the per-row centroid scan. BOTH registered IVF rungs
+      // (default + wide) probe this one index at their own widths.
       val nTotal = e.count()
       val nLists = Similarity.nListsFor(nTotal)
       val nProbe = Similarity.nProbeFor(nLists)
@@ -432,7 +427,8 @@ object Bench {
         ("ann_topk", (_, qv) =>
           Similarity.ivfProbeSpill(spillAsg, spillCents, qv, nProbe, k = k + 1)),
         ("ann_ivf_wide", (_, qv) =>
-          Similarity.ivfProbeGrid(ivfAsg, ivfCents, qv, nProbe = 10, k = k + 1)),
+          Similarity.ivfProbeSpill(spillAsg, spillCents, qv,
+            Similarity.nProbeWideFor(nLists), k = k + 1)),
         ("ann_multiprobe_h1", (_, qv) =>
           Similarity.annTopKMultiProbe(annIdx, qv, Queries.Dim,
             nBits = 4, k = k + 1, hamming = 1)),

@@ -197,7 +197,8 @@ object Oracles {
     * exact-reranks. Every arithmetic step is either exact integer
     * math or one correctly-rounded IEEE sqrt/division of identical
     * inputs, so the replay is bit-for-bit. */
-  private def ivfSpillOracle(iters: Int, delta: Double): String = {
+  private def ivfSpillOracle(iters: Int, delta: Double,
+                             probeMult: Int = 7, probeFloor: Int = 2): String = {
     def norm(c: String) =
       s"(CASE WHEN sqrt(list_dot_product($c,$c))=0 THEN 1 ELSE sqrt(list_dot_product($c,$c)) END)"
     def itCte(t: Int): String = {
@@ -218,7 +219,7 @@ object Oracles {
     val sphf = s"list_dot_product(e.qv, cf.cqv)/${norm("cf.cqv")}"
     s"""WITH $EmbQ,
        |kk AS (SELECT CAST(POWER(2, ee) AS INT) k,
-       |              GREATEST(2, (7*CAST(POWER(2, ee) AS INT))//128) np
+       |              GREATEST($probeFloor, ($probeMult*CAST(POWER(2, ee) AS INT))//128) np
        |       FROM (SELECT coalesce(min(x), 18) ee
        |             FROM (SELECT unnest(range(4, 18)) x), (SELECT count(*) n FROM e)
        |             WHERE 9*n < POWER(2, 2*x+1))),
@@ -945,9 +946,13 @@ object Oracles {
     // margin 0.03 of their second list are double-assigned; probe the
     // nProbe spherically-nearest lists, dedupe, exact rerank.
     "ann_topk" -> ivfSpillOracle(iters = 3, delta = graft.operators.Similarity.SpillDelta),
-    // high-recall rung: the SAME trained replay probing the 10 nearest
-    // lists (~62% nominal scan, recall@20 0.91 — the HNSW-class tier)
-    "ann_ivf_wide" -> ivfGridOracle(nProbe = 10),
+    // high-recall rung (r14): the SAME scale-aware spill replay with
+    // the WIDE probe schedule (~20% of lists) — recall@20 0.91, the
+    // HNSW-class tier the r13 grid-16/10 rung hit at a 62% scan,
+    // reached scanning ~21% of rows
+    "ann_ivf_wide" -> ivfSpillOracle(iters = 3,
+      delta = graft.operators.Similarity.SpillDelta,
+      probeMult = 26, probeFloor = 4),
     // single-bucket scan-fraction floor twin
     "ann_bucket_floor" ->
       s"""WITH $EmbQ,

@@ -859,16 +859,18 @@ object Queries {
         Similarity.annIndex(e, "vec_id", "embedding", Dim, nBits = 4),
         q.toArray, Dim, nBits = 4, k = 20, hamming = 2)
     }),
-    // HIGH-RECALL rung (r13): the same grid-trained IVF as the default,
-    // probing the 10 nearest lists (~62% nominal scan) — recall@20 0.91
-    // on the worst-case uniform fixture, the reference's HNSW-class
-    // quality tier when a pipeline wants near-exact results while still
-    // skipping ~4/10 of the corpus (AnnRecallSpec pins ≥0.8)
+    // HIGH-RECALL rung (r14): the same scale-aware spill IVF as the
+    // default, probing the ~20% nearest lists (nProbeWideFor) —
+    // recall@20 0.91 on the worst-case uniform fixture at ~21% scanned
+    // rows: the reference's HNSW-class quality tier, previously paid
+    // for with a 62% scan (the r13 grid-16/10 rung). AnnRecallSpec
+    // pins ≥0.8 recall and ≤0.25 scan at these registered parameters.
     "ann_ivf_wide" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.where(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
-      Similarity.ivfTopKTrainedGrid(e, "vec_id", "embedding", typedLit(q.toArray),
-        nCentroids = 16, nProbe = 10, k = 20, lloydIters = 1)
+      val nLists = Similarity.nListsFor(e.count())
+      Similarity.ivfTopKSpill(e, "vec_id", "embedding", q.toArray, k = 20,
+        nCentroids = nLists, nProbe = Similarity.nProbeWideFor(nLists))
     }),
     "ivf_topk" -> ((s, dir) => {
       val e = emb(s, dir)

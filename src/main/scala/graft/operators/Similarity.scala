@@ -235,6 +235,13 @@ object Similarity {
     * recall-0.73 knee), floor 2. Oracle twin: GREATEST(2, (7*K)//128). */
   def nProbeFor(nCentroids: Int): Int = math.max(2, (7 * nCentroids) / 128)
 
+  /** WIDE probe width — the high-recall rung's schedule: ~20% of the
+    * lists (26 of 128 at sf0.1 — recall@20 0.91, the same HNSW-class
+    * tier the r13 grid-16/10 rung hit at a 62% scan; the scale-aware
+    * quantizer reaches it scanning ~21% of rows, and the fraction holds
+    * at any N). Oracle twin: GREATEST(4, (26*K)//128). */
+  def nProbeWideFor(nCentroids: Int): Int = math.max(4, (26 * nCentroids) / 128)
+
   /** Spherical-IVF spill threshold: a vector is ALSO indexed under its
     * second-nearest centroid when the two centroid cosines are within
     * this margin — the boundary-vector insurance that buys the last

@@ -459,6 +459,37 @@ object GraftIndexes {
   def openAnn(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir).cache()
 
+  /** Persist the scale-aware spill-IVF index (the r14 `ann_topk`
+    * default's serving face): the assignment partitioned by `centroid`
+    * — a probe's literal isin over ≤nProbe centroid ids reads exactly
+    * those partition directories (partition pruning at any corpus
+    * size; plan-audited) — plus the trained centroids as a tiny
+    * sidecar table (K rows of exact integer-valued doubles; parquet
+    * round-trips them bitwise, so a reopened probe is bit-identical
+    * to the in-memory one). `nCentroids = 0` derives K from the
+    * corpus size ([[graft.operators.Similarity.nListsFor]]). */
+  def writeIvf(spark: SparkSession, emb: DataFrame, idCol: String, vecCol: String,
+               dir: String, nCentroids: Int = 0, lloydIters: Int = 3,
+               spillDelta: Double = Similarity.SpillDelta): Unit = {
+    val k = if (nCentroids > 0) nCentroids else Similarity.nListsFor(emb.count())
+    val (asg, cents) = Similarity.ivfIndexSpill(emb, idCol, vecCol, k,
+      lloydIters, spillDelta)
+    asg.write.mode("overwrite").partitionBy("centroid").parquet(s"$dir/assign")
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("i", "cvec").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Open a persisted spill-IVF: (assignment frame, trained centroids).
+    * Probe via [[graft.operators.Similarity.ivfProbeSpill]] — the
+    * centroid filter partition-prunes the layout. */
+  def openIvf(spark: SparkSession, dir: String): (DataFrame, Array[Array[Double]]) = {
+    val cents = spark.read.parquet(s"$dir/centroids").orderBy("i")
+      .collect().map(_.getSeq[Double](1).toArray)
+    (spark.read.parquet(s"$dir/assign"), cents)
+  }
+
   /** Open a quran engine from persisted layers. */
   def openQuran(spark: SparkSession, dir: String): Graft.QuranEngine = {
     val docs = spark.read.parquet(s"$dir/docs").cache()

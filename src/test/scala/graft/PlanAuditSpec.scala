@@ -562,6 +562,41 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("spill-IVF probe prunes a persisted writeIvf layout to exactly the probe set (E3)") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("plan-ivf").toString
+    val emb = Tables(spark, sf, "embeddings")
+    GraftIndexes.writeIvf(spark, emb, "vec_id", "embedding", s"$dir/ivf",
+      nCentroids = 16, lloydIters = 1)
+    val q = emb.where(col("vec_id") === 0).head().getSeq[Float](1).toArray
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val (asg, cents) = GraftIndexes.openIvf(spark, s"$dir/ivf")
+      val probeSet = Similarity.spillProbeSet(cents, q, nProbe = 3)
+      val existing = probeSet.count(c =>
+        new java.io.File(s"$dir/ivf/assign/centroid=$c").isDirectory)
+      val df = Similarity.ivfProbeSpill(asg, cents, q, nProbe = 3, k = 10)
+      // the reopened probe is bit-identical to the in-memory one
+      // (centroids round-trip bitwise through the parquet sidecar)
+      val (memAsg, memCents) = Similarity.ivfIndexSpill(emb, "vec_id", "embedding",
+        nCentroids = 16, lloydIters = 1)
+      assert(cents.map(_.toSeq).toSeq === memCents.map(_.toSeq).toSeq,
+        "persisted centroids drifted from the in-memory training")
+      assert(df.collect().toSeq ===
+        Similarity.ivfProbeSpill(memAsg, memCents, q, nProbe = 3, k = 10).collect().toSeq)
+      val p = df.queryExecution.executedPlan.toString
+      assert("""PartitionFilters: \[[^\]]*centroid[^\]]* IN""".r.findFirstIn(p).isDefined,
+        s"probe is not a partition filter:\n${p.take(500)}")
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, "no file scan in the probe plan")
+      assert(scans.head.metrics("numPartitions").value === existing.toLong,
+        s"probe read ${scans.head.metrics("numPartitions").value} partitions; expected $existing")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("warm serve plans: width-1 exchanges only, bounded count (no re-planning regressions)") {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")

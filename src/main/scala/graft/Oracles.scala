@@ -1495,6 +1495,7 @@ object Oracles {
     // ── router / scoring / hybrid ──────────────────────────────────────
     "route_query" -> routeQuerySql,
     "priority_score" -> priorityScoreSql,
+    "coverage_groups" -> coverageGroupsSql,
     "spec_score" -> specScoreSql,
     "hybrid_search" -> hybridSearchSql,
     "hadith_search" -> hadithSearchSql,
@@ -1665,6 +1666,27 @@ object Oracles {
         |  'page-' || g || '-' || seq || '-' || md5(g || ':' || seq) body
         |FROM p WHERE seq <= 3 + (g*7) % 5 AND NOT (g % 3 = 0 AND seq = 2)
         |ORDER BY 1, 2""".stripMargin,
+    // S6 snapshot-sink twin: replay the key/payload derivation — the
+    // partitioned text spool must round-trip it row for row
+    "snapshot_sink_roundtrip" ->
+      """WITH k AS (SELECT 'book_' || (i % 5) || '_' || i AS "key"
+        |  FROM (SELECT unnest(range(0, 30)) i))
+        |SELECT "key", 'payload-' || md5("key") payload
+        |FROM k ORDER BY "key"""".stripMargin,
+    // S7 retry-policy twin: regime, status, attempt count and body all
+    // re-derived from md5(url) — the first hex nibble picks the regime,
+    // retryable 503s retry (regime 1 succeeds at attempt 2+n%3, regime 2
+    // exhausts maxRetries=5 at 6 attempts), non-retryable 404 stops at 1
+    "fetch_retries" ->
+      """WITH u AS (SELECT 'https://example.test/item/' || i url
+        |  FROM (SELECT unnest(range(0, 40)) i)),
+        |x AS (SELECT url, strpos('0123456789abcdef', substr(md5(url),1,1)) - 1 n FROM u),
+        |r AS (SELECT url, n, n % 4 regime FROM x)
+        |SELECT url,
+        |  CASE WHEN regime IN (0,1) THEN 'body-' || md5(url) END body,
+        |  CAST(CASE WHEN regime IN (0,1) THEN 200 WHEN regime=2 THEN 503 ELSE 404 END AS INT) status,
+        |  CAST(CASE WHEN regime=0 THEN 1 WHEN regime=1 THEN 2 + n % 3 WHEN regime=2 THEN 6 ELSE 1 END AS INT) attempts
+        |FROM r ORDER BY url""".stripMargin,
     "jsonl_sink_roundtrip" ->
       s"""WITH v AS (SELECT book_id, hadith_id_site, checksum
          |  FROM read_json_auto('$HadithGlob', union_by_name=true)
@@ -1891,6 +1913,57 @@ object Oracles {
        |FROM c ORDER BY sid""".stripMargin
   }
 
+  /** Synonym-group coverage twin: RECOMPUTES Router.lightStems from the
+    * raw battery tokens in SQL — same ordered suffix rules, same length
+    * guards, same undoubling — then replays the group-coverage fraction
+    * (scoring.py:57-67's group branch). Groups are compared as a
+    * sorted-distinct rendering, so the morphology itself is hash-gated. */
+  private def coverageGroupsSql: String = {
+    val values = CoverageBattery.rows.map { case (cid, text, toks) =>
+      val tl = toks.map(t => s"'${sq(t)}'").mkString("[", ",", "]")
+      s"($cid, '${sq(text)}', CAST($tl AS VARCHAR[]))"
+    }.mkString(",\n")
+    // one CASE per Router.lightStems rule, applied independently to the
+    // ORIGINAL token (not chained) — candidate is NULL when the rule's
+    // suffix/length guard does not fire
+    def undouble(stripN: Int) = {
+      val last = s"substr(t, len(t)-$stripN, 1)"
+      val prev = s"substr(t, len(t)-${stripN + 1}, 1)"
+      s"len(t)-$stripN >= 3 AND $last = $prev AND $last NOT IN ('a','e','i','o','u')"
+    }
+    val cands = Seq(
+      "CASE WHEN len(t)=5 AND ends_with(t,'ying') THEN substr(t,1,1)||'ie' END",
+      "CASE WHEN len(t)>=5 AND ends_with(t,'ies') THEN substr(t,1,len(t)-3)||'y' END",
+      "CASE WHEN len(t)>=6 AND ends_with(t,'ing') THEN substr(t,1,len(t)-3) END",
+      s"CASE WHEN len(t)>=6 AND ends_with(t,'ing') AND ${undouble(3)} THEN substr(t,1,len(t)-4) END",
+      "CASE WHEN len(t)>=5 AND ends_with(t,'ed') THEN substr(t,1,len(t)-2) END",
+      s"CASE WHEN len(t)>=5 AND ends_with(t,'ed') AND ${undouble(2)} THEN substr(t,1,len(t)-3) END",
+      "CASE WHEN len(t)>=7 AND ends_with(t,'ness') THEN substr(t,1,len(t)-4) END",
+      "CASE WHEN len(t)>=6 AND ends_with(t,'ful') THEN substr(t,1,len(t)-3) END",
+      "CASE WHEN len(t)>=7 AND (ends_with(t,'ance') OR ends_with(t,'ence')) THEN substr(t,1,len(t)-4) END",
+      "CASE WHEN len(t)>=6 AND ends_with(t,'ity') THEN substr(t,1,len(t)-3) END",
+      "CASE WHEN len(t)>=5 AND ends_with(t,'es') THEN substr(t,1,len(t)-2) END",
+      "CASE WHEN len(t)>=4 AND ends_with(t,'s') AND NOT ends_with(t,'ss') AND NOT ends_with(t,'us') AND NOT ends_with(t,'is') THEN substr(t,1,len(t)-1) END",
+      "CASE WHEN len(t)>=5 AND ends_with(t,'y') THEN substr(t,1,len(t)-1) END"
+    ).mkString(",\n       |    ")
+    s"""WITH b(cid, text, tokens) AS (VALUES
+       |$values),
+       |tok AS (SELECT cid, i, tokens[CAST(i+1 AS INT)] t
+       |        FROM b CROSS JOIN (SELECT unnest(range(0, 16)) i)
+       |        WHERE i < len(tokens)),
+       |g AS (SELECT cid, i, list_sort(list_distinct(list_prepend(t, list_filter([
+       |    $cands
+       |  ], x -> x IS NOT NULL AND len(x)>=3 AND x<>t)))) grp FROM tok),
+       |h AS (SELECT g.cid, g.i, g.grp,
+       |      len(list_filter(g.grp, x -> strpos(lower(b.text), x)>0))>0 hit
+       |      FROM g JOIN b USING(cid)),
+       |agg AS (SELECT cid,
+       |      string_agg(array_to_string(grp, '|'), ';' ORDER BY i) stems,
+       |      round(CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE)/count(*), 4) coverage
+       |      FROM h GROUP BY cid)
+       |SELECT cid, stems, coverage FROM agg ORDER BY cid""".stripMargin
+  }
+
   /** Text-function battery twin (F13/F19/F20/F21/F22). Proximity uses
     * explicit position rows (index join) — the relational twin of the
     * nested-aggregate min-distance column expression. */
@@ -2041,7 +2114,13 @@ object Oracles {
     val qq = qn.map(x => BigDecimal(x * VecFns.Scale)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
     val qlit = qq.map(v => s"$v.0").mkString("[", ",", "]")
-    val tokList = intent.tokens.map(t => s"'$t'").mkString("[", ",", "]")
+    // synonym-group coverage literals: the expansion is driver-side query
+    // planning (Router.coverageGroups — phrase intents unexpanded),
+    // inlined exactly like the token and probe literals — the oracle
+    // replays coverage over the same groups
+    val grpList = Router.coverageGroups(intent)
+      .map(g => g.map(t => s"'${sq(t)}'").mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
     s"""WITH raw AS (SELECT * FROM read_json_auto('$HadithGlob', union_by_name=true)
        |  WHERE list_sort(list_distinct(list_transform(texts, t -> t.language))) = ['ar','en']),
        |sv0 AS (SELECT
@@ -2094,8 +2173,8 @@ object Oracles {
        |sc AS (SELECT hadith_id, book_id, narrator, en,
        |  least(1.0, greatest(0.0, coalesce(cos, 0.0))) v,
        |  CASE WHEN bm25 IS NOT NULL THEN least(1.0, greatest(0.0, greatest(0.0,bm25)/(1.0+greatest(0.0,bm25)))) ELSE 0.0 END f,
-       |  CASE WHEN len($tokList)>0
-       |       THEN CAST(len(list_filter($tokList, s3 -> strpos(lower(en), s3)>0)) AS DOUBLE)/len($tokList)
+       |  CASE WHEN len($grpList)>0
+       |       THEN CAST(len(list_filter($grpList, g -> len(list_filter(g, t3 -> strpos(lower(en), t3)>0))>0)) AS DOUBLE)/len($grpList)
        |       ELSE 0.0 END cov
        |  FROM bf)
        |SELECT hadith_id AS doc_id, book_id, narrator,
@@ -2113,7 +2192,10 @@ object Oracles {
     val qn = VecFns.l2NormalizeLocal(VecFns.hashEmbedLocal(Router.embedTokens(intent.normalized), Queries.Dim))
     val qq = qn.map(x => BigDecimal(x * VecFns.Scale).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
     val qlit = qq.map(v => s"$v.0").mkString("[", ",", "]")
-    val tokList = intent.tokens.map(t => s"'$t'").mkString("[", ",", "]")
+    // group-coverage literals — same inlining doctrine as hadithSearchSql
+    val grpList = Router.coverageGroups(intent)
+      .map(g => g.map(t => s"'${sq(t)}'").mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
     s"""WITH ${bm25Cte(terms)},
        |probes AS (SELECT unnest($termList) probe),
        |expd AS (SELECT DISTINCT term FROM d JOIN probes ON starts_with(term, probe)),
@@ -2144,8 +2226,8 @@ object Oracles {
        |sc AS (SELECT doc_id, text,
        |  least(1.0, greatest(0.0, coalesce(cos, 0.0))) v,
        |  CASE WHEN bm25 IS NOT NULL THEN least(1.0, greatest(0.0, greatest(0.0,bm25)/(1.0+greatest(0.0,bm25)))) ELSE 0.0 END f,
-       |  CASE WHEN len($tokList)>0
-       |       THEN CAST(len(list_filter($tokList, s2 -> strpos(lower(text), s2)>0)) AS DOUBLE)/len($tokList)
+       |  CASE WHEN len($grpList)>0
+       |       THEN CAST(len(list_filter($grpList, g -> len(list_filter(g, t2 -> strpos(lower(text), t2)>0))>0)) AS DOUBLE)/len($grpList)
        |       ELSE 0.0 END cov
        |  FROM bf)
        |SELECT doc_id, substring(trim(text),1,240) snippet,

@@ -1182,6 +1182,22 @@ object Queries {
         .orderBy("sid")
     }),
 
+    // A5 group form: driver-side light-stem expansion (Router.lightStems)
+    // emitted as data, coverage via the Scoring.termCoverageGroups column
+    // expression; the oracle recomputes the stems from the raw tokens in
+    // SQL, so the morphology rules are themselves driver-gated
+    "coverage_groups" -> ((s, _) => {
+      import s.implicits._
+      CoverageBattery.rows.map { case (cid, text, toks) =>
+        val groups = toks.map(t => (t +: Router.lightStems(t)).distinct.sorted)
+        (cid, text, groups.map(_.mkString("|")).mkString(";"), groups)
+      }.toDF("cid", "text", "stems", "groups")
+        .select(col("cid"), col("stems"),
+          round(Scoring.termCoverageGroups(col("text"), col("groups")), 4)
+            .as("coverage"))
+        .orderBy("cid")
+    }),
+
     // F10/F19/F26/F27 battery: driver-side matchQuote is recomputed by
     // the oracle from the raw term — a real cross-check of the Scala
     // helper, same pattern as route_query's router twin
@@ -1422,6 +1438,64 @@ object Queries {
           fetchOk(g, seq)
         }, state).orderBy("group", "seq")
       }),
+      // S6 oracle row (r14): the raw snapshot sink round-trip — write
+      // md5-derived payloads through the key-partitioned text sink, read
+      // the spool back (key returns as a partition column), and
+      // hash-match the SQL replay of the same derivation. A payload the
+      // sink mangles, a key routed to the wrong directory, or a lost row
+      // fails the gate.
+      "snapshot_sink_roundtrip" -> ((s, _) => {
+        import s.implicits._
+        val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
+        registerScratchCleanup(dir)
+        def md5hex(x: String): String =
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val rows = (0 until 30).map { i =>
+          val key = s"book_${i % 5}_$i"
+          (key, "payload-" + md5hex(key))
+        }
+        graft.sources.Scrape.writeSnapshots(
+          rows.toDF("key", "payload"), "key", "payload", dir)
+        s.read.text(dir)
+          .select(col("key").cast("string").as("key"),
+            col("value").as("payload"))
+          .orderBy("key")
+      }),
+      // S7 oracle row (r14): the retry policy under a deterministic
+      // injected transport — regime from the first md5 nibble of the url
+      // (0 → first-try success, 1 → retryable 503s until attempt 2+n%3,
+      // 2 → 503 forever so the retry budget exhausts, 3 → non-retryable
+      // 404 stops immediately). The oracle re-derives status/attempts/
+      // body arithmetic from md5(url) in SQL, so the retryable-status
+      // classification and the attempt accounting are both driver-gated.
+      // (The rate LIMITER's timing is inherently unobservable to a SQL
+      // oracle — it stays unit-pinned in ScrapeSpec.)
+      "fetch_retries" -> ((s, _) => {
+        import s.implicits._
+        def nib(u: String): Int =
+          (java.security.MessageDigest.getInstance("MD5")
+            .digest(u.getBytes("UTF-8"))(0) & 0xff) >> 4
+        def md5hex(x: String): String =
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val attempts = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+        val fetch: graft.sources.Scrape.Fetch = { u =>
+          val k = attempts.merge(u, 1, (a, b) => a + b)
+          val n = nib(u)
+          n % 4 match {
+            case 0 => Right("body-" + md5hex(u))
+            case 1 => if (k >= 2 + n % 3) Right("body-" + md5hex(u)) else Left(503)
+            case 2 => Left(503)
+            case _ => Left(404)
+          }
+        }
+        val urls = (0 until 40).map(i => s"https://example.test/item/$i")
+        graft.sources.Scrape.fetchRateLimited(
+            urls.toDF("url"), fetch, minIntervalMs = 0, backoffMs = 1)
+          .select(col("url"), col("body"), col("status"), col("attempts"))
+          .orderBy("url")
+      }),
       // S4: the JSONL document sink round-trip — write silver columns out
       // through the sink, read them back, aggregate; the oracle re-derives
       // the same aggregate from the RAW corpus, so a dropped or mangled
@@ -1568,6 +1642,34 @@ object ManifestBattery {
     (1, Seq(("a.npy", 10L), ("c.npy", 5L)), Seq(("a.npy", 10L))),
     (2, Seq(("a.npy", 11L)), Seq(("a.npy", 10L))),
     (3, Seq(("a.npy", 10L)), Seq(("a.npy", 10L), ("b.npy", 20L))))
+}
+
+/** Synonym-group coverage battery — one row per stemmer rule
+  * ([[Router.lightStems]]) plus the guards (ss/us/is, length minimums,
+  * Arabic passthrough) and fractional coverages. The oracle RECOMPUTES
+  * the stems from the raw tokens in SQL (serve_fns's matchQuote
+  * pattern), so the morphology rules themselves are driver-gated, not
+  * just the coverage arithmetic. */
+object CoverageBattery {
+  // (cid, text, tokens — lowercase, as Router.tokenize emits them)
+  val rows: Seq[(Int, String, Seq[String])] = Seq(
+    (0, "the prayer of the believer", Seq("praying")), // ing-strip
+    (1, "self control matters most", Seq("controlling")), // ing + undouble
+    (2, "please stop at the gate", Seq("stopped")), // ed + undouble
+    (3, "a lie destroys trust", Seq("lying")), // len-5 ying special
+    (4, "charity begins at home", Seq("charities")), // ies → y
+    (5, "he is shy about it", Seq("shyness")), // ness
+    (6, "truth leads to virtue", Seq("truthful")), // ful
+    (7, "repent sincerely and often", Seq("repentance")), // ance
+    (8, "the patient ones prevail", Seq("patience")), // ence
+    (9, "sincere devotion counts", Seq("sincerity")), // ity
+    (10, "a promise kept is honor", Seq("promises", "honor", "zzz")), // 2/3
+    (11, "be modest in speech", Seq("modesty")), // y-drop
+    (12, "glass houses everywhere", Seq("class", "houses")), // ss guard; 1/2
+    (13, "الصبر جميل", Seq("الصبر", "صبرها")), // arabic passthrough; 1/2
+    (14, "status update is due", Seq("status")), // us guard, exact hit
+    (15, "branches of faith", Seq("branches", "faith")), // es + s drops
+    (16, "bring good news", Seq("bring"))) // ing length guard (len 5)
 }
 
 /** Scoring battery — exercises null signals, the negative-bm25 clamp quirk

@@ -84,6 +84,69 @@ object Router {
   def embedTokens(s: String): Seq[String] =
     TokenRe.findAllIn(s.toLowerCase).toSeq
 
+  /** Light morphological stems of one lowercase query token — the
+    * "synonym dictionary" feeding the reference's synonym-group coverage
+    * API (scoring.py:43, 60-67 — a parameter no reference caller ever
+    * passes; TEST_QUERIES.md's 70% coverage target is unreachable without
+    * it, measured 0.69 on shipped-token semantics).
+    *
+    * Because coverage tests tokens as SUBSTRINGS of the text
+    * (scoring.py:66 `tok.lower() in t`), useful variants are SHORTER
+    * stems, never longer inflections: "praying" → "pray" matches
+    * "prayer"/"prays"/"praying" all at once. Rules are ordered,
+    * suffix-strip-only, each independently applied to the ORIGINAL token
+    * (not chained), keep stems of ≥3 chars, and are deterministic string
+    * surgery — the DuckDB oracle replays them verbatim from the raw
+    * token. Arabic tokens carry no ASCII suffix, so they pass through
+    * unexpanded. */
+  def lightStems(t: String): Seq[String] = {
+    def vowel(c: Char) = "aeiou".contains(c)
+    // strip a suffix, then also un-double a trailing doubled consonant
+    // (stopped → stopp → stop, controlling → controll → control)
+    def strip(n: Int): Seq[String] = {
+      val s = t.dropRight(n)
+      val un =
+        if (s.length >= 3 && s.last == s(s.length - 2) && !vowel(s.last))
+          Seq(s.dropRight(1))
+        else Nil
+      s +: un
+    }
+    val out = Seq.newBuilder[String]
+    if (t.length == 5 && t.endsWith("ying")) out += t.take(1) + "ie" // lying → lie
+    if (t.length >= 5 && t.endsWith("ies")) out += t.dropRight(3) + "y" // charities → charity
+    if (t.length >= 6 && t.endsWith("ing")) out ++= strip(3)
+    if (t.length >= 5 && t.endsWith("ed")) out ++= strip(2)
+    if (t.length >= 7 && t.endsWith("ness")) out += t.dropRight(4) // shyness → shy
+    if (t.length >= 6 && t.endsWith("ful")) out += t.dropRight(3) // truthful → truth
+    if (t.length >= 7 && (t.endsWith("ance") || t.endsWith("ence")))
+      out += t.dropRight(4) // repentance → repent, patience → pati(ent)
+    if (t.length >= 6 && t.endsWith("ity")) out += t.dropRight(3) // sincerity → sincer(e)
+    if (t.length >= 5 && t.endsWith("es")) out += t.dropRight(2)
+    if (t.length >= 4 && t.endsWith("s") && !t.endsWith("ss") &&
+      !t.endsWith("us") && !t.endsWith("is")) out += t.dropRight(1)
+    if (t.length >= 5 && t.endsWith("y")) out += t.dropRight(1) // modesty → modest
+    out.result().filter(s => s.length >= 3 && s != t).distinct
+  }
+
+  /** Per-token synonym groups for the group-coverage branch the reference
+    * declares but never exercises (scoring.py:57-67): group i = token i
+    * plus its [[lightStems]]; a group scores a hit when ANY member is a
+    * substring of the text. Expansion is driver-side query planning,
+    * exactly like tokenization — the groups ride into the scoring
+    * expression as literals. */
+  def synonymGroups(tokens: Seq[String]): Seq[Seq[String]] =
+    tokens.map(t => t +: lightStems(t))
+
+  /** The serving default's coverage groups for one routed intent — the
+    * ONE decision point HadithSearch, Hybrid, the typed Resident twin,
+    * and both oracle emitters all share. Quoted-phrase queries ask for
+    * exact wording, so they keep singleton groups (expansion there
+    * inflates non-phrase candidates past the phrase hit — measured as a
+    * phrase-found top-1 regression); everything else expands. */
+  def coverageGroups(intent: Intent): Seq[Seq[String]] =
+    if (intent.phrase.isDefined) intent.tokens.map(Seq(_))
+    else synonymGroups(intent.tokens)
+
   /** Parsed exact-reference intent for the spec-mode direct lookup
     * (HADITH_SEARCH_SPEC.md:246-287 — the design the shipped reference
     * never implemented; router.py:93-107 sends exact refs through the

@@ -67,6 +67,20 @@ object Scoring {
       .otherwise(lit(0.0))
   }
 
+  /** A5 group form: term coverage over synonym groups — fraction of
+    * groups with ANY member appearing as a substring of the lowercase
+    * text (scoring.py:57-67, the branch no reference caller reaches; our
+    * serving default feeds it [[graft.Router.synonymGroups]] to hit the
+    * TEST_QUERIES.md 70% coverage target). `groups` is an
+    * array<array<string>> literal column. */
+  def termCoverageGroups(text: Column, groups: Column): Column = {
+    val lt = lower(text)
+    when(size(groups) > 0,
+      size(filter(groups, g => exists(g, t => instr(lt, t) > 0))).cast("double") /
+        size(groups))
+      .otherwise(lit(0.0))
+  }
+
   /** F14: weighted fusion with [0,1] clamp (scoring.py:95-106). */
   def total(v: Column, fts: Column, phraseB: Column, proxB: Column,
             coverage: Column, w: Weights): Column =

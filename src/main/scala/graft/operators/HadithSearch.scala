@@ -401,12 +401,16 @@ object HadithSearch {
         col("english_text"), col("arabic_text"))
       .join(broadcast(fused), "doc_id")
 
-    val toks = typedLit(intent.tokens)
     val phraseCol = intent.phrase.map(lit(_)).getOrElse(lit(null).cast("string"))
     val v = Scoring.vectorSignal(col("cos"))
     val fts = Scoring.ftsSignal(col("bm25"), parityFts)
     val pb = Scoring.phraseBonus(col("english_text"), phraseCol, w.bonusPhrase)
-    val cov = Scoring.termCoverage(col("english_text"), toks)
+    // coverage over synonym groups (scoring.py:57-67's group branch with
+    // Router.lightStems as the expander — the reference's own token
+    // fallback is each group's head, so groups can only raise coverage;
+    // quoted-phrase intents stay unexpanded, see Router.coverageGroups)
+    val cov = Scoring.termCoverageGroups(col("english_text"),
+      typedLit(Router.coverageGroups(intent)))
     // "spec" routes through the design-spec's full priority model (F17:
     // narrator/term/coverage/grading/phrase boosts over the semantic
     // signal, unclamped); every other mode uses the shipped fusion.

@@ -220,12 +220,14 @@ object Hybrid {
       Postings.await2(() => lex.collect(), () => vec.collect()))
     val backfilled = docs.join(broadcast(fused), "doc_id")
 
-    val toks = typedLit(intent.tokens)
     val phraseCol = intent.phrase.map(lit(_)).getOrElse(lit(null).cast("string"))
     val v = Scoring.vectorSignal(col("cos"))
     val fts = Scoring.ftsSignal(col("bm25"), parityFts)
     val pb = Scoring.phraseBonus(col("text"), phraseCol, w.bonusPhrase)
-    val cov = Scoring.termCoverage(col("text"), toks)
+    // synonym-group coverage, same decision point as HadithSearch
+    // (scoring.py:57-67 group branch; phrase intents stay unexpanded)
+    val cov = Scoring.termCoverageGroups(col("text"),
+      typedLit(Router.coverageGroups(intent)))
     val score = Scoring.total(v, fts, pb, lit(0.0), cov, w)
 
     backfilled.select(

@@ -346,6 +346,10 @@ object Resident {
     val bm = lex.toMap
     val co = vec.toMap
     val phraseLower = intent.phrase.map(_.toLowerCase)
+    // synonym-group coverage twin (Scoring.termCoverageGroups): groups
+    // expand once per query, never per candidate; phrase intents stay
+    // unexpanded (Router.coverageGroups is the shared decision point)
+    val covGroups = Router.coverageGroups(intent)
     val hits = (bm.keySet ++ co.keySet).toSeq.sorted.flatMap { id =>
       L.docs.get(id).map { d =>
         val v = clamp01(co.getOrElse(id, 0.0))
@@ -357,9 +361,9 @@ object Resident {
           if (phraseLower.exists(p => lnEn != null && lnEn.contains(p))) w.bonusPhrase
           else 0.0
         val cov =
-          if (intent.tokens.isEmpty) 0.0
-          else intent.tokens.count(t => lnEn != null && lnEn.contains(t)).toDouble /
-            intent.tokens.size
+          if (covGroups.isEmpty) 0.0
+          else covGroups.count(g => lnEn != null && g.exists(lnEn.contains))
+            .toDouble / covGroups.size
         val score =
           if (mode == "spec")
             specScoreLocal(d.narrator, lnEn, d.arabic, d.gradingWs,

@@ -84,18 +84,16 @@ class GoldenQueriesSpec extends SparkSpec {
   }
 
   test("average term coverage on English-query categories (measured vs TEST_QUERIES' 70% target)") {
-    // The reference computes coverage over ENGLISH text (tools.py:143-148)
-    // with RAW intent tokens — its synonym-group expansion path
-    // (scoring.py:60-67) is never fed by the shipped pipeline, and its
-    // benchmark runner was never implemented, so the >70% figure is an
-    // unmeasured TARGET. With the shipped-code semantics this corpus
-    // measures 0.690 (best top-5 hit per query, English categories); we
-    // report the measured value and pin a 0.65 regression floor — raising
-    // coverage to 0.7 requires the synonym dictionary the reference
-    // never shipped, not a scoring change.
+    // The reference's synonym-group coverage path (scoring.py:60-67) is
+    // never fed by its shipped pipeline, so with raw-token semantics this
+    // corpus measured 0.690 — under the >70% TARGET the (never-built)
+    // benchmark runner documents. r14 ships the missing expander:
+    // Router.lightStems feeds Router.coverageGroups into the serving
+    // default (phrase intents stay unexpanded to protect phrase-found
+    // top-1), measured 0.719. Floor pinned AT the reference's target.
     val (avg, n) = Golden.termCoverage(index, queries)
-    info(f"avg best-of-top-5 term coverage = $avg%.3f over $n queries (target 0.70, shipped-code measured 0.69)")
-    assert(avg > 0.65, f"term coverage regressed: $avg%.3f (floor 0.65)")
+    info(f"avg best-of-top-5 term coverage = $avg%.3f over $n queries (target 0.70, raw-token semantics measured 0.69)")
+    assert(avg > 0.70, f"term coverage regressed: $avg%.3f (floor 0.70 = TEST_QUERIES' own bar)")
   }
 
   test("cross-lingual queries return results (TEST_QUERIES bar: >85% success)") {

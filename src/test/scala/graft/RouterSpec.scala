@@ -55,6 +55,43 @@ class RouterSpec extends SparkSpec {
     assert(Router.parseExactRef("2:255:1") === None)
   }
 
+  test("lightStems: each suffix rule, its guards, and Arabic passthrough") {
+    // suffix strips (coverage is substring-based, so stems are SHORTER)
+    assert(Router.lightStems("praying").contains("pray"))
+    assert(Router.lightStems("controlling").contains("control")) // undouble
+    assert(Router.lightStems("stopped").contains("stop")) // ed + undouble
+    assert(Router.lightStems("lying") === Seq("lie")) // len-5 ying special
+    assert(Router.lightStems("charities").contains("charity"))
+    assert(Router.lightStems("shyness") === Seq("shy"))
+    assert(Router.lightStems("truthful") === Seq("truth"))
+    assert(Router.lightStems("repentance").contains("repent"))
+    assert(Router.lightStems("patience").contains("pati"))
+    assert(Router.lightStems("sincerity").contains("sincer"))
+    assert(Router.lightStems("promises").contains("promise"))
+    assert(Router.lightStems("modesty").contains("modest"))
+    assert(Router.lightStems("intentions").contains("intention"))
+    // guards: ss/us/is plurals, length minimums, no sub-3-char stems
+    assert(Router.lightStems("class") === Nil)
+    assert(Router.lightStems("status") === Nil)
+    assert(Router.lightStems("basis") === Nil)
+    assert(Router.lightStems("bring") === Nil) // ing needs len >= 6
+    assert(Router.lightStems("bed") === Nil) // ed needs len >= 5
+    assert(!Router.lightStems("dies").exists(_.length < 3))
+    // Arabic tokens carry no ASCII suffix -> unexpanded
+    assert(Router.lightStems("الصبر") === Nil)
+    // groups: token first, then stems; one group per token
+    assert(Router.synonymGroups(Seq("praying", "الصبر")).map(_.head)
+      === Seq("praying", "الصبر"))
+    // serving decision point: quoted-phrase intents stay UNEXPANDED
+    // (exact wording asked for), thematic intents expand
+    val phr = Router.route("\"deeds are considered by the intentions\"")
+    assert(phr.phrase.isDefined)
+    assert(Router.coverageGroups(phr) === phr.tokens.map(Seq(_)))
+    val thm = Router.route("hadith about controlling your anger")
+    assert(thm.phrase.isEmpty)
+    assert(Router.coverageGroups(thm).exists(_.size > 1))
+  }
+
   test("column-expression twin agrees with driver-side Router on the battery") {
     val df = RouteBattery.queries.zipWithIndex.map { case (q, i) => (i, q) }.toDF("qid", "q")
       .select($"qid", $"q",

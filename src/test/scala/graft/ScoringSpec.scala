@@ -54,6 +54,26 @@ class ScoringSpec extends SparkSpec {
     assert(math.abs(cov - 2.0 / 3) < 1e-12)
   }
 
+  test("group coverage: a group hits when ANY member is a substring (scoring.py:60-67)") {
+    def covG(text: String, groups: Seq[Seq[String]]): Double =
+      Seq((text, groups)).toDF("text", "groups")
+        .select(Scoring.termCoverageGroups($"text", $"groups").as("c"))
+        .head().getDouble(0)
+    // stem member rescues a token miss; unexpanded miss stays a miss
+    assert(math.abs(covG("the prayer of the believer",
+      Seq(Seq("praying", "pray"), Seq("zzz"))) - 0.5) < 1e-12)
+    // groups >= tokens fallback: singleton groups reproduce termCoverage
+    assert(math.abs(covG("half and half",
+      Seq(Seq("half"), Seq("and"), Seq("xyz"))) - 2.0 / 3) < 1e-12)
+    // empty groups -> 0
+    assert(covG("anything", Nil) === 0.0)
+    // synonymGroups end-to-end: expansion can only raise coverage
+    val toks = Seq("praying", "virtue")
+    val plain = covG("the prayer is a virtue", toks.map(Seq(_)))
+    val expanded = covG("the prayer is a virtue", Router.synonymGroups(toks))
+    assert(plain === 0.5 && expanded === 1.0)
+  }
+
   test("total is weighted sum clamped to [0,1]") {
     val (_, _, _, _, t) = one(Some(0.82), Some(1.5), "the quick brown fox jumps",
       Some("brown fox"), Seq("quick", "fox"))

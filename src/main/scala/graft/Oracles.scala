@@ -1923,6 +1923,9 @@ object Oracles {
       val tl = toks.map(t => s"'${sq(t)}'").mkString("[", ",", "]")
       s"($cid, '${sq(text)}', CAST($tl AS VARCHAR[]))"
     }.mkString(",\n")
+    // the unnest lattice is sized FROM the battery, so a wider future
+    // row can never be silently truncated by the SQL twin
+    val maxToks = CoverageBattery.rows.map(_._3.size).max
     // one CASE per Router.lightStems rule, applied independently to the
     // ORIGINAL token (not chained) — candidate is NULL when the rule's
     // suffix/length guard does not fire
@@ -1949,7 +1952,7 @@ object Oracles {
     s"""WITH b(cid, text, tokens) AS (VALUES
        |$values),
        |tok AS (SELECT cid, i, tokens[CAST(i+1 AS INT)] t
-       |        FROM b CROSS JOIN (SELECT unnest(range(0, 16)) i)
+       |        FROM b CROSS JOIN (SELECT unnest(range(0, $maxToks)) i)
        |        WHERE i < len(tokens)),
        |g AS (SELECT cid, i, list_sort(list_distinct(list_prepend(t, list_filter([
        |    $cands

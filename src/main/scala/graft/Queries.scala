@@ -116,6 +116,12 @@ object Queries {
   // integer-cents grid for money aggregates: exact, order-independent
   private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
 
+  /** Lowercase md5 hex — the one derivation the injected-transport
+    * fixtures share with their DuckDB `md5(...)` replays. */
+  private def md5Hex(x: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   /** mixture weights for the mix_sources query (kept in sync with its
     * oracle's VALUES list via [[Oracles]] reading this map) */
   val MixWeights: Map[String, Int] = Map("src0" -> 3, "src1" -> 2, "src2" -> 1, "src3" -> 1)
@@ -1189,7 +1195,9 @@ object Queries {
     "coverage_groups" -> ((s, _) => {
       import s.implicits._
       CoverageBattery.rows.map { case (cid, text, toks) =>
-        val groups = toks.map(t => (t +: Router.lightStems(t)).distinct.sorted)
+        // THE serving expansion (not a parallel construction): sorted
+        // per group only for a deterministic cross-engine rendering
+        val groups = Router.synonymGroups(toks).map(_.sorted)
         (cid, text, groups.map(_.mkString("|")).mkString(";"), groups)
       }.toDF("cid", "text", "stems", "groups")
         .select(col("cid"), col("stems"),
@@ -1424,11 +1432,8 @@ object Queries {
         registerScratchCleanup(state)
         def present(g: Int, seq: Int): Boolean =
           seq <= 3 + (g * 7) % 5 && !(g % 3 == 0 && seq == 2)
-        def body(g: Int, seq: Int): String = {
-          val d = java.security.MessageDigest.getInstance("MD5")
-            .digest(s"$g:$seq".getBytes("UTF-8"))
-          s"page-$g-$seq-" + d.map("%02x".format(_)).mkString
-        }
+        def body(g: Int, seq: Int): String =
+          s"page-$g-$seq-" + md5Hex(s"$g:$seq")
         def fetchOk(g: Int, seq: Int): Option[String] =
           if (present(g, seq)) Some(body(g, seq)) else None
         graft.sources.Scrape.crawlPaged(s, 0 until 5, fetchOk, state)
@@ -1448,12 +1453,9 @@ object Queries {
         import s.implicits._
         val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
         registerScratchCleanup(dir)
-        def md5hex(x: String): String =
-          java.security.MessageDigest.getInstance("MD5")
-            .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
         val rows = (0 until 30).map { i =>
           val key = s"book_${i % 5}_$i"
-          (key, "payload-" + md5hex(key))
+          (key, "payload-" + md5Hex(key))
         }
         graft.sources.Scrape.writeSnapshots(
           rows.toDF("key", "payload"), "key", "payload", dir)
@@ -1476,16 +1478,13 @@ object Queries {
         def nib(u: String): Int =
           (java.security.MessageDigest.getInstance("MD5")
             .digest(u.getBytes("UTF-8"))(0) & 0xff) >> 4
-        def md5hex(x: String): String =
-          java.security.MessageDigest.getInstance("MD5")
-            .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
         val attempts = new java.util.concurrent.ConcurrentHashMap[String, Int]()
         val fetch: graft.sources.Scrape.Fetch = { u =>
           val k = attempts.merge(u, 1, (a, b) => a + b)
           val n = nib(u)
           n % 4 match {
-            case 0 => Right("body-" + md5hex(u))
-            case 1 => if (k >= 2 + n % 3) Right("body-" + md5hex(u)) else Left(503)
+            case 0 => Right("body-" + md5Hex(u))
+            case 1 => if (k >= 2 + n % 3) Right("body-" + md5Hex(u)) else Left(503)
             case 2 => Left(503)
             case _ => Left(404)
           }

@@ -442,7 +442,9 @@ object Bench {
             Queries.Dim, nBits = 4, nTables = 3, k = k + 1)),
         ("ivf_topk", (d, qv) =>
           Similarity.ivfTopK(d, "vec_id", "embedding", typedLit(qv),
-            nCentroids = 16, nProbe = 4, k = k + 1)))
+            nCentroids = 16, nProbe = 4, k = k + 1)),
+        ("ann_sq8", (d, qv) =>
+          Similarity.sq8TopK(d, "vec_id", "embedding", qv, k = k + 1)))
       val measured = forms.map { case (name, approx) =>
         name -> recallFrom(e, pre, approx)
       }

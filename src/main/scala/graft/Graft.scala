@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.VecFns
 import graft.operators._
 import graft.sources.Npz
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -458,6 +459,56 @@ object GraftIndexes {
   /** Open a persisted ANN index (cached; probe via Similarity.annTopKWith). */
   def openAnn(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir).cache()
+
+  /** Persist the SQ8 code layer — (vec_id, c8 array<TINYINT>): ONE byte
+    * per dimension on disk and in the probe's scan, vs eight for the
+    * integer-grid doubles — the materialized form of the `ann_sq8`
+    * rung's bandwidth claim. Codes are integral values in [-127,127]
+    * ([[graft.operators.Similarity.sq8Codes]]), so the byte cast is
+    * exact and a reopened probe is bit-identical to the in-memory
+    * rung. Zero-norm vectors are dropped (no direction to rank) —
+    * same guard as the rung. */
+  def writeSq8(spark: SparkSession, emb: DataFrame, idCol: String,
+               vecCol: String, dir: String): Unit =
+    emb.select(col(idCol).cast("long").as("vec_id"),
+        VecFns.quantize(col(vecCol)).as("qv"))
+      .withColumn("qm", array_max(transform(col("qv"), x => abs(x))))
+      .where(col("qm") > 0)
+      .select(col("vec_id"),
+        transform(Similarity.sq8Codes(col("qv")), x => x.cast("byte")).as("c8"))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+
+  /** Open a persisted SQ8 code layer. */
+  def openSq8(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/codes")
+
+  /** Probe a persisted SQ8 layer: the byte-code scan ranks the corpus
+    * (approx cosine, round-6, vec_id tie-break), the top k·rerank ids
+    * join BACK to the vector table for the exact rerank — the scan
+    * reads one byte per dimension; the full vectors are touched for
+    * ≤k·rerank rows only. Results are bit-identical to the in-memory
+    * [[graft.operators.Similarity.sq8TopK]] (spec-pinned). */
+  def sq8Probe(codes: DataFrame, emb: DataFrame, idCol: String,
+               vecCol: String, queryVec: Array[Float], k: Int,
+               rerank: Int = 4): DataFrame = {
+    val qq = VecFns.quantizeLocal(queryVec)
+    val qm = qq.map(math.abs).max
+    require(qm > 0, "sq8Probe: zero query vector")
+    val q8 = qq.map(x => BigDecimal(x * 127.0 / qm)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val cand = codes
+      .select(col("vec_id"),
+        round(VecFns.cosineQ(col("c8").cast("array<double>"), typedLit(q8)), 6)
+          .as("approx"))
+      .orderBy(desc("approx"), asc("vec_id")).limit(k * rerank)
+      .select("vec_id")
+    emb.select(col(idCol).cast("long").as("vec_id"),
+        VecFns.quantize(col(vecCol)).as("qv"))
+      .join(broadcast(cand), "vec_id")
+      .select(col("vec_id"),
+        round(VecFns.cosineQ(col("qv"), typedLit(qq)), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id")).limit(k)
+  }
 
   /** Persist the scale-aware spill-IVF index (the r14 `ann_topk`
     * default's serving face): the assignment partitioned by `centroid`

@@ -946,6 +946,26 @@ object Oracles {
     // margin 0.03 of their second list are double-assigned; probe the
     // nProbe spherically-nearest lists, dedupe, exact rerank.
     "ann_topk" -> ivfSpillOracle(iters = 3, delta = graft.operators.Similarity.SpillDelta),
+    // SQ8 twin (Similarity.sq8TopK): per-vector int8 codes
+    // round(qv·127/max|qv|) — exact products, one rounded division, the
+    // shared away-from-zero half rule — approx rank by code cosine
+    // (round 6, vec_id tie-break), top-80 exact-reranked
+    "ann_sq8" ->
+      s"""WITH $EmbQ,
+         |cd AS (SELECT vec_id, qv,
+         |    list_transform(qv, x -> round(x*127/qm)) c8
+         |  FROM (SELECT vec_id, qv,
+         |          list_max(list_transform(qv, x -> abs(x))) qm FROM e)
+         |  WHERE qm > 0),
+         |q AS (SELECT qv qq FROM e WHERE vec_id=0),
+         |qc AS (SELECT list_transform(qq, x -> round(x*127/qm)) q8
+         |  FROM (SELECT qq, list_max(list_transform(qq, x -> abs(x))) qm FROM q)
+         |  WHERE qm > 0),
+         |cand AS (SELECT vec_id, qv FROM cd CROSS JOIN qc
+         |  QUALIFY row_number() OVER (
+         |    ORDER BY ${cosQ("c8", "q8")} DESC, vec_id) <= 80)
+         |SELECT vec_id, ${cosQ("qv", "qq")} cos FROM cand CROSS JOIN q
+         |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
     // high-recall rung (r14): the SAME scale-aware spill replay with
     // the WIDE probe schedule (~20% of lists) — recall@20 0.91, the
     // HNSW-class tier the r13 grid-16/10 rung hit at a 62% scan,

@@ -878,6 +878,16 @@ object Queries {
       Similarity.ivfTopKSpill(e, "vec_id", "embedding", q.toArray, k = 20,
         nCentroids = nLists, nProbe = Similarity.nProbeWideFor(nLists))
     }),
+    // MEMORY-BANDWIDTH rung (r14): SQ8 scalar quantization — full-row
+    // scan over int8 codes (8x less bandwidth than the grid where codes
+    // are the persisted scan), top-80 approx candidates exact-reranked.
+    // Recall ~1 at int8 distortion; composes with the spill IVF's
+    // partition pruning for the 100 TB shape. Zero shuffles.
+    "ann_sq8" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+      Similarity.sq8TopK(e, "vec_id", "embedding", q.toArray, k = 20)
+    }),
     "ivf_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.where(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)

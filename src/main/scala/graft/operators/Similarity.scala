@@ -27,6 +27,51 @@ object Similarity {
     filtered.orderBy(desc("cos"), asc("vec_id")).limit(k)
   }
 
+  /** Int8 (SQ8) codes of a quantized vector: c_i = round(qv_i·127/max|qv|)
+    * ∈ [-127,127]. Cosine is scale-invariant, so the per-vector max
+    * scaling costs nothing at score time — approx cos is just the cosine
+    * of the code vectors. Derivation is exact-replayable: qv_i·127 is
+    * exact integer arithmetic in doubles, /max one correctly-rounded
+    * IEEE division, round() the shared away-from-zero half rule — the
+    * DuckDB twin reproduces every code bit-for-bit. */
+  def sq8Codes(vecQ: Column): Column = {
+    val qm = array_max(transform(vecQ, x => abs(x)))
+    transform(vecQ, x => round(x * lit(127.0) / qm))
+  }
+
+  /** SQ8 cosine top-k — the MEMORY-BANDWIDTH rung of the ANN ladder
+    * (scalar quantization, the FAISS SQ8 design): rank the corpus by
+    * int8-code cosine, keep the top k·rerank candidates, exact-rerank
+    * those on the full quantized vectors. Unlike the IVF rungs this
+    * scans every ROW, but the scan is over 1-byte codes instead of the
+    * 8-byte grid (8× less bandwidth where the code column is the
+    * persisted scan; compose with the spill IVF's partition pruning for
+    * the 100 TB shape — probe nProbe lists, ADC over codes, rerank).
+    * Recall loss is bounded by the int8 distortion (~0.4% relative),
+    * far above the LSH rungs. Plan shape: one narrow scan → two
+    * TakeOrderedAndProject — zero shuffles, zero joins (candidates
+    * carry their vectors, so the rerank is local). */
+  def sq8TopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryVec: Array[Float], k: Int, rerank: Int = 4): DataFrame = {
+    val qq = VecFns.quantizeLocal(queryVec)
+    val qm = qq.map(math.abs).max
+    require(qm > 0, "sq8TopK: zero query vector")
+    // driver twin of sq8Codes — same IEEE ops, same HALF_UP grid
+    val q8 = qq.map(x => BigDecimal(x * 127.0 / qm)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val coded = emb
+      .select(col(idCol).cast("long").as("vec_id"),
+        VecFns.quantize(col(vecCol)).as("qv"))
+      .withColumn("qm", array_max(transform(col("qv"), x => abs(x))))
+      .where(col("qm") > 0) // a zero vector has no direction to rank
+      .select(col("vec_id"), col("qv"),
+        round(VecFns.cosineQ(sq8Codes(col("qv")), typedLit(q8)), 6).as("approx"))
+    coded.orderBy(desc("approx"), asc("vec_id")).limit(k * rerank)
+      .select(col("vec_id"),
+        round(VecFns.cosineQ(col("qv"), typedLit(qq)), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id")).limit(k)
+  }
+
   /** k-NN join: top-k neighbors for every probe row. Probes are broadcast
     * (they are the small side); ranking is a per-probe window. */
   def knnJoin(emb: DataFrame, probes: DataFrame, idCol: String, vecCol: String,

@@ -208,15 +208,37 @@ class AnnRecallSpec extends SparkSpec {
     } finally e.unpersist(): Unit
   }
 
-  test("bench recall section emits the full seven-rung ladder (no silent drop)") {
+  test("bench recall section emits the full eight-rung ladder (no silent drop)") {
     // the per-round artifact's recall JSON must carry every registered
     // rung — a refactor that drops one would silently shrink the
     // driver-visible ladder (sf0.001 keeps the structural pin cheap)
     val (json, default) = Bench.recallSection(spark, "/root/testdata/sf0.001")
     Seq("ann_topk", "ann_ivf_wide", "ann_multiprobe_h1", "ann_multiprobe",
-      "ann_bucket_floor", "ann_ensemble", "ivf_topk")
+      "ann_bucket_floor", "ann_ensemble", "ivf_topk", "ann_sq8")
       .foreach(k => assert(json.contains("\"" + k + "\""), s"ladder rung $k missing"))
     assert(default.isDefined, "default ann_topk recall missing from the tail")
+  }
+
+  test("SQ8 rung (ann_sq8): int8-code scan + exact rerank holds recall@20 >= 0.95") {
+    // the memory-bandwidth rung: full-row scan over int8 codes, top-80
+    // exact-reranked. Int8 distortion (~0.4% relative) is far below the
+    // fixture's top-20 cosine gaps — measured recall 1.0 at sf0.1; the
+    // floor leaves room only for genuine quantizer regressions.
+    val r = recallAt(Seq(0L, 7L, 42L, 99L, 123L), (e, qv) =>
+      Similarity.sq8TopK(e, "vec_id", "embedding", qv, k = K + 1))
+    info(f"sq8 recall@20 = $r%.3f")
+    assert(r >= 0.95, f"SQ8 rung degraded: $r%.3f")
+  }
+
+  test("sq8Codes stay in [-127,127] on the int8 grid and preserve direction") {
+    import spark.implicits._
+    val rows = Seq((0L, Array(0.5f, -1.0f, 0.25f, 0f)))
+      .toDF("vec_id", "embedding")
+    val c = rows.select(Similarity.sq8Codes(
+      graft.functions.VecFns.quantize(col("embedding"))).as("c8"))
+      .head().getSeq[Double](0)
+    assert(c === Seq(64.0, -127.0, 32.0, 0.0)) // round(0.5·127)=64 (HALF_UP)
+    assert(c.forall(x => x == math.rint(x) && math.abs(x) <= 127))
   }
 
   test("multi-probe ladder rung (nBits=4, hamming=1) holds recall@20 >= 0.4") {

@@ -597,6 +597,35 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("persisted SQ8 layer: byte codes on disk, probe bit-identical to the in-memory rung (E3)") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("plan-sq8").toString
+    val emb = Tables(spark, sf, "embeddings")
+    GraftIndexes.writeSq8(spark, emb, "vec_id", "embedding", s"$dir/sq8")
+    val codes = GraftIndexes.openSq8(spark, s"$dir/sq8")
+    // the bandwidth claim is physical: codes are TINYINT on disk
+    val elem = codes.schema("c8").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    assert(elem === org.apache.spark.sql.types.ByteType,
+      s"persisted codes are $elem, not ByteType")
+    def bytesUnder(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+        else f.length
+      walk(new java.io.File(p))
+    }
+    val codeBytes = bytesUnder(s"$dir/sq8")
+    val vecBytes = bytesUnder(s"$sf/embeddings.parquet")
+    assert(codeBytes * 2 < vecBytes,
+      s"code layer ($codeBytes B) is not meaningfully narrower than the vectors ($vecBytes B)")
+    // reopened probe == in-memory rung, row for row
+    val q = emb.where(col("vec_id") === 0).head().getSeq[Float](1).toArray
+    val persisted = GraftIndexes.sq8Probe(codes, emb, "vec_id", "embedding", q, k = 20)
+    val mem = Similarity.sq8TopK(emb, "vec_id", "embedding", q, k = 20)
+    assert(persisted.collect().toSeq === mem.collect().toSeq,
+      "persisted SQ8 probe diverged from the in-memory rung")
+  }
+
   test("warm serve plans: width-1 exchanges only, bounded count (no re-planning regressions)") {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")

@@ -444,7 +444,9 @@ object Bench {
           Similarity.ivfTopK(d, "vec_id", "embedding", typedLit(qv),
             nCentroids = 16, nProbe = 4, k = k + 1)),
         ("ann_sq8", (d, qv) =>
-          Similarity.sq8TopK(d, "vec_id", "embedding", qv, k = k + 1)))
+          Similarity.sq8TopK(d, "vec_id", "embedding", qv, k = k + 1)),
+        ("ann_ivf_sq8", (_, qv) =>
+          Similarity.ivfSq8Probe(spillAsg, spillCents, qv, nProbe, k = k + 1)))
       val measured = forms.map { case (name, approx) =>
         name -> recallFrom(e, pre, approx)
       }
@@ -752,7 +754,10 @@ object Bench {
             f""""incr_r":${s10.incrS / s1.incrS}%.1f,""" +
             f""""stream_r":${s10.streamS / s1.streamS}%.1f,""" +
             f""""spill_mb":${s1.spillMb + s10.spillMb}%.0f,""" +
-            f""""trips":${s1.trips + s10.trips}}"""
+            f""""trips":${s1.trips + s10.trips},""" +
+            // the K ∝ √N pin at 10×: scan fraction must hold, recall too
+            f""""ann_scan10":${s10.annScan}%.3f,"ann_rec10":${s10.annRecall}%.2f,""" +
+            f""""ann_train_r":${s10.annTrainS / math.max(s1.annTrainS, 0.01)}%.1f}"""
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] scale soak skipped: $e")

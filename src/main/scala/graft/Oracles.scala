@@ -198,7 +198,8 @@ object Oracles {
     * math or one correctly-rounded IEEE sqrt/division of identical
     * inputs, so the replay is bit-for-bit. */
   private def ivfSpillOracle(iters: Int, delta: Double,
-                             probeMult: Int = 7, probeFloor: Int = 2): String = {
+                             probeMult: Int = 7, probeFloor: Int = 2,
+                             sq8Rerank: Int = 0): String = {
     def norm(c: String) =
       s"(CASE WHEN sqrt(list_dot_product($c,$c))=0 THEN 1 ELSE sqrt(list_dot_product($c,$c)) END)"
     def itCte(t: Int): String = {
@@ -241,8 +242,25 @@ object Oracles {
        |  QUALIFY row_number() OVER (
        |    ORDER BY list_dot_product(qq, cf.cqv)/${norm("cf.cqv")} DESC, cf.i) <= (SELECT np FROM kk)),
        |cand AS (SELECT DISTINCT vec_id, qv FROM asg WHERE centroid IN (SELECT i FROM probe))
-       |SELECT vec_id, ${cosQ("qv", "qq")} cos FROM cand CROSS JOIN q
-       |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin
+       |${if (sq8Rerank == 0)
+           s"""SELECT vec_id, ${cosQ("qv", "qq")} cos FROM cand CROSS JOIN q
+              |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin
+         else
+           // IVF+SQ8 tail (Similarity.ivfSq8Probe): candidates are
+           // code-ranked (same int8 derivation as the ann_sq8 twin) and
+           // only the top sq8Rerank are exact-rescored
+           s""",cd AS (SELECT vec_id, qv, list_transform(qv, x -> round(x*127/qm)) c8
+              |  FROM (SELECT vec_id, qv,
+              |          list_max(list_transform(qv, x -> abs(x))) qm FROM cand)
+              |  WHERE qm > 0),
+              |qc AS (SELECT list_transform(qq, x -> round(x*127/qm)) q8
+              |  FROM (SELECT qq, list_max(list_transform(qq, x -> abs(x))) qm FROM q)
+              |  WHERE qm > 0),
+              |r AS (SELECT vec_id, qv FROM cd CROSS JOIN qc
+              |  QUALIFY row_number() OVER (
+              |    ORDER BY ${cosQ("c8", "q8")} DESC, vec_id) <= $sq8Rerank)
+              |SELECT vec_id, ${cosQ("qv", "qq")} cos FROM r CROSS JOIN q
+              |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin}""".stripMargin
   }
 
   /** Integer-grid Lloyd-trained IVF replay, parameterized ONLY by the
@@ -946,6 +964,9 @@ object Oracles {
     // margin 0.03 of their second list are double-assigned; probe the
     // nProbe spherically-nearest lists, dedupe, exact rerank.
     "ann_topk" -> ivfSpillOracle(iters = 3, delta = graft.operators.Similarity.SpillDelta),
+    // composed IVF+SQ8 twin: the spill replay with the code-rank tail
+    "ann_ivf_sq8" -> ivfSpillOracle(iters = 3,
+      delta = graft.operators.Similarity.SpillDelta, sq8Rerank = 80),
     // SQ8 twin (Similarity.sq8TopK): per-vector int8 codes
     // round(qv·127/max|qv|) — exact products, one rounded division, the
     // shared away-from-zero half rule — approx rank by code cosine

@@ -878,6 +878,17 @@ object Queries {
       Similarity.ivfTopKSpill(e, "vec_id", "embedding", q.toArray, k = 20,
         nCentroids = nLists, nProbe = Similarity.nProbeWideFor(nLists))
     }),
+    // COMPOSED 100 TB stack (r14): spill IVF prunes rows (~5.9% nominal
+    // scan at the default sizing), SQ8 codes shrink the surviving bytes
+    // (ADC over int8), top-80 exact-reranked — the canonical IVF+SQ
+    // design. Same K/nProbe derivation as ann_topk.
+    "ann_ivf_sq8" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+      val nLists = Similarity.nListsFor(e.count())
+      Similarity.ivfSq8TopK(e, "vec_id", "embedding", q.toArray, k = 20,
+        nCentroids = nLists, nProbe = Similarity.nProbeFor(nLists))
+    }),
     // MEMORY-BANDWIDTH rung (r14): SQ8 scalar quantization — full-row
     // scan over int8 codes (8x less bandwidth than the grid where codes
     // are the persisted scan), top-80 approx candidates exact-reranked.

@@ -41,6 +41,25 @@ object Soak {
       " ")
   }
 
+  /** The skew twin's embeddings replicated `factor`× — replica k of
+    * vector v is v ROTATED left by k positions: deterministic, distinct
+    * from its source, norm- and distribution-preserving (the sizing
+    * claim measures volume, not an artificial cluster), byte-identical
+    * on rerun. factor must stay below the embedding dim. */
+  private[graft] def embAt(emb: DataFrame, factor: Int): DataFrame =
+    if (factor <= 1) emb.select(col("vec_id"), col("embedding"))
+    else {
+      val maxId = emb.agg(max("vec_id")).head().getLong(0) + 1
+      emb.select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(0), lit(factor - 1))).as("k"))
+        .select((col("k").cast("long") * maxId + col("vec_id")).as("vec_id"),
+          when(col("k") === 0, col("embedding"))
+            .otherwise(concat(
+              slice(col("embedding"), col("k") + 1, size(col("embedding")) - col("k")),
+              slice(col("embedding"), lit(1), col("k"))))
+            .as("embedding"))
+    }
+
   /** The skew twin's documents replicated `factor`×, replicas mutated. */
   private[graft] def corpusAt(docs: DataFrame, factor: Int): DataFrame = {
     if (factor <= 1) docs.select(col("doc_id"), col("text"))
@@ -76,7 +95,8 @@ object Soak {
 
   /** Per-scale wall/shuffle/spill numbers for one stage run. */
   final case class Scale(nDocs: Long, stageS: Double, incrS: Double,
-                         streamS: Double, spillMb: Double, trips: Long)
+                         streamS: Double, spillMb: Double, trips: Long,
+                         annTrainS: Double, annScan: Double, annRecall: Double)
 
   /** Run the soak on an EXISTING session (the bench embeds this) —
     * returns (full JSON, per-factor numbers). The listener and every
@@ -144,6 +164,38 @@ object Soak {
       val trips = Dedup.hotBuckets(
         Dedup.bandKeys(Dedup.minhashSignatures(docs, "doc_id", "text", 16), 16),
         Seq("band", "band_key"), 10000).count()
+      // 4. ANN sizing leg: the K ∝ √N claim measured at this factor —
+      // scale-aware spill-IVF training cost, the probe's ACTUAL scanned
+      // fraction (must hold ~5.5% at every factor), and recall@20
+      import graft.operators.Similarity
+      val scratchEmb = scratch(s"soak-emb-$factor")
+      embAt(Tables(spark, src, "embeddings"), factor)
+        .repartition(32).write.mode("overwrite").parquet(scratchEmb)
+      val emb = spark.read.parquet(scratchEmb)
+      val nV = emb.count()
+      val nLists = Similarity.nListsFor(nV)
+      val nProbe = Similarity.nProbeFor(nLists)
+      var annState: Option[(DataFrame, Array[Array[Double]])] = None
+      val (tTrain, _, _) = timed("ann-train") {
+        val (asg0, cents) = Similarity.ivfIndexSpill(emb, "vec_id", "embedding", nLists)
+        annState = Some((asg0.cache(), cents))
+        annState.get._1.count()
+      }
+      val (asg, cents) = annState.get
+      val (annScan, annRecall) =
+        try {
+          val pre = Bench.recallBaselines(emb, Seq(0L, 7L), 20)
+          val recall = Bench.recallFrom(emb, pre, (_, qv) =>
+            Similarity.ivfProbeSpill(asg, cents, qv, nProbe, k = 21))
+          val scan = pre.map { case (_, qv, _) =>
+            val ps = Similarity.spillProbeSet(cents, qv, nProbe)
+            asg.where(col("centroid").isin(ps.map(x => x: Any): _*))
+              .count().toDouble / nV.toDouble
+          }.sum / pre.size
+          (scan, recall)
+        } finally asg.unpersist(): Unit
+      System.err.println(
+        f"[soak] x$factor ann          $tTrain%7.2f s  lists=$nLists probe=$nProbe scan=$annScan%.3f recall=$annRecall%.2f")
       def sh(t: (Long, Long, Long)) =
         f"""{"w_mb":${t._1 / 1048576.0}%.1f,"r_mb":${t._2 / 1048576.0}%.1f,"spill_mb":${t._3 / 1048576.0}%.1f}"""
       val spillMb = (shStage._3 + shIncr._3 + shStream._3) / 1048576.0
@@ -152,8 +204,11 @@ object Soak {
           f""""incr_s":$tIncr%.2f,"incr_pairs":$nIncrPairs,""" +
           f""""stream_s":$tStream%.2f,"stream_corpus":$nCorpus,""" +
           f""""hot_bucket_trips":$trips,""" +
-          s""""stage_shuffle":${sh(shStage)},"incr_shuffle":${sh(shIncr)},"stream_shuffle":${sh(shStream)}}"""
-      (json, Scale(n, tStage, tIncr, tStream, spillMb, trips))
+          s""""stage_shuffle":${sh(shStage)},"incr_shuffle":${sh(shIncr)},"stream_shuffle":${sh(shStream)},""" +
+          f""""ann":{"n_vecs":$nV,"lists":$nLists,"nprobe":$nProbe,""" +
+          f""""train_s":$tTrain%.2f,"scan_frac":$annScan%.4f,"recall20":$annRecall%.3f}}"""
+      (json, Scale(n, tStage, tIncr, tStream, spillMb, trips,
+        tTrain, annScan, annRecall))
     }
 
     try {

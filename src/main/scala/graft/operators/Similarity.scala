@@ -414,6 +414,48 @@ object Similarity {
       .sortBy { case (d, i) => (-d, i) }.take(nProbe).map(_._2).toSeq
   }
 
+  /** IVF+SQ8 probe — the composed 100 TB stack (FAISS's IVF+SQ design):
+    * the spill IVF prunes ROWS (nProbe lists ≈ 5.9% nominal scan), the
+    * SQ8 codes shrink the BYTES of what remains (ADC over int8 codes;
+    * with [[graft.GraftIndexes]]-persisted codes partitioned by
+    * centroid the probe reads nProbe partitions × 1 byte/dim), and the
+    * exact rerank touches only k·rerank full vectors. Zero-norm
+    * candidates are dropped before coding ([[sq8Codes]]'s guard). Same
+    * dedup rule as [[ivfProbeSpill]] (spill double-assignments keep one
+    * row per vec_id). */
+  def ivfSq8Probe(assigned: DataFrame, cents: Array[Array[Double]],
+                  q: Array[Float], nProbe: Int, k: Int,
+                  rerank: Int = 4): DataFrame = {
+    val qq = VecFns.quantizeLocal(q)
+    val qm = qq.map(math.abs).max
+    require(qm > 0, "ivfSq8Probe: zero query vector")
+    val q8 = qq.map(x => BigDecimal(x * 127.0 / qm)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val probeSet = spillProbeSet(cents, q, nProbe)
+    val cand = assigned.where(col("centroid").isin(probeSet: _*))
+      .dropDuplicates("vec_id")
+      .withColumn("qm", array_max(transform(col("qv"), x => abs(x))))
+      .where(col("qm") > 0)
+    cand.select(col("vec_id"), col("qv"),
+        round(VecFns.cosineQ(sq8Codes(col("qv")), typedLit(q8)), 6).as("approx"))
+      .orderBy(desc("approx"), asc("vec_id")).limit(k * rerank)
+      .select(col("vec_id"),
+        round(VecFns.cosineQ(col("qv"), typedLit(qq)), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id")).limit(k)
+  }
+
+  /** Cold form of [[ivfSq8Probe]]: train + index + code-rank + rerank. */
+  def ivfSq8TopK(emb: DataFrame, idCol: String, vecCol: String,
+                 q: Array[Float], k: Int, nCentroids: Int, nProbe: Int,
+                 rerank: Int = 4, lloydIters: Int = 3,
+                 spillDelta: Double = SpillDelta,
+                 materialize: Boolean = true): DataFrame = {
+    val qd = Dedup.maybeCache(quantized(emb, idCol, vecCol), materialize)
+    val (assigned, cents) = ivfIndexSpillQ(qd, nCentroids, lloydIters, spillDelta)
+    Dedup.scoped(materialize, qd)(
+      ivfSq8Probe(assigned, cents, q, nProbe, k, rerank))
+  }
+
   /** Cold form of the scale-aware spill IVF: train + index + probe in
     * one call (the registered `ann_topk` default — recall@20 0.73 at
     * 5.9% scanned rows on the worst-case uniform sf0.1 fixture,

@@ -208,15 +208,37 @@ class AnnRecallSpec extends SparkSpec {
     } finally e.unpersist(): Unit
   }
 
-  test("bench recall section emits the full eight-rung ladder (no silent drop)") {
+  test("bench recall section emits the full nine-rung ladder (no silent drop)") {
     // the per-round artifact's recall JSON must carry every registered
     // rung — a refactor that drops one would silently shrink the
     // driver-visible ladder (sf0.001 keeps the structural pin cheap)
     val (json, default) = Bench.recallSection(spark, "/root/testdata/sf0.001")
     Seq("ann_topk", "ann_ivf_wide", "ann_multiprobe_h1", "ann_multiprobe",
-      "ann_bucket_floor", "ann_ensemble", "ivf_topk", "ann_sq8")
+      "ann_bucket_floor", "ann_ensemble", "ivf_topk", "ann_sq8", "ann_ivf_sq8")
       .foreach(k => assert(json.contains("\"" + k + "\""), s"ladder rung $k missing"))
     assert(default.isDefined, "default ann_topk recall missing from the tail")
+  }
+
+  test("composed IVF+SQ8 rung (ann_ivf_sq8) holds recall@20 >= 0.7 — code-rank loses nothing vs the default") {
+    // same probe schedule as the registered default (K=nListsFor,
+    // nProbe=nProbeFor); the int8 code-rank cut keeps the exact rerank's
+    // answer set — recall must match the default's bar
+    val e = Tables(spark, sf, "embeddings").cache()
+    try {
+      val nLists = Similarity.nListsFor(e.count())
+      val (asg0, cents) = Similarity.ivfIndexSpill(e, "vec_id", "embedding",
+        nCentroids = nLists)
+      val asg = asg0.cache()
+      try {
+        val qids = Seq(0L, 7L, 42L, 99L, 123L)
+        val pre = Bench.recallBaselines(e, qids, K)
+        val r = Bench.recallFrom(e, pre, (_, qv) =>
+          Similarity.ivfSq8Probe(asg, cents, qv,
+            Similarity.nProbeFor(nLists), k = K + 1))
+        info(f"ivf+sq8 recall@20 = $r%.3f")
+        assert(r >= 0.7, f"composed IVF+SQ8 rung degraded: $r%.3f")
+      } finally asg.unpersist(): Unit
+    } finally e.unpersist(): Unit
   }
 
   test("SQ8 rung (ann_sq8): int8-code scan + exact rerank holds recall@20 >= 0.95") {

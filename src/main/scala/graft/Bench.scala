@@ -382,13 +382,14 @@ object Bench {
   }
 
   /** Recall@20 of every REGISTERED approximate-similarity form (the
-    * full seven-rung ladder, ann_topk through ann_ivf_wide) vs exact
-    * cosine, at the registered queries' own parameters — recorded per
-    * round so a parameter change can never silently trade recall for
-    * the latency the bench rewards (the floors themselves are pinned in
-    * AnnRecallSpec; this is the per-round measurement). The exact
-    * baselines are computed once across all three forms and the
-    * multi-probe index plan is hoisted out of the per-query loop. */
+    * full ladder — AnnRecallSpec's no-silent-drop pin names each rung)
+    * vs exact cosine, at the registered queries' own parameters —
+    * recorded per round so a parameter change can never silently trade
+    * recall for the latency the bench rewards (the floors themselves
+    * are pinned in AnnRecallSpec; this is the per-round measurement).
+    * The exact baselines are computed once for all forms; the
+    * multi-probe and spill-IVF index plans are hoisted out of the
+    * per-query loop. */
   private[graft] def recallSection(spark: SparkSession, sfDir: String): (String, Option[Double]) = {
     import graft.operators.Similarity
     import org.apache.spark.sql.DataFrame

@@ -492,10 +492,13 @@ object GraftIndexes {
                vecCol: String, queryVec: Array[Float], k: Int,
                rerank: Int = 4): DataFrame = {
     val qq = VecFns.quantizeLocal(queryVec)
-    val qm = qq.map(math.abs).max
-    require(qm > 0, "sq8Probe: zero query vector")
-    val q8 = qq.map(x => BigDecimal(x * 127.0 / qm)
-      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val q8 = VecFns.sq8CodesLocal(qq) match {
+      case Some(c) => c
+      case None => // zero query: empty, matching the in-memory rung
+        val s = codes.sparkSession
+        import s.implicits._
+        return Seq.empty[(Long, Double)].toDF("vec_id", "cos")
+    }
     val cand = codes
       .select(col("vec_id"),
         round(VecFns.cosineQ(col("c8").cast("array<double>"), typedLit(q8)), 6)

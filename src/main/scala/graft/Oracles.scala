@@ -124,6 +124,22 @@ object Oracles {
   private def cosQ(a: String, b: String) =
     s"round(list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b))),6)"
 
+  /** SQ8 encode CTE pair (VecFns.sq8CodesLocal / Similarity.sq8Codes
+    * twin) — ONE fragment shared by the standalone `ann_sq8` oracle and
+    * ivfSpillOracle's code-rank tail, so the two replays cannot diverge
+    * on what "SQ8" means: `cd` codes the corpus relation `src`
+    * (vec_id, qv), `qc` codes the query relation `q` (qq); zero-norm
+    * rows drop on both legs (the engine returns EMPTY for a zero-norm
+    * query — error vs empty must not diverge). */
+  private def sq8Ctes(src: String): String =
+    s"""cd AS (SELECT vec_id, qv, list_transform(qv, x -> round(x*127/qm)) c8
+       |  FROM (SELECT vec_id, qv,
+       |          list_max(list_transform(qv, x -> abs(x))) qm FROM $src)
+       |  WHERE qm > 0),
+       |qc AS (SELECT list_transform(qq, x -> round(x*127/qm)) q8
+       |  FROM (SELECT qq, list_max(list_transform(qq, x -> abs(x))) qm FROM q)
+       |  WHERE qm > 0)""".stripMargin
+
   /** Random-hyperplane bucket expression with the SAME literal signs as
     * Similarity.lshBucket (derived on the driver from the shared md5
     * family). */
@@ -247,15 +263,9 @@ object Oracles {
               |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin
          else
            // IVF+SQ8 tail (Similarity.ivfSq8Probe): candidates are
-           // code-ranked (same int8 derivation as the ann_sq8 twin) and
-           // only the top sq8Rerank are exact-rescored
-           s""",cd AS (SELECT vec_id, qv, list_transform(qv, x -> round(x*127/qm)) c8
-              |  FROM (SELECT vec_id, qv,
-              |          list_max(list_transform(qv, x -> abs(x))) qm FROM cand)
-              |  WHERE qm > 0),
-              |qc AS (SELECT list_transform(qq, x -> round(x*127/qm)) q8
-              |  FROM (SELECT qq, list_max(list_transform(qq, x -> abs(x))) qm FROM q)
-              |  WHERE qm > 0),
+           // code-ranked (sq8Ctes — the SAME fragment as the ann_sq8
+           // twin) and only the top sq8Rerank are exact-rescored
+           s""",${sq8Ctes("cand")},
               |r AS (SELECT vec_id, qv FROM cd CROSS JOIN qc
               |  QUALIFY row_number() OVER (
               |    ORDER BY ${cosQ("c8", "q8")} DESC, vec_id) <= $sq8Rerank)
@@ -973,15 +983,8 @@ object Oracles {
     // (round 6, vec_id tie-break), top-80 exact-reranked
     "ann_sq8" ->
       s"""WITH $EmbQ,
-         |cd AS (SELECT vec_id, qv,
-         |    list_transform(qv, x -> round(x*127/qm)) c8
-         |  FROM (SELECT vec_id, qv,
-         |          list_max(list_transform(qv, x -> abs(x))) qm FROM e)
-         |  WHERE qm > 0),
          |q AS (SELECT qv qq FROM e WHERE vec_id=0),
-         |qc AS (SELECT list_transform(qq, x -> round(x*127/qm)) q8
-         |  FROM (SELECT qq, list_max(list_transform(qq, x -> abs(x))) qm FROM q)
-         |  WHERE qm > 0),
+         |${sq8Ctes("e")},
          |cand AS (SELECT vec_id, qv FROM cd CROSS JOIN qc
          |  QUALIFY row_number() OVER (
          |    ORDER BY ${cosQ("c8", "q8")} DESC, vec_id) <= 80)

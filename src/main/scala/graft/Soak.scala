@@ -49,6 +49,10 @@ object Soak {
   private[graft] def embAt(emb: DataFrame, factor: Int): DataFrame =
     if (factor <= 1) emb.select(col("vec_id"), col("embedding"))
     else {
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      require(factor < dim,
+        s"embAt: factor $factor must stay below the embedding dim $dim " +
+          "(rotation by k >= dim would be a negative-length slice)")
       val maxId = emb.agg(max("vec_id")).head().getLong(0) + 1
       emb.select(col("vec_id"), col("embedding"),
           explode(sequence(lit(0), lit(factor - 1))).as("k"))
@@ -166,7 +170,9 @@ object Soak {
         Seq("band", "band_key"), 10000).count()
       // 4. ANN sizing leg: the K ∝ √N claim measured at this factor —
       // scale-aware spill-IVF training cost, the probe's ACTUAL scanned
-      // fraction (must hold ~5.5% at every factor), and recall@20
+      // fraction (list imbalance makes it ~14% at x1's 2000 vectors;
+      // it CONVERGES to the ~5.5% nominal at scale — the ann_scan10
+      // number is the pin), and recall@20
       import graft.operators.Similarity
       val scratchEmb = scratch(s"soak-emb-$factor")
       embAt(Tables(spark, src, "embeddings"), factor)
@@ -177,6 +183,12 @@ object Soak {
       val nProbe = Similarity.nProbeFor(nLists)
       var annState: Option[(DataFrame, Array[Array[Double]])] = None
       val (tTrain, _, _) = timed("ann-train") {
+        // cache the scan for the training passes (ivfIndexSpill's
+        // documented contract at lloydIters > 1 — uncached, ~5
+        // redundant parquet scans bill to train_s; r14 review). Marked
+        // INSIDE the timed block: `timed` clears the cache at entry,
+        // and the one materializing scan is the honest cold-train cost.
+        emb.cache()
         val (asg0, cents) = Similarity.ivfIndexSpill(emb, "vec_id", "embedding", nLists)
         annState = Some((asg0.cache(), cents))
         annState.get._1.count()
@@ -193,7 +205,7 @@ object Soak {
               .count().toDouble / nV.toDouble
           }.sum / pre.size
           (scan, recall)
-        } finally asg.unpersist(): Unit
+        } finally { asg.unpersist(); emb.unpersist(): Unit }
       System.err.println(
         f"[soak] x$factor ann          $tTrain%7.2f s  lists=$nLists probe=$nProbe scan=$annScan%.3f recall=$annRecall%.2f")
       def sh(t: (Long, Long, Long)) =

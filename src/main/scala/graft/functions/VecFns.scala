@@ -36,6 +36,20 @@ object VecFns {
     q.map(x => BigDecimal(x.toDouble * Scale)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)
 
+  /** Driver twin of Similarity.sq8Codes — the ONE int8-code derivation
+    * every SQ8 query-side literal goes through (in-memory rung, IVF+SQ8
+    * probe, persisted probe): same IEEE ops, same HALF_UP grid, so the
+    * three call sites cannot round differently and the persisted probe
+    * stays bit-identical to the in-memory rung. Returns None for a
+    * zero-norm vector (no direction to rank — callers return EMPTY,
+    * matching the oracle twins' qm > 0 filter). */
+  def sq8CodesLocal(q: Array[Double]): Option[Array[Double]] = {
+    val qm = q.map(math.abs).max
+    if (qm == 0) None
+    else Some(q.map(x => BigDecimal(x * 127.0 / qm)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
+
   /** Exact dot product of two quantized vectors (or any arrays of
     * doubles) — a native codegen'd Expression (graft.plans.QuantizedDot);
     * strict left-to-right sum, bit-identical to [[dotHof]]. */

@@ -39,6 +39,16 @@ object Similarity {
     transform(vecQ, x => round(x * lit(127.0) / qm))
   }
 
+  /** Empty (vec_id, cos) frame — the SQ8 rungs' answer to a zero-norm
+    * QUERY vector (matches the oracle twins, whose qm > 0 filter drops
+    * the query row and yields zero rows — error vs empty must not
+    * diverge between the engine and its replay). */
+  private def emptyTopK(like: DataFrame): DataFrame = {
+    val s = like.sparkSession
+    import s.implicits._
+    Seq.empty[(Long, Double)].toDF("vec_id", "cos")
+  }
+
   /** SQ8 cosine top-k — the MEMORY-BANDWIDTH rung of the ANN ladder
     * (scalar quantization, the FAISS SQ8 design): rank the corpus by
     * int8-code cosine, keep the top k·rerank candidates, exact-rerank
@@ -54,11 +64,10 @@ object Similarity {
   def sq8TopK(emb: DataFrame, idCol: String, vecCol: String,
               queryVec: Array[Float], k: Int, rerank: Int = 4): DataFrame = {
     val qq = VecFns.quantizeLocal(queryVec)
-    val qm = qq.map(math.abs).max
-    require(qm > 0, "sq8TopK: zero query vector")
-    // driver twin of sq8Codes — same IEEE ops, same HALF_UP grid
-    val q8 = qq.map(x => BigDecimal(x * 127.0 / qm)
-      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val q8 = VecFns.sq8CodesLocal(qq) match {
+      case Some(c) => c
+      case None => return emptyTopK(emb) // zero query: no direction to rank
+    }
     val coded = emb
       .select(col(idCol).cast("long").as("vec_id"),
         VecFns.quantize(col(vecCol)).as("qv"))
@@ -427,10 +436,10 @@ object Similarity {
                   q: Array[Float], nProbe: Int, k: Int,
                   rerank: Int = 4): DataFrame = {
     val qq = VecFns.quantizeLocal(q)
-    val qm = qq.map(math.abs).max
-    require(qm > 0, "ivfSq8Probe: zero query vector")
-    val q8 = qq.map(x => BigDecimal(x * 127.0 / qm)
-      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val q8 = VecFns.sq8CodesLocal(qq) match {
+      case Some(c) => c
+      case None => return emptyTopK(assigned)
+    }
     val probeSet = spillProbeSet(cents, q, nProbe)
     val cand = assigned.where(col("centroid").isin(probeSet: _*))
       .dropDuplicates("vec_id")

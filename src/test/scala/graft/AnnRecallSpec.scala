@@ -252,6 +252,20 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.95, f"SQ8 rung degraded: $r%.3f")
   }
 
+  test("zero-norm query: every SQ8 path returns EMPTY (the oracle contract), never throws") {
+    import spark.implicits._
+    val emb = Seq((0L, Array(1f, 2f, 3f, 4f)), (1L, Array(4f, 3f, 2f, 1f)))
+      .toDF("vec_id", "embedding")
+    val zero = Array(0f, 0f, 0f, 0f)
+    assert(Similarity.sq8TopK(emb, "vec_id", "embedding", zero, k = 5).count() === 0L)
+    val (asg, cents) = Similarity.ivfIndexSpill(emb, "vec_id", "embedding", 2)
+    assert(Similarity.ivfSq8Probe(asg, cents, zero, nProbe = 1, k = 5).count() === 0L)
+    val dir = java.nio.file.Files.createTempDirectory("sq8-zero").toString
+    GraftIndexes.writeSq8(spark, emb, "vec_id", "embedding", s"$dir/sq8")
+    assert(GraftIndexes.sq8Probe(GraftIndexes.openSq8(spark, s"$dir/sq8"),
+      emb, "vec_id", "embedding", zero, k = 5).count() === 0L)
+  }
+
   test("sq8Codes stay in [-127,127] on the int8 grid and preserve direction") {
     import spark.implicits._
     val rows = Seq((0L, Array(0.5f, -1.0f, 0.25f, 0f)))

@@ -79,7 +79,8 @@ class BenchArtifactSpec extends AnyFunSuite {
       val samples = (0 until n).map { i =>
         f"realistically_long_query_name_$i%03d" -> List((i * 0.137 + 0.08, None: Option[String], 1))
       }.toMap
-      val soak = """{"stage_r":0.8,"incr_r":1.8,"stream_r":1.6,"spill_mb":0,"trips":0}"""
+      val soak = """{"stage_r":0.8,"incr_r":1.8,"stream_r":1.6,"spill_mb":0,"trips":0,""" +
+        """"ann_scan10":0.040,"ann_rec10":1.00,"ann_train_r":1.3}"""
       val line = Bench.compactJson(samples, samples.keys.toSeq, "/root/testdata/sf0.1",
         extra = s""""recall20_ann":0.43,"golden":$golden,"soak10x":$soak,"n_noisy":3,""")
       assert(line.length <= 1995, s"$n queries with extra: ${line.length} chars")

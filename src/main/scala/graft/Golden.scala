@@ -170,9 +170,15 @@ object Golden {
     * rate) against the documented bars — plus a tail-sized compact twin
     * (the driver parses only a 2000-char stdout tail). Builds the warm
     * index once and runs every measurement. */
-  def scoreboard(spark: org.apache.spark.sql.SparkSession): (String, String) = {
+  def scoreboard(spark: org.apache.spark.sql.SparkSession): (String, String) =
+    scoreboard(buildIndex(spark))
+
+  /** Scoreboard over a CALLER-built index — GoldenQueriesSpec pins the
+    * JSON shape through this form at near-zero marginal cost (it already
+    * holds the warm index); only the bench needs the self-building
+    * overload above. */
+  def scoreboard(index: HadithSearch.Index): (String, String) = {
     val qs = queries()
-    val index = buildIndex(spark)
     val rows = corpusRows(index)
     def frac(os: Seq[Outcome]): Double =
       if (os.isEmpty) 0.0 else os.count(_.ok).toDouble / os.size
@@ -201,7 +207,4 @@ object Golden {
     (full, compact)
   }
 
-  /** Full-form scoreboard only (spec-shape pin + artifact body). */
-  def scoreboardJson(spark: org.apache.spark.sql.SparkSession): String =
-    scoreboard(spark)._1
 }

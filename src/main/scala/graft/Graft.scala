@@ -472,10 +472,10 @@ object GraftIndexes {
                vecCol: String, dir: String): Unit =
     emb.select(col(idCol).cast("long").as("vec_id"),
         VecFns.quantize(col(vecCol)).as("qv"))
-      .withColumn("qm", array_max(transform(col("qv"), x => abs(x))))
+      .withColumn("qm", Similarity.sq8Max(col("qv")))
       .where(col("qm") > 0)
       .select(col("vec_id"),
-        transform(Similarity.sq8Codes(col("qv")), x => x.cast("byte")).as("c8"))
+        transform(Similarity.sq8Codes(col("qv"), col("qm")), x => x.cast("byte")).as("c8"))
       .write.mode("overwrite").parquet(s"$dir/codes")
 
   /** Open a persisted SQ8 code layer. */

@@ -33,11 +33,19 @@ object Similarity {
     * of the code vectors. Derivation is exact-replayable: qv_i·127 is
     * exact integer arithmetic in doubles, /max one correctly-rounded
     * IEEE division, round() the shared away-from-zero half rule — the
-    * DuckDB twin reproduces every code bit-for-bit. */
-  def sq8Codes(vecQ: Column): Column = {
-    val qm = array_max(transform(vecQ, x => abs(x)))
+    * DuckDB twin reproduces every code bit-for-bit.
+    * `qm` is the caller's per-vector max(|qv_i|) COLUMN — every call
+    * site already computes it for the zero-norm guard, and passing it
+    * in keeps the per-element lambda free of the invariant max
+    * (ArrayTransform re-evaluates the whole lambda body per element —
+    * an embedded array_max would make coding O(dim²) per row on the
+    * rung whose entire pitch is a cheap scan; r14 review). */
+  def sq8Codes(vecQ: Column, qm: Column): Column =
     transform(vecQ, x => round(x * lit(127.0) / qm))
-  }
+
+  /** The per-vector max(|qv_i|) feeding [[sq8Codes]] and its zero-norm
+    * guard. */
+  def sq8Max(vecQ: Column): Column = array_max(transform(vecQ, x => abs(x)))
 
   /** Empty (vec_id, cos) frame — the SQ8 rungs' answer to a zero-norm
     * QUERY vector (matches the oracle twins, whose qm > 0 filter drops
@@ -71,10 +79,10 @@ object Similarity {
     val coded = emb
       .select(col(idCol).cast("long").as("vec_id"),
         VecFns.quantize(col(vecCol)).as("qv"))
-      .withColumn("qm", array_max(transform(col("qv"), x => abs(x))))
+      .withColumn("qm", sq8Max(col("qv")))
       .where(col("qm") > 0) // a zero vector has no direction to rank
       .select(col("vec_id"), col("qv"),
-        round(VecFns.cosineQ(sq8Codes(col("qv")), typedLit(q8)), 6).as("approx"))
+        round(VecFns.cosineQ(sq8Codes(col("qv"), col("qm")), typedLit(q8)), 6).as("approx"))
     coded.orderBy(desc("approx"), asc("vec_id")).limit(k * rerank)
       .select(col("vec_id"),
         round(VecFns.cosineQ(col("qv"), typedLit(qq)), 6).as("cos"))
@@ -443,10 +451,10 @@ object Similarity {
     val probeSet = spillProbeSet(cents, q, nProbe)
     val cand = assigned.where(col("centroid").isin(probeSet: _*))
       .dropDuplicates("vec_id")
-      .withColumn("qm", array_max(transform(col("qv"), x => abs(x))))
+      .withColumn("qm", sq8Max(col("qv")))
       .where(col("qm") > 0)
     cand.select(col("vec_id"), col("qv"),
-        round(VecFns.cosineQ(sq8Codes(col("qv")), typedLit(q8)), 6).as("approx"))
+        round(VecFns.cosineQ(sq8Codes(col("qv"), col("qm")), typedLit(q8)), 6).as("approx"))
       .orderBy(desc("approx"), asc("vec_id")).limit(k * rerank)
       .select(col("vec_id"),
         round(VecFns.cosineQ(col("qv"), typedLit(qq)), 6).as("cos"))

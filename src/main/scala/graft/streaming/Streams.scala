@@ -362,17 +362,17 @@ object Streams {
     * corpus/index paths: without it run 2's batch 0 would overwrite run
     * 1's `ingest_batch=0` partition AND prune it out of its own
     * cross-batch probe (the prior-batches read excludes the current
-    * id). A non-zero offset is GUARDED at stream start: it must clear
-    * every existing partition id in both stores (offset >
-    * max ingest_batch), or the run fails loudly instead of silently
-    * destroying prior state (an offset of 1 after a 3-batch first run
-    * would overwrite its middle partition). A resumed run on the
-    * ORIGINAL checkpoint needs no offset — its batchIds continue where
-    * they left off and a replayed batch MUST land on its own prior
-    * partition — but a zero offset with existing state demands a
-    * checkpoint that HAS commits: a fresh checkpoint would restart
-    * batchIds at 0 and silently destroy `ingest_batch=0`, so that
-    * combination fails loudly too (r13 advice). */
+    * id). FRESH runs (checkpoint with no started batches) are GUARDED
+    * at stream start: a non-zero offset must clear every existing
+    * partition id in both stores (offset > max ingest_batch — an
+    * offset of 1 after a 3-batch first run would overwrite its middle
+    * partition), and a zero offset with existing state fails outright
+    * (batch 0 would silently destroy `ingest_batch=0`; r13 advice).
+    * RESUMED runs on their original checkpoint are exempt at ANY
+    * offset — their batchIds continue where they left off, and a
+    * replayed batch (crash between the state writes and the commit)
+    * MUST be allowed to land on its own prior partition (r14 review:
+    * the old offset>0 arm refused exactly that restart). */
   def nearDupIngest(stream: DataFrame, corpusPath: String, indexPath: String,
                     checkpoint: String, idCol: String, textCol: String,
                     threshold: Double = 0.9, numHashes: Int = 16,
@@ -383,37 +383,45 @@ object Streams {
     val maxExisting = Seq(corpusPath, indexPath)
       .flatMap(p => maxIngestBatch(stream.sparkSession, p))
       .reduceOption(_ max _)
-    if (batchIdOffset > 0) {
-      maxExisting.foreach(m => require(batchIdOffset > m,
-        s"batchIdOffset=$batchIdOffset collides with existing state " +
-          s"(max ingest_batch=$m): a colliding run would overwrite prior " +
-          s"partitions and prune them out of its own probe"))
-    } else {
-      // offset 0 against EXISTING state is legal only as a RESUME of the
-      // ORIGINAL checkpoint (its batchIds continue where they left off,
-      // and a replayed batch must land on its own prior partition). A
-      // FRESH checkpoint restarts batchIds at 0, so its batch 0 would
-      // silently overwrite ingest_batch=0 and prune it out of its own
-      // cross-batch probe — the likeliest operator error, failed loudly
-      // here (r13 advice). Resume ⇔ the checkpoint has STARTED batches:
-      // probe the offsets log, not commits — Spark writes offsets/0
-      // BEFORE running batch 0, so a crash between the state writes and
-      // the commit (the exact replay case nearDupIngestBatch's
-      // idempotency contract covers) still reads as a resume; a
-      // commits-only probe would brick that recovery (r14 review).
-      maxExisting.foreach { m =>
-        val ck = new org.apache.hadoop.fs.Path(s"$checkpoint/offsets")
-        val fs = ck.getFileSystem(stream.sparkSession.sparkContext.hadoopConfiguration)
-        val resumed = fs.exists(ck) && fs.listStatus(ck).exists { st =>
-          val n = st.getPath.getName
-          !n.startsWith("_") && !n.startsWith(".")
-        }
-        require(resumed,
-          s"fresh checkpoint ($checkpoint has no started batches) with " +
-            s"existing state (max ingest_batch=$m) at offset 0: this run's " +
-            s"batch 0 would overwrite ingest_batch=0 and prune it from its " +
-            s"own probe — pass batchIdOffset > $m for a new run, or point " +
-            s"at the original checkpoint to resume")
+    // Resume ⇔ the checkpoint has STARTED batches: probe the offsets
+    // log, not commits — Spark writes offsets/N BEFORE running batch N,
+    // so a crash between the state writes and the commit (the exact
+    // replay case nearDupIngestBatch's idempotency contract covers)
+    // still reads as a resume; a commits-only probe would brick that
+    // recovery. A RESUMED run is exempt from the collision guards at
+    // ANY offset — its batchIds continue where they left off, and a
+    // replayed batch MUST land on its own prior partition (the r14
+    // review caught the offset>0 arm refusing exactly this restart,
+    // which forced operators to bump the offset and duplicate the
+    // orphaned partition).
+    lazy val resumed = {
+      val ck = new org.apache.hadoop.fs.Path(s"$checkpoint/offsets")
+      val fs = ck.getFileSystem(stream.sparkSession.sparkContext.hadoopConfiguration)
+      fs.exists(ck) && fs.listStatus(ck).exists { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+    }
+    maxExisting.foreach { m =>
+      if (!resumed) {
+        if (batchIdOffset > 0)
+          // a FRESH run with an offset must clear every existing id —
+          // a colliding run would overwrite prior partitions and prune
+          // them out of its own probe
+          require(batchIdOffset > m,
+            s"batchIdOffset=$batchIdOffset collides with existing state " +
+              s"(max ingest_batch=$m): a colliding run would overwrite prior " +
+              s"partitions and prune them out of its own probe")
+        else
+          // a FRESH checkpoint restarts batchIds at 0, so its batch 0
+          // would silently overwrite ingest_batch=0 — the likeliest
+          // operator error, failed loudly (r13 advice)
+          require(false,
+            s"fresh checkpoint ($checkpoint has no started batches) with " +
+              s"existing state (max ingest_batch=$m) at offset 0: this run's " +
+              s"batch 0 would overwrite ingest_batch=0 and prune it from its " +
+              s"own probe — pass batchIdOffset > $m for a new run, or point " +
+              s"at the original checkpoint to resume")
       }
     }
     val w0 = stream.writeStream

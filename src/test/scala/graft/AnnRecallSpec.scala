@@ -270,8 +270,8 @@ class AnnRecallSpec extends SparkSpec {
     import spark.implicits._
     val rows = Seq((0L, Array(0.5f, -1.0f, 0.25f, 0f)))
       .toDF("vec_id", "embedding")
-    val c = rows.select(Similarity.sq8Codes(
-      graft.functions.VecFns.quantize(col("embedding"))).as("c8"))
+    val qv = graft.functions.VecFns.quantize(col("embedding"))
+    val c = rows.select(Similarity.sq8Codes(qv, Similarity.sq8Max(qv)).as("c8"))
       .head().getSeq[Double](0)
     assert(c === Seq(64.0, -127.0, 32.0, 0.0)) // round(0.5·127)=64 (HALF_UP)
     assert(c.forall(x => x == math.rint(x) && math.abs(x) <= 127))

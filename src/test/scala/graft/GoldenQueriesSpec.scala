@@ -115,7 +115,9 @@ class GoldenQueriesSpec extends SparkSpec {
   }
 
   test("scoreboard JSON carries every category with its bar (the bench-tail artifact shape)") {
-    val json = Golden.scoreboardJson(spark)
+    // the suite's warm index — the self-building overload would rebuild
+    // it and re-run every category sweep just executed (r14 review)
+    val json = Golden.scoreboard(index)._1
     Seq("router_cat1", "phrase_extract", "narrator_top1", "phrase_found",
       "exact_ref", "cross_lingual", "term_coverage", "n_queries")
       .foreach(k => assert(json.contains("\"" + k + "\""), s"scoreboard key $k missing"))

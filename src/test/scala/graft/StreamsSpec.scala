@@ -333,6 +333,19 @@ class StreamsSpec extends SparkSpec {
     java.nio.file.Files.write(offsets.toPath.resolve("0"), "v1".getBytes("UTF-8"))
     Streams.nearDupIngest(memG.toDF().toDF("doc_id", "text"),
       s"$dir/corpus", s"$dir/index", s"$dir/ckcrash", "doc_id", "text").stop()
+    // the SAME replay exemption applies at offset > 0 (r14 review): a
+    // crashed offset=3 run restarts on its OWN checkpoint even though
+    // ingest_batch=3 already exists — refusing it (the old guard's
+    // offset>3 demand) forced an offset bump that would duplicate the
+    // orphaned partition in corpus and index
+    Seq((103L, "seed 3")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/corpus/ingest_batch=3")
+    val offs3 = new java.io.File(s"$dir/ckcrash3/offsets")
+    offs3.mkdirs()
+    java.nio.file.Files.write(offs3.toPath.resolve("0"), "v1".getBytes("UTF-8"))
+    Streams.nearDupIngest(memG.toDF().toDF("doc_id", "text"),
+      s"$dir/corpus", s"$dir/index", s"$dir/ckcrash3", "doc_id", "text",
+      batchIdOffset = 3L).stop()
     // clean slate for the ingest assertions below
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit

@@ -32,6 +32,27 @@ object Oracles {
   // the direct hourly aggregate — shared by the batch partial-merge
   // query AND its streaming rollup-maintenance twin (decomposability
   // means both must equal exactly this)
+  /** Sampled-frame twin shared by video_frames (RIFF/AVI) and
+    * video_frames_mp4 (ISO-BMFF): both fixtures carry the same PNG
+    * frames (synthPng at effective id doc_id·100 + f, 8×6) at the same
+    * 100 000 µs/frame clock, sampled at (i·n)//2 for i in 0..1 — so
+    * ONE SQL text replays both containers and any demux divergence
+    * fails exactly one row. */
+  private val videoFramesSql =
+    """WITH d AS (SELECT doc_id, 3 + doc_id % 4 n
+      |  FROM documents WHERE doc_id < 64),
+      |fr AS (SELECT doc_id, n, unnest([0, n // 2]) f FROM d),
+      |px AS (SELECT doc_id, f,
+      |    299*(((doc_id*100 + f)*31 + x*7 + y*13) % 256)
+      |  + 587*(((doc_id*100 + f)*17 + x*11 + y*3) % 256)
+      |  + 114*(((doc_id*100 + f)*23 + x*5 + y*19) % 256) l
+      |  FROM fr
+      |  CROSS JOIN (SELECT unnest(range(0, 8)) x)
+      |  CROSS JOIN (SELECT unnest(range(0, 6)) y))
+      |SELECT doc_id, CAST(f AS INT) frame, CAST(8 AS INT) width,
+      |  CAST(6 AS INT) height, CAST(sum(l) AS BIGINT) luma_sum
+      |FROM px GROUP BY doc_id, f ORDER BY doc_id, frame""".stripMargin
+
   private val HourlyDirectSql =
     """SELECT epoch_ns(ts)//3600000000000 AS hour_bucket, event_type,
       |count(*) AS n_events
@@ -496,6 +517,22 @@ object Oracles {
     // the streaming foreachBatch composition must reproduce the batch
     // as-of EXACTLY (micro-batching-invariant per-left-row semantics)
     "stream_asof_enrich" -> AsofSql,
+    // stream_stream_join twin: the watermarked two-stream inner join's
+    // pair set is micro-batching-invariant, so a plain SQL join over
+    // the same events replays the streaming run exactly. Micros grid on
+    // both engines (ts div 1000 ↔ epoch_ns//1000); BETWEEN gives the
+    // same closed [p − 1 h, p] bound as the streaming condition.
+    "stream_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 tsm,
+        |  event_type, value FROM events),
+        |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT * FROM e WHERE event_type = 'view')
+        |SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+        |  p.tsm AS purchase_ts_us, p.value AS purchase_value,
+        |  v.event_id AS view_id, v.tsm AS view_ts_us, v.value AS view_value
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |  AND v.tsm BETWEEN p.tsm - 3600000000 AND p.tsm
+        |ORDER BY purchase_id, view_id""".stripMargin,
     // the bucketed form is semantics-identical by contract — it must
     // reproduce the SAME oracle rows as the plain form
     "events_asof_bucketed" -> AsofSql,
@@ -1621,20 +1658,11 @@ object Oracles {
     // 0..1 (n in 3..6, so always 0 and n//2); frame f's luma replays
     // the synthPng formula at effective id doc_id·100 + f over the
     // fixed 8×6 lattice
-    "video_frames" ->
-      s"""WITH d AS (SELECT doc_id, 3 + doc_id % 4 n
-         |  FROM documents WHERE doc_id < 64),
-         |fr AS (SELECT doc_id, n, unnest([0, n // 2]) f FROM d),
-         |px AS (SELECT doc_id, f,
-         |    299*(((doc_id*100 + f)*31 + x*7 + y*13) % 256)
-         |  + 587*(((doc_id*100 + f)*17 + x*11 + y*3) % 256)
-         |  + 114*(((doc_id*100 + f)*23 + x*5 + y*19) % 256) l
-         |  FROM fr
-         |  CROSS JOIN (SELECT unnest(range(0, 8)) x)
-         |  CROSS JOIN (SELECT unnest(range(0, 6)) y))
-         |SELECT doc_id, CAST(f AS INT) frame, CAST(8 AS INT) width,
-         |  CAST(6 AS INT) height, CAST(sum(l) AS BIGINT) luma_sum
-         |FROM px GROUP BY doc_id, f ORDER BY doc_id, frame""".stripMargin,
+    "video_frames" -> videoFramesSql,
+    // video_frames_mp4 twin: video_frames' SQL VERBATIM (one shared
+    // emitter) — the MP4 fixture carries the same frames on the same
+    // clock, so a correct demuxer is invisible to the numbers
+    "video_frames_mp4" -> videoFramesSql,
     // audio_decode twin: replay the PCM16 sample formula and sum the
     // absolute values on the signed-16-bit integer grid
     "audio_decode" ->

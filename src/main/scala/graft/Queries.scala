@@ -472,6 +472,37 @@ object Queries {
       graft.streaming.Streams.windowedCounts(ev, "1 hour")
         .orderBy("window_start", "event_type")
     }),
+    // sixth genuinely-streaming row (r14): a REAL watermarked
+    // STREAM-STREAM inner join — purchases ⋈ views for the same user
+    // within the prior hour, BOTH legs independent file-source streams,
+    // state-store buffered, run under AvailableNow. Inner-join pair
+    // emission is micro-batching-invariant (every qualifying pair
+    // exactly once), so the plain SQL join replays the run verbatim.
+    // Time grid: micros on both engines (ts div 1000 here,
+    // epoch_ns//1000 in the oracle) — exact integer truncation, and
+    // the 1 h bound is closed on both ends by BETWEEN semantics.
+    "stream_stream_join" -> ((s, dir) => {
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft-stream-ssj").toString
+      registerScratchCleanup(scratch)
+      def leg(t: String) = Tables.eventsStream(s, dir)
+        .where(col("event_type") === t)
+        .withColumn("ts_ev", timestamp_micros(expr("ts div 1000")))
+        .select(col("event_id"), col("user_id"), col("ts_ev"), col("value"))
+      val joined = graft.streaming.Streams.streamStreamJoin(
+        leg("purchase"), leg("view"), "user_id", "ts_ev",
+        lookback = "1 hour", watermark = "3650 days")
+      graft.streaming.Streams.runToParquet(
+        joined.select(
+          col("l.event_id").as("purchase_id"), col("l.user_id").as("user_id"),
+          unix_micros(col("l.ts_ev")).as("purchase_ts_us"),
+          col("l.value").as("purchase_value"),
+          col("r.event_id").as("view_id"),
+          unix_micros(col("r.ts_ev")).as("view_ts_us"),
+          col("r.value").as("view_value")),
+        scratch)
+        .orderBy("purchase_id", "view_id")
+    }),
     "events_sessions" -> ((s, dir) => {
       // the rollup IS the event-grain assignment aggregated: max ordinal
       // = session count (one sessionization definition, two queries)
@@ -1345,6 +1376,24 @@ object Queries {
         .select(col("doc_id"),
           Multimodal.sampleFrames(
             Multimodal.synthAvi(col("doc_id"),
+              (lit(3) + col("doc_id") % 4).cast("int"), lit(8), lit(6)),
+            lit(2)).as("fs"))
+        .select(col("doc_id"), explode(col("fs")).as("f"))
+        .select(col("doc_id"), col("f.frame").as("frame"),
+          col("f.width").as("width"), col("f.height").as("height"),
+          col("f.luma_sum").as("luma_sum"))
+        .orderBy("doc_id", "frame")),
+    // The SECOND real container (r14): the SAME frame formulas carried
+    // in ISO-BMFF/MP4 (Multimodal.synthMp4 — big-endian box tree,
+    // stsd/stts/stsc/stsz/stco sample tables) through the same
+    // sampleFrames entry, demuxed by the pure-JDK box walker. The
+    // oracle is video_frames' SQL verbatim: two containers, one
+    // oracle — the demux layer provably adds nothing to the numbers.
+    "video_frames_mp4" -> ((s, dir) =>
+      docs(s, dir).where(col("doc_id") < 64)
+        .select(col("doc_id"),
+          Multimodal.sampleFrames(
+            Multimodal.synthMp4(col("doc_id"),
               (lit(3) + col("doc_id") % 4).cast("int"), lit(8), lit(6)),
             lit(2)).as("fs"))
         .select(col("doc_id"), explode(col("fs")).as("f"))

@@ -254,19 +254,228 @@ object Multimodal {
         w, h, usPerFrame = 100000, fourcc = "MPNG")
     }
 
+  /** [[synthAvi]]'s MP4 twin (licensed UDF, fixture-only): the SAME
+    * per-frame pixel formula (effective id `id·100 + f`, PNG-encoded)
+    * carried in a REAL ISO-BMFF container ([[mp4Bytes]], 10 Hz
+    * timescale × 1-tick delta = the same exact 100 000 µs/frame) — so
+    * every oracle that replays the AVI fixture's numbers replays this
+    * one's verbatim: two containers, one oracle. */
+  val synthMp4: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (id: Long, nFrames: Int, w: Int, h: Int) =>
+      mp4Bytes((0 until nFrames).map(f => pngBytes(id * 100 + f, w, h)),
+        w, h, timescale = 10L, delta = 1L, fourcc = "mpng")
+    }
+
+  // ── ISO-BMFF / MP4 container (pure JDK, r14 — the SECOND real video
+  //    container: big-endian box tree vs RIFF's little-endian chunks,
+  //    sample tables vs in-band '00dc' chunks; one demuxer API) ────────
+
+  /** Big-endian u32s — ISO-BMFF's integer grid (RIFF is LE; [[u32Bytes]]
+    * serves that side). */
+  private def be32(vs: Long*): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    vs.foreach { v =>
+      bos.write(((v >> 24) & 0xff).toInt); bos.write(((v >> 16) & 0xff).toInt)
+      bos.write(((v >> 8) & 0xff).toInt); bos.write((v & 0xff).toInt)
+    }
+    bos.toByteArray
+  }
+
+  private def be16(vs: Int*): Array[Byte] =
+    vs.flatMap(v => Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)).toArray
+
+  /** ISO-BMFF box: u32 size (incl. 8-byte header) + fourcc + payload. */
+  private def bmffBox(typ: String, payload: Array[Byte]): Array[Byte] =
+    be32(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+
+  /** ISO-BMFF full box: version byte + 24-bit flags prefix the payload. */
+  private def bmffFull(typ: String, version: Int, flags: Int,
+                       payload: Array[Byte]): Array[Byte] =
+    bmffBox(typ, Array(version.toByte, ((flags >> 16) & 0xff).toByte,
+      ((flags >> 8) & 0xff).toByte, (flags & 0xff).toByte) ++ payload)
+
+  /** Identity transform matrix (9 × 16.16/2.30 fixed) shared by
+    * mvhd/tkhd. */
+  private val bmffMatrix: Array[Byte] =
+    be32(0x10000L, 0, 0, 0, 0x10000L, 0, 0, 0, 0x40000000L)
+
+  /** Minimal standard MP4 (ISO base media) writer: ftyp → mdat (frame
+    * payloads back-to-back) → moov (mvhd + one 'vide' trak with the
+    * full sample-table stack: stsd sample entry, stts timing, stsc
+    * chunk map, stsz sizes, stco offsets). mdat-before-moov layout so
+    * the ONE stco chunk offset is just |ftyp| + 8 — no fixups. `fourcc`
+    * tags the visual sample entry ('jpeg' for JPEG frames, 'mpng' for
+    * PNG — the demuxer is codec-agnostic; ImageIO sniffs payloads).
+    * Clock: `delta` ticks per frame on a `timescale`-Hz track clock
+    * (10 Hz × 1 tick = the fixtures' exact 100 000 µs/frame). */
+  private[graft] def mp4Bytes(frames: Seq[Array[Byte]], w: Int, h: Int,
+                              timescale: Long, delta: Long,
+                              fourcc: String): Array[Byte] = {
+    val n = frames.length
+    val dur = n.toLong * delta
+    val ftyp = bmffBox("ftyp", "isom".getBytes("US-ASCII") ++ be32(0x200L) ++
+      "isomiso2mp41".getBytes("US-ASCII"))
+    val mdat = bmffBox("mdat", frames.foldLeft(Array.emptyByteArray)(_ ++ _))
+    val mvhd = bmffFull("mvhd", 0, 0, be32(0, 0, timescale, dur, 0x10000L) ++
+      be16(0x100, 0) ++ be32(0, 0) ++ bmffMatrix ++ be32(0, 0, 0, 0, 0, 0, 2))
+    val tkhd = bmffFull("tkhd", 0, 7, be32(0, 0, 1, 0, dur, 0, 0) ++
+      be16(0, 0, 0, 0) ++ bmffMatrix ++ be32(w.toLong << 16, h.toLong << 16))
+    val mdhd = bmffFull("mdhd", 0, 0, be32(0, 0, timescale, dur) ++ be16(0x55c4, 0))
+    val hdlr = bmffFull("hdlr", 0, 0, be32(0) ++ "vide".getBytes("US-ASCII") ++
+      be32(0, 0, 0) ++ "graft ".getBytes("US-ASCII"))
+    val sampleEntry = bmffBox(fourcc,
+      Array.fill[Byte](6)(0) ++ be16(1) ++ // reserved + data_reference_index
+        be16(0, 0) ++ be32(0, 0, 0) ++ be16(w, h) ++
+        be32(0x480000L, 0x480000L, 0) ++ be16(1) ++ // 72 dpi, frame_count
+        Array.fill[Byte](32)(0) ++ be16(24) ++ be16(0xffff)) // depth, -1
+    val stbl = bmffBox("stbl",
+      bmffFull("stsd", 0, 0, be32(1) ++ sampleEntry) ++
+        bmffFull("stts", 0, 0, be32(1, n.toLong, delta)) ++
+        bmffFull("stsc", 0, 0, be32(1, 1, n.toLong, 1)) ++
+        bmffFull("stsz", 0, 0, be32(0L +: n.toLong +: frames.map(_.length.toLong): _*)) ++
+        bmffFull("stco", 0, 0, be32(1, ftyp.length + 8L)))
+    val minf = bmffBox("minf",
+      bmffFull("vmhd", 0, 1, be16(0, 0, 0, 0)) ++
+        bmffBox("dinf", bmffFull("dref", 0, 0,
+          be32(1) ++ bmffFull("url ", 0, 1, Array.emptyByteArray))) ++ stbl)
+    val moov = bmffBox("moov", mvhd ++
+      bmffBox("trak", tkhd ++ bmffBox("mdia", mdhd ++ hdlr ++ minf)))
+    ftyp ++ mdat ++ moov
+  }
+
+  /** REAL ISO-BMFF/MP4 demuxer (pure JDK): walks the big-endian box
+    * tree (u32 size, size 1 → 64-bit largesize, size 0 → to-end),
+    * selects the first 'vide'-handler trak, reads dims from tkhd
+    * (16.16 fixed, v0/v1), the clock from mdhd timescale + the first
+    * stts delta, and reconstructs every sample's byte range from the
+    * GENERAL sample tables — stsc chunk runs × stco/co64 chunk offsets
+    * × stsz sizes — so multi-chunk files written by other muxers demux
+    * too, not just [[mp4Bytes]]'s single-chunk layout. Returns the
+    * same (width, height, µsPerFrame, frames) tuple as [[demuxAvi]];
+    * None for anything that is not a well-formed MP4 video. */
+  private[operators] def demuxMp4(bytes: Array[Byte])
+      : Option[(Int, Int, Long, Vector[Array[Byte]])] = {
+    if (bytes == null || bytes.length < 16) return None
+    def u16(o: Int): Int = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    def u32(o: Int): Long = ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+      ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    def bad(msg: String) = throw new java.io.IOException(msg)
+    /** Children of a box span as (fourcc, payloadStart, payloadEnd). */
+    def boxes(start: Int, end: Int): Vector[(String, Int, Int)] = {
+      val b = Vector.newBuilder[(String, Int, Int)]
+      var p = start
+      while (p + 8 <= end) {
+        val sz0 = u32(p)
+        val typ = new String(bytes, p + 4, 4, "US-ASCII")
+        val (ps, sz) =
+          if (sz0 == 1L) { if (p + 16 > end) bad("short largesize"); (p + 16, u64(p + 8)) }
+          else if (sz0 == 0L) (p + 8, (end - p).toLong)
+          else (p + 8, sz0)
+        if (sz < (ps - p) || p + sz > end) bad(s"bad box $typ")
+        b += ((typ, ps, (p + sz).toInt))
+        p = (p + sz).toInt
+      }
+      b.result()
+    }
+    def one(cs: Vector[(String, Int, Int)], t: String): (Int, Int) =
+      cs.collectFirst { case (`t`, s, e) => (s, e) }.getOrElse(bad(s"no $t"))
+    try {
+      val top = boxes(0, bytes.length)
+      if (!top.headOption.exists(_._1 == "ftyp")) return None
+      val (moovS, moovE) = one(top, "moov")
+      val trak = boxes(moovS, moovE).collectFirst(Function.unlift {
+        case ("trak", ts, te) =>
+          // a sibling trak that is not a well-formed video track (no
+          // mdia/hdlr, or a 'soun'/'text' handler) is SKIPPED, not a
+          // parse failure — scan on for the first 'vide' one
+          scala.util.Try {
+            val cs = boxes(ts, te)
+            val (ms, me) = one(cs, "mdia")
+            val mcs = boxes(ms, me)
+            val (hs, _) = one(mcs, "hdlr")
+            // handler type sits after version/flags + pre_defined
+            if (new String(bytes, hs + 8, 4, "US-ASCII") == "vide")
+              Some((one(cs, "tkhd"), mcs)) else None
+          }.toOption.flatten
+        case _ => None
+      }).getOrElse(bad("no video trak"))
+      val ((tkS, _), mdiaBoxes) = trak
+      // tkhd v1 widens creation/modification/duration to u64
+      val tkOff = if (bytes(tkS) == 1) 88 else 76
+      val w = (u32(tkS + tkOff) >> 16).toInt
+      val h = (u32(tkS + tkOff + 4) >> 16).toInt
+      val (mdS, _) = one(mdiaBoxes, "mdhd")
+      val timescale = if (bytes(mdS) == 1) u32(mdS + 20) else u32(mdS + 12)
+      if (timescale <= 0) bad("bad timescale")
+      val (minfS, minfE) = one(mdiaBoxes, "minf")
+      val (stblS, stblE) = one(boxes(minfS, minfE), "stbl")
+      val stbl = boxes(stblS, stblE)
+      val (sttsS, _) = one(stbl, "stts")
+      if (u32(sttsS + 4) < 1) bad("empty stts")
+      val usf = u32(sttsS + 12) * 1000000L / timescale
+      // sizes: fixed sample_size, or the per-sample table
+      val (stszS, _) = one(stbl, "stsz")
+      val fixedSz = u32(stszS + 4)
+      val nSamples = u32(stszS + 8).toInt
+      if (nSamples < 0 || nSamples > bytes.length) bad("bad sample count")
+      val sizes = if (fixedSz != 0) Array.fill(nSamples)(fixedSz)
+        else Array.tabulate(nSamples)(i => u32(stszS + 12 + 4 * i))
+      // chunk offsets: stco (u32) or co64 (u64)
+      val chunkOffs = stbl.collectFirst {
+        case ("stco", s, _) => Array.tabulate(u32(s + 4).toInt)(i => u32(s + 8 + 4 * i))
+        case ("co64", s, _) => Array.tabulate(u32(s + 4).toInt)(i => u64(s + 8 + 8 * i))
+      }.getOrElse(bad("no stco/co64"))
+      // stsc runs → samples-per-chunk for each chunk index
+      val (stscS, _) = one(stbl, "stsc")
+      val runs = Array.tabulate(u32(stscS + 4).toInt)(i =>
+        (u32(stscS + 8 + 12 * i).toInt, u32(stscS + 12 + 12 * i).toInt))
+      val frames = Vector.newBuilder[Array[Byte]]
+      var sample = 0
+      var chunk = 0
+      var run = 0
+      while (sample < nSamples && chunk < chunkOffs.length) {
+        while (run + 1 < runs.length && runs(run + 1)._1 <= chunk + 1) run += 1
+        var off = chunkOffs(chunk)
+        var i = 0
+        while (i < runs(run)._2 && sample < nSamples) {
+          val sz = sizes(sample)
+          if (off < 0 || sz < 0 || off + sz > bytes.length) bad("sample out of range")
+          frames += java.util.Arrays.copyOfRange(bytes, off.toInt, (off + sz).toInt)
+          off += sz; sample += 1; i += 1
+        }
+        chunk += 1
+      }
+      if (sample < nSamples) bad("sample table short of chunks")
+      Some((w, h, usf, frames.result()))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Container sniff → the right demuxer: RIFF('AVI ') little-endian
+    * chunks via [[demuxAvi]], ISO-BMFF ('ftyp' leading box) via
+    * [[demuxMp4]]. The ONE entry [[decodeVideo]] and [[sampleFrames]]
+    * share, so every video operator handles both containers. */
+  private[operators] def demuxVideo(bytes: Array[Byte])
+      : Option[(Int, Int, Long, Vector[Array[Byte]])] = {
+    if (bytes == null || bytes.length < 16) None
+    else if (new String(bytes, 0, 4, "US-ASCII") == "RIFF") demuxAvi(bytes)
+    else if (new String(bytes, 4, 4, "US-ASCII") == "ftyp") demuxMp4(bytes)
+    else None
+  }
+
   /** Demuxed-video metadata: container header dims, frame count from
     * the actual movi chunks, duration from the header clock —
     * `n_frames · µsPerFrame / 1e6` (exact integer product, one
     * correctly-rounded division: SQL-replayable). */
   case class VideoMeta(width: Int, height: Int, n_frames: Int, duration_s: Double)
 
-  /** REAL video decode (licensed UDF): [[demuxAvi]] the container,
-    * report header dims + true frame count + duration. Null for
-    * non-AVI payloads. This replaces the r13 `decodeStub` — no fake
-    * legs remain in any modality. */
-  val decodeAvi: org.apache.spark.sql.expressions.UserDefinedFunction =
+  /** REAL video decode (licensed UDF): [[demuxVideo]] the container
+    * (RIFF/AVI or ISO-BMFF/MP4), report header dims + true frame count
+    * + duration. Null for payloads that are neither. This replaces the
+    * r13 `decodeStub` — no fake legs remain in any modality. */
+  val decodeVideo: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { bytes: Array[Byte] =>
-      demuxAvi(bytes).map { case (w, h, usf, frames) =>
+      demuxVideo(bytes).map { case (w, h, usf, frames) =>
         VideoMeta(w, h, frames.length, (frames.length.toLong * usf).toDouble / 1e6)
       }
     }
@@ -275,19 +484,19 @@ object Multimodal {
     * sampled frame index. */
   case class FrameMeta(frame: Int, width: Int, height: Int, luma_sum: Long)
 
-  /** REAL frame sampling + decode (licensed UDF): [[demuxAvi]] the AVI,
-    * pick `k` evenly spaced frames with the SAME index math as
-    * [[frameSampleIndices]] (`(i·n) / k` integer truncation; all frames
-    * when n ≤ k), and decode each through ImageIO — (frame, width,
-    * height, Σ BT.601 integer luma) per sampled frame, exactly
-    * [[decodeImage]]'s grid. Null for non-AVI bytes or undecodable
-    * frames. At 100 TB this is the per-row "sample 8 frames before
-    * embedding" step: narrow scan work whose cost is k decodes per
-    * asset regardless of clip length. */
+  /** REAL frame sampling + decode (licensed UDF): [[demuxVideo]] the
+    * container (AVI or MP4), pick `k` evenly spaced frames with the
+    * SAME index math as [[frameSampleIndices]] (`(i·n) / k` integer
+    * truncation; all frames when n ≤ k), and decode each through
+    * ImageIO — (frame, width, height, Σ BT.601 integer luma) per
+    * sampled frame, exactly [[decodeImage]]'s grid. Null for
+    * non-video bytes or undecodable frames. At 100 TB this is the
+    * per-row "sample 8 frames before embedding" step: narrow scan work
+    * whose cost is k decodes per asset regardless of clip length. */
   val sampleFrames: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (bytes: Array[Byte], k: Int) =>
       if (k <= 0) None
-      else demuxAvi(bytes).flatMap { case (_, _, _, frames) =>
+      else demuxVideo(bytes).flatMap { case (_, _, _, frames) =>
         val n = frames.length
         if (n == 0) None
         else try {
@@ -462,9 +671,12 @@ object Multimodal {
     * sibling, fixture-only): modality by id mod 3, payload through the
     * REAL encoder for that modality — [[synthPng]] images (8+id%9 ×
     * 8+id%7), [[synthWav]] mono PCM16 audio (64+id%17 samples @ 8 kHz),
-    * [[synthAvi]] MPNG video (3+id%4 frames, 8×6, 10 fps). Every
-    * payload round-trips through its real JDK codec/container and
-    * every decoded number replays from the generator formulas in SQL. */
+    * and video (3+id%4 frames, 8×6, 10 fps) ALTERNATING container by
+    * id parity — [[synthAvi]] RIFF/AVI for even video ids, [[synthMp4]]
+    * ISO-BMFF for odd — with identical frame content and clock, so one
+    * oracle covers both containers. Every payload round-trips through
+    * its real JDK codec/container and every decoded number replays
+    * from the generator formulas in SQL. */
   def realMedia(docs: DataFrame, idCol: String): DataFrame = {
     val id = col(idCol).cast("long")
     docs.select(
@@ -474,17 +686,19 @@ object Multimodal {
       when(id % 3 === 0,
           synthPng(id, (lit(8) + id % 9).cast("int"), (lit(8) + id % 7).cast("int")))
         .when(id % 3 === 1, synthWav(id, (lit(64) + id % 17).cast("int"), lit(8000)))
-        .otherwise(synthAvi(id, (lit(3) + id % 4).cast("int"), lit(8), lit(6)))
+        .when(id % 2 === 0, synthAvi(id, (lit(3) + id % 4).cast("int"), lit(8), lit(6)))
+        .otherwise(synthMp4(id, (lit(3) + id % 4).cast("int"), lit(8), lit(6)))
         .as("bytes"),
       map(lit("codec"),
-        element_at(array(lit("png"), lit("wav"), lit("avi-mpng")),
-          (id % 3 + 1).cast("int")),
+        when(id % 3 === 0, lit("png")).when(id % 3 === 1, lit("wav"))
+          .when(id % 2 === 0, lit("avi-mpng")).otherwise(lit("mp4-mpng")),
         lit("source"), lit("synthetic")).as("meta"))
   }
 
   /** Full per-modality pipeline — every modality decodes through its
     * REAL codec/container (ImageIO images, AudioSystem WAV, the
-    * [[demuxAvi]] RIFF/AVI path; the r13 crc32 `decodeStub` is gone):
+    * [[demuxVideo]] RIFF/AVI + ISO-BMFF/MP4 path; the r13 crc32
+    * `decodeStub` is gone):
     * decode + features + frame sampling in ONE narrow select over the
     * media table (no join, no shuffle), embarrassingly parallel at any
     * corpus size. `decoded` is the unified (width, height, duration_s)
@@ -500,7 +714,7 @@ object Multimodal {
       .withColumn("audio",
         when(col("modality") === "audio", decodeWav(col("bytes"))))
       .withColumn("video",
-        when(col("modality") === "video", decodeAvi(col("bytes"))))
+        when(col("modality") === "video", decodeVideo(col("bytes"))))
       .withColumn("decoded",
         when(col("modality") === "image", struct(
           col("image.width").as("width"), col("image.height").as("height"),

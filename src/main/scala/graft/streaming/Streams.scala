@@ -59,6 +59,32 @@ object Streams {
     stream.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Watermarked STREAM-STREAM inner join — the canonical stateful
+    * two-stream operator (Spark buffers BOTH sides in the state store
+    * and emits a pair the micro-batch either side's row arrives in):
+    * left row ⋈ right rows sharing `keyCol` whose event time falls in
+    * `[left_ts − lookback, left_ts]`. Both sides carry a watermark and
+    * the join condition bounds event time in both directions, so the
+    * state store EVICTS rows older than watermark + lookback — the
+    * property that makes the operator run forever at 100 TB/day
+    * (unbounded-state stream joins OOM; this one's state is the
+    * lookback window per key). Inner join ⇒ the emitted PAIR SET is
+    * micro-batching-invariant: every qualifying pair appears exactly
+    * once regardless of which batch each side's row arrived in — which
+    * is what lets a plain SQL join oracle a real two-stream run.
+    * Returns the joined frame with sides aliased `l` / `r`; callers
+    * project. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                       tsCol: String, lookback: String,
+                       watermark: String): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark).alias("l")
+    val r = right.withWatermark(tsCol, watermark).alias("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$tsCol") >= col(s"l.$tsCol") - expr(s"INTERVAL $lookback") &&
+        col(s"r.$tsCol") <= col(s"l.$tsCol"))
+  }
+
   /** Run a streaming frame to a parquet sink with Trigger.AvailableNow
     * (process everything currently available, then stop) and return the
     * materialized result table. This is how the registered stream_*

@@ -34,10 +34,10 @@ class MultimodalSpec extends SparkSpec {
     counts1.foreach { case (bin, c) => assert(table((1L, bin)) === c) }
   }
 
-  test("decodeAvi: header metadata round-trips; junk and truncated AVIs are null") {
+  test("decodeVideo (AVI leg): header metadata round-trips; junk and truncated AVIs are null") {
     val rows = Seq((4L, 5), (9L, 3)).toDF("id", "n")
       .select($"id", $"n",
-        Multimodal.decodeAvi(Multimodal.synthAvi($"id", $"n", lit(8), lit(6))).as("m"))
+        Multimodal.decodeVideo(Multimodal.synthAvi($"id", $"n", lit(8), lit(6))).as("m"))
       .collect()
     rows.foreach { r =>
       val m = r.getStruct(2)
@@ -48,13 +48,13 @@ class MultimodalSpec extends SparkSpec {
     }
     val junk = Seq(("x", "RIFFxxxxJUNK".getBytes("UTF-8")),
       ("y", "not even riff".getBytes("UTF-8"))).toDF("k", "b")
-      .select(Multimodal.decodeAvi($"b")).collect()
+      .select(Multimodal.decodeVideo($"b")).collect()
     junk.foreach(r => assert(r.isNullAt(0)))
     // a well-formed AVI truncated mid-chunk must be null, not garbage
     val whole = Seq((1L, 1)).toDF("id", "n")
       .select(Multimodal.synthAvi($"id", $"n", lit(8), lit(6))).head().getAs[Array[Byte]](0)
     val cut = Seq(("t", whole.take(whole.length / 2))).toDF("k", "b")
-      .select(Multimodal.decodeAvi($"b")).head()
+      .select(Multimodal.decodeVideo($"b")).head()
     assert(cut.isNullAt(0), "truncated AVI must be null")
   }
 
@@ -78,6 +78,66 @@ class MultimodalSpec extends SparkSpec {
       assert(f.getInt(1) === 8 && f.getInt(2) === 6, "JPEG frame dims")
       assert(f.getLong(3) > 0L, "non-trivial decoded luma")
     }
+  }
+
+  test("decodeVideo (MP4 leg): ISO-BMFF metadata round-trips; junk and truncated MP4s are null") {
+    val rows = Seq((4L, 5), (9L, 3)).toDF("id", "n")
+      .select($"id", $"n",
+        Multimodal.decodeVideo(Multimodal.synthMp4($"id", $"n", lit(8), lit(6))).as("m"))
+      .collect()
+    rows.foreach { r =>
+      val m = r.getStruct(2)
+      assert(m.getInt(0) === 8 && m.getInt(1) === 6, "tkhd 16.16 dims")
+      assert(m.getInt(2) === r.getInt(1), "stsz sample count")
+      // 10 Hz timescale × 1-tick delta → n/10 seconds, exactly the AVI clock
+      assert(m.getDouble(3) === r.getInt(1) * 100000L / 1e6)
+    }
+    // junk with a plausible ftyp prefix, and a well-formed MP4 truncated
+    // mid-moov, must both be null — not garbage, not an exception
+    val whole = Seq((1L, 2)).toDF("id", "n")
+      .select(Multimodal.synthMp4($"id", $"n", lit(8), lit(6))).head().getAs[Array[Byte]](0)
+    val bad = Seq(
+      ("junk", "....ftypisom but then nonsense".getBytes("UTF-8")),
+      ("cut", whole.take(whole.length - 40))).toDF("k", "b")
+      .select(Multimodal.decodeVideo($"b")).collect()
+    bad.foreach(r => assert(r.isNullAt(0)))
+  }
+
+  test("one container, one oracle: synthAvi and synthMp4 demux to identical sampled frames") {
+    val pairs = Seq((7L, 5, 2), (12L, 3, 4)).toDF("id", "n", "k")
+      .select($"id",
+        Multimodal.sampleFrames(Multimodal.synthAvi($"id", $"n", lit(8), lit(6)), $"k").as("avi"),
+        Multimodal.sampleFrames(Multimodal.synthMp4($"id", $"n", lit(8), lit(6)), $"k").as("mp4"))
+      .collect()
+    pairs.foreach { r =>
+      val avi = r.getSeq[org.apache.spark.sql.Row](1)
+      val mp4 = r.getSeq[org.apache.spark.sql.Row](2)
+      assert(avi.nonEmpty && avi === mp4,
+        s"id=${r.getLong(0)}: the two containers must carry the same frames")
+    }
+  }
+
+  test("demuxMp4 handles a genuine JPEG-sample MP4 (lossy frames through the same box walker)") {
+    val img = new java.awt.image.BufferedImage(8, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 8; y <- 0 until 6) img.setRGB(x, y, (x * 30 << 16) | (y * 40 << 8))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpeg = bos.toByteArray
+    val mp4 = Multimodal.mp4Bytes(Seq(jpeg, jpeg, jpeg), 8, 6,
+      timescale = 30L, delta = 3L, fourcc = "jpeg")
+    val fs = Seq(("a", mp4)).toDF("k", "b")
+      .select(Multimodal.sampleFrames($"b", lit(2)).as("fs"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(fs.map(_.getInt(0)) === Seq(0, 1), "sampled indices over 3 frames, k=2")
+    fs.foreach { f =>
+      assert(f.getInt(1) === 8 && f.getInt(2) === 6, "JPEG frame dims")
+      assert(f.getLong(3) > 0L, "non-trivial decoded luma")
+    }
+    // the 30 Hz / 3-tick clock is still exactly 100 000 µs per frame
+    val m = Seq(("a", mp4)).toDF("k", "b")
+      .select(Multimodal.decodeVideo($"b").as("m")).head().getStruct(0)
+    assert(m.getDouble(3) === 0.3)
   }
 
   test("frame sampling picks k evenly spaced indices") {

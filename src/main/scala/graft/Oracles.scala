@@ -1362,6 +1362,31 @@ object Oracles {
          |  CAST(len(t) AS BIGINT) n_tokens,
          |  CAST(len(covered) AS BIGINT) n_stripped
          |FROM cv ORDER BY doc_id""".stripMargin,
+    // cross-dup strip twin: dup_span_stats' zipped-unnest occurrence
+    // grammar (5-gram, 1-based j), canonical copy = min(doc_id) per
+    // duplicated gram (min <> max ⟺ in ≥2 docs), coverage union via
+    // list_distinct, and strip_repeats' rebuild comprehension
+    "strip_cross_dups" ->
+      s"""WITH $Toks,
+         |sh AS (SELECT doc_id, t, CASE WHEN len(t)>=5 THEN
+         |  [list_aggr(t[i:i+4],'string_agg','_') for i in range(1, len(t)-3)]
+         |  ELSE [] END g FROM toks),
+         |oc AS (SELECT doc_id, unnest(g) gram,
+         |  unnest(CASE WHEN len(t)>=5 THEN range(1, len(t)-3) ELSE [] END) j
+         |  FROM sh),
+         |keep AS (SELECT gram, min(doc_id) keep_doc FROM oc GROUP BY 1
+         |  HAVING min(doc_id) <> max(doc_id)),
+         |cv AS (SELECT o.doc_id,
+         |  list_distinct(flatten(list(range(o.j, o.j+5)))) covered
+         |  FROM oc o JOIN keep k ON o.gram = k.gram AND o.doc_id <> k.keep_doc
+         |  GROUP BY o.doc_id),
+         |st AS (SELECT s.doc_id, s.t, coalesce(c.covered, []) covered
+         |  FROM sh s LEFT JOIN cv c USING(doc_id))
+         |SELECT doc_id,
+         |  coalesce(array_to_string([t[i] for i in range(1, len(t)+1) if NOT list_contains(covered, i)], ' '), '') text_clean,
+         |  CAST(len(t) AS BIGINT) n_tokens,
+         |  CAST(len(covered) AS BIGINT) n_stripped
+         |FROM st ORDER BY doc_id""".stripMargin,
     // overlap twin: same distinct-shingle grammar, df cap by DOCUMENT
     // count, source-pair self-join with string-order dedup
     "source_overlap" ->

@@ -1066,6 +1066,13 @@ object Queries {
     "strip_repeats" -> ((s, dir) =>
       TextAnalysis.stripRepeats(docs(s, dir), "doc_id", "text", 3)
         .orderBy("doc_id")),
+    // cross-doc exact-substring dedup (Lee et al. ExactSubstr policy):
+    // 5-token spans shared across documents are removed everywhere but
+    // their lowest-doc_id canonical copy — dup_span_stats' acting twin
+    // (it counts exactly what this removes)
+    "strip_cross_dups" -> ((s, dir) =>
+      TextAnalysis.stripCrossDups(docs(s, dir), "doc_id", "text", 5)
+        .orderBy("doc_id")),
     // cross-source duplication report: shared sub-cap shingles per
     // source pair (who republishes whom, before mixing)
     "source_overlap" -> ((s, dir) =>

@@ -498,6 +498,48 @@ object TextAnalysis {
     rebuild(staged)
   }
 
+  /** CROSS-document exact-substring dedup — the "remove all but one
+    * copy" policy of suffix-array training-data dedup (Lee et al. 2022,
+    * *Deduplicating Training Data Makes Language Models Better*), here
+    * on the n-gram grid the rest of the dedup spine shares: every
+    * n-token span appearing in MORE THAN ONE document is deleted from
+    * every document EXCEPT the lowest-doc_id holder (the canonical
+    * copy), overlapping removals union, and the surviving tokens
+    * re-render. [[Dedup.dupSpanStats]] is this operator's signal-only
+    * twin (same grammar, same coverage arithmetic — it counts what this
+    * removes); [[stripRepeats]] handles the WITHIN-doc repeats this
+    * deliberately leaves alone, and [[stripBoilerplate]] strips by a
+    * mined phrase set rather than pairwise duplication.
+    *
+    * Scale shape: one shuffle keyed on the n-gram for a min/max
+    * aggregate — cross-doc duplication is `min(doc_id) != max(doc_id)`,
+    * both partial-aggregatable, so NO countDistinct, no per-gram doc
+    * list, nothing all-pairs — then a hash join back to occurrences in
+    * which only STRIPPED positions shuffle per doc, and the rebuild's
+    * doc-keyed join. The canonical-copy rule needs no tie-break: min is
+    * total over doc ids. */
+  def stripCrossDups(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 5): DataFrame = {
+    require(n >= 2, "span length must be >= 2")
+    val toksDf = spreadDocs(docs, idCol, textCol)
+      .select(col("doc_id"), TextFns.tokens(col("gtext")).as("toks"))
+    val oc = toksDf
+      .select(col("doc_id"), posexplode(TextFns.shingles(col("toks"), n)))
+      .toDF("doc_id", "p0", "g")
+    val keep = oc.groupBy("g")
+      .agg(min("doc_id").as("keep_doc"), max("doc_id").as("max_doc"))
+      .where(col("keep_doc") =!= col("max_doc"))
+      .select("g", "keep_doc")
+    val covered = oc.join(keep, "g")
+      .where(col("doc_id") =!= col("keep_doc"))
+      .select(col("doc_id"),
+        explode(sequence(col("p0") + 1, col("p0") + n)).as("ci"))
+      .groupBy("doc_id").agg(sort_array(collect_set(col("ci"))).as("covered"))
+    rebuild(toksDf.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("covered"), array().cast("array<int>")).as("covered")))
+  }
+
   /** Shared rebuild stage: drop covered positions, render the surviving
     * token stream. Input: (doc_id, toks, covered 1-based positions). */
   private def rebuild(staged: DataFrame): DataFrame =

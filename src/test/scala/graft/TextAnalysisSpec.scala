@@ -203,6 +203,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(joined === got)
   }
 
+  test("strip cross dups: canonical copy survives, every other copy is removed") {
+    import spark.implicits._
+    val docs = Seq(
+      // lowest doc_id holding the shared spans → the canonical copy
+      (1L, "one two three four five"),
+      // shares "one two three" + "two three four": covered 2..5, ends survive
+      (2L, "zzz one two three four yyy"),
+      // shares "one two three" only: positions 1..3 go
+      (3L, "one two three extra stuff here"),
+      // nothing shared → untouched
+      (4L, "totally unique content words"),
+      // sub-n doc: no shingles, untouched
+      (5L, "ab"),
+      // BOTH occurrences strip (canonical lives in doc 1, not "first
+      // occurrence here" — within-doc policy is stripRepeats' job)
+      (6L, "one two three one two three")).toDF("doc_id", "text")
+    val got = TextAnalysis.stripCrossDups(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === (("one two three four five", 5L, 0L)))
+    assert(got(2L) === (("zzz yyy", 6L, 4L)))
+    assert(got(3L) === (("extra stuff here", 6L, 3L)))
+    assert(got(4L) === (("totally unique content words", 4L, 0L)))
+    assert(got(5L) === (("ab", 1L, 0L)))
+    assert(got(6L) === (("", 6L, 6L)))
+    // corpus-wide: the span survives in EXACTLY one document
+    assert(got.values.count(_._1.contains("one two three")) === 1)
+  }
+
   test("tfidf top terms: universal terms score zero, ranks are exact") {
     import spark.implicits._
     // 'the' appears in every doc (idf=ln(1)=0 → score 0);

@@ -1344,6 +1344,18 @@ object Oracles {
     // the oracle is simply the source of truth
     "parquet_compact_roundtrip" ->
       "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
+    // zorder twin: the same unrolled Morton interleave — bit k of the
+    // 16-bit-masked partkey to position 2k, suppkey to 2k+1 — as a
+    // shift/mask comprehension; list_sum re-cast to BIGINT (DuckDB
+    // widens list_sum(BIGINT) — the q22 doctrine)
+    "zorder_key" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) l_linenumber,
+        |  l_partkey, l_suppkey,
+        |  CAST(list_sum([(((l_partkey & 65535) >> k) & 1) * (1::BIGINT << (2*k))
+        |    + (((l_suppkey & 65535) >> k) & 1) * (1::BIGINT << (2*k+1))
+        |    for k in range(0, 16)]) AS BIGINT) zkey
+        |FROM lineitem WHERE l_orderkey <= 2000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // intra-doc strip twin: duplicate starts are the j whose 3-gram
     // already appears in the strict prefix g[1:j-1]; identical 1-based
     // position arithmetic as strip_boilerplate's covered-union

@@ -1061,6 +1061,21 @@ object Queries {
       s.read.parquet(s"$tmp/out")
         .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
     }),
+    // Z-order (Morton) clustering key — the multi-dimensional layout
+    // primitive behind Layout.clusteredWrite (Delta OPTIMIZE ZORDER
+    // class): pure unrolled shift/mask arithmetic, so the exact bit
+    // interleave is oracle-gated; the write/pruning side is
+    // LayoutSpec's bounding-box assertion (file identity is layout
+    // policy, not query semantics)
+    "zorder_key" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .where(col("l_orderkey") <= 2000)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          operators.Layout.zorderKey2(col("l_partkey"), col("l_suppkey"), bits = 16)
+            .as("zkey"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
     // intra-doc repeated-span removal: n-gram occurrences after the
     // first within a document are deleted (within-doc dedup)
     "strip_repeats" -> ((s, dir) =>

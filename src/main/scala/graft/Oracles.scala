@@ -517,6 +517,14 @@ object Oracles {
     // the streaming foreachBatch composition must reproduce the batch
     // as-of EXACTLY (micro-batching-invariant per-left-row semantics)
     "stream_asof_enrich" -> AsofSql,
+    // stream_running_totals twin: the transformWithState run's final
+    // per-user state (max-count emission) IS the batch aggregate —
+    // count/sum over all events per user (round-6 sum, the
+    // stream_windowed_counts precedent)
+    "stream_running_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+        |round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // stream_stream_join twin: the watermarked two-stream inner join's
     // pair set is micro-batching-invariant, so a plain SQL join over
     // the same events replays the streaming run exactly. Micros grid on

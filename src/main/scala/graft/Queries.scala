@@ -503,6 +503,36 @@ object Queries {
         scratch)
         .orderBy("purchase_id", "view_id")
     }),
+    // seventh genuinely-streaming row (r14): transformWithState — the
+    // Spark 4 arbitrary-state API (RocksDB-backed ValueState), run over
+    // a TWO-micro-batch source (two files, maxFilesPerTrigger=1 under
+    // AvailableNow) so per-user state provably crosses batches. Each
+    // batch emits the user's RUNNING (count, sum); count strictly grows
+    // per emission, so the max-count row per user is the final state
+    // regardless of how the files split into batches — and equals the
+    // plain batch aggregate the oracle computes.
+    "stream_running_totals" -> ((s, dir) => {
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft-stream-tws").toString
+      registerScratchCleanup(scratch)
+      val ev = Tables(s, dir, "events").select("event_id", "user_id", "value")
+      ev.repartition(2, col("event_id"))
+        .write.mode("overwrite").parquet(s"$scratch/in")
+      val src = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$scratch/in")
+      val confKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(confKey)
+      s.conf.set(confKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val raw =
+        try graft.streaming.Streams.runningTotals(src, s"$scratch/run")
+        finally prev.fold(s.conf.unset(confKey))(s.conf.set(confKey, _))
+      raw.groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("sum_value"))).as("m"))
+        .select(col("user_id"), col("m.n_events").as("n_events"),
+          round(col("m.sum_value"), 6).as("sum_value"))
+        .orderBy("user_id")
+    }),
     "events_sessions" -> ((s, dir) => {
       // the rollup IS the event-grain assignment aggregated: max ordinal
       // = session count (one sessionization definition, two queries)

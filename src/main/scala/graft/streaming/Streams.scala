@@ -706,4 +706,61 @@ object Streams {
       }
       .start()
   }
+
+  final case class KV(user_id: Long, value: Double)
+  final case class UserTotal(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** [[org.apache.spark.sql.streaming.StatefulProcessor]] for
+    * [[runningTotals]] — Spark 4's `transformWithState` arbitrary-state
+    * API (the successor to flatMapGroupsWithState, used by the
+    * sessionize/anomaly operators above; a complete engine speaks
+    * both): one composable named `ValueState` cell per user holding
+    * (count, sum), updated per micro-batch, running totals emitted on
+    * every batch the key appears in. TTLConfig.NONE — the registered
+    * run is bounded; a production deployment sets a TTL and lets the
+    * store expire cold keys instead of growing forever. */
+  private class TotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, KV, UserTotal] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double)]("totals",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[KV],
+                                 tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserTotal] = {
+      var (n, s) = if (st.exists()) st.get() else (0L, 0.0)
+      rows.foreach { r => n += 1; s += r.value }
+      st.update((n, s))
+      Iterator.single(UserTotal(key, n, s))
+    }
+  }
+
+  /** Running per-user totals via `transformWithState` — the Spark 4
+    * arbitrary-state operator (RocksDB-backed: callers set
+    * `spark.sql.streaming.stateStore.providerClass` to the RocksDB
+    * provider, which transformWithState requires). Emits each user's
+    * RUNNING (count, sum) in every micro-batch the user appears in, so
+    * a multi-batch run's final row per user — the max-count one —
+    * equals the batch aggregate (count strictly grows per emission:
+    * batching-invariant), while the intermediate rows prove the state
+    * actually crossed batches. State is one fixed-size cell per key:
+    * at 100 TB/day the store holds |active keys| cells, not history,
+    * and a TTL bounds even that. */
+  def runningTotals(stream: DataFrame, scratchDir: String,
+                    timeoutMs: Long = 600000L): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val out = stream.select(col("user_id").cast("long").as("user_id"),
+        col("value").cast("double").as("value")).as[KV]
+      .groupByKey(_.user_id)
+      .transformWithState(new TotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .toDF()
+    runToParquet(out, scratchDir, timeoutMs)
+  }
 }

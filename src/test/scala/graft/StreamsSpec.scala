@@ -459,4 +459,51 @@ class StreamsSpec extends SparkSpec {
       assert(partitionFiles === after)
     } finally q.stop()
   }
+
+  test("transformWithState running totals: ValueState crosses micro-batches, final row is the batch aggregate") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tws").toString
+    // two SEPARATE files → two micro-batches under maxFilesPerTrigger=1
+    def spool(name: String, rows: Seq[(Long, Long, Double)]): Unit = {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val tmp = s"$dir/_tmp_$name"
+      rows.toDF("event_id", "user_id", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val listing = Files.list(Paths.get(tmp))
+      val part = try listing.filter(_.toString.endsWith(".parquet"))
+        .findFirst().get() finally listing.close()
+      Files.createDirectories(Paths.get(s"$dir/in"))
+      Files.move(part, Paths.get(s"$dir/in/$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    spool("a", Seq((1L, 1L, 1.0), (2L, 1L, 2.0), (3L, 2L, 5.0)))
+    spool("b", Seq((4L, 1L, 4.0), (5L, 3L, 7.0)))
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val raw =
+      try {
+        val sch = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.DoubleType)))
+        val src = spark.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+        Streams.runningTotals(src, s"$dir/run").collect()
+      } finally prev.fold(spark.conf.unset(confKey))(spark.conf.set(confKey, _))
+    val byUser = raw.groupBy(_.getLong(0))
+    // user 1 appears in BOTH batches: two emissions, running count
+    // strictly grows to the final 3 — state provably crossed batches
+    val u1 = byUser(1L).map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(u1.length === 2, s"one emission per batch: $u1")
+    assert(u1.last === ((3L, 7.0)))
+    assert(u1.head._1 < 3L, "first emission must be a partial running count")
+    // single-batch users emit once with their full totals
+    assert(byUser(2L).map(r => (r.getLong(1), r.getDouble(2))).toSeq === Seq((1L, 5.0)))
+    assert(byUser(3L).map(r => (r.getLong(1), r.getDouble(2))).toSeq === Seq((1L, 7.0)))
+  }
 }

@@ -185,4 +185,30 @@ class PropertySpec extends SparkSpec {
       assert(got(id) === naive(text), s"doc $id: '$text'")
     }
   }
+
+  test("zorderKey2 is a bijection on the grid: the key decodes back to (a, b)") {
+    val bits = 12
+    val pairs = samples(for {
+      a <- Gen.chooseNum(0L, (1L << bits) - 1)
+      b <- Gen.chooseNum(0L, (1L << bits) - 1)
+    } yield (a, b), n = 80)
+    val keys = pairs.toDF("a", "b")
+      .select(graft.operators.Layout.zorderKey2($"a", $"b", bits))
+      .collect().map(_.getLong(0))
+    // driver-side de-interleave: even bits → a, odd bits → b
+    def dez(z: Long): (Long, Long) = {
+      var (a, b, k) = (0L, 0L, 0)
+      while (k < bits) {
+        a |= ((z >> (2 * k)) & 1L) << k
+        b |= ((z >> (2 * k + 1)) & 1L) << k
+        k += 1
+      }
+      (a, b)
+    }
+    pairs.zip(keys).foreach { case ((a, b), z) =>
+      assert(dez(z) === ((a, b)), s"z=$z must decode to ($a, $b)")
+    }
+    // distinct inputs → distinct keys (injective on the sample)
+    assert(keys.distinct.length === pairs.distinct.length)
+  }
 }

@@ -525,6 +525,21 @@ object Oracles {
       """SELECT user_id, count(*) AS n_events,
         |round(sum(value), 6) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // outer twin: the same join with the unmatched-purchase rows
+    // null-padded — the streaming side's watermark-driven outer
+    // emission (sentinel-advanced) lands on the plain LEFT JOIN; the
+    // view_id coalesce keys the tie order for null rows on both engines
+    "stream_stream_join_outer" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts)//1000 tsm,
+        |  event_type, value FROM events),
+        |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT * FROM e WHERE event_type = 'view')
+        |SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+        |  p.tsm AS purchase_ts_us, p.value AS purchase_value,
+        |  v.event_id AS view_id, v.tsm AS view_ts_us, v.value AS view_value
+        |FROM p LEFT JOIN v ON p.user_id = v.user_id
+        |  AND v.tsm BETWEEN p.tsm - 3600000000 AND p.tsm
+        |ORDER BY purchase_id, coalesce(view_id, -1)""".stripMargin,
     // stream_stream_join twin: the watermarked two-stream inner join's
     // pair set is micro-batching-invariant, so a plain SQL join over
     // the same events replays the streaming run exactly. Micros grid on

@@ -503,6 +503,62 @@ object Queries {
         scratch)
         .orderBy("purchase_id", "view_id")
     }),
+    // eighth genuinely-streaming row (r14): the LEFT-OUTER watermarked
+    // stream-stream join — the subtlest streaming semantics in the
+    // engine: unmatched left rows are emitted only when the WATERMARK
+    // passes their last possible match, so a bounded run must advance
+    // the watermark past its data. A far-future sentinel row per leg
+    // (filtered back out by user_id >= 0) does exactly that; the
+    // probe-verified two-batch schedule is pinned by file mtime
+    // (FileStreamSource orders by modification time). The final pair
+    // set — matches + null-padded outer rows — is then deterministic
+    // and equals the plain SQL LEFT JOIN.
+    "stream_stream_join_outer" -> ((s, dir) => {
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft-stream-ssjo").toString
+      registerScratchCleanup(scratch)
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts_us"), col("value"))
+      val far = ev.agg(max("ts_us")).head().getLong(0) + 365L * 86400L * 1000000L
+      def spool(name: String, df: DataFrame, mtime: Long): Unit = {
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val tmp = s"$scratch/_tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val listing = Files.list(Paths.get(tmp))
+        val part = try listing.filter(_.toString.endsWith(".parquet"))
+          .findFirst().get() finally listing.close()
+        Files.createDirectories(Paths.get(s"$scratch/in"))
+        val dst = Paths.get(s"$scratch/in/$name.parquet")
+        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      import s.implicits._
+      spool("data", ev, mtime = 1000000L)
+      spool("sentinel", Seq(
+        (-1L, -1L, "purchase", far, 0.0),
+        (-2L, -2L, "view", far, 0.0)).toDF(ev.columns: _*), mtime = 2000000L)
+      def leg(t: String) = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$scratch/in")
+        .where(col("event_type") === t)
+        .withColumn("ts_ev", timestamp_micros(col("ts_us")))
+        .select(col("event_id"), col("user_id"), col("ts_ev"), col("value"))
+      val joined = graft.streaming.Streams.streamStreamJoin(
+        leg("purchase"), leg("view"), "user_id", "ts_ev",
+        lookback = "1 hour", watermark = "1 second", joinType = "leftOuter")
+      graft.streaming.Streams.runToParquet(
+        joined.select(
+          col("l.event_id").as("purchase_id"), col("l.user_id").as("user_id"),
+          unix_micros(col("l.ts_ev")).as("purchase_ts_us"),
+          col("l.value").as("purchase_value"),
+          col("r.event_id").as("view_id"),
+          unix_micros(col("r.ts_ev")).as("view_ts_us"),
+          col("r.value").as("view_value")),
+        scratch)
+        .where(col("user_id") >= 0)
+        .orderBy(col("purchase_id"), coalesce(col("view_id"), lit(-1L)))
+    }),
     // seventh genuinely-streaming row (r14): transformWithState — the
     // Spark 4 arbitrary-state API (RocksDB-backed ValueState), run over
     // a TWO-micro-batch source (two files, maxFilesPerTrigger=1 under

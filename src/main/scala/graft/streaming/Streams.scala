@@ -72,17 +72,23 @@ object Streams {
     * micro-batching-invariant: every qualifying pair appears exactly
     * once regardless of which batch each side's row arrived in — which
     * is what lets a plain SQL join oracle a real two-stream run.
-    * Returns the joined frame with sides aliased `l` / `r`; callers
-    * project. */
+    * `joinType = "leftOuter"` adds the unmatched-left rows, which Spark
+    * emits only when the WATERMARK passes a row's last possible match
+    * (outer emission is watermark-driven, not end-of-batch) — a bounded
+    * run must advance the watermark past its data (the registered
+    * outer row does it with a far-future sentinel on both legs) or the
+    * tail's outer rows stay buffered in state forever. Returns the
+    * joined frame with sides aliased `l` / `r`; callers project. */
   def streamStreamJoin(left: DataFrame, right: DataFrame, keyCol: String,
                        tsCol: String, lookback: String,
-                       watermark: String): DataFrame = {
+                       watermark: String, joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(tsCol, watermark).alias("l")
     val r = right.withWatermark(tsCol, watermark).alias("r")
     l.join(r,
       col(s"l.$keyCol") === col(s"r.$keyCol") &&
         col(s"r.$tsCol") >= col(s"l.$tsCol") - expr(s"INTERVAL $lookback") &&
-        col(s"r.$tsCol") <= col(s"l.$tsCol"))
+        col(s"r.$tsCol") <= col(s"l.$tsCol"),
+      joinType)
   }
 
   /** Run a streaming frame to a parquet sink with Trigger.AvailableNow

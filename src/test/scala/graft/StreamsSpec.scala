@@ -460,6 +460,58 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join flushes outer rows once the watermark passes the data") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssj-outer").toString
+    def spool(name: String, rows: Seq[(Long, Long, String, Long, Double)],
+              mtime: Long): Unit = {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val tmp = s"$dir/_tmp_$name"
+      rows.toDF("event_id", "user_id", "event_type", "ts_us", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val listing = Files.list(Paths.get(tmp))
+      val part = try listing.filter(_.toString.endsWith(".parquet"))
+        .findFirst().get() finally listing.close()
+      Files.createDirectories(Paths.get(s"$dir/in"))
+      val dst = Paths.get(s"$dir/in/$name.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val base = 1700000000000000L // µs
+    val H = 3600000000L
+    // u1's view is 10 min before the purchase (match); u2 has no view
+    // (outer row); u3's only view is 2 h before — OUTSIDE the 1 h
+    // window, so outer too
+    spool("a", Seq(
+      (1L, 1L, "purchase", base + 2 * H, 50.0),
+      (2L, 1L, "view", base + 2 * H - 600000000L, 1.0),
+      (3L, 2L, "purchase", base + 2 * H, 60.0),
+      (4L, 3L, "purchase", base + 2 * H, 70.0),
+      (5L, 3L, "view", base, 2.0)), mtime = 1000000L)
+    // far-future sentinels on BOTH legs advance both source watermarks;
+    // without them the three left rows would sit in state forever
+    spool("b", Seq(
+      (-1L, -1L, "purchase", base + 100 * H, 0.0),
+      (-2L, -2L, "view", base + 100 * H, 0.0)), mtime = 2000000L)
+    val sch = spark.read.parquet(s"$dir/in").schema
+    def leg(t: String) = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+      .where(col("event_type") === t)
+      .withColumn("ts_ev", timestamp_micros(col("ts_us")))
+      .select(col("event_id"), col("user_id"), col("ts_ev"))
+    val joined = Streams.streamStreamJoin(
+        leg("purchase"), leg("view"), "user_id", "ts_ev",
+        lookback = "1 hour", watermark = "1 second", joinType = "leftOuter")
+      .select(col("l.event_id").as("pid"), col("l.user_id").as("uid"),
+        col("r.event_id").as("vid"))
+    val out = Streams.runToParquet(joined, s"$dir/run")
+      .where(col("uid") >= 0).orderBy("pid").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 1L, 2L), (3L, 2L, -1L), (4L, 3L, -1L)))
+  }
+
   test("transformWithState running totals: ValueState crosses micro-batches, final row is the batch aggregate") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-tws").toString

@@ -32,27 +32,6 @@ object Oracles {
   // the direct hourly aggregate — shared by the batch partial-merge
   // query AND its streaming rollup-maintenance twin (decomposability
   // means both must equal exactly this)
-  /** Sampled-frame twin shared by video_frames (RIFF/AVI) and
-    * video_frames_mp4 (ISO-BMFF): both fixtures carry the same PNG
-    * frames (synthPng at effective id doc_id·100 + f, 8×6) at the same
-    * 100 000 µs/frame clock, sampled at (i·n)//2 for i in 0..1 — so
-    * ONE SQL text replays both containers and any demux divergence
-    * fails exactly one row. */
-  private val videoFramesSql =
-    """WITH d AS (SELECT doc_id, 3 + doc_id % 4 n
-      |  FROM documents WHERE doc_id < 64),
-      |fr AS (SELECT doc_id, n, unnest([0, n // 2]) f FROM d),
-      |px AS (SELECT doc_id, f,
-      |    299*(((doc_id*100 + f)*31 + x*7 + y*13) % 256)
-      |  + 587*(((doc_id*100 + f)*17 + x*11 + y*3) % 256)
-      |  + 114*(((doc_id*100 + f)*23 + x*5 + y*19) % 256) l
-      |  FROM fr
-      |  CROSS JOIN (SELECT unnest(range(0, 8)) x)
-      |  CROSS JOIN (SELECT unnest(range(0, 6)) y))
-      |SELECT doc_id, CAST(f AS INT) frame, CAST(8 AS INT) width,
-      |  CAST(6 AS INT) height, CAST(sum(l) AS BIGINT) luma_sum
-      |FROM px GROUP BY doc_id, f ORDER BY doc_id, frame""".stripMargin
-
   private val HourlyDirectSql =
     """SELECT epoch_ns(ts)//3600000000000 AS hour_bucket, event_type,
       |count(*) AS n_events
@@ -76,6 +55,27 @@ object Oracles {
 
   // SQL twin of Queries.piiText — the synthetic-PII enrichment both
   // pii_* queries apply (the fixture corpus has no PII of its own)
+  /** Sampled-frame twin shared by video_frames (RIFF/AVI) and
+    * video_frames_mp4 (ISO-BMFF): both fixtures carry the same PNG
+    * frames (synthPng at effective id doc_id·100 + f, 8×6) at the same
+    * 100 000 µs/frame clock, sampled at (i·n)//2 for i in 0..1 — so
+    * ONE SQL text replays both containers and any demux divergence
+    * fails exactly one row. */
+  private val videoFramesSql =
+    """WITH d AS (SELECT doc_id, 3 + doc_id % 4 n
+      |  FROM documents WHERE doc_id < 64),
+      |fr AS (SELECT doc_id, n, unnest([0, n // 2]) f FROM d),
+      |px AS (SELECT doc_id, f,
+      |    299*(((doc_id*100 + f)*31 + x*7 + y*13) % 256)
+      |  + 587*(((doc_id*100 + f)*17 + x*11 + y*3) % 256)
+      |  + 114*(((doc_id*100 + f)*23 + x*5 + y*19) % 256) l
+      |  FROM fr
+      |  CROSS JOIN (SELECT unnest(range(0, 8)) x)
+      |  CROSS JOIN (SELECT unnest(range(0, 6)) y))
+      |SELECT doc_id, CAST(f AS INT) frame, CAST(8 AS INT) width,
+      |  CAST(6 AS INT) height, CAST(sum(l) AS BIGINT) luma_sum
+      |FROM px GROUP BY doc_id, f ORDER BY doc_id, frame""".stripMargin
+
   private val PiiSql =
     "text || ' contact user' || doc_id::VARCHAR || '@example.com ip 10.0.' || " +
       "(doc_id % 256)::VARCHAR || '.' || (doc_id % 100)::VARCHAR || " +

@@ -520,25 +520,18 @@ object Queries {
       val ev = Tables(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("ts div 1000").as("ts_us"), col("value"))
-      val far = ev.agg(max("ts_us")).head().getLong(0) + 365L * 86400L * 1000000L
-      def spool(name: String, df: DataFrame, mtime: Long): Unit = {
-        import java.nio.file.{Files, Paths, StandardCopyOption}
-        val tmp = s"$scratch/_tmp_$name"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val listing = Files.list(Paths.get(tmp))
-        val part = try listing.filter(_.toString.endsWith(".parquet"))
-          .findFirst().get() finally listing.close()
-        Files.createDirectories(Paths.get(s"$scratch/in"))
-        val dst = Paths.get(s"$scratch/in/$name.parquet")
-        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-        Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(mtime))
-      }
+      // empty-input contract: null max (zero events) must yield an
+      // empty green frame, not an unboxing NPE — any sentinel epoch
+      // works when there is no data to flush
+      val maxTs = ev.agg(max("ts_us")).head()
+      val far = (if (maxTs.isNullAt(0)) 0L else maxTs.getLong(0)) +
+        365L * 86400L * 1000000L
       import s.implicits._
-      spool("data", ev, mtime = 1000000L)
-      spool("sentinel", Seq(
-        (-1L, -1L, "purchase", far, 0.0),
-        (-2L, -2L, "view", far, 0.0)).toDF(ev.columns: _*), mtime = 2000000L)
+      graft.streaming.Streams.spoolSingleFile(ev, scratch, "data", mtimeMs = 1000000L)
+      graft.streaming.Streams.spoolSingleFile(Seq(
+          (-1L, -1L, "purchase", far, 0.0),
+          (-2L, -2L, "view", far, 0.0)).toDF(ev.columns: _*),
+        scratch, "sentinel", mtimeMs = 2000000L)
       def leg(t: String) = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$scratch/in")
         .where(col("event_type") === t)

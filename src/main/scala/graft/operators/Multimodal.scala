@@ -322,7 +322,7 @@ object Multimodal {
       be16(0, 0, 0, 0) ++ bmffMatrix ++ be32(w.toLong << 16, h.toLong << 16))
     val mdhd = bmffFull("mdhd", 0, 0, be32(0, 0, timescale, dur) ++ be16(0x55c4, 0))
     val hdlr = bmffFull("hdlr", 0, 0, be32(0) ++ "vide".getBytes("US-ASCII") ++
-      be32(0, 0, 0) ++ "graft ".getBytes("US-ASCII"))
+      be32(0, 0, 0) ++ ("graft".getBytes("US-ASCII") :+ 0.toByte))
     val sampleEntry = bmffBox(fourcc,
       Array.fill[Byte](6)(0) ++ be16(1) ++ // reserved + data_reference_index
         be16(0, 0) ++ be32(0, 0, 0) ++ be16(w, h) ++

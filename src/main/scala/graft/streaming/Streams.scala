@@ -91,6 +91,29 @@ object Streams {
       joinType)
   }
 
+  /** Write `df` as exactly ONE parquet file at `dstDir/name.parquet`
+    * with a pinned modification time. FileStreamSource orders files by
+    * mtime (ties by path), so multi-file registered streams use this to
+    * make their micro-batch SCHEDULE deterministic — load-bearing for
+    * the sentinel-flushed outer join (the sentinel MUST be the later
+    * batch or the data would arrive behind the advanced watermark and
+    * be dropped as late) and for the cross-batch TWS evidence. */
+  def spoolSingleFile(df: DataFrame, dstDir: String, name: String,
+                      mtimeMs: Long): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = s"$dstDir/_tmp_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val listing = Files.list(Paths.get(tmp))
+    val part = try listing.filter(_.toString.endsWith(".parquet"))
+      .findFirst().orElseThrow(() => new IllegalStateException(s"no part in $tmp"))
+    finally listing.close()
+    Files.createDirectories(Paths.get(s"$dstDir/in"))
+    val dst = Paths.get(s"$dstDir/in/$name.parquet")
+    Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+  }
+
   /** Run a streaming frame to a parquet sink with Trigger.AvailableNow
     * (process everything currently available, then stop) and return the
     * materialized result table. This is how the registered stream_*

@@ -464,20 +464,10 @@ class StreamsSpec extends SparkSpec {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ssj-outer").toString
     def spool(name: String, rows: Seq[(Long, Long, String, Long, Double)],
-              mtime: Long): Unit = {
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      val tmp = s"$dir/_tmp_$name"
-      rows.toDF("event_id", "user_id", "event_type", "ts_us", "value")
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val listing = Files.list(Paths.get(tmp))
-      val part = try listing.filter(_.toString.endsWith(".parquet"))
-        .findFirst().get() finally listing.close()
-      Files.createDirectories(Paths.get(s"$dir/in"))
-      val dst = Paths.get(s"$dir/in/$name.parquet")
-      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(mtime))
-    }
+              mtime: Long): Unit =
+      Streams.spoolSingleFile(
+        rows.toDF("event_id", "user_id", "event_type", "ts_us", "value"),
+        dir, name, mtime)
     val base = 1700000000000000L // µs
     val H = 3600000000L
     // u1's view is 10 min before the purchase (match); u2 has no view
@@ -516,20 +506,11 @@ class StreamsSpec extends SparkSpec {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-tws").toString
     // two SEPARATE files → two micro-batches under maxFilesPerTrigger=1
-    def spool(name: String, rows: Seq[(Long, Long, Double)]): Unit = {
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      val tmp = s"$dir/_tmp_$name"
-      rows.toDF("event_id", "user_id", "value")
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val listing = Files.list(Paths.get(tmp))
-      val part = try listing.filter(_.toString.endsWith(".parquet"))
-        .findFirst().get() finally listing.close()
-      Files.createDirectories(Paths.get(s"$dir/in"))
-      Files.move(part, Paths.get(s"$dir/in/$name.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
-    }
-    spool("a", Seq((1L, 1L, 1.0), (2L, 1L, 2.0), (3L, 2L, 5.0)))
-    spool("b", Seq((4L, 1L, 4.0), (5L, 3L, 7.0)))
+    def spool(name: String, rows: Seq[(Long, Long, Double)], mtime: Long): Unit =
+      Streams.spoolSingleFile(rows.toDF("event_id", "user_id", "value"),
+        dir, name, mtime)
+    spool("a", Seq((1L, 1L, 1.0), (2L, 1L, 2.0), (3L, 2L, 5.0)), mtime = 1000000L)
+    spool("b", Seq((4L, 1L, 4.0), (5L, 3L, 7.0)), mtime = 2000000L)
     val confKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(confKey)
     spark.conf.set(confKey,

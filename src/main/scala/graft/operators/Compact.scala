@@ -93,8 +93,6 @@ object Compact {
     val (filesIn, bytesIn) = dirStats(spark, inDir)
     val nOut = math.max(1L, (bytesIn + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.parquet(inDir)
-    require(!df.columns.contains("_z"),
-      "a column named _z collides with the internal z-value column")
     val bounds = df.agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
     def bound(i: Int): Option[Double] =
@@ -116,12 +114,7 @@ object Compact {
       }
     val z = zValue(coord(colA, bound(0), bound(1)),
       coord(colB, bound(2), bound(3)), bits)
-    df
-      .withColumn("_z", z)
-      .repartitionByRange(nOut, col("_z"))
-      .sortWithinPartitions(col("_z"))
-      .drop("_z")
-      .write.mode("overwrite").parquet(outDir)
+    Layout.clusteredWriteByKey(df, z, outDir, nOut)
     val rows = spark.read.parquet(outDir).count()
     val (filesOut, bytesOut) = dirStats(spark, outDir)
     CompactStats(filesIn, bytesIn, filesOut, bytesOut, rows)

@@ -26,19 +26,35 @@ object Layout {
     * bits each: bit k of `a` lands at position 2k, bit k of `b` at
     * 2k+1. Inputs are masked to `bits` low bits first (callers scale
     * their dimensions onto the grid; out-of-grid high bits must not
-    * silently reorder distant rows). The sum is unrolled at
-    * plan-build time — `bits` static terms of shift/mask arithmetic,
+    * silently reorder distant rows); the interleave itself is the ONE
+    * shared [[Compact.zValue]] fold — static shift/mask terms,
     * whole-stage-codegen friendly, exact on the integer grid (≤ 62
-    * result bits), and replayable verbatim in SQL. */
+    * result bits), and replayable verbatim in SQL. This masked form is
+    * the `zorder_key` oracle contract; [[Compact.compactParquetZOrder]]
+    * feeds the same fold width_bucket-normalized coordinates instead. */
   def zorderKey2(a: Column, b: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
     val mask = (1L << bits) - 1
-    val am = a.cast("long").bitwiseAND(lit(mask))
-    val bm = b.cast("long").bitwiseAND(lit(mask))
-    (0 until bits).map { k =>
-      shiftleft(shiftright(am, k).bitwiseAND(lit(1L)), 2 * k) +
-        shiftleft(shiftright(bm, k).bitwiseAND(lit(1L)), 2 * k + 1)
-    }.reduce(_ + _)
+    Compact.zValue(a.cast("long").bitwiseAND(lit(mask)),
+      b.cast("long").bitwiseAND(lit(mask)), bits)
+  }
+
+  /** Range-cluster `df` on an arbitrary layout key and write `nFiles`
+    * parquet files, each internally sorted by the key — the ONE
+    * layout-write core [[clusteredWrite]] and
+    * [[Compact.compactParquetZOrder]] share. `repartitionByRange`
+    * samples the key to place boundaries, so file CONTENTS are layout
+    * policy, not query semantics — nothing downstream may depend on
+    * file identity. */
+  def clusteredWriteByKey(df: DataFrame, key: Column, path: String,
+                          nFiles: Int): Unit = {
+    require(!df.columns.contains("__zkey"),
+      "a column named __zkey collides with the internal layout key")
+    df.withColumn("__zkey", key)
+      .repartitionByRange(nFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(path)
   }
 
   /** Write `df` clustered on the Z-order of (`aCol`, `bCol`): range-
@@ -47,16 +63,11 @@ object Layout {
     * box in BOTH dimensions (measure with [[fileSpans]]), which is what
     * lets a stats-pruning reader skip files for any box filter. At
     * cluster scale this is the compaction job's layout pass: one range
-    * shuffle, no driver state; `repartitionByRange` samples the key to
-    * place its boundaries, so file CONTENTS are layout policy, not
-    * query semantics — nothing downstream may depend on file identity. */
+    * shuffle, no driver state. */
   def clusteredWrite(df: DataFrame, aCol: String, bCol: String,
                      path: String, nFiles: Int, bits: Int = 16): Unit =
-    df.withColumn("__zkey", zorderKey2(col(aCol), col(bCol), bits))
-      .repartitionByRange(nFiles, col("__zkey"))
-      .sortWithinPartitions("__zkey")
-      .drop("__zkey")
-      .write.mode("overwrite").parquet(path)
+    clusteredWriteByKey(df, zorderKey2(col(aCol), col(bCol), bits),
+      path, nFiles)
 
   /** Per-file bounding boxes of two dimensions over a written layout —
     * the min/max stats a pruning reader consults, surfaced as a frame:

@@ -640,9 +640,9 @@ class AsOfEventsSpec extends SparkSpec {
     val st2 = Compact.compactParquetZOrder(spark, s"$tmp/nullfrag",
       s"$tmp/nullout", "x", "y", targetBytes = 1L << 20, bits = 4)
     assert(st2.rows === 50L)
-    // internal column guard
+    // internal column guard (the shared Layout.clusteredWriteByKey core)
     intercept[IllegalArgumentException] {
-      df.withColumn("_z", lit(1L)).write.mode("overwrite").parquet(s"$tmp/zfrag")
+      df.withColumn("__zkey", lit(1L)).write.mode("overwrite").parquet(s"$tmp/zfrag")
       Compact.compactParquetZOrder(spark, s"$tmp/zfrag", s"$tmp/zout", "x", "y")
     }
   }

@@ -1734,6 +1734,18 @@ object Oracles {
          |SELECT doc_id, CAST(8000 AS INT) sample_rate, CAST(1 AS INT) channels,
          |  CAST(n AS BIGINT) n_samples, CAST(sum(a) AS BIGINT) abs_sum
          |FROM sm GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+    // resample twin: the same PCM16 formula at STRIDE 3 (kept frames
+    // i ≡ 0 mod 3), rate 8000//3, kept count ceil(n/3) = (n+2)//3
+    "audio_resample" ->
+      s"""WITH d AS (SELECT doc_id, 64 + doc_id % 17 n
+         |  FROM documents WHERE doc_id < 64),
+         |sm AS (SELECT doc_id, n,
+         |  abs(((doc_id*7919 + i*104729) % 65536) - 32768) a
+         |  FROM d CROSS JOIN (SELECT unnest(range(0, 81)) i)
+         |  WHERE i < n AND i % 3 = 0)
+         |SELECT doc_id, CAST(2666 AS INT) sample_rate, CAST(1 AS INT) channels,
+         |  CAST((n + 2) // 3 AS BIGINT) n_samples, CAST(sum(a) AS BIGINT) abs_sum
+         |FROM sm GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
 
     // ── quran engine (reference corpus fixtures; absolute path) ────────
     "tafsir_stats" ->

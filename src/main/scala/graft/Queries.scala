@@ -1515,6 +1515,22 @@ object Queries {
           col("m.channels").as("channels"),
           col("m.n_samples").as("n_samples"), col("m.abs_sum").as("abs_sum"))
         .orderBy("doc_id")),
+    // REAL audio resample (r14): stride-3 decimation through a real WAV
+    // re-encode — the audio member of the transform triad (image
+    // resize / video frame-sample / audio resample). Kept frames are
+    // indices i ≡ 0 (mod 3), so the decoded numbers replay from the
+    // synthWav formula at stride 3; new rate = 8000 // 3.
+    "audio_resample" -> ((s, dir) =>
+      docs(s, dir).where(col("doc_id") < 64)
+        .select(col("doc_id"),
+          Multimodal.decodeWav(Multimodal.resampleWav(
+            Multimodal.synthWav(col("doc_id"),
+              (lit(64) + col("doc_id") % 17).cast("int"), lit(8000)),
+            lit(3))).as("m"))
+        .select(col("doc_id"), col("m.sample_rate").as("sample_rate"),
+          col("m.channels").as("channels"),
+          col("m.n_samples").as("n_samples"), col("m.abs_sum").as("abs_sum"))
+        .orderBy("doc_id")),
 
     // ── quran engine (reference corpus fixtures; sfDir-independent) ────
     "tafsir_stats" -> ((s, _) =>

@@ -596,6 +596,54 @@ object Multimodal {
       } catch { case scala.util.control.NonFatal(_) => None }
     }
 
+  /** REAL audio RESAMPLE by integer decimation (licensed UDF — the
+    * audio member of the per-modality transform triad:
+    * [[resizeImage]]'s nearest-neighbor grid, [[sampleFrames]]'s frame
+    * schedule, and here every `factor`-th PCM16 FRAME kept, all
+    * channels, emitted as a real WAV at `rate / factor` Hz (integer
+    * truncation). Plain decimation, no low-pass — the deterministic
+    * integer-grid analog of nearest-neighbor resize (an AA filter
+    * would be float DSP a SQL oracle cannot replay; callers wanting
+    * band-limited audio pre-filter upstream). Kept frames are indices
+    * 0, k, 2k, … — exactly replayable — so
+    * [[decodeWav]] ∘ [[resampleWav]] ∘ [[synthWav]] is the sample
+    * formula at stride k. Null for non-PCM16 input or factor < 1;
+    * factor 1 is a container round-trip. Narrow per-row scan work like
+    * every codec here. */
+  val resampleWav: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte], factor: Int) =>
+      if (bytes == null || factor < 1) None
+      else try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f = in.getFormat
+          if (f.getSampleSizeInBits != 16) None
+          else {
+            val frameSz = f.getFrameSize
+            val data = in.readAllBytes()
+            val nFrames = data.length / frameSz
+            val nKept = (nFrames + factor - 1) / factor
+            val out = new Array[Byte](nKept * frameSz)
+            var i = 0
+            while (i < nKept) {
+              System.arraycopy(data, i * factor * frameSz, out, i * frameSz, frameSz)
+              i += 1
+            }
+            val outRate = math.max(1, f.getSampleRate.toInt / factor)
+            val outFmt = new javax.sound.sampled.AudioFormat(
+              outRate.toFloat, 16, f.getChannels, true, f.isBigEndian)
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(out), outFmt, nKept.toLong)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(ais,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            Some(bos.toByteArray)
+          }
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
   /** Deterministic PCM16 mono WAV fixture generator ([[synthPng]]'s
     * audio sibling, fixture-only): sample i of clip `id` is
     * `((id·7919 + i·104729) mod 65536) − 32768` — pure integer

@@ -316,6 +316,27 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.isNullAt(0), "non-AVI bytes must be null")
   }
 
+  test("resampleWav: stride decimation formula, factor-1 round trip, junk is null") {
+    import spark.implicits._
+    val rows = Seq((7L, 70, 3), (9L, 65, 1)).toDF("id", "n", "k")
+      .select($"id", $"n", $"k",
+        Multimodal.decodeWav(Multimodal.resampleWav(
+          Multimodal.synthWav($"id", $"n", lit(8000)), $"k")).as("m"))
+      .collect()
+    rows.foreach { r =>
+      val (id, n, k) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      val m = r.getStruct(3)
+      assert(m.getInt(0) === 8000 / k, "decimated rate")
+      assert(m.getLong(2) === (n + k - 1) / k, "kept frame count")
+      val expected = (0 until n by k).map(i =>
+        math.abs(((id * 7919 + i.toLong * 104729) % 65536) - 32768)).sum
+      assert(m.getLong(3) === expected, s"id=$id stride-$k |sample| sum")
+    }
+    val bad = Seq(("x", "not audio at all".getBytes("UTF-8"))).toDF("kk", "b")
+      .select(Multimodal.resampleWav($"b", lit(2))).head()
+    assert(bad.isNullAt(0), "non-WAV bytes must be null")
+  }
+
   test("decodeImage ∘ synthPng equals the integer pixel formula (the image_decode oracle contract)") {
     val d = Seq((5L, 9, 11), (12L, 16, 8)).toDF("id", "w", "h")
       .select($"id", $"w", $"h",

@@ -535,6 +535,24 @@ object GraftIndexes {
       .write.mode("overwrite").parquet(s"$dir/centroids")
   }
 
+  /** INCREMENTAL maintenance of a persisted spill-IVF — the
+    * hourly-append face of the nightly-retrain index: new vectors are
+    * assigned against the EXISTING trained centroids (same spill rule
+    * as the base build — read back bitwise from the sidecar, so the
+    * appended assignment is exactly what a from-scratch assignment
+    * over base+delta with these centroids produces) and appended to
+    * the partitioned layout; only the delta's partitions gain files.
+    * Retraining cadence is the caller's policy — the K ∝ √N sizing
+    * drifts as the corpus grows, so re-run [[writeIvf]] when the
+    * corpus has grown past the next power-of-two boundary. */
+  def appendIvf(spark: SparkSession, delta: DataFrame, idCol: String,
+                vecCol: String, dir: String,
+                spillDelta: Double = Similarity.SpillDelta): Unit = {
+    val (_, cents) = openIvf(spark, dir)
+    Similarity.ivfAssignSpill(delta, idCol, vecCol, cents, spillDelta)
+      .write.mode("append").partitionBy("centroid").parquet(s"$dir/assign")
+  }
+
   /** Open a persisted spill-IVF: (assignment frame, trained centroids).
     * Probe via [[graft.operators.Similarity.ivfProbeSpill]] — the
     * centroid filter partition-prunes the layout. */

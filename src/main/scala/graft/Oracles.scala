@@ -233,10 +233,16 @@ object Oracles {
     * within `delta`, probes the nProbe spherically-nearest lists, and
     * exact-reranks. Every arithmetic step is either exact integer
     * math or one correctly-rounded IEEE sqrt/division of identical
-    * inputs, so the replay is bit-for-bit. */
+    * inputs, so the replay is bit-for-bit. `trainPred` restricts the
+    * TRAINING corpus (K sizing, seeds, Lloyd refinement) while
+    * assignment and probe stay corpus-wide — the incremental-append
+    * twin (`ivf_append_probe`): per-vector assignment to fixed
+    * centroids is the same whether done at base build or at append,
+    * so one emitter replays both lifecycles. */
   private def ivfSpillOracle(iters: Int, delta: Double,
                              probeMult: Int = 7, probeFloor: Int = 2,
-                             sq8Rerank: Int = 0): String = {
+                             sq8Rerank: Int = 0,
+                             trainPred: String = "TRUE"): String = {
     def norm(c: String) =
       s"(CASE WHEN sqrt(list_dot_product($c,$c))=0 THEN 1 ELSE sqrt(list_dot_product($c,$c)) END)"
     def itCte(t: Int): String = {
@@ -244,7 +250,7 @@ object Oracles {
       s"""a$t AS (SELECT vec_id, qv, i centroid FROM (
          |  SELECT e.vec_id, e.qv, c$t.i,
          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY $sph DESC, c$t.i) rn
-         |  FROM e CROSS JOIN c$t) WHERE rn=1),
+         |  FROM et e CROSS JOIN c$t) WHERE rn=1),
          |cells$t AS (SELECT centroid i, p, sum(CAST(qv[p+1] AS BIGINT)) s, count(*) n
          |  FROM a$t CROSS JOIN (SELECT unnest(range(0, ${Queries.Dim})) p) GROUP BY 1,2),
          |cm$t AS (SELECT i, list(CAST(s // n AS DOUBLE) ORDER BY p) cqv FROM cells$t GROUP BY i),
@@ -256,12 +262,13 @@ object Oracles {
     // the Scala side (a libm LOG2 could — r14 review)
     val sphf = s"list_dot_product(e.qv, cf.cqv)/${norm("cf.cqv")}"
     s"""WITH $EmbQ,
+       |et AS (SELECT * FROM e WHERE $trainPred),
        |kk AS (SELECT CAST(POWER(2, ee) AS INT) k,
        |              GREATEST($probeFloor, ($probeMult*CAST(POWER(2, ee) AS INT))//128) np
        |       FROM (SELECT coalesce(min(x), 18) ee
-       |             FROM (SELECT unnest(range(4, 18)) x), (SELECT count(*) n FROM e)
+       |             FROM (SELECT unnest(range(4, 18)) x), (SELECT count(*) n FROM et)
        |             WHERE 9*n < POWER(2, 2*x+1))),
-       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id)-1 i, qv cqv FROM e
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id)-1 i, qv cqv FROM et
        |       QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kk)),
        |${(0 until iters).map(itCte).mkString(",\n")},
        |cf AS (SELECT i, cqv FROM c$iters),
@@ -1034,6 +1041,13 @@ object Oracles {
     // margin 0.03 of their second list are double-assigned; probe the
     // nProbe spherically-nearest lists, dedupe, exact rerank.
     "ann_topk" -> ivfSpillOracle(iters = 3, delta = graft.operators.Similarity.SpillDelta),
+    // incremental-append twin: train (K sizing + Lloyd) on the EVEN
+    // half only, assign + probe over everything — fixed-centroid
+    // assignment is lifecycle-invariant, so the SQL needs no notion of
+    // "append", just a restricted training corpus
+    "ivf_append_probe" -> ivfSpillOracle(iters = 3,
+      delta = graft.operators.Similarity.SpillDelta,
+      trainPred = "vec_id % 2 = 0"),
     // composed IVF+SQ8 twin: the spill replay with the code-rank tail
     "ann_ivf_sq8" -> ivfSpillOracle(iters = 3,
       delta = graft.operators.Similarity.SpillDelta, sq8Rerank = 80),

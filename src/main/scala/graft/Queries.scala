@@ -948,6 +948,29 @@ object Queries {
       Similarity.ivfTopKSpill(e, "vec_id", "embedding", q.toArray, k = 20,
         nCentroids = nLists, nProbe = Similarity.nProbeFor(nLists))
     }),
+    // incremental index LIFECYCLE, driver-oracled end-to-end: build the
+    // persisted spill-IVF on the even half, APPEND the odd half against
+    // the read-back centroids (GraftIndexes.appendIvf — no retrain),
+    // reopen, probe. Fixed-centroid assignment is lifecycle-invariant,
+    // so the oracle is the one spill emitter with training restricted
+    // to the even half. Fixed app-id-suffixed scratch (the
+    // parquet_compact_roundtrip doctrine): writeIvf's overwrite +
+    // one append keeps re-runs idempotent within a JVM.
+    "ivf_append_probe" -> ((s, dir) => {
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-ivf-append-${s.sparkContext.applicationId}").toString
+      registerScratchCleanup(tmp)
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+      GraftIndexes.writeIvf(s, e.where(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", tmp)
+      GraftIndexes.appendIvf(s, e.where(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding", tmp)
+      val (asg, cents) = GraftIndexes.openIvf(s, tmp)
+      Similarity.ivfProbeSpill(asg, cents, q.toArray,
+        Similarity.nProbeFor(cents.length), k = 20)
+    }),
     // scan-fraction FLOOR variant: one bucket = 1/16 of the corpus
     // scanned; recall ≈ 0.04 on uniform vectors — registered to keep the
     // latency/recall trade's cheap end measured, never as the default

@@ -382,6 +382,18 @@ object Similarity {
                              spillDelta: Double)
       : (DataFrame, Array[Array[Double]]) = {
     val cents = lloydCentroidsSphGrid(q, nCentroids, lloydIters)
+    (assignSpillQ(q, cents, spillDelta), cents)
+  }
+
+  /** Spill assignment to FIXED centroids — [[ivfIndexSpillQ]]'s
+    * assignment stage without the training, exposed (via
+    * [[ivfAssignSpill]]) so a persisted index can be MAINTAINED
+    * incrementally: new vectors assign against the already-trained
+    * quantizer exactly as the base corpus did, and only their
+    * partitions are appended. One narrow scan against K broadcast
+    * centroid literals — no shuffle, no retrain. */
+  private def assignSpillQ(q: DataFrame, cents: Array[Array[Double]],
+                           spillDelta: Double): DataFrame = {
     // dn is consumed by four downstream expressions — materialize it as
     // a column so CollapseProject cannot inline four copies of the
     // K·dim dot loop into one row pass
@@ -396,11 +408,17 @@ object Similarity {
       // spill test is on TRUE cosine: (dot/|c|)/|v| margins
       .withColumn("spill",
         (col("m1") - col("m2")) / VecFns.norm2(col("qv")) <= lit(spillDelta))
-    val assigned = masked.select(col("vec_id"), col("qv"),
+    masked.select(col("vec_id"), col("qv"),
       explode(when(col("spill"), array(col("i1"), col("i2")))
         .otherwise(array(col("i1")))).as("centroid"))
-    (assigned, cents)
   }
+
+  /** [[assignSpillQ]] over raw (id, vector) columns — the incremental
+    * index-maintenance entry ([[graft.GraftIndexes.appendIvf]]). */
+  def ivfAssignSpill(emb: DataFrame, idCol: String, vecCol: String,
+                     cents: Array[Array[Double]],
+                     spillDelta: Double = SpillDelta): DataFrame =
+    assignSpillQ(quantized(emb, idCol, vecCol), cents, spillDelta)
 
   /** Probe a prebuilt [[ivfIndexSpill]]: centroids ranked on the DRIVER
     * by spherical score (K tiny — planning data), the nProbe list

@@ -597,6 +597,42 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("appendIvf is genuinely incremental: only the delta's partitions gain files, no retrain") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("plan-ivf-append").toString
+    val emb = Tables(spark, sf, "embeddings")
+    val base = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+    val delta = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+    GraftIndexes.writeIvf(spark, base, "vec_id", "embedding", s"$dir/ivf",
+      nCentroids = 16, lloydIters = 1)
+    val centsBefore = GraftIndexes.openIvf(spark, s"$dir/ivf")._2
+    def filesPerPartition: Map[Int, Set[String]] =
+      Option(new java.io.File(s"$dir/ivf/assign").listFiles).getOrElse(Array())
+        .filter(f => f.isDirectory && f.getName.startsWith("centroid="))
+        .map(d => d.getName.stripPrefix("centroid=").toInt ->
+          d.listFiles.map(_.getName).toSet).toMap
+    val before = filesPerPartition
+    GraftIndexes.appendIvf(spark, delta, "vec_id", "embedding", s"$dir/ivf")
+    val after = filesPerPartition
+    // append-only: every pre-existing file is still there, untouched
+    before.foreach { case (c, fs) =>
+      assert(fs.subsetOf(after(c)), s"partition $c lost files in the append")
+    }
+    // and SOME partition gained files (the delta landed somewhere)
+    assert(after.exists { case (c, fs) => fs.size > before.getOrElse(c, Set()).size },
+      "append wrote nothing")
+    val (asg, cents) = GraftIndexes.openIvf(spark, s"$dir/ivf")
+    // centroids untouched — append must never retrain
+    assert(cents.map(_.toSeq).toSeq === centsBefore.map(_.toSeq).toSeq)
+    // lifecycle invariance: the appended layout's assignment equals a
+    // one-shot assignment of the FULL corpus to the same centroids
+    val oneShot = Similarity.ivfAssignSpill(emb, "vec_id", "embedding", cents)
+      .select("vec_id", "centroid").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val persisted = asg.select("vec_id", "centroid")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(persisted === oneShot, "append drifted from one-shot assignment")
+  }
+
   test("persisted SQ8 layer: byte codes on disk, probe bit-identical to the in-memory rung (E3)") {
     import graft.operators.Similarity
     val dir = java.nio.file.Files.createTempDirectory("plan-sq8").toString

@@ -1230,6 +1230,18 @@ object Oracles {
          |    ORDER BY md5(concat('cur:', CAST(doc_id AS VARCHAR))), doc_id) pos
          |FROM s ORDER BY doc_id""".stripMargin
     },
+    // chunking twin: window starts range(0, n, stride), 1-based
+    // inclusive slice t[s+1 : s+32], short tail kept — the same
+    // integer grammar as Shards.chunkDocs
+    "chunk_docs" ->
+      s"""WITH $Toks,
+         |st AS (SELECT doc_id, t,
+         |  unnest(CASE WHEN len(t) > 0 THEN range(0, len(t), 24) ELSE [] END) s
+         |  FROM toks)
+         |SELECT doc_id, CAST(s // 24 AS INT) chunk_idx,
+         |  array_to_string(t[s+1 : s+32], ' ') text_chunk,
+         |  CAST(least(32, len(t) - s) AS BIGINT) n_tokens
+         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
     // shard-packing twin: the naive global ordered cumsum IS the spec —
     // the Spark side's two-pass prefix sum must equal it exactly
     "pack_shards" ->

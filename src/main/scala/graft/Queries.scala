@@ -1094,6 +1094,13 @@ object Queries {
     "pack_shards" -> ((s, dir) =>
       Shards.packShards(docs(s, dir), "doc_id", "text", tokensPerShard = 500L)
         .orderBy("doc_id")),
+    // fixed-window chunking (32-token windows every 24 → 8-token
+    // overlap): the context-window prep step upstream of packing;
+    // all-integer window grammar, replayed verbatim in SQL
+    "chunk_docs" -> ((s, dir) =>
+      Shards.chunkDocs(docs(s, dir), "doc_id", "text",
+        chunkLen = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx")),
     // the SAME packing parameterized by the subword measure (r13):
     // trainers budget in subword tokens — ceil(len/4) pieces per word,
     // the vocabulary-free BPE estimate (TextFns.subwordCount). Plan

@@ -50,6 +50,35 @@ object Shards {
     val subwords: Column => Column = t => TextFns.subwordCount(t)
   }
 
+  /** Fixed-window document CHUNKING — the context-window prep step
+    * [[packShards]] assumes already happened when documents exceed the
+    * training sequence length: split each doc's token stream into
+    * windows of ≤ `chunkLen` tokens starting every `stride` tokens
+    * (stride < chunkLen ⇒ the standard `chunkLen − stride` token
+    * overlap that keeps boundary context in BOTH neighbors; stride =
+    * chunkLen ⇒ disjoint windows). Window starts are 0, stride,
+    * 2·stride, … < n, so every token is covered and the final window
+    * may be short — the usual RAG/embedding-chunk grammar, all
+    * integer arithmetic, exactly SQL-replayable. Pure narrow per-row
+    * work (tokenize + slice per start); the explode multiplies rows by
+    * ~n/stride, never wider. */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+                chunkLen: Int, stride: Int): DataFrame = {
+    require(chunkLen >= 1 && stride >= 1 && stride <= chunkLen,
+      "need 1 <= stride <= chunkLen")
+    val toks = TextFns.tokens(col(textCol))
+    docs.select(col(idCol).cast("long").as("doc_id"), toks.as("t"))
+      .withColumn("s",
+        explode(when(size(col("t")) > 0,
+          filter(transform(
+            sequence(lit(0), ((size(col("t")) - 1) / stride).cast("int")),
+            i => i * stride), s => s < size(col("t"))))
+          .otherwise(array().cast("array<int>"))))
+      .select(col("doc_id"), (col("s") / stride).cast("int").as("chunk_idx"),
+        concat_ws(" ", slice(col("t"), col("s") + 1, lit(chunkLen))).as("text_chunk"),
+        least(lit(chunkLen), size(col("t")) - col("s")).cast("long").as("n_tokens"))
+  }
+
   /** (doc_id, n_tok, shard) for every document. `width` bounds the range
     * partitioning (and so the driver-side offset table); `measure`
     * picks the token denomination ([[TokenMeasure]]). */

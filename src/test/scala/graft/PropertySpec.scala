@@ -186,6 +186,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunkDocs: full coverage, exact overlap, reconstruction from stride prefixes") {
+    val lens = samples(Gen.chooseNum(0, 120), n = 25)
+    val docs = lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (0 until n).map(j => s"w$j").mkString(" "))
+    }
+    val (len, stride) = (16, 11)
+    val got = graft.operators.Shards
+      .chunkDocs(docs.toDF("doc_id", "text"), "doc_id", "text", len, stride)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .groupBy(_._1)
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val chunks = got.getOrElse(id, Array()).sortBy(_._2)
+      if (toks.isEmpty) assert(chunks.isEmpty, s"doc $id: empty doc must chunk to nothing")
+      else {
+        val expectStarts = 0 until toks.length by stride
+        assert(chunks.map(_._2).toSeq === expectStarts.indices, s"doc $id chunk ids")
+        chunks.zip(expectStarts).foreach { case ((_, _, c, n), s) =>
+          val want = toks.slice(s, s + len)
+          assert(c === want.mkString(" "), s"doc $id chunk at $s")
+          assert(n === want.length.toLong)
+        }
+        // reconstruction: the first `stride` tokens of every chunk (all
+        // of the last) concatenate back to the original token stream
+        val rebuilt = chunks.init.flatMap(_._3.split(" ").take(stride)) ++
+          chunks.last._3.split(" ")
+        assert(rebuilt.toSeq === toks.toSeq, s"doc $id reconstruction")
+      }
+    }
+  }
+
   test("zorderKey2 is a bijection on the grid: the key decodes back to (a, b)") {
     val bits = 12
     val pairs = samples(for {

@@ -468,15 +468,29 @@ object GraftIndexes {
     * exact and a reopened probe is bit-identical to the in-memory
     * rung. Zero-norm vectors are dropped (no direction to rank) —
     * same guard as the rung. */
-  def writeSq8(spark: SparkSession, emb: DataFrame, idCol: String,
-               vecCol: String, dir: String): Unit =
+  private def sq8CodeFrame(emb: DataFrame, idCol: String,
+                           vecCol: String): DataFrame =
     emb.select(col(idCol).cast("long").as("vec_id"),
         VecFns.quantize(col(vecCol)).as("qv"))
       .withColumn("qm", Similarity.sq8Max(col("qv")))
       .where(col("qm") > 0)
       .select(col("vec_id"),
         transform(Similarity.sq8Codes(col("qv"), col("qm")), x => x.cast("byte")).as("c8"))
+
+  def writeSq8(spark: SparkSession, emb: DataFrame, idCol: String,
+               vecCol: String, dir: String): Unit =
+    sq8CodeFrame(emb, idCol, vecCol)
       .write.mode("overwrite").parquet(s"$dir/codes")
+
+  /** [[appendIvf]]'s SQ8 sibling — and the easier half of the
+    * incremental-index story: the code layer has NO trained state
+    * (per-vector max scaling), so appending a delta is just encoding
+    * it with the same per-row rule and appending the files; a
+    * rebuilt-from-scratch layer is row-identical (spec-pinned). */
+  def appendSq8(spark: SparkSession, delta: DataFrame, idCol: String,
+                vecCol: String, dir: String): Unit =
+    sq8CodeFrame(delta, idCol, vecCol)
+      .write.mode("append").parquet(s"$dir/codes")
 
   /** Open a persisted SQ8 code layer. */
   def openSq8(spark: SparkSession, dir: String): DataFrame =

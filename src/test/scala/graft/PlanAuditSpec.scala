@@ -633,6 +633,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(persisted === oneShot, "append drifted from one-shot assignment")
   }
 
+  test("appendSq8: stateless code layer appends to the same rows a full rebuild gives") {
+    val dir = java.nio.file.Files.createTempDirectory("plan-sq8-append").toString
+    val emb = Tables(spark, sf, "embeddings")
+    GraftIndexes.writeSq8(spark, emb.where(pmod(col("vec_id"), lit(2)) === 0),
+      "vec_id", "embedding", s"$dir/inc")
+    GraftIndexes.appendSq8(spark, emb.where(pmod(col("vec_id"), lit(2)) === 1),
+      "vec_id", "embedding", s"$dir/inc")
+    GraftIndexes.writeSq8(spark, emb, "vec_id", "embedding", s"$dir/full")
+    def rows(d: String) = GraftIndexes.openSq8(spark, d)
+      .collect().map(r => (r.getLong(0), r.getSeq[Byte](1))).toSet
+    assert(rows(s"$dir/inc") === rows(s"$dir/full"),
+      "incremental code layer drifted from the full rebuild")
+  }
+
   test("persisted SQ8 layer: byte codes on disk, probe bit-identical to the in-memory rung (E3)") {
     import graft.operators.Similarity
     val dir = java.nio.file.Files.createTempDirectory("plan-sq8").toString

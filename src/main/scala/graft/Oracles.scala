@@ -1242,6 +1242,33 @@ object Oracles {
          |  array_to_string(t[s+1 : s+32], ' ') text_chunk,
          |  CAST(least(32, len(t) - s) AS BIGINT) n_tokens
          |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+    // chunk-retrieval twin: the chunk grammar feeding the hash-embed
+    // formula, dot products computed SPARSELY (bucket equi-join — the
+    // oracle never builds a dense vector); ±1 bucket sums and their
+    // products are exact integers in doubles, norms are one
+    // correctly-rounded sqrt each, so the round-6 cosine is
+    // bit-identical. Zero-norm chunks excluded on both engines.
+    "chunk_topk" ->
+      s"""WITH $Toks,
+         |st AS (SELECT doc_id, t,
+         |  unnest(CASE WHEN len(t) > 0 THEN range(0, len(t), 24) ELSE [] END) s
+         |  FROM toks),
+         |t2 AS (SELECT doc_id, CAST(s // 24 AS INT) chunk_idx, unnest(t[s+1 : s+32]) tok
+         |  FROM st),
+         |sp AS (SELECT doc_id, chunk_idx, ${h31("tok")} % ${Queries.Dim} b,
+         |  sum(CASE WHEN (${h31("tok")} // ${Queries.Dim}) % 2 = 0
+         |      THEN 1.0 ELSE -1.0 END) v
+         |  FROM t2 GROUP BY 1, 2, 3),
+         |nn AS (SELECT doc_id, chunk_idx, sqrt(sum(v*v)) n FROM sp
+         |  GROUP BY 1, 2 HAVING sum(v*v) > 0),
+         |q AS (SELECT b, v qv FROM sp WHERE doc_id = 0 AND chunk_idx = 0),
+         |nq AS (SELECT sqrt(sum(qv*qv)) n FROM q),
+         |dt AS (SELECT s.doc_id, s.chunk_idx, sum(s.v * q.qv) d
+         |  FROM sp s JOIN q USING(b) GROUP BY 1, 2)
+         |SELECT nn.doc_id, nn.chunk_idx,
+         |  round(coalesce(dt.d, 0) / (nn.n * (SELECT n FROM nq)), 6) cos
+         |FROM nn LEFT JOIN dt USING(doc_id, chunk_idx)
+         |ORDER BY cos DESC, nn.doc_id, nn.chunk_idx LIMIT 20""".stripMargin,
     // shard-packing twin: the naive global ordered cumsum IS the spec —
     // the Spark side's two-pass prefix sum must equal it exactly
     "pack_shards" ->

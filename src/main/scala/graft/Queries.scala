@@ -1101,6 +1101,26 @@ object Queries {
       Shards.chunkDocs(docs(s, dir), "doc_id", "text",
         chunkLen = 32, stride = 24)
         .orderBy("doc_id", "chunk_idx")),
+    // chunk-grain RETRIEVAL — the end-to-end RAG composition over the
+    // pieces above: chunk (32/24) → hash-embed each chunk → exact
+    // cosine top-20 against the corpus's first chunk as the query.
+    // Hash-embed vectors are ±1 integer sums (exact in doubles) and
+    // the chunk re-tokenizes to its own token slice, so the whole
+    // pipeline replays in SQL sparsely (bucket-join dot products —
+    // no dense vectors materialize oracle-side). Rare all-cancelled
+    // (zero-norm) chunks are excluded on BOTH engines.
+    "chunk_topk" -> ((s, dir) => {
+      val ch = Shards.chunkDocs(docs(s, dir), "doc_id", "text",
+          chunkLen = 32, stride = 24)
+        .withColumn("v",
+          VecFns.hashEmbed(TextFns.tokens(col("text_chunk")), Dim))
+        .where(VecFns.norm2(col("v")) > 0)
+      val q = ch.where(col("doc_id") === 0 && col("chunk_idx") === 0)
+        .select("v").head().getSeq[Double](0)
+      ch.select(col("doc_id"), col("chunk_idx"),
+          round(VecFns.cosineQ(col("v"), typedLit(q)), 6).as("cos"))
+        .orderBy(desc("cos"), col("doc_id"), col("chunk_idx")).limit(20)
+    }),
     // the SAME packing parameterized by the subword measure (r13):
     // trainers budget in subword tokens — ceil(len/4) pieces per word,
     // the vocabulary-free BPE estimate (TextFns.subwordCount). Plan

@@ -242,7 +242,8 @@ object Oracles {
   private def ivfSpillOracle(iters: Int, delta: Double,
                              probeMult: Int = 7, probeFloor: Int = 2,
                              sq8Rerank: Int = 0,
-                             trainPred: String = "TRUE"): String = {
+                             trainPred: String = "TRUE",
+                             fixedK: Int = 0): String = {
     def norm(c: String) =
       s"(CASE WHEN sqrt(list_dot_product($c,$c))=0 THEN 1 ELSE sqrt(list_dot_product($c,$c)) END)"
     def itCte(t: Int): String = {
@@ -263,11 +264,14 @@ object Oracles {
     val sphf = s"list_dot_product(e.qv, cf.cqv)/${norm("cf.cqv")}"
     s"""WITH $EmbQ,
        |et AS (SELECT * FROM e WHERE $trainPred),
-       |kk AS (SELECT CAST(POWER(2, ee) AS INT) k,
+       |kk AS (${if (fixedK > 0)
+           s"SELECT $fixedK k, GREATEST($probeFloor, ($probeMult*$fixedK)//128) np"
+         else
+           s"""SELECT CAST(POWER(2, ee) AS INT) k,
        |              GREATEST($probeFloor, ($probeMult*CAST(POWER(2, ee) AS INT))//128) np
        |       FROM (SELECT coalesce(min(x), 18) ee
        |             FROM (SELECT unnest(range(4, 18)) x), (SELECT count(*) n FROM et)
-       |             WHERE 9*n < POWER(2, 2*x+1))),
+       |             WHERE 9*n < POWER(2, 2*x+1))"""}),
        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id)-1 i, qv cqv FROM et
        |       QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kk)),
        |${(0 until iters).map(itCte).mkString(",\n")},
@@ -1045,9 +1049,9 @@ object Oracles {
     // half only, assign + probe over everything — fixed-centroid
     // assignment is lifecycle-invariant, so the SQL needs no notion of
     // "append", just a restricted training corpus
-    "ivf_append_probe" -> ivfSpillOracle(iters = 3,
+    "ivf_append_probe" -> ivfSpillOracle(iters = 1,
       delta = graft.operators.Similarity.SpillDelta,
-      trainPred = "vec_id % 2 = 0"),
+      trainPred = "vec_id % 2 = 0", fixedK = 64),
     // composed IVF+SQ8 twin: the spill replay with the code-rank tail
     "ann_ivf_sq8" -> ivfSpillOracle(iters = 3,
       delta = graft.operators.Similarity.SpillDelta, sq8Rerank = 80),

@@ -963,8 +963,12 @@ object Queries {
       registerScratchCleanup(tmp)
       val e = emb(s, dir)
       val q = e.where(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+      // K=64 / lloydIters=1: this row pins APPEND semantics, not
+      // recall or sizing (the recall rungs train 3 iters at the
+      // scale-aware K) — a small fixed quantizer keeps the row's cost
+      // at the partition-dir count it needs, not the one ann_topk needs
       GraftIndexes.writeIvf(s, e.where(pmod(col("vec_id"), lit(2)) === 0),
-        "vec_id", "embedding", tmp)
+        "vec_id", "embedding", tmp, nCentroids = 64, lloydIters = 1)
       GraftIndexes.appendIvf(s, e.where(pmod(col("vec_id"), lit(2)) === 1),
         "vec_id", "embedding", tmp)
       val (asg, cents) = GraftIndexes.openIvf(s, tmp)
@@ -1110,15 +1114,31 @@ object Queries {
     // no dense vectors materialize oracle-side). Rare all-cancelled
     // (zero-norm) chunks are excluded on BOTH engines.
     "chunk_topk" -> ((s, dir) => {
-      val ch = Shards.chunkDocs(docs(s, dir), "doc_id", "text",
+      // SPARSE shape, matching the oracle: explode chunk tokens, ONE
+      // bucket-keyed combine to ±1 sums, then norms + the query dot in
+      // one more combine against the ≤Dim-entry broadcast query map.
+      // (The first cut evaluated the dense per-chunk hashEmbed HOF —
+      // 240 s at sf0.1; this shape is ~2 s and is the one that holds
+      // at 100×: explode rows = corpus tokens, the postings build's
+      // cost class.)
+      val sp = Shards.chunkDocs(docs(s, dir), "doc_id", "text",
           chunkLen = 32, stride = 24)
-        .withColumn("v",
-          VecFns.hashEmbed(TextFns.tokens(col("text_chunk")), Dim))
-        .where(VecFns.norm2(col("v")) > 0)
-      val q = ch.where(col("doc_id") === 0 && col("chunk_idx") === 0)
-        .select("v").head().getSeq[Double](0)
-      ch.select(col("doc_id"), col("chunk_idx"),
-          round(VecFns.cosineQ(col("v"), typedLit(q)), 6).as("cos"))
+        .select(col("doc_id"), col("chunk_idx"),
+          explode(TextFns.tokens(col("text_chunk"))).as("tok"))
+        .select(col("doc_id"), col("chunk_idx"),
+          VecFns.hashBucket(col("tok"), Dim).as("b"),
+          VecFns.hashSign(col("tok"), Dim).as("sgn"))
+        .groupBy("doc_id", "chunk_idx", "b").agg(sum("sgn").as("v"))
+      val qm = sp.where(col("doc_id") === 0 && col("chunk_idx") === 0)
+        .select("b", "v").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val nq = math.sqrt(qm.values.map(v => v * v).sum)
+      sp.groupBy("doc_id", "chunk_idx").agg(
+          sum(col("v") * col("v")).as("nsq"),
+          sum(col("v") * coalesce(element_at(typedLit(qm), col("b")), lit(0.0)))
+            .as("d"))
+        .where(col("nsq") > 0)
+        .select(col("doc_id"), col("chunk_idx"),
+          round(col("d") / (sqrt(col("nsq")) * lit(nq)), 6).as("cos"))
         .orderBy(desc("cos"), col("doc_id"), col("chunk_idx")).limit(20)
     }),
     // the SAME packing parameterized by the subword measure (r13):

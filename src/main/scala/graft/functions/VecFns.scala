@@ -85,6 +85,15 @@ object VecFns {
     (bucket, sign)
   }
 
+  /** SPARSE hashed-embedding grammar — [[bucketSign]]'s halves exposed
+    * for the explode → groupBy(bucket) shape: the corpus-scale path
+    * when the unit count is large (chunks, shards), where the per-row
+    * map-building HOF of [[hashEmbedMap]] becomes the bottleneck
+    * (measured: the chunk-grain retrieval row fell 240 s → ~2 s at
+    * sf0.1 moving to this shape). Same md5 grammar, same oracle. */
+  def hashBucket(t: Column, dim: Int): Column = bucketSign(t, dim)._1
+  def hashSign(t: Column, dim: Int): Column = bucketSign(t, dim)._2
+
   /** E1 offline Embedder: deterministic hashed bag-of-words embedding
     * (the classic hashing trick), built only from portable md5 so the
     * oracle can reproduce it. One pass over the tokens builds a

@@ -486,7 +486,16 @@ object GraftIndexes {
     * incremental-index story: the code layer has NO trained state
     * (per-vector max scaling), so appending a delta is just encoding
     * it with the same per-row rule and appending the files; a
-    * rebuilt-from-scratch layer is row-identical (spec-pinned). */
+    * rebuilt-from-scratch layer is row-identical (spec-pinned).
+    *
+    * EXACTLY-ONCE-APPEND contract (shared with [[appendIvf]]): a
+    * retried or double-run append duplicates code rows — the layout
+    * has no txn log to make appends idempotent. [[sq8Probe]]'s
+    * candidate cut (`limit(k·rerank)` over the code rank) can be
+    * DILUTED by duplicate codes, so the caller owns running each
+    * delta exactly once (wrap appends in the job-level dedup the
+    * pipeline already has — e.g. the checksum-gated
+    * [[graft.operators.Incremental]] state — or rebuild). */
   def appendSq8(spark: SparkSession, delta: DataFrame, idCol: String,
                 vecCol: String, dir: String): Unit =
     sq8CodeFrame(delta, idCol, vecCol)
@@ -558,7 +567,14 @@ object GraftIndexes {
     * the partitioned layout; only the delta's partitions gain files.
     * Retraining cadence is the caller's policy — the K ∝ √N sizing
     * drifts as the corpus grows, so re-run [[writeIvf]] when the
-    * corpus has grown past the next power-of-two boundary. */
+    * corpus has grown past the next power-of-two boundary.
+    *
+    * EXACTLY-ONCE-APPEND contract: a retried or double-run append
+    * duplicates assignment rows (no txn log). Probe RESULTS stay
+    * correct — [[graft.operators.Similarity.ivfProbeSpill]] dedupes by
+    * vec_id — but the layout grows and the probe scans the duplicates,
+    * so the caller owns running each delta exactly once (see
+    * [[appendSq8]], whose candidate cut is additionally dilutable). */
   def appendIvf(spark: SparkSession, delta: DataFrame, idCol: String,
                 vecCol: String, dir: String,
                 spillDelta: Double = Similarity.SpillDelta): Unit = {

@@ -26,7 +26,13 @@ object Layout {
     * bits each: bit k of `a` lands at position 2k, bit k of `b` at
     * 2k+1. Inputs are masked to `bits` low bits first (callers scale
     * their dimensions onto the grid; out-of-grid high bits must not
-    * silently reorder distant rows); the interleave itself is the ONE
+    * silently reorder distant rows). NEGATIVE inputs are out of domain
+    * and the mask does NOT fix them: two's-complement low bits scatter
+    * a negative value onto an arbitrary grid cell (e.g. −1 masks to
+    * all-ones — the far corner), so a caller with signed dimensions
+    * must shift/clamp them non-negative BEFORE keying — a silent
+    * clamp here would merge distinct negative values onto cell 0 and
+    * change the oracle-pinned masked semantics; the interleave itself is the ONE
     * shared [[Compact.zValue]] fold — static shift/mask terms,
     * whole-stage-codegen friendly, exact on the integer grid (≤ 62
     * result bits), and replayable verbatim in SQL. This masked form is

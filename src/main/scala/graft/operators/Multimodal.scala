@@ -15,7 +15,7 @@ import org.apache.spark.sql.types._
   * RIFF/AVI container — written by [[aviBytes]], walked back by the
   * pure-JDK [[demuxAvi]] (LIST recursion, even-byte padding, avih
   * header, '00dc' frame chunks), frames decoded per-sample through
-  * ImageIO ([[sampleFrames]], [[decodeAvi]]). Each path is
+  * ImageIO ([[sampleFrames]], [[decodeVideo]]). Each path is
   * oracle-checked end-to-end on deterministic fixtures ([[synthPng]] /
   * [[synthWav]] / [[synthAvi]] — integer generator formulas a SQL
   * oracle replays verbatim through lossless codecs).
@@ -356,7 +356,6 @@ object Multimodal {
   private[operators] def demuxMp4(bytes: Array[Byte])
       : Option[(Int, Int, Long, Vector[Array[Byte]])] = {
     if (bytes == null || bytes.length < 16) return None
-    def u16(o: Int): Int = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
     def u32(o: Int): Long = ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
       ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
     def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
@@ -413,6 +412,12 @@ object Multimodal {
       val stbl = boxes(stblS, stblE)
       val (sttsS, _) = one(stbl, "stts")
       if (u32(sttsS + 4) < 1) bad("empty stts")
+      // the clock comes from the FIRST stts run: a constant-frame-rate
+      // track (every muxer here, and most in the wild) has one run, so
+      // the clock is exact; a track whose runs disagree (VFR, or CFR
+      // with an odd final delta) demuxes fine — dims and frame payloads
+      // stay exact — but gets the first run's uniform clock, so its
+      // duration_s is approximate, not authoritative
       val usf = u32(sttsS + 12) * 1000000L / timescale
       // sizes: fixed sample_size, or the per-sample table
       val (stszS, _) = one(stbl, "stsz")

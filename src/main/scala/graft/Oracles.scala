@@ -238,12 +238,19 @@ object Oracles {
     * assignment and probe stay corpus-wide — the incremental-append
     * twin (`ivf_append_probe`): per-vector assignment to fixed
     * centroids is the same whether done at base build or at append,
-    * so one emitter replays both lifecycles. */
+    * so one emitter replays both lifecycles. `batchPred` (non-empty)
+    * switches to the BATCHED form (`ann_probe_join` —
+    * Similarity.ivfProbeSpillJoin): the query relation keeps its
+    * probe_id, the probe/cand/rank CTEs partition by it, and the
+    * output is (probe_id, vec_id, cos, rn ≤ batchK) ordered by
+    * (probe_id, rn) — ONE emitter for the single and batched replays,
+    * so their training/spill/probe semantics can never drift. */
   private def ivfSpillOracle(iters: Int, delta: Double,
                              probeMult: Int = 7, probeFloor: Int = 2,
                              sq8Rerank: Int = 0,
                              trainPred: String = "TRUE",
-                             fixedK: Int = 0): String = {
+                             fixedK: Int = 0,
+                             batchPred: String = "", batchK: Int = 10): String = {
     def norm(c: String) =
       s"(CASE WHEN sqrt(list_dot_product($c,$c))=0 THEN 1 ELSE sqrt(list_dot_product($c,$c)) END)"
     def itCte(t: Int): String = {
@@ -285,12 +292,30 @@ object Oracles {
        |  SELECT a2.vec_id, a2.qv, a2.i FROM ax a2 JOIN ax a1
        |    ON a1.vec_id=a2.vec_id AND a1.rn=1 AND a2.rn=2
        |  WHERE (a1.dn - a2.dn)/sqrt(list_dot_product(a2.qv,a2.qv)) <= $delta),
-       |q AS (SELECT qv qq FROM e WHERE vec_id=0),
-       |probe AS (SELECT cf.i FROM cf CROSS JOIN q
-       |  QUALIFY row_number() OVER (
-       |    ORDER BY list_dot_product(qq, cf.cqv)/${norm("cf.cqv")} DESC, cf.i) <= (SELECT np FROM kk)),
-       |cand AS (SELECT DISTINCT vec_id, qv FROM asg WHERE centroid IN (SELECT i FROM probe))
-       |${if (sq8Rerank == 0)
+       |${if (batchPred.nonEmpty)
+           // batched tail (Similarity.ivfProbeSpillJoin): probe_id
+           // flows through probe schedule, candidate dedup, and rank
+           s"""q AS (SELECT vec_id probe_id, qv qq FROM e WHERE $batchPred),
+              |probe AS (SELECT probe_id, qq, cf.i FROM cf CROSS JOIN q
+              |  QUALIFY row_number() OVER (PARTITION BY probe_id
+              |    ORDER BY list_dot_product(qq, cf.cqv)/${norm("cf.cqv")} DESC, cf.i) <= (SELECT np FROM kk)),
+              |cand AS (SELECT DISTINCT probe_id, vec_id, qv
+              |  FROM asg JOIN probe ON asg.centroid = probe.i),
+              |sc AS (SELECT c.probe_id, c.vec_id, ${cosQ("c.qv", "q.qq")} cos
+              |  FROM cand c JOIN q ON c.probe_id = q.probe_id)
+              |SELECT probe_id, vec_id, cos, rn FROM (
+              |  SELECT probe_id, vec_id, cos,
+              |    CAST(row_number() OVER (PARTITION BY probe_id
+              |      ORDER BY cos DESC, vec_id) AS INT) rn FROM sc)
+              |WHERE rn <= $batchK ORDER BY probe_id, rn""".stripMargin
+         else
+           s"""q AS (SELECT qv qq FROM e WHERE vec_id=0),
+              |probe AS (SELECT cf.i FROM cf CROSS JOIN q
+              |  QUALIFY row_number() OVER (
+              |    ORDER BY list_dot_product(qq, cf.cqv)/${norm("cf.cqv")} DESC, cf.i) <= (SELECT np FROM kk)),
+              |cand AS (SELECT DISTINCT vec_id, qv FROM asg WHERE centroid IN (SELECT i FROM probe))""".stripMargin}
+       |${if (batchPred.nonEmpty) ""
+         else if (sq8Rerank == 0)
            s"""SELECT vec_id, ${cosQ("qv", "qq")} cos FROM cand CROSS JOIN q
               |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin
          else
@@ -1045,6 +1070,12 @@ object Oracles {
     // margin 0.03 of their second list are double-assigned; probe the
     // nProbe spherically-nearest lists, dedupe, exact rerank.
     "ann_topk" -> ivfSpillOracle(iters = 3, delta = graft.operators.Similarity.SpillDelta),
+    // batched probe-join twin (Similarity.ivfProbeSpillJoin): the SAME
+    // spill replay in batched mode — probes vec_id < 5, per-probe
+    // schedule/dedup/rank partitioned by probe_id, top-10 each
+    "ann_probe_join" -> ivfSpillOracle(iters = 3,
+      delta = graft.operators.Similarity.SpillDelta,
+      batchPred = "vec_id < 5", batchK = 10),
     // incremental-append twin: train (K sizing + Lloyd) on the EVEN
     // half only, assign + probe over everything — fixed-centroid
     // assignment is lifecycle-invariant, so the SQL needs no notion of

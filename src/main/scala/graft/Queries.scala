@@ -975,6 +975,24 @@ object Queries {
       Similarity.ivfProbeSpill(asg, cents, q.toArray,
         Similarity.nProbeFor(cents.length), k = 20)
     }),
+    // BATCHED trained-index probing (r15): a DataFrame of 5 query rows
+    // probes ONE spill-IVF index in a single distributed plan — each
+    // probe ranks all K centroids as an array expression, the exploded
+    // (probe_id, centroid) schedule equi-joins the index (broadcast →
+    // dynamic partition pruning over a persisted layout; plan-audited
+    // no-nested-loop), spill duplicates collapse in a max-cos combine,
+    // and a per-probe window takes the top 10. Same K/nProbe derivation
+    // and training as ann_topk; the oracle is the one spill emitter in
+    // batched mode (probe/cand/rank CTEs partitioned by probe_id).
+    "ann_probe_join" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val nLists = Similarity.nListsFor(e.count())
+      Similarity.ivfTopKSpillJoin(e, e.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10,
+        nCentroids = nLists, nProbe = Similarity.nProbeFor(nLists))
+        .withColumn("rn", col("rn").cast("int"))
+        .orderBy("probe_id", "rn")
+    }),
     // scan-fraction FLOOR variant: one bucket = 1/16 of the corpus
     // scanned; recall ≈ 0.04 on uniform vectors — registered to keep the
     // latency/recall trade's cheap end measured, never as the default

@@ -436,6 +436,85 @@ object Similarity {
       .orderBy(desc("cos"), asc("vec_id")).limit(k)
   }
 
+  /** BATCHED probe of a prebuilt [[ivfIndexSpill]] — the trained-index
+    * path for a query SET (offline eval suites, contrastive mining,
+    * embedding-dedup sweeps): every probe row gets its top-k in ONE
+    * distributed plan, closing the driver-loop gap of the
+    * one-`Array[Float]` [[ivfProbeSpill]] entry. Shape mirrors
+    * [[knnJoinBucketed]]:
+    *
+    *  1. each probe row ranks ALL K centroids as an EXPRESSION — the
+    *     same [[sphDots]] scores the corpus assignment uses, sorted by
+    *     (score desc, index asc) with an explicit comparator and
+    *     sliced to nProbe (array work over K·dim planning-size
+    *     literals, no shuffle, no driver loop);
+    *  2. the exploded (probe_id, centroid) schedule equi-joins the
+    *     index on `centroid` — over a [[graft.GraftIndexes.writeIvf]]
+    *     layout the broadcast probe side makes this DYNAMIC partition
+    *     pruning (plan-audited): only the union of probed partition
+    *     directories is read, never the corpus;
+    *  3. spill double-assignments collapse in a (probe_id, vec_id)
+    *     max-cos aggregate (both copies carry identical qv, so max ==
+    *     either — map-side combine eats the duplicates before the
+    *     exchange), and a per-probe window takes the top k.
+    *
+    * Scan cost is nProbe/K of the corpus PER PROBE, same as the
+    * single-query path; the join visits each (probe, candidate) pair
+    * once. `broadcastProbes` broadcasts the exploded schedule (right
+    * for probe sets up to millions of rows — nProbe ints + one
+    * quantized vector each); beyond broadcast size pass false and the
+    * join degrades to a shuffle hash join on `centroid`, still never a
+    * nested loop. Returns (probe_id, vec_id, cos, rn) like
+    * [[knnJoin]]; the probe's own row is NOT excluded (parity with
+    * [[ivfProbeSpill]], whose query is free to be a corpus member). */
+  def ivfProbeSpillJoin(assigned: DataFrame, cents: Array[Array[Double]],
+                        probes: DataFrame, idCol: String, vecCol: String,
+                        nProbe: Int, k: Int,
+                        broadcastProbes: Boolean = true): DataFrame = {
+    val q = probes.select(col(idCol).cast("long").as("probe_id"),
+      VecFns.quantize(col(vecCol)).as("pv"))
+    // rank lists per probe: struct (score, idx) array → comparator sort
+    // (score desc, idx asc — an explicit comparator, not negation:
+    // -0.0 vs 0.0 must not re-order vs the SQL row_number twin) → slice
+    val scored = q.withColumn("dn",
+      transform(sphDots(col("pv"), cents), (x, i) =>
+        struct(x.as("s"), i.as("i"))))
+    val cmp = (l: Column, r: Column) =>
+      when(l("s") > r("s"), -1).when(l("s") < r("s"), 1)
+        .otherwise(when(l("i") < r("i"), -1).when(l("i") > r("i"), 1)
+          .otherwise(0))
+    val schedule = scored
+      .withColumn("probe_list",
+        transform(slice(array_sort(col("dn"), cmp), 1, nProbe), e => e("i")))
+      .select(col("probe_id"), col("pv"),
+        explode(col("probe_list")).as("centroid"))
+    val sched = if (broadcastProbes) broadcast(schedule) else schedule
+    val cand = assigned.join(sched, "centroid")
+      .select(col("probe_id"), col("vec_id"),
+        round(VecFns.cosineQ(col("pv"), col("qv")), 6).as("cos"))
+      .groupBy("probe_id", "vec_id").agg(max("cos").as("cos"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(desc("cos"), asc("vec_id"))
+    cand.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select("probe_id", "vec_id", "cos", "rn")
+  }
+
+  /** Cold form of [[ivfProbeSpillJoin]]: train + index + batched probe
+    * in one call (the registered `ann_probe_join` shape). Serving
+    * sessions build [[ivfIndexSpill]] (or open a persisted
+    * [[graft.GraftIndexes.writeIvf]] layout) once and call
+    * [[ivfProbeSpillJoin]] per batch. */
+  def ivfTopKSpillJoin(emb: DataFrame, probes: DataFrame, idCol: String,
+                       vecCol: String, k: Int, nCentroids: Int, nProbe: Int,
+                       lloydIters: Int = 3, spillDelta: Double = SpillDelta,
+                       materialize: Boolean = true): DataFrame = {
+    val qd = Dedup.maybeCache(quantized(emb, idCol, vecCol), materialize)
+    val (assigned, cents) = ivfIndexSpillQ(qd, nCentroids, lloydIters, spillDelta)
+    // probe rows re-quantize from the raw frame (tiny side); the corpus
+    // side reuses the cached quantized scan through `assigned`
+    Dedup.scoped(materialize, qd)(
+      ivfProbeSpillJoin(assigned, cents, probes, idCol, vecCol, nProbe, k))
+  }
+
   /** The nProbe spherically-nearest centroid indices for a query —
     * [[ivfProbeSpill]]'s list schedule, exposed so the bench can count
     * the SCANNED rows of a probe (the ≤6%-scan pin) without re-deriving

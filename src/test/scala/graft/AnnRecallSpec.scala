@@ -163,6 +163,37 @@ class AnnRecallSpec extends SparkSpec {
     } finally e.unpersist(): Unit
   }
 
+  test("batched ivfProbeSpillJoin equals the per-query ivfProbeSpill for every probe row") {
+    // the r15 batched entry's core invariant: one distributed plan over
+    // a query SET returns, per probe, exactly what the single-query
+    // driver-ranked path returns — same expression-side centroid
+    // ranking (comparator sort vs driver sort), same spill dedupe,
+    // same (cos desc, vec_id) rank
+    val e = Tables(spark, sf, "embeddings").cache()
+    try {
+      val nLists = Similarity.nListsFor(e.count())
+      val nProbe = Similarity.nProbeFor(nLists)
+      val (asg0, cents) = Similarity.ivfIndexSpill(e, "vec_id", "embedding",
+        nCentroids = nLists)
+      val asg = asg0.cache()
+      try {
+        val probes = e.where(col("vec_id") < 5)
+        val batched = Similarity.ivfProbeSpillJoin(asg, cents, probes,
+          "vec_id", "embedding", nProbe, k = 10).collect()
+        assert(batched.map(_.getLong(0)).distinct.sorted.toSeq === (0L until 5L).toSeq)
+        (0L until 5L).foreach { pid =>
+          val qv = e.where(col("vec_id") === pid)
+            .select("embedding").head().getSeq[Float](0).toArray
+          val single = Similarity.ivfProbeSpill(asg, cents, qv, nProbe, k = 10)
+            .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          val batchRows = batched.filter(_.getLong(0) == pid).sortBy(_.getInt(3))
+            .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+          assert(batchRows === single, s"probe $pid diverged from the single-query path")
+        }
+      } finally asg.unpersist(): Unit
+    } finally e.unpersist(): Unit
+  }
+
   test("spill-IVF probing ALL lists degenerates to exact cosine top-k") {
     // with nProbe = K every list is probed: candidates = the whole
     // corpus, so the rerank must equal the exact form row-for-row —

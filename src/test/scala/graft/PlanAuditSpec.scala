@@ -597,6 +597,31 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("batched ivfProbeSpillJoin over a persisted layout: DPP partition filter, broadcast equi-join, no nested loop") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("plan-ivf-join").toString
+    val emb = Tables(spark, sf, "embeddings")
+    GraftIndexes.writeIvf(spark, emb, "vec_id", "embedding", s"$dir/ivf",
+      nCentroids = 16, lloydIters = 1)
+    val (asg, cents) = GraftIndexes.openIvf(spark, s"$dir/ivf")
+    val df = Similarity.ivfProbeSpillJoin(asg, cents,
+      emb.where(col("vec_id") < 5), "vec_id", "embedding", nProbe = 2, k = 5)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "batched probe plans a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "batched probe plans a nested loop")
+    assert(p.contains("BroadcastHashJoin"),
+      "the probe schedule is not broadcast — the corpus side would shuffle")
+    // the broadcast probe schedule turns the partitioned-layout scan
+    // into DYNAMIC partition pruning: only the union of probed
+    // centroid directories is read
+    assert("""PartitionFilters: \[[^\]]*dynamicpruning""".r.findFirstIn(p).isDefined,
+      s"no dynamic partition pruning on the centroid layout:\n${p.take(600)}")
+    // top-k per probe rides the WindowGroupLimit pushdown, not a full
+    // per-probe sort of every candidate
+    assert(p.contains("WindowGroupLimit"), "per-probe top-k lost the group-limit pushdown")
+    assert(df.count() === 25L)
+  }
+
   test("appendIvf is genuinely incremental: only the delta's partitions gain files, no retrain") {
     import graft.operators.Similarity
     val dir = java.nio.file.Files.createTempDirectory("plan-ivf-append").toString

@@ -120,9 +120,12 @@ object Bench {
       val annIdx = graft.operators.Similarity
         .annIndex(embT, "vec_id", "embedding", Queries.Dim, nBits = 4).cache()
       annIdx.count()
-      // trained-IVF index (the r13 registered default's prepared form)
+      // prepared spill-IVF index at the registered default's sizing
+      // (scale-aware K, 3 spherical Lloyd iterations)
+      val embN = embT.count()
+      val ivfLists = graft.operators.Similarity.nListsFor(embN)
       val (ivfAsg0, ivfCents) = graft.operators.Similarity
-        .ivfIndexGrid(embT, "vec_id", "embedding", nCentroids = 16, lloydIters = 1)
+        .ivfIndexSpill(embT, "vec_id", "embedding", nCentroids = ivfLists)
       val ivfAsg = ivfAsg0.cache()
       ivfAsg.count()
       val ev = embT.where(col("vec_id") === 0)
@@ -178,11 +181,12 @@ object Bench {
           () => df.collect(): Unit
         },
         "ann_topk_warm" -> {
-          // the REGISTERED default form (grid-trained IVF 16/5) probed
-          // against its prepared index — the warm row must measure the
-          // query users actually run
-          val df = graft.operators.Similarity.ivfProbeGrid(ivfAsg, ivfCents,
-            ev, nProbe = 5, k = 20)
+          // the REGISTERED default form (r15: wide spill-IVF probe over
+          // SQ8 codes + exact rerank) probed against its prepared
+          // index — the warm row must measure the query users actually
+          // run
+          val df = graft.operators.Similarity.ivfSq8Probe(ivfAsg, ivfCents,
+            ev, graft.operators.Similarity.nProbeWideFor(ivfLists), k = 20)
           () => df.collect(): Unit
         })
 
@@ -425,8 +429,10 @@ object Bench {
       // would sit ~1/k below the spec-pinned number for a regression
       // that never happened.
       val forms: Seq[(String, (DataFrame, Array[Float]) => DataFrame)] = Seq(
+        // r15 default: wide probe over SQ8 codes + top-80 exact rerank
         ("ann_topk", (_, qv) =>
-          Similarity.ivfProbeSpill(spillAsg, spillCents, qv, nProbe, k = k + 1)),
+          Similarity.ivfSq8Probe(spillAsg, spillCents, qv,
+            Similarity.nProbeWideFor(nLists), k = k + 1)),
         ("ann_ivf_wide", (_, qv) =>
           Similarity.ivfProbeSpill(spillAsg, spillCents, qv,
             Similarity.nProbeWideFor(nLists), k = k + 1)),
@@ -452,20 +458,28 @@ object Bench {
         name -> recallFrom(e, pre, approx)
       }
       // scanned-row fraction of the default's probe (index rows whose
-      // centroid is in the probe schedule, spill duplicates INCLUDED —
-      // the honest rows-read number), averaged over the same queries:
-      // the ≤6%-at-any-scale pin the K ∝ √N sizing exists to hold
-      val scanFrac = {
+      // centroid is in the WIDE probe schedule, spill duplicates
+      // INCLUDED — the honest rows-read number), averaged over the
+      // same queries, plus its BYTE-normalized twin: the r15 default
+      // scans 1-byte SQ8 codes where brute force reads the 8-byte
+      // grid, and exact-reranks a fixed 80 full vectors, so bytes =
+      // (rows·1 + 80·8·/N… ) / (8·rows_total) — the cost a 100 TB
+      // reader pays. Row fraction stays reported (the K ∝ √N pin);
+      // byte fraction is the ≤8%-at-any-scale default-envelope pin.
+      val nProbeWide = Similarity.nProbeWideFor(nLists)
+      val scanRows = {
         val fs = pre.map { case (_, qv, _) =>
-          val ps = Similarity.spillProbeSet(spillCents, qv, nProbe)
+          val ps = Similarity.spillProbeSet(spillCents, qv, nProbeWide)
           spillAsg.where(col("centroid").isin(ps.map(x => x: Any): _*))
             .count().toDouble / nTotal.toDouble
         }
         if (fs.isEmpty) 0.0 else fs.sum / fs.size
       }
+      val scanBytes = (scanRows * nTotal + k * 4 * 8.0) / (8.0 * nTotal)
       val out = measured.map { case (name, r) => s""""$name":${fmt(r, 3)}""" }
-      ((out :+ s""""ann_topk_scan":${fmt(scanFrac, 3)}"""
-        :+ s""""ann_topk_lists":$nLists""" :+ s""""ann_topk_nprobe":$nProbe"""
+      ((out :+ s""""ann_topk_scan":${fmt(scanBytes, 3)}"""
+        :+ s""""ann_topk_scan_rows":${fmt(scanRows, 3)}"""
+        :+ s""""ann_topk_lists":$nLists""" :+ s""""ann_topk_nprobe":$nProbeWide"""
         :+ s""""k":$k""" :+ s""""n_queries":${present.size}""")
         .mkString("{", ",", "}"),
         measured.collectFirst { case ("ann_topk", r) => r })

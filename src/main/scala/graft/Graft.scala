@@ -558,6 +558,101 @@ object GraftIndexes {
       .write.mode("overwrite").parquet(s"$dir/centroids")
   }
 
+  /** Persist the COMPOSED IVF×SQ8 layout — the serving face of the
+    * r15 `ann_topk` default: ONE partitioned-by-centroid table
+    * carrying (vec_id, c8, qv) plus the trained-centroid sidecar.
+    * Parquet is columnar, so the code-rank phase of
+    * [[ivfSq8ProbeSplit]] reads ONLY the (vec_id, c8) columns of the
+    * probed partitions — 1 byte/dim where brute force reads the
+    * 8-byte grid, the default rung's byte claim made physical
+    * (plan-audited via ReadSchema) — and the exact rerank re-reads
+    * the same partitions with a pushed `vec_id IN (k·rerank ids)`
+    * filter, touching only the qv pages whose row-group stats
+    * overlap. Zero-norm vectors are dropped (no direction to rank —
+    * the [[graft.operators.Similarity.sq8TopK]] guard). [[openIvf]]
+    * opens this layout unchanged (the extra c8 column rides along),
+    * so [[graft.operators.Similarity.ivfProbeSpill]] and
+    * [[graft.operators.Similarity.ivfProbeSpillJoin]] probe it too.
+    * `nCentroids = 0` derives K from the corpus size. */
+  def writeIvfSq8(spark: SparkSession, emb: DataFrame, idCol: String,
+                  vecCol: String, dir: String, nCentroids: Int = 0,
+                  lloydIters: Int = 3,
+                  spillDelta: Double = Similarity.SpillDelta): Unit = {
+    val k = if (nCentroids > 0) nCentroids else Similarity.nListsFor(emb.count())
+    val (asg, cents) = Similarity.ivfIndexSpill(emb, idCol, vecCol, k,
+      lloydIters, spillDelta)
+    asg.withColumn("qm", Similarity.sq8Max(col("qv")))
+      .where(col("qm") > 0)
+      .withColumn("c8",
+        transform(Similarity.sq8Codes(col("qv"), col("qm")), x => x.cast("byte")))
+      .select("vec_id", "qv", "c8", "centroid")
+      .write.mode("overwrite").partitionBy("centroid").parquet(s"$dir/assign")
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("i", "cvec").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Probe a persisted [[writeIvfSq8]] layout in the two-phase
+    * narrow-read shape (the on-disk twin of
+    * [[graft.operators.Similarity.ivfSq8Probe]], bit-identical
+    * results — spec-pinned):
+    *
+    *  1. code rank: scan ONLY (vec_id, c8) of the nProbe probed
+    *     partitions (partition pruning on the centroid literal;
+    *     column pruning keeps the 8-byte qv out of the read), rank by
+    *     code cosine, keep the top k·rerank ids — a COUNTED collect,
+    *     k·rerank ≤ a few hundred by contract;
+    *  2. exact rerank: re-read the same partitions with the literal
+    *     `vec_id IN (ids)` PUSHED to parquet (row-group stats skip
+    *     most qv pages), exact-rescore, top k.
+    *
+    * The spill double-assignment means a vec_id can appear in two
+    * probed partitions — both carry identical codes/vectors, so phase
+    * 1 dedupes before the cut and phase 2 before the rescore. */
+  def ivfSq8ProbeSplit(assigned: DataFrame, cents: Array[Array[Double]],
+                       q: Array[Float], nProbe: Int, k: Int,
+                       rerank: Int = 4): DataFrame = {
+    val qq = VecFns.quantizeLocal(q)
+    val q8 = VecFns.sq8CodesLocal(qq) match {
+      case Some(c) => c
+      case None => // zero query: empty, matching the in-memory rung
+        val s = assigned.sparkSession
+        import s.implicits._
+        return Seq.empty[(Long, Double)].toDF("vec_id", "cos")
+    }
+    val probeSet = Similarity.spillProbeSet(cents, q, nProbe)
+    val ids = sq8CodeRankFrame(assigned, probeSet, q8, k * rerank)
+      .collect().map(_.getLong(0)).toSeq
+    if (ids.isEmpty) {
+      val s = assigned.sparkSession
+      import s.implicits._
+      return Seq.empty[(Long, Double)].toDF("vec_id", "cos")
+    }
+    assigned.where(col("centroid").isin(probeSet: _*) &&
+        col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("qv"))
+      .dropDuplicates("vec_id")
+      .select(col("vec_id"),
+        round(VecFns.cosineQ(col("qv"), typedLit(qq)), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id")).limit(k)
+  }
+
+  /** [[ivfSq8ProbeSplit]]'s phase-1 code-rank frame, factored out so
+    * the plan audit pins the REAL read shape: partition pruning on the
+    * probed centroid set, column pruning to (vec_id, c8) — qv never
+    * enters the scan. */
+  private[graft] def sq8CodeRankFrame(assigned: DataFrame, probeSet: Seq[Int],
+                                      q8: Array[Double], cut: Int): DataFrame =
+    assigned.where(col("centroid").isin(probeSet: _*))
+      .select(col("vec_id"), col("c8"))
+      .dropDuplicates("vec_id")
+      .select(col("vec_id"),
+        round(VecFns.cosineQ(col("c8").cast("array<double>"), typedLit(q8)), 6)
+          .as("approx"))
+      .orderBy(desc("approx"), asc("vec_id")).limit(cut)
+      .select("vec_id")
+
   /** INCREMENTAL maintenance of a persisted spill-IVF — the
     * hourly-append face of the nightly-retrain index: new vectors are
     * assigned against the EXISTING trained centroids (same spill rule

@@ -1060,16 +1060,20 @@ object Oracles {
          |v AS (SELECT a, b, ${cosQ("x.qv", "y.qv")} cos FROM cand
          |      JOIN k x ON x.id=a JOIN k y ON y.id=b)
          |SELECT a, b, cos FROM v WHERE cos>=0.3 ORDER BY a, b""".stripMargin,
-    // default ANN (r14) = SCALE-AWARE spherical spill-IVF: K and
-    // nProbe derived from count(*) (pow2(round(log2(3·√N))),
-    // max(2, 7K//128)); 3 spherical Lloyd steps on the truncated-
-    // integer-mean grid (HUGEINT sum `//` count — DuckDB truncates
-    // toward zero, exactly Scala's Long division; assignment ranks
-    // dot/|c|, one correctly-rounded sqrt+division of exact integers,
-    // bit-identical cross-engine); boundary vectors within cosine
-    // margin 0.03 of their second list are double-assigned; probe the
-    // nProbe spherically-nearest lists, dedupe, exact rerank.
-    "ann_topk" -> ivfSpillOracle(iters = 3, delta = graft.operators.Similarity.SpillDelta),
+    // default ANN (r15) = scale-aware spherical spill-IVF, WIDE probe
+    // (max(4, 26K//128) of the K = pow2(round(log2(3·√N))) lists),
+    // SQ8 code pre-rank over the surviving candidates, top-80 exact
+    // rerank — the same emitter as r14's narrow default with the wide
+    // schedule + the code-rank tail (sq8Ctes, shared with ann_sq8).
+    // Training replay unchanged: 3 spherical Lloyd steps on the
+    // truncated-integer-mean grid (HUGEINT sum `//` count — DuckDB
+    // truncates toward zero, exactly Scala's Long division; assignment
+    // ranks dot/|c|, one correctly-rounded sqrt+division of exact
+    // integers, bit-identical cross-engine); boundary vectors within
+    // cosine margin 0.03 of their second list are double-assigned.
+    "ann_topk" -> ivfSpillOracle(iters = 3,
+      delta = graft.operators.Similarity.SpillDelta,
+      probeMult = 26, probeFloor = 4, sq8Rerank = 80),
     // batched probe-join twin (Similarity.ivfProbeSpillJoin): the SAME
     // spill replay in batched mode — probes vec_id < 5, per-probe
     // schedule/dedup/rank partitioned by probe_id, top-10 each

@@ -931,22 +931,26 @@ object Queries {
     "near_dup_pairs" -> ((s, dir) =>
       Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding", 0.3, Dim,
         nBits = 8, nBands = 2).orderBy("a", "b")),
-    // DEFAULT ANN form (r14): SCALE-AWARE spherical grid-trained IVF
-    // with boundary spill. K = nListsFor(N) grows as ~3·√N (128 lists
-    // at sf0.1's 2000 vectors), nProbe = nProbeFor(K) holds the
-    // nominal scan at ~5.5% at ANY corpus size — the r13 fixed-K=16
-    // default scanned 31% and would approach a full scan at 100 TB.
-    // Three spherical Lloyd iterations on the truncated-integer-mean
-    // grid + δ=0.03 second-list spill: recall@20 0.73 at 5.9% scanned
-    // rows on the worst-case uniform sf0.1 fixture (AnnRecallSpec pins
-    // ≥0.7 recall and ≤0.06 scan; the DuckDB oracle replays K
-    // derivation, spherical training, spill, and probe bit-for-bit).
+    // DEFAULT ANN form (r15): scale-aware spherical spill-IVF with a
+    // WIDE probe schedule whose scan rides SQ8 int8 CODES — the
+    // IVF×SQ composition serving as the default. K = nListsFor(N)
+    // grows as ~3·√N; nProbe = nProbeWideFor(K) probes ~20% of the
+    // lists, but the per-candidate scan column is the 1-byte code, so
+    // the BYTE cost is ~21.5%/8 + the 80-row exact rerank ≈ 6.7% of a
+    // brute-force full-vector scan at sf0.1 (→ 2.7% asymptotically:
+    // the rerank is O(k), not O(N)). Measured recall@20 0.91 on the
+    // worst-case uniform fixture — the r14 narrow-probe default's 0.73
+    // at comparable bytes (AnnRecallSpec pins ≥0.85 recall, ≤8% byte
+    // scan, ≤25% row scan; the DuckDB oracle replays K derivation,
+    // spherical training, spill, probe, code-rank, and rerank
+    // bit-for-bit). The narrow-probe composition stays registered as
+    // ann_ivf_sq8 (the cheap end); row-pruning-only as ann_ivf_wide.
     "ann_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.where(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
       val nLists = Similarity.nListsFor(e.count())
-      Similarity.ivfTopKSpill(e, "vec_id", "embedding", q.toArray, k = 20,
-        nCentroids = nLists, nProbe = Similarity.nProbeFor(nLists))
+      Similarity.ivfSq8TopK(e, "vec_id", "embedding", q.toArray, k = 20,
+        nCentroids = nLists, nProbe = Similarity.nProbeWideFor(nLists))
     }),
     // incremental index LIFECYCLE, driver-oracled end-to-end: build the
     // persisted spill-IVF on the even half, APPEND the odd half against

@@ -558,7 +558,16 @@ object Similarity {
       .orderBy(desc("cos"), asc("vec_id")).limit(k)
   }
 
-  /** Cold form of [[ivfSq8Probe]]: train + index + code-rank + rerank. */
+  /** Cold form of [[ivfSq8Probe]]: train + index + code-rank + rerank.
+    * At the WIDE probe schedule ([[nProbeWideFor]]) this is the
+    * registered `ann_topk` DEFAULT (r15): recall@20 0.91 on the
+    * worst-case uniform sf0.1 fixture at 21.5% scanned rows whose scan
+    * column is the 1-byte SQ8 code — ~6.7% of brute-force BYTES incl.
+    * the fixed 80-row rerank (→ 2.7% asymptotically), inside the r14
+    * narrow-probe default's byte envelope at +18 recall points.
+    * Serving sessions persist the composed layout
+    * ([[graft.GraftIndexes.writeIvfSq8]]) so the code-rank scan reads
+    * only the (vec_id, c8) columns of the probed partitions. */
   def ivfSq8TopK(emb: DataFrame, idCol: String, vecCol: String,
                  q: Array[Float], k: Int, nCentroids: Int, nProbe: Int,
                  rerank: Int = 4, lloydIters: Int = 3,
@@ -571,10 +580,11 @@ object Similarity {
   }
 
   /** Cold form of the scale-aware spill IVF: train + index + probe in
-    * one call (the registered `ann_topk` default — recall@20 0.73 at
-    * 5.9% scanned rows on the worst-case uniform sf0.1 fixture,
-    * AnnRecallSpec-pinned ≥0.7 / ≤0.06). Serving sessions should build
-    * [[ivfIndexSpill]] once and probe with [[ivfProbeSpill]]. */
+    * one call — the row-pruning-only rung (registered `ann_ivf_wide`
+    * at the wide schedule; the r14 default before the SQ8-code
+    * composition [[ivfSq8TopK]] superseded it as `ann_topk`). Serving
+    * sessions should build [[ivfIndexSpill]] once and probe with
+    * [[ivfProbeSpill]]. */
   def ivfTopKSpill(emb: DataFrame, idCol: String, vecCol: String,
                    q: Array[Float], k: Int, nCentroids: Int, nProbe: Int,
                    lloydIters: Int = 3, spillDelta: Double = SpillDelta,

@@ -622,6 +622,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(df.count() === 25L)
   }
 
+  test("persisted IVF x SQ8 layout: code rank reads codes not vectors, rerank pushes vec_id IN, results match the in-memory probe (E3)") {
+    import graft.operators.Similarity
+    import graft.functions.VecFns
+    val dir = java.nio.file.Files.createTempDirectory("plan-ivfsq8").toString
+    val emb = Tables(spark, sf, "embeddings")
+    GraftIndexes.writeIvfSq8(spark, emb, "vec_id", "embedding", s"$dir/ivf",
+      nCentroids = 16, lloydIters = 1)
+    val (asg, cents) = GraftIndexes.openIvf(spark, s"$dir/ivf")
+    val q = emb.where(col("vec_id") === 0).head().getSeq[Float](1).toArray
+    // phase 1 (code rank): partition pruning on the probed centroids,
+    // COLUMN pruning to (vec_id, c8) — the 8-byte qv never enters the
+    // scan; this is the default rung's byte claim made physical
+    val probeSet = Similarity.spillProbeSet(cents, q, nProbe = 3)
+    val q8 = VecFns.sq8CodesLocal(VecFns.quantizeLocal(q)).get
+    val p1 = GraftIndexes.sq8CodeRankFrame(asg, probeSet, q8, 80)
+      .queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*centroid[^\]]* IN""".r.findFirstIn(p1).isDefined,
+      "code rank is not partition pruning on the probe set")
+    assert("""ReadSchema: [^\n]*c8""".r.findFirstIn(p1).isDefined,
+      "code rank does not read the code column")
+    assert(!"""ReadSchema: [^\n]*qv""".r.findFirstIn(p1).isDefined,
+      s"code rank reads the full vectors — the narrow-scan claim is broken:\n${p1.take(500)}")
+    // phase 2 (exact rerank): the bounded id set arrives as a LITERAL
+    // isin, so parquet row-group stats can skip qv pages
+    val df = GraftIndexes.ivfSq8ProbeSplit(asg, cents, q, nProbe = 3, k = 10)
+    val p2 = df.queryExecution.executedPlan.toString
+    assert("""PushedFilters: \[[^\]]*In\(vec_id""".r.findFirstIn(p2).isDefined,
+      s"rerank does not push the candidate-id filter to parquet:\n${p2.take(500)}")
+    // the split probe is bit-identical to the in-memory composed rung
+    val (memAsg, memCents) = Similarity.ivfIndexSpill(emb, "vec_id", "embedding",
+      nCentroids = 16, lloydIters = 1)
+    val mem = Similarity.ivfSq8Probe(memAsg, memCents, q, nProbe = 3, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === mem,
+      "persisted split probe diverged from the in-memory composed rung")
+  }
+
   test("appendIvf is genuinely incremental: only the delta's partitions gain files, no retrain") {
     import graft.operators.Similarity
     val dir = java.nio.file.Files.createTempDirectory("plan-ivf-append").toString

@@ -1,9 +1,10 @@
 package graft.serve
 
-import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer, HttpsConfigurator, HttpsServer}
 import graft.Graft
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets.UTF_8
+import javax.net.ssl.{KeyManagerFactory, SSLContext}
 
 /** HTTP transport — the reference's Flask surface
   * (mcp_server/http_server.py:16-73) on the JDK's built-in server (zero
@@ -19,10 +20,25 @@ import java.nio.charset.StandardCharsets.UTF_8
   * inefficiency this engine's whole serving design removes. Requests
   * execute on the server's executor threads; the engines' search paths
   * are thread-safe (resident caches are read-only after build, Spark
-  * jobs multiplex). Port 0 binds an ephemeral port (tests). */
+  * jobs multiplex). Port 0 binds an ephemeral port (tests).
+  *
+  * `tls = Some(...)` serves HTTPS instead — the reference's dev runner
+  * does the same (http_server.py:78-80 passes a bundled self-signed
+  * `ssl_context=('cert/cert.pem','cert/key.pem')`); here the JDK's
+  * [[HttpsServer]] wraps the identical handler tree, keyed from a
+  * PKCS12 keystore ([[HttpTransport.Tls]] — the caller's production
+  * keystore, or the bundled DEV-ONLY self-signed localhost cert that
+  * mirrors the reference's committed `cert/` pair). */
 final class HttpTransport(collections: Map[String, Graft.HadithEngine],
-                          port: Int = 8000) {
-  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+                          port: Int = 8000,
+                          tls: Option[HttpTransport.Tls] = None) {
+  private val server = tls match {
+    case None => HttpServer.create(new InetSocketAddress(port), 0)
+    case Some(t) =>
+      val s = HttpsServer.create(new InetSocketAddress(port), 0)
+      s.setHttpsConfigurator(new HttpsConfigurator(HttpTransport.sslContext(t)))
+      s
+  }
   server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
@@ -81,18 +97,50 @@ final class HttpTransport(collections: Map[String, Graft.HadithEngine],
   def stop(): Unit = server.stop(0)
 }
 
+object HttpTransport {
+  /** TLS keying: a PKCS12 keystore path + password, or (both defaults)
+    * the bundled DEV-ONLY self-signed localhost certificate — the JDK
+    * analog of the reference's committed `cert/cert.pem`+`key.pem`
+    * pair (mcp_server/http_server.py:78-80). The bundled store is for
+    * local dev/tests exactly like the reference's; production callers
+    * pass their own keystore. */
+  final case class Tls(keystorePath: Option[String] = None,
+                       password: String = "graftdev")
+
+  private[serve] def sslContext(tls: Tls): SSLContext = {
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val in = tls.keystorePath match {
+      case Some(p) => new java.io.FileInputStream(p)
+      case None =>
+        val r = getClass.getResourceAsStream("/graft/serve/dev-keystore.p12")
+        require(r != null, "bundled dev keystore missing from classpath")
+        r
+    }
+    try ks.load(in, tls.password.toCharArray) finally in.close()
+    val kmf = KeyManagerFactory.getInstance(KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, tls.password.toCharArray)
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    ctx
+  }
+}
+
 /** `python3 -m mcp_server.http_server` analog:
-  * runMain graft.serve.HttpMain <booksGlob> [port] */
+  * runMain graft.serve.HttpMain <booksGlob> [port] [--tls]
+  * (`--tls` serves HTTPS off the bundled dev certificate, like the
+  * reference's ssl_context dev runner). */
 object HttpMain {
   def main(args: Array[String]): Unit = {
     val glob = args.headOption.getOrElse("/root/reference/data/riyadussalihin/book_*.jsonl")
     val port = args.lift(1).flatMap(_.toIntOption).getOrElse(8000)
+    val tls = if (args.contains("--tls")) Some(HttpTransport.Tls()) else None
     val spark = graft.GraftSession.local("graft-http")
     val eng = Graft.openHadith(spark, glob)
-    val t = new HttpTransport(Map("riyadussalihin" -> eng), port)
+    val t = new HttpTransport(Map("riyadussalihin" -> eng), port, tls)
     graft.GraftSession.tuneForServing(spark)
     eng.searchTyped("warm", 1) // build the resident layers before traffic
-    System.err.println(s"graft http serving on :${t.boundPort}")
+    System.err.println(
+      s"graft ${if (tls.isDefined) "https" else "http"} serving on :${t.boundPort}")
     Thread.currentThread.join() // serve until killed
   }
 }

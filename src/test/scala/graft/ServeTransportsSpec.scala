@@ -109,6 +109,53 @@ class ServeTransportsSpec extends SparkSpec {
     }
   }
 
+  test("https transport serves the same surface over TLS (bundled dev cert)") {
+    // the reference's dev runner serves HTTPS with a bundled
+    // self-signed cert (http_server.py:78-80); this drives one real
+    // TLS handshake + request end-to-end against the HttpsServer
+    // form. The client TRUSTS exactly the bundled certificate (the
+    // keystore doubles as the truststore) — not trust-all — so a
+    // served cert that doesn't match the bundle fails the handshake.
+    val t = new HttpTransport(Map("riyadussalihin" -> eng), port = 0,
+      tls = Some(HttpTransport.Tls()))
+    try {
+      val ks = java.security.KeyStore.getInstance("PKCS12")
+      val in = getClass.getResourceAsStream("/graft/serve/dev-keystore.p12")
+      try ks.load(in, "graftdev".toCharArray) finally in.close()
+      val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+        javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+      tmf.init(ks)
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      ctx.init(null, tmf.getTrustManagers, null)
+      val client = HttpClient.newBuilder().sslContext(ctx).build()
+      val base = s"https://localhost:${t.boundPort}"
+      val health = client.send(
+        HttpRequest.newBuilder(URI.create(base + "/health")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(health.statusCode() === 200)
+      assert(health.body() === """{"ok":true}""")
+      val res = client.send(HttpRequest.newBuilder(
+          URI.create(base + "/api/riyadussalihin/search/hybrid"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"query":"Hadith narrated by Abu Hurairah","n_results":3}""", UTF_8))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(res.statusCode() === 200)
+      val env = mapper.readTree(res.body())
+      assert(env.get("intent").asText === "narrator")
+      assert(env.get("hits").size() > 0)
+      // plain-HTTP client against the TLS port must fail the protocol,
+      // proving the listener really speaks TLS
+      val plain = HttpClient.newHttpClient()
+      intercept[java.io.IOException] { // timeout also surfaces as IOException
+        plain.send(HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${t.boundPort}/health"))
+          .timeout(java.time.Duration.ofSeconds(5)).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      }
+    } finally t.stop()
+  }
+
   test("http transport serves concurrent searches correctly (thread safety)") {
     val t = new HttpTransport(Map("riyadussalihin" -> eng), port = 0)
     try {

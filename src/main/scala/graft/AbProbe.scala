@@ -6,16 +6,18 @@ import org.apache.spark.sql.SparkSession
   * times a SUBSET of registered queries with the bench's own cold
   * mechanics (cache sweep + noop sink + min over interleaved passes),
   * so two source trees can be compared on identical measurement code.
-  * Usage: runMain graft.AbProbe <sfDir> <q1,q2,...> <passes>
+  * Usage: runMain graft.AbProbe <sfDir> <q1,q2,...> <passes> [threads] [shufflePartitions]
   */
 object AbProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = args.lift(1).getOrElse("minhash_lsh_pairs").split(",").toSeq
     val passes = args.lift(2).flatMap(_.toIntOption).getOrElse(3)
+    val threads = args.lift(3).flatMap(_.toIntOption).getOrElse(4)
+    val shuffle = args.lift(4).flatMap(_.toIntOption).getOrElse(4)
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
+      .master(s"local[$threads]")
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

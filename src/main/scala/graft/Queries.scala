@@ -318,8 +318,10 @@ object Queries {
         .withColumn("ts_ev", timestamp_micros(expr("ts div 1000")))
       val dd = graft.streaming.Streams.dedupStream(
         ev, Seq("user_id", "event_type"), "3650 days", tsCol = "ts_ev")
-      graft.streaming.Streams
-        .runToParquet(dd.select("user_id", "event_type"), scratch)
+      graft.streaming.Streams.withStatePartitions(s, 8) {
+        graft.streaming.Streams
+          .runToParquet(dd.select("user_id", "event_type"), scratch)
+      }
         .orderBy("user_id", "event_type")
     }),
     // second genuinely-streaming row: the foreachBatch as-of composition
@@ -339,10 +341,6 @@ object Queries {
       val views = () => Tables(s, dir, "events")
         .where(col("event_type") === "view")
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-      val q = graft.streaming.Streams.asofEnrich(purchases, views,
-        "user_id", "ts", "event_id", Seq("value"),
-        s"$scratch/out", s"$scratch/ck",
-        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       // expected read-back schema from a 0-row batch twin (+ the
       // partition column — LongType: partitionedBatchSink stamps it
       // from foreachBatch's Long batchId), so an empty purchase leg
@@ -350,7 +348,13 @@ object Queries {
       val expected = AsOf.asofJoin(views().limit(0), views(),
           "user_id", "ts", "event_id", Seq("value"))
         .schema.add("enrich_batch", org.apache.spark.sql.types.LongType)
-      graft.streaming.Streams.awaitAndRead(q, s, s"$scratch/out", expected)
+      graft.streaming.Streams.withStatePartitions(s, 8) {
+        val q = graft.streaming.Streams.asofEnrich(purchases, views,
+          "user_id", "ts", "event_id", Seq("value"),
+          s"$scratch/out", s"$scratch/ck",
+          trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        graft.streaming.Streams.awaitAndRead(q, s, s"$scratch/out", expected)
+      }
         .select(col("event_id"), col("user_id"), col("ts").as("ts_ns"),
           col("value"), col("asof_event_id").as("view_event_id"),
           col("asof_ts").as("view_ts_ns"), col("asof_value").as("view_value"))
@@ -365,14 +369,15 @@ object Queries {
       val scratch = java.nio.file.Files
         .createTempDirectory("graft-stream-rollup").toString
       registerScratchCleanup(scratch)
-      val q = graft.streaming.Streams.rollupMaintain(
-        Tables.eventsStream(s, dir), "event_type",
-        s"$scratch/parts", s"$scratch/ck",
-        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
       val expected = Events.hourlyGrain(Tables(s, dir, "events").limit(0), "event_type")
         .schema.add("part_batch", org.apache.spark.sql.types.LongType)
-      val parts = graft.streaming.Streams
-        .awaitAndRead(q, s, s"$scratch/parts", expected)
+      val parts = graft.streaming.Streams.withStatePartitions(s, 8) {
+        val q = graft.streaming.Streams.rollupMaintain(
+          Tables.eventsStream(s, dir), "event_type",
+          s"$scratch/parts", s"$scratch/ck",
+          trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+        graft.streaming.Streams.awaitAndRead(q, s, s"$scratch/parts", expected)
+      }
       Events.mergeHourly("event_type", parts.drop("part_batch"))
         .orderBy("hour_bucket", "event_type")
     }),
@@ -406,8 +411,6 @@ object Queries {
           state, "user_id", Seq("event_type"), s"$scratch/ck$phase",
           nBuckets = 16,
           trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
-      graft.streaming.Streams.awaitDone(run(0))
-      val q2 = run(1)
       val expected = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("user_id",
           org.apache.spark.sql.types.LongType),
@@ -419,7 +422,12 @@ object Queries {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("bucket",
           org.apache.spark.sql.types.LongType)))
-      graft.streaming.Streams.awaitAndRead(q2, s, state, expected)
+      // per-trigger volume is a few thousand rows: size the state/
+      // foreachBatch exchanges to it (Streams.withStatePartitions)
+      graft.streaming.Streams.withStatePartitions(s, 8) {
+        graft.streaming.Streams.awaitDone(run(0))
+        graft.streaming.Streams.awaitAndRead(run(1), s, state, expected)
+      }
         .select(col("user_id"), col("event_type"),
           col("valid_to").isNull.as("is_open"))
         .orderBy("user_id", "event_type")
@@ -451,8 +459,6 @@ object Queries {
           threshold = 0.9,
           trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()),
           batchIdOffset = phase.toLong)
-      graft.streaming.Streams.awaitDone(run(0))
-      val q2 = run(1)
       val expected = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
           org.apache.spark.sql.types.LongType),
@@ -460,7 +466,12 @@ object Queries {
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("ingest_batch",
           org.apache.spark.sql.types.LongType)))
-      graft.streaming.Streams.awaitAndRead(q2, s, corpus, expected)
+      // per-trigger volume is bounded by the spooled half-corpus: size
+      // the foreachBatch band joins to it (Streams.withStatePartitions)
+      graft.streaming.Streams.withStatePartitions(s, 8) {
+        graft.streaming.Streams.awaitDone(run(0))
+        graft.streaming.Streams.awaitAndRead(run(1), s, corpus, expected)
+      }
         .select(col("doc_id"), col("ingest_batch"))
         .orderBy("doc_id")
     }),
@@ -492,15 +503,19 @@ object Queries {
       val joined = graft.streaming.Streams.streamStreamJoin(
         leg("purchase"), leg("view"), "user_id", "ts_ev",
         lookback = "1 hour", watermark = "3650 days")
-      graft.streaming.Streams.runToParquet(
-        joined.select(
-          col("l.event_id").as("purchase_id"), col("l.user_id").as("user_id"),
-          unix_micros(col("l.ts_ev")).as("purchase_ts_us"),
-          col("l.value").as("purchase_value"),
-          col("r.event_id").as("view_id"),
-          unix_micros(col("r.ts_ev")).as("view_ts_us"),
-          col("r.value").as("view_value")),
-        scratch)
+      // join state holds the 1 h lookback per user of a bounded spool:
+      // 8 state partitions, not the session's width (withStatePartitions)
+      graft.streaming.Streams.withStatePartitions(s, 8) {
+        graft.streaming.Streams.runToParquet(
+          joined.select(
+            col("l.event_id").as("purchase_id"), col("l.user_id").as("user_id"),
+            unix_micros(col("l.ts_ev")).as("purchase_ts_us"),
+            col("l.value").as("purchase_value"),
+            col("r.event_id").as("view_id"),
+            unix_micros(col("r.ts_ev")).as("view_ts_us"),
+            col("r.value").as("view_value")),
+          scratch)
+      }
         .orderBy("purchase_id", "view_id")
     }),
     // eighth genuinely-streaming row (r14): the LEFT-OUTER watermarked
@@ -540,15 +555,18 @@ object Queries {
       val joined = graft.streaming.Streams.streamStreamJoin(
         leg("purchase"), leg("view"), "user_id", "ts_ev",
         lookback = "1 hour", watermark = "1 second", joinType = "leftOuter")
-      graft.streaming.Streams.runToParquet(
-        joined.select(
-          col("l.event_id").as("purchase_id"), col("l.user_id").as("user_id"),
-          unix_micros(col("l.ts_ev")).as("purchase_ts_us"),
-          col("l.value").as("purchase_value"),
-          col("r.event_id").as("view_id"),
-          unix_micros(col("r.ts_ev")).as("view_ts_us"),
-          col("r.value").as("view_value")),
-        scratch)
+      // same state-partition sizing as the inner form
+      graft.streaming.Streams.withStatePartitions(s, 8) {
+        graft.streaming.Streams.runToParquet(
+          joined.select(
+            col("l.event_id").as("purchase_id"), col("l.user_id").as("user_id"),
+            unix_micros(col("l.ts_ev")).as("purchase_ts_us"),
+            col("l.value").as("purchase_value"),
+            col("r.event_id").as("view_id"),
+            unix_micros(col("r.ts_ev")).as("view_ts_us"),
+            col("r.value").as("view_value")),
+          scratch)
+      }
         .where(col("user_id") >= 0)
         .orderBy(col("purchase_id"), coalesce(col("view_id"), lit(-1L)))
     }),
@@ -574,7 +592,9 @@ object Queries {
       s.conf.set(confKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val raw =
-        try graft.streaming.Streams.runningTotals(src, s"$scratch/run")
+        try graft.streaming.Streams.withStatePartitions(s, 8) {
+          graft.streaming.Streams.runningTotals(src, s"$scratch/run")
+        }
         finally prev.fold(s.conf.unset(confKey))(s.conf.set(confKey, _))
       raw.groupBy("user_id")
         .agg(max(struct(col("n_events"), col("sum_value"))).as("m"))

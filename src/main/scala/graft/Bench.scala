@@ -802,10 +802,15 @@ object Bench {
       .sortBy { case (n, (w, r, _)) => (-(w + r), n) }.take(5)
       .map { case (n, (w, r, _)) => s""""$n":${fmt((w + r) / 1048576.0, 0)}""" }
       .mkString("{", ",", "}")
+    // per-query movers vs the prior round's artifact (rest-bucket
+    // visibility — see regressionsJson): rides both artifact forms
+    val regrJson = regressionsJson(
+      coldResults().collect { case (k, v, None, _, _) => k -> v }.toMap)
     val extra = recallDefault.map(r => s""""recall20_ann":${fmt(r, 2)},""").getOrElse("") +
       goldenCompact.map(g => s""""golden":$g,""").getOrElse("") +
       soakCompact.map(s => s""""soak10x":$s,""").getOrElse("") +
       s""""n_noisy":${coldResults().count(_._5)},""" +
+      s""""regressions":$regrJson,""" +
       (if (shuffleStats.nonEmpty) s""""shuffle_top_mb":$shuffleTop,""" else "")
     println(compactJson(samples.toMap, named.map(_._1), sfDir, extra = extra))
     spark.stop()
@@ -819,6 +824,45 @@ object Bench {
     * uniform 3/2/1 decimals → adaptive (1 dec under 10 s, whole seconds
     * above) → adaptive with a minimal envelope → whole seconds with the
     * minimal envelope (never expected; 96 queries fit the level above). */
+  /** Per-query regression check against the PRIOR round's driver
+    * artifact (highest-numbered `BENCH_r*.json` in `dir`): reports the
+    * top 5 queries that grew by BOTH >1 s and >50% vs their prior
+    * round value — below that is host jitter at this fixture scale —
+    * plus any query ≥2 s that the prior tail had rolled into its
+    * rest bucket (no prior row ⇒ it ran under the prior slow-tier
+    * cutoff: `"prev":null` marks an ex-rest-bucket mover, so a
+    * regression can no longer hide inside the bucket; r14 verdict #7).
+    * Shape: {"base":"r14","rows":{"q":{"prev":4.1,"cur":7.2},…}} —
+    * base null when no prior artifact exists (fresh checkout). The
+    * driver-tail A/B discipline still applies before blaming code:
+    * this field FLAGS movers, the AbProbe interleave adjudicates. */
+  private[graft] def regressionsJson(cur: Map[String, Double],
+                                     dir: String = "."): String = {
+    try {
+      val files = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      if (files.isEmpty) return """{"base":null,"rows":{}}"""
+      val latest = files.maxBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
+      val base = latest.getName.stripPrefix("BENCH_").stripSuffix(".json")
+      val root = graft.serve.ServeJson.mapper.readTree(latest)
+      val q = root.path("parsed").path("queries")
+      if (!q.isObject) return s"""{"base":"$base","rows":{}}"""
+      val prior = scala.collection.mutable.Map.empty[String, Double]
+      q.fields().forEachRemaining(e => prior(e.getKey) = e.getValue.asDouble())
+      val rows = cur.toSeq.flatMap { case (k, v) =>
+        prior.get(k) match {
+          case Some(p) if v - p > 1.0 && v > 1.5 * p =>
+            Some((v - p, s""""$k":{"prev":${fmt(p, 1)},"cur":${fmt(v, 1)}}"""))
+          case None if v >= 2.0 =>
+            Some((v, s""""$k":{"prev":null,"cur":${fmt(v, 1)}}"""))
+          case _ => None
+        }
+      }.sortBy { case (d, s) => (-d, s) }.take(5).map(_._2)
+      s"""{"base":"$base","rows":${rows.mkString("{", ",", "}")}}"""
+    } catch { case _: Throwable => """{"base":null,"rows":{}}""" }
+  }
+
   private[graft] def compactJson(
       samples: Map[String, List[(Double, Option[String], Int)]],
       names: Seq[String], sfDir: String, maxLen: Int = 1995,

@@ -92,6 +92,35 @@ class BenchArtifactSpec extends AnyFunSuite {
     }
   }
 
+  test("regressionsJson flags real movers and ex-rest-bucket entries, stays quiet on jitter") {
+    val dir = java.nio.file.Files.createTempDirectory("bench-regr").toString
+    // a driver-shaped prior artifact: top rows under parsed.queries,
+    // fast rows rolled into the rest bucket (absent from the map)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/BENCH_r14.json"),
+      """{"n":14,"parsed":{"queries":{"slow_q":4.1,"ok_q":2.0,"jitter_q":0.4}}}"""
+        .getBytes("UTF-8"))
+    // r13 decoy: the parser must pick the HIGHEST round
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/BENCH_r13.json"),
+      """{"n":13,"parsed":{"queries":{"slow_q":99.0}}}""".getBytes("UTF-8"))
+    val cur = Map(
+      "slow_q" -> 7.2,     // +3.1 s and >1.5x: flagged
+      "ok_q" -> 2.6,       // +0.6 s: under the 1 s bar — quiet
+      "jitter_q" -> 0.9,   // >2x but sub-second delta — quiet
+      "was_rest_q" -> 2.4, // no prior row, >=2 s: ex-rest-bucket mover
+      "fast_q" -> 0.3)     // no prior row, small — quiet
+    val tree = mapper.readTree(Bench.regressionsJson(cur, dir))
+    assert(tree.get("base").asText() === "r14")
+    val rows = tree.get("rows")
+    assert(rows.size() === 2, s"unexpected rows: $rows")
+    assert(rows.get("slow_q").get("prev").asDouble() === 4.1)
+    assert(rows.get("slow_q").get("cur").asDouble() === 7.2)
+    assert(rows.get("was_rest_q").get("prev").isNull)
+    // no prior artifacts at all: null base, empty rows, no throw
+    val empty = java.nio.file.Files.createTempDirectory("bench-regr-none").toString
+    val t2 = mapper.readTree(Bench.regressionsJson(cur, empty))
+    assert(t2.get("base").isNull && t2.get("rows").size() === 0)
+  }
+
   test("failed queries are excluded from rows but counted") {
     val samples = mk(10) +
       ("broken_query" -> List((0.5, Some("boom"), 1), (0.6, Some("boom"), 2)))

@@ -91,6 +91,23 @@ class GoldenQueriesSpec extends SparkSpec {
     // Router.lightStems feeds Router.coverageGroups into the serving
     // default (phrase intents stay unexpanded to protect phrase-found
     // top-1), measured 0.719. Floor pinned AT the reference's target.
+    //
+    // 0.719 is the SHIPPED-SEMANTICS CEILING, not a thin margin (r15
+    // per-query miss audit over all 37 sub-1.0 queries): every
+    // remaining missed group is one of (a) a stopword the reference's
+    // own tokenizer keeps as a required token (router.py:41-44 keeps
+    // every len>1 token, no stopword list — "by","what","from",
+    // "about","how","your"…: parity forbids dropping them from the
+    // denominator), (b) a word semantically ABSENT from the best-
+    // matching text ("islam","water","tongue","fatimah"; "quran" vs
+    // the corpus' "Qur'an" orthography — substring semantics per
+    // scoring.py:66 cannot bridge an apostrophe), or (c) the Arabic
+    // query 2.3 needing cross-lingual synonymy. None is reachable by
+    // morphology: an r15 probe adding an -ion(s) family rule
+    // (narrations→narrat, intention→intent) measured EXACTLY 0.7188
+    // again — the stems were absent from the texts too. Raising the
+    // number further requires a true synonym/translation dictionary,
+    // which the reference neither ships nor specifies.
     val (avg, n) = Golden.termCoverage(index, queries)
     info(f"avg best-of-top-5 term coverage = $avg%.3f over $n queries (target 0.70, raw-token semantics measured 0.69)")
     assert(avg > 0.70, f"term coverage regressed: $avg%.3f (floor 0.70 = TEST_QUERIES' own bar)")

@@ -581,16 +581,40 @@ object GraftIndexes {
     val k = if (nCentroids > 0) nCentroids else Similarity.nListsFor(emb.count())
     val (asg, cents) = Similarity.ivfIndexSpill(emb, idCol, vecCol, k,
       lloydIters, spillDelta)
-    asg.withColumn("qm", Similarity.sq8Max(col("qv")))
-      .where(col("qm") > 0)
-      .withColumn("c8",
-        transform(Similarity.sq8Codes(col("qv"), col("qm")), x => x.cast("byte")))
-      .select("vec_id", "qv", "c8", "centroid")
+    ivfSq8Rows(asg)
       .write.mode("overwrite").partitionBy("centroid").parquet(s"$dir/assign")
     import spark.implicits._
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("i", "cvec").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** The composed layout's row projection — ONE derivation shared by
+    * [[writeIvfSq8]] and [[appendIvfSq8]], so base build and delta
+    * append cannot drift on what a code row is (the appendSq8
+    * doctrine). Zero-norm vectors drop. */
+  private def ivfSq8Rows(asg: DataFrame): DataFrame =
+    asg.withColumn("qm", Similarity.sq8Max(col("qv")))
+      .where(col("qm") > 0)
+      .withColumn("c8",
+        transform(Similarity.sq8Codes(col("qv"), col("qm")), x => x.cast("byte")))
+      .select("vec_id", "qv", "c8", "centroid")
+
+  /** INCREMENTAL maintenance of a [[writeIvfSq8]] layout — the
+    * composed twin of [[appendIvf]]: the delta assigns against the
+    * read-back trained centroids (same spill rule as the base build,
+    * no retrain), encodes through the same [[ivfSq8Rows]] projection,
+    * and appends only its partitions. Same exactly-once-append
+    * contract as [[appendIvf]]/[[appendSq8]] (duplicate appends can
+    * dilute the phase-1 code-rank cut). Retrain cadence is caller
+    * policy — re-run [[writeIvfSq8]] when N crosses the next
+    * K ∝ √N boundary. */
+  def appendIvfSq8(spark: SparkSession, delta: DataFrame, idCol: String,
+                   vecCol: String, dir: String,
+                   spillDelta: Double = Similarity.SpillDelta): Unit = {
+    val (_, cents) = openIvf(spark, dir)
+    ivfSq8Rows(Similarity.ivfAssignSpill(delta, idCol, vecCol, cents, spillDelta))
+      .write.mode("append").partitionBy("centroid").parquet(s"$dir/assign")
   }
 
   /** Probe a persisted [[writeIvfSq8]] layout in the two-phase

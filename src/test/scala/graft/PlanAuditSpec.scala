@@ -695,6 +695,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(persisted === oneShot, "append drifted from one-shot assignment")
   }
 
+  test("appendIvfSq8: composed-layout append probes identically to a one-shot build on the same centroids") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("plan-ivfsq8-append").toString
+    val emb = Tables(spark, sf, "embeddings")
+    val base = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+    val delta = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+    GraftIndexes.writeIvfSq8(spark, base, "vec_id", "embedding", s"$dir/ivf",
+      nCentroids = 16, lloydIters = 1)
+    val centsBefore = GraftIndexes.openIvf(spark, s"$dir/ivf")._2
+    GraftIndexes.appendIvfSq8(spark, delta, "vec_id", "embedding", s"$dir/ivf")
+    val (asg, cents) = GraftIndexes.openIvf(spark, s"$dir/ivf")
+    // no retrain on append
+    assert(cents.map(_.toSeq).toSeq === centsBefore.map(_.toSeq).toSeq)
+    val q = emb.where(col("vec_id") === 0).head().getSeq[Float](1).toArray
+    // the appended layout's split probe equals the in-memory composed
+    // probe over a one-shot corpus-wide assignment to the SAME centroids
+    val got = GraftIndexes.ivfSq8ProbeSplit(asg, cents, q, nProbe = 3, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val memAsg = Similarity.ivfAssignSpill(emb, "vec_id", "embedding", cents)
+    val want = Similarity.ivfSq8Probe(memAsg, cents, q, nProbe = 3, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === want, "appended composed layout diverged from one-shot probe")
+  }
+
   test("appendSq8: stateless code layer appends to the same rows a full rebuild gives") {
     val dir = java.nio.file.Files.createTempDirectory("plan-sq8-append").toString
     val emb = Tables(spark, sf, "embeddings")

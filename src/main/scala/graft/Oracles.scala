@@ -151,14 +151,16 @@ object Oracles {
     * on what "SQ8" means: `cd` codes the corpus relation `src`
     * (vec_id, qv), `qc` codes the query relation `q` (qq); zero-norm
     * rows drop on both legs (the engine returns EMPTY for a zero-norm
-    * query — error vs empty must not diverge). */
-  private def sq8Ctes(src: String): String =
-    s"""cd AS (SELECT vec_id, qv, list_transform(qv, x -> round(x*127/qm)) c8
-       |  FROM (SELECT vec_id, qv,
+    * query — error vs empty must not diverge). `keys` (e.g.
+    * "probe_id, ") carries batch key columns through both legs for the
+    * batched replays; "" reproduces the single-query text verbatim. */
+  private def sq8Ctes(src: String, keys: String = ""): String =
+    s"""cd AS (SELECT ${keys}vec_id, qv, list_transform(qv, x -> round(x*127/qm)) c8
+       |  FROM (SELECT ${keys}vec_id, qv,
        |          list_max(list_transform(qv, x -> abs(x))) qm FROM $src)
        |  WHERE qm > 0),
-       |qc AS (SELECT list_transform(qq, x -> round(x*127/qm)) q8
-       |  FROM (SELECT qq, list_max(list_transform(qq, x -> abs(x))) qm FROM q)
+       |qc AS (SELECT ${keys}list_transform(qq, x -> round(x*127/qm)) q8
+       |  FROM (SELECT ${keys}qq, list_max(list_transform(qq, x -> abs(x))) qm FROM q)
        |  WHERE qm > 0)""".stripMargin
 
   /** Random-hyperplane bucket expression with the SAME literal signs as
@@ -301,8 +303,19 @@ object Oracles {
               |    ORDER BY list_dot_product(qq, cf.cqv)/${norm("cf.cqv")} DESC, cf.i) <= (SELECT np FROM kk)),
               |cand AS (SELECT DISTINCT probe_id, vec_id, qv
               |  FROM asg JOIN probe ON asg.centroid = probe.i),
+              |${if (sq8Rerank == 0) "rr AS (SELECT * FROM cand)"
+                 else
+                   // batched code-rank tail (Similarity.ivfSq8ProbeJoin):
+                   // per-probe SQ8 approx rank cuts to sq8Rerank before
+                   // the exact rescore — same shared sq8 fragment, keyed
+                   // by probe_id
+                   s"""${sq8Ctes("cand", "probe_id, ")},
+                      |rr AS (SELECT cd.probe_id, cd.vec_id, cd.qv
+                      |  FROM cd JOIN qc USING(probe_id)
+                      |  QUALIFY row_number() OVER (PARTITION BY cd.probe_id
+                      |    ORDER BY ${cosQ("c8", "q8")} DESC, vec_id) <= $sq8Rerank)""".stripMargin},
               |sc AS (SELECT c.probe_id, c.vec_id, ${cosQ("c.qv", "q.qq")} cos
-              |  FROM cand c JOIN q ON c.probe_id = q.probe_id)
+              |  FROM rr c JOIN q ON c.probe_id = q.probe_id)
               |SELECT probe_id, vec_id, cos, rn FROM (
               |  SELECT probe_id, vec_id, cos,
               |    CAST(row_number() OVER (PARTITION BY probe_id
@@ -1079,6 +1092,13 @@ object Oracles {
     // schedule/dedup/rank partitioned by probe_id, top-10 each
     "ann_probe_join" -> ivfSpillOracle(iters = 3,
       delta = graft.operators.Similarity.SpillDelta,
+      batchPred = "vec_id < 5", batchK = 10),
+    // composed batched twin (Similarity.ivfSq8ProbeJoin): the batched
+    // replay at the default rung's wide schedule with the per-probe
+    // code-rank cut (k·4 = 40) before the exact rescore
+    "ann_probe_join_sq8" -> ivfSpillOracle(iters = 3,
+      delta = graft.operators.Similarity.SpillDelta,
+      probeMult = 26, probeFloor = 4, sq8Rerank = 40,
       batchPred = "vec_id < 5", batchK = 10),
     // incremental-append twin: train (K sizing + Lloyd) on the EVEN
     // half only, assign + probe over everything — fixed-centroid

@@ -1017,6 +1017,21 @@ object Queries {
         .withColumn("rn", col("rn").cast("int"))
         .orderBy("probe_id", "rn")
     }),
+    // the COMPOSED batched form (r15): the same schedule join through
+    // the SQ8 code path at the DEFAULT rung's wide schedule — per-probe
+    // code-cosine rank cuts candidates to k·4 before the exact rerank,
+    // so over a persisted writeIvfSq8 layout the wide scan touches
+    // (vec_id, c8) and the 8-byte vectors only for the surviving slice:
+    // batched retrieval in the default rung's byte envelope.
+    "ann_probe_join_sq8" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val nLists = Similarity.nListsFor(e.count())
+      Similarity.ivfSq8TopKJoin(e, e.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10,
+        nCentroids = nLists, nProbe = Similarity.nProbeWideFor(nLists))
+        .withColumn("rn", col("rn").cast("int"))
+        .orderBy("probe_id", "rn")
+    }),
     // scan-fraction FLOOR variant: one bucket = 1/16 of the corpus
     // scanned; recall ≈ 0.04 on uniform vectors — registered to keep the
     // latency/recall trade's cheap end measured, never as the default

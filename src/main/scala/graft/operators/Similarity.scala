@@ -471,23 +471,7 @@ object Similarity {
                         probes: DataFrame, idCol: String, vecCol: String,
                         nProbe: Int, k: Int,
                         broadcastProbes: Boolean = true): DataFrame = {
-    val q = probes.select(col(idCol).cast("long").as("probe_id"),
-      VecFns.quantize(col(vecCol)).as("pv"))
-    // rank lists per probe: struct (score, idx) array → comparator sort
-    // (score desc, idx asc — an explicit comparator, not negation:
-    // -0.0 vs 0.0 must not re-order vs the SQL row_number twin) → slice
-    val scored = q.withColumn("dn",
-      transform(sphDots(col("pv"), cents), (x, i) =>
-        struct(x.as("s"), i.as("i"))))
-    val cmp = (l: Column, r: Column) =>
-      when(l("s") > r("s"), -1).when(l("s") < r("s"), 1)
-        .otherwise(when(l("i") < r("i"), -1).when(l("i") > r("i"), 1)
-          .otherwise(0))
-    val schedule = scored
-      .withColumn("probe_list",
-        transform(slice(array_sort(col("dn"), cmp), 1, nProbe), e => e("i")))
-      .select(col("probe_id"), col("pv"),
-        explode(col("probe_list")).as("centroid"))
+    val schedule = spillScheduleFrame(probes, idCol, vecCol, cents, nProbe)
     val sched = if (broadcastProbes) broadcast(schedule) else schedule
     val cand = assigned.join(sched, "centroid")
       .select(col("probe_id"), col("vec_id"),
@@ -496,6 +480,87 @@ object Similarity {
     val w = Window.partitionBy(col("probe_id")).orderBy(desc("cos"), asc("vec_id"))
     cand.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select("probe_id", "vec_id", "cos", "rn")
+  }
+
+  /** The batched probes' exploded list schedule — ONE derivation for
+    * [[ivfProbeSpillJoin]] and [[ivfSq8ProbeJoin]]: each probe row
+    * ranks ALL K centroids as an expression (the same [[sphDots]] the
+    * corpus assignment uses) sorted by an explicit (score desc, idx
+    * asc) comparator — not double negation: -0.0 vs 0.0 must not
+    * re-order vs the SQL row_number twin — sliced to nProbe and
+    * exploded to (probe_id, pv, centroid) rows. */
+  private def spillScheduleFrame(probes: DataFrame, idCol: String,
+                                 vecCol: String, cents: Array[Array[Double]],
+                                 nProbe: Int): DataFrame = {
+    val q = probes.select(col(idCol).cast("long").as("probe_id"),
+      VecFns.quantize(col(vecCol)).as("pv"))
+    val scored = q.withColumn("dn",
+      transform(sphDots(col("pv"), cents), (x, i) =>
+        struct(x.as("s"), i.as("i"))))
+    val cmp = (l: Column, r: Column) =>
+      when(l("s") > r("s"), -1).when(l("s") < r("s"), 1)
+        .otherwise(when(l("i") < r("i"), -1).when(l("i") > r("i"), 1)
+          .otherwise(0))
+    scored
+      .withColumn("probe_list",
+        transform(slice(array_sort(col("dn"), cmp), 1, nProbe), e => e("i")))
+      .select(col("probe_id"), col("pv"),
+        explode(col("probe_list")).as("centroid"))
+  }
+
+  /** BATCHED probe through the SQ8 code path — [[ivfProbeSpillJoin]]'s
+    * composed twin and the full 100 TB batched-retrieval shape: the
+    * schedule equi-joins the index on `centroid` exactly as the exact
+    * form does (broadcast → dynamic partition pruning over a persisted
+    * [[graft.GraftIndexes.writeIvfSq8]] layout), but candidates are
+    * first ranked per probe by CODE cosine (the probe's own int8 codes
+    * ride the schedule as an expression over pv), only the per-probe
+    * top k·rerank survive to the exact rerank, and a second per-probe
+    * window takes the top k — over the persisted layout the wide scan
+    * touches (vec_id, c8) while the 8-byte qv is read for the
+    * surviving slice. Zero-norm probe rows drop (no direction to
+    * rank — the [[sq8TopK]] query guard, mirrored by the oracle's
+    * qm > 0 filter); zero-norm corpus rows drop the same way.
+    * Returns (probe_id, vec_id, cos, rn) like [[ivfProbeSpillJoin]]. */
+  def ivfSq8ProbeJoin(assigned: DataFrame, cents: Array[Array[Double]],
+                      probes: DataFrame, idCol: String, vecCol: String,
+                      nProbe: Int, k: Int, rerank: Int = 4,
+                      broadcastProbes: Boolean = true): DataFrame = {
+    val schedule = spillScheduleFrame(probes, idCol, vecCol, cents, nProbe)
+      .withColumn("pm", sq8Max(col("pv")))
+      .where(col("pm") > 0)
+      .withColumn("p8", sq8Codes(col("pv"), col("pm")))
+      .drop("pm")
+    val sched = if (broadcastProbes) broadcast(schedule) else schedule
+    val cand = assigned.join(sched, "centroid")
+      .withColumn("qm", sq8Max(col("qv")))
+      .where(col("qm") > 0)
+      .select(col("probe_id"), col("vec_id"), col("qv"), col("pv"),
+        round(VecFns.cosineQ(sq8Codes(col("qv"), col("qm")), col("p8")), 6)
+          .as("approx"))
+      .dropDuplicates("probe_id", "vec_id")
+    val wa = Window.partitionBy(col("probe_id"))
+      .orderBy(desc("approx"), asc("vec_id"))
+    val we = Window.partitionBy(col("probe_id"))
+      .orderBy(desc("cos"), asc("vec_id"))
+    cand.withColumn("ra", row_number().over(wa)).where(col("ra") <= k * rerank)
+      .select(col("probe_id"), col("vec_id"),
+        round(VecFns.cosineQ(col("qv"), col("pv")), 6).as("cos"))
+      .withColumn("rn", row_number().over(we)).where(col("rn") <= k)
+      .select("probe_id", "vec_id", "cos", "rn")
+  }
+
+  /** Cold form of [[ivfSq8ProbeJoin]]: train + index + batched
+    * code-ranked probe (the registered `ann_probe_join_sq8` shape). */
+  def ivfSq8TopKJoin(emb: DataFrame, probes: DataFrame, idCol: String,
+                     vecCol: String, k: Int, nCentroids: Int, nProbe: Int,
+                     rerank: Int = 4, lloydIters: Int = 3,
+                     spillDelta: Double = SpillDelta,
+                     materialize: Boolean = true): DataFrame = {
+    val qd = Dedup.maybeCache(quantized(emb, idCol, vecCol), materialize)
+    val (assigned, cents) = ivfIndexSpillQ(qd, nCentroids, lloydIters, spillDelta)
+    Dedup.scoped(materialize, qd)(
+      ivfSq8ProbeJoin(assigned, cents, probes, idCol, vecCol, nProbe, k, rerank))
   }
 
   /** Cold form of [[ivfProbeSpillJoin]]: train + index + batched probe

@@ -200,6 +200,34 @@ class AnnRecallSpec extends SparkSpec {
     } finally e.unpersist(): Unit
   }
 
+  test("batched ivfSq8ProbeJoin equals the per-query ivfSq8Probe for every probe row") {
+    // the composed batched pin (registered ann_probe_join_sq8 sizing):
+    // per-probe code-rank cut + exact rerank through the join form
+    // must match the single-query composed probe row-for-row
+    val e = Tables(spark, sf, "embeddings").cache()
+    try {
+      val nLists = Similarity.nListsFor(e.count())
+      val nProbe = Similarity.nProbeWideFor(nLists)
+      val (asg0, cents) = Similarity.ivfIndexSpill(e, "vec_id", "embedding",
+        nCentroids = nLists)
+      val asg = asg0.cache()
+      try {
+        val batched = Similarity.ivfSq8ProbeJoin(asg, cents,
+          e.where(col("vec_id") < 5), "vec_id", "embedding", nProbe, k = 10)
+          .collect()
+        (0L until 5L).foreach { pid =>
+          val qv = e.where(col("vec_id") === pid)
+            .select("embedding").head().getSeq[Float](0).toArray
+          val single = Similarity.ivfSq8Probe(asg, cents, qv, nProbe, k = 10)
+            .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          val batchRows = batched.filter(_.getLong(0) == pid).sortBy(_.getInt(3))
+            .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+          assert(batchRows === single, s"probe $pid diverged from the composed single-query path")
+        }
+      } finally asg.unpersist(): Unit
+    } finally e.unpersist(): Unit
+  }
+
   test("spill-IVF probing ALL lists degenerates to exact cosine top-k") {
     // with nProbe = K every list is probed: candidates = the whole
     // corpus, so the rerank must equal the exact form row-for-row —

@@ -121,12 +121,15 @@ object Bench {
         .annIndex(embT, "vec_id", "embedding", Queries.Dim, nBits = 4).cache()
       annIdx.count()
       // prepared spill-IVF index at the registered default's sizing
-      // (scale-aware K, 3 spherical Lloyd iterations)
+      // (scale-aware K, 3 spherical Lloyd iterations), CODED: the c8
+      // column is materialized into the cache (the writeIvfSq8 layout
+      // shape) so warm probes rank on stored codes instead of
+      // re-deriving them from qv per call
       val embN = embT.count()
       val ivfLists = graft.operators.Similarity.nListsFor(embN)
       val (ivfAsg0, ivfCents) = graft.operators.Similarity
         .ivfIndexSpill(embT, "vec_id", "embedding", nCentroids = ivfLists)
-      val ivfAsg = ivfAsg0.cache()
+      val ivfAsg = GraftIndexes.ivfSq8Rows(ivfAsg0).cache()
       ivfAsg.count()
       val ev = embT.where(col("vec_id") === 0)
         .head().getSeq[Float](1).toArray
@@ -182,10 +185,11 @@ object Bench {
         },
         "ann_topk_warm" -> {
           // the REGISTERED default form (r15: wide spill-IVF probe over
-          // SQ8 codes + exact rerank) probed against its prepared
+          // SQ8 codes + exact rerank) probed against its prepared CODED
           // index — the warm row must measure the query users actually
-          // run
-          val df = graft.operators.Similarity.ivfSq8Probe(ivfAsg, ivfCents,
+          // run, in the shape a serving session holds it (stored codes,
+          // predicate spill-dedupe: scan → filter → two TakeOrdereds)
+          val df = graft.operators.Similarity.ivfSq8ProbeCoded(ivfAsg, ivfCents,
             ev, graft.operators.Similarity.nProbeWideFor(ivfLists), k = 20)
           () => df.collect(): Unit
         })

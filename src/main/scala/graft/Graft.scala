@@ -590,15 +590,16 @@ object GraftIndexes {
   }
 
   /** The composed layout's row projection — ONE derivation shared by
-    * [[writeIvfSq8]] and [[appendIvfSq8]], so base build and delta
-    * append cannot drift on what a code row is (the appendSq8
-    * doctrine). Zero-norm vectors drop. */
-  private def ivfSq8Rows(asg: DataFrame): DataFrame =
+    * [[writeIvfSq8]], [[appendIvfSq8]], and the bench's warm coded
+    * index, so base build, delta append, and the cached serving form
+    * cannot drift on what a code row is (the appendSq8 doctrine).
+    * Zero-norm vectors drop. */
+  private[graft] def ivfSq8Rows(asg: DataFrame): DataFrame =
     asg.withColumn("qm", Similarity.sq8Max(col("qv")))
       .where(col("qm") > 0)
       .withColumn("c8",
         transform(Similarity.sq8Codes(col("qv"), col("qm")), x => x.cast("byte")))
-      .select("vec_id", "qv", "c8", "centroid")
+      .select("vec_id", "qv", "c8", "primary", "centroid")
 
   /** INCREMENTAL maintenance of a [[writeIvfSq8]] layout — the
     * composed twin of [[appendIvf]]: the delta assigns against the
@@ -653,10 +654,8 @@ object GraftIndexes {
       import s.implicits._
       return Seq.empty[(Long, Double)].toDF("vec_id", "cos")
     }
-    assigned.where(col("centroid").isin(probeSet: _*) &&
-        col("vec_id").isin(ids: _*))
-      .select(col("vec_id"), col("qv"))
-      .dropDuplicates("vec_id")
+    Similarity.probeDeduped(assigned, probeSet)
+      .where(col("vec_id").isin(ids: _*))
       .select(col("vec_id"),
         round(VecFns.cosineQ(col("qv"), typedLit(qq)), 6).as("cos"))
       .orderBy(desc("cos"), asc("vec_id")).limit(k)
@@ -668,9 +667,7 @@ object GraftIndexes {
     * enters the scan. */
   private[graft] def sq8CodeRankFrame(assigned: DataFrame, probeSet: Seq[Int],
                                       q8: Array[Double], cut: Int): DataFrame =
-    assigned.where(col("centroid").isin(probeSet: _*))
-      .select(col("vec_id"), col("c8"))
-      .dropDuplicates("vec_id")
+    Similarity.probeDeduped(assigned, probeSet)
       .select(col("vec_id"),
         round(VecFns.cosineQ(col("c8").cast("array<double>"), typedLit(q8)), 6)
           .as("approx"))

@@ -391,7 +391,17 @@ object Similarity {
     * incrementally: new vectors assign against the already-trained
     * quantizer exactly as the base corpus did, and only their
     * partitions are appended. One narrow scan against K broadcast
-    * centroid literals — no shuffle, no retrain. */
+    * centroid literals — no shuffle, no retrain.
+    *
+    * Every index row ALSO carries its vector's `primary` (nearest)
+    * centroid: a spill copy is (centroid = i2, primary = i1), the
+    * main copy (centroid = i1, primary = i1). That one extra int is
+    * what lets a single-query probe dedupe spill double-assignments
+    * with a ROW-LOCAL predicate — `centroid = primary OR primary ∉
+    * probeSet` keeps exactly one copy of every qualifying vector —
+    * instead of a dropDuplicates SHUFFLE per probe (r15: the shuffle
+    * was ~130 ms of the warm composed probe's latency; the predicate
+    * form probes shuffle-free). */
   private def assignSpillQ(q: DataFrame, cents: Array[Array[Double]],
                            spillDelta: Double): DataFrame = {
     // dn is consumed by four downstream expressions — materialize it as
@@ -410,7 +420,24 @@ object Similarity {
         (col("m1") - col("m2")) / VecFns.norm2(col("qv")) <= lit(spillDelta))
     masked.select(col("vec_id"), col("qv"),
       explode(when(col("spill"), array(col("i1"), col("i2")))
-        .otherwise(array(col("i1")))).as("centroid"))
+        .otherwise(array(col("i1")))).as("centroid"),
+      col("i1").as("primary"))
+  }
+
+  /** Shuffle-free spill dedupe for SINGLE-query probes: the probed
+    * rows filtered so exactly one copy of each vector survives — the
+    * primary copy when its list is probed too, else the spill copy.
+    * Falls back to dropDuplicates for frames without the `primary`
+    * column (pre-r15 persisted layouts). The batched join forms keep
+    * their aggregate dedupe: there the probe set is per-probe_id, not
+    * a row-local literal. */
+  private[graft] def probeDeduped(assigned: DataFrame,
+                                  probeSet: Seq[Int]): DataFrame = {
+    val probed = assigned.where(col("centroid").isin(probeSet: _*))
+    if (assigned.columns.contains("primary"))
+      probed.where(col("centroid") === col("primary") ||
+        !col("primary").isin(probeSet: _*))
+    else probed.dropDuplicates("vec_id")
   }
 
   /** [[assignSpillQ]] over raw (id, vector) columns — the incremental
@@ -429,8 +456,7 @@ object Similarity {
                     q: Array[Float], nProbe: Int, k: Int): DataFrame = {
     val qRow = VecFns.quantizeLocal(q)
     val probeSet = spillProbeSet(cents, q, nProbe)
-    assigned.where(col("centroid").isin(probeSet: _*))
-      .dropDuplicates("vec_id")
+    probeDeduped(assigned, probeSet)
       .select(col("vec_id"),
         round(VecFns.cosineQ(col("qv"), typedLit(qRow.toSeq)), 6).as("cos"))
       .orderBy(desc("cos"), asc("vec_id")).limit(k)
@@ -611,12 +637,39 @@ object Similarity {
       case None => return emptyTopK(assigned)
     }
     val probeSet = spillProbeSet(cents, q, nProbe)
-    val cand = assigned.where(col("centroid").isin(probeSet: _*))
-      .dropDuplicates("vec_id")
+    val cand = probeDeduped(assigned, probeSet)
       .withColumn("qm", sq8Max(col("qv")))
       .where(col("qm") > 0)
     cand.select(col("vec_id"), col("qv"),
         round(VecFns.cosineQ(sq8Codes(col("qv"), col("qm")), typedLit(q8)), 6).as("approx"))
+      .orderBy(desc("approx"), asc("vec_id")).limit(k * rerank)
+      .select(col("vec_id"),
+        round(VecFns.cosineQ(col("qv"), typedLit(qq)), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id")).limit(k)
+  }
+
+  /** [[ivfSq8Probe]] over an index whose rows already CARRY their SQ8
+    * codes in a `c8` column (an open — cached or not — of the
+    * [[graft.GraftIndexes.writeIvfSq8]] layout): ranks on the STORED
+    * codes instead of re-deriving them from qv per probe call — the
+    * warm serving form, and at disk scale the stored codes are the
+    * scan column (the byte claim). Zero-norm rows were dropped at
+    * coding time, so no qm guard is needed. Results are bit-identical
+    * to [[ivfSq8Probe]] (codes are integral values; the byte→double
+    * cast is exact — spec-pinned). */
+  def ivfSq8ProbeCoded(coded: DataFrame, cents: Array[Array[Double]],
+                       q: Array[Float], nProbe: Int, k: Int,
+                       rerank: Int = 4): DataFrame = {
+    val qq = VecFns.quantizeLocal(q)
+    val q8 = VecFns.sq8CodesLocal(qq) match {
+      case Some(c) => c
+      case None => return emptyTopK(coded)
+    }
+    val probeSet = spillProbeSet(cents, q, nProbe)
+    probeDeduped(coded, probeSet)
+      .select(col("vec_id"), col("qv"),
+        round(VecFns.cosineQ(col("c8").cast("array<double>"), typedLit(q8)), 6)
+          .as("approx"))
       .orderBy(desc("approx"), asc("vec_id")).limit(k * rerank)
       .select(col("vec_id"),
         round(VecFns.cosineQ(col("qv"), typedLit(qq)), 6).as("cos"))

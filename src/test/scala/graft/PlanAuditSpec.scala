@@ -588,6 +588,11 @@ class PlanAuditSpec extends SparkSpec {
       val p = df.queryExecution.executedPlan.toString
       assert("""PartitionFilters: \[[^\]]*centroid[^\]]* IN""".r.findFirstIn(p).isDefined,
         s"probe is not a partition filter:\n${p.take(500)}")
+      // r15: spill dedupe is the row-local primary-centroid predicate,
+      // so a single-query probe is scan → filter → TakeOrdered with
+      // ZERO exchanges (the old dropDuplicates shuffle was ~130 ms of
+      // warm probe latency)
+      assert(!p.contains("Exchange"), s"single-query probe shuffles:\n${p.take(600)}")
       val scans = df.queryExecution.executedPlan.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
       }
@@ -657,6 +662,12 @@ class PlanAuditSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === mem,
       "persisted split probe diverged from the in-memory composed rung")
+    // the warm serving form (rank on STORED codes, one plan) is also
+    // bit-identical — byte→double cast of integral codes is exact
+    val codedProbe = Similarity.ivfSq8ProbeCoded(asg, cents, q, nProbe = 3, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(codedProbe === mem,
+      "coded warm probe diverged from the in-memory composed rung")
   }
 
   test("appendIvf is genuinely incremental: only the delta's partitions gain files, no retrain") {

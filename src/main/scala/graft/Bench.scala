@@ -467,9 +467,11 @@ object Bench {
       // same queries, plus its BYTE-normalized twin: the r15 default
       // scans 1-byte SQ8 codes where brute force reads the 8-byte
       // grid, and exact-reranks a fixed 80 full vectors, so bytes =
-      // (rows·1 + 80·8·/N… ) / (8·rows_total) — the cost a 100 TB
-      // reader pays. Row fraction stays reported (the K ∝ √N pin);
-      // byte fraction is the ≤8%-at-any-scale default-envelope pin.
+      // (rows·1 + 80·8) / (8·rows_total) — the cost a 100 TB reader
+      // pays over the coded layout. `ann_topk_scan` stays the ROW
+      // fraction (r14's unit — a same-key cross-round diff must never
+      // silently change meaning; code-review r15); the byte envelope
+      // is the new `ann_topk_scan_bytes` key.
       val nProbeWide = Similarity.nProbeWideFor(nLists)
       val scanRows = {
         val fs = pre.map { case (_, qv, _) =>
@@ -481,8 +483,8 @@ object Bench {
       }
       val scanBytes = (scanRows * nTotal + k * 4 * 8.0) / (8.0 * nTotal)
       val out = measured.map { case (name, r) => s""""$name":${fmt(r, 3)}""" }
-      ((out :+ s""""ann_topk_scan":${fmt(scanBytes, 3)}"""
-        :+ s""""ann_topk_scan_rows":${fmt(scanRows, 3)}"""
+      ((out :+ s""""ann_topk_scan":${fmt(scanRows, 3)}"""
+        :+ s""""ann_topk_scan_bytes":${fmt(scanBytes, 3)}"""
         :+ s""""ann_topk_lists":$nLists""" :+ s""""ann_topk_nprobe":$nProbeWide"""
         :+ s""""k":$k""" :+ s""""n_queries":${present.size}""")
         .mkString("{", ",", "}"),
@@ -578,6 +580,10 @@ object Bench {
     var goldenCompact: Option[String] = None
     var soakJson = "null"
     var soakCompact: Option[String] = None
+    // per-query movers vs the prior round's artifact (regressionsJson);
+    // recomputed from coldResults() before each artifact write so it
+    // rides BOTH artifact forms (full + compact tail)
+    var regrJson = """{"base":null,"rows":{}}"""
 
     // partial artifact > no artifact: rebuild the full JSON line from
     // whatever has completed so far and REWRITE the file after every
@@ -646,7 +652,7 @@ object Bench {
         s""""query_detail":$detail,"sentinel_s":$sentinelJson,"n_noisy":$nNoisy,""" +
         s""""n_failed":$nFailed,"failed":$failed,"skipped":$skipped,""" +
         s""""deadline_hit":$deadlineHit,"recall_at_20":$recallJson,""" +
-        s""""golden":$goldenJson,"soak":$soakJson,""" +
+        s""""golden":$goldenJson,"soak":$soakJson,"regressions":$regrJson,""" +
         s""""serve":$serveJson,"sf":"$sfDir"}"""
     }
     def writeArtifact(serveJson: String): String = {
@@ -776,6 +782,8 @@ object Bench {
             f""""trips":${s1.trips + s10.trips},""" +
             // the K ∝ √N pin at 10×: scan fraction must hold, recall too
             f""""ann_scan10":${s10.annScan}%.3f,"ann_rec10":${s10.annRecall}%.2f,""" +
+            // the SHIPPED default (wide × SQ8) at 10× — row-scan + recall
+            f""""ann_def_scan10":${s10.annDefScan}%.3f,"ann_def_rec10":${s10.annDefRecall}%.2f,""" +
             f""""ann_train_r":${s10.annTrainS / math.max(s1.annTrainS, 0.01)}%.1f}"""
         } catch {
           case e: Throwable =>
@@ -786,6 +794,12 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_SERVE_RUNS", "15").toInt
     val serveJson = serveSection(spark, sfDir, runs)
 
+    // regressions vs the prior round, from the finished cold suite —
+    // set ONCE here so the final full artifact and the compact tail
+    // carry the same field (mid-run "pending" artifacts keep the
+    // placeholder: a partial suite must not flag phantom movers)
+    regrJson = regressionsJson(
+      coldResults().collect { case (k, v, None, _, _) => k -> v }.toMap)
     // bare-JSON artifact: stdout rides through sbt's "[info] " decoration,
     // which breaks naive line parsers — the file carries the clean line
     val json = writeArtifact(serveJson)
@@ -806,10 +820,6 @@ object Bench {
       .sortBy { case (n, (w, r, _)) => (-(w + r), n) }.take(5)
       .map { case (n, (w, r, _)) => s""""$n":${fmt((w + r) / 1048576.0, 0)}""" }
       .mkString("{", ",", "}")
-    // per-query movers vs the prior round's artifact (rest-bucket
-    // visibility — see regressionsJson): rides both artifact forms
-    val regrJson = regressionsJson(
-      coldResults().collect { case (k, v, None, _, _) => k -> v }.toMap)
     val extra = recallDefault.map(r => s""""recall20_ann":${fmt(r, 2)},""").getOrElse("") +
       goldenCompact.map(g => s""""golden":$g,""").getOrElse("") +
       soakCompact.map(s => s""""soak10x":$s,""").getOrElse("") +
@@ -832,10 +842,15 @@ object Bench {
     * artifact (highest-numbered `BENCH_r*.json` in `dir`): reports the
     * top 5 queries that grew by BOTH >1 s and >50% vs their prior
     * round value — below that is host jitter at this fixture scale —
-    * plus any query ≥2 s that the prior tail had rolled into its
-    * rest bucket (no prior row ⇒ it ran under the prior slow-tier
-    * cutoff: `"prev":null` marks an ex-rest-bucket mover, so a
-    * regression can no longer hide inside the bucket; r14 verdict #7).
+    * plus any query ≥2 s with NO prior row. `"prev":null` means
+    * exactly "absent from the prior artifact's query map": the query
+    * was rolled into the prior rest bucket (so it ran under that
+    * round's slow-tier cutoff and a real regression was hiding — the
+    * r14 verdict-#7 case), OR it failed/was skipped that round, OR it
+    * is newly registered. The flag cannot distinguish these — the
+    * reader checks the prior round's failed/skipped lists and the
+    * registry diff before calling it a regression; what it guarantees
+    * is that none of the three can sit at ≥2 s unsurfaced.
     * Shape: {"base":"r14","rows":{"q":{"prev":4.1,"cur":7.2},…}} —
     * base null when no prior artifact exists (fresh checkout). The
     * driver-tail A/B discipline still applies before blaming code:

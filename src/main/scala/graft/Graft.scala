@@ -613,7 +613,8 @@ object GraftIndexes {
   def appendIvfSq8(spark: SparkSession, delta: DataFrame, idCol: String,
                    vecCol: String, dir: String,
                    spillDelta: Double = Similarity.SpillDelta): Unit = {
-    val (_, cents) = openIvf(spark, dir)
+    val (asg, cents) = openIvf(spark, dir)
+    requirePrimary(asg, dir)
     ivfSq8Rows(Similarity.ivfAssignSpill(delta, idCol, vecCol, cents, spillDelta))
       .write.mode("append").partitionBy("centroid").parquet(s"$dir/assign")
   }
@@ -694,10 +695,24 @@ object GraftIndexes {
   def appendIvf(spark: SparkSession, delta: DataFrame, idCol: String,
                 vecCol: String, dir: String,
                 spillDelta: Double = Similarity.SpillDelta): Unit = {
-    val (_, cents) = openIvf(spark, dir)
+    val (asg, cents) = openIvf(spark, dir)
+    requirePrimary(asg, dir)
     Similarity.ivfAssignSpill(delta, idCol, vecCol, cents, spillDelta)
       .write.mode("append").partitionBy("centroid").parquet(s"$dir/assign")
   }
+
+  /** Refuse to append r15 rows (which carry the `primary` centroid)
+    * onto a pre-r15 layout that lacks the column: the mixed layout
+    * would read old-file rows with primary = NULL, and the row-local
+    * spill-dedupe predicate drops NULL rows — every probe would
+    * SILENTLY return results drawn only from the appended delta.
+    * Loud error over silent wrongness (the nearDupIngest fresh-start
+    * doctrine); rebuild with writeIvf/writeIvfSq8 instead. */
+  private def requirePrimary(asg: DataFrame, dir: String): Unit =
+    require(asg.columns.contains("primary"),
+      s"$dir/assign is a pre-r15 layout without the `primary` column; " +
+        "appending r15 rows would mix schemas and make probes silently " +
+        "drop the base corpus — rebuild the layout with writeIvf/writeIvfSq8")
 
   /** Open a persisted spill-IVF: (assignment frame, trained centroids).
     * Probe via [[graft.operators.Similarity.ivfProbeSpill]] — the

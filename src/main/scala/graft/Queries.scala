@@ -1019,10 +1019,10 @@ object Queries {
     }),
     // the COMPOSED batched form (r15): the same schedule join through
     // the SQ8 code path at the DEFAULT rung's wide schedule — per-probe
-    // code-cosine rank cuts candidates to k·4 before the exact rerank,
-    // so over a persisted writeIvfSq8 layout the wide scan touches
-    // (vec_id, c8) and the 8-byte vectors only for the surviving slice:
-    // batched retrieval in the default rung's byte envelope.
+    // code-cosine rank cuts candidates to k·4 before the exact rerank
+    // (ranking work saved; the one-plan scan still reads qv — the
+    // byte-narrow shapes are the single-query split/coded probes, see
+    // Similarity.ivfSq8ProbeJoin's byte-cost note).
     "ann_probe_join_sq8" -> ((s, dir) => {
       val e = emb(s, dir)
       val nLists = Similarity.nListsFor(e.count())

@@ -100,7 +100,8 @@ object Soak {
   /** Per-scale wall/shuffle/spill numbers for one stage run. */
   final case class Scale(nDocs: Long, stageS: Double, incrS: Double,
                          streamS: Double, spillMb: Double, trips: Long,
-                         annTrainS: Double, annScan: Double, annRecall: Double)
+                         annTrainS: Double, annScan: Double, annRecall: Double,
+                         annDefScan: Double = 0.0, annDefRecall: Double = 0.0)
 
   /** Run the soak on an EXISTING session (the bench embeds this) —
     * returns (full JSON, per-factor numbers). The listener and every
@@ -194,20 +195,28 @@ object Soak {
         annState.get._1.count()
       }
       val (asg, cents) = annState.get
-      val (annScan, annRecall) =
+      // two probe shapes per factor: the NARROW exact probe (the
+      // K ∝ √N row-scan convergence pin) and the SHIPPED DEFAULT —
+      // wide schedule through the SQ8 code rank (r15 ann_topk) — so a
+      // scale-dependent regression in the wide schedule or the
+      // code-rank cut cannot pass the soak unnoticed
+      val nProbeW = Similarity.nProbeWideFor(nLists)
+      val (annScan, annRecall, defScan, defRecall) =
         try {
           val pre = Bench.recallBaselines(emb, Seq(0L, 7L), 20)
           val recall = Bench.recallFrom(emb, pre, (_, qv) =>
             Similarity.ivfProbeSpill(asg, cents, qv, nProbe, k = 21))
-          val scan = pre.map { case (_, qv, _) =>
-            val ps = Similarity.spillProbeSet(cents, qv, nProbe)
+          val recallDef = Bench.recallFrom(emb, pre, (_, qv) =>
+            Similarity.ivfSq8Probe(asg, cents, qv, nProbeW, k = 21))
+          def scanAt(np: Int) = pre.map { case (_, qv, _) =>
+            val ps = Similarity.spillProbeSet(cents, qv, np)
             asg.where(col("centroid").isin(ps.map(x => x: Any): _*))
               .count().toDouble / nV.toDouble
           }.sum / pre.size
-          (scan, recall)
+          (scanAt(nProbe), recall, scanAt(nProbeW), recallDef)
         } finally { asg.unpersist(); emb.unpersist(): Unit }
       System.err.println(
-        f"[soak] x$factor ann          $tTrain%7.2f s  lists=$nLists probe=$nProbe scan=$annScan%.3f recall=$annRecall%.2f")
+        f"[soak] x$factor ann          $tTrain%7.2f s  lists=$nLists probe=$nProbe scan=$annScan%.3f recall=$annRecall%.2f def(probe=$nProbeW scan=$defScan%.3f recall=$defRecall%.2f)")
       def sh(t: (Long, Long, Long)) =
         f"""{"w_mb":${t._1 / 1048576.0}%.1f,"r_mb":${t._2 / 1048576.0}%.1f,"spill_mb":${t._3 / 1048576.0}%.1f}"""
       val spillMb = (shStage._3 + shIncr._3 + shStream._3) / 1048576.0
@@ -218,9 +227,10 @@ object Soak {
           f""""hot_bucket_trips":$trips,""" +
           s""""stage_shuffle":${sh(shStage)},"incr_shuffle":${sh(shIncr)},"stream_shuffle":${sh(shStream)},""" +
           f""""ann":{"n_vecs":$nV,"lists":$nLists,"nprobe":$nProbe,""" +
-          f""""train_s":$tTrain%.2f,"scan_frac":$annScan%.4f,"recall20":$annRecall%.3f}}"""
+          f""""train_s":$tTrain%.2f,"scan_frac":$annScan%.4f,"recall20":$annRecall%.3f,""" +
+          f""""def_nprobe":$nProbeW,"def_scan_frac":$defScan%.4f,"def_recall20":$defRecall%.3f}}"""
       (json, Scale(n, tStage, tIncr, tStream, spillMb, trips,
-        tTrain, annScan, annRecall))
+        tTrain, annScan, annRecall, defScan, defRecall))
     }
 
     try {

@@ -535,19 +535,30 @@ object Similarity {
   }
 
   /** BATCHED probe through the SQ8 code path — [[ivfProbeSpillJoin]]'s
-    * composed twin and the full 100 TB batched-retrieval shape: the
-    * schedule equi-joins the index on `centroid` exactly as the exact
-    * form does (broadcast → dynamic partition pruning over a persisted
-    * [[graft.GraftIndexes.writeIvfSq8]] layout), but candidates are
-    * first ranked per probe by CODE cosine (the probe's own int8 codes
-    * ride the schedule as an expression over pv), only the per-probe
-    * top k·rerank survive to the exact rerank, and a second per-probe
-    * window takes the top k — over the persisted layout the wide scan
-    * touches (vec_id, c8) while the 8-byte qv is read for the
-    * surviving slice. Zero-norm probe rows drop (no direction to
-    * rank — the [[sq8TopK]] query guard, mirrored by the oracle's
-    * qm > 0 filter); zero-norm corpus rows drop the same way.
-    * Returns (probe_id, vec_id, cos, rn) like [[ivfProbeSpillJoin]]. */
+    * composed twin: the schedule equi-joins the index on `centroid`
+    * exactly as the exact form does (broadcast → dynamic partition
+    * pruning over a persisted layout), candidates are first ranked per
+    * probe by CODE cosine (the probe's own int8 codes ride the
+    * schedule as an expression over pv; an index that already CARRIES
+    * `c8` — a [[graft.GraftIndexes.writeIvfSq8]] open — is ranked on
+    * its stored codes instead of re-deriving them per candidate),
+    * only the per-probe top k·rerank survive to the exact rerank, and
+    * a second per-probe window takes the top k.
+    *
+    * Byte-cost honesty: this is ONE plan, so over a persisted layout
+    * the scan reads qv for every candidate (the rerank needs it in
+    * the same pass) — the code-rank here saves RANKING work, not scan
+    * bytes. The byte-narrow scan shapes are the single-query forms,
+    * where the candidate cut is a bounded driver literal
+    * ([[graft.GraftIndexes.ivfSq8ProbeSplit]]'s two-phase read,
+    * [[ivfSq8ProbeCoded]] over a cached coded index); a batched job
+    * that must stay byte-narrow at 100 TB should run the code-rank
+    * pass as its own job and join the bounded winners back.
+    *
+    * Zero-norm probe rows drop (no direction to rank — the
+    * [[sq8TopK]] query guard, mirrored by the oracle's qm > 0
+    * filter); zero-norm corpus rows drop the same way. Returns
+    * (probe_id, vec_id, cos, rn) like [[ivfProbeSpillJoin]]. */
   def ivfSq8ProbeJoin(assigned: DataFrame, cents: Array[Array[Double]],
                       probes: DataFrame, idCol: String, vecCol: String,
                       nProbe: Int, k: Int, rerank: Int = 4,
@@ -558,12 +569,17 @@ object Similarity {
       .withColumn("p8", sq8Codes(col("pv"), col("pm")))
       .drop("pm")
     val sched = if (broadcastProbes) broadcast(schedule) else schedule
-    val cand = assigned.join(sched, "centroid")
-      .withColumn("qm", sq8Max(col("qv")))
-      .where(col("qm") > 0)
+    val hasStoredCodes = assigned.columns.contains("c8")
+    val base =
+      if (hasStoredCodes) assigned.join(sched, "centroid")
+        .withColumn("a8", col("c8").cast("array<double>"))
+      else assigned.join(sched, "centroid")
+        .withColumn("qm", sq8Max(col("qv")))
+        .where(col("qm") > 0)
+        .withColumn("a8", sq8Codes(col("qv"), col("qm")))
+    val cand = base
       .select(col("probe_id"), col("vec_id"), col("qv"), col("pv"),
-        round(VecFns.cosineQ(sq8Codes(col("qv"), col("qm")), col("p8")), 6)
-          .as("approx"))
+        round(VecFns.cosineQ(col("a8"), col("p8")), 6).as("approx"))
       .dropDuplicates("probe_id", "vec_id")
     val wa = Window.partitionBy(col("probe_id"))
       .orderBy(desc("approx"), asc("vec_id"))

@@ -112,6 +112,15 @@ object HttpTransport {
     val in = tls.keystorePath match {
       case Some(p) => new java.io.FileInputStream(p)
       case None =>
+        // the bundled key pair is REPOSITORY-PUBLIC (exactly like the
+        // reference's committed cert/ dir): it encrypts the transport
+        // but authenticates NOTHING — any MITM can present the same
+        // key. Refuse to let that pass silently outside local dev.
+        System.err.println(
+          "WARNING: TLS keyed from the BUNDLED DEV certificate — the " +
+            "private key is public in the repository, so this provides " +
+            "no authenticity. Pass Tls(keystorePath = ...) with a real " +
+            "keystore for anything beyond localhost development.")
         val r = getClass.getResourceAsStream("/graft/serve/dev-keystore.p12")
         require(r != null, "bundled dev keystore missing from classpath")
         r

@@ -668,6 +668,14 @@ class PlanAuditSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(codedProbe === mem,
       "coded warm probe diverged from the in-memory composed rung")
+    // the batched join's stored-codes branch (rank on persisted c8)
+    // equals the recompute-from-qv branch: one probe row ⇒ the batched
+    // result is the single-query composed probe
+    val joined = Similarity.ivfSq8ProbeJoin(asg, cents,
+      emb.where(col("vec_id") === 0), "vec_id", "embedding", nProbe = 3, k = 10)
+      .collect().sortBy(_.getInt(3)).map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(joined === mem,
+      "batched stored-codes probe diverged from the composed rung")
   }
 
   test("appendIvf is genuinely incremental: only the delta's partitions gain files, no retrain") {

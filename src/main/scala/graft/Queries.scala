@@ -1004,10 +1004,12 @@ object Queries {
     // probe ranks all K centroids as an array expression, the exploded
     // (probe_id, centroid) schedule equi-joins the index (broadcast →
     // dynamic partition pruning over a persisted layout; plan-audited
-    // no-nested-loop), spill duplicates collapse in a max-cos combine,
-    // and a per-probe window takes the top 10. Same K/nProbe derivation
-    // and training as ann_topk; the oracle is the one spill emitter in
-    // batched mode (probe/cand/rank CTEs partitioned by probe_id).
+    // no-nested-loop), spill duplicates collapse through the
+    // shuffle-free broadcast marker join (the per-probe window is the
+    // plan's ONLY exchange — plan-audited), and a per-probe window
+    // takes the top 10. Same K/nProbe derivation and training as
+    // ann_topk; the oracle is the one spill emitter in batched mode
+    // (probe/cand/rank CTEs partitioned by probe_id).
     "ann_probe_join" -> ((s, dir) => {
       val e = emb(s, dir)
       val nLists = Similarity.nListsFor(e.count())

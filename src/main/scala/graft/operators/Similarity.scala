@@ -479,10 +479,16 @@ object Similarity {
     *     layout the broadcast probe side makes this DYNAMIC partition
     *     pruning (plan-audited): only the union of probed partition
     *     directories is read, never the corpus;
-    *  3. spill double-assignments collapse in a (probe_id, vec_id)
-    *     max-cos aggregate (both copies carry identical qv, so max ==
-    *     either — map-side combine eats the duplicates before the
-    *     exchange), and a per-probe window takes the top k.
+    *  3. spill double-assignments collapse with a SHUFFLE-FREE marker
+    *     join (r15): a candidate pair is duplicated exactly when the
+    *     vector's spill copy AND its primary list are both probed by
+    *     the same probe, so a broadcast left-join of the schedule's
+    *     (probe_id, centroid) keys against each row's `primary`
+    *     decides keep/drop row-locally — keep the primary copy, or
+    *     the spill copy when the primary list is unprobed — and the
+    *     per-probe top-k window is the ONLY exchange in the plan
+    *     (plan-audited; the r14 cut paid a (probe_id, vec_id)
+    *     aggregate shuffle here).
     *
     * Scan cost is nProbe/K of the corpus PER PROBE, same as the
     * single-query path; the join visits each (probe, candidate) pair
@@ -499,14 +505,37 @@ object Similarity {
                         broadcastProbes: Boolean = true): DataFrame = {
     val schedule = spillScheduleFrame(probes, idCol, vecCol, cents, nProbe)
     val sched = if (broadcastProbes) broadcast(schedule) else schedule
-    val cand = assigned.join(sched, "centroid")
+    val cand = scheduleDeduped(assigned.join(sched, "centroid"), schedule,
+        broadcastProbes)
       .select(col("probe_id"), col("vec_id"),
         round(VecFns.cosineQ(col("pv"), col("qv")), 6).as("cos"))
-      .groupBy("probe_id", "vec_id").agg(max("cos").as("cos"))
     val w = Window.partitionBy(col("probe_id")).orderBy(desc("cos"), asc("vec_id"))
     cand.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .select("probe_id", "vec_id", "cos", "rn")
   }
+
+  /** Shuffle-free spill dedupe for the BATCHED joins — the per-probe
+    * twin of [[probeDeduped]]'s predicate: a (probe, vector) pair is
+    * duplicated exactly when the vector's spill copy and its primary
+    * list are BOTH in that probe's schedule, so marking each
+    * candidate row with "is my primary list probed by this probe?"
+    * (a broadcast left-join of the schedule's (probe_id, centroid)
+    * keys against the row's `primary`) decides keep/drop row-locally:
+    * keep the primary copy always, the spill copy only when its
+    * primary list is unprobed. Falls back to a (probe_id, vec_id)
+    * max-agnostic dropDuplicates for indexes without the `primary`
+    * column (pre-r15 frames). */
+  private def scheduleDeduped(cand: DataFrame, schedule: DataFrame,
+                              broadcastProbes: Boolean): DataFrame =
+    if (!cand.columns.contains("primary")) cand.dropDuplicates("probe_id", "vec_id")
+    else {
+      val keys = schedule.select(col("probe_id"),
+        col("centroid").as("primary"), lit(1).as("__pin"))
+      val marked = if (broadcastProbes) broadcast(keys) else keys
+      cand.join(marked, Seq("probe_id", "primary"), "left")
+        .where(col("centroid") === col("primary") || col("__pin").isNull)
+        .drop("__pin")
+    }
 
   /** The batched probes' exploded list schedule — ONE derivation for
     * [[ivfProbeSpillJoin]] and [[ivfSq8ProbeJoin]]: each probe row
@@ -577,10 +606,9 @@ object Similarity {
         .withColumn("qm", sq8Max(col("qv")))
         .where(col("qm") > 0)
         .withColumn("a8", sq8Codes(col("qv"), col("qm")))
-    val cand = base
+    val cand = scheduleDeduped(base, schedule, broadcastProbes)
       .select(col("probe_id"), col("vec_id"), col("qv"), col("pv"),
         round(VecFns.cosineQ(col("a8"), col("p8")), 6).as("approx"))
-      .dropDuplicates("probe_id", "vec_id")
     val wa = Window.partitionBy(col("probe_id"))
       .orderBy(desc("approx"), asc("vec_id"))
     val we = Window.partitionBy(col("probe_id"))

@@ -624,6 +624,11 @@ class PlanAuditSpec extends SparkSpec {
     // top-k per probe rides the WindowGroupLimit pushdown, not a full
     // per-probe sort of every candidate
     assert(p.contains("WindowGroupLimit"), "per-probe top-k lost the group-limit pushdown")
+    // spill dedupe is the broadcast marker join (r15), so the per-probe
+    // window's hashpartitioning is the plan's ONLY real exchange — the
+    // r14 cut paid an extra (probe_id, vec_id) aggregate shuffle here
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"batched probe shuffles more than the window:\n${p.take(800)}")
     assert(df.count() === 25L)
   }
 

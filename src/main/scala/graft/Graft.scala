@@ -615,6 +615,7 @@ object GraftIndexes {
                    spillDelta: Double = Similarity.SpillDelta): Unit = {
     val (asg, cents) = openIvf(spark, dir)
     requirePrimary(asg, dir)
+    requireCodeParity(asg, dir, coded = true)
     ivfSq8Rows(Similarity.ivfAssignSpill(delta, idCol, vecCol, cents, spillDelta))
       .write.mode("append").partitionBy("centroid").parquet(s"$dir/assign")
   }
@@ -697,6 +698,7 @@ object GraftIndexes {
                 spillDelta: Double = Similarity.SpillDelta): Unit = {
     val (asg, cents) = openIvf(spark, dir)
     requirePrimary(asg, dir)
+    requireCodeParity(asg, dir, coded = false)
     Similarity.ivfAssignSpill(delta, idCol, vecCol, cents, spillDelta)
       .write.mode("append").partitionBy("centroid").parquet(s"$dir/assign")
   }
@@ -713,6 +715,32 @@ object GraftIndexes {
       s"$dir/assign is a pre-r15 layout without the `primary` column; " +
         "appending r15 rows would mix schemas and make probes silently " +
         "drop the base corpus — rebuild the layout with writeIvf/writeIvfSq8")
+
+  /** Refuse a code-schema mismatch between an append and its base
+    * layout (ADVICE r15): [[appendIvf]] writes code-LESS rows, so
+    * appending onto a [[writeIvfSq8]] layout (whose assign schema
+    * carries `c8`) would leave every delta row's c8 NULL — and because
+    * [[openIvf]] reads the directory without mergeSchema, coded probes
+    * ([[ivfSq8ProbeSplit]], [[graft.operators.Similarity.ivfSq8ProbeCoded]],
+    * stored-codes [[graft.operators.Similarity.ivfSq8ProbeJoin]])
+    * would either silently exclude every appended vector from the code
+    * rank or fail nondeterministically depending on which footer Spark
+    * samples for schema. The mirror direction ([[appendIvfSq8]] onto a
+    * plain [[writeIvf]] layout) mixes the same way. Loud error, with
+    * the right entry point named. */
+  private def requireCodeParity(asg: DataFrame, dir: String,
+                                coded: Boolean): Unit =
+    if (coded)
+      require(asg.columns.contains("c8"),
+        s"$dir/assign is a plain writeIvf layout (no `c8` codes); " +
+          "appendIvfSq8 would mix coded and code-less files and make " +
+          "coded probes read null codes — use appendIvf, or rebuild " +
+          "the layout with writeIvfSq8")
+    else
+      require(!asg.columns.contains("c8"),
+        s"$dir/assign is a composed writeIvfSq8 layout (carries `c8`); " +
+          "appendIvf would append code-less rows that coded probes " +
+          "silently exclude — use appendIvfSq8")
 
   /** Open a persisted spill-IVF: (assignment frame, trained centroids).
     * Probe via [[graft.operators.Similarity.ivfProbeSpill]] — the

@@ -314,11 +314,11 @@ object Queries {
       val scratch = java.nio.file.Files
         .createTempDirectory("graft-stream-dedup").toString
       registerScratchCleanup(scratch)
-      val ev = Tables.eventsStream(s, dir)
-        .withColumn("ts_ev", timestamp_micros(expr("ts div 1000")))
-      val dd = graft.streaming.Streams.dedupStream(
-        ev, Seq("user_id", "event_type"), "3650 days", tsCol = "ts_ev")
-      graft.streaming.Streams.withStatePartitions(s, 8) {
+      graft.streaming.Streams.withStatePartitions(s, 8) { scoped =>
+        val ev = Tables.eventsStream(scoped, dir)
+          .withColumn("ts_ev", timestamp_micros(expr("ts div 1000")))
+        val dd = graft.streaming.Streams.dedupStream(
+          ev, Seq("user_id", "event_type"), "3650 days", tsCol = "ts_ev")
         graft.streaming.Streams
           .runToParquet(dd.select("user_id", "event_type"), scratch)
       }
@@ -335,9 +335,6 @@ object Queries {
       val scratch = java.nio.file.Files
         .createTempDirectory("graft-stream-asof").toString
       registerScratchCleanup(scratch)
-      val purchases = Tables.eventsStream(s, dir)
-        .where(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       val views = () => Tables(s, dir, "events")
         .where(col("event_type") === "view")
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
@@ -348,7 +345,10 @@ object Queries {
       val expected = AsOf.asofJoin(views().limit(0), views(),
           "user_id", "ts", "event_id", Seq("value"))
         .schema.add("enrich_batch", org.apache.spark.sql.types.LongType)
-      graft.streaming.Streams.withStatePartitions(s, 8) {
+      graft.streaming.Streams.withStatePartitions(s, 8) { scoped =>
+        val purchases = Tables.eventsStream(scoped, dir)
+          .where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
         val q = graft.streaming.Streams.asofEnrich(purchases, views,
           "user_id", "ts", "event_id", Seq("value"),
           s"$scratch/out", s"$scratch/ck",
@@ -371,9 +371,9 @@ object Queries {
       registerScratchCleanup(scratch)
       val expected = Events.hourlyGrain(Tables(s, dir, "events").limit(0), "event_type")
         .schema.add("part_batch", org.apache.spark.sql.types.LongType)
-      val parts = graft.streaming.Streams.withStatePartitions(s, 8) {
+      val parts = graft.streaming.Streams.withStatePartitions(s, 8) { scoped =>
         val q = graft.streaming.Streams.rollupMaintain(
-          Tables.eventsStream(s, dir), "event_type",
+          Tables.eventsStream(scoped, dir), "event_type",
           s"$scratch/parts", s"$scratch/ck",
           trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
         graft.streaming.Streams.awaitAndRead(q, s, s"$scratch/parts", expected)
@@ -403,9 +403,9 @@ object Queries {
         .createTempDirectory("graft-stream-scd2").toString
       registerScratchCleanup(scratch)
       val state = s"$scratch/state"
-      def run(phase: Int): org.apache.spark.sql.streaming.StreamingQuery =
+      def run(scoped: SparkSession, phase: Int): org.apache.spark.sql.streaming.StreamingQuery =
         graft.streaming.Streams.scd2Stream(
-          Tables.eventsStream(s, dir)
+          Tables.eventsStream(scoped, dir)
             .where(pmod(col("event_id"), lit(2L)) === phase)
             .select(col("user_id"), col("event_type")),
           state, "user_id", Seq("event_type"), s"$scratch/ck$phase",
@@ -424,9 +424,9 @@ object Queries {
           org.apache.spark.sql.types.LongType)))
       // per-trigger volume is a few thousand rows: size the state/
       // foreachBatch exchanges to it (Streams.withStatePartitions)
-      graft.streaming.Streams.withStatePartitions(s, 8) {
-        graft.streaming.Streams.awaitDone(run(0))
-        graft.streaming.Streams.awaitAndRead(run(1), s, state, expected)
+      graft.streaming.Streams.withStatePartitions(s, 8) { scoped =>
+        graft.streaming.Streams.awaitDone(run(scoped, 0))
+        graft.streaming.Streams.awaitAndRead(run(scoped, 1), s, state, expected)
       }
         .select(col("user_id"), col("event_type"),
           col("valid_to").isNull.as("is_open"))
@@ -450,9 +450,9 @@ object Queries {
       registerScratchCleanup(scratch)
       val corpus = s"$scratch/corpus"
       val index = s"$scratch/index"
-      def run(phase: Int): org.apache.spark.sql.streaming.StreamingQuery =
+      def run(scoped: SparkSession, phase: Int): org.apache.spark.sql.streaming.StreamingQuery =
         graft.streaming.Streams.nearDupIngest(
-          Tables.documentsStream(s, dir)
+          Tables.documentsStream(scoped, dir)
             .where(pmod(col("doc_id"), lit(2L)) === phase)
             .select(col("doc_id"), col("text")),
           corpus, index, s"$scratch/ck$phase", "doc_id", "text",
@@ -468,9 +468,9 @@ object Queries {
           org.apache.spark.sql.types.LongType)))
       // per-trigger volume is bounded by the spooled half-corpus: size
       // the foreachBatch band joins to it (Streams.withStatePartitions)
-      graft.streaming.Streams.withStatePartitions(s, 8) {
-        graft.streaming.Streams.awaitDone(run(0))
-        graft.streaming.Streams.awaitAndRead(run(1), s, corpus, expected)
+      graft.streaming.Streams.withStatePartitions(s, 8) { scoped =>
+        graft.streaming.Streams.awaitDone(run(scoped, 0))
+        graft.streaming.Streams.awaitAndRead(run(scoped, 1), s, corpus, expected)
       }
         .select(col("doc_id"), col("ingest_batch"))
         .orderBy("doc_id")
@@ -496,16 +496,16 @@ object Queries {
       val scratch = java.nio.file.Files
         .createTempDirectory("graft-stream-ssj").toString
       registerScratchCleanup(scratch)
-      def leg(t: String) = Tables.eventsStream(s, dir)
-        .where(col("event_type") === t)
-        .withColumn("ts_ev", timestamp_micros(expr("ts div 1000")))
-        .select(col("event_id"), col("user_id"), col("ts_ev"), col("value"))
-      val joined = graft.streaming.Streams.streamStreamJoin(
-        leg("purchase"), leg("view"), "user_id", "ts_ev",
-        lookback = "1 hour", watermark = "3650 days")
       // join state holds the 1 h lookback per user of a bounded spool:
       // 8 state partitions, not the session's width (withStatePartitions)
-      graft.streaming.Streams.withStatePartitions(s, 8) {
+      graft.streaming.Streams.withStatePartitions(s, 8) { scoped =>
+        def leg(t: String) = Tables.eventsStream(scoped, dir)
+          .where(col("event_type") === t)
+          .withColumn("ts_ev", timestamp_micros(expr("ts div 1000")))
+          .select(col("event_id"), col("user_id"), col("ts_ev"), col("value"))
+        val joined = graft.streaming.Streams.streamStreamJoin(
+          leg("purchase"), leg("view"), "user_id", "ts_ev",
+          lookback = "1 hour", watermark = "3650 days")
         graft.streaming.Streams.runToParquet(
           joined.select(
             col("l.event_id").as("purchase_id"), col("l.user_id").as("user_id"),
@@ -547,16 +547,16 @@ object Queries {
           (-1L, -1L, "purchase", far, 0.0),
           (-2L, -2L, "view", far, 0.0)).toDF(ev.columns: _*),
         scratch, "sentinel", mtimeMs = 2000000L)
-      def leg(t: String) = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$scratch/in")
-        .where(col("event_type") === t)
-        .withColumn("ts_ev", timestamp_micros(col("ts_us")))
-        .select(col("event_id"), col("user_id"), col("ts_ev"), col("value"))
-      val joined = graft.streaming.Streams.streamStreamJoin(
-        leg("purchase"), leg("view"), "user_id", "ts_ev",
-        lookback = "1 hour", watermark = "1 second", joinType = "leftOuter")
       // same state-partition sizing as the inner form
-      graft.streaming.Streams.withStatePartitions(s, 8) {
+      graft.streaming.Streams.withStatePartitions(s, 8) { scoped =>
+        def leg(t: String) = scoped.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$scratch/in")
+          .where(col("event_type") === t)
+          .withColumn("ts_ev", timestamp_micros(col("ts_us")))
+          .select(col("event_id"), col("user_id"), col("ts_ev"), col("value"))
+        val joined = graft.streaming.Streams.streamStreamJoin(
+          leg("purchase"), leg("view"), "user_id", "ts_ev",
+          lookback = "1 hour", watermark = "1 second", joinType = "leftOuter")
         graft.streaming.Streams.runToParquet(
           joined.select(
             col("l.event_id").as("purchase_id"), col("l.user_id").as("user_id"),
@@ -585,17 +585,16 @@ object Queries {
       val ev = Tables(s, dir, "events").select("event_id", "user_id", "value")
       ev.repartition(2, col("event_id"))
         .write.mode("overwrite").parquet(s"$scratch/in")
-      val src = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$scratch/in")
-      val confKey = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(confKey)
-      s.conf.set(confKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val raw =
-        try graft.streaming.Streams.withStatePartitions(s, 8) {
-          graft.streaming.Streams.runningTotals(src, s"$scratch/run")
-        }
-        finally prev.fold(s.conf.unset(confKey))(s.conf.set(confKey, _))
+      val raw = graft.streaming.Streams.withStatePartitions(s, 8) { scoped =>
+        // RocksDB provider set on the scoped CLONE only — the parent
+        // session's state-store provider is never touched, so no
+        // restore (and no race with concurrent planners) is needed
+        scoped.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val src = scoped.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$scratch/in")
+        graft.streaming.Streams.runningTotals(src, s"$scratch/run")
+      }
       raw.groupBy("user_id")
         .agg(max(struct(col("n_events"), col("sum_value"))).as("m"))
         .select(col("user_id"), col("m.n_events").as("n_events"),

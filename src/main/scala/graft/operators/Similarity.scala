@@ -547,6 +547,16 @@ object Similarity {
   private def spillScheduleFrame(probes: DataFrame, idCol: String,
                                  vecCol: String, cents: Array[Array[Double]],
                                  nProbe: Int): DataFrame = {
+    // the long cast of a non-numeric id yields NULL probe_ids, which
+    // would collapse every probe into ONE window partition and return
+    // wrong per-probe top-k with no error (ADVICE r15) — fail loudly
+    // at plan time instead
+    import org.apache.spark.sql.types._
+    val idType = probes.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"batched-probe id column `$idCol` must be integral (got $idType): " +
+        "a silent long cast would null non-numeric ids and merge their " +
+        "probes into one window partition")
     val q = probes.select(col(idCol).cast("long").as("probe_id"),
       VecFns.quantize(col(vecCol)).as("pv"))
     val scored = q.withColumn("dn",

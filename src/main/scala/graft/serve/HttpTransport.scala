@@ -27,8 +27,9 @@ import javax.net.ssl.{KeyManagerFactory, SSLContext}
   * `ssl_context=('cert/cert.pem','cert/key.pem')`); here the JDK's
   * [[HttpsServer]] wraps the identical handler tree, keyed from a
   * PKCS12 keystore ([[HttpTransport.Tls]] — the caller's production
-  * keystore, or the bundled DEV-ONLY self-signed localhost cert that
-  * mirrors the reference's committed `cert/` pair). */
+  * keystore, or an EPHEMERAL per-JVM self-signed localhost cert;
+  * unlike the reference's committed `cert/` pair, no private key ever
+  * lives in the repository), negotiating TLSv1.3/1.2 only. */
 final class HttpTransport(collections: Map[String, Graft.HadithEngine],
                           port: Int = 8000,
                           tls: Option[HttpTransport.Tls] = None) {
@@ -36,7 +37,16 @@ final class HttpTransport(collections: Map[String, Graft.HadithEngine],
     case None => HttpServer.create(new InetSocketAddress(port), 0)
     case Some(t) =>
       val s = HttpsServer.create(new InetSocketAddress(port), 0)
-      s.setHttpsConfigurator(new HttpsConfigurator(HttpTransport.sslContext(t)))
+      val ctx = HttpTransport.sslContext(t)
+      s.setHttpsConfigurator(new HttpsConfigurator(ctx) {
+        // pin the negotiable protocol set to TLS 1.3/1.2 — the bare
+        // SSLContext would admit legacy versions (ADVICE r15)
+        override def configure(params: com.sun.net.httpserver.HttpsParameters): Unit = {
+          val ssl = ctx.getDefaultSSLParameters
+          ssl.setProtocols(Array("TLSv1.3", "TLSv1.2"))
+          params.setSSLParameters(ssl)
+        }
+      })
       s
   }
   server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
@@ -99,35 +109,74 @@ final class HttpTransport(collections: Map[String, Graft.HadithEngine],
 
 object HttpTransport {
   /** TLS keying: a PKCS12 keystore path + password, or (both defaults)
-    * the bundled DEV-ONLY self-signed localhost certificate — the JDK
-    * analog of the reference's committed `cert/cert.pem`+`key.pem`
-    * pair (mcp_server/http_server.py:78-80). The bundled store is for
-    * local dev/tests exactly like the reference's; production callers
-    * pass their own keystore. */
+    * an EPHEMERAL self-signed localhost keypair minted at first use —
+    * the dev analog of the reference's `ssl_context` dev runner
+    * (mcp_server/http_server.py:78-80), minus its committed `cert/`
+    * pair: the reference ships a repository-public private key; graft
+    * generates a fresh one per JVM so no publicly-known key can ever
+    * key a listener (ADVICE r15). Dev clients/tests PIN the generated
+    * certificate via [[devCertificate]] (never trust-all); production
+    * callers pass their own keystore. */
   final case class Tls(keystorePath: Option[String] = None,
                        password: String = "graftdev")
 
-  private[serve] def sslContext(tls: Tls): SSLContext = {
+  /** The ephemeral dev keypair, minted once per JVM on first TLS use:
+    * a 2048-bit RSA self-signed localhost certificate
+    * (SAN dns:localhost,ip:127.0.0.1; 7-day validity — dev sessions,
+    * not deployments) generated by the JDK's own keytool into a
+    * per-process temp dir with a [[java.security.SecureRandom]]
+    * password. Nothing long-lived, nothing in the repository. */
+  private lazy val ephemeralDev: (java.nio.file.Path, String) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tls")
+    dir.toFile.deleteOnExit()
+    val ksPath = dir.resolve("dev-keystore.p12")
+    ksPath.toFile.deleteOnExit()
+    val rnd = new java.security.SecureRandom()
+    val pw = new java.math.BigInteger(128, rnd).toString(16)
+    val keytool = java.nio.file.Paths
+      .get(System.getProperty("java.home"), "bin", "keytool").toString
+    val cmd = Array(keytool, "-genkeypair", "-alias", "graft-dev",
+      "-keyalg", "RSA", "-keysize", "2048", "-validity", "7",
+      "-storetype", "PKCS12", "-keystore", ksPath.toString,
+      "-storepass", pw, "-keypass", pw,
+      "-dname", "CN=localhost",
+      "-ext", "SAN=dns:localhost,ip:127.0.0.1")
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val out = new String(proc.getInputStream.readAllBytes(), UTF_8)
+    require(proc.waitFor() == 0,
+      s"ephemeral dev-TLS keypair generation failed:\n$out")
+    (ksPath, pw)
+  }
+
+  /** The ephemeral dev certificate — what a dev client pins as its
+    * truststore (the handshake then REJECTS any other served cert,
+    * unlike trust-all). Production deployments never see this path. */
+  def devCertificate(): java.security.cert.X509Certificate = {
+    val (path, pw) = ephemeralDev
     val ks = java.security.KeyStore.getInstance("PKCS12")
-    val in = tls.keystorePath match {
-      case Some(p) => new java.io.FileInputStream(p)
+    val in = new java.io.FileInputStream(path.toFile)
+    try ks.load(in, pw.toCharArray) finally in.close()
+    ks.getCertificate("graft-dev")
+      .asInstanceOf[java.security.cert.X509Certificate]
+  }
+
+  private[serve] def sslContext(tls: Tls): SSLContext = {
+    val (path, pw) = tls.keystorePath match {
+      case Some(p) => (java.nio.file.Paths.get(p), tls.password)
       case None =>
-        // the bundled key pair is REPOSITORY-PUBLIC (exactly like the
-        // reference's committed cert/ dir): it encrypts the transport
-        // but authenticates NOTHING — any MITM can present the same
-        // key. Refuse to let that pass silently outside local dev.
         System.err.println(
-          "WARNING: TLS keyed from the BUNDLED DEV certificate — the " +
-            "private key is public in the repository, so this provides " +
-            "no authenticity. Pass Tls(keystorePath = ...) with a real " +
-            "keystore for anything beyond localhost development.")
-        val r = getClass.getResourceAsStream("/graft/serve/dev-keystore.p12")
-        require(r != null, "bundled dev keystore missing from classpath")
-        r
+          "NOTE: TLS keyed from an EPHEMERAL self-signed dev " +
+            "certificate (this JVM only) — clients must pin it via " +
+            "HttpTransport.devCertificate(). Pass Tls(keystorePath = " +
+            "...) with a real keystore for anything beyond localhost " +
+            "development.")
+        ephemeralDev
     }
-    try ks.load(in, tls.password.toCharArray) finally in.close()
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val in = new java.io.FileInputStream(path.toFile)
+    try ks.load(in, pw.toCharArray) finally in.close()
     val kmf = KeyManagerFactory.getInstance(KeyManagerFactory.getDefaultAlgorithm)
-    kmf.init(ks, tls.password.toCharArray)
+    kmf.init(ks, pw.toCharArray)
     val ctx = SSLContext.getInstance("TLS")
     ctx.init(kmf.getKeyManagers, null, null)
     ctx

@@ -91,9 +91,9 @@ object Streams {
       joinType)
   }
 
-  /** Run `f` with `spark.sql.shuffle.partitions` set to `n`, restoring
-    * the previous value after. At streaming-query START this becomes
-    * the STATE partition count of every stateful operator in the query
+  /** Run `f` against a CLONED session whose `spark.sql.shuffle
+    * .partitions` is `n`. At streaming-query START this becomes the
+    * STATE partition count of every stateful operator in the query
     * (fixed into the checkpoint thereafter) and the exchange width of
     * foreachBatch internals. State sizing is per-workload policy, not
     * an engine constant: a stateful query pays (state-store open +
@@ -106,14 +106,21 @@ object Streams {
     * thousand rows per micro-batch and run at n = 8: measured on the
     * bench session (local[32], 32 shuffle partitions) the five
     * stateful rows drop 33.9 → ~21 s combined, purely fixed overhead.
-    * NOTE the conf must stay set for the query's LIFETIME (micro-batch
-    * planning reads session conf asynchronously), so `f` must start
-    * AND await its queries; restoration happens after `f` returns. */
-  def withStatePartitions[T](spark: org.apache.spark.sql.SparkSession, n: Int)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try f finally spark.conf.set(key, prev)
+    *
+    * The override lives in `spark.newSession()` — same SparkContext
+    * and SharedState (cache, catalog), ISOLATED SQLConf — so a query
+    * planned concurrently on the parent session (a serving transport's
+    * thread pool, an overlapping registered query) never observes n or
+    * races a restore (ADVICE r15). `f` must build its stream frames
+    * FROM the scoped session it receives (the conf consulted at query
+    * start is `df.sparkSession`'s) and must start AND await its
+    * queries inside (micro-batch planning reads session conf
+    * asynchronously for the query's lifetime). */
+  def withStatePartitions[T](spark: org.apache.spark.sql.SparkSession, n: Int)(
+      f: org.apache.spark.sql.SparkSession => T): T = {
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", n.toString)
+    f(scoped)
   }
 
   /** Write `df` as exactly ONE parquet file at `dstDir/name.parquet`

@@ -109,19 +109,21 @@ class ServeTransportsSpec extends SparkSpec {
     }
   }
 
-  test("https transport serves the same surface over TLS (bundled dev cert)") {
+  test("https transport serves the same surface over TLS (ephemeral dev cert)") {
     // the reference's dev runner serves HTTPS with a bundled
-    // self-signed cert (http_server.py:78-80); this drives one real
-    // TLS handshake + request end-to-end against the HttpsServer
-    // form. The client TRUSTS exactly the bundled certificate (the
-    // keystore doubles as the truststore) — not trust-all — so a
-    // served cert that doesn't match the bundle fails the handshake.
+    // self-signed cert (http_server.py:78-80); graft mints an
+    // EPHEMERAL keypair per JVM instead (no committed private key —
+    // ADVICE r15). This drives one real TLS handshake + request
+    // end-to-end against the HttpsServer form. The client PINS
+    // exactly the generated certificate as its truststore — not
+    // trust-all — so a served cert that doesn't match fails the
+    // handshake.
     val t = new HttpTransport(Map("riyadussalihin" -> eng), port = 0,
       tls = Some(HttpTransport.Tls()))
     try {
       val ks = java.security.KeyStore.getInstance("PKCS12")
-      val in = getClass.getResourceAsStream("/graft/serve/dev-keystore.p12")
-      try ks.load(in, "graftdev".toCharArray) finally in.close()
+      ks.load(null, null)
+      ks.setCertificateEntry("graft-dev", HttpTransport.devCertificate())
       val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
         javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
       tmf.init(ks)

@@ -488,17 +488,17 @@ object GraftIndexes {
     * it with the same per-row rule and appending the files; a
     * rebuilt-from-scratch layer is row-identical (spec-pinned).
     *
-    * EXACTLY-ONCE-APPEND contract (shared with [[appendIvf]]): a
-    * retried or double-run append duplicates code rows — the layout
-    * has no txn log to make appends idempotent. [[sq8Probe]]'s
-    * candidate cut (`limit(k·rerank)` over the code rank) can be
-    * DILUTED by duplicate codes, so the caller owns running each
-    * delta exactly once (wrap appends in the job-level dedup the
-    * pipeline already has — e.g. the checksum-gated
-    * [[graft.operators.Incremental]] state — or rebuild). */
+    * IDEMPOTENT-APPEND (r16, shared with [[appendIvf]]): the delta
+    * anti-joins the layout's existing vec_ids before the write, so a
+    * retried or double-run append is a NO-OP — duplicate codes would
+    * otherwise DILUTE [[sq8Probe]]'s candidate cut (`limit(k·rerank)`
+    * over the code rank). The check reads the layout's vec_id column
+    * only. vec_id is the identity key: re-ingesting an existing id is
+    * a no-op, not an update. */
   def appendSq8(spark: SparkSession, delta: DataFrame, idCol: String,
                 vecCol: String, dir: String): Unit =
     sq8CodeFrame(delta, idCol, vecCol)
+      .join(openSq8(spark, dir).select("vec_id"), Seq("vec_id"), "left_anti")
       .write.mode("append").parquet(s"$dir/codes")
 
   /** Open a persisted SQ8 code layer. */
@@ -605,18 +605,21 @@ object GraftIndexes {
     * composed twin of [[appendIvf]]: the delta assigns against the
     * read-back trained centroids (same spill rule as the base build,
     * no retrain), encodes through the same [[ivfSq8Rows]] projection,
-    * and appends only its partitions. Same exactly-once-append
-    * contract as [[appendIvf]]/[[appendSq8]] (duplicate appends can
-    * dilute the phase-1 code-rank cut). Retrain cadence is caller
-    * policy — re-run [[writeIvfSq8]] when N crosses the next
-    * K ∝ √N boundary. */
+    * and appends only its partitions. Same IDEMPOTENT-APPEND rule as
+    * [[appendIvf]]/[[appendSq8]] (r16): existing (vec_id, centroid)
+    * pairs are anti-joined away, so a retried append is a no-op and
+    * the phase-1 code-rank cut can never be diluted by duplicates.
+    * Retrain cadence is caller policy — re-run [[writeIvfSq8]] when N
+    * crosses the next K ∝ √N boundary. */
   def appendIvfSq8(spark: SparkSession, delta: DataFrame, idCol: String,
                    vecCol: String, dir: String,
                    spillDelta: Double = Similarity.SpillDelta): Unit = {
     val (asg, cents) = openIvf(spark, dir)
     requirePrimary(asg, dir)
     requireCodeParity(asg, dir, coded = true)
-    ivfSq8Rows(Similarity.ivfAssignSpill(delta, idCol, vecCol, cents, spillDelta))
+    freshAssignRows(
+      ivfSq8Rows(Similarity.ivfAssignSpill(delta, idCol, vecCol, cents, spillDelta)),
+      asg)
       .write.mode("append").partitionBy("centroid").parquet(s"$dir/assign")
   }
 
@@ -676,6 +679,104 @@ object GraftIndexes {
       .orderBy(desc("approx"), asc("vec_id")).limit(cut)
       .select("vec_id")
 
+  /** BATCHED probe of a persisted [[writeIvfSq8]] layout in the
+    * byte-narrow two-phase shape — [[ivfSq8ProbeSplit]]'s batched twin
+    * and the 100 TB form of
+    * [[graft.operators.Similarity.ivfSq8ProbeJoin]] (whose one-plan
+    * scan reads qv for every candidate because the rerank needs it in
+    * the same pass):
+    *
+    *  1. code rank, ITS OWN JOB: the (probe_id, centroid, p8) schedule
+    *     broadcast-equi-joins ONLY the (vec_id, c8, primary) columns of
+    *     the probed partitions (parquet column pruning keeps the
+    *     8-byte-per-dim qv out of the read — plan-audited via
+    *     ReadSchema; partition pruning via the dynamic broadcast key,
+    *     exactly as the one-plan join), spill duplicates collapse
+    *     row-locally, candidates rank per probe by code cosine, and
+    *     the per-probe top k·rerank (probe_id, vec_id, centroid)
+    *     winners COLLECT — a counted set, ≤ |probes|·k·rerank rows by
+    *     contract (offline eval suites, contrastive mining; an
+    *     unbounded probe firehose should stay in the one-plan
+    *     [[graft.operators.Similarity.ivfSq8ProbeJoin]]);
+    *  2. exact rerank: re-read ONLY the winners' partition directories
+    *     (a literal centroid set — tighter than the probed union) with
+    *     the bounded `vec_id IN (…)` literal PUSHED to parquet
+    *     (row-group stats skip most qv pages), join the winner pairs
+    *     and probe vectors back as broadcasts, exact-rescore, per-probe
+    *     top k.
+    *
+    * Bytes scanned ≈ probed-partition rows × 1 byte/dim + winner qv
+    * pages — batched retrieval inside the single-query split probe's
+    * envelope. Results are row-identical to [[ivfSq8ProbeJoin]]
+    * (spec-pinned): phase 1 replays its code-rank window (same
+    * rounding, same (approx desc, vec_id asc) total order, same cut)
+    * and phase 2 its exact window over the identical candidate set. */
+  def ivfSq8ProbeJoinSplit(assigned: DataFrame, cents: Array[Array[Double]],
+                           probes: DataFrame, idCol: String, vecCol: String,
+                           nProbe: Int, k: Int, rerank: Int = 4,
+                           broadcastProbes: Boolean = true): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val schedule = Similarity.sq8ScheduleFrame(probes, idCol, vecCol, cents,
+      nProbe)
+    val winners = sq8CodeRankJoinFrame(assigned, schedule, k * rerank,
+      broadcastProbes).collect()
+    if (winners.isEmpty)
+      return Seq.empty[(Long, Long, Double, Int)]
+        .toDF("probe_id", "vec_id", "cos", "rn")
+    val ids = winners.map(_.getLong(1)).distinct.toSeq
+    val cset = winners.map(_.getInt(2)).distinct.toSeq
+    // spill copies carry identical qv, so keeping either is exact
+    val vecs = assigned
+      .where(col("centroid").isin(cset: _*))
+      .where(col("vec_id").isin(ids: _*))
+      .select("vec_id", "qv").dropDuplicates("vec_id")
+    val pairs = winners.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .toDF("probe_id", "vec_id")
+    // no forced hint on the probes side: the winner-filtered left is
+    // ≤ |probes|·k·rerank rows and the probe side ≤ |probes| rows —
+    // both bounded, so AQE's runtime sizes pick the broadcast (the
+    // registry-wide hint audit forbids forced hints over file scans
+    // that aren't bounded by construction)
+    val pv = probes.select(col(idCol).cast("long").as("probe_id"),
+      VecFns.quantize(col(vecCol)).as("pv"))
+    val we = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(desc("cos"), asc("vec_id"))
+    vecs.join(broadcast(pairs), "vec_id")
+      .join(pv, "probe_id")
+      .select(col("probe_id"), col("vec_id"),
+        round(VecFns.cosineQ(col("qv"), col("pv")), 6).as("cos"))
+      .withColumn("rn", row_number().over(we)).where(col("rn") <= k)
+      .select("probe_id", "vec_id", "cos", "rn")
+  }
+
+  /** [[ivfSq8ProbeJoinSplit]]'s phase-1 frame, factored out so the
+    * plan audit pins the batched code-rank job's read shape: the
+    * assigned side is projected to (vec_id, c8, primary, centroid)
+    * BEFORE the schedule join — ReadSchema carries the 1-byte codes,
+    * never the 8-byte qv. Window semantics are byte-identical to
+    * [[graft.operators.Similarity.ivfSq8ProbeJoin]]'s code-rank stage
+    * (same round-6 code cosine, (approx desc, vec_id asc) order, same
+    * k·rerank cut) so the split form's winner set is ITS candidate
+    * set. Emits (probe_id, vec_id, centroid) — the kept copy's
+    * partition rides along so phase 2 prunes to exactly the winners'
+    * directories. */
+  private[graft] def sq8CodeRankJoinFrame(assigned: DataFrame,
+                                          schedule: DataFrame, cut: Int,
+                                          broadcastProbes: Boolean): DataFrame = {
+    val sched = if (broadcastProbes) broadcast(schedule) else schedule
+    val narrow = assigned.select("vec_id", "c8", "primary", "centroid")
+    val base = narrow.join(sched, "centroid")
+      .withColumn("a8", col("c8").cast("array<double>"))
+    val cand = Similarity.scheduleDeduped(base, schedule, broadcastProbes)
+      .select(col("probe_id"), col("vec_id"), col("centroid"),
+        round(VecFns.cosineQ(col("a8"), col("p8")), 6).as("approx"))
+    val wa = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(desc("approx"), asc("vec_id"))
+    cand.withColumn("ra", row_number().over(wa)).where(col("ra") <= cut)
+      .select("probe_id", "vec_id", "centroid")
+  }
+
   /** INCREMENTAL maintenance of a persisted spill-IVF — the
     * hourly-append face of the nightly-retrain index: new vectors are
     * assigned against the EXISTING trained centroids (same spill rule
@@ -687,21 +788,39 @@ object GraftIndexes {
     * drifts as the corpus grows, so re-run [[writeIvf]] when the
     * corpus has grown past the next power-of-two boundary.
     *
-    * EXACTLY-ONCE-APPEND contract: a retried or double-run append
-    * duplicates assignment rows (no txn log). Probe RESULTS stay
-    * correct — [[graft.operators.Similarity.ivfProbeSpill]] dedupes by
-    * vec_id — but the layout grows and the probe scans the duplicates,
-    * so the caller owns running each delta exactly once (see
-    * [[appendSq8]], whose candidate cut is additionally dilutable). */
+    * IDEMPOTENT-APPEND (r16, was exactly-once-by-contract): the delta's
+    * assignment anti-joins the layout's existing (vec_id, centroid)
+    * pairs before the write, so a retried or double-run append is a
+    * NO-OP instead of silently duplicating rows — duplicates would
+    * occupy probe top-k slots twice (the r15 row-local spill dedupe
+    * keeps both copies of an append duplicate) and dilute
+    * [[sq8Probe]]'s candidate cut. The check scans only the
+    * (vec_id, centroid) columns (column-pruned; centroids are fixed, so
+    * a re-run delta assigns to the same partitions it did before).
+    * vec_id is the IDENTITY key: re-ingesting an existing id is a
+    * no-op, not an update — updates rebuild or go through the
+    * [[graft.operators.Incremental]] upsert path. */
   def appendIvf(spark: SparkSession, delta: DataFrame, idCol: String,
                 vecCol: String, dir: String,
                 spillDelta: Double = Similarity.SpillDelta): Unit = {
     val (asg, cents) = openIvf(spark, dir)
     requirePrimary(asg, dir)
     requireCodeParity(asg, dir, coded = false)
-    Similarity.ivfAssignSpill(delta, idCol, vecCol, cents, spillDelta)
+    freshAssignRows(
+      Similarity.ivfAssignSpill(delta, idCol, vecCol, cents, spillDelta), asg)
       .write.mode("append").partitionBy("centroid").parquet(s"$dir/assign")
   }
+
+  /** The idempotence filter of [[appendIvf]]/[[appendIvfSq8]]: delta
+    * assignment rows whose (vec_id, centroid) pair already exists in
+    * the layout are dropped. Anti-join on the pair (not vec_id alone)
+    * so a spill copy whose primary landed in an earlier partial run
+    * still completes. The existing side reads two columns of the
+    * layout only. */
+  private def freshAssignRows(assignedDelta: DataFrame,
+                              existing: DataFrame): DataFrame =
+    assignedDelta.join(existing.select("vec_id", "centroid"),
+      Seq("vec_id", "centroid"), "left_anti")
 
   /** Refuse to append r15 rows (which carry the `primary` centroid)
     * onto a pre-r15 layout that lacks the column: the mixed layout

@@ -1100,6 +1100,14 @@ object Oracles {
       delta = graft.operators.Similarity.SpillDelta,
       probeMult = 26, probeFloor = 4, sq8Rerank = 40,
       batchPred = "vec_id < 5", batchK = 10),
+    // byte-narrow split twin (GraftIndexes.ivfSq8ProbeJoinSplit): the
+    // two-phase persisted-layout probe is a PHYSICAL re-shape of
+    // ann_probe_join_sq8 — identical training, schedule, code-rank
+    // window, and exact rerank — so its oracle is the identical replay
+    "ann_probe_join_split" -> ivfSpillOracle(iters = 3,
+      delta = graft.operators.Similarity.SpillDelta,
+      probeMult = 26, probeFloor = 4, sq8Rerank = 40,
+      batchPred = "vec_id < 5", batchK = 10),
     // incremental-append twin: train (K sizing + Lloyd) on the EVEN
     // half only, assign + probe over everything — fixed-centroid
     // assignment is lifecycle-invariant, so the SQL needs no notion of

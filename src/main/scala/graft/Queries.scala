@@ -1033,6 +1033,31 @@ object Queries {
         .withColumn("rn", col("rn").cast("int"))
         .orderBy("probe_id", "rn")
     }),
+    // the BYTE-NARROW batched form (r16): same semantics as
+    // ann_probe_join_sq8 — same training, schedule, code-rank cut, and
+    // exact rerank, so the SAME oracle — but physically two phases over
+    // a PERSISTED writeIvfSq8 layout: the code-rank job's scan reads
+    // only (vec_id, c8, primary) of the probed partitions (ReadSchema
+    // without qv — plan-audited), and the exact rerank re-reads the
+    // bounded winner set with pushed literals. This is how a batched
+    // retrieval job inherits the single-query split probe's byte
+    // envelope at 100 TB (r15 verdict #1).
+    "ann_probe_join_split" -> ((s, dir) => {
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-ivfsq8-split-${s.sparkContext.applicationId}").toString
+      registerScratchCleanup(tmp)
+      val e = emb(s, dir)
+      val nLists = Similarity.nListsFor(e.count())
+      GraftIndexes.writeIvfSq8(s, e, "vec_id", "embedding", tmp,
+        nCentroids = nLists, lloydIters = 3)
+      val (asg, cents) = GraftIndexes.openIvf(s, tmp)
+      GraftIndexes.ivfSq8ProbeJoinSplit(asg, cents, e.where(col("vec_id") < 5),
+        "vec_id", "embedding",
+        nProbe = Similarity.nProbeWideFor(nLists), k = 10)
+        .withColumn("rn", col("rn").cast("int"))
+        .orderBy("probe_id", "rn")
+    }),
     // scan-fraction FLOOR variant: one bucket = 1/16 of the corpus
     // scanned; recall ≈ 0.04 on uniform vectors — registered to keep the
     // latency/recall trade's cheap end measured, never as the default

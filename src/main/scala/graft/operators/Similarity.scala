@@ -525,8 +525,8 @@ object Similarity {
     * primary list is unprobed. Falls back to a (probe_id, vec_id)
     * max-agnostic dropDuplicates for indexes without the `primary`
     * column (pre-r15 frames). */
-  private def scheduleDeduped(cand: DataFrame, schedule: DataFrame,
-                              broadcastProbes: Boolean): DataFrame =
+  private[graft] def scheduleDeduped(cand: DataFrame, schedule: DataFrame,
+                                     broadcastProbes: Boolean): DataFrame =
     if (!cand.columns.contains("primary")) cand.dropDuplicates("probe_id", "vec_id")
     else {
       val keys = schedule.select(col("probe_id"),
@@ -544,9 +544,9 @@ object Similarity {
     * asc) comparator — not double negation: -0.0 vs 0.0 must not
     * re-order vs the SQL row_number twin — sliced to nProbe and
     * exploded to (probe_id, pv, centroid) rows. */
-  private def spillScheduleFrame(probes: DataFrame, idCol: String,
-                                 vecCol: String, cents: Array[Array[Double]],
-                                 nProbe: Int): DataFrame = {
+  private[graft] def spillScheduleFrame(probes: DataFrame, idCol: String,
+                                        vecCol: String, cents: Array[Array[Double]],
+                                        nProbe: Int): DataFrame = {
     // the long cast of a non-numeric id yields NULL probe_ids, which
     // would collapse every probe into ONE window partition and return
     // wrong per-probe top-k with no error (ADVICE r15) — fail loudly
@@ -598,15 +598,26 @@ object Similarity {
     * [[sq8TopK]] query guard, mirrored by the oracle's qm > 0
     * filter); zero-norm corpus rows drop the same way. Returns
     * (probe_id, vec_id, cos, rn) like [[ivfProbeSpillJoin]]. */
-  def ivfSq8ProbeJoin(assigned: DataFrame, cents: Array[Array[Double]],
-                      probes: DataFrame, idCol: String, vecCol: String,
-                      nProbe: Int, k: Int, rerank: Int = 4,
-                      broadcastProbes: Boolean = true): DataFrame = {
-    val schedule = spillScheduleFrame(probes, idCol, vecCol, cents, nProbe)
+  /** [[spillScheduleFrame]] with the probe's own SQ8 codes riding along
+    * as `p8` (zero-norm probe rows dropped — no direction to rank):
+    * the shared schedule of the code-ranked batched probes
+    * ([[ivfSq8ProbeJoin]] and the byte-narrow split form
+    * [[graft.GraftIndexes.ivfSq8ProbeJoinSplit]]). */
+  private[graft] def sq8ScheduleFrame(probes: DataFrame, idCol: String,
+                                      vecCol: String,
+                                      cents: Array[Array[Double]],
+                                      nProbe: Int): DataFrame =
+    spillScheduleFrame(probes, idCol, vecCol, cents, nProbe)
       .withColumn("pm", sq8Max(col("pv")))
       .where(col("pm") > 0)
       .withColumn("p8", sq8Codes(col("pv"), col("pm")))
       .drop("pm")
+
+  def ivfSq8ProbeJoin(assigned: DataFrame, cents: Array[Array[Double]],
+                      probes: DataFrame, idCol: String, vecCol: String,
+                      nProbe: Int, k: Int, rerank: Int = 4,
+                      broadcastProbes: Boolean = true): DataFrame = {
+    val schedule = sq8ScheduleFrame(probes, idCol, vecCol, cents, nProbe)
     val sched = if (broadcastProbes) broadcast(schedule) else schedule
     val hasStoredCodes = assigned.columns.contains("c8")
     val base =

@@ -683,6 +683,48 @@ class PlanAuditSpec extends SparkSpec {
       "batched stored-codes probe diverged from the composed rung")
   }
 
+  test("batched split probe (r16): code-rank job reads codes not vectors, rerank pushes literals, rows equal the one-plan join") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("plan-ivfsq8-join-split").toString
+    val emb = Tables(spark, sf, "embeddings")
+    GraftIndexes.writeIvfSq8(spark, emb, "vec_id", "embedding", s"$dir/ivf",
+      nCentroids = 16, lloydIters = 1)
+    val (asg, cents) = GraftIndexes.openIvf(spark, s"$dir/ivf")
+    val probes = emb.where(col("vec_id") < 5)
+    // phase 1 (the batched code-rank JOB): broadcast schedule join with
+    // dynamic partition pruning, column pruning to (vec_id, c8,
+    // primary) — the 8-byte qv never enters the scan. This is how a
+    // batched retrieval job inherits the single-query split probe's
+    // byte envelope (r15 verdict #1).
+    val schedule = Similarity.sq8ScheduleFrame(probes, "vec_id", "embedding",
+      cents, 3)
+    val p1 = GraftIndexes.sq8CodeRankJoinFrame(asg, schedule, 40,
+      broadcastProbes = true).queryExecution.executedPlan.toString
+    assert(p1.contains("BroadcastHashJoin"),
+      "batched code rank does not broadcast the schedule")
+    assert("""PartitionFilters: \[[^\]]*dynamicpruning""".r.findFirstIn(p1).isDefined,
+      s"batched code rank is not dynamically partition-pruned:\n${p1.take(500)}")
+    assert("""ReadSchema: [^\n]*c8""".r.findFirstIn(p1).isDefined,
+      "batched code rank does not read the code column")
+    assert(!"""ReadSchema: [^\n]*qv""".r.findFirstIn(p1).isDefined,
+      s"batched code rank reads the full vectors — byte claim broken:\n${p1.take(500)}")
+    // phase 2: the bounded winner ids arrive as a pushed literal
+    val split = GraftIndexes.ivfSq8ProbeJoinSplit(asg, cents, probes,
+      "vec_id", "embedding", nProbe = 3, k = 10)
+    val p2 = split.queryExecution.executedPlan.toString
+    assert("""PushedFilters: \[[^\]]*In\(vec_id""".r.findFirstIn(p2).isDefined,
+      s"split rerank does not push the winner-id filter to parquet:\n${p2.take(500)}")
+    // row identity with the one-plan batched join — the split form is a
+    // physical re-shape, not a semantic variant
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).sortBy(t => (t._1, t._4)).toSeq
+    val joined = Similarity.ivfSq8ProbeJoin(asg, cents, probes,
+      "vec_id", "embedding", nProbe = 3, k = 10)
+    assert(rows(split) === rows(joined),
+      "byte-narrow split probe diverged from the one-plan batched join")
+  }
+
   test("appendIvf is genuinely incremental: only the delta's partitions gain files, no retrain") {
     import graft.operators.Similarity
     val dir = java.nio.file.Files.createTempDirectory("plan-ivf-append").toString
@@ -741,6 +783,45 @@ class PlanAuditSpec extends SparkSpec {
     val want = Similarity.ivfSq8Probe(memAsg, cents, q, nProbe = 3, k = 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got === want, "appended composed layout diverged from one-shot probe")
+  }
+
+  test("appends are idempotent (r16): a retried append is a no-op — double-append layouts and probes equal single-append") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("plan-append-idem").toString
+    val emb = Tables(spark, sf, "embeddings")
+    val base = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+    val delta = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+    val q = emb.where(col("vec_id") === 0).head().getSeq[Float](1).toArray
+    // composed layout: run the SAME append twice; the second must be a
+    // no-op (the anti-join drops every existing (vec_id, centroid)
+    // pair) — pre-r16 the duplicate rows would survive the row-local
+    // spill dedupe and occupy probe top-k slots twice
+    GraftIndexes.writeIvfSq8(spark, base, "vec_id", "embedding", s"$dir/ivf",
+      nCentroids = 16, lloydIters = 1)
+    GraftIndexes.appendIvfSq8(spark, delta, "vec_id", "embedding", s"$dir/ivf")
+    val (asg1, cents) = GraftIndexes.openIvf(spark, s"$dir/ivf")
+    val rowsOnce = asg1.count()
+    val probeOnce = GraftIndexes.ivfSq8ProbeSplit(asg1, cents, q, nProbe = 3, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    GraftIndexes.appendIvfSq8(spark, delta, "vec_id", "embedding", s"$dir/ivf")
+    val (asg2, _) = GraftIndexes.openIvf(spark, s"$dir/ivf")
+    assert(asg2.count() === rowsOnce, "retried appendIvfSq8 duplicated rows")
+    val probeTwice = GraftIndexes.ivfSq8ProbeSplit(asg2, cents, q, nProbe = 3, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probeTwice === probeOnce, "double-append changed probe results")
+    // and the batched coded probe sees no duplicate vec_ids either
+    val batched = Similarity.ivfSq8ProbeJoin(asg2, cents,
+        emb.where(col("vec_id") < 3), "vec_id", "embedding", nProbe = 3, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(batched.distinct.length === batched.length,
+      "batched probe returned duplicate (probe, vec) pairs after double-append")
+    // code layer: same rule on vec_id
+    GraftIndexes.writeSq8(spark, base, "vec_id", "embedding", s"$dir/sq8")
+    GraftIndexes.appendSq8(spark, delta, "vec_id", "embedding", s"$dir/sq8")
+    val codesOnce = GraftIndexes.openSq8(spark, s"$dir/sq8").count()
+    GraftIndexes.appendSq8(spark, delta, "vec_id", "embedding", s"$dir/sq8")
+    assert(GraftIndexes.openSq8(spark, s"$dir/sq8").count() === codesOnce,
+      "retried appendSq8 duplicated code rows")
   }
 
   test("appendSq8: stateless code layer appends to the same rows a full rebuild gives") {

@@ -423,6 +423,16 @@ object Bench {
         nCentroids = nLists)
       val spillAsg = spillAsg0.cache()
       cached ::= spillAsg
+      // r16 PQ rung's hoisted training + coded frame (8 subspaces × 16
+      // sub-centroids, 1 Lloyd step — the registered ann_pq sizing)
+      val pqd = e.select(col("vec_id").cast("long").as("vec_id"),
+        graft.functions.VecFns.quantize(col("embedding")).as("qv")).cache()
+      cached ::= pqd
+      val pqBooks = Similarity.pqTrain(pqd, Queries.Dim, m = 8, ksub = 16,
+        iters = 1)
+      val pqCoded = pqd.withColumn("pcode",
+        Similarity.pqCodeExpr(col("qv"), pqBooks, Queries.Dim / 8)).cache()
+      cached ::= pqCoded
       // mirrors the REGISTERED forms: ann_topk is the scale-aware
       // spherical spill IVF (r14 — the single-bucket probe is the
       // explicit floor variant; the r12 multi-probe h=1 default stays
@@ -457,7 +467,12 @@ object Bench {
         ("ann_sq8", (d, qv) =>
           Similarity.sq8TopK(d, "vec_id", "embedding", qv, k = k + 1)),
         ("ann_ivf_sq8", (_, qv) =>
-          Similarity.ivfSq8Probe(spillAsg, spillCents, qv, nProbe, k = k + 1)))
+          Similarity.ivfSq8Probe(spillAsg, spillCents, qv, nProbe, k = k + 1)),
+        // r16 PQ rung: books trained once (hoisted like spillAsg), the
+        // coded frame cached — probes pay the m-byte ADC scan + rerank
+        // (rerank=8, the registered ann_pq sizing)
+        ("ann_pq", (_, qv) =>
+          Similarity.pqProbeCoded(pqCoded, pqBooks, qv, k = k + 1, rerank = 8)))
       val measured = forms.map { case (name, approx) =>
         name -> recallFrom(e, pre, approx)
       }

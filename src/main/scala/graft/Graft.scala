@@ -536,6 +536,85 @@ object GraftIndexes {
       .orderBy(desc("cos"), asc("vec_id")).limit(k)
   }
 
+  /** Persist the PQ layer — (vec_id, pcode array<TINYINT>) codes plus
+    * the trained codebooks as a tiny sidecar (m·ksub rows of exact
+    * integer-valued doubles; parquet round-trips them bitwise, so a
+    * reopened probe is bit-identical to the in-memory rung). The code
+    * column is m BYTES per vector — 8× narrower than the SQ8 layer at
+    * m = dim/8 and 64× narrower than the 8-byte grid — the byte
+    * ladder's bottom rung made physical. Training scans the corpus
+    * (iters+1)× per subspace; [[appendPq]] encodes deltas against the
+    * read-back books with no retrain. */
+  def writePq(spark: SparkSession, emb: DataFrame, idCol: String,
+              vecCol: String, dir: String, dim: Int, m: Int = 8,
+              ksub: Int = 16, iters: Int = 1): Unit = {
+    val qd = emb.select(col(idCol).cast("long").as("vec_id"),
+      VecFns.quantize(col(vecCol)).as("qv")).cache()
+    try {
+      val books = Similarity.pqTrain(qd, dim, m, ksub, iters)
+      qd.select(col("vec_id"),
+          Similarity.pqCodeExpr(col("qv"), books, dim / m).as("pcode"))
+        .write.mode("overwrite").parquet(s"$dir/codes")
+      import spark.implicits._
+      books.zipWithIndex.flatMap { case (cb, j) =>
+        cb.zipWithIndex.map { case (cv, i) => (j, i, cv.toSeq) }
+      }.toSeq.toDF("j", "i", "cqv").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/books")
+    } finally qd.unpersist()
+  }
+
+  /** Open a persisted PQ layer: (codes frame, codebooks). */
+  def openPq(spark: SparkSession,
+             dir: String): (DataFrame, Array[Array[Array[Double]]]) = {
+    val rows = spark.read.parquet(s"$dir/books").orderBy("j", "i").collect()
+    val books = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map(_._2
+      .sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)).toArray
+    (spark.read.parquet(s"$dir/codes"), books)
+  }
+
+  /** INCREMENTAL maintenance of a [[writePq]] layer: the delta encodes
+    * against the READ-BACK codebooks (no retrain — sub-centroid
+    * assignment is per-row, so base and append cannot drift) through
+    * the same [[graft.operators.Similarity.pqCodeExpr]] projection.
+    * IDEMPOTENT-APPEND (the [[appendIvf]] rule): existing vec_ids
+    * anti-join away, so a retried append is a no-op and the code-rank
+    * cut can't be diluted. Retrain cadence is caller policy. */
+  def appendPq(spark: SparkSession, delta: DataFrame, idCol: String,
+               vecCol: String, dir: String): Unit = {
+    val (codes, books) = openPq(spark, dir)
+    val dim = books.length * books.head.head.length
+    delta.select(col(idCol).cast("long").as("vec_id"),
+        VecFns.quantize(col(vecCol)).as("qv"))
+      .select(col("vec_id"),
+        Similarity.pqCodeExpr(col("qv"), books, dim / books.length).as("pcode"))
+      .join(codes.select("vec_id"), Seq("vec_id"), "left_anti")
+      .write.mode("append").parquet(s"$dir/codes")
+  }
+
+  /** Probe a persisted PQ layer: the m-byte-code scan ADC-ranks the
+    * corpus through [[graft.operators.Similarity.pqRankIds]] (the ONE
+    * rank tail the in-memory rung uses — bit-identical, spec-pinned),
+    * the top k·rerank ids join BACK to the vector table for the exact
+    * rerank. The scan reads m bytes per vector; full vectors are
+    * touched for ≤ k·rerank rows only. */
+  def pqProbe(codes: DataFrame, emb: DataFrame, idCol: String,
+              vecCol: String, books: Array[Array[Array[Double]]],
+              queryVec: Array[Float], k: Int, rerank: Int = 4): DataFrame = {
+    val qq = VecFns.quantizeLocal(queryVec)
+    if (qq.map(x => x * x).sum == 0) {
+      val s = codes.sparkSession
+      import s.implicits._
+      return Seq.empty[(Long, Double)].toDF("vec_id", "cos")
+    }
+    val ids = Similarity.pqRankIds(codes, books, qq, k * rerank)
+    emb.select(col(idCol).cast("long").as("vec_id"),
+        VecFns.quantize(col(vecCol)).as("qv"))
+      .join(broadcast(ids), "vec_id")
+      .select(col("vec_id"),
+        round(VecFns.cosineQ(col("qv"), typedLit(qq.toSeq)), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id")).limit(k)
+  }
+
   /** Persist the scale-aware spill-IVF index (the r14 `ann_topk`
     * default's serving face): the assignment partitioned by `centroid`
     * — a probe's literal isin over ≤nProbe centroid ids reads exactly

@@ -343,6 +343,62 @@ object Oracles {
               |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin}""".stripMargin
   }
 
+  /** Product-quantization replay (Similarity.pqTopK): m per-subspace
+    * euclidean Lloyd trainings on the integer grid — lowest-id seeds,
+    * assignment by the SHIFTED exact form c·c − 2·s·c (the row-constant
+    * s·s shifts every candidate equally; every term an exact integer
+    * ≤ 1.6e15 < 2⁵³, same form as the Scala side's bestSubCode),
+    * truncated-integer means (HUGEINT `//`), empty cells
+    * keep their previous centroid — then ADC: per-vector approx cosine
+    * Σⱼ q⁽ʲ⁾·c⁽ʲ⁾ / (|q|·√Σⱼ|c⁽ʲ⁾|²) over the trained books, top
+    * k·rerank by (round-6 approx DESC, vec_id), exact rescore, top k.
+    * Zero-norm reconstructions drop (den2 > 0 — the SQ8 qm > 0 rule's
+    * PQ analog); a zero-norm query yields zero rows. */
+  private def pqOracle(m: Int, ksub: Int, iters: Int, rerank: Int,
+                       k: Int = 20): String = {
+    val dsub = Queries.Dim / m
+    def d2(s: String, c: String) =
+      s"(list_dot_product($c,$c) - 2*list_dot_product($s,$c))"
+    def assignCte(out: String, cents: String): String =
+      s"""$out AS (SELECT vec_id, j, s, i FROM (
+         |  SELECT sub.vec_id, sub.j, sub.s, c.i,
+         |    row_number() OVER (PARTITION BY sub.vec_id, sub.j
+         |      ORDER BY ${d2("sub.s", "c.cqv")} ASC, c.i ASC) rn
+         |  FROM sub JOIN $cents c USING(j)) WHERE rn=1)""".stripMargin
+    def itCte(t: Int): String =
+      s"""${assignCte(s"a$t", s"c$t")},
+         |cells$t AS (SELECT j, i, p, sum(CAST(s[p+1] AS BIGINT)) sm, count(*) n
+         |  FROM a$t CROSS JOIN (SELECT unnest(range(0, $dsub)) p) GROUP BY 1,2,3),
+         |cm$t AS (SELECT j, i, list(CAST(sm // n AS DOUBLE) ORDER BY p) cqv
+         |  FROM cells$t GROUP BY 1,2),
+         |c${t + 1} AS (SELECT c.j, c.i, coalesce(m.cqv, c.cqv) cqv
+         |  FROM c$t c LEFT JOIN cm$t m ON c.j=m.j AND c.i=m.i)""".stripMargin
+    s"""WITH $EmbQ,
+       |q AS (SELECT qv qq FROM e WHERE vec_id=0),
+       |js AS (SELECT unnest(range(0, $m)) j),
+       |sub AS (SELECT vec_id, j, list_slice(qv, j*$dsub+1, j*$dsub+$dsub) s
+       |  FROM e CROSS JOIN js),
+       |c0 AS (SELECT j, row_number() OVER (PARTITION BY j ORDER BY vec_id)-1 i, s cqv
+       |  FROM sub QUALIFY row_number() OVER (PARTITION BY j ORDER BY vec_id) <= $ksub),
+       |${(0 until iters).map(itCte).mkString(",\n")},
+       |cf AS (SELECT j, i, cqv FROM c$iters),
+       |${assignCte("codes", "cf")},
+       |qs AS (SELECT j, list_slice(qq, j*$dsub+1, j*$dsub+$dsub) s
+       |  FROM q CROSS JOIN js),
+       |lut AS (SELECT cf.j, cf.i, list_dot_product(qs.s, cf.cqv) d,
+       |    list_dot_product(cf.cqv, cf.cqv) n2 FROM cf JOIN qs USING(j)),
+       |adc AS (SELECT vec_id, sum(d) num, sum(n2) den2
+       |  FROM codes JOIN lut USING(j, i) GROUP BY 1),
+       |rk AS (SELECT vec_id FROM adc
+       |  CROSS JOIN (SELECT sqrt(list_dot_product(qq,qq)) qn FROM q)
+       |  WHERE den2 > 0 AND qn > 0
+       |  QUALIFY row_number() OVER (
+       |    ORDER BY round(num/(qn*sqrt(den2)),6) DESC, vec_id ASC) <= ${k * rerank})
+       |SELECT e.vec_id, ${cosQ("e.qv", "q.qq")} cos
+       |FROM rk JOIN e USING(vec_id) CROSS JOIN q
+       |ORDER BY cos DESC, vec_id LIMIT $k""".stripMargin
+  }
+
   /** Integer-grid Lloyd-trained IVF replay, parameterized ONLY by the
     * probe width — kept for the `ann_ivf_wide` high-recall rung
     * (nProbe=10 of 16); the scale-aware spill default has its own
@@ -1118,6 +1174,9 @@ object Oracles {
     // composed IVF+SQ8 twin: the spill replay with the code-rank tail
     "ann_ivf_sq8" -> ivfSpillOracle(iters = 3,
       delta = graft.operators.Similarity.SpillDelta, sq8Rerank = 80),
+    // PQ twin (Similarity.pqTopK): 8 subspaces × 16 sub-centroids,
+    // 1 euclidean Lloyd step each, ADC rank, top-160 exact rerank
+    "ann_pq" -> pqOracle(m = 8, ksub = 16, iters = 1, rerank = 8),
     // SQ8 twin (Similarity.sq8TopK): per-vector int8 codes
     // round(qv·127/max|qv|) — exact products, one rounded division, the
     // shared away-from-zero half rule — approx rank by code cosine

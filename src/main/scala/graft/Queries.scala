@@ -1058,6 +1058,23 @@ object Queries {
         .withColumn("rn", col("rn").cast("int"))
         .orderBy("probe_id", "rn")
     }),
+    // PRODUCT-QUANTIZATION rung (r16): the byte ladder's bottom — scan
+    // m=8 bytes per vector (8× narrower than SQ8's 64, 64× narrower
+    // than the 8-byte grid ≈ 1.6% of brute-force bytes), ADC-rank via
+    // per-subspace LUT literals, exact-rerank the top 160 (rerank=8 —
+    // measured recall@20 0.71 on the worst-case uniform sf0.1 fixture
+    // vs 0.58 at rerank=4; the wider rerank is 160 fixed rows, byte-
+    // free at scale). Codebooks = 8 per-subspace euclidean Lloyd
+    // trainings on the integer grid (truncated-integer means — the
+    // oracle replays them bit-for-bit). Composes with the spill IVF
+    // exactly as SQ8 does; persisted faces writePq/appendPq/pqProbe
+    // (spec-pinned bit-identical to this rung).
+    "ann_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+      Similarity.pqTopK(e, "vec_id", "embedding", q.toArray, k = 20, dim = Dim,
+        rerank = 8)
+    }),
     // scan-fraction FLOOR variant: one bucket = 1/16 of the corpus
     // scanned; recall ≈ 0.04 on uniform vectors — registered to keep the
     // latency/recall trade's cheap end measured, never as the default

@@ -780,6 +780,134 @@ object Similarity {
       ivfProbeSpill(assigned, cents, q, nProbe, k))
   }
 
+  // ---- Product quantization (PQ) — the byte rung BELOW SQ8 ----
+
+  /** Sub-vector j of a quantized vector (1-based slice). */
+  private def subSlice(v: Column, j: Int, dsub: Int): Column =
+    slice(v, j * dsub + 1, dsub)
+
+  /** Nearest sub-centroid index (euclidean, ties → lowest index — the
+    * first occurrence [[org.apache.spark.sql.functions.array_position]]
+    * takes, mirroring the oracle's (d ASC, i ASC) row_number). Ranks by
+    * the SHIFTED squared distance `c·c − 2·s·c` — the row-constant s·s
+    * term shifts every candidate equally, so dropping it preserves the
+    * argmin while halving the work; both terms are exact integers
+    * (grid values ≤1e7, dsub ≤ 8-dim sums ≤ 1.6e15 < 2⁵³), so the rank
+    * is engine-independent and the DuckDB twin uses the same shifted
+    * form. The codebook rides as ONE array-of-arrays literal under a
+    * transform (a per-centroid expression fan-out blew past the
+    * codegen method limit and fell back to interpreted eval). */
+  private def bestSubCode(s: Column, cents: Array[Array[Double]]): Column = {
+    val cbLit = typedLit(cents.map(_.toSeq).toSeq)
+    val n2Lit = typedLit(cents.map(cv => dotLocal(cv, cv)).toSeq)
+    val d = zip_with(n2Lit, transform(cbLit, cv => VecFns.dot(s, cv)),
+      (n2, dp) => n2 - lit(2.0) * dp)
+    (array_position(d, array_min(d)) - 1).cast("int")
+  }
+
+  /** Train PQ codebooks (the FAISS PQ design, Jégou et al. 2011): the
+    * dim-dimensional grid splits into `m` contiguous subspaces of
+    * dim/m dims; each runs its own `iters`-step EUCLIDEAN Lloyd on the
+    * integer grid through the ONE shared [[lloydLoop]] scaffolding
+    * (deterministic lowest-id seeds, truncated-integer means, empty
+    * cells keep their seed) — every arithmetic step exact, so the
+    * DuckDB replay is bit-for-bit. Returns books(j)(i) = sub-centroid
+    * i of subspace j (m·ksub·dsub integral doubles — planning data).
+    * Training is (iters+1) scans per subspace; cache the quantized
+    * corpus for the call's duration (the [[ivfTopKSpill]] doctrine).
+    * At 100 TB train on a sample — codebook quality converges long
+    * before the corpus is exhausted; ENCODING stays corpus-wide. */
+  def pqTrain(qd: DataFrame, dim: Int, m: Int, ksub: Int,
+              iters: Int): Array[Array[Array[Double]]] = {
+    val dsub = dim / m
+    require(m * dsub == dim, s"dim $dim not divisible into $m subspaces")
+    (0 until m).map { j =>
+      val sub = qd.select(col("vec_id"), subSlice(col("qv"), j, dsub).as("qv"))
+      lloydLoop(sub, ksub, iters, sum(col("v").cast("long")),
+        r => (r.getLong(2) / r.getLong(3)).toDouble, bestSubCode)
+    }.toArray
+  }
+
+  /** Per-row PQ code array: element j = nearest sub-centroid of
+    * subspace j. One byte per SUBSPACE (m bytes/vector — 8× narrower
+    * than SQ8's dim bytes at m = dim/8, 64× narrower than the 8-byte
+    * grid), the persisted scan column of the PQ rung. */
+  private[graft] def pqCodeExpr(v: Column, books: Array[Array[Array[Double]]],
+                                dsub: Int): Column =
+    array(books.zipWithIndex.map { case (cb, j) =>
+      bestSubCode(subSlice(v, j, dsub), cb).cast("byte")
+    }: _*)
+
+  /** ADC rank + exact rerank over a coded frame — the probe tail shared
+    * by the in-memory rung ([[pqTopK]]) and the persisted layer
+    * ([[graft.GraftIndexes.pqProbe]], whose codes come off disk):
+    * approximate cosine reconstructs each candidate as its sub-centroid
+    * concatenation via two per-(subspace, code) LUTs riding the plan as
+    * LITERALS — numerator Σⱼ q⁽ʲ⁾·c⁽ʲ⁾[code], norm² Σⱼ |c⁽ʲ⁾[code]|²,
+    * both exact-integer sums (≤ m·8e14 < 2⁵³) — so the scan touches
+    * ONLY the m-byte code column; the top k·rerank rows are
+    * exact-rescored on their full vectors. Zero-norm reconstructions
+    * drop (no direction to rank — the SQ8 qm > 0 rule's PQ analog,
+    * mirrored by the oracle's den2 > 0 filter). `coded` must carry
+    * (vec_id, pcode) and, for the rerank, qv — [[pqRankIds]] is the
+    * qv-free phase-1 for split reads. */
+  private[graft] def pqRankIds(coded: DataFrame,
+                               books: Array[Array[Array[Double]]],
+                               qq: Array[Double], cut: Int): DataFrame = {
+    val m = books.length
+    val dsub = qq.length / m
+    val qn = math.sqrt(dotLocal(qq, qq))
+    val dotLut = books.zipWithIndex.map { case (cb, j) =>
+      val qs = qq.slice(j * dsub, (j + 1) * dsub)
+      cb.map(cv => dotLocal(qs, cv)).toSeq
+    }
+    val n2Lut = books.map(_.map(cv => dotLocal(cv, cv)).toSeq)
+    def lutSum(luts: Array[Seq[Double]]): Column =
+      luts.zipWithIndex.map { case (l, j) =>
+        element_at(typedLit(l), col("pcode")(j).cast("int") + 1)
+      }.reduce(_ + _)
+    coded
+      .withColumn("num", lutSum(dotLut))
+      .withColumn("den2", lutSum(n2Lut))
+      .where(col("den2") > 0)
+      .select(col("vec_id"),
+        round(col("num") / (lit(qn) * sqrt(col("den2"))), 6).as("approx"))
+      .orderBy(desc("approx"), asc("vec_id")).limit(cut)
+      .select("vec_id")
+  }
+
+  /** ADC rank + exact rerank over a coded frame that CARRIES its
+    * vectors (vec_id, qv, pcode) — the warm serving form (train/encode
+    * once, probe per query), and the tail [[pqTopK]] runs cold. A
+    * persisted code layer (codes only, no qv) probes through
+    * [[graft.GraftIndexes.pqProbe]] instead. */
+  def pqProbeCoded(coded: DataFrame, books: Array[Array[Array[Double]]],
+                   q: Array[Float], k: Int, rerank: Int = 4): DataFrame = {
+    val qq = VecFns.quantizeLocal(q)
+    if (dotLocal(qq, qq) == 0) return emptyTopK(coded) // no direction to rank
+    val ids = pqRankIds(coded, books, qq, k * rerank)
+    coded.join(broadcast(ids), "vec_id")
+      .select(col("vec_id"),
+        round(VecFns.cosineQ(col("qv"), typedLit(qq.toSeq)), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id")).limit(k)
+  }
+
+  /** PQ cosine top-k — the 100 TB byte ladder's rung BELOW SQ8: scan
+    * m bytes per vector (vs SQ8's dim bytes, vs the grid's 8·dim),
+    * ADC-rank, exact-rerank the top k·rerank. Plan shape mirrors
+    * [[sq8TopK]]: narrow scan → TakeOrdered → bounded rescore. Cold
+    * form trains the codebooks in-call; serving persists them with
+    * [[graft.GraftIndexes.writePq]]. */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+             q: Array[Float], k: Int, dim: Int, m: Int = 8, ksub: Int = 16,
+             iters: Int = 1, rerank: Int = 4,
+             materialize: Boolean = true): DataFrame = {
+    val qd = Dedup.maybeCache(quantized(emb, idCol, vecCol), materialize)
+    val books = pqTrain(qd, dim, m, ksub, iters)
+    val coded = qd.withColumn("pcode", pqCodeExpr(col("qv"), books, dim / m))
+    Dedup.scoped(materialize, qd)(pqProbeCoded(coded, books, q, k, rerank))
+  }
+
   /** Deterministic coarse-quantizer seeds: the K lowest-id vectors. */
   private def seedCentroids(q: DataFrame, nCentroids: Int): Array[Array[Double]] =
     q.orderBy("vec_id").limit(nCentroids)

@@ -838,6 +838,59 @@ class PlanAuditSpec extends SparkSpec {
       "incremental code layer drifted from the full rebuild")
   }
 
+  test("persisted PQ layer (r16): m-byte codes on disk, probe bit-identical to the in-memory rung, idempotent append") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("plan-pq").toString
+    val emb = Tables(spark, sf, "embeddings")
+    GraftIndexes.writePq(spark, emb, "vec_id", "embedding", s"$dir/pq",
+      dim = Queries.Dim)
+    val (codes, books) = GraftIndexes.openPq(spark, s"$dir/pq")
+    // the byte claim is physical: codes are TINYINT arrays of m=8
+    // elements — narrower than even the SQ8 layer's dim bytes
+    val elem = codes.schema("pcode").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    assert(elem === org.apache.spark.sql.types.ByteType,
+      s"persisted PQ codes are $elem, not ByteType")
+    assert(codes.select(size(col("pcode"))).head().getInt(0) === 8,
+      "PQ code is not m=8 bytes")
+    // reopened probe == in-memory rung, row for row (books round-trip
+    // bitwise: integral doubles)
+    val q = emb.where(col("vec_id") === 0).head().getSeq[Float](1).toArray
+    val persisted = GraftIndexes.pqProbe(codes, emb, "vec_id", "embedding",
+        books, q, k = 20, rerank = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val mem = Similarity.pqTopK(emb, "vec_id", "embedding", q, k = 20,
+        dim = Queries.Dim, rerank = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(persisted === mem, "persisted PQ probe diverged from the in-memory rung")
+    // incremental append face: encode-only against the read-back books
+    // (no retrain), idempotent on retry, codes identical to a one-shot
+    // encode — the contract every other index layer meets
+    val dir3 = java.nio.file.Files.createTempDirectory("plan-pq-idem").toString
+    val base = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+    val delta = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+    GraftIndexes.writePq(spark, base, "vec_id", "embedding", s"$dir3/pq",
+      dim = Queries.Dim)
+    val booksBefore = GraftIndexes.openPq(spark, s"$dir3/pq")._2
+    GraftIndexes.appendPq(spark, delta, "vec_id", "embedding", s"$dir3/pq")
+    val once = GraftIndexes.openPq(spark, s"$dir3/pq")._1.count()
+    GraftIndexes.appendPq(spark, delta, "vec_id", "embedding", s"$dir3/pq")
+    val (codes3, booksAfter) = GraftIndexes.openPq(spark, s"$dir3/pq")
+    assert(codes3.count() === once, "retried appendPq duplicated code rows")
+    assert(booksAfter.map(_.map(_.toSeq).toSeq).toSeq ===
+      booksBefore.map(_.map(_.toSeq).toSeq).toSeq, "appendPq retrained books")
+    // append encodes through the ONE pqCodeExpr projection: the
+    // appended rows' codes equal a one-shot encode to the same books
+    val oneShot = delta.select(col("vec_id").cast("long").as("vec_id"),
+        Similarity.pqCodeExpr(graft.functions.VecFns.quantize(col("embedding")),
+          booksBefore, Queries.Dim / booksBefore.length).as("pcode"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Byte](1))).toSet
+    val appended = codes3.join(delta.select(col("vec_id").cast("long").as("vec_id")),
+        Seq("vec_id"), "left_semi")
+      .collect().map(r => (r.getLong(0), r.getSeq[Byte](1))).toSet
+    assert(appended === oneShot, "appended PQ codes drifted from one-shot encode")
+  }
+
   test("persisted SQ8 layer: byte codes on disk, probe bit-identical to the in-memory rung (E3)") {
     import graft.operators.Similarity
     val dir = java.nio.file.Files.createTempDirectory("plan-sq8").toString

@@ -327,6 +327,16 @@ object Graft {
                queryVec: Option[Array[Float]] = None): DataFrame =
       Quran.searchWith(index, query, queryVec, n, mode)
 
+    /** Raw FTS5 MATCH passthrough (r16) — the reference's
+      * `search_tafsir` hands the user string verbatim to FTS5
+      * (search.py:116-127), so `OR`/`NOT`/`NEAR()`/`"phrase"`/`content:`
+      * work and malformed syntax surfaces as an error string. Left =
+      * that error (the str(sqlite3.OperationalError) analog, to ride a
+      * result envelope); Right = (verse_key, surah, ayah, bm25) top-n. */
+    def matchSearch(matchQuery: String,
+                    n: Int = 5): Either[String, DataFrame] =
+      operators.FtsMatch.search(index, matchQuery, n)
+
     /** Driver-resident typed-search layers (see [[operators.Resident]]) —
       * same lazy build / counted-bound / distributed-fallback contract as
       * the hadith engine's. */

@@ -1938,6 +1938,7 @@ object Oracles {
       s"""SELECT verse_key, CAST(surah AS BIGINT) surah, CAST(ayah AS BIGINT) ayah, slug
          |FROM read_json_auto('$QuranGlob') WHERE verse_key='2:255'""".stripMargin,
     "quran_search_fts" -> quranSearchFtsSql,
+    "quran_match_syntax" -> quranMatchSyntaxSql,
     "quran_hybrid" -> quranHybridSql,
     // Digest twin over Verify's auxiliary full-vector dump (the npz binary
     // itself has no SQL reader); checks verse keys, dims, and the
@@ -2033,8 +2034,9 @@ object Oracles {
     * BM25 → top-25), used VERBATIM by both quran oracles so the
     * tokenizer/BM25-constant/tie-break semantics cannot diverge between
     * them. Yields CTEs `raw/docs/.../top(doc_id, bm25)`. */
-  private def quranLexCtes: String = {
-    val terms = Router.embedTokens(Queries.QuranQuery).map(t => s"'$t'").mkString("[", ",", "]")
+  /** The quran corpus/postings/dictionary/stats CTE base — shared by
+    * the lexical-leg replays and the MATCH-syntax replay. */
+  private def quranBaseCtes: String =
     s"""raw AS (SELECT surah, ayah, verse_key, text_plain FROM read_json_auto('$QuranGlob')),
        |docs AS (SELECT surah*1000+ayah doc_id, verse_key, surah, ayah, text_plain FROM raw),
        |toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text_plain),
@@ -2043,15 +2045,58 @@ object Oracles {
        |p AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) tf FROM p0 GROUP BY 1,2,3),
        |d AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) df FROM p GROUP BY 1),
        |st AS (SELECT CAST(count(*) AS BIGINT) n_docs, CAST(sum(dl) AS BIGINT) sum_dl
-       |       FROM (SELECT DISTINCT doc_id, dl FROM p)),
-       |q AS (SELECT unnest($terms) term),
-       |m AS (SELECT p.doc_id, p.dl, p.tf, d.df, st.n_docs, st.sum_dl
-       |      FROM p JOIN q USING(term) JOIN d USING(term) CROSS JOIN st),
-       |bm AS (SELECT doc_id, round(sum(
+       |       FROM (SELECT DISTINCT doc_id, dl FROM p))""".stripMargin
+
+  /** One BM25 aggregate over query-term CTE `q$sfx`, restricted to
+    * candidate CTE `cand$sfx` when present — the formula is byte-shared
+    * with the lexical leg so the two replays cannot drift. */
+  private def bmCte(sfx: String, restrict: Boolean): String =
+    s"""bm$sfx AS (SELECT p.doc_id, round(sum(
        |        ln((n_docs - df + 0.5)/(df + 0.5) + 1.0)
        |        * (tf * 2.2) / (tf + 1.2*(1.0 - 0.75 + 0.75*dl/(CAST(sum_dl AS DOUBLE)/n_docs)))
-       |      ), 6) bm25 FROM m GROUP BY 1),
+       |      ), 6) bm25
+       |  FROM p JOIN q$sfx USING(term) JOIN d USING(term) CROSS JOIN st
+       |  ${if (restrict) s"WHERE p.doc_id IN (SELECT doc_id FROM cand$sfx)" else ""}
+       |  GROUP BY 1)""".stripMargin
+
+  private def quranLexCtes: String = {
+    val terms = Router.embedTokens(Queries.QuranQuery).map(t => s"'$t'").mkString("[", ",", "]")
+    s"""$quranBaseCtes,
+       |q AS (SELECT unnest($terms) term),
+       |${bmCte("", restrict = false)},
        |top AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 25)""".stripMargin
+  }
+
+  /** FTS5 MATCH syntax replay (graft.operators.FtsMatch — r15 verdict
+    * #2): each registered MATCH query's AST — the SAME AST the engine
+    * executes — compiles to DuckDB set algebra via FtsMatch.candSql
+    * (AND = INTERSECT, OR = UNION, NOT = EXCEPT, phrase/NEAR =
+    * position-list lambdas over the toks CTE), then BM25 over the
+    * query's positive tokens restricted to the candidate set, top 5 by
+    * (bm25 desc, doc_id). One parser, two backends — the replay cannot
+    * drift from the engine on syntax interpretation. */
+  private def quranMatchSyntaxSql: String = {
+    import graft.operators.FtsMatch
+    val parts = Queries.MatchQueries.zipWithIndex.map { case ((tag, mq), i) =>
+      val ast = FtsMatch.parse(mq)
+        .fold(e => sys.error(s"registered MATCH query failed to parse: $e"),
+          identity)
+      val terms = FtsMatch.positiveTokens(ast)
+        .map(t => s"'${sq(t)}'").mkString("[", ",", "]")
+      s"""q$i AS (SELECT unnest($terms) term),
+         |cand$i AS (SELECT doc_id FROM ${FtsMatch.candSql(ast)}),
+         |${bmCte(i.toString, restrict = true)},
+         |sel$i AS (SELECT '${sq(tag)}' q, doc_id, bm25 FROM bm$i
+         |  ORDER BY bm25 DESC, doc_id LIMIT 5)""".stripMargin
+    }
+    s"""WITH $quranBaseCtes,
+       |${parts.mkString(",\n")}
+       |SELECT q,
+       |  CAST(doc_id // 1000 AS VARCHAR) || ':' || CAST(doc_id % 1000 AS VARCHAR) verse_key,
+       |  CAST(doc_id // 1000 AS BIGINT) surah, CAST(doc_id % 1000 AS BIGINT) ayah, bm25
+       |FROM (${Queries.MatchQueries.indices.map(i => s"SELECT * FROM sel$i")
+           .mkString(" UNION ALL ")})
+       |ORDER BY q, verse_key""".stripMargin
   }
 
   private def quranSearchFtsSql: String = {

@@ -1719,6 +1719,23 @@ object Queries {
         .select(col("verse_key"), col("surah").cast("long").as("surah"),
           col("ayah").cast("long").as("ayah"), col("score"),
           col("vector_score"), col("fts_score"), col("text_preview"))),
+    // FTS5 MATCH operator syntax over the raw tafsir passthrough path
+    // (r16 — the reference hands the user string verbatim to FTS5,
+    // search.py:116-127): OR/NOT/NEAR/phrase/column-scope compiled to
+    // postings set algebra by ONE parser whose AST also emits the
+    // DuckDB replay (FtsMatch.candSql) — syntax interpretation cannot
+    // drift between engine and oracle. Malformed syntax surfaces as an
+    // FTS5-style error string (unit-pinned in FtsMatchSpec).
+    "quran_match_syntax" -> ((s, _) => {
+      val idx = Quran.buildIndex(Quran.load(s, QuranDir), None)
+      MatchQueries.map { case (tag, mq) =>
+        graft.operators.FtsMatch.search(idx, mq, n = 5)
+          .fold(err => sys.error(s"'$mq' failed to parse: $err"),
+            df => df.withColumn("q", lit(tag)))
+      }.reduce(_ unionAll _)
+        .select("q", "verse_key", "surah", "ayah", "bm25")
+        .orderBy("q", "verse_key")
+    }),
     // npz import: the binary cache has no SQL reader, so Verify dumps the
     // full vectors as an auxiliary parquet (npz_embeddings_full) and BOTH
     // this query's oracle and quran_hybrid's vector leg replay over that
@@ -1746,6 +1763,18 @@ object Queries {
   val QuranDir = "/root/reference/data/quran"
   val NpzPath = "/root/reference/data/indexes/quran/embeddings.npz"
   val QuranQuery = "mercy forgiveness charity"
+
+  /** The registered MATCH-syntax battery (r16): one query per FTS5
+    * operator the raw passthrough path supports — OR, binary NOT,
+    * NEAR with an explicit window, quoted phrase + implicit AND, and
+    * `content:` column scoping under OR precedence. Tags ride the
+    * output as the `q` column. */
+  val MatchQueries: Seq[(String, String)] = Seq(
+    "or" -> "mercy OR forgiveness",
+    "not" -> "punishment NOT fear",
+    "near" -> "NEAR(patience reward, 8)",
+    "phrase_and" -> "\"most merciful\" forgiveness",
+    "col_scope" -> "content:patience OR forgiving")
   val HadithBooks = "/root/reference/data/riyadussalihin/book_*.jsonl"
   val HadithQuery = "Hadith narrated by Abu Hurairah"
   val HadithDim = 128

@@ -1,0 +1,387 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** FTS5 MATCH expression support for the raw tafsir passthrough path —
+  * the one reference behavior (r15 verdict "What's missing" #1) that had
+  * no equivalent: `search_tafsir` hands the user string VERBATIM to
+  * SQLite FTS5 (quran_mcp/search.py:116-127), so `mercy OR forgiveness`,
+  * `punishment NOT fear`, `NEAR(patience reward, 8)`, `"most merciful"`
+  * phrases and `content:` column scoping all work there, and malformed
+  * syntax surfaces as an error STRING in the result envelope (the
+  * reference returns `str(sqlite3.OperationalError)`).
+  *
+  * Design: ONE hand-rolled recursive-descent parser produces a
+  * [[FtsMatch.MatchExpr]] AST; the Spark backend compiles it to postings
+  * set algebra (AND = semi-join, OR = union, NOT = anti-join, phrase and
+  * NEAR = bounded positional verify over the candidate intersection) and
+  * the DuckDB oracle backend compiles THE SAME AST to SQL set algebra —
+  * parity by construction, not by parallel reimplementation.
+  *
+  * Grammar (sqlite.org/fts5.html §3 "full-text query syntax"):
+  * {{{
+  *   query   := orExpr
+  *   orExpr  := andExpr ('OR' andExpr)*
+  *   andExpr := notExpr ('AND'? notExpr)*       // adjacency = implicit AND
+  *   notExpr := unit ('NOT' unit)*              // binary a-but-not-b
+  *   unit    := '(' orExpr ')' | 'NEAR' '(' atom+ (',' N)? ')'
+  *            | [colname ':'] atom
+  *   atom    := '"' phrase '"' | bareword
+  * }}}
+  * Operator precedence NOT > AND > OR, all left-associative (FTS5 §3).
+  * Keywords are UPPERCASE-only, exactly like FTS5 — lowercase `or` is a
+  * search term (load-bearing for golden-query parity: the reference's
+  * tokenizer keeps it). The reference's FTS table indexes ONE column
+  * (`content` — search.py:59-64; verse_key/surah/ayah are UNINDEXED), so
+  * `content:` scoping is accepted as a no-op and any other column name
+  * errors with FTS5's own message shape (`no such column: x`).
+  *
+  * Scale shape: every term probe is a filter over the term-clustered
+  * postings layer (batch/bucket pruning — the [[Bm25.score]] doctrine);
+  * set algebra is doc_id joins; phrase/NEAR verification tokenizes ONLY
+  * the docs that already contain every constituent term (a semi-joined
+  * candidate set bounded by the rarest term's df), never the corpus. */
+object FtsMatch {
+
+  sealed trait MatchExpr
+  /** One index token. */
+  final case class Term(t: String) extends MatchExpr
+  /** Adjacent-token phrase ("a b" — tokens at consecutive positions). */
+  final case class Phrase(ts: Seq[String]) extends MatchExpr
+  final case class And(l: MatchExpr, r: MatchExpr) extends MatchExpr
+  final case class Or(l: MatchExpr, r: MatchExpr) extends MatchExpr
+  /** Binary FTS5 NOT: docs matching `l` but not `r`. */
+  final case class Not(l: MatchExpr, r: MatchExpr) extends MatchExpr
+  /** NEAR(p1 p2 …, n): all operands occur within a window of
+    * n + Σ len(p_i) tokens (≤ n tokens separate the outermost two —
+    * FTS5's rule; default n = 10). */
+  final case class Near(ops: Seq[MatchExpr], n: Int) extends MatchExpr
+
+  /** The default NEAR window (FTS5 §3: "NEAR(... )" ≡ ", 10"). */
+  val DefaultNear = 10
+
+  // ---- lexer ----
+
+  private sealed trait Tok
+  private case object LP extends Tok
+  private case object RP extends Tok
+  private case object Comma extends Tok
+  private case object Colon extends Tok
+  private final case class Str(s: String) extends Tok
+  private final case class Word(s: String) extends Tok
+
+  private def isWordChar(c: Char): Boolean =
+    c.isLetterOrDigit || c == '_' || c >= 0x80
+
+  private def lex(q: String): Either[String, List[Tok]] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Tok]
+    var i = 0
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '(') { out += LP; i += 1 }
+      else if (c == ')') { out += RP; i += 1 }
+      else if (c == ',') { out += Comma; i += 1 }
+      else if (c == ':') { out += Colon; i += 1 }
+      else if (c == '"') {
+        val end = q.indexOf('"', i + 1)
+        if (end < 0) return Left("fts5: syntax error: unterminated string")
+        out += Str(q.substring(i + 1, end)); i = end + 1
+      } else if (isWordChar(c)) {
+        val start = i
+        while (i < q.length && isWordChar(q.charAt(i))) i += 1
+        out += Word(q.substring(start, i))
+      } else return Left(s"""fts5: syntax error near "$c"""")
+    }
+    Right(out.toList)
+  }
+
+  // ---- parser ----
+
+  /** Parse a MATCH expression. Left = the error string a caller
+    * surfaces in its result envelope (the reference's
+    * `str(sqlite3.OperationalError)` analog). */
+  def parse(q: String): Either[String, MatchExpr] =
+    lex(q).flatMap { toks =>
+      val p = new Parser(toks)
+      p.orExpr().flatMap { e =>
+        if (p.rest.nonEmpty) Left(syntaxError(p.rest))
+        else Right(e)
+      }
+    }
+
+  private def syntaxError(rest: List[Tok]): String = {
+    val near = rest.headOption.map {
+      case Word(s) => s; case Str(s) => s"\"$s\""; case LP => "("
+      case RP => ")"; case Comma => ","; case Colon => ":"
+    }.getOrElse("")
+    s"""fts5: syntax error near "$near""""
+  }
+
+  private final class Parser(var rest: List[Tok]) {
+    private def peekWord(s: String): Boolean = rest.headOption.contains(Word(s))
+    private def eat(): Tok = { val h = rest.head; rest = rest.tail; h }
+
+    def orExpr(): Either[String, MatchExpr] =
+      andExpr().flatMap { l =>
+        var acc = l
+        while (peekWord("OR")) {
+          eat()
+          andExpr() match {
+            case Left(e) => return Left(e)
+            case Right(r) => acc = Or(acc, r)
+          }
+        }
+        Right(acc)
+      }
+
+    def andExpr(): Either[String, MatchExpr] =
+      notExpr().flatMap { l =>
+        var acc = l
+        var cont = true
+        while (cont) {
+          if (peekWord("AND")) {
+            eat()
+            notExpr() match {
+              case Left(e) => return Left(e)
+              case Right(r) => acc = And(acc, r)
+            }
+          } else rest.headOption match {
+            // implicit AND: another unit follows (not a closing token
+            // or a lower-precedence keyword)
+            case Some(Word("OR")) | Some(Word("NOT")) | Some(RP) |
+                 Some(Comma) | None => cont = false
+            case Some(_) =>
+              notExpr() match {
+                case Left(e) => return Left(e)
+                case Right(r) => acc = And(acc, r)
+              }
+          }
+        }
+        Right(acc)
+      }
+
+    def notExpr(): Either[String, MatchExpr] =
+      unit().flatMap { l =>
+        var acc = l
+        while (peekWord("NOT")) {
+          eat()
+          unit() match {
+            case Left(e) => return Left(e)
+            case Right(r) => acc = Not(acc, r)
+          }
+        }
+        Right(acc)
+      }
+
+    def unit(): Either[String, MatchExpr] = rest match {
+      case LP :: _ =>
+        eat()
+        orExpr().flatMap { e =>
+          rest match {
+            case RP :: _ => eat(); Right(e)
+            case other => Left(syntaxError(other))
+          }
+        }
+      case Word("NEAR") :: LP :: _ =>
+        eat(); eat(); nearBody()
+      case Word(w) :: Colon :: _ =>
+        // column filter: the reference's FTS table indexes only
+        // `content` (search.py:59-64) — any other name is FTS5's
+        // "no such column" error (unindexed columns cannot be matched)
+        eat(); eat()
+        if (!w.equalsIgnoreCase("content")) Left(s"no such column: $w")
+        else rest match {
+          case LP :: _ => unit() // content:(...) — scope is a no-op
+          case _ => atom()
+        }
+      case (Word(_) | Str(_)) :: _ => atom()
+      case other => Left(syntaxError(other))
+    }
+
+    private def atom(): Either[String, MatchExpr] = eat() match {
+      case Word(w) if Seq("AND", "OR", "NOT", "NEAR").contains(w) =>
+        Left(s"""fts5: syntax error near "$w"""")
+      case Word(w) => tokensOf(w)
+      case Str(s) => tokensOf(s)
+      case t => Left(syntaxError(t :: rest))
+    }
+
+    private def tokensOf(s: String): Either[String, MatchExpr] = {
+      val ts = graft.Router.embedTokens(s)
+      if (ts.isEmpty) Left(s"""fts5: syntax error near "$s"""")
+      else if (ts.length == 1) Right(Term(ts.head))
+      else Right(Phrase(ts))
+    }
+
+    private def nearBody(): Either[String, MatchExpr] = {
+      var ops = List.empty[MatchExpr]
+      var done = false
+      while (!done) rest match {
+        case (Word(_) | Str(_)) :: _
+            if !rest.headOption.contains(Word("NEAR")) =>
+          atom() match {
+            case Left(e) => return Left(e)
+            case Right(a) => ops ::= a
+          }
+        case _ => done = true
+      }
+      if (ops.length < 2)
+        return Left("fts5: syntax error: NEAR requires at least 2 phrases")
+      val n = rest match {
+        case Comma :: Word(d) :: _ if d.forall(_.isDigit) =>
+          eat(); eat(); d.toInt
+        case Comma :: other => return Left(syntaxError(other))
+        case _ => DefaultNear
+      }
+      rest match {
+        case RP :: _ => eat(); Right(Near(ops.reverse, n))
+        case other => Left(syntaxError(other))
+      }
+    }
+  }
+
+  // ---- analysis shared by both backends ----
+
+  /** Every token of a positional operand. */
+  private[graft] def opTokens(e: MatchExpr): Seq[String] = e match {
+    case Term(t) => Seq(t)
+    case Phrase(ts) => ts
+    case _ => Seq.empty
+  }
+
+  /** The tokens that SCORE: everything except right-of-NOT subtrees —
+    * FTS5's bm25 ranks on the query's positive phrases. */
+  def positiveTokens(e: MatchExpr): Seq[String] = (e match {
+    case Term(t) => Seq(t)
+    case Phrase(ts) => ts
+    case And(l, r) => positiveTokens(l) ++ positiveTokens(r)
+    case Or(l, r) => positiveTokens(l) ++ positiveTokens(r)
+    case Not(l, _) => positiveTokens(l)
+    case Near(ops, _) => ops.flatMap(positiveTokens)
+  }).distinct
+
+  // ---- Spark backend ----
+
+  /** Start positions (1-based) of phrase `ts` in token array `t` —
+    * empty when the doc is shorter than the phrase (Spark's `sequence`
+    * would otherwise DESCEND through 0 and fault element_at). */
+  private def phrasePositions(t: Column, ts: Seq[String]): Column = {
+    val l = ts.length
+    val hits = filter(sequence(lit(1), size(t) - lit(l - 1)), i =>
+      ts.zipWithIndex.map { case (tok, j) =>
+        element_at(t, (i + lit(j)).cast("int")) === lit(tok)
+      }.reduce(_ && _))
+    when(size(t) >= lit(l), hits).otherwise(array().cast("array<int>"))
+  }
+
+  /** The FTS5 NEAR window over operand position arrays: ∃ one start per
+    * operand with span(max end − min start + 1) ≤ n + Σ lengths —
+    * nested `exists` lambdas, evaluated per candidate row over arrays
+    * bounded by the doc's token count. */
+  private def nearVerify(t: Column, ops: Seq[Seq[String]], n: Int): Column = {
+    val posArrs = ops.map(ts => phrasePositions(t, ts))
+    val budget = n + ops.map(_.length).sum
+    def rec(i: Int, starts: Seq[Column]): Column =
+      if (i == ops.length) {
+        val ends = starts.zip(ops).map { case (s, ts) => s + lit(ts.length - 1) }
+        (greatest(ends: _*) - least(starts: _*) + lit(1)) <= lit(budget)
+      } else exists(posArrs(i), x => rec(i + 1, starts :+ x))
+    rec(0, Nil)
+  }
+
+  /** Docs whose tokens satisfy the positional predicate, prefiltered to
+    * docs containing EVERY constituent term (one postings aggregation —
+    * the candidate set is bounded by the rarest term's df, so the
+    * per-row tokenize touches candidates only, never the corpus). */
+  private def positionalDocs(idx: Quran.Index, ops: Seq[Seq[String]],
+                             verify: Column => Column): DataFrame = {
+    val allToks = ops.flatten.distinct
+    val withAll = idx.postings.where(col("term").isin(allToks: _*))
+      .groupBy("doc_id").agg(countDistinct("term").as("nt"))
+      .where(col("nt") === allToks.length).select("doc_id")
+    idx.docs.select(col("doc_id"),
+        graft.functions.TextFns.tokens(col("text_plain")).as("t"))
+      .join(withAll, Seq("doc_id"), "left_semi")
+      .where(verify(col("t")))
+      .select("doc_id")
+  }
+
+  /** Compile the AST to a (doc_id) candidate frame over the index. */
+  def candidates(idx: Quran.Index, e: MatchExpr): DataFrame = e match {
+    case Term(t) =>
+      idx.postings.where(col("term") === t).select("doc_id")
+    case Phrase(ts) =>
+      positionalDocs(idx, Seq(ts), t => size(phrasePositions(t, ts)) > 0)
+    case And(l, r) =>
+      candidates(idx, l).join(candidates(idx, r), Seq("doc_id"), "left_semi")
+    case Or(l, r) =>
+      candidates(idx, l).union(candidates(idx, r)).distinct()
+    case Not(l, r) =>
+      candidates(idx, l).join(candidates(idx, r), Seq("doc_id"), "left_anti")
+    case Near(ops, n) =>
+      val seqs = ops.map(opTokens)
+      positionalDocs(idx, seqs, t => nearVerify(t, seqs, n))
+  }
+
+  /** MATCH search over a quran index: candidates by set algebra, ranked
+    * by BM25 over the query's positive tokens (restricted to the
+    * candidate set), top n by (bm25 desc, doc_id). Left = the FTS5-style
+    * error string for malformed syntax — callers surface it in their
+    * envelope exactly as the reference surfaces the
+    * sqlite3.OperationalError text (search.py:125-127). */
+  def search(idx: Quran.Index, matchQuery: String,
+             n: Int): Either[String, DataFrame] =
+    parse(matchQuery).map { ast =>
+      val cand = candidates(idx, ast)
+      Bm25.score(idx.postings, idx.dict, idx.stats, positiveTokens(ast))
+        .join(cand, Seq("doc_id"), "left_semi")
+        .orderBy(desc("bm25"), asc("doc_id")).limit(n)
+        .select(
+          concat((col("doc_id") / 1000).cast("long"), lit(":"),
+            pmod(col("doc_id"), lit(1000)).cast("long")).as("verse_key"),
+          (col("doc_id") / 1000).cast("long").as("surah"),
+          pmod(col("doc_id"), lit(1000)).cast("long").as("ayah"),
+          col("bm25"))
+    }
+
+  // ---- DuckDB oracle backend (same AST — parity by construction) ----
+
+  private def sq(s: String): String = s.replace("'", "''")
+
+  /** DuckDB start-position list of phrase `ts` over token list column
+    * `t` (the toks CTE) — `range` is exclusive-end and yields [] when
+    * the doc is shorter than the phrase, mirroring the Spark guard. */
+  private def phrasePosSql(ts: Seq[String]): String = {
+    val conj = ts.zipWithIndex
+      .map { case (tok, j) => s"t[i+$j]='${sq(tok)}'" }.mkString(" AND ")
+    s"list_filter(range(1, len(t)-${ts.length - 1}+1), i -> $conj)"
+  }
+
+  /** The candidate-set subquery for an AST node (doc_id rows), over the
+    * CTE names the quran oracles establish: `p` (postings) and `toks`
+    * (doc_id, t token list). */
+  def candSql(e: MatchExpr): String = e match {
+    case Term(t) =>
+      s"(SELECT doc_id FROM p WHERE term='${sq(t)}')"
+    case Phrase(ts) =>
+      s"(SELECT doc_id FROM toks WHERE len(${phrasePosSql(ts)}) > 0)"
+    case And(l, r) => s"(${candSql(l)} INTERSECT ${candSql(r)})"
+    case Or(l, r) => s"(${candSql(l)} UNION ${candSql(r)})"
+    case Not(l, r) => s"(${candSql(l)} EXCEPT ${candSql(r)})"
+    case Near(ops, n) =>
+      val seqs = ops.map(opTokens)
+      val budget = n + seqs.map(_.length).sum
+      def rec(i: Int, starts: Seq[String]): String =
+        if (i == seqs.length) {
+          val ends = starts.zip(seqs)
+            .map { case (s, ts) => s"$s+${ts.length - 1}" }.mkString(", ")
+          s"(greatest(${ends}) - least(${starts.mkString(", ")}) + 1) <= $budget"
+        } else {
+          val v = s"x$i"
+          s"len(list_filter(${phrasePosSql(seqs(i))}, $v -> ${rec(i + 1, starts :+ v)})) > 0"
+        }
+      s"(SELECT doc_id FROM toks WHERE ${rec(0, Nil)})"
+  }
+}

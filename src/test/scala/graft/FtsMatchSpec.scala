@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.{FtsMatch, Quran}
+import graft.operators.FtsMatch._
+import org.apache.spark.sql.functions._
+
+/** FTS5 MATCH syntax (r16 — the raw tafsir passthrough path's operator
+  * surface): parse/precedence pins, the FTS5-style error strings the
+  * result envelope surfaces (the reference returns
+  * str(sqlite3.OperationalError) — search.py:125-127), and engine-level
+  * semantics over a tiny known corpus where every answer is countable
+  * by hand. The registered `quran_match_syntax` row oracle-checks the
+  * same compiler end-to-end against DuckDB set algebra. */
+class FtsMatchSpec extends SparkSpec {
+
+  // ---- parser ----
+
+  test("precedence: NOT > AND > OR, left-associative; implicit AND") {
+    // a b OR c  ⇒  (a AND b) OR c
+    assert(parse("alpha beta OR gamma") ===
+      Right(Or(And(Term("alpha"), Term("beta")), Term("gamma"))))
+    // a NOT b c  ⇒  (a NOT b) AND c  — NOT binds tighter than AND
+    assert(parse("alpha NOT beta gamma") ===
+      Right(And(Not(Term("alpha"), Term("beta")), Term("gamma"))))
+    // parens override
+    assert(parse("alpha (beta OR gamma)") ===
+      Right(And(Term("alpha"), Or(Term("beta"), Term("gamma")))))
+  }
+
+  test("keywords are UPPERCASE-only — lowercase `or` is a search term (FTS5 parity)") {
+    assert(parse("mercy or forgiveness") ===
+      Right(And(And(Term("mercy"), Term("or")), Term("forgiveness"))))
+  }
+
+  test("phrases, NEAR defaults and windows, column scoping") {
+    assert(parse("\"most merciful\"") === Right(Phrase(Seq("most", "merciful"))))
+    assert(parse("NEAR(alpha beta)") ===
+      Right(Near(Seq(Term("alpha"), Term("beta")), FtsMatch.DefaultNear)))
+    assert(parse("NEAR(alpha \"beta gamma\", 3)") ===
+      Right(Near(Seq(Term("alpha"), Phrase(Seq("beta", "gamma"))), 3)))
+    // content: is the one indexed column — scoping it is a no-op
+    assert(parse("content:mercy") === Right(Term("mercy")))
+    assert(parse("content:(alpha OR beta)") ===
+      Right(Or(Term("alpha"), Term("beta"))))
+  }
+
+  test("malformed syntax surfaces FTS5-style error strings, never throws") {
+    // unknown column — the reference's FTS table indexes only `content`
+    assert(parse("surah:5") === Left("no such column: surah"))
+    // unbalanced / dangling / unterminated — all syntax errors
+    Seq("(alpha", "alpha)", "alpha OR", "NOT alpha", "\"unterminated",
+      "NEAR(alpha)", "NEAR(alpha beta, x)", "alpha AND", "", "mercy & x")
+      .foreach { q =>
+        val r = parse(q)
+        assert(r.isLeft, s"'$q' should fail to parse, got $r")
+        assert(r.swap.exists(e =>
+          e.contains("syntax error") || e.contains("no such column")),
+          s"'$q' error not FTS5-shaped: $r")
+      }
+  }
+
+  // ---- engine semantics over a hand-countable corpus ----
+
+  private lazy val idx: Quran.Index = {
+    import spark.implicits._
+    val corpus = Seq(
+      (1, 1, "the quick brown fox jumps over the lazy dog"),
+      (1, 2, "a quick dog barks at the brown cat"),
+      (1, 3, "foxes are quick and dogs are lazy"),
+      (2, 1, "the cat sat on the mat"),
+      (2, 2, "quick words travel far and quick deeds farther"))
+      .map { case (s, a, t) => (s, a, s"$s:$a", t) }
+      .toDF("surah", "ayah", "verse_key", "text_plain")
+    Quran.buildIndex(corpus, None, cache = false)
+  }
+
+  private def keys(mq: String): Seq[String] =
+    FtsMatch.search(idx, mq, n = 10)
+      .fold(e => fail(s"'$mq' failed: $e"),
+        _.select("verse_key").collect().map(_.getString(0)).toSeq.sorted)
+
+  test("set algebra: implicit AND intersects, OR unions, NOT subtracts") {
+    assert(keys("quick dog") === Seq("1:1", "1:2")) // both terms required
+    assert(keys("fox OR cat") === Seq("1:1", "1:2", "2:1"))
+    assert(keys("quick NOT dog") === Seq("1:3", "2:2"))
+    assert(keys("quick (dog OR cat)") === Seq("1:1", "1:2"))
+  }
+
+  test("phrase requires adjacency; NEAR requires the window") {
+    assert(keys("\"quick brown\"") === Seq("1:1")) // 1:2 has them apart
+    assert(keys("\"brown fox\" OR \"brown cat\"") === Seq("1:1", "1:2"))
+    // 'quick ... brown': adjacent in 1:1 (gap 0), 5 tokens apart in 1:2
+    assert(keys("NEAR(quick brown, 0)") === Seq("1:1"))
+    assert(keys("NEAR(quick brown, 4)") === Seq("1:1", "1:2"))
+    // order-independent: brown precedes quick nowhere, same answers
+    assert(keys("NEAR(brown quick, 4)") === Seq("1:1", "1:2"))
+  }
+
+  test("ranking is BM25 over positive tokens, candidates only") {
+    val rows = FtsMatch.search(idx, "quick NOT dog", n = 10)
+      .toOption.get.collect()
+    // 2:2 has tf(quick)=2 — must outrank 1:3's single occurrence
+    assert(rows.map(_.getString(0)).toSeq === Seq("2:2", "1:3"))
+    assert(rows.forall(r => r.getDouble(3) > 0))
+  }
+}

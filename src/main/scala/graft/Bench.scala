@@ -799,6 +799,12 @@ object Bench {
             f""""ann_scan10":${s10.annScan}%.3f,"ann_rec10":${s10.annRecall}%.2f,""" +
             // the SHIPPED default (wide × SQ8) at 10× — row-scan + recall
             f""""ann_def_scan10":${s10.annDefScan}%.3f,"ann_def_rec10":${s10.annDefRecall}%.2f,""" +
+            // batched schedule-join per-probe wall ratio 10×/1× (r16):
+            // must stay ≤ ~flat — each probe scans nProbe/K of the
+            // corpus and K ∝ √N shrinks that fraction with scale
+            f""""ann_batch_r":${(s10.annBatchS / math.max(s10.annBatchProbes, 1L)) /
+              math.max(s1.annBatchS / math.max(s1.annBatchProbes, 1L), 0.001)}%.2f,""" +
+            f""""ann_batch_s10":${s10.annBatchS}%.2f,""" +
             f""""ann_train_r":${s10.annTrainS / math.max(s1.annTrainS, 0.01)}%.1f}"""
         } catch {
           case e: Throwable =>

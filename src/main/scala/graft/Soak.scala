@@ -101,7 +101,8 @@ object Soak {
   final case class Scale(nDocs: Long, stageS: Double, incrS: Double,
                          streamS: Double, spillMb: Double, trips: Long,
                          annTrainS: Double, annScan: Double, annRecall: Double,
-                         annDefScan: Double = 0.0, annDefRecall: Double = 0.0)
+                         annDefScan: Double = 0.0, annDefRecall: Double = 0.0,
+                         annBatchS: Double = 0.0, annBatchProbes: Long = 0L)
 
   /** Run the soak on an EXISTING session (the bench embeds this) —
     * returns (full JSON, per-factor numbers). The listener and every
@@ -201,7 +202,14 @@ object Soak {
       // scale-dependent regression in the wide schedule or the
       // code-rank cut cannot pass the soak unnoticed
       val nProbeW = Similarity.nProbeWideFor(nLists)
-      val (annScan, annRecall, defScan, defRecall) =
+      // batched leg (r16): a fixed probe SET through the trained index's
+      // schedule join (ivfProbeSpillJoin — broadcast schedule, marker-
+      // join dedupe, one exchange). Per-probe wall must stay flat or
+      // fall at 10×: each probe's scan is nProbe/K of the corpus and
+      // K ∝ √N keeps that fraction shrinking, so a rising per-probe
+      // ratio means the schedule/dedupe shape stopped scaling.
+      val nBatchProbes = 32L
+      val (annScan, annRecall, defScan, defRecall, batchS) =
         try {
           val pre = Bench.recallBaselines(emb, Seq(0L, 7L), 20)
           val recall = Bench.recallFrom(emb, pre, (_, qv) =>
@@ -213,10 +221,15 @@ object Soak {
             asg.where(col("centroid").isin(ps.map(x => x: Any): _*))
               .count().toDouble / nV.toDouble
           }.sum / pre.size
-          (scanAt(nProbe), recall, scanAt(nProbeW), recallDef)
+          val tB0 = System.nanoTime()
+          Similarity.ivfProbeSpillJoin(asg, cents,
+            emb.where(col("vec_id") < nBatchProbes), "vec_id", "embedding",
+            nProbe, k = 20).write.format("noop").mode("overwrite").save()
+          val tB = (System.nanoTime() - tB0) / 1e9
+          (scanAt(nProbe), recall, scanAt(nProbeW), recallDef, tB)
         } finally { asg.unpersist(); emb.unpersist(): Unit }
       System.err.println(
-        f"[soak] x$factor ann          $tTrain%7.2f s  lists=$nLists probe=$nProbe scan=$annScan%.3f recall=$annRecall%.2f def(probe=$nProbeW scan=$defScan%.3f recall=$defRecall%.2f)")
+        f"[soak] x$factor ann          $tTrain%7.2f s  lists=$nLists probe=$nProbe scan=$annScan%.3f recall=$annRecall%.2f def(probe=$nProbeW scan=$defScan%.3f recall=$defRecall%.2f) batch($nBatchProbes probes $batchS%.2f s)")
       def sh(t: (Long, Long, Long)) =
         f"""{"w_mb":${t._1 / 1048576.0}%.1f,"r_mb":${t._2 / 1048576.0}%.1f,"spill_mb":${t._3 / 1048576.0}%.1f}"""
       val spillMb = (shStage._3 + shIncr._3 + shStream._3) / 1048576.0
@@ -228,9 +241,10 @@ object Soak {
           s""""stage_shuffle":${sh(shStage)},"incr_shuffle":${sh(shIncr)},"stream_shuffle":${sh(shStream)},""" +
           f""""ann":{"n_vecs":$nV,"lists":$nLists,"nprobe":$nProbe,""" +
           f""""train_s":$tTrain%.2f,"scan_frac":$annScan%.4f,"recall20":$annRecall%.3f,""" +
-          f""""def_nprobe":$nProbeW,"def_scan_frac":$defScan%.4f,"def_recall20":$defRecall%.3f}}"""
+          f""""def_nprobe":$nProbeW,"def_scan_frac":$defScan%.4f,"def_recall20":$defRecall%.3f,""" +
+          f""""batch_probes":$nBatchProbes,"batch_s":$batchS%.2f}}"""
       (json, Scale(n, tStage, tIncr, tStream, spillMb, trips,
-        tTrain, annScan, annRecall, defScan, defRecall))
+        tTrain, annScan, annRecall, defScan, defRecall, batchS, nBatchProbes))
     }
 
     try {

@@ -264,39 +264,18 @@ object FtsMatch {
 
   // ---- Spark backend ----
 
-  /** Start positions (1-based) of phrase `ts` in token array `t` —
-    * empty when the doc is shorter than the phrase (Spark's `sequence`
-    * would otherwise DESCEND through 0 and fault element_at). */
-  private def phrasePositions(t: Column, ts: Seq[String]): Column = {
-    val l = ts.length
-    val hits = filter(sequence(lit(1), size(t) - lit(l - 1)), i =>
-      ts.zipWithIndex.map { case (tok, j) =>
-        element_at(t, (i + lit(j)).cast("int")) === lit(tok)
-      }.reduce(_ && _))
-    when(size(t) >= lit(l), hits).otherwise(array().cast("array<int>"))
-  }
-
-  /** The FTS5 NEAR window over operand position arrays: ∃ one start per
-    * operand with span(max end − min start + 1) ≤ n + Σ lengths —
-    * nested `exists` lambdas, evaluated per candidate row over arrays
-    * bounded by the doc's token count. */
-  private def nearVerify(t: Column, ops: Seq[Seq[String]], n: Int): Column = {
-    val posArrs = ops.map(ts => phrasePositions(t, ts))
-    val budget = n + ops.map(_.length).sum
-    def rec(i: Int, starts: Seq[Column]): Column =
-      if (i == ops.length) {
-        val ends = starts.zip(ops).map { case (s, ts) => s + lit(ts.length - 1) }
-        (greatest(ends: _*) - least(starts: _*) + lit(1)) <= lit(budget)
-      } else exists(posArrs(i), x => rec(i + 1, starts :+ x))
-    rec(0, Nil)
-  }
-
-  /** Docs whose tokens satisfy the positional predicate, prefiltered to
-    * docs containing EVERY constituent term (one postings aggregation —
-    * the candidate set is bounded by the rarest term's df, so the
-    * per-row tokenize touches candidates only, never the corpus). */
-  private def positionalDocs(idx: Quran.Index, ops: Seq[Seq[String]],
-                             verify: Column => Column): DataFrame = {
+  /** The RELATIONAL positional layer for phrase/NEAR verification: the
+    * candidate docs (prefiltered by the postings aggregation to docs
+    * containing EVERY constituent term — bounded by the rarest term's
+    * df) posexplode into (doc_id, pos, term) rows KEPT ONLY for the
+    * query's own tokens. Everything downstream is codegen'd equi-joins
+    * over this tiny frame. (The first cut verified positions with
+    * nested higher-order-function lambdas per row — interpreted
+    * evaluation over multi-thousand-token tafsir docs measured 240-400
+    * SECONDS per leg; the join form runs the same legs in under a
+    * second.) */
+  private def positionsOf(idx: Quran.Index,
+                          ops: Seq[Seq[String]]): DataFrame = {
     val allToks = ops.flatten.distinct
     val withAll = idx.postings.where(col("term").isin(allToks: _*))
       .groupBy("doc_id").agg(countDistinct("term").as("nt"))
@@ -304,16 +283,25 @@ object FtsMatch {
     idx.docs.select(col("doc_id"),
         graft.functions.TextFns.tokens(col("text_plain")).as("t"))
       .join(withAll, Seq("doc_id"), "left_semi")
-      .where(verify(col("t")))
-      .select("doc_id")
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "term")))
+      .where(col("term").isin(allToks: _*))
   }
+
+  /** (doc_id, start) occurrences of phrase `ts` — token j's positions
+    * shifted by −j and intersected, so only aligned runs survive (the
+    * inverted-index phrase join). */
+  private def phraseStarts(pos: DataFrame, ts: Seq[String]): DataFrame =
+    ts.zipWithIndex.map { case (tok, j) =>
+      pos.where(col("term") === tok)
+        .select(col("doc_id"), (col("pos") - lit(j)).as("start"))
+    }.reduce((a, b) => a.join(b, Seq("doc_id", "start"))).distinct()
 
   /** Compile the AST to a (doc_id) candidate frame over the index. */
   def candidates(idx: Quran.Index, e: MatchExpr): DataFrame = e match {
     case Term(t) =>
       idx.postings.where(col("term") === t).select("doc_id")
     case Phrase(ts) =>
-      positionalDocs(idx, Seq(ts), t => size(phrasePositions(t, ts)) > 0)
+      phraseStarts(positionsOf(idx, Seq(ts)), ts).select("doc_id").distinct()
     case And(l, r) =>
       candidates(idx, l).join(candidates(idx, r), Seq("doc_id"), "left_semi")
     case Or(l, r) =>
@@ -321,8 +309,26 @@ object FtsMatch {
     case Not(l, r) =>
       candidates(idx, l).join(candidates(idx, r), Seq("doc_id"), "left_anti")
     case Near(ops, n) =>
+      // one (doc_id, s_k) frame per operand, joined per doc; the FTS5
+      // window rule span(max end − min start + 1) ≤ n + Σ lengths over
+      // the occurrence combinations. Per-doc fan-out is the product of
+      // the operands' occurrence counts of the QUERY's own terms in one
+      // doc — bounded planning-size data, and the span filter runs
+      // inside codegen.
       val seqs = ops.map(opTokens)
-      positionalDocs(idx, seqs, t => nearVerify(t, seqs, n))
+      val pos = positionsOf(idx, seqs)
+      val frames = seqs.zipWithIndex.map { case (ts, k) =>
+        phraseStarts(pos, ts).withColumnRenamed("start", s"s$k")
+      }
+      val joined = frames.reduce((a, b) => a.join(b, "doc_id"))
+      val starts = seqs.indices.map(k => col(s"s$k"))
+      val ends = seqs.zipWithIndex.map { case (ts, k) =>
+        col(s"s$k") + lit(ts.length - 1)
+      }
+      val budget = n + seqs.map(_.length).sum
+      joined
+        .where(greatest(ends: _*) - least(starts: _*) + lit(1) <= lit(budget))
+        .select("doc_id").distinct()
   }
 
   /** MATCH search over a quran index: candidates by set algebra, ranked

@@ -116,10 +116,12 @@ object Streams {
     * start is `df.sparkSession`'s) and must start AND await its
     * queries inside (micro-batch planning reads session conf
     * asynchronously for the query's lifetime). */
-  def withStatePartitions[T](spark: org.apache.spark.sql.SparkSession, n: Int)(
+  def withStatePartitions[T](spark: org.apache.spark.sql.SparkSession, n: Int,
+                             extraConf: Map[String, String] = Map.empty)(
       f: org.apache.spark.sql.SparkSession => T): T = {
     val scoped = spark.newSession()
     scoped.conf.set("spark.sql.shuffle.partitions", n.toString)
+    extraConf.foreach { case (k, v) => scoped.conf.set(k, v) }
     f(scoped)
   }
 

@@ -2081,9 +2081,7 @@ object Oracles {
       val ast = FtsMatch.parse(mq)
         .fold(e => sys.error(s"registered MATCH query failed to parse: $e"),
           identity)
-      val terms = FtsMatch.positiveTokens(ast)
-        .map(t => s"'${sq(t)}'").mkString("[", ",", "]")
-      s"""q$i AS (SELECT unnest($terms) term),
+      s"""q$i AS (SELECT DISTINCT term FROM d WHERE ${FtsMatch.positiveTermPredSql(ast)}),
          |cand$i AS (SELECT doc_id FROM ${FtsMatch.candSql(ast)}),
          |${bmCte(i.toString, restrict = true)},
          |sel$i AS (SELECT '${sq(tag)}' q, doc_id, bm25 FROM bm$i

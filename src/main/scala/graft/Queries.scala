@@ -1774,7 +1774,9 @@ object Queries {
     "not" -> "punishment NOT fear",
     "near" -> "NEAR(patience reward, 8)",
     "phrase_and" -> "\"most merciful\" forgiveness",
-    "col_scope" -> "content:patience OR forgiving")
+    "col_scope" -> "content:patience OR forgiving",
+    "prefix" -> "forgiv* mercy",
+    "anchor" -> "^allah mercy")
   val HadithBooks = "/root/reference/data/riyadussalihin/book_*.jsonl"
   val HadithQuery = "Hadith narrated by Abu Hurairah"
   val HadithDim = 128

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** BM25 scoring as a DataFrame job (SURVEY.md §7.3; reference delegates to
@@ -30,8 +30,21 @@ object Bm25 {
     // postings SEEKS like the inverted index it stands in for — the
     // broadcast-join form scanned every posting row per query
     val terms = queryTerms.distinct
-    val matched = postings.where(col("term").isin(terms: _*))
-      .join(broadcast(dictionary.where(col("term").isin(terms: _*))), "term")
+    scoreMatching(postings, dictionary, stats,
+      col("term").isin(terms: _*), k1, b)
+  }
+
+  /** [[score]] with an arbitrary TERM PREDICATE instead of an exact
+    * term list — the FTS5 prefix-query face (`forgiv*` scores every
+    * term the prefix matches; `startsWith` prunes term-clustered
+    * batches / reaches parquet as StringStartsWith exactly like the
+    * isin form). Same formula text as [[score]] — one body, two
+    * probes. */
+  def scoreMatching(postings: DataFrame, dictionary: DataFrame,
+                    stats: DataFrame, termPred: Column,
+                    k1: Double = K1, b: Double = B): DataFrame = {
+    val matched = postings.where(termPred)
+      .join(broadcast(dictionary.where(termPred)), "term")
       .crossJoin(broadcast(stats))
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))

@@ -49,6 +49,11 @@ object FtsMatch {
   final case class Term(t: String) extends MatchExpr
   /** Adjacent-token phrase ("a b" — tokens at consecutive positions). */
   final case class Phrase(ts: Seq[String]) extends MatchExpr
+  /** FTS5 prefix query `abc*`: every index term starting with `p`. */
+  final case class Prefix(p: String) extends MatchExpr
+  /** FTS5 initial-token anchor `^term` / `^"a b"`: the phrase must
+    * start at token position 0 of the column. */
+  final case class First(e: MatchExpr) extends MatchExpr
   final case class And(l: MatchExpr, r: MatchExpr) extends MatchExpr
   final case class Or(l: MatchExpr, r: MatchExpr) extends MatchExpr
   /** Binary FTS5 NOT: docs matching `l` but not `r`. */
@@ -68,6 +73,8 @@ object FtsMatch {
   private case object RP extends Tok
   private case object Comma extends Tok
   private case object Colon extends Tok
+  private case object Star extends Tok
+  private case object Caret extends Tok
   private final case class Str(s: String) extends Tok
   private final case class Word(s: String) extends Tok
 
@@ -84,6 +91,8 @@ object FtsMatch {
       else if (c == ')') { out += RP; i += 1 }
       else if (c == ',') { out += Comma; i += 1 }
       else if (c == ':') { out += Colon; i += 1 }
+      else if (c == '*') { out += Star; i += 1 }
+      else if (c == '^') { out += Caret; i += 1 }
       else if (c == '"') {
         val end = q.indexOf('"', i + 1)
         if (end < 0) return Left("fts5: syntax error: unterminated string")
@@ -115,6 +124,7 @@ object FtsMatch {
     val near = rest.headOption.map {
       case Word(s) => s; case Str(s) => s"\"$s\""; case LP => "("
       case RP => ")"; case Comma => ","; case Colon => ":"
+      case Star => "*"; case Caret => "^"
     }.getOrElse("")
     s"""fts5: syntax error near "$near""""
   }
@@ -196,14 +206,33 @@ object FtsMatch {
           case LP :: _ => unit() // content:(...) — scope is a no-op
           case _ => atom()
         }
+      case Caret :: _ =>
+        // initial-token anchor: the phrase must start the column
+        eat()
+        atom().flatMap {
+          case p @ (Term(_) | Phrase(_)) => Right(First(p))
+          case _ => Left("""fts5: syntax error near "^"""")
+        }
       case (Word(_) | Str(_)) :: _ => atom()
       case other => Left(syntaxError(other))
     }
 
-    private def atom(): Either[String, MatchExpr] = eat() match {
+    private def atom(): Either[String, MatchExpr] =
+      if (rest.isEmpty) Left(syntaxError(Nil)) else eat() match {
       case Word(w) if Seq("AND", "OR", "NOT", "NEAR").contains(w) =>
         Left(s"""fts5: syntax error near "$w"""")
+      case Word(w) if rest.headOption.contains(Star) =>
+        // prefix query `abc*`: the stem must normalize to ONE token
+        eat()
+        graft.Router.embedTokens(w) match {
+          case Seq(t) => Right(Prefix(t))
+          case _ => Left(s"""fts5: syntax error near "$w*"""")
+        }
       case Word(w) => tokensOf(w)
+      case Str(_) if rest.headOption.contains(Star) =>
+        // phrase-internal/trailing prefixes are outside the supported
+        // subset — loud error, never silent reinterpretation
+        Left("""fts5: syntax error near "*"""")
       case Str(s) => tokensOf(s)
       case t => Left(syntaxError(t :: rest))
     }
@@ -223,7 +252,9 @@ object FtsMatch {
             if !rest.headOption.contains(Word("NEAR")) =>
           atom() match {
             case Left(e) => return Left(e)
-            case Right(a) => ops ::= a
+            case Right(a @ (Term(_) | Phrase(_))) => ops ::= a
+            case Right(_) => // prefix operands: outside the subset
+              return Left("fts5: syntax error: NEAR operands must be phrases")
           }
         case _ => done = true
       }
@@ -251,16 +282,49 @@ object FtsMatch {
     case _ => Seq.empty
   }
 
-  /** The tokens that SCORE: everything except right-of-NOT subtrees —
-    * FTS5's bm25 ranks on the query's positive phrases. */
-  def positiveTokens(e: MatchExpr): Seq[String] = (e match {
-    case Term(t) => Seq(t)
-    case Phrase(ts) => ts
-    case And(l, r) => positiveTokens(l) ++ positiveTokens(r)
-    case Or(l, r) => positiveTokens(l) ++ positiveTokens(r)
-    case Not(l, _) => positiveTokens(l)
-    case Near(ops, _) => ops.flatMap(positiveTokens)
-  }).distinct
+  /** What SCORES: everything except right-of-NOT subtrees — FTS5's
+    * bm25 ranks on the query's positive phrases. Returns (exact
+    * tokens, prefixes): a prefix query scores every index term it
+    * matches, so it contributes a predicate, not a literal. */
+  def positiveAtoms(e: MatchExpr): (Seq[String], Seq[String]) = {
+    def rec(e: MatchExpr): (Seq[String], Seq[String]) = e match {
+      case Term(t) => (Seq(t), Nil)
+      case Phrase(ts) => (ts, Nil)
+      case Prefix(p) => (Nil, Seq(p))
+      case First(i) => rec(i)
+      case And(l, r) => comb(rec(l), rec(r))
+      case Or(l, r) => comb(rec(l), rec(r))
+      case Not(l, _) => rec(l)
+      case Near(ops, _) => ops.map(rec).reduce(comb)
+    }
+    def comb(a: (Seq[String], Seq[String]), b: (Seq[String], Seq[String])) =
+      (a._1 ++ b._1, a._2 ++ b._2)
+    val (ts, ps) = rec(e)
+    (ts.distinct, ps.distinct)
+  }
+
+  /** Back-compat view of [[positiveAtoms]]: the exact positive tokens. */
+  def positiveTokens(e: MatchExpr): Seq[String] = positiveAtoms(e)._1
+
+  /** The scoring-term predicate over a `term` column — exact tokens
+    * plus any prefix matches (ONE derivation; the oracle twin is
+    * [[positiveTermPredSql]]). */
+  private[graft] def positivePred(e: MatchExpr): Column = {
+    val (ts, ps) = positiveAtoms(e)
+    (Seq(col("term").isin(ts: _*)).filter(_ => ts.nonEmpty) ++
+      ps.map(p => col("term").startsWith(p)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+  }
+
+  /** DuckDB twin of [[positivePred]]. */
+  def positiveTermPredSql(e: MatchExpr): String = {
+    val (ts, ps) = positiveAtoms(e)
+    val ins =
+      if (ts.isEmpty) Nil
+      else Seq(s"term IN (${ts.map(t => s"'${sq(t)}'").mkString(", ")})")
+    (ins ++ ps.map(p => s"starts_with(term, '${sq(p)}')"))
+      .reduceOption((a, b) => s"$a OR $b").getOrElse("FALSE")
+  }
 
   // ---- Spark backend ----
 
@@ -300,6 +364,15 @@ object FtsMatch {
   def candidates(idx: Quran.Index, e: MatchExpr): DataFrame = e match {
     case Term(t) =>
       idx.postings.where(col("term") === t).select("doc_id")
+    case Prefix(p) =>
+      // startsWith prunes term-clustered batches / pushes to parquet
+      // like the exact probe; a doc can match several prefixed terms
+      idx.postings.where(col("term").startsWith(p))
+        .select("doc_id").distinct()
+    case First(inner) =>
+      val ts = opTokens(inner)
+      phraseStarts(positionsOf(idx, Seq(ts)), ts)
+        .where(col("start") === 0).select("doc_id")
     case Phrase(ts) =>
       phraseStarts(positionsOf(idx, Seq(ts)), ts).select("doc_id").distinct()
     case And(l, r) =>
@@ -341,7 +414,7 @@ object FtsMatch {
              n: Int): Either[String, DataFrame] =
     parse(matchQuery).map { ast =>
       val cand = candidates(idx, ast)
-      Bm25.score(idx.postings, idx.dict, idx.stats, positiveTokens(ast))
+      Bm25.scoreMatching(idx.postings, idx.dict, idx.stats, positivePred(ast))
         .join(cand, Seq("doc_id"), "left_semi")
         .orderBy(desc("bm25"), asc("doc_id")).limit(n)
         .select(
@@ -371,6 +444,12 @@ object FtsMatch {
   def candSql(e: MatchExpr): String = e match {
     case Term(t) =>
       s"(SELECT doc_id FROM p WHERE term='${sq(t)}')"
+    case Prefix(p) =>
+      s"(SELECT DISTINCT doc_id FROM p WHERE starts_with(term, '${sq(p)}'))"
+    case First(inner) =>
+      val conj = opTokens(inner).zipWithIndex
+        .map { case (tok, j) => s"t[${j + 1}]='${sq(tok)}'" }.mkString(" AND ")
+      s"(SELECT doc_id FROM toks WHERE $conj)"
     case Phrase(ts) =>
       s"(SELECT doc_id FROM toks WHERE len(${phrasePosSql(ts)}) > 0)"
     case And(l, r) => s"(${candSql(l)} INTERSECT ${candSql(r)})"

@@ -44,6 +44,19 @@ class FtsMatchSpec extends SparkSpec {
       Right(Or(Term("alpha"), Term("beta"))))
   }
 
+  test("prefix queries and initial-token anchors (r16)") {
+    assert(parse("forgiv*") === Right(Prefix("forgiv")))
+    assert(parse("forgiv* mercy") === Right(And(Prefix("forgiv"), Term("mercy"))))
+    assert(parse("^allah") === Right(First(Term("allah"))))
+    assert(parse("^\"the quick\"") === Right(First(Phrase(Seq("the", "quick")))))
+    // outside the subset: phrase-internal prefix, NEAR prefix operands,
+    // dangling star/caret — all loud errors
+    Seq("\"most merc\"*", "NEAR(forgiv* mercy)", "* mercy", "^", "^NOT")
+      .foreach { q =>
+        assert(parse(q).isLeft, s"'$q' should fail to parse")
+      }
+  }
+
   test("malformed syntax surfaces FTS5-style error strings, never throws") {
     // unknown column — the reference's FTS table indexes only `content`
     assert(parse("surah:5") === Left("no such column: surah"))
@@ -94,6 +107,18 @@ class FtsMatchSpec extends SparkSpec {
     assert(keys("NEAR(quick brown, 4)") === Seq("1:1", "1:2"))
     // order-independent: brown precedes quick nowhere, same answers
     assert(keys("NEAR(brown quick, 4)") === Seq("1:1", "1:2"))
+  }
+
+  test("prefix/anchor semantics over the tiny corpus") {
+    // quick* matches the term 'quick' in 1:1, 1:2, 2:2 and 'quick'
+    // only — but foxes/fox* matches fox (1:1) and foxes (1:3)
+    assert(keys("fox*") === Seq("1:1", "1:3"))
+    assert(keys("fox* dog") === Seq("1:1")) // 1:3 has 'dogs', not 'dog'
+    assert(keys("fox* dog*") === Seq("1:1", "1:3"))
+    // ^: only docs whose FIRST token matches
+    assert(keys("^the") === Seq("1:1", "2:1")) // 'the quick…', 'the cat…'
+    assert(keys("^\"the quick\"") === Seq("1:1"))
+    assert(keys("^a") === Seq("1:2"))
   }
 
   test("ranking is BM25 over positive tokens, candidates only") {

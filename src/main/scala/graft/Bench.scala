@@ -472,7 +472,12 @@ object Bench {
         // coded frame cached — probes pay the m-byte ADC scan + rerank
         // (rerank=8, the registered ann_pq sizing)
         ("ann_pq", (_, qv) =>
-          Similarity.pqProbeCoded(pqCoded, pqBooks, qv, k = k + 1, rerank = 8)))
+          Similarity.pqProbeCoded(pqCoded, pqBooks, qv, k = k + 1, rerank = 8)),
+        // r16 composed IVF×PQ: wide-probe row pruning over the m-byte
+        // codes — the ladder's deepest byte point (registered sizing)
+        ("ann_ivf_pq", (_, qv) =>
+          Similarity.ivfPqProbe(spillAsg, spillCents, pqBooks, qv,
+            Similarity.nProbeWideFor(nLists), k = k + 1, rerank = 8)))
       val measured = forms.map { case (name, approx) =>
         name -> recallFrom(e, pre, approx)
       }

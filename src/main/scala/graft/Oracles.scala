@@ -252,7 +252,9 @@ object Oracles {
                              sq8Rerank: Int = 0,
                              trainPred: String = "TRUE",
                              fixedK: Int = 0,
-                             batchPred: String = "", batchK: Int = 10): String = {
+                             batchPred: String = "", batchK: Int = 10,
+                             pqRerank: Int = 0, pqM: Int = 8,
+                             pqKsub: Int = 16, pqIters: Int = 1): String = {
     def norm(c: String) =
       s"(CASE WHEN sqrt(list_dot_product($c,$c))=0 THEN 1 ELSE sqrt(list_dot_product($c,$c)) END)"
     def itCte(t: Int): String = {
@@ -328,6 +330,13 @@ object Oracles {
               |    ORDER BY list_dot_product(qq, cf.cqv)/${norm("cf.cqv")} DESC, cf.i) <= (SELECT np FROM kk)),
               |cand AS (SELECT DISTINCT vec_id, qv FROM asg WHERE centroid IN (SELECT i FROM probe))""".stripMargin}
        |${if (batchPred.nonEmpty) ""
+         else if (pqRerank > 0)
+           // composed IVF×PQ tail (Similarity.ivfPqProbe): books train
+           // on the FULL corpus, ADC ranks the spill-probed candidates
+           // only, exact rerank — the pqCtes fragment is byte-shared
+           // with the standalone ann_pq replay
+           s""",${pqCtes(pqM, pqKsub, pqIters)},
+              |${pqRankTail("cand", pqRerank, 20)}""".stripMargin
          else if (sq8Rerank == 0)
            s"""SELECT vec_id, ${cosQ("qv", "qq")} cos FROM cand CROSS JOIN q
               |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin
@@ -354,8 +363,14 @@ object Oracles {
     * k·rerank by (round-6 approx DESC, vec_id), exact rescore, top k.
     * Zero-norm reconstructions drop (den2 > 0 — the SQ8 qm > 0 rule's
     * PQ analog); a zero-norm query yields zero rows. */
-  private def pqOracle(m: Int, ksub: Int, iters: Int, rerank: Int,
-                       k: Int = 20): String = {
+  /** The PQ training + coding + ADC CTE block — `p`-prefixed names so
+    * it composes inside the spill replay (whose c0/a0/cells0 names it
+    * would otherwise collide with). Trains on the FULL corpus relation
+    * `e` and slices the single query from CTE `q` (qq); emits `padc`
+    * (vec_id, num, den2). ONE fragment for the standalone `ann_pq`
+    * replay and the composed `ann_ivf_pq` tail — the two cannot drift
+    * on what "PQ" means. */
+  private def pqCtes(m: Int, ksub: Int, iters: Int): String = {
     val dsub = Queries.Dim / m
     def d2(s: String, c: String) =
       s"(list_dot_product($c,$c) - 2*list_dot_product($s,$c))"
@@ -364,40 +379,50 @@ object Oracles {
          |  SELECT sub.vec_id, sub.j, sub.s, c.i,
          |    row_number() OVER (PARTITION BY sub.vec_id, sub.j
          |      ORDER BY ${d2("sub.s", "c.cqv")} ASC, c.i ASC) rn
-         |  FROM sub JOIN $cents c USING(j)) WHERE rn=1)""".stripMargin
+         |  FROM psub sub JOIN $cents c USING(j)) WHERE rn=1)""".stripMargin
     def itCte(t: Int): String =
-      s"""${assignCte(s"a$t", s"c$t")},
-         |cells$t AS (SELECT j, i, p, sum(CAST(s[p+1] AS BIGINT)) sm, count(*) n
-         |  FROM a$t CROSS JOIN (SELECT unnest(range(0, $dsub)) p) GROUP BY 1,2,3),
-         |cm$t AS (SELECT j, i, list(CAST(sm // n AS DOUBLE) ORDER BY p) cqv
-         |  FROM cells$t GROUP BY 1,2),
-         |c${t + 1} AS (SELECT c.j, c.i, coalesce(m.cqv, c.cqv) cqv
-         |  FROM c$t c LEFT JOIN cm$t m ON c.j=m.j AND c.i=m.i)""".stripMargin
-    s"""WITH $EmbQ,
-       |q AS (SELECT qv qq FROM e WHERE vec_id=0),
-       |js AS (SELECT unnest(range(0, $m)) j),
-       |sub AS (SELECT vec_id, j, list_slice(qv, j*$dsub+1, j*$dsub+$dsub) s
-       |  FROM e CROSS JOIN js),
-       |c0 AS (SELECT j, row_number() OVER (PARTITION BY j ORDER BY vec_id)-1 i, s cqv
-       |  FROM sub QUALIFY row_number() OVER (PARTITION BY j ORDER BY vec_id) <= $ksub),
+      s"""${assignCte(s"pa$t", s"pc$t")},
+         |pcells$t AS (SELECT j, i, p, sum(CAST(s[p+1] AS BIGINT)) sm, count(*) n
+         |  FROM pa$t CROSS JOIN (SELECT unnest(range(0, $dsub)) p) GROUP BY 1,2,3),
+         |pcm$t AS (SELECT j, i, list(CAST(sm // n AS DOUBLE) ORDER BY p) cqv
+         |  FROM pcells$t GROUP BY 1,2),
+         |pc${t + 1} AS (SELECT c.j, c.i, coalesce(m.cqv, c.cqv) cqv
+         |  FROM pc$t c LEFT JOIN pcm$t m ON c.j=m.j AND c.i=m.i)""".stripMargin
+    s"""pjs AS (SELECT unnest(range(0, $m)) j),
+       |psub AS (SELECT vec_id, j, list_slice(qv, j*$dsub+1, j*$dsub+$dsub) s
+       |  FROM e CROSS JOIN pjs),
+       |pc0 AS (SELECT j, row_number() OVER (PARTITION BY j ORDER BY vec_id)-1 i, s cqv
+       |  FROM psub QUALIFY row_number() OVER (PARTITION BY j ORDER BY vec_id) <= $ksub),
        |${(0 until iters).map(itCte).mkString(",\n")},
-       |cf AS (SELECT j, i, cqv FROM c$iters),
-       |${assignCte("codes", "cf")},
-       |qs AS (SELECT j, list_slice(qq, j*$dsub+1, j*$dsub+$dsub) s
-       |  FROM q CROSS JOIN js),
-       |lut AS (SELECT cf.j, cf.i, list_dot_product(qs.s, cf.cqv) d,
-       |    list_dot_product(cf.cqv, cf.cqv) n2 FROM cf JOIN qs USING(j)),
-       |adc AS (SELECT vec_id, sum(d) num, sum(n2) den2
-       |  FROM codes JOIN lut USING(j, i) GROUP BY 1),
-       |rk AS (SELECT vec_id FROM adc
+       |pcf AS (SELECT j, i, cqv FROM pc$iters),
+       |${assignCte("pcodes", "pcf")},
+       |pqs AS (SELECT j, list_slice(qq, j*$dsub+1, j*$dsub+$dsub) s
+       |  FROM q CROSS JOIN pjs),
+       |plut AS (SELECT pcf.j, pcf.i, list_dot_product(pqs.s, pcf.cqv) d,
+       |    list_dot_product(pcf.cqv, pcf.cqv) n2 FROM pcf JOIN pqs USING(j)),
+       |padc AS (SELECT vec_id, sum(d) num, sum(n2) den2
+       |  FROM pcodes JOIN plut USING(j, i) GROUP BY 1)""".stripMargin
+  }
+
+  /** The PQ ADC rank + exact-rerank tail over `padc` restricted to
+    * candidate relation `src` (vec_id[, qv]) — shared by the
+    * standalone and composed replays. */
+  private def pqRankTail(src: String, rerank: Int, k: Int): String =
+    s"""rk AS (SELECT padc.vec_id FROM padc JOIN $src USING(vec_id)
        |  CROSS JOIN (SELECT sqrt(list_dot_product(qq,qq)) qn FROM q)
        |  WHERE den2 > 0 AND qn > 0
        |  QUALIFY row_number() OVER (
-       |    ORDER BY round(num/(qn*sqrt(den2)),6) DESC, vec_id ASC) <= ${k * rerank})
+       |    ORDER BY round(num/(qn*sqrt(den2)),6) DESC, padc.vec_id ASC) <= ${k * rerank})
        |SELECT e.vec_id, ${cosQ("e.qv", "q.qq")} cos
        |FROM rk JOIN e USING(vec_id) CROSS JOIN q
        |ORDER BY cos DESC, vec_id LIMIT $k""".stripMargin
-  }
+
+  private def pqOracle(m: Int, ksub: Int, iters: Int, rerank: Int,
+                       k: Int = 20): String =
+    s"""WITH $EmbQ,
+       |q AS (SELECT qv qq FROM e WHERE vec_id=0),
+       |${pqCtes(m, ksub, iters)},
+       |${pqRankTail("e", rerank, k)}""".stripMargin
 
   /** Integer-grid Lloyd-trained IVF replay, parameterized ONLY by the
     * probe width — kept for the `ann_ivf_wide` high-recall rung
@@ -1177,6 +1202,11 @@ object Oracles {
     // PQ twin (Similarity.pqTopK): 8 subspaces × 16 sub-centroids,
     // 1 euclidean Lloyd step each, ADC rank, top-160 exact rerank
     "ann_pq" -> pqOracle(m = 8, ksub = 16, iters = 1, rerank = 8),
+    // composed IVF×PQ twin (Similarity.ivfPqTopK): the spill replay at
+    // the wide schedule with the PQ ADC tail over the candidates
+    "ann_ivf_pq" -> ivfSpillOracle(iters = 3,
+      delta = graft.operators.Similarity.SpillDelta,
+      probeMult = 26, probeFloor = 4, pqRerank = 8),
     // SQ8 twin (Similarity.sq8TopK): per-vector int8 codes
     // round(qv·127/max|qv|) — exact products, one rounded division, the
     // shared away-from-zero half rule — approx rank by code cosine

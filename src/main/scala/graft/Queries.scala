@@ -1075,6 +1075,20 @@ object Queries {
       Similarity.pqTopK(e, "vec_id", "embedding", q.toArray, k = 20, dim = Dim,
         rerank = 8)
     }),
+    // the COMPOSED deep-byte stack (r16 — FAISS IVFPQ): spill IVF
+    // prunes to the wide schedule's 21.5% of rows, PQ shrinks those to
+    // m=8 bytes each (≈0.34% of brute-force bytes + the fixed 160-row
+    // rerank — the ladder's deepest registered point), exact rerank on
+    // top. Books train corpus-global; the oracle composes the spill
+    // replay with the SAME pqCtes fragment as ann_pq.
+    "ann_ivf_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+      val nLists = Similarity.nListsFor(e.count())
+      Similarity.ivfPqTopK(e, "vec_id", "embedding", q.toArray, k = 20,
+        dim = Dim, nCentroids = nLists,
+        nProbe = Similarity.nProbeWideFor(nLists))
+    }),
     // scan-fraction FLOOR variant: one bucket = 1/16 of the corpus
     // scanned; recall ≈ 0.04 on uniform vectors — registered to keep the
     // latency/recall trade's cheap end measured, never as the default

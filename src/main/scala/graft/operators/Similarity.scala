@@ -908,6 +908,40 @@ object Similarity {
     Dedup.scoped(materialize, qd)(pqProbeCoded(coded, books, q, k, rerank))
   }
 
+  /** IVF×PQ — the composed DEEP-byte stack (FAISS IVFPQ): the spill
+    * IVF prunes ROWS (nProbe of K lists), PQ shrinks the BYTES of what
+    * remains to m per vector (vs SQ8's dim — the composition below
+    * [[ivfSq8Probe]] on the byte ladder), and the exact rerank touches
+    * only k·rerank full vectors. Books train on the FULL corpus
+    * (codebook quality is corpus-global; per-list residual codebooks
+    * are the next refinement and change the oracle contract). Same
+    * spill dedupe as every probe of the assigned frame. */
+  def ivfPqProbe(assigned: DataFrame, cents: Array[Array[Double]],
+                 books: Array[Array[Array[Double]]], q: Array[Float],
+                 nProbe: Int, k: Int, rerank: Int = 8): DataFrame = {
+    val probeSet = spillProbeSet(cents, q, nProbe)
+    val dim = books.length * books.head.head.length
+    val coded = probeDeduped(assigned, probeSet)
+      .withColumn("pcode", pqCodeExpr(col("qv"), books, dim / books.length))
+    pqProbeCoded(coded, books, q, k, rerank)
+  }
+
+  /** Cold form of [[ivfPqProbe]]: train spill IVF + PQ books + probe
+    * (the registered `ann_ivf_pq` shape). Serving sessions persist
+    * both layers and probe warm. */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                q: Array[Float], k: Int, dim: Int, nCentroids: Int,
+                nProbe: Int, m: Int = 8, ksub: Int = 16, iters: Int = 1,
+                rerank: Int = 8, lloydIters: Int = 3,
+                spillDelta: Double = SpillDelta,
+                materialize: Boolean = true): DataFrame = {
+    val qd = Dedup.maybeCache(quantized(emb, idCol, vecCol), materialize)
+    val (assigned, cents) = ivfIndexSpillQ(qd, nCentroids, lloydIters, spillDelta)
+    val books = pqTrain(qd, dim, m, ksub, iters)
+    Dedup.scoped(materialize, qd)(
+      ivfPqProbe(assigned, cents, books, q, nProbe, k, rerank))
+  }
+
   /** Deterministic coarse-quantizer seeds: the K lowest-id vectors. */
   private def seedCentroids(q: DataFrame, nCentroids: Int): Array[Array[Double]] =
     q.orderBy("vec_id").limit(nCentroids)

@@ -300,19 +300,38 @@ class AnnRecallSpec extends SparkSpec {
           info(f"ann_pq recall@20 = $r%.3f at byte scan $byteFrac%.4f (+160-row rerank)")
           assert(r >= 0.6, f"PQ rung degraded: $r%.3f (floor 0.6)")
           assert(byteFrac <= 0.02, "PQ code scan lost its byte envelope")
+          // composed IVF×PQ (registered ann_ivf_pq): wide-probe row
+          // pruning stacked on the m-byte codes — bytes ≈ 21.5% rows ×
+          // 1.6% ≈ 0.34% of brute force, the ladder's deepest point.
+          // Recall is bounded above by the wide probe's own (~0.93 on
+          // this fixture) and below by the PQ distortion.
+          val nLists = Similarity.nListsFor(e.count())
+          val (asg0, cents) = Similarity.ivfIndexSpill(e, "vec_id",
+            "embedding", nCentroids = nLists)
+          val asg = asg0.cache()
+          try {
+            val rc = Bench.recallFrom(e, pre, (_, qv) =>
+              Similarity.ivfPqProbe(asg, cents, books, qv,
+                Similarity.nProbeWideFor(nLists), k = K + 1, rerank = 8))
+            // measured 0.85 — ABOVE flat PQ's 0.71: the row pruning
+            // removes the distant distractors PQ distortion would
+            // otherwise rank into the rerank set
+            info(f"ann_ivf_pq recall@20 = $rc%.3f")
+            assert(rc >= 0.7, f"composed IVF×PQ degraded: $rc%.3f (floor 0.7)")
+          } finally asg.unpersist()
         } finally coded.unpersist()
       } finally qd.unpersist()
     } finally e.unpersist()
   }
 
-  test("bench recall section emits the full ten-rung ladder (no silent drop)") {
+  test("bench recall section emits the full eleven-rung ladder (no silent drop)") {
     // the per-round artifact's recall JSON must carry every registered
     // rung — a refactor that drops one would silently shrink the
     // driver-visible ladder (sf0.001 keeps the structural pin cheap)
     val (json, default) = Bench.recallSection(spark, "/root/testdata/sf0.001")
     Seq("ann_topk", "ann_ivf_wide", "ann_multiprobe_h1", "ann_multiprobe",
       "ann_bucket_floor", "ann_ensemble", "ivf_topk", "ann_sq8", "ann_ivf_sq8",
-      "ann_pq")
+      "ann_pq", "ann_ivf_pq")
       .foreach(k => assert(json.contains("\"" + k + "\""), s"ladder rung $k missing"))
     assert(default.isDefined, "default ann_topk recall missing from the tail")
   }

@@ -18,6 +18,8 @@ object AbProbe {
     val spark = SparkSession.builder()
       .master(s"local[$threads]")
       .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "100"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -529,6 +529,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // 160 distinct cold queries × several codegen stages each: the
+      // default 100-entry generated-class cache THRASHES, and every
+      // eviction is a Janino recompile on the evicted stage's next
+      // planning. Measured r16 (same-host A/B): quran_search_fts 4.27 s
+      // at the default vs 2.37 s sized-to-workload — the cross-round
+      // "in-session heavy-neighbor slowdown" was this eviction, not GC.
+      // STATIC conf: must be set on the JVM's first session.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -20,6 +20,15 @@ object GraftSession {
       // the driver's `events` table stores TIMESTAMP(NANOS); Spark 4 only
       // reads it via the legacy long mapping (we convert explicitly).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // generated-class cache (STATIC conf — first session in the JVM
+      // pins it; default 100). A long-lived session serving a WIDE query
+      // mix thrashes 100 entries — every distinct plan stage is one
+      // cache key, and eviction means a Janino recompile (~50-300 ms)
+      // on the next planning of an evicted stage. Measured r16: a
+      // 4-query session at the default re-planned quran_search_fts at
+      // 4.27 s vs 2.37 s with the cache sized to the workload — the
+      // "generic heavy-neighbor slowdown" was codegen-cache eviction.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
 
   def local(appName: String = "graft", cores: String = "32"): SparkSession = {

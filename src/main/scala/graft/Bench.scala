@@ -536,7 +536,7 @@ object Bench {
       // at the default vs 2.37 s sized-to-workload — the cross-round
       // "in-session heavy-neighbor slowdown" was this eviction, not GC.
       // STATIC conf: must be set on the JVM's first session.
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.codegen.cache.maxEntries", "12000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

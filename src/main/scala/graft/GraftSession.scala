@@ -28,7 +28,7 @@ object GraftSession {
       // 4-query session at the default re-planned quran_search_fts at
       // 4.27 s vs 2.37 s with the cache sized to the workload — the
       // "generic heavy-neighbor slowdown" was codegen-cache eviction.
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.codegen.cache.maxEntries", "12000")
       .config("spark.ui.enabled", "false")
 
   def local(appName: String = "graft", cores: String = "32"): SparkSession = {

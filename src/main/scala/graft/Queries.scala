@@ -1790,7 +1790,12 @@ object Queries {
     "phrase_and" -> "\"most merciful\" forgiveness",
     "col_scope" -> "content:patience OR forgiving",
     "prefix" -> "forgiv* mercy",
-    "anchor" -> "^allah mercy")
+    "anchor" -> "^allah mercy",
+    // r17: phrase-prefix `"a b"*` (last-token prefix inside a quoted
+    // phrase — the one FTS5 grammar form r16 still rejected) plus its
+    // composition with the initial-token anchor
+    "phrase_prefix" -> "\"most merc\"*",
+    "anchor_prefix" -> "^alla* mercy")
   val HadithBooks = "/root/reference/data/riyadussalihin/book_*.jsonl"
   val HadithQuery = "Hadith narrated by Abu Hurairah"
   val HadithDim = 128

@@ -26,9 +26,13 @@ import org.apache.spark.sql.functions._
   *   andExpr := notExpr ('AND'? notExpr)*       // adjacency = implicit AND
   *   notExpr := unit ('NOT' unit)*              // binary a-but-not-b
   *   unit    := '(' orExpr ')' | 'NEAR' '(' atom+ (',' N)? ')'
-  *            | [colname ':'] atom
-  *   atom    := '"' phrase '"' | bareword
+  *            | [colname ':'] atom | '^' atom
+  *   atom    := '"' phrase '"' ['*'] | bareword ['*']
   * }}}
+  * A trailing `*` makes the last token a prefix token (`abc*`,
+  * `"a b"*`); `*` and `^` must be ATTACHED to their token/phrase —
+  * FTS5 rejects detached operators like `alpha *` or `^ alpha`, and so
+  * does this lexer (ADVICE r16).
   * Operator precedence NOT > AND > OR, all left-associative (FTS5 §3).
   * Keywords are UPPERCASE-only, exactly like FTS5 — lowercase `or` is a
   * search term (load-bearing for golden-query parity: the reference's
@@ -51,6 +55,12 @@ object FtsMatch {
   final case class Phrase(ts: Seq[String]) extends MatchExpr
   /** FTS5 prefix query `abc*`: every index term starting with `p`. */
   final case class Prefix(p: String) extends MatchExpr
+  /** FTS5 phrase-prefix `"a b"*` (sqlite.org/fts5.html §3: a `*`
+    * directly after the closing quote makes the LAST token a prefix
+    * token): tokens `init` exact at consecutive positions, then any
+    * index term starting with `last` at the next position. */
+  final case class PhrasePrefix(init: Seq[String], last: String)
+      extends MatchExpr
   /** FTS5 initial-token anchor `^term` / `^"a b"`: the phrase must
     * start at token position 0 of the column. */
   final case class First(e: MatchExpr) extends MatchExpr
@@ -91,8 +101,21 @@ object FtsMatch {
       else if (c == ')') { out += RP; i += 1 }
       else if (c == ',') { out += Comma; i += 1 }
       else if (c == ':') { out += Colon; i += 1 }
-      else if (c == '*') { out += Star; i += 1 }
-      else if (c == '^') { out += Caret; i += 1 }
+      else if (c == '*') {
+        // FTS5 rejects a star not attached to the token/phrase it
+        // modifies ("alpha *" is an error, not a prefix) — require the
+        // previous char to be a word char or a closing quote (ADVICE r16)
+        if (i == 0 || !(isWordChar(q.charAt(i - 1)) || q.charAt(i - 1) == '"'))
+          return Left("""fts5: syntax error near "*"""")
+        out += Star; i += 1
+      } else if (c == '^') {
+        // likewise a caret must be attached to the token/phrase it
+        // anchors ("^ alpha" is an FTS5 syntax error)
+        if (i + 1 >= q.length ||
+            !(isWordChar(q.charAt(i + 1)) || q.charAt(i + 1) == '"'))
+          return Left("""fts5: syntax error near "^"""")
+        out += Caret; i += 1
+      }
       else if (c == '"') {
         val end = q.indexOf('"', i + 1)
         if (end < 0) return Left("fts5: syntax error: unterminated string")
@@ -208,9 +231,11 @@ object FtsMatch {
         }
       case Caret :: _ =>
         // initial-token anchor: the phrase must start the column
+        // (prefix forms compose — FTS5 accepts `^abc*` and `^"a b"*`)
         eat()
         atom().flatMap {
-          case p @ (Term(_) | Phrase(_)) => Right(First(p))
+          case p @ (Term(_) | Phrase(_) | Prefix(_) | PhrasePrefix(_, _)) =>
+            Right(First(p))
           case _ => Left("""fts5: syntax error near "^"""")
         }
       case (Word(_) | Str(_)) :: _ => atom()
@@ -229,10 +254,15 @@ object FtsMatch {
           case _ => Left(s"""fts5: syntax error near "$w*"""")
         }
       case Word(w) => tokensOf(w)
-      case Str(_) if rest.headOption.contains(Star) =>
-        // phrase-internal/trailing prefixes are outside the supported
-        // subset — loud error, never silent reinterpretation
-        Left("""fts5: syntax error near "*"""")
+      case Str(s) if rest.headOption.contains(Star) =>
+        // phrase-prefix `"a b"*`: the last token becomes a prefix token
+        // (closing r16 verdict "What's missing" #2)
+        eat()
+        graft.Router.embedTokens(s) match {
+          case Seq() => Left(s"""fts5: syntax error near "$s"""")
+          case Seq(t) => Right(Prefix(t))
+          case ts => Right(PhrasePrefix(ts.init, ts.last))
+        }
       case Str(s) => tokensOf(s)
       case t => Left(syntaxError(t :: rest))
     }
@@ -262,7 +292,14 @@ object FtsMatch {
         return Left("fts5: syntax error: NEAR requires at least 2 phrases")
       val n = rest match {
         case Comma :: Word(d) :: _ if d.forall(_.isDigit) =>
-          eat(); eat(); d.toInt
+          // toIntOption: an over-Int window like NEAR(a b, 99999999999)
+          // must surface as the error STRING the envelope contract pins,
+          // never throw (ADVICE r16)
+          d.toIntOption match {
+            case Some(v) => eat(); eat(); v
+            case None =>
+              return Left(s"""fts5: syntax error near "$d"""")
+          }
         case Comma :: other => return Left(syntaxError(other))
         case _ => DefaultNear
       }
@@ -282,6 +319,18 @@ object FtsMatch {
     case _ => Seq.empty
   }
 
+  /** Positional shape of an atom: (exact leading tokens, optional
+    * trailing prefix stem). The prefix stem, when present, matches any
+    * index term at the position right after the exact run. */
+  private def positional(e: MatchExpr): (Seq[String], Option[String]) =
+    e match {
+      case Term(t) => (Seq(t), None)
+      case Phrase(ts) => (ts, None)
+      case Prefix(p) => (Nil, Some(p))
+      case PhrasePrefix(init, p) => (init, Some(p))
+      case _ => (Nil, None)
+    }
+
   /** What SCORES: everything except right-of-NOT subtrees — FTS5's
     * bm25 ranks on the query's positive phrases. Returns (exact
     * tokens, prefixes): a prefix query scores every index term it
@@ -291,6 +340,7 @@ object FtsMatch {
       case Term(t) => (Seq(t), Nil)
       case Phrase(ts) => (ts, Nil)
       case Prefix(p) => (Nil, Seq(p))
+      case PhrasePrefix(init, p) => (init, Seq(p))
       case First(i) => rec(i)
       case And(l, r) => comb(rec(l), rec(r))
       case Or(l, r) => comb(rec(l), rec(r))
@@ -339,26 +389,51 @@ object FtsMatch {
     * SECONDS per leg; the join form runs the same legs in under a
     * second.) */
   private def positionsOf(idx: Quran.Index,
-                          ops: Seq[Seq[String]]): DataFrame = {
-    val allToks = ops.flatten.distinct
-    val withAll = idx.postings.where(col("term").isin(allToks: _*))
-      .groupBy("doc_id").agg(countDistinct("term").as("nt"))
-      .where(col("nt") === allToks.length).select("doc_id")
+                          ops: Seq[(Seq[String], Option[String])]): DataFrame = {
+    val allToks = ops.flatMap(_._1).distinct
+    val prefixes = ops.flatMap(_._2).distinct
+    // candidate prefilter: docs containing EVERY exact token…
+    val withAll =
+      if (allToks.isEmpty) idx.postings.select("doc_id").distinct()
+      else idx.postings.where(col("term").isin(allToks: _*))
+        .groupBy("doc_id").agg(countDistinct("term").as("nt"))
+        .where(col("nt") === allToks.length).select("doc_id")
+    // …and, per prefix stem, at least one matching index term (each a
+    // startsWith probe over the term-clustered postings, like Prefix)
+    val withPfx = prefixes.foldLeft(withAll) { (acc, p) =>
+      acc.join(
+        idx.postings.where(col("term").startsWith(p)).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    }
+    val keep = (Seq(col("term").isin(allToks: _*))
+        .filter(_ => allToks.nonEmpty) ++
+      prefixes.map(p => col("term").startsWith(p)))
+      .reduce(_ || _)
     idx.docs.select(col("doc_id"),
         graft.functions.TextFns.tokens(col("text_plain")).as("t"))
-      .join(withAll, Seq("doc_id"), "left_semi")
+      .join(withPfx, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "term")))
-      .where(col("term").isin(allToks: _*))
+      .where(keep)
   }
 
-  /** (doc_id, start) occurrences of phrase `ts` — token j's positions
-    * shifted by −j and intersected, so only aligned runs survive (the
-    * inverted-index phrase join). */
-  private def phraseStarts(pos: DataFrame, ts: Seq[String]): DataFrame =
-    ts.zipWithIndex.map { case (tok, j) =>
+  /** (doc_id, start) occurrences of phrase `ts` (+ optional trailing
+    * prefix token) — token j's positions shifted by −j and intersected,
+    * so only aligned runs survive (the inverted-index phrase join). A
+    * prefix stem contributes the positions of ANY matching term at the
+    * slot right after the exact run. */
+  private def phraseStarts(pos: DataFrame, ts: Seq[String],
+                           pfx: Option[String] = None): DataFrame = {
+    val exact = ts.zipWithIndex.map { case (tok, j) =>
       pos.where(col("term") === tok)
         .select(col("doc_id"), (col("pos") - lit(j)).as("start"))
-    }.reduce((a, b) => a.join(b, Seq("doc_id", "start"))).distinct()
+    }
+    val pre = pfx.toSeq.map { p =>
+      pos.where(col("term").startsWith(p))
+        .select(col("doc_id"), (col("pos") - lit(ts.length)).as("start"))
+    }
+    (exact ++ pre).reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+      .distinct()
+  }
 
   /** Compile the AST to a (doc_id) candidate frame over the index. */
   def candidates(idx: Quran.Index, e: MatchExpr): DataFrame = e match {
@@ -370,11 +445,15 @@ object FtsMatch {
       idx.postings.where(col("term").startsWith(p))
         .select("doc_id").distinct()
     case First(inner) =>
-      val ts = opTokens(inner)
-      phraseStarts(positionsOf(idx, Seq(ts)), ts)
+      val (ts, pfx) = positional(inner)
+      phraseStarts(positionsOf(idx, Seq((ts, pfx))), ts, pfx)
         .where(col("start") === 0).select("doc_id")
     case Phrase(ts) =>
-      phraseStarts(positionsOf(idx, Seq(ts)), ts).select("doc_id").distinct()
+      phraseStarts(positionsOf(idx, Seq((ts, None))), ts)
+        .select("doc_id").distinct()
+    case PhrasePrefix(init, p) =>
+      phraseStarts(positionsOf(idx, Seq((init, Some(p)))), init, Some(p))
+        .select("doc_id").distinct()
     case And(l, r) =>
       candidates(idx, l).join(candidates(idx, r), Seq("doc_id"), "left_semi")
     case Or(l, r) =>
@@ -389,7 +468,7 @@ object FtsMatch {
       // doc — bounded planning-size data, and the span filter runs
       // inside codegen.
       val seqs = ops.map(opTokens)
-      val pos = positionsOf(idx, seqs)
+      val pos = positionsOf(idx, seqs.map((_, None)))
       val frames = seqs.zipWithIndex.map { case (ts, k) =>
         phraseStarts(pos, ts).withColumnRenamed("start", s"s$k")
       }
@@ -409,7 +488,20 @@ object FtsMatch {
     * candidate set), top n by (bm25 desc, doc_id). Left = the FTS5-style
     * error string for malformed syntax — callers surface it in their
     * envelope exactly as the reference surfaces the
-    * sqlite3.OperationalError text (search.py:125-127). */
+    * sqlite3.OperationalError text (search.py:125-127).
+    *
+    * ACCEPTED DIVERGENCE (ranking only — ADVICE r16): candidate SETS
+    * match SQLite FTS5 exactly (that is what the oracle battery pins),
+    * but the ORDER within a result page uses the framework's
+    * Lucene-style token-level BM25 (+1-smoothed IDF, descending), while
+    * FTS5's built-in `bm25()` uses raw Robertson IDF with PHRASE-level
+    * term frequency and sorts by rank ascending. A quoted phrase is
+    * therefore scored here as its constituent tokens, not as one unit —
+    * the same hit set can page in a different order than the reference
+    * for multi-token MATCH queries. Engine↔oracle ranking parity IS
+    * pinned (both backends rank identically); reference-ranking parity
+    * is intentionally not a goal, matching the framework-wide scoring
+    * doctrine ([[Bm25]] scaladoc). */
   def search(idx: Quran.Index, matchQuery: String,
              n: Int): Either[String, DataFrame] =
     parse(matchQuery).map { ast =>
@@ -429,13 +521,18 @@ object FtsMatch {
 
   private def sq(s: String): String = s.replace("'", "''")
 
-  /** DuckDB start-position list of phrase `ts` over token list column
-    * `t` (the toks CTE) — `range` is exclusive-end and yields [] when
-    * the doc is shorter than the phrase, mirroring the Spark guard. */
-  private def phrasePosSql(ts: Seq[String]): String = {
-    val conj = ts.zipWithIndex
-      .map { case (tok, j) => s"t[i+$j]='${sq(tok)}'" }.mkString(" AND ")
-    s"list_filter(range(1, len(t)-${ts.length - 1}+1), i -> $conj)"
+  /** DuckDB start-position list of phrase `ts` (+ optional trailing
+    * prefix stem) over token list column `t` (the toks CTE) — `range`
+    * is exclusive-end and yields [] when the doc is shorter than the
+    * phrase, mirroring the Spark guard. */
+  private def phrasePosSql(ts: Seq[String],
+                           pfx: Option[String] = None): String = {
+    val conj = (ts.zipWithIndex
+        .map { case (tok, j) => s"t[i+$j]='${sq(tok)}'" } ++
+      pfx.map(p => s"starts_with(t[i+${ts.length}], '${sq(p)}')"))
+      .mkString(" AND ")
+    val span = ts.length + pfx.size - 1
+    s"list_filter(range(1, len(t)-$span+1), i -> $conj)"
   }
 
   /** The candidate-set subquery for an AST node (doc_id rows), over the
@@ -447,11 +544,16 @@ object FtsMatch {
     case Prefix(p) =>
       s"(SELECT DISTINCT doc_id FROM p WHERE starts_with(term, '${sq(p)}'))"
     case First(inner) =>
-      val conj = opTokens(inner).zipWithIndex
-        .map { case (tok, j) => s"t[${j + 1}]='${sq(tok)}'" }.mkString(" AND ")
+      val (ts, pfx) = positional(inner)
+      val conj = (ts.zipWithIndex
+          .map { case (tok, j) => s"t[${j + 1}]='${sq(tok)}'" } ++
+        pfx.map(p => s"starts_with(t[${ts.length + 1}], '${sq(p)}')"))
+        .mkString(" AND ")
       s"(SELECT doc_id FROM toks WHERE $conj)"
     case Phrase(ts) =>
       s"(SELECT doc_id FROM toks WHERE len(${phrasePosSql(ts)}) > 0)"
+    case PhrasePrefix(init, p) =>
+      s"(SELECT doc_id FROM toks WHERE len(${phrasePosSql(init, Some(p))}) > 0)"
     case And(l, r) => s"(${candSql(l)} INTERSECT ${candSql(r)})"
     case Or(l, r) => s"(${candSql(l)} UNION ${candSql(r)})"
     case Not(l, r) => s"(${candSql(l)} EXCEPT ${candSql(r)})"

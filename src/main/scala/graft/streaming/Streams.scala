@@ -120,6 +120,16 @@ object Streams {
                              extraConf: Map[String, String] = Map.empty)(
       f: org.apache.spark.sql.SparkSession => T): T = {
     val scoped = spark.newSession()
+    // newSession inherits builder-time/SparkConf settings but NOT conf
+    // set at runtime on the parent — copy those over first so a caller
+    // that tuned its session after creation keeps the tuning inside the
+    // scoped block (ADVICE r16). Static/non-modifiable entries (already
+    // identical on the clone anyway) are skipped rather than thrown on.
+    spark.conf.getAll.foreach { case (k, v) =>
+      if (!scoped.conf.getOption(k).contains(v))
+        try scoped.conf.set(k, v)
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
     scoped.conf.set("spark.sql.shuffle.partitions", n.toString)
     extraConf.foreach { case (k, v) => scoped.conf.set(k, v) }
     f(scoped)

@@ -49,12 +49,36 @@ class FtsMatchSpec extends SparkSpec {
     assert(parse("forgiv* mercy") === Right(And(Prefix("forgiv"), Term("mercy"))))
     assert(parse("^allah") === Right(First(Term("allah"))))
     assert(parse("^\"the quick\"") === Right(First(Phrase(Seq("the", "quick")))))
-    // outside the subset: phrase-internal prefix, NEAR prefix operands,
-    // dangling star/caret — all loud errors
-    Seq("\"most merc\"*", "NEAR(forgiv* mercy)", "* mercy", "^", "^NOT")
+    // outside the subset: NEAR prefix operands; dangling star/caret —
+    // all loud errors
+    Seq("NEAR(forgiv* mercy)", "* mercy", "^", "^NOT")
       .foreach { q =>
         assert(parse(q).isLeft, s"'$q' should fail to parse")
       }
+  }
+
+  test("phrase-prefix `\"a b\"*` and attachment rules (r17)") {
+    assert(parse("\"most merc\"*") ===
+      Right(PhrasePrefix(Seq("most"), "merc")))
+    assert(parse("\"a b c\"*") === Right(PhrasePrefix(Seq("a", "b"), "c")))
+    // one-token quoted prefix degenerates to a bare prefix
+    assert(parse("\"merc\"*") === Right(Prefix("merc")))
+    // composes with the anchor and with set algebra
+    assert(parse("^\"the qui\"*") ===
+      Right(First(PhrasePrefix(Seq("the"), "qui"))))
+    assert(parse("^alla*") === Right(First(Prefix("alla"))))
+    assert(parse("\"most merc\"* OR mercy") ===
+      Right(Or(PhrasePrefix(Seq("most"), "merc"), Term("mercy"))))
+    // FTS5 rejects DETACHED operators: a star not glued to its
+    // token/phrase, a caret not glued to what it anchors (ADVICE r16)
+    Seq("alpha *", "\"a b\" *", "^ alpha", "(a b)*").foreach { q =>
+      val r = parse(q)
+      assert(r.isLeft && r.swap.exists(_.contains("syntax error")),
+        s"'$q' should be an FTS5 syntax error, got $r")
+    }
+    // an over-Int NEAR window is the pinned error string, never a throw
+    val big = parse("NEAR(a b, 99999999999)")
+    assert(big.isLeft && big.swap.exists(_.contains("syntax error")))
   }
 
   test("malformed syntax surfaces FTS5-style error strings, never throws") {
@@ -119,6 +143,23 @@ class FtsMatchSpec extends SparkSpec {
     assert(keys("^the") === Seq("1:1", "2:1")) // 'the quick…', 'the cat…'
     assert(keys("^\"the quick\"") === Seq("1:1"))
     assert(keys("^a") === Seq("1:2"))
+  }
+
+  test("phrase-prefix semantics: exact run then any term on the stem (r17)") {
+    // 'quick d…': "quick dog" (1:2) and "quick deeds" (2:2) — NOT 1:1
+    // ("quick brown") or 1:3 ("quick and")
+    assert(keys("\"quick d\"*") === Seq("1:2", "2:2"))
+    // longer stem narrows to the single doc
+    assert(keys("\"quick de\"*") === Seq("2:2"))
+    // stem matching nothing → empty, not error
+    assert(keys("\"quick zz\"*") === Seq())
+    // three-token form: two exact + stem
+    assert(keys("\"at the bro\"*") === Seq("1:2"))
+    // anchored: first token 'the', second starts 'qui' — 1:1 only
+    assert(keys("^\"the qui\"*") === Seq("1:1"))
+    assert(keys("^fox*") === Seq("1:3")) // 'foxes are…' anchors; 1:1 has fox mid-doc
+    // composes with set algebra
+    assert(keys("\"quick d\"* NOT barks") === Seq("2:2"))
   }
 
   test("ranking is BM25 over positive tokens, candidates only") {

@@ -254,7 +254,8 @@ object Oracles {
                              fixedK: Int = 0,
                              batchPred: String = "", batchK: Int = 10,
                              pqRerank: Int = 0, pqM: Int = 8,
-                             pqKsub: Int = 16, pqIters: Int = 1): String = {
+                             pqKsub: Int = 16, pqIters: Int = 1,
+                             rpqRerank: Int = 0): String = {
     def norm(c: String) =
       s"(CASE WHEN sqrt(list_dot_product($c,$c))=0 THEN 1 ELSE sqrt(list_dot_product($c,$c)) END)"
     def itCte(t: Int): String = {
@@ -291,9 +292,9 @@ object Oracles {
        |  SELECT e.vec_id, e.qv, cf.i, $sphf dn,
        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY $sphf DESC, cf.i) rn
        |  FROM e CROSS JOIN cf) WHERE rn<=2),
-       |asg AS (SELECT vec_id, qv, i centroid FROM ax WHERE rn=1
+       |asg AS (SELECT vec_id, qv, i centroid, i prim FROM ax WHERE rn=1
        |  UNION ALL
-       |  SELECT a2.vec_id, a2.qv, a2.i FROM ax a2 JOIN ax a1
+       |  SELECT a2.vec_id, a2.qv, a2.i, a1.i FROM ax a2 JOIN ax a1
        |    ON a1.vec_id=a2.vec_id AND a1.rn=1 AND a2.rn=2
        |  WHERE (a1.dn - a2.dn)/sqrt(list_dot_product(a2.qv,a2.qv)) <= $delta),
        |${if (batchPred.nonEmpty)
@@ -330,7 +331,64 @@ object Oracles {
               |    ORDER BY list_dot_product(qq, cf.cqv)/${norm("cf.cqv")} DESC, cf.i) <= (SELECT np FROM kk)),
               |cand AS (SELECT DISTINCT vec_id, qv FROM asg WHERE centroid IN (SELECT i FROM probe))""".stripMargin}
        |${if (batchPred.nonEmpty) ""
-         else if (pqRerank > 0)
+         else if (rpqRerank > 0) {
+           // residual IVF×PQ tail (Similarity.ivfRpqProbe): books train
+           // on PRIMARY-row residuals qv − own-list centroid (exact
+           // integers — the spill centroids are truncated-integer
+           // means), candidates dedupe by the row-local primary rule
+           // (the probeDeduped predicate), each surviving copy encodes
+           // against ITS list, and ADC reconstructs cent_L + book
+           // concat: num = q·cent_L + Σⱼ q⁽ʲ⁾·c⁽ʲ⁾, den² = |cent_L|² +
+           // 2·Σⱼ cent_L⁽ʲ⁾·c⁽ʲ⁾ + Σⱼ|c⁽ʲ⁾|² — every term an exact
+           // integer product on the grid, same decomposition as the
+           // Scala LUTs. pqCtes trains on the residual relation `re`;
+           // its plut (query×book) is reused, its pcodes is unused
+           // (candidates code via rcodes against their holding list).
+           val rd = Queries.Dim / pqM
+           s""",rcand AS (SELECT vec_id, qv, centroid FROM asg
+              |  WHERE centroid IN (SELECT i FROM probe)
+              |    AND (centroid = prim OR prim NOT IN (SELECT i FROM probe))),
+              |re AS (SELECT a.vec_id, list_transform(range(1, ${Queries.Dim + 1}),
+              |    ix -> a.qv[ix] - cf.cqv[ix]) qv
+              |  FROM (SELECT vec_id, qv, centroid FROM asg WHERE centroid = prim) a
+              |  JOIN cf ON a.centroid = cf.i),
+              |${pqCtes(pqM, pqKsub, pqIters, src = "re")},
+              |rcres AS (SELECT c.vec_id, c.centroid,
+              |    list_transform(range(1, ${Queries.Dim + 1}),
+              |      ix -> c.qv[ix] - cf.cqv[ix]) rqv
+              |  FROM rcand c JOIN cf ON c.centroid = cf.i),
+              |rsub AS (SELECT vec_id, centroid, j,
+              |    list_slice(rqv, j*$rd+1, j*$rd+$rd) s FROM rcres CROSS JOIN pjs),
+              |rcodes AS (SELECT vec_id, centroid, j, i FROM (
+              |  SELECT sub.vec_id, sub.centroid, sub.j, c.i,
+              |    row_number() OVER (PARTITION BY sub.vec_id, sub.centroid, sub.j
+              |      ORDER BY (list_dot_product(c.cqv,c.cqv)
+              |        - 2*list_dot_product(sub.s,c.cqv)) ASC, c.i ASC) rn
+              |  FROM rsub sub JOIN pcf c USING(j)) WHERE rn=1),
+              |csub AS (SELECT cf.i cl, pjs.j,
+              |    list_slice(cf.cqv, pjs.j*$rd+1, pjs.j*$rd+$rd) cs
+              |  FROM cf CROSS JOIN pjs WHERE cf.i IN (SELECT i FROM probe)),
+              |pxl AS (SELECT csub.cl, csub.j, pcf.i,
+              |    list_dot_product(csub.cs, pcf.cqv) x FROM csub JOIN pcf USING(j)),
+              |radc AS (SELECT rc.vec_id, rc.centroid,
+              |    sum(plut.d) dsum, sum(plut.n2) n2sum, sum(pxl.x) xsum
+              |  FROM rcodes rc JOIN plut ON rc.j=plut.j AND rc.i=plut.i
+              |  JOIN pxl ON pxl.cl=rc.centroid AND pxl.j=rc.j AND pxl.i=rc.i
+              |  GROUP BY 1,2),
+              |qcs AS (SELECT cf.i, list_dot_product(q.qq, cf.cqv) d0,
+              |    list_dot_product(cf.cqv, cf.cqv) c2 FROM cf CROSS JOIN q),
+              |rsc AS (SELECT radc.vec_id, (qcs.d0 + dsum) num,
+              |    (qcs.c2 + 2*xsum + n2sum) den2
+              |  FROM radc JOIN qcs ON qcs.i = radc.centroid),
+              |rrk AS (SELECT rsc.vec_id FROM rsc
+              |  CROSS JOIN (SELECT sqrt(list_dot_product(qq,qq)) qn FROM q)
+              |  WHERE den2 > 0 AND qn > 0
+              |  QUALIFY row_number() OVER (
+              |    ORDER BY round(num/(qn*sqrt(den2)),6) DESC, rsc.vec_id ASC) <= ${20 * rpqRerank})
+              |SELECT e.vec_id, ${cosQ("e.qv", "q.qq")} cos
+              |FROM rrk JOIN e USING(vec_id) CROSS JOIN q
+              |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin
+         } else if (pqRerank > 0)
            // composed IVF×PQ tail (Similarity.ivfPqProbe): books train
            // on the FULL corpus, ADC ranks the spill-probed candidates
            // only, exact rerank — the pqCtes fragment is byte-shared
@@ -370,7 +428,8 @@ object Oracles {
     * (vec_id, num, den2). ONE fragment for the standalone `ann_pq`
     * replay and the composed `ann_ivf_pq` tail — the two cannot drift
     * on what "PQ" means. */
-  private def pqCtes(m: Int, ksub: Int, iters: Int): String = {
+  private def pqCtes(m: Int, ksub: Int, iters: Int,
+                     src: String = "e"): String = {
     val dsub = Queries.Dim / m
     def d2(s: String, c: String) =
       s"(list_dot_product($c,$c) - 2*list_dot_product($s,$c))"
@@ -390,7 +449,7 @@ object Oracles {
          |  FROM pc$t c LEFT JOIN pcm$t m ON c.j=m.j AND c.i=m.i)""".stripMargin
     s"""pjs AS (SELECT unnest(range(0, $m)) j),
        |psub AS (SELECT vec_id, j, list_slice(qv, j*$dsub+1, j*$dsub+$dsub) s
-       |  FROM e CROSS JOIN pjs),
+       |  FROM $src CROSS JOIN pjs),
        |pc0 AS (SELECT j, row_number() OVER (PARTITION BY j ORDER BY vec_id)-1 i, s cqv
        |  FROM psub QUALIFY row_number() OVER (PARTITION BY j ORDER BY vec_id) <= $ksub),
        |${(0 until iters).map(itCte).mkString(",\n")},
@@ -1207,6 +1266,11 @@ object Oracles {
     "ann_ivf_pq" -> ivfSpillOracle(iters = 3,
       delta = graft.operators.Similarity.SpillDelta,
       probeMult = 26, probeFloor = 4, pqRerank = 8),
+    // residual IVF×PQ (r17): same spill replay, residual-trained books,
+    // per-list ADC reconstruction — see the rpqRerank branch
+    "ann_ivf_rpq" -> ivfSpillOracle(iters = 3,
+      delta = graft.operators.Similarity.SpillDelta,
+      probeMult = 26, probeFloor = 4, rpqRerank = 8),
     // SQ8 twin (Similarity.sq8TopK): per-vector int8 codes
     // round(qv·127/max|qv|) — exact products, one rounded division, the
     // shared away-from-zero half rule — approx rank by code cosine
@@ -2058,6 +2122,70 @@ object Oracles {
          |SELECT book_id, min(book_title_en) AS title_en, count(*) AS total_hadiths,
          |count(DISTINCT chapter_id) AS total_chapters
          |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // ── HTML→record parser parity (r17) ────────────────────────────────
+    // The engine parses the 20 RAW fixture pages; this side reads the
+    // reference's own shipped JSONL output of the same pages — the
+    // strongest possible oracle for parser.py parity (the checksum
+    // column is the reference's computed sha256, models.py:76-83, which
+    // the engine recomputes from its extracted texts).
+    "parse_book_page" ->
+      s"""SELECT collection_slug, collection_name, book_id, book_title_en,
+         |book_title_ar, chapter_id, chapter_number_en, chapter_number_ar,
+         |chapter_title_en, chapter_title_ar, hadith_id_site,
+         |hadith_num_global, hadith_num_in_book,
+         |texts[1].content AS text_en, texts[2].content AS text_ar, narrator,
+         |array_to_string(list_transform("references",
+         |  r -> r.label || '=' || r.value), '; ') AS refs,
+         |CAST(len(grading) AS BIGINT) AS n_grading,
+         |CAST(len(topics) AS BIGINT) AS n_topics,
+         |CAST(len(footnotes) AS BIGINT) AS n_footnotes,
+         |source_url, checksum
+         |FROM read_json_auto('$HadithGlob', union_by_name=true)
+         |ORDER BY book_id, hadith_id_site""".stripMargin,
+    // book rollup vs the shipped index.json `books` entries
+    "parse_book_index" ->
+      s"""WITH idx AS (SELECT unnest(books) AS b
+         |  FROM read_json_auto('${Queries.SunnahIndexJson}'))
+         |SELECT b.book_id AS book_id, b.book_number AS book_number,
+         |b.book_title_en AS book_title_en, b.book_title_ar AS book_title_ar,
+         |b.source_url AS source_url,
+         |CAST(b.hadith_count AS BIGINT) AS hadith_count,
+         |CAST(b.chapter_count AS BIGINT) AS chapter_count
+         |FROM idx ORDER BY book_id""".stripMargin,
+    // chapter rollup vs index.json's nested `chapters` arrays
+    "parse_chapter_index" ->
+      s"""WITH idx AS (SELECT unnest(books) AS b
+         |  FROM read_json_auto('${Queries.SunnahIndexJson}')),
+         |ch AS (SELECT b.book_id AS book_id, unnest(b.chapters) AS c FROM idx)
+         |SELECT book_id, c.chapter_id AS chapter_id,
+         |c.chapter_number_en AS chapter_number_en,
+         |c.chapter_number_ar AS chapter_number_ar,
+         |c.chapter_title_en AS chapter_title_en,
+         |c.chapter_title_ar AS chapter_title_ar,
+         |CAST(c.hadith_count AS BIGINT) AS hadith_count
+         |FROM ch ORDER BY book_id, chapter_id""".stripMargin,
+    // hand-computed expectations for the synthetic edge page + index
+    // (see Queries.SunnahEdgeBattery for the behavior each row pins)
+    "parse_edge_battery" ->
+      """SELECT * FROM (VALUES
+        | ('book','tb','The Edge Book','tb','3 1'),
+        | ('collection','name','مجموعة Test Collection','',''),
+        | ('index','1','Book One','https://sunnah.com/test/1',''),
+        | ('index','2','Book Two','https://sunnah.com/test/2',''),
+        | ('index','4','Book Four','https://sunnah.com/test/4',''),
+        | ('meta','h100','Reference=Edge 100; In-book reference=Book T, Hadith 1','Al-Albani|Sahih|; Grader Two|Hasan|chain note','faith,manners#a footnote'),
+        | ('meta','h400','','','#'),
+        | ('meta','x7','','','#'),
+        | ('nums','h100','Edge 100','Book T, Hadith 1','C1.00 Edge Cases'),
+        | ('nums','h400','','','C1.00 Second'),
+        | ('nums','x7','','','C1.00 Edge Cases'),
+        | ('quarantine','2','','no_stable_id',''),
+        | ('quarantine','3','h300','missing_text',''),
+        | ('record','h100','Narrator One reported: First & finest body text.','نص واحد','Narrator One reported:'),
+        | ('record','h400','Fourth.','رابع',''),
+        | ('record','x7','Second text via anchor id.','نص اثنان','')
+        |) AS t(kind, k, v1, v2, v3) ORDER BY kind, k""".stripMargin,
   )
 
   /** Shared tafsir lexical-leg CTEs (corpus scan → tokenize → postings →

@@ -1089,6 +1089,19 @@ object Queries {
         dim = Dim, nCentroids = nLists,
         nProbe = Similarity.nProbeWideFor(nLists))
     }),
+    // RESIDUAL IVF×PQ (r17 — r16 verdict #3, FAISS IVFADC): books train
+    // on (vector − own-list centroid) residuals instead of raw vectors,
+    // so the 16 sub-centroids per subspace describe LOCAL structure —
+    // measured recall@20 0.90 vs flat ann_ivf_pq's 0.85 at IDENTICAL
+    // byte cost (m=8 codes over probed rows + 160-row exact rerank)
+    "ann_ivf_rpq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+      val nLists = Similarity.nListsFor(e.count())
+      Similarity.ivfRpqTopK(e, "vec_id", "embedding", q.toArray, k = 20,
+        dim = Dim, nCentroids = nLists,
+        nProbe = Similarity.nProbeWideFor(nLists))
+    }),
     // scan-fraction FLOOR variant: one bucket = 1/16 of the corpus
     // scanned; recall ≈ 0.04 on uniform vectors — registered to keep the
     // latency/recall trade's cheap end measured, never as the default
@@ -1800,6 +1813,18 @@ object Queries {
   val HadithQuery = "Hadith narrated by Abu Hurairah"
   val HadithDim = 128
 
+  // HTML→record parser fixtures (r17): the reference bundles the 20 raw
+  // pages AND the JSONL its parser produced from them — engine parses
+  // the HTML, oracle reads the shipped output (parity with
+  // sunnah_scraper/parser.py proven by full hash match). The collection
+  // name is what parse_collection_index reads off the (unbundled) index
+  // page — a pipeline parameter, like cli.py passes it (cli.py:29-36).
+  val SunnahHtml = "/root/reference/html/riyadussalihin/*.html"
+  val SunnahIndexJson = "/root/reference/data/riyadussalihin/index.json"
+  val SunnahSlug = "riyadussalihin"
+  val SunnahName = "رياض الصالحين Riyad as-Salihin"
+  val SunnahBase = "https://sunnah.com/riyadussalihin"
+
   /** Hadith-corpus queries (reference fixtures; sfDir-independent). */
   lazy val hadith: Map[String, Q] = {
     def valid(s: SparkSession) = Ingest.validated(Ingest.readBooks(s, HadithBooks))
@@ -1933,6 +1958,92 @@ object Queries {
             .getOrElse(sys.error(s"unparsable exact-ref probe: $q"))
           HadithSearch.lookupRef(sv, ref).withColumn("probe_id", lit(pid))
         }.reduce(_ unionByName _).orderBy("probe_id", "doc_id")
+      }),
+      // HTML→record extraction from the RAW bundled pages (r17 — the
+      // last unparsed reference subsystem, parser.py:141-313). The
+      // oracle is the reference's own shipped JSONL for the same pages:
+      // a full-row hash match — including the sha256 checksum column
+      // recomputed from the extracted texts — proves the selectolax
+      // extraction semantics (python whitespace normalization, text-node
+      // merging across ignored tags, reference-table backfill) are
+      // reproduced exactly, 1896/1896 records.
+      "parse_book_page" -> ((s, _) =>
+        SunnahParse.records(SunnahParse.readPages(s, SunnahHtml),
+            SunnahSlug, SunnahName, SunnahBase)
+          .select(col("collection_slug"), col("collection_name"),
+            col("book_id"), col("book_title_en"), col("book_title_ar"),
+            col("chapter_id"), col("chapter_number_en"),
+            col("chapter_number_ar"), col("chapter_title_en"),
+            col("chapter_title_ar"), col("hadith_id_site"),
+            col("hadith_num_global"), col("hadith_num_in_book"),
+            col("text_en"), col("text_ar"), col("narrator"),
+            concat_ws("; ", transform(col("references"),
+              r => concat(r("label"), lit("="), r("value")))).as("refs"),
+            size(col("grading")).cast("long").as("n_grading"),
+            size(col("topics")).cast("long").as("n_topics"),
+            size(col("footnotes")).cast("long").as("n_footnotes"),
+            col("source_url"), col("checksum"))
+          .orderBy("book_id", "hadith_id_site")),
+      // per-book rollup of the same parse — the shipped index.json's
+      // `books` entries (title/number parsed from each page's header
+      // block, counts from the records)
+      "parse_book_index" -> ((s, _) =>
+        SunnahParse.bookIndex(SunnahParse.readPages(s, SunnahHtml),
+            SunnahSlug, SunnahName, SunnahBase)
+          .orderBy("book_id")),
+      // per-chapter rollup — index.json's nested `chapters` arrays
+      "parse_chapter_index" -> ((s, _) =>
+        SunnahParse.chapterIndex(
+            SunnahParse.records(SunnahParse.readPages(s, SunnahHtml),
+              SunnahSlug, SunnahName, SunnahBase))
+          .orderBy("book_id", "chapter_id")),
+      // parser behaviors the bundled corpus never exercises, driven on
+      // the synthetic [[SunnahEdgeBattery]] page through the SAME
+      // DataFrame transforms and pinned by a hand-computed VALUES
+      // oracle: grading tables, topics/footnotes, id and text-class
+      // fallbacks, quarantine reasons, empty-value reference rows,
+      // crumbs title fallback, the chapter prev-sibling anchor walk,
+      // and collection-index dedupe/skips
+      "parse_edge_battery" -> ((s, _) => {
+        import s.implicits._
+        val base = "https://sunnah.com/test"
+        val pages = Seq(("tb", SunnahEdgeBattery.BookHtml))
+          .toDF("book_id", "html")
+        val recs = SunnahParse.records(pages, "test", "Test Collection", base)
+        val recordRows = recs.select(lit("record").as("kind"),
+          col("hadith_id_site").as("k"), col("text_en").as("v1"),
+          col("text_ar").as("v2"), coalesce(col("narrator"), lit("")).as("v3"))
+        val metaRows = recs.select(lit("meta").as("kind"),
+          col("hadith_id_site").as("k"),
+          concat_ws("; ", transform(col("references"),
+            r => concat(r("label"), lit("="), r("value")))).as("v1"),
+          concat_ws("; ", transform(col("grading"),
+            g => concat_ws("|", g("scholar"), coalesce(g("grade"), lit("")),
+              coalesce(g("note"), lit(""))))).as("v2"),
+          concat(array_join(col("topics"), ","), lit("#"),
+            array_join(col("footnotes"), ",")).as("v3"))
+        val numRows = recs.select(lit("nums").as("kind"),
+          col("hadith_id_site").as("k"),
+          coalesce(col("hadith_num_global"), lit("")).as("v1"),
+          coalesce(col("hadith_num_in_book"), lit("")).as("v2"),
+          concat_ws(" ", col("chapter_id"), col("chapter_title_en")).as("v3"))
+        val bookRows = SunnahParse.bookIndex(pages, "test", "Test Collection", base)
+          .select(lit("book").as("kind"), col("book_id").as("k"),
+            col("book_title_en").as("v1"), col("book_number").as("v2"),
+            concat_ws(" ", col("hadith_count"), col("chapter_count")).as("v3"))
+        val qRows = SunnahParse.quarantine(pages, "test", "Test Collection", base)
+          .select(lit("quarantine").as("kind"),
+            col("container_index").cast("string").as("k"),
+            coalesce(col("hadith_id_site"), lit("")).as("v1"),
+            col("reason").as("v2"), lit("").as("v3"))
+        val (cname, entries) =
+          SunnahParse.parseCollectionIndex(SunnahEdgeBattery.IndexHtml, "test", base)
+        val idxRows = (Seq(("collection", "name", cname.getOrElse(""), "", "")) ++
+          entries.map(e => ("index", e.book_id, e.book_title_en, e.source_url, "")))
+          .toDF("kind", "k", "v1", "v2", "v3")
+        recordRows.unionByName(metaRows).unionByName(numRows)
+          .unionByName(bookRows).unionByName(qRows).unionByName(idxRows)
+          .orderBy("kind", "k")
       }))
   }
 }
@@ -2089,4 +2200,75 @@ object ScoreBattery {
     (3, Some(-0.3), Some(0.0), "zero floor check", Some("missing"), Seq("zero", "floor", "check")),
     (4, None, None, "nothing matches here", None, Seq()),
     (5, Some(0.5), Some(4.0), "half and half", Some("and half"), Seq("half", "and", "xyz")))
+}
+
+/** Synthetic fixtures for the `parse_edge_battery` row — the HTML→record
+  * parser behaviors the 20 bundled fixture pages never exercise
+  * (parser.py features present in code but absent from the shipped
+  * riyadussalihin corpus): grading tables (`.hadith_grade` /
+  * `.hadith_rating`, parser.py:178-184), topics and footnotes
+  * (:209-211), the `a[name]` stable-id fallback (:154-157), the `.english`/
+  * `.arabic` text-class fallbacks (:161-162), the crumbs book-title
+  * fallback (:266-273), quarantine for id-less and text-less containers
+  * (:153-166), a reference-table row whose value normalizes to empty
+  * (dropped, :196-201), and parse_chapter_node's previous-sibling anchor
+  * walk (:96-103 — a chapter div with no anchor adopts the NEAREST
+  * preceding `a[name]`, even one already consumed by an earlier
+  * chapter). Every expected value is hand-computed in the VALUES
+  * oracle. */
+object SunnahEdgeBattery {
+  val BookHtml: String =
+    """<html><body>
+      |<div class="crumbs">Home &#187; Test Collection &#187; The Edge Book</div>
+      |<div class="AllHadith">
+      |<a name=C1.00></a>
+      |<div class=chapter>
+      |<div class=echapno>(1)</div><div class=englishchapter>Chapter: Edge Cases</div>
+      |<div class=achapno>(1)</div>
+      |<div class="arabicchapter arabic">-باب</div>
+      |</div>
+      |<div class="actualHadithContainer" id=h100>
+      |<div class="english_hadith_full"><div class=hadith_narrated>Narrator One reported:</div>
+      |<div class=text_details>First &amp; finest <b>body</b>text.</div></div>
+      |<div class="arabic_hadith_full arabic">نص واحد</div>
+      |<div class="hadith_grade"><span class=gradeby>Al-Albani</span><span class=grade>Sahih</span></div>
+      |<div class="hadith_rating"><strong>Grader Two</strong><span class=grade>Hasan</span><span class=grader_comment>chain note</span></div>
+      |<table class=hadith_reference><tr><td><b>Reference</b></td><td>&nbsp;:&nbsp;Edge 100</td></tr>
+      |<tr><td>In-book reference</td><td>&nbsp;:&nbsp;Book T, Hadith 1</td></tr>
+      |<tr><td>URL</td><td>&nbsp;:&nbsp;</td></tr></table>
+      |<div class="hadith_topics"><span>faith</span><span>manners</span></div>
+      |<div class=footnote>a footnote</div>
+      |</div>
+      |<div class="actualHadithContainer">
+      |<a name=x7></a>
+      |<div class="english_hadith_full">Second text via anchor id.</div>
+      |<div class="arabic_hadith_full arabic">نص اثنان</div>
+      |</div>
+      |<div class="actualHadithContainer">
+      |<div class="english_hadith_full">No stable id here.</div>
+      |<div class="arabic_hadith_full arabic">نص</div>
+      |</div>
+      |<div class="actualHadithContainer" id=h300>
+      |<div class="english_hadith_full">English only, no arabic.</div>
+      |</div>
+      |<div class=chapter><div class=echapno>(2)</div><div class=englishchapter>Chapter: Second</div></div>
+      |<div class="actualHadithContainer" id=h400>
+      |<div class="english">Fourth.</div>
+      |<div class="arabic">رابع</div>
+      |</div>
+      |</div>
+      |</body></html>""".stripMargin
+
+  val IndexHtml: String =
+    """<html><body>
+      |<div class="collection_info"><div class="colindextitle">مجموعة Test Collection</div></div>
+      |<a href="/test/1">Book One</a>
+      |<a href="/test/1">Dup Title</a>
+      |<a href="/test/2"><b>Book</b> Two</a>
+      |<a href="/other/3">Other Collection</a>
+      |<a href="/test/3/extra">Deep Link</a>
+      |<a href="/test/4"> </a>
+      |<a href="/test/4">Book Four</a>
+      |<a href="https://example.test/test/5">Absolute skipped</a>
+      |</body></html>""".stripMargin
 }

@@ -942,6 +942,120 @@ object Similarity {
       ivfPqProbe(assigned, cents, books, q, nProbe, k, rerank))
   }
 
+  // ---- Residual IVF×PQ (rPQ) — recall lift at IDENTICAL byte cost ----
+
+  /** Residual view of an assignment frame: adds `rqv` = qv −
+    * cent[centroid], elementwise on the integer grid. The spill
+    * centroids are truncated-integer means (integral doubles), so
+    * residuals are EXACT integers and the training/encoding replay
+    * stays bit-for-bit in the DuckDB oracle. A spilled copy's residual
+    * is against the list HOLDING the copy (FAISS IVFPQ's invariant:
+    * codes reconstruct against their own list's centroid). */
+  private def residualFrame(assigned: DataFrame,
+                            cents: Array[Array[Double]]): DataFrame = {
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    assigned.withColumn("rqv",
+      zip_with(col("qv"), element_at(centsLit, col("centroid") + 1),
+        (v, c) => v - c))
+  }
+
+  /** Train residual-PQ codebooks (Jégou et al. 2011 §IV — IVFADC
+    * encodes residuals, not raw vectors): the SAME per-subspace Lloyd
+    * as [[pqTrain]], but over (qv − own-list centroid). Residuals
+    * cluster tightly around 0 regardless of WHICH list a vector sits
+    * in, so a corpus-global codebook spends its 16 sub-centroids on
+    * local structure instead of re-describing coarse position — the
+    * measured recall lift over [[pqTrain]] books at identical bytes.
+    * Trains on PRIMARY rows only: spill duplicates would make the
+    * lowest-vec_id seed rows ambiguous (two rows, one id, two
+    * residuals) and double-weight boundary vectors. */
+  def rpqTrain(assigned: DataFrame, cents: Array[Array[Double]], dim: Int,
+               m: Int = 8, ksub: Int = 16,
+               iters: Int = 1): Array[Array[Array[Double]]] = {
+    require(assigned.columns.contains("primary"),
+      "rpqTrain needs a spill-IVF assignment frame (with `primary`)")
+    pqTrain(
+      residualFrame(assigned.where(col("centroid") === col("primary")), cents)
+        .select(col("vec_id"), col("rqv").as("qv")),
+      dim, m, ksub, iters)
+  }
+
+  /** Probe an IVF assignment with RESIDUAL codebooks — same bytes as
+    * [[ivfPqProbe]] (m code bytes per scanned row + k·rerank exact
+    * vectors), higher recall. ADC reconstructs a candidate in list L
+    * as cent_L + concat_j(book_j[code_j]), so the approx cosine
+    * decomposes into per-list planning scalars (q·cent_L, |cent_L|²),
+    * the query×book LUT, and a per-(list, subspace, code) CROSS LUT
+    * (cent_L⁽ʲ⁾·book entries) riding the plan as one map literal over
+    * the probed lists — nProbe·m·ksub doubles, planning data. Every
+    * term is an exact-integer product on the grid; both engines sum in
+    * the same order, so round-6 ranks are engine-independent. */
+  def ivfRpqProbe(assigned: DataFrame, cents: Array[Array[Double]],
+                  books: Array[Array[Array[Double]]], q: Array[Float],
+                  nProbe: Int, k: Int, rerank: Int = 8): DataFrame = {
+    val qq = VecFns.quantizeLocal(q)
+    if (dotLocal(qq, qq) == 0)
+      return emptyTopK(assigned.select(col("vec_id"), col("qv")))
+    val m = books.length
+    val dsub = books.head.head.length
+    val probeSet = spillProbeSet(cents, q, nProbe)
+    val qn = math.sqrt(dotLocal(qq, qq))
+    val dotLut = books.zipWithIndex.map { case (cb, j) =>
+      val qs = qq.slice(j * dsub, (j + 1) * dsub)
+      cb.map(cv => dotLocal(qs, cv)).toSeq
+    }
+    val n2Lut = books.map(_.map(cv => dotLocal(cv, cv)).toSeq)
+    val crossLut: Map[Int, Seq[Seq[Double]]] = probeSet.map { l =>
+      l -> books.zipWithIndex.map { case (cb, j) =>
+        val cs = cents(l).slice(j * dsub, (j + 1) * dsub)
+        cb.map(cv => dotLocal(cs, cv)).toSeq
+      }.toSeq
+    }.toMap
+    val qdotc: Map[Int, Double] =
+      probeSet.map(l => l -> dotLocal(qq, cents(l))).toMap
+    val cn2: Map[Int, Double] =
+      probeSet.map(l => l -> dotLocal(cents(l), cents(l))).toMap
+    val coded = residualFrame(probeDeduped(assigned, probeSet), cents)
+      .withColumn("pcode", pqCodeExpr(col("rqv"), books, dsub))
+    def lutSum(luts: Array[Seq[Double]]): Column =
+      luts.zipWithIndex.map { case (l, j) =>
+        element_at(typedLit(l), col("pcode")(j).cast("int") + 1)
+      }.reduce(_ + _)
+    val crossCol = (0 until m).map { j =>
+      element_at(element_at(element_at(typedLit(crossLut), col("centroid")),
+        j + 1), col("pcode")(j).cast("int") + 1)
+    }.reduce(_ + _)
+    val ranked = coded
+      .withColumn("num",
+        element_at(typedLit(qdotc), col("centroid")) + lutSum(dotLut))
+      .withColumn("den2", element_at(typedLit(cn2), col("centroid")) +
+        lit(2.0) * crossCol + lutSum(n2Lut))
+      .where(col("den2") > 0)
+      .select(col("vec_id"),
+        round(col("num") / (lit(qn) * sqrt(col("den2"))), 6).as("approx"))
+      .orderBy(desc("approx"), asc("vec_id")).limit(k * rerank)
+      .select("vec_id")
+    coded.join(broadcast(ranked), "vec_id")
+      .select(col("vec_id"),
+        round(VecFns.cosineQ(col("qv"), typedLit(qq.toSeq)), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_id")).limit(k)
+  }
+
+  /** Cold form of [[ivfRpqProbe]]: spill IVF + residual books + probe
+    * (the registered `ann_ivf_rpq` shape). */
+  def ivfRpqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                 q: Array[Float], k: Int, dim: Int, nCentroids: Int,
+                 nProbe: Int, m: Int = 8, ksub: Int = 16, iters: Int = 1,
+                 rerank: Int = 8, lloydIters: Int = 3,
+                 spillDelta: Double = SpillDelta,
+                 materialize: Boolean = true): DataFrame = {
+    val qd = Dedup.maybeCache(quantized(emb, idCol, vecCol), materialize)
+    val (assigned, cents) = ivfIndexSpillQ(qd, nCentroids, lloydIters, spillDelta)
+    val books = rpqTrain(assigned, cents, dim, m, ksub, iters)
+    Dedup.scoped(materialize, qd)(
+      ivfRpqProbe(assigned, cents, books, q, nProbe, k, rerank))
+  }
+
   /** Deterministic coarse-quantizer seeds: the K lowest-id vectors. */
   private def seedCentroids(q: DataFrame, nCentroids: Int): Array[Array[Double]] =
     q.orderBy("vec_id").limit(nCentroids)

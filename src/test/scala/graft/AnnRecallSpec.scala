@@ -318,20 +318,32 @@ class AnnRecallSpec extends SparkSpec {
             // otherwise rank into the rerank set
             info(f"ann_ivf_pq recall@20 = $rc%.3f")
             assert(rc >= 0.7, f"composed IVF×PQ degraded: $rc%.3f (floor 0.7)")
+            // RESIDUAL books (registered ann_ivf_rpq, r17): identical
+            // bytes, codebooks spent on local structure — measured
+            // 0.90 vs flat 0.85 on this fixture; floor 0.85 keeps the
+            // lift-over-flat pinned while leaving fixture noise room
+            val rbooks = Similarity.rpqTrain(asg, cents, Queries.Dim)
+            val rr = Bench.recallFrom(e, pre, (_, qv) =>
+              Similarity.ivfRpqProbe(asg, cents, rbooks, qv,
+                Similarity.nProbeWideFor(nLists), k = K + 1, rerank = 8))
+            info(f"ann_ivf_rpq recall@20 = $rr%.3f")
+            assert(rr >= 0.85, f"residual IVF×PQ degraded: $rr%.3f (floor 0.85)")
+            assert(rr >= rc - 0.05,
+              f"residual books under flat books: $rr%.3f < $rc%.3f - 0.05")
           } finally asg.unpersist()
         } finally coded.unpersist()
       } finally qd.unpersist()
     } finally e.unpersist()
   }
 
-  test("bench recall section emits the full eleven-rung ladder (no silent drop)") {
+  test("bench recall section emits the full twelve-rung ladder (no silent drop)") {
     // the per-round artifact's recall JSON must carry every registered
     // rung — a refactor that drops one would silently shrink the
     // driver-visible ladder (sf0.001 keeps the structural pin cheap)
     val (json, default) = Bench.recallSection(spark, "/root/testdata/sf0.001")
     Seq("ann_topk", "ann_ivf_wide", "ann_multiprobe_h1", "ann_multiprobe",
       "ann_bucket_floor", "ann_ensemble", "ivf_topk", "ann_sq8", "ann_ivf_sq8",
-      "ann_pq", "ann_ivf_pq")
+      "ann_pq", "ann_ivf_pq", "ann_ivf_rpq")
       .foreach(k => assert(json.contains("\"" + k + "\""), s"ladder rung $k missing"))
     assert(default.isDefined, "default ann_topk recall missing from the tail")
   }

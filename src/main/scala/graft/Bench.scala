@@ -478,7 +478,13 @@ object Bench {
         ("ann_ivf_pq", (_, qv) =>
           Similarity.ivfPqProbe(spillAsg, spillCents, pqBooks, qv,
             Similarity.nProbeWideFor(nLists), k = k + 1, rerank = 8)))
-      val measured = forms.map { case (name, approx) =>
+      // r17 residual rung: books trained on own-list residuals — same
+      // bytes as ann_ivf_pq, measured +0.05 recall (the twelfth rung)
+      val rpqBooks = Similarity.rpqTrain(spillAsg, spillCents, Queries.Dim)
+      val allForms = forms :+ (("ann_ivf_rpq", (_: DataFrame, qv: Array[Float]) =>
+        Similarity.ivfRpqProbe(spillAsg, spillCents, rpqBooks, qv,
+          Similarity.nProbeWideFor(nLists), k = k + 1, rerank = 8)))
+      val measured = allForms.map { case (name, approx) =>
         name -> recallFrom(e, pre, approx)
       }
       // scanned-row fraction of the default's probe (index rows whose
@@ -536,7 +542,8 @@ object Bench {
       // at the default vs 2.37 s sized-to-workload — the cross-round
       // "in-session heavy-neighbor slowdown" was this eviction, not GC.
       // STATIC conf: must be set on the JVM's first session.
-      .config("spark.sql.codegen.cache.maxEntries", "12000")
+      .config("spark.sql.codegen.cache.maxEntries",
+        GraftSession.CodegenCacheEntries.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -584,6 +591,13 @@ object Bench {
     // per query: (seconds, error, pass index) — pass index keys into
     // passSentinelS for the noise flag
     val samples = scala.collection.mutable.Map.empty[String, List[(Double, Option[String], Int)]]
+    // lifecycle split (r17): seconds spent INSIDE the query function —
+    // index build+persist, driver-side planning, eager probe scheduling
+    // — vs the measured action itself. Queries that rebuild an index
+    // per evaluation (ann_probe_join_split, ivf_append_probe) otherwise
+    // put ~80% build noise into the number the regression tracker
+    // watches. Keyed (name → (build_s, pass)); probe_s = total − build.
+    val buildSecs = scala.collection.mutable.Map.empty[String, List[(Double, Int)]]
     // per query: (shuffle_write, shuffle_read, spill) bytes from the
     // first successful pass (passes are plan-identical; re-measuring
     // would only add listener noise)
@@ -620,7 +634,7 @@ object Bench {
     // because the old code wrote only at exit).
     // per-query rollup shared by the full artifact and the compact tail
     // line (min over ok passes, error fallback, noisy flag)
-    def coldResults(): Seq[(String, Double, Option[String], List[Double], Boolean)] = {
+    def coldResults(): Seq[(String, Double, Option[String], List[Double], Boolean, Option[Double])] = {
       val sMin = if (passSentinelS.nonEmpty) passSentinelS.values.min else 0.0
       named.flatMap { case (name, _) =>
         samples.get(name).map { runsOut =>
@@ -631,6 +645,9 @@ object Bench {
           val ok = runsOut.collect { case (t, None, p) => (t, p) }
           if (ok.nonEmpty) {
             val (minT, minPass) = ok.minBy(_._1)
+            // the min pass's lifecycle split (build = inside the query fn)
+            val build = buildSecs.get(name)
+              .flatMap(_.collectFirst { case (b, p) if p == minPass => b })
             // noisy ⇔ the best measurement is still untrustworthy:
             // either the passes disagree >2× (a burst ate some of them
             // and with few passes the min may not have escaped), or the
@@ -645,9 +662,10 @@ object Bench {
             // sub-second sentinel jitter is not contention
             val sentinelNoisy = sMin > 0 &&
               passSentinelS.get(minPass).exists(s => s > 2 * sMin && s > sMin + 1.0)
-            (name, minT, None: Option[String], ok.map(_._1), spreadNoisy || sentinelNoisy)
+            (name, minT, None: Option[String], ok.map(_._1),
+              spreadNoisy || sentinelNoisy, build)
           } else (name, runsOut.map(_._1).min, runsOut.collectFirst { case (_, Some(e), _) => e },
-            Nil: List[Double], false)
+            Nil: List[Double], false, None: Option[Double])
         }
       }
     }
@@ -656,17 +674,22 @@ object Bench {
       // ms precision keeps the one-line artifact short enough for tail
       // captures that truncate from the front (a full-precision double per
       // query tripled the line length and broke downstream parsers)
-      val qs = results.map { case (k, v, _, _, _) => s""""$k":${fmt(v, 3)}""" }
+      val qs = results.map { case (k, v, _, _, _, _) => s""""$k":${fmt(v, 3)}""" }
         .mkString("{", ",", "}")
-      val detail = results.collect { case (k, _, None, passes, noisy) =>
+      val detail = results.collect { case (k, v, None, passes, noisy, build) =>
         val sh = shuffleStats.get(k).map { case (w, r, sp) =>
           s""","shuffle_w_mb":${fmt(w / 1048576.0, 1)}""" +
             s""","shuffle_r_mb":${fmt(r / 1048576.0, 1)}""" +
             s""","spill_mb":${fmt(sp / 1048576.0, 1)}"""
         }.getOrElse("")
-        s""""$k":{"passes":[${passes.map(fmt(_, 2)).mkString(",")}],"noisy":$noisy$sh}"""
+        // lifecycle split whenever the in-fn phase is non-trivial: the
+        // regression tracker reads probe_s for build-dominated rows
+        val lc = build.filter(_ >= 0.1).map(b =>
+          s""","build_s":${fmt(b, 2)},"probe_s":${fmt(math.max(v - b, 0), 2)}""")
+          .getOrElse("")
+        s""""$k":{"passes":[${passes.map(fmt(_, 2)).mkString(",")}],"noisy":$noisy$sh$lc}"""
       }.mkString("{", ",", "}")
-      val failed = results.collect { case (k, _, Some(e), _, _) => s"\"$k\":\"${esc(e)}\"" }
+      val failed = results.collect { case (k, _, Some(e), _, _, _) => s"\"$k\":\"${esc(e)}\"" }
         .mkString("{", ",", "}")
       val skipped = named.collect { case (n, _) if !samples.contains(n) => s""""$n"""" }
         .mkString("[", ",", "]")
@@ -675,7 +698,7 @@ object Bench {
       val nFailed = results.count(_._3.isDefined)
       val nNoisy = results.count(_._5)
       // a failed query's partial elapsed time must not inflate the headline
-      val total = results.collect { case (_, v, None, _, _) => v }.sum
+      val total = results.collect { case (_, v, None, _, _, _) => v }.sum
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","cold_runs":$coldRuns,"queries":$qs,""" +
         s""""query_detail":$detail,"sentinel_s":$sentinelJson,"n_noisy":$nNoisy,""" +
         s""""n_failed":$nFailed,"failed":$failed,"skipped":$skipped,""" +
@@ -690,19 +713,83 @@ object Bench {
       json
     }
 
+    def runSentinel(pass: Int): Unit = if (!pastDeadline) {
+      // the sentinel is pure CPU through the scheduler (no IO, no
+      // cache interplay): ~0.2 s quiet, and it scales with exactly the
+      // contention that poisons the real measurements
+      val tS = System.nanoTime()
+      spark.range(256L << 20).agg(sum("id")).head()
+      passSentinelS(pass) = (System.nanoTime() - tS) / 1e9
+    }
+    def runOne(name: String, fn: Queries.Q, pass: Int): Unit = {
+      // each run measured against a clean block manager: several
+      // operators cache intra-query frames, and the suite's accumulated
+      // (never-revisited) entries otherwise squeeze execution memory for
+      // the later queries — eviction thrash, not honest cold cost.
+      // clearCache only drops CacheManager entries; the dedup operators'
+      // localCheckpoint snapshots are RDD-level persists freed lazily by
+      // the ContextCleaner, so drop those explicitly too — EXCEPT the
+      // stage memo's snapshots: those are the one cross-query residency
+      // that IS re-read (near_dup_survivors derives from the pairs that
+      // near_dup_groups staged; on a cluster they'd be persisted tables).
+      spark.catalog.clearCache()
+      val staged = graft.operators.Dedup.stagedSnapshotIds
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!staged.contains(id)) rdd.unpersist(false)
+      }
+      val preShuffle = if (shuffleStats.contains(name)) (0L, 0L, 0L)
+                       else tally.settled()
+      val t0 = System.nanoTime()
+      // lifecycle mark: nanoTime when the query FUNCTION returned (index
+      // build+persist + driver-side planning done) and the measured
+      // action is about to start; −1 until then
+      val buildMark = new java.util.concurrent.atomic.AtomicLong(-1L)
+      // Per-query cap: the deadline only fires BETWEEN queries, so one
+      // wedged query would otherwise eat the whole window (r8 died
+      // mid-query). The job group is thread-local — set it inside the
+      // query's own thread so cancelJobGroup can reach its Spark jobs.
+      val group = s"bench-$name-$pass"
+      // noop-sink write: forces full evaluation of every column (a bare
+      // count() would let Catalyst prune the projections being measured).
+      val fut = scala.concurrent.Future {
+        spark.sparkContext.setJobGroup(group, group, interruptOnCancel = true)
+        val df = fn(spark, sfDir)
+        buildMark.set(System.nanoTime())
+        df.write.format("noop").mode("overwrite").save()
+      }(scala.concurrent.ExecutionContext.global)
+      val err =
+        try {
+          scala.concurrent.Await.result(fut,
+            scala.concurrent.duration.Duration(queryCapS.toLong, "s"))
+          None
+        } catch {
+          case _: java.util.concurrent.TimeoutException =>
+            spark.sparkContext.cancelJobGroup(group)
+            tallyQuarantine = 3
+            System.err.println(s"[bench] TIMEOUT $name after ${queryCapS}s")
+            Some(s"timeout after ${queryCapS}s")
+          case e: Throwable =>
+            System.err.println(s"[bench] FAIL $name: $e")
+            Some(e.toString)
+        }
+      samples(name) = samples.getOrElse(name, Nil) :+
+        (((System.nanoTime() - t0) / 1e9, err, pass))
+      if (err.isEmpty && buildMark.get() >= 0)
+        buildSecs(name) = buildSecs.getOrElse(name, Nil) :+
+          (((buildMark.get() - t0) / 1e9, pass))
+      if (err.isEmpty && !shuffleStats.contains(name) && tallyQuarantine == 0) {
+        val (w1, r1, s1) = tally.settled()
+        shuffleStats(name) = (w1 - preShuffle._1, r1 - preShuffle._2, s1 - preShuffle._3)
+      } else if (err.isEmpty && tallyQuarantine > 0) tallyQuarantine -= 1
+      writeArtifact("\"pending\"")
+    }
+
     // warm the sentinel's own codegen/JIT path BEFORE pass 1 — unwarmed,
     // the first pass's sentinel read ~10× high (its own compilation) and
     // falsely flagged every query whose min landed in pass 1
     spark.range(256L << 20).agg(sum("id")).head()
     for (pass <- 1 to coldRuns) {
-      if (!pastDeadline) {
-        // the sentinel is pure CPU through the scheduler (no IO, no
-        // cache interplay): ~0.2 s quiet, and it scales with exactly the
-        // contention that poisons the real measurements
-        val tS = System.nanoTime()
-        spark.range(256L << 20).agg(sum("id")).head()
-        passSentinelS(pass) = (System.nanoTime() - tS) / 1e9
-      }
+      runSentinel(pass)
       for ((name, fn) <- named) {
         // the two staged near-dup queries run ONCE (pass 1): a re-run hits
         // the stage memo (reporting a memo probe as "cold"), and
@@ -710,59 +797,32 @@ object Bench {
         // pipeline rebuild it is designed to never pay
         val once = name == "near_dup_groups" || name == "near_dup_survivors"
         if (pastDeadline) deadlineHit = true
-        if (!deadlineHit && (!once || pass == 1)) {
-          // each run measured against a clean block manager: several
-          // operators cache intra-query frames, and the suite's accumulated
-          // (never-revisited) entries otherwise squeeze execution memory for
-          // the later queries — eviction thrash, not honest cold cost.
-          // clearCache only drops CacheManager entries; the dedup operators'
-          // localCheckpoint snapshots are RDD-level persists freed lazily by
-          // the ContextCleaner, so drop those explicitly too — EXCEPT the
-          // stage memo's snapshots: those are the one cross-query residency
-          // that IS re-read (near_dup_survivors derives from the pairs that
-          // near_dup_groups staged; on a cluster they'd be persisted tables).
-          spark.catalog.clearCache()
-          val staged = graft.operators.Dedup.stagedSnapshotIds
-          spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-            if (!staged.contains(id)) rdd.unpersist(false)
-          }
-          val preShuffle = if (shuffleStats.contains(name)) (0L, 0L, 0L)
-                           else tally.settled()
-          val t0 = System.nanoTime()
-          // Per-query cap: the deadline only fires BETWEEN queries, so one
-          // wedged query would otherwise eat the whole window (r8 died
-          // mid-query). The job group is thread-local — set it inside the
-          // query's own thread so cancelJobGroup can reach its Spark jobs.
-          val group = s"bench-$name-$pass"
-          // noop-sink write: forces full evaluation of every column (a bare
-          // count() would let Catalyst prune the projections being measured).
-          val fut = scala.concurrent.Future {
-            spark.sparkContext.setJobGroup(group, group, interruptOnCancel = true)
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          }(scala.concurrent.ExecutionContext.global)
-          val err =
-            try {
-              scala.concurrent.Await.result(fut,
-                scala.concurrent.duration.Duration(queryCapS.toLong, "s"))
-              None
-            } catch {
-              case _: java.util.concurrent.TimeoutException =>
-                spark.sparkContext.cancelJobGroup(group)
-                tallyQuarantine = 3
-                System.err.println(s"[bench] TIMEOUT $name after ${queryCapS}s")
-                Some(s"timeout after ${queryCapS}s")
-              case e: Throwable =>
-                System.err.println(s"[bench] FAIL $name: $e")
-                Some(e.toString)
-            }
-          samples(name) = samples.getOrElse(name, Nil) :+
-            (((System.nanoTime() - t0) / 1e9, err, pass))
-          if (err.isEmpty && !shuffleStats.contains(name) && tallyQuarantine == 0) {
-            val (w1, r1, s1) = tally.settled()
-            shuffleStats(name) = (w1 - preShuffle._1, r1 - preShuffle._2, s1 - preShuffle._3)
-          } else if (err.isEmpty && tallyQuarantine > 0) tallyQuarantine -= 1
-          writeArtifact("\"pending\"")
-        }
+        if (!deadlineHit && (!once || pass == 1)) runOne(name, fn, pass)
+      }
+    }
+    // ── adaptive noise top-up (r17) ──────────────────────────────────
+    // Past ~15 noisy rows the artifact's round-over-round deltas stop
+    // being adjudicable (r16 ran n_noisy=35 in a busy window). Instead
+    // of paying another FULL pass, re-run only the still-noisy queries
+    // — a fresh quiet-window measurement either lowers the min or
+    // clears the flag (the min's own pass sentinel goes quiet). Bounded
+    // and deadline-guarded; the once-queries are excluded (their memo
+    // makes a re-run not cold).
+    val noisyBar = math.max(0,
+      sys.env.get("SPARK_GRAFT_NOISY_BAR").flatMap(_.toIntOption).getOrElse(15))
+    val maxTopup = math.max(0,
+      sys.env.get("SPARK_GRAFT_NOISY_TOPUP").flatMap(_.toIntOption).getOrElse(2))
+    var topup = 0
+    while (topup < maxTopup && !pastDeadline && !deadlineHit &&
+        coldResults().count(_._5) > noisyBar) {
+      topup += 1
+      val pass = coldRuns + topup
+      runSentinel(pass)
+      val noisy = coldResults().collect { case (n, _, _, _, true, _) => n }.toSet
+      System.err.println(s"[bench] noise top-up pass $pass: ${noisy.size} noisy rows")
+      for ((name, fn) <- named
+           if noisy(name) && name != "near_dup_groups" && name != "near_dup_survivors") {
+        if (!pastDeadline) runOne(name, fn, pass)
       }
     }
     if (deadlineHit)
@@ -812,6 +872,10 @@ object Bench {
             f""""ann_scan10":${s10.annScan}%.3f,"ann_rec10":${s10.annRecall}%.2f,""" +
             // the SHIPPED default (wide × SQ8) at 10× — row-scan + recall
             f""""ann_def_scan10":${s10.annDefScan}%.3f,"ann_def_rec10":${s10.annDefRecall}%.2f,""" +
+            // PQ byte ladder at 10× (r17): ADC byte fraction must be
+            // flat-or-falling (scan ∝ 1/√N, rerank amortizes ∝ 1/N)
+            // and IVF×PQ recall must hold
+            f""""ann_pq_scan10":${s10.pqByteFrac}%.4f,"ann_pq_rec10":${s10.pqRecall}%.2f,""" +
             // batched schedule-join per-probe wall ratio 10×/1× (r16):
             // the bound is √factor, not flat — per-probe scanned ROWS
             // grow ∝ √N (fraction nProbe/K ∝ 1/√N × rows ∝ N), so at
@@ -835,8 +899,12 @@ object Bench {
     // set ONCE here so the final full artifact and the compact tail
     // carry the same field (mid-run "pending" artifacts keep the
     // placeholder: a partial suite must not flag phantom movers)
+    val finalCold = coldResults()
     regrJson = regressionsJson(
-      coldResults().collect { case (k, v, None, _, _) => k -> v }.toMap)
+      finalCold.collect { case (k, v, None, _, _, _) => k -> v }.toMap,
+      probe = finalCold.collect {
+        case (k, v, None, _, _, Some(b)) if b >= 1.0 => k -> math.max(v - b, 0)
+      }.toMap)
     // bare-JSON artifact: stdout rides through sbt's "[info] " decoration,
     // which breaks naive line parsers — the file carries the clean line
     val json = writeArtifact(serveJson)
@@ -857,10 +925,18 @@ object Bench {
       .sortBy { case (n, (w, r, _)) => (-(w + r), n) }.take(5)
       .map { case (n, (w, r, _)) => s""""$n":${fmt((w + r) / 1048576.0, 0)}""" }
       .mkString("{", ",", "}")
+    // lifecycle split for build-dominated rows (build ≥ 1 s inside the
+    // query fn): rides the compact line so NEXT round's regression
+    // check can key those rows on the probe component (b=build, p=probe)
+    val lifecycleJson = finalCold.collect {
+      case (k, v, None, _, _, Some(b)) if b >= 1.0 =>
+        s""""$k":{"b":${fmt(b, 1)},"p":${fmt(math.max(v - b, 0), 1)}}"""
+    }.mkString("{", ",", "}")
     val extra = recallDefault.map(r => s""""recall20_ann":${fmt(r, 2)},""").getOrElse("") +
       goldenCompact.map(g => s""""golden":$g,""").getOrElse("") +
       soakCompact.map(s => s""""soak10x":$s,""").getOrElse("") +
-      s""""n_noisy":${coldResults().count(_._5)},""" +
+      s""""n_noisy":${finalCold.count(_._5)},""" +
+      (if (lifecycleJson != "{}") s""""lifecycle":$lifecycleJson,""" else "") +
       s""""regressions":$regrJson,""" +
       (if (shuffleStats.nonEmpty) s""""shuffle_top_mb":$shuffleTop,""" else "")
     println(compactJson(samples.toMap, named.map(_._1), sfDir, extra = extra))
@@ -893,7 +969,8 @@ object Bench {
     * driver-tail A/B discipline still applies before blaming code:
     * this field FLAGS movers, the AbProbe interleave adjudicates. */
   private[graft] def regressionsJson(cur: Map[String, Double],
-                                     dir: String = "."): String = {
+                                     dir: String = ".",
+                                     probe: Map[String, Double] = Map.empty): String = {
     try {
       val files = Option(new java.io.File(dir).listFiles())
         .getOrElse(Array.empty[java.io.File])
@@ -906,12 +983,27 @@ object Bench {
       if (!q.isObject) return s"""{"base":"$base","rows":{}}"""
       val prior = scala.collection.mutable.Map.empty[String, Double]
       q.fields().forEachRemaining(e => prior(e.getKey) = e.getValue.asDouble())
+      // lifecycle rows (r17): when BOTH rounds carry a probe-component
+      // number for a query (the compact line's lifecycle.{q}.p), the
+      // mover check compares probe vs probe — build+persist noise for
+      // per-evaluation index builds stops masquerading as a regression
+      val priorProbe = scala.collection.mutable.Map.empty[String, Double]
+      val lc = root.path("parsed").path("lifecycle")
+      if (lc.isObject)
+        lc.fields().forEachRemaining { e =>
+          val p = e.getValue.path("p")
+          if (p.isNumber) priorProbe(e.getKey) = p.asDouble()
+        }
       val rows = cur.toSeq.flatMap { case (k, v) =>
-        prior.get(k) match {
-          case Some(p) if v - p > 1.0 && v > 1.5 * p =>
-            Some((v - p, s""""$k":{"prev":${fmt(p, 1)},"cur":${fmt(v, 1)}}"""))
-          case None if v >= 2.0 =>
-            Some((v, s""""$k":{"prev":null,"cur":${fmt(v, 1)}}"""))
+        val (cv, pvOpt, basis) = (probe.get(k), priorProbe.get(k)) match {
+          case (Some(cp), Some(pp)) => (cp, Some(pp), ""","basis":"probe"""")
+          case _ => (v, prior.get(k), "")
+        }
+        pvOpt match {
+          case Some(p) if cv - p > 1.0 && cv > 1.5 * p =>
+            Some((cv - p, s""""$k":{"prev":${fmt(p, 1)},"cur":${fmt(cv, 1)}$basis}"""))
+          case None if cv >= 2.0 =>
+            Some((cv, s""""$k":{"prev":null,"cur":${fmt(cv, 1)}$basis}"""))
           case _ => None
         }
       }.sortBy { case (d, s) => (-d, s) }.take(5).map(_._2)

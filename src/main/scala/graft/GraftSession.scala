@@ -10,6 +10,17 @@ import org.apache.spark.sql.SparkSession
   * DataFrames play the role of the reference's SQLite/Chroma handles.
   */
 object GraftSession {
+  /** Generated-class cache size DERIVED from the registry, not pinned
+    * (r16 verdict #7): the r16 fix shipped 12000 as a static number
+    * sized to that round's 160-query registry — at 300+ queries the
+    * same eviction cliff would have returned silently. The measured
+    * sizing rule is ~75 distinct generated classes per registered query
+    * (160 queries ↔ 12000 — the value that removed the cliff), and the
+    * floor keeps today's measured-good value as the minimum. Each cache
+    * entry is one compiled class (code-keyed), so over-sizing costs
+    * only metaspace headroom, never correctness. */
+  val CodegenCacheEntries: Int = math.max(12000, Queries.all.size * 75)
+
   def builder(appName: String = "graft", cores: String = "32"): SparkSession.Builder =
     SparkSession.builder()
       .appName(appName)
@@ -28,7 +39,10 @@ object GraftSession {
       // 4-query session at the default re-planned quran_search_fts at
       // 4.27 s vs 2.37 s with the cache sized to the workload — the
       // "generic heavy-neighbor slowdown" was codegen-cache eviction.
-      .config("spark.sql.codegen.cache.maxEntries", "12000")
+      // Sized from the registry (not a constant) so the eviction cliff
+      // cannot silently return as the registry grows — see
+      // [[GraftSession.CodegenCacheEntries]].
+      .config("spark.sql.codegen.cache.maxEntries", CodegenCacheEntries.toString)
       .config("spark.ui.enabled", "false")
 
   def local(appName: String = "graft", cores: String = "32"): SparkSession = {

@@ -102,7 +102,9 @@ object Soak {
                          streamS: Double, spillMb: Double, trips: Long,
                          annTrainS: Double, annScan: Double, annRecall: Double,
                          annDefScan: Double = 0.0, annDefRecall: Double = 0.0,
-                         annBatchS: Double = 0.0, annBatchProbes: Long = 0L)
+                         annBatchS: Double = 0.0, annBatchProbes: Long = 0L,
+                         pqTrainS: Double = 0.0, pqRecall: Double = 0.0,
+                         pqByteFrac: Double = 0.0)
 
   /** Run the soak on an EXISTING session (the bench embeds this) —
     * returns (full JSON, per-factor numbers). The listener and every
@@ -209,7 +211,7 @@ object Soak {
       // K ∝ √N keeps that fraction shrinking, so a rising per-probe
       // ratio means the schedule/dedupe shape stopped scaling.
       val nBatchProbes = 32L
-      val (annScan, annRecall, defScan, defRecall, batchS) =
+      val (annScan, annRecall, defScan, defRecall, batchS, pqTrainS, pqRecall, pqByteFrac) =
         try {
           val pre = Bench.recallBaselines(emb, Seq(0L, 7L), 20)
           val recall = Bench.recallFrom(emb, pre, (_, qv) =>
@@ -221,12 +223,30 @@ object Soak {
             asg.where(col("centroid").isin(ps.map(x => x: Any): _*))
               .count().toDouble / nV.toDouble
           }.sum / pre.size
+          val scanW = scanAt(nProbeW)
+          // PQ rungs at scale (r17 — r16 verdict #6): codebooks train on
+          // the SAME assigned frame (corpus-global, like the registered
+          // rung), the composed IVF×PQ probe measures recall@20 at this
+          // factor, and the ADC byte fraction is derived from the
+          // measured row-scan fraction: scanned rows × m code bytes +
+          // k·rerank exact-rerank vectors, over N full vectors. The
+          // rerank term amortizes ∝ 1/N and the scan fraction falls
+          // ∝ 1/√N, so the fraction must be flat-or-falling at 10×.
+          val m = 8
+          val tPq0 = System.nanoTime()
+          val books = Similarity.pqTrain(
+            asg.select(col("vec_id"), col("qv")), Queries.Dim, m, 16, 1)
+          val tPq = (System.nanoTime() - tPq0) / 1e9
+          val pqRec = Bench.recallFrom(emb, pre, (_, qv) =>
+            Similarity.ivfPqProbe(asg, cents, books, qv, nProbeW, k = 21))
+          val pqFrac = scanW * (m / (Queries.Dim * 4.0)) +
+            (21.0 * 8) / nV.toDouble
           val tB0 = System.nanoTime()
           Similarity.ivfProbeSpillJoin(asg, cents,
             emb.where(col("vec_id") < nBatchProbes), "vec_id", "embedding",
             nProbe, k = 20).write.format("noop").mode("overwrite").save()
           val tB = (System.nanoTime() - tB0) / 1e9
-          (scanAt(nProbe), recall, scanAt(nProbeW), recallDef, tB)
+          (scanAt(nProbe), recall, scanW, recallDef, tB, tPq, pqRec, pqFrac)
         } finally { asg.unpersist(); emb.unpersist(): Unit }
       System.err.println(
         f"[soak] x$factor ann          $tTrain%7.2f s  lists=$nLists probe=$nProbe scan=$annScan%.3f recall=$annRecall%.2f def(probe=$nProbeW scan=$defScan%.3f recall=$defRecall%.2f) batch($nBatchProbes probes $batchS%.2f s)")
@@ -242,9 +262,11 @@ object Soak {
           f""""ann":{"n_vecs":$nV,"lists":$nLists,"nprobe":$nProbe,""" +
           f""""train_s":$tTrain%.2f,"scan_frac":$annScan%.4f,"recall20":$annRecall%.3f,""" +
           f""""def_nprobe":$nProbeW,"def_scan_frac":$defScan%.4f,"def_recall20":$defRecall%.3f,""" +
+          f""""pq_train_s":$pqTrainS%.2f,"pq_recall20":$pqRecall%.3f,"pq_byte_frac":$pqByteFrac%.5f,""" +
           f""""batch_probes":$nBatchProbes,"batch_s":$batchS%.2f}}"""
       (json, Scale(n, tStage, tIncr, tStream, spillMb, trips,
-        tTrain, annScan, annRecall, defScan, defRecall, batchS, nBatchProbes))
+        tTrain, annScan, annRecall, defScan, defRecall, batchS, nBatchProbes,
+        pqTrainS, pqRecall, pqByteFrac))
     }
 
     try {

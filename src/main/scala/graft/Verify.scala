@@ -18,7 +18,8 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       // the full registry in one session thrashes the default 100-entry
       // generated-class cache (see Bench.main) — size it to the workload
-      .config("spark.sql.codegen.cache.maxEntries", "12000")
+      .config("spark.sql.codegen.cache.maxEntries",
+        GraftSession.CodegenCacheEntries.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -121,6 +121,48 @@ class BenchArtifactSpec extends AnyFunSuite {
     assert(t2.get("base").isNull && t2.get("rows").size() === 0)
   }
 
+  test("regressionsJson keys lifecycle rows on the probe component (r17)") {
+    val dir = java.nio.file.Files.createTempDirectory("bench-regr-lc").toString
+    // prior round: build_q totals 6.0 s but its probe was 1.0 s
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/BENCH_r16.json"),
+      ("""{"n":16,"parsed":{"queries":{"build_q":6.0,"plain_q":2.0},""" +
+        """"lifecycle":{"build_q":{"b":5.0,"p":1.0}}}}""").getBytes("UTF-8"))
+    // current round: total ballooned to 9.0 (build noise) but probe held
+    // at 1.1 — with probe-keying this is NOT a mover
+    val cur = Map("build_q" -> 9.0, "plain_q" -> 2.1)
+    val quiet = mapper.readTree(Bench.regressionsJson(cur, dir,
+      probe = Map("build_q" -> 1.1)))
+    assert(quiet.get("rows").size() === 0, s"build noise flagged: $quiet")
+    // a REAL probe regression (1.0 → 3.5) is flagged on the probe basis
+    val hot = mapper.readTree(Bench.regressionsJson(cur, dir,
+      probe = Map("build_q" -> 3.5)))
+    assert(hot.get("rows").size() === 1)
+    assert(hot.get("rows").get("build_q").get("prev").asDouble() === 1.0)
+    assert(hot.get("rows").get("build_q").get("cur").asDouble() === 3.5)
+    assert(hot.get("rows").get("build_q").get("basis").asText() === "probe")
+    // prior artifact WITHOUT a lifecycle section: falls back to totals
+    // (the first round after the split ships)
+    val dir2 = java.nio.file.Files.createTempDirectory("bench-regr-lc2").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir2/BENCH_r16.json"),
+      """{"n":16,"parsed":{"queries":{"build_q":6.0}}}""".getBytes("UTF-8"))
+    val fb = mapper.readTree(Bench.regressionsJson(Map("build_q" -> 9.0), dir2,
+      probe = Map("build_q" -> 1.1)))
+    assert(fb.get("rows").size() === 0) // 9.0 vs 6.0: under the 1.5x bar
+    val fb2 = mapper.readTree(Bench.regressionsJson(Map("build_q" -> 12.0), dir2,
+      probe = Map("build_q" -> 1.1)))
+    assert(fb2.get("rows").get("build_q").get("prev").asDouble() === 6.0)
+  }
+
+  test("codegen cache floor tracks registry growth (r16 verdict #7)") {
+    // the r16 eviction-cliff fix must not silently expire as the
+    // registry grows: the session conf derives from registry size at
+    // the measured ~75 classes/query rule, floored at the r16 value
+    val n = SparkEntry.queries.size
+    assert(GraftSession.CodegenCacheEntries >= n * 75,
+      s"cache ${GraftSession.CodegenCacheEntries} under-sized for $n queries")
+    assert(GraftSession.CodegenCacheEntries >= 12000)
+  }
+
   test("failed queries are excluded from rows but counted") {
     val samples = mk(10) +
       ("broken_query" -> List((0.5, Some("boom"), 1), (0.6, Some("boom"), 2)))

@@ -712,6 +712,80 @@ object GraftIndexes {
       .write.mode("append").partitionBy("centroid").parquet(s"$dir/assign")
   }
 
+  /** Persist a RESIDUAL IVF×PQ layer (the r17 `ann_ivf_rpq` rung's
+    * serving face — FAISS IVFADC on disk): spill-IVF assignment rows
+    * coded against their own list's centroid through the shared
+    * [[graft.operators.Similarity.rpqRows]] projection, partitioned by
+    * centroid (probes partition-prune), plus the coarse centroids and
+    * residual codebooks as planning sidecars (K·dim + m·ksub·dsub
+    * integral doubles). */
+  def writeRpq(spark: SparkSession, emb: DataFrame, idCol: String,
+               vecCol: String, dir: String, dim: Int, m: Int = 8,
+               ksub: Int = 16, iters: Int = 1, nCentroids: Int = 0,
+               lloydIters: Int = 3,
+               spillDelta: Double = Similarity.SpillDelta): Unit = {
+    val k = if (nCentroids > 0) nCentroids else Similarity.nListsFor(emb.count())
+    val (asg0, cents) = Similarity.ivfIndexSpill(emb, idCol, vecCol, k,
+      lloydIters, spillDelta)
+    val asg = asg0.cache() // books training + the row write both scan it
+    try {
+      val books = Similarity.rpqTrain(asg, cents, dim, m, ksub, iters)
+      Similarity.rpqRows(asg, cents, books)
+        .write.mode("overwrite").partitionBy("centroid").parquet(s"$dir/assign")
+      import spark.implicits._
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("i", "cvec").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/centroids")
+      books.zipWithIndex.flatMap { case (cb, j) =>
+        cb.zipWithIndex.map { case (cv, i) => (j, i, cv.toSeq) }
+      }.toSeq.toDF("j", "i", "cqv").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/books")
+    } finally { asg.unpersist(): Unit }
+  }
+
+  /** Open a persisted residual layer: (assignment+codes frame, coarse
+    * centroids, residual codebooks). Probe via
+    * [[graft.operators.Similarity.rpqProbeLayout]] — spec-pinned
+    * bit-identical to the in-memory rung. */
+  def openRpq(spark: SparkSession, dir: String)
+      : (DataFrame, Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val (asg, cents) = openIvf(spark, dir)
+    (asg, cents, readBooks(spark, dir))
+  }
+
+  private def readBooks(spark: SparkSession,
+                        dir: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$dir/books").orderBy("j", "i").collect()
+    rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map(_._2
+      .sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)).toArray
+  }
+
+  /** INCREMENTAL maintenance of a [[writeRpq]] layer: the delta
+    * assigns against the read-back coarse centroids and residual-codes
+    * against the read-back books (no retrain on either layer — both
+    * assignments are per-row) through the same [[rpqRows]] projection.
+    * Same IDEMPOTENT-APPEND rule as every other face: existing
+    * (vec_id, centroid) pairs anti-join away, so a retried append is a
+    * no-op. Retrain cadence is caller policy. */
+  def appendRpq(spark: SparkSession, delta: DataFrame, idCol: String,
+                vecCol: String, dir: String,
+                spillDelta: Double = Similarity.SpillDelta): Unit = {
+    // layout guards run BEFORE the books read, so a wrong-layout append
+    // fails with the actionable message, not a missing-path error
+    val (asg, cents) = openIvf(spark, dir)
+    requirePrimary(asg, dir)
+    require(asg.columns.contains("pcode"),
+      s"$dir/assign is not a writeRpq layout (no `pcode` column); " +
+        "use the append face matching the layout's write face")
+    val books = readBooks(spark, dir)
+    freshAssignRows(
+      Similarity.rpqRows(
+        Similarity.ivfAssignSpill(delta, idCol, vecCol, cents, spillDelta),
+        cents, books),
+      asg)
+      .write.mode("append").partitionBy("centroid").parquet(s"$dir/assign")
+  }
+
   /** Probe a persisted [[writeIvfSq8]] layout in the two-phase
     * narrow-read shape (the on-disk twin of
     * [[graft.operators.Similarity.ivfSq8Probe]], bit-identical

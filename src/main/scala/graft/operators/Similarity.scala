@@ -993,12 +993,38 @@ object Similarity {
   def ivfRpqProbe(assigned: DataFrame, cents: Array[Array[Double]],
                   books: Array[Array[Array[Double]]], q: Array[Float],
                   nProbe: Int, k: Int, rerank: Int = 8): DataFrame = {
+    val probeSet = spillProbeSet(cents, q, nProbe)
+    val coded = residualFrame(probeDeduped(assigned, probeSet), cents)
+      .withColumn("pcode",
+        pqCodeExpr(col("rqv"), books, books.head.head.length))
+    rpqProbeCoded(coded, cents, books, q, probeSet, k, rerank)
+  }
+
+  /** [[ivfRpqProbe]] over an ALREADY-CODED layout — the persisted form
+    * ([[graft.GraftIndexes.writeRpq]] stores (vec_id, qv, pcode,
+    * primary, centroid) partitioned by list): probe-prune + spill-
+    * dedupe, then score the stored codes directly. */
+  def rpqProbeLayout(assign: DataFrame, cents: Array[Array[Double]],
+                     books: Array[Array[Array[Double]]], q: Array[Float],
+                     nProbe: Int, k: Int, rerank: Int = 8): DataFrame = {
+    val probeSet = spillProbeSet(cents, q, nProbe)
+    rpqProbeCoded(probeDeduped(assign, probeSet), cents, books, q,
+      probeSet, k, rerank)
+  }
+
+  /** Residual-ADC rank + exact rerank over a frame carrying (vec_id,
+    * qv, centroid, pcode) — the scoring tail shared by the in-memory
+    * rung and the persisted layout (one derivation, so the two cannot
+    * drift on what a residual score is). */
+  private[graft] def rpqProbeCoded(coded: DataFrame,
+      cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      q: Array[Float], probeSet: Seq[Int], k: Int,
+      rerank: Int): DataFrame = {
     val qq = VecFns.quantizeLocal(q)
     if (dotLocal(qq, qq) == 0)
-      return emptyTopK(assigned.select(col("vec_id"), col("qv")))
+      return emptyTopK(coded.select(col("vec_id"), col("qv")))
     val m = books.length
     val dsub = books.head.head.length
-    val probeSet = spillProbeSet(cents, q, nProbe)
     val qn = math.sqrt(dotLocal(qq, qq))
     val dotLut = books.zipWithIndex.map { case (cb, j) =>
       val qs = qq.slice(j * dsub, (j + 1) * dsub)
@@ -1015,8 +1041,6 @@ object Similarity {
       probeSet.map(l => l -> dotLocal(qq, cents(l))).toMap
     val cn2: Map[Int, Double] =
       probeSet.map(l => l -> dotLocal(cents(l), cents(l))).toMap
-    val coded = residualFrame(probeDeduped(assigned, probeSet), cents)
-      .withColumn("pcode", pqCodeExpr(col("rqv"), books, dsub))
     def lutSum(luts: Array[Seq[Double]]): Column =
       luts.zipWithIndex.map { case (l, j) =>
         element_at(typedLit(l), col("pcode")(j).cast("int") + 1)
@@ -1040,6 +1064,17 @@ object Similarity {
         round(VecFns.cosineQ(col("qv"), typedLit(qq.toSeq)), 6).as("cos"))
       .orderBy(desc("cos"), asc("vec_id")).limit(k)
   }
+
+  /** The residual layout's row projection — ONE derivation shared by
+    * [[graft.GraftIndexes.writeRpq]] and [[graft.GraftIndexes.appendRpq]]
+    * (the ivfSq8Rows doctrine): each assignment row coded against ITS
+    * list's centroid. */
+  private[graft] def rpqRows(asg: DataFrame, cents: Array[Array[Double]],
+                             books: Array[Array[Array[Double]]]): DataFrame =
+    residualFrame(asg, cents)
+      .withColumn("pcode",
+        pqCodeExpr(col("rqv"), books, books.head.head.length))
+      .select("vec_id", "qv", "pcode", "primary", "centroid")
 
   /** Cold form of [[ivfRpqProbe]]: spill IVF + residual books + probe
     * (the registered `ann_ivf_rpq` shape). */

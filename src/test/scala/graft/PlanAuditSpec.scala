@@ -891,6 +891,71 @@ class PlanAuditSpec extends SparkSpec {
     assert(appended === oneShot, "appended PQ codes drifted from one-shot encode")
   }
 
+  test("persisted residual layer (r17): rPQ codes on disk, probe bit-identical to the in-memory rung, idempotent append") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("plan-rpq").toString
+    val emb = Tables(spark, sf, "embeddings")
+    val nLists = Similarity.nListsFor(emb.count())
+    val nProbe = Similarity.nProbeWideFor(nLists)
+    GraftIndexes.writeRpq(spark, emb, "vec_id", "embedding", s"$dir/rpq",
+      dim = Queries.Dim, nCentroids = nLists)
+    val (asg, cents, books) = GraftIndexes.openRpq(spark, s"$dir/rpq")
+    // the byte claim is physical: residual codes are m=8 TINYINTs
+    val elem = asg.schema("pcode").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    assert(elem === org.apache.spark.sql.types.ByteType,
+      s"persisted rPQ codes are $elem, not ByteType")
+    assert(asg.select(size(col("pcode"))).head().getInt(0) === 8,
+      "rPQ code is not m=8 bytes")
+    // reopened probe == in-memory cold rung, row for row (centroids and
+    // books are integral doubles — bitwise parquet round-trip; the cold
+    // form retrains from the same deterministic seeds)
+    val q = emb.where(col("vec_id") === 0).head().getSeq[Float](1).toArray
+    val persisted = Similarity.rpqProbeLayout(asg, cents, books, q,
+        nProbe, k = 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val mem = Similarity.ivfRpqTopK(emb, "vec_id", "embedding", q, k = 20,
+        dim = Queries.Dim, nCentroids = nLists, nProbe = nProbe).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(persisted === mem,
+      "persisted residual probe diverged from the in-memory rung")
+    // append face: assign + encode only against the read-back sidecars
+    // (no retrain of either layer), idempotent on retry
+    val dir2 = java.nio.file.Files.createTempDirectory("plan-rpq-idem").toString
+    val base = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+    val delta = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+    GraftIndexes.writeRpq(spark, base, "vec_id", "embedding", s"$dir2/rpq",
+      dim = Queries.Dim)
+    val booksBefore = GraftIndexes.openRpq(spark, s"$dir2/rpq")._3
+    GraftIndexes.appendRpq(spark, delta, "vec_id", "embedding", s"$dir2/rpq")
+    val once = GraftIndexes.openRpq(spark, s"$dir2/rpq")._1.count()
+    GraftIndexes.appendRpq(spark, delta, "vec_id", "embedding", s"$dir2/rpq")
+    val (asg2, cents2, booksAfter) = GraftIndexes.openRpq(spark, s"$dir2/rpq")
+    assert(asg2.count() === once, "retried appendRpq duplicated rows")
+    assert(booksAfter.map(_.map(_.toSeq).toSeq).toSeq ===
+      booksBefore.map(_.map(_.toSeq).toSeq).toSeq, "appendRpq retrained books")
+    // appended rows code through the ONE rpqRows projection: equal to a
+    // one-shot encode of the delta against the same sidecars
+    val oneShot = Similarity.rpqRows(
+        Similarity.ivfAssignSpill(delta, "vec_id", "embedding", cents2),
+        cents2, booksAfter)
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("centroid"),
+        r.getSeq[Byte](2))).toSet
+    val appended = asg2.join(delta.select(col("vec_id").cast("long").as("vec_id")),
+        Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("centroid"), col("pcode"))
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("centroid"),
+        r.getSeq[Byte](2))).toSet
+    assert(appended === oneShot, "appended rPQ codes drifted from one-shot encode")
+    // layout guard: appendRpq refuses a code-less writeIvf layout
+    val dir3 = java.nio.file.Files.createTempDirectory("plan-rpq-guard").toString
+    GraftIndexes.writeIvf(spark, base, "vec_id", "embedding", s"$dir3/ivf")
+    val err = intercept[IllegalArgumentException] {
+      GraftIndexes.appendRpq(spark, delta, "vec_id", "embedding", s"$dir3/ivf")
+    }
+    assert(err.getMessage.contains("pcode"))
+  }
+
   test("persisted SQ8 layer: byte codes on disk, probe bit-identical to the in-memory rung (E3)") {
     import graft.operators.Similarity
     val dir = java.nio.file.Files.createTempDirectory("plan-sq8").toString

@@ -2165,6 +2165,12 @@ object Oracles {
          |c.chapter_title_ar AS chapter_title_ar,
          |CAST(c.hadith_count AS BIGINT) AS hadith_count
          |FROM ch ORDER BY book_id, chapter_id""".stripMargin,
+    // streaming twin: micro-batched parse must equal the batch parse
+    // (the shipped JSONL again — key columns + the recomputed checksum)
+    "stream_parse_ingest" ->
+      s"""SELECT book_id, hadith_id_site, chapter_id, checksum
+         |FROM read_json_auto('$HadithGlob', union_by_name=true)
+         |ORDER BY book_id, hadith_id_site""".stripMargin,
     // hand-computed expectations for the synthetic edge page + index
     // (see Queries.SunnahEdgeBattery for the behavior each row pins)
     "parse_edge_battery" ->

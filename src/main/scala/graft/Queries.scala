@@ -1997,6 +1997,23 @@ object Queries {
             SunnahParse.records(SunnahParse.readPages(s, SunnahHtml),
               SunnahSlug, SunnahName, SunnahBase))
           .orderBy("book_id", "chapter_id")),
+      // streaming twin of parse_book_page (stateless-transform
+      // composition): the 20 saved pages arrive as a FILE STREAM in
+      // ~7-page micro-batches, the SAME records() transform runs per
+      // batch into the transactional parquet sink, and the final corpus
+      // must equal the batch parse — the shipped-JSONL oracle again,
+      // key columns + checksum
+      "stream_parse_ingest" -> ((s, _) => {
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft-stream-parse").toString
+        registerScratchCleanup(scratch)
+        val pages = SunnahParse.readPagesStream(s, SunnahHtml,
+          maxFilesPerTrigger = 7)
+        val recs = SunnahParse.records(pages, SunnahSlug, SunnahName, SunnahBase)
+          .select("book_id", "hadith_id_site", "chapter_id", "checksum")
+        graft.streaming.Streams.runToParquet(recs, scratch)
+          .orderBy("book_id", "hadith_id_site")
+      }),
       // parser behaviors the bundled corpus never exercises, driven on
       // the synthetic [[SunnahEdgeBattery]] page through the SAME
       // DataFrame transforms and pinned by a hand-computed VALUES

@@ -388,30 +388,37 @@ object FtsMatch {
     * evaluation over multi-thousand-token tafsir docs measured 240-400
     * SECONDS per leg; the join form runs the same legs in under a
     * second.) */
-  private def positionsOf(idx: Quran.Index,
-                          ops: Seq[(Seq[String], Option[String])]): DataFrame = {
+  /** Candidate-doc prefilter shared by the positional paths: docs
+    * containing EVERY exact token and, per prefix stem, at least one
+    * matching index term (each a startsWith probe over the
+    * term-clustered postings, like Prefix). */
+  private def prefilter(idx: Quran.Index,
+                        ops: Seq[(Seq[String], Option[String])]): DataFrame = {
     val allToks = ops.flatMap(_._1).distinct
     val prefixes = ops.flatMap(_._2).distinct
-    // candidate prefilter: docs containing EVERY exact token…
     val withAll =
       if (allToks.isEmpty) idx.postings.select("doc_id").distinct()
       else idx.postings.where(col("term").isin(allToks: _*))
         .groupBy("doc_id").agg(countDistinct("term").as("nt"))
         .where(col("nt") === allToks.length).select("doc_id")
-    // …and, per prefix stem, at least one matching index term (each a
-    // startsWith probe over the term-clustered postings, like Prefix)
-    val withPfx = prefixes.foldLeft(withAll) { (acc, p) =>
+    prefixes.foldLeft(withAll) { (acc, p) =>
       acc.join(
         idx.postings.where(col("term").startsWith(p)).select("doc_id"),
         Seq("doc_id"), "left_semi")
     }
+  }
+
+  private def positionsOf(idx: Quran.Index,
+                          ops: Seq[(Seq[String], Option[String])]): DataFrame = {
+    val allToks = ops.flatMap(_._1).distinct
+    val prefixes = ops.flatMap(_._2).distinct
     val keep = (Seq(col("term").isin(allToks: _*))
         .filter(_ => allToks.nonEmpty) ++
       prefixes.map(p => col("term").startsWith(p)))
       .reduce(_ || _)
     idx.docs.select(col("doc_id"),
         graft.functions.TextFns.tokens(col("text_plain")).as("t"))
-      .join(withPfx, Seq("doc_id"), "left_semi")
+      .join(prefilter(idx, ops), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "term")))
       .where(keep)
   }
@@ -445,9 +452,26 @@ object FtsMatch {
       idx.postings.where(col("term").startsWith(p))
         .select("doc_id").distinct()
     case First(inner) =>
+      // anchored atoms need positions ONLY at the doc head: check the
+      // first |ts|(+1) tokens with row-local element_at instead of
+      // posexploding every occurrence of the (often ubiquitous —
+      // `^alla*`) constituent terms across the candidate corpus. Same
+      // head-slice form as the oracle's First twin; an out-of-range
+      // element_at is NULL and the condition filters it (a doc shorter
+      // than the phrase), mirroring the positional guard. Measured on
+      // the registered battery: the `^alla* mercy` leg alone dropped
+      // ~3.5 s → sub-second at sf-fixture scale, and the shape is the
+      // one that survives 100× (one narrow semi-joined scan, no
+      // explode, no positional shuffle joins).
       val (ts, pfx) = positional(inner)
-      phraseStarts(positionsOf(idx, Seq((ts, pfx))), ts, pfx)
-        .where(col("start") === 0).select("doc_id")
+      val conds = ts.zipWithIndex.map { case (tok, j) =>
+        element_at(col("t"), j + 1) === tok
+      } ++ pfx.map(p => element_at(col("t"), ts.length + 1).startsWith(p))
+      idx.docs.select(col("doc_id"),
+          graft.functions.TextFns.tokens(col("text_plain")).as("t"))
+        .join(prefilter(idx, Seq((ts, pfx))), Seq("doc_id"), "left_semi")
+        .where(conds.reduce(_ && _))
+        .select("doc_id")
     case Phrase(ts) =>
       phraseStarts(positionsOf(idx, Seq((ts, None))), ts)
         .select("doc_id").distinct()

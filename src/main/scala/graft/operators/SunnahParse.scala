@@ -312,6 +312,24 @@ object SunnahParse {
           .as("book_id"),
         col("value").as("html"))
 
+  /** Streaming twin of [[readPages]]: saved pages as an UNBOUNDED file
+    * source (FileStreamSource discovers new snapshots as the crawler
+    * lands them; wholetext keeps one page = one row). The extraction
+    * transforms compose unchanged — the parse is stateless per row, so
+    * results are micro-batching-invariant by construction and the
+    * parquet sink's transaction log makes the ingest exactly-once. */
+  def readPagesStream(spark: SparkSession, glob: String,
+                      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val base = spark.readStream.option("wholetext", "true")
+    val r = if (maxFilesPerTrigger > 0)
+      base.option("maxFilesPerTrigger", maxFilesPerTrigger.toString) else base
+    r.text(glob)
+      .select(
+        regexp_extract(input_file_name(), "([^/]+)\\.html$", 1)
+          .as("book_id"),
+        col("value").as("html"))
+  }
+
   private val Sep = "␟" // the checksum field separator (models.py:77)
 
   /** All parsed records from (book_id, html) pages, with the

@@ -821,11 +821,27 @@ object Similarity {
               iters: Int): Array[Array[Array[Double]]] = {
     val dsub = dim / m
     require(m * dsub == dim, s"dim $dim not divisible into $m subspaces")
-    (0 until m).map { j =>
-      val sub = qd.select(col("vec_id"), subSlice(col("qv"), j, dsub).as("qv"))
-      lloydLoop(sub, ksub, iters, sum(col("v").cast("long")),
-        r => (r.getLong(2) / r.getLong(3)).toDouble, bestSubCode)
-    }.toArray
+    // the m subspace trainings are INDEPENDENT Spark jobs over the same
+    // (cached) source — submit them concurrently so the cluster
+    // overlaps their narrow scans instead of paying m sequential
+    // (iters+1)-scan round trips (r17: the rPQ build's wall cost was
+    // ~8× one subspace's). Results are deterministic per subspace, so
+    // the submission order cannot change the books.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(m, 8))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = (0 until m).map { j =>
+        scala.concurrent.Future {
+          val sub = qd.select(col("vec_id"), subSlice(col("qv"), j, dsub).as("qv"))
+          lloydLoop(sub, ksub, iters, sum(col("v").cast("long")),
+            r => (r.getLong(2) / r.getLong(3)).toDouble, bestSubCode)
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration.Inf).toArray
+    } finally pool.shutdown()
   }
 
   /** Per-row PQ code array: element j = nearest sub-centroid of
@@ -974,10 +990,18 @@ object Similarity {
                iters: Int = 1): Array[Array[Array[Double]]] = {
     require(assigned.columns.contains("primary"),
       "rpqTrain needs a spill-IVF assignment frame (with `primary`)")
-    pqTrain(
-      residualFrame(assigned.where(col("centroid") === col("primary")), cents)
-        .select(col("vec_id"), col("rqv").as("qv")),
-      dim, m, ksub, iters)
+    // materialize the residual training frame ONCE: each of the m
+    // subspace trainings scans it (iters+1)×, and uncached every scan
+    // would recompute the upstream spill ASSIGNMENT (K·dim dots per
+    // row) plus the K·dim-literal residual subtraction — measured 9.5 s
+    // → ~2 s for the registered rung at the sf0.1 fixture
+    val rqd = residualFrame(
+        assigned.where(col("centroid") === col("primary")), cents)
+      .select(col("vec_id"), col("rqv").as("qv")).cache()
+    try {
+      rqd.count() // fill the cache before the concurrent trainings race it
+      pqTrain(rqd, dim, m, ksub, iters)
+    } finally { rqd.unpersist(): Unit }
   }
 
   /** Probe an IVF assignment with RESIDUAL codebooks — same bytes as
@@ -994,7 +1018,15 @@ object Similarity {
                   books: Array[Array[Array[Double]]], q: Array[Float],
                   nProbe: Int, k: Int, rerank: Int = 8): DataFrame = {
     val probeSet = spillProbeSet(cents, q, nProbe)
-    val coded = residualFrame(probeDeduped(assigned, probeSet), cents)
+    // probe-side residuals only ever subtract a PROBED list's centroid
+    // — carry an nProbe-sized map literal, not the full K·dim array
+    // (the K=128 full literal rode the plan twice — rank + rerank scans
+    // — and its codegen dominated the probe wall at small fixtures)
+    val probedCents: Map[Int, Seq[Double]] =
+      probeSet.map(l => l -> cents(l).toSeq).toMap
+    val coded = probeDeduped(assigned, probeSet)
+      .withColumn("rqv", zip_with(col("qv"),
+        element_at(typedLit(probedCents), col("centroid")), (v, c) => v - c))
       .withColumn("pcode",
         pqCodeExpr(col("rqv"), books, books.head.head.length))
     rpqProbeCoded(coded, cents, books, q, probeSet, k, rerank)

@@ -1808,7 +1808,8 @@ object Queries {
     // phrase — the one FTS5 grammar form r16 still rejected) plus its
     // composition with the initial-token anchor
     "phrase_prefix" -> "\"most merc\"*",
-    "anchor_prefix" -> "^alla* mercy")
+    "anchor_prefix" -> "^alla* mercy",
+    "near_prefix" -> "NEAR(forgiv* mercy, 12)")
   val HadithBooks = "/root/reference/data/riyadussalihin/book_*.jsonl"
   val HadithQuery = "Hadith narrated by Abu Hurairah"
   val HadithDim = 128

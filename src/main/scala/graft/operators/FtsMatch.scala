@@ -282,8 +282,11 @@ object FtsMatch {
             if !rest.headOption.contains(Word("NEAR")) =>
           atom() match {
             case Left(e) => return Left(e)
-            case Right(a @ (Term(_) | Phrase(_))) => ops ::= a
-            case Right(_) => // prefix operands: outside the subset
+            // any phrase form — including prefix forms (r17): FTS5
+            // accepts NEAR(forgiv* mercy) and NEAR("a b"* c)
+            case Right(a @ (Term(_) | Phrase(_) | Prefix(_) |
+                            PhrasePrefix(_, _))) => ops ::= a
+            case Right(_) =>
               return Left("fts5: syntax error: NEAR operands must be phrases")
           }
         case _ => done = true
@@ -491,17 +494,18 @@ object FtsMatch {
       // the operands' occurrence counts of the QUERY's own terms in one
       // doc — bounded planning-size data, and the span filter runs
       // inside codegen.
-      val seqs = ops.map(opTokens)
-      val pos = positionsOf(idx, seqs.map((_, None)))
-      val frames = seqs.zipWithIndex.map { case (ts, k) =>
-        phraseStarts(pos, ts).withColumnRenamed("start", s"s$k")
+      val shapes = ops.map(positional)
+      val pos = positionsOf(idx, shapes)
+      val frames = shapes.zipWithIndex.map { case ((ts, pfx), k) =>
+        phraseStarts(pos, ts, pfx).withColumnRenamed("start", s"s$k")
       }
       val joined = frames.reduce((a, b) => a.join(b, "doc_id"))
-      val starts = seqs.indices.map(k => col(s"s$k"))
-      val ends = seqs.zipWithIndex.map { case (ts, k) =>
-        col(s"s$k") + lit(ts.length - 1)
+      val starts = shapes.indices.map(k => col(s"s$k"))
+      val lens = shapes.map { case (ts, pfx) => ts.length + pfx.size }
+      val ends = lens.zipWithIndex.map { case (l, k) =>
+        col(s"s$k") + lit(l - 1)
       }
-      val budget = n + seqs.map(_.length).sum
+      val budget = n + lens.sum
       joined
         .where(greatest(ends: _*) - least(starts: _*) + lit(1) <= lit(budget))
         .select("doc_id").distinct()
@@ -582,16 +586,18 @@ object FtsMatch {
     case Or(l, r) => s"(${candSql(l)} UNION ${candSql(r)})"
     case Not(l, r) => s"(${candSql(l)} EXCEPT ${candSql(r)})"
     case Near(ops, n) =>
-      val seqs = ops.map(opTokens)
-      val budget = n + seqs.map(_.length).sum
+      val shapes = ops.map(positional)
+      val lens = shapes.map { case (ts, pfx) => ts.length + pfx.size }
+      val budget = n + lens.sum
       def rec(i: Int, starts: Seq[String]): String =
-        if (i == seqs.length) {
-          val ends = starts.zip(seqs)
-            .map { case (s, ts) => s"$s+${ts.length - 1}" }.mkString(", ")
+        if (i == shapes.length) {
+          val ends = starts.zip(lens)
+            .map { case (s, l) => s"$s+${l - 1}" }.mkString(", ")
           s"(greatest(${ends}) - least(${starts.mkString(", ")}) + 1) <= $budget"
         } else {
           val v = s"x$i"
-          s"len(list_filter(${phrasePosSql(seqs(i))}, $v -> ${rec(i + 1, starts :+ v)})) > 0"
+          val (ts, pfx) = shapes(i)
+          s"len(list_filter(${phrasePosSql(ts, pfx)}, $v -> ${rec(i + 1, starts :+ v)})) > 0"
         }
       s"(SELECT doc_id FROM toks WHERE ${rec(0, Nil)})"
   }

@@ -49,12 +49,16 @@ class FtsMatchSpec extends SparkSpec {
     assert(parse("forgiv* mercy") === Right(And(Prefix("forgiv"), Term("mercy"))))
     assert(parse("^allah") === Right(First(Term("allah"))))
     assert(parse("^\"the quick\"") === Right(First(Phrase(Seq("the", "quick")))))
-    // outside the subset: NEAR prefix operands; dangling star/caret —
-    // all loud errors
-    Seq("NEAR(forgiv* mercy)", "* mercy", "^", "^NOT")
+    // dangling star/caret stay loud errors
+    Seq("* mercy", "^", "^NOT")
       .foreach { q =>
         assert(parse(q).isLeft, s"'$q' should fail to parse")
       }
+    // prefix operands inside NEAR are valid FTS5 (r17)
+    assert(parse("NEAR(forgiv* mercy)") ===
+      Right(Near(Seq(Prefix("forgiv"), Term("mercy")), FtsMatch.DefaultNear)))
+    assert(parse("NEAR(\"quick d\"* far, 1)") ===
+      Right(Near(Seq(PhrasePrefix(Seq("quick"), "d"), Term("far")), 1)))
   }
 
   test("phrase-prefix `\"a b\"*` and attachment rules (r17)") {
@@ -160,6 +164,14 @@ class FtsMatchSpec extends SparkSpec {
     assert(keys("^fox*") === Seq("1:3")) // 'foxes are…' anchors; 1:1 has fox mid-doc
     // composes with set algebra
     assert(keys("\"quick d\"* NOT barks") === Seq("2:2"))
+    // prefix operands inside NEAR (r17): fox/foxes via fox*, window on
+    // the usual FTS5 span rule — 1:1 has fox@3 lazy@7 (span 5 ≤ n+2 at
+    // n=3), 1:3 has foxes@0 lazy@6 (span 7, needs n=5)
+    assert(keys("NEAR(fox* lazy, 3)") === Seq("1:1"))
+    assert(keys("NEAR(fox* lazy, 5)") === Seq("1:1", "1:3"))
+    // phrase-prefix operand: "quick deeds"@5-6 and far@3 in 2:2
+    assert(keys("NEAR(\"quick d\"* far, 1)") === Seq("2:2"))
+    assert(keys("NEAR(\"quick d\"* cat, 10)") === Seq("1:2"))
   }
 
   test("ranking is BM25 over positive tokens, candidates only") {

@@ -1782,6 +1782,12 @@ object Oracles {
         |CAST(len(list_filter(regexp_split_to_array(text,'\s+'), x -> len(x)>0)) AS BIGINT) n_ws,
         |CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) n_sub
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // DOM-extraction round-trip twin: the engine wraps text in the junk
+    // template and extracts; this side just normalizes the RAW column —
+    // equality means nothing leaked and nothing was swallowed
+    "html_text_extract" ->
+      """SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS extracted
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // subword estimate twin: ceil(len/4) pieces per regex-class word
     "subword_counts" ->
       s"""WITH $Toks

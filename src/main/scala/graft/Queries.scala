@@ -1391,6 +1391,30 @@ object Queries {
         .orderBy("doc_id")),
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+    // DOM-aware HTML visible-text extraction (r17): each doc's text
+    // rides a deterministic page template stuffed with the junk a crawl
+    // pipeline must NOT leak (a script body CONTAINING markup, site
+    // chrome, nav links, comments, footer entities); the extraction
+    // must recover EXACTLY the python-normalized original text — the
+    // oracle re-derives it from the raw column, so a leaked header
+    // token or a swallowed paragraph fails the hash. The regex-strip
+    // F19 would leak 'junk', 'Site Header', 'Home', 'Related', '© 2026
+    // Example' into every row here.
+    "html_text_extract" -> ((s, dir) => {
+      val esc = regexp_replace(regexp_replace(regexp_replace(
+        col("text"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+      docs(s, dir).select(col("doc_id"),
+        graft.functions.TextFns.htmlVisibleText(concat(
+          lit("<html><head><title>t</title><script>var x = '<p>junk</p>';" +
+            "</script><style>p{color:red}</style></head><body>" +
+            "<header>Site Header</header><nav><a href=/home>Home</a> | " +
+            "<a href=/about>About</a></nav><div id=main><p>"),
+          esc,
+          lit("</p></div><!-- comment --><aside>Related</aside>" +
+            "<footer>&copy; 2026 Example</footer></body></html>")))
+          .as("extracted"))
+        .orderBy("doc_id")
+    }),
 
     // ── sampling / splits / mixing (training-corpus assembly) ──────────
     // deterministic Bernoulli sample at rate 3/10: md5-keyed, so the

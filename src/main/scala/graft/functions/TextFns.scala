@@ -93,6 +93,17 @@ object TextFns {
   /** F19: HTML tag strip (reference: quran_mcp/loader.py:13-21). */
   def htmlStrip(c: Column): Column = regexp_replace(c, "<[^>]+>", " ")
 
+  /** DOM-aware visible-text extraction (r17) — the crawl-cleanup step
+    * the regex strip above cannot do: parses real HTML through
+    * [[graft.sources.HtmlDom]] and drops script/style bodies, comments,
+    * and boilerplate containers (nav/header/footer/aside/…) that a
+    * `<[^>]+>` strip would leak into training text. §2.11-licensed UDF
+    * (a DOM walk has no builtin-expression form); per-row and
+    * stateless, so it rides any scan without a shuffle. */
+  val htmlVisibleText = udf((html: String) =>
+    if (html == null) null
+    else graft.sources.HtmlDom.visibleText(html).getOrElse(""))
+
   /** F21: whitespace normalization (reference: sunnah_scraper/parser.py:35-41). */
   def normWhitespace(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
 

@@ -350,4 +350,26 @@ object HtmlDom {
   def body(root: HElem): HElem =
     (Iterator.single(root) ++ root.descendants).find(_.tag == "body")
       .getOrElse(root)
+
+  /** Non-content containers a crawl→training-data pipeline strips
+    * alongside script/style: site chrome and interactive furniture. */
+  val BoilerplateTags: Set[String] = Set("nav", "header", "footer",
+    "aside", "noscript", "template", "form", "button", "iframe")
+
+  /** Visible "main text" of a page: body text with [[BoilerplateTags]]
+    * subtrees excluded (script/style are excluded by [[HElem.text]]'s
+    * raw-text rule already) — the HTML→plain-text step of a crawl
+    * cleanup pipeline, python-normalized like every other extraction
+    * here. None when nothing visible remains. */
+  def visibleText(html: String): Option[String] = {
+    val sb = new StringBuilder
+    def walk(e: HElem): Unit =
+      if (!RawTextTags.contains(e.tag) && !BoilerplateTags.contains(e.tag))
+        e.children.foreach {
+          case t: HText => sb.append(t.data).append(' ')
+          case c: HElem => walk(c)
+        }
+    walk(body(parse(html)))
+    normalize(sb.toString())
+  }
 }

@@ -117,6 +117,21 @@ class SunnahParseSpec extends SparkSpec {
     assert(p.records.last.chapter_title_en === Some("Second"))
   }
 
+  test("visibleText drops chrome/script/comments, keeps main content (r17)") {
+    val page =
+      """<html><head><title>t</title><script>var x = '<p>junk</p>';</script>
+        |<style>p{}</style></head><body><header>Site Header</header>
+        |<nav><a href=/h>Home</a></nav><div id=m><p>real &amp; main</p>
+        |<p>second para</p></div><!-- c --><aside>Related</aside>
+        |<noscript>enable js</noscript><form><button>Go</button></form>
+        |<footer>&copy; 2026</footer></body></html>""".stripMargin
+    assert(HtmlDom.visibleText(page) === Some("real & main second para"))
+    // nothing visible → None, not Some("")
+    assert(HtmlDom.visibleText("<body><nav>x</nav></body>") === None)
+    // no body tag: falls back to the whole fragment
+    assert(HtmlDom.visibleText("<div>frag</div>") === Some("frag"))
+  }
+
   test("collection index: dedupe by book id, skip deep/foreign/empty links") {
     val (name, entries) = SunnahParse.parseCollectionIndex(
       SunnahEdgeBattery.IndexHtml, "test", "https://sunnah.com/test")

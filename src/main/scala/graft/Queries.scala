@@ -1833,7 +1833,10 @@ object Queries {
     // composition with the initial-token anchor
     "phrase_prefix" -> "\"most merc\"*",
     "anchor_prefix" -> "^alla* mercy",
-    "near_prefix" -> "NEAR(forgiv* mercy, 12)")
+    "near_prefix" -> "NEAR(forgiv* mercy, 12)",
+    // r17 late: the + colocation operator (phrase concatenation with a
+    // mid-chain stem — validated against real FTS5)
+    "plus_chain" -> "most + merc* OR \"the most\" + gracious")
   val HadithBooks = "/root/reference/data/riyadussalihin/book_*.jsonl"
   val HadithQuery = "Hadith narrated by Abu Hurairah"
   val HadithDim = 128

@@ -19,59 +19,86 @@ import org.apache.spark.sql.functions._
   * the DuckDB oracle backend compiles THE SAME AST to SQL set algebra —
   * parity by construction, not by parallel reimplementation.
   *
-  * Grammar (sqlite.org/fts5.html §3 "full-text query syntax"):
+  * Grammar (sqlite.org/fts5.html §3, EMPIRICALLY validated in r17
+  * against SQLite's own FTS5 — python sqlite3 probes drove every edge
+  * rule below; the r16 adjacency restriction turned out NOT to match
+  * real FTS5 and was reverted):
   * {{{
-  *   query   := orExpr
+  *   query   := orExpr                       // leading '*' = special query
   *   orExpr  := andExpr ('OR' andExpr)*
-  *   andExpr := notExpr ('AND'? notExpr)*       // adjacency = implicit AND
-  *   notExpr := unit ('NOT' unit)*              // binary a-but-not-b
-  *   unit    := '(' orExpr ')' | 'NEAR' '(' atom+ (',' N)? ')'
-  *            | [colname ':'] atom | '^' atom
-  *   atom    := '"' phrase '"' ['*'] | bareword ['*']
+  *   andExpr := notExpr ('AND'? notExpr)*    // adjacency = implicit AND,
+  *                                           // but a '(' after a phrase errors
+  *   notExpr := unit ('NOT' unit)*           // binary a-but-not-b
+  *   unit    := '(' orExpr ')' | 'NEAR' '(' chain+ (',' N)? ')'
+  *            | [colname ':'] chain | '^' chain | chain
+  *   chain   := atom ('+' atom)*             // '+' = colocation: merges
+  *                                           // atoms into ONE phrase
+  *   atom    := '"' tokens '"' ['*'] | bareword ['*']
   * }}}
-  * A trailing `*` makes the last token a prefix token (`abc*`,
-  * `"a b"*`); `*` and `^` must be ATTACHED to their token/phrase —
-  * FTS5 rejects detached operators like `alpha *` or `^ alpha`, and so
-  * does this lexer (ADVICE r16).
-  * Operator precedence NOT > AND > OR, all left-associative (FTS5 §3).
-  * Keywords are UPPERCASE-only, exactly like FTS5 — lowercase `or` is a
-  * search term (load-bearing for golden-query parity: the reference's
-  * tokenizer keeps it). The reference's FTS table indexes ONE column
-  * (`content` — search.py:59-64; verse_key/surah/ayah are UNINDEXED), so
-  * `content:` scoping is accepted as a no-op and any other column name
-  * errors with FTS5's own message shape (`no such column: x`).
+  * Validated edge semantics:
+  *   - a trailing `*` makes the LAST token of the preceding atom a
+  *     prefix stem; whitespace before the star is irrelevant
+  *     (`alpha *` ≡ `alpha*` — real FTS5 attaches it), but a star not
+  *     after an atom (`quick OR *`, `(a)*`) is a syntax error, and a
+  *     star at the very START of the query is FTS5's special-query
+  *     path (`unknown special query: …`);
+  *   - `^` anchors the NEXT chain (whitespace irrelevant); `^` at end
+  *     of input errors near "";
+  *   - `+` merges atoms into one phrase with stems allowed at ANY
+  *     position (`qui* + brown` matches qui…-then-brown adjacently);
+  *   - a bare `NEAR` not followed by `(` is the ordinary term "near";
+  *     AND/OR/NOT are ALWAYS operators (quote them to search them);
+  *     keywords are UPPERCASE-only — lowercase `or` is a term;
+  *   - NEAR takes ≥1 operand (a single operand degrades to the operand
+  *     itself); its window parses with C-int decimal accumulation, so
+  *     an over-int literal WRAPS exactly like FTS5's
+  *     (`NEAR(a b, 99999999999)` behaves as window 1215752191,
+  *     `NEAR(a b, 2147483648)` goes negative and matches nothing);
+  *   - an empty phrase `""` is a DROPPED operand inside AND/OR/NEAR/
+  *     `+`-chains and a matches-nothing result when it IS the query
+  *     (or the left side of NOT);
+  *   - a phrase followed by `(` is a syntax error (`quick (dog)`).
+  * The reference's FTS table indexes ONE column (`content` —
+  * search.py:59-64), so `content:` scoping is a no-op and any other
+  * column name errors with FTS5's own `no such column: x`.
   *
   * Scale shape: every term probe is a filter over the term-clustered
   * postings layer (batch/bucket pruning — the [[Bm25.score]] doctrine);
   * set algebra is doc_id joins; phrase/NEAR verification tokenizes ONLY
   * the docs that already contain every constituent term (a semi-joined
-  * candidate set bounded by the rarest term's df), never the corpus. */
+  * candidate set bounded by the rarest term's df), never the corpus;
+  * anchored atoms check doc-head tokens row-locally (no explode). */
 object FtsMatch {
 
+  /** One positional element of a phrase: an exact token, or (stem =
+    * true) a prefix stem matching any index term that starts with it. */
+  final case class PTok(t: String, stem: Boolean = false)
+
   sealed trait MatchExpr
-  /** One index token. */
-  final case class Term(t: String) extends MatchExpr
-  /** Adjacent-token phrase ("a b" — tokens at consecutive positions). */
-  final case class Phrase(ts: Seq[String]) extends MatchExpr
-  /** FTS5 prefix query `abc*`: every index term starting with `p`. */
-  final case class Prefix(p: String) extends MatchExpr
-  /** FTS5 phrase-prefix `"a b"*` (sqlite.org/fts5.html §3: a `*`
-    * directly after the closing quote makes the LAST token a prefix
-    * token): tokens `init` exact at consecutive positions, then any
-    * index term starting with `last` at the next position. */
-  final case class PhrasePrefix(init: Seq[String], last: String)
-      extends MatchExpr
-  /** FTS5 initial-token anchor `^term` / `^"a b"`: the phrase must
-    * start at token position 0 of the column. */
+  /** Adjacent positional elements (a single exact element = a plain
+    * term; a single stem = a prefix query; stems may sit anywhere —
+    * `+`-chains and phrase-prefixes produce them). */
+  final case class Phrase(elems: Seq[PTok]) extends MatchExpr
+  /** An empty phrase `""` — a neutral operand FTS5 drops from
+    * AND/OR/NEAR/`+`; a whole query reduced to this matches nothing. */
+  case object Ignored extends MatchExpr
+  /** Matches nothing (e.g. `"" NOT x` after simplification). */
+  case object MatchNone extends MatchExpr
+  /** FTS5 initial-token anchor `^chain`: the phrase must start at
+    * token position 0 of the column. */
   final case class First(e: MatchExpr) extends MatchExpr
   final case class And(l: MatchExpr, r: MatchExpr) extends MatchExpr
   final case class Or(l: MatchExpr, r: MatchExpr) extends MatchExpr
   /** Binary FTS5 NOT: docs matching `l` but not `r`. */
   final case class Not(l: MatchExpr, r: MatchExpr) extends MatchExpr
   /** NEAR(p1 p2 …, n): all operands occur within a window of
-    * n + Σ len(p_i) tokens (≤ n tokens separate the outermost two —
-    * FTS5's rule; default n = 10). */
+    * n + Σ len(p_i) tokens (FTS5's span rule; default n = 10). */
   final case class Near(ops: Seq[MatchExpr], n: Int) extends MatchExpr
+
+  /** Convenience constructors (specs, docs). */
+  def term(t: String): Phrase = Phrase(Seq(PTok(t)))
+  def prefix(p: String): Phrase = Phrase(Seq(PTok(p, stem = true)))
+  def phrase(ts: String*): Phrase = Phrase(ts.map(PTok(_)))
 
   /** The default NEAR window (FTS5 §3: "NEAR(... )" ≡ ", 10"). */
   val DefaultNear = 10
@@ -85,6 +112,7 @@ object FtsMatch {
   private case object Colon extends Tok
   private case object Star extends Tok
   private case object Caret extends Tok
+  private case object Plus extends Tok
   private final case class Str(s: String) extends Tok
   private final case class Word(s: String) extends Tok
 
@@ -94,6 +122,12 @@ object FtsMatch {
   private def lex(q: String): Either[String, List[Tok]] = {
     val out = scala.collection.mutable.ListBuffer.empty[Tok]
     var i = 0
+    // a '*' before anything else is FTS5's special-query syntax
+    // (`*reads` etc.) — surface its own error shape, not a syntax error
+    while (i < q.length && q.charAt(i).isWhitespace) i += 1
+    if (i < q.length && q.charAt(i) == '*')
+      return Left("unknown special query: " +
+        graft.sources.HtmlDom.pyStrip(q.substring(i + 1)))
     while (i < q.length) {
       val c = q.charAt(i)
       if (c.isWhitespace) i += 1
@@ -101,21 +135,9 @@ object FtsMatch {
       else if (c == ')') { out += RP; i += 1 }
       else if (c == ',') { out += Comma; i += 1 }
       else if (c == ':') { out += Colon; i += 1 }
-      else if (c == '*') {
-        // FTS5 rejects a star not attached to the token/phrase it
-        // modifies ("alpha *" is an error, not a prefix) — require the
-        // previous char to be a word char or a closing quote (ADVICE r16)
-        if (i == 0 || !(isWordChar(q.charAt(i - 1)) || q.charAt(i - 1) == '"'))
-          return Left("""fts5: syntax error near "*"""")
-        out += Star; i += 1
-      } else if (c == '^') {
-        // likewise a caret must be attached to the token/phrase it
-        // anchors ("^ alpha" is an FTS5 syntax error)
-        if (i + 1 >= q.length ||
-            !(isWordChar(q.charAt(i + 1)) || q.charAt(i + 1) == '"'))
-          return Left("""fts5: syntax error near "^"""")
-        out += Caret; i += 1
-      }
+      else if (c == '*') { out += Star; i += 1 }
+      else if (c == '^') { out += Caret; i += 1 }
+      else if (c == '+') { out += Plus; i += 1 }
       else if (c == '"') {
         val end = q.indexOf('"', i + 1)
         if (end < 0) return Left("fts5: syntax error: unterminated string")
@@ -133,13 +155,14 @@ object FtsMatch {
 
   /** Parse a MATCH expression. Left = the error string a caller
     * surfaces in its result envelope (the reference's
-    * `str(sqlite3.OperationalError)` analog). */
+    * `str(sqlite3.OperationalError)` analog). The result is already
+    * [[simplify]]-ed (empty phrases dropped per FTS5's rules). */
   def parse(q: String): Either[String, MatchExpr] =
     lex(q).flatMap { toks =>
       val p = new Parser(toks)
       p.orExpr().flatMap { e =>
         if (p.rest.nonEmpty) Left(syntaxError(p.rest))
-        else Right(e)
+        else Right(simplify(e))
       }
     }
 
@@ -147,7 +170,7 @@ object FtsMatch {
     val near = rest.headOption.map {
       case Word(s) => s; case Str(s) => s"\"$s\""; case LP => "("
       case RP => ")"; case Comma => ","; case Colon => ":"
-      case Star => "*"; case Caret => "^"
+      case Star => "*"; case Caret => "^"; case Plus => "+"
     }.getOrElse("")
     s"""fts5: syntax error near "$near""""
   }
@@ -155,6 +178,11 @@ object FtsMatch {
   private final class Parser(var rest: List[Tok]) {
     private def peekWord(s: String): Boolean = rest.headOption.contains(Word(s))
     private def eat(): Tok = { val h = rest.head; rest = rest.tail; h }
+    // FTS5's implicit AND is a PHRASE-sequence production: a
+    // parenthesized group cannot juxtapose on either side (validated:
+    // `quick (dog)` and `(dog OR cat) quick` both error; explicit
+    // AND/OR/NOT around groups is fine)
+    private var lastUnitParen = false
 
     def orExpr(): Either[String, MatchExpr] =
       andExpr().flatMap { l =>
@@ -185,6 +213,10 @@ object FtsMatch {
             // or a lower-precedence keyword)
             case Some(Word("OR")) | Some(Word("NOT")) | Some(RP) |
                  Some(Comma) | None => cont = false
+            // juxtaposition never opens NOR follows a group (validated
+            // against FTS5: `quick (dog)` and `(a OR b) quick` error)
+            case Some(LP) => return Left(syntaxError(rest))
+            case Some(_) if lastUnitParen => return Left(syntaxError(rest))
             case Some(_) =>
               notExpr() match {
                 case Left(e) => return Left(e)
@@ -208,15 +240,23 @@ object FtsMatch {
         Right(acc)
       }
 
-    def unit(): Either[String, MatchExpr] = rest match {
+    def unit(): Either[String, MatchExpr] = {
+      lastUnitParen = false // the LP arm re-sets it after its group closes
+      unit0()
+    }
+
+    private def unit0(): Either[String, MatchExpr] = rest match {
       case LP :: _ =>
         eat()
         orExpr().flatMap { e =>
           rest match {
-            case RP :: _ => eat(); Right(e)
+            case RP :: _ =>
+              eat(); lastUnitParen = true; Right(e)
             case other => Left(syntaxError(other))
           }
         }
+      // NEAR is special ONLY when directly followed by '(' — a bare
+      // NEAR is the ordinary term "near" (validated against FTS5)
       case Word("NEAR") :: LP :: _ =>
         eat(); eat(); nearBody()
       case Word(w) :: Colon :: _ =>
@@ -227,82 +267,102 @@ object FtsMatch {
         if (!w.equalsIgnoreCase("content")) Left(s"no such column: $w")
         else rest match {
           case LP :: _ => unit() // content:(...) — scope is a no-op
-          case _ => atom()
+          case _ => chain()
         }
       case Caret :: _ =>
-        // initial-token anchor: the phrase must start the column
-        // (prefix forms compose — FTS5 accepts `^abc*` and `^"a b"*`)
+        // initial-token anchor applies to the whole '+'-chain
+        // (`^the + quick` anchors "the quick"); ^"" stays Ignored
         eat()
-        atom().flatMap {
-          case p @ (Term(_) | Phrase(_) | Prefix(_) | PhrasePrefix(_, _)) =>
-            Right(First(p))
-          case _ => Left("""fts5: syntax error near "^"""")
+        chain().map {
+          case Ignored => Ignored
+          case p => First(p)
         }
-      case (Word(_) | Str(_)) :: _ => atom()
+      case (Word(_) | Str(_)) :: _ => chain()
       case other => Left(syntaxError(other))
     }
 
+    /** atom ('+' atom)* — FTS5's colocation operator: the chain's
+      * atoms merge into ONE phrase (stems keep their positions; empty
+      * `""` atoms are dropped, and an all-empty chain is Ignored). */
+    private def chain(): Either[String, MatchExpr] =
+      atom().flatMap { first =>
+        var elems: Vector[PTok] = first match {
+          case Phrase(es) => es.toVector
+          case _ => Vector.empty // Ignored
+        }
+        var sawReal = first.isInstanceOf[Phrase]
+        while (rest.headOption.contains(Plus)) {
+          eat()
+          atom() match {
+            case Left(e) => return Left(e)
+            case Right(Phrase(es)) => elems ++= es; sawReal = true
+            case Right(_) => // "" element: dropped
+          }
+        }
+        if (!sawReal && elems.isEmpty) Right(Ignored)
+        else if (elems.isEmpty) Right(Ignored)
+        else Right(Phrase(elems))
+      }
+
+    /** One quoted or bare atom, with an optional trailing `*` turning
+      * its LAST token into a stem (whitespace before the star is
+      * irrelevant — the lexer dropped it, matching FTS5). */
     private def atom(): Either[String, MatchExpr] =
       if (rest.isEmpty) Left(syntaxError(Nil)) else eat() match {
-      case Word(w) if Seq("AND", "OR", "NOT", "NEAR").contains(w) =>
-        Left(s"""fts5: syntax error near "$w"""")
-      case Word(w) if rest.headOption.contains(Star) =>
-        // prefix query `abc*`: the stem must normalize to ONE token
-        eat()
-        graft.Router.embedTokens(w) match {
-          case Seq(t) => Right(Prefix(t))
-          case _ => Left(s"""fts5: syntax error near "$w*"""")
+        case Word(w) if Seq("AND", "OR", "NOT").contains(w) =>
+          // AND/OR/NOT are ALWAYS operators (NEAR already routed: a
+          // bare NEAR word reaches here and falls through as a term)
+          Left(s"""fts5: syntax error near "$w"""")
+        case Word(w) => withStar(graft.Router.embedTokens(w)) match {
+          case None => Left(s"""fts5: syntax error near "$w"""")
+          case Some(e) => Right(e)
         }
-      case Word(w) => tokensOf(w)
-      case Str(s) if rest.headOption.contains(Star) =>
-        // phrase-prefix `"a b"*`: the last token becomes a prefix token
-        // (closing r16 verdict "What's missing" #2)
-        eat()
-        graft.Router.embedTokens(s) match {
-          case Seq() => Left(s"""fts5: syntax error near "$s"""")
-          case Seq(t) => Right(Prefix(t))
-          case ts => Right(PhrasePrefix(ts.init, ts.last))
+        case Str(s) => withStar(graft.Router.embedTokens(s)) match {
+          case None => Right(Ignored) // empty phrase "" — dropped operand
+          case Some(e) => Right(e)
         }
-      case Str(s) => tokensOf(s)
-      case t => Left(syntaxError(t :: rest))
-    }
+        case t => Left(syntaxError(t :: rest))
+      }
 
-    private def tokensOf(s: String): Either[String, MatchExpr] = {
-      val ts = graft.Router.embedTokens(s)
-      if (ts.isEmpty) Left(s"""fts5: syntax error near "$s"""")
-      else if (ts.length == 1) Right(Term(ts.head))
-      else Right(Phrase(ts))
+    /** Attach a pending `*` to the last token; None for empty input. */
+    private def withStar(ts: Seq[String]): Option[MatchExpr] = {
+      val star = rest.headOption.contains(Star)
+      if (star) eat()
+      if (ts.isEmpty) {
+        // `""*` is still the dropped empty phrase
+        if (star) () // star consumed either way
+        None
+      } else {
+        val elems = ts.map(PTok(_))
+        Some(Phrase(
+          if (star) elems.init :+ elems.last.copy(stem = true) else elems))
+      }
     }
 
     private def nearBody(): Either[String, MatchExpr] = {
       var ops = List.empty[MatchExpr]
+      var raw = 0
       var done = false
       while (!done) rest match {
-        case (Word(_) | Str(_)) :: _
-            if !rest.headOption.contains(Word("NEAR")) =>
-          atom() match {
+        case (Word(_) | Str(_)) :: _ =>
+          // a bare NEAR word inside the operand list is a term too;
+          // NEAR(...) nested would hit the LP below and error — FTS5
+          // operands are phrases only
+          chain() match {
             case Left(e) => return Left(e)
-            // any phrase form — including prefix forms (r17): FTS5
-            // accepts NEAR(forgiv* mercy) and NEAR("a b"* c)
-            case Right(a @ (Term(_) | Phrase(_) | Prefix(_) |
-                            PhrasePrefix(_, _))) => ops ::= a
-            case Right(_) =>
-              return Left("fts5: syntax error: NEAR operands must be phrases")
+            case Right(p) => ops ::= p; raw += 1
           }
         case _ => done = true
       }
-      if (ops.length < 2)
-        return Left("fts5: syntax error: NEAR requires at least 2 phrases")
+      if (raw < 1)
+        return Left(syntaxError(rest))
       val n = rest match {
-        case Comma :: Word(d) :: _ if d.forall(_.isDigit) =>
-          // toIntOption: an over-Int window like NEAR(a b, 99999999999)
-          // must surface as the error STRING the envelope contract pins,
-          // never throw (ADVICE r16)
-          d.toIntOption match {
-            case Some(v) => eat(); eat(); v
-            case None =>
-              return Left(s"""fts5: syntax error near "$d"""")
-          }
+        case Comma :: Word(d) :: _ if d.forall(_.isDigit) && d.nonEmpty =>
+          eat(); eat()
+          // C-int decimal accumulation — WRAPS exactly like FTS5's
+          // parser on over-int windows (validated: 99999999999 behaves
+          // as 1215752191; 2147483648 goes negative → matches nothing)
+          d.foldLeft(0)((a, c) => a * 10 + (c - '0'))
         case Comma :: other => return Left(syntaxError(other))
         case _ => DefaultNear
       }
@@ -313,42 +373,66 @@ object FtsMatch {
     }
   }
 
-  // ---- analysis shared by both backends ----
-
-  /** Every token of a positional operand. */
-  private[graft] def opTokens(e: MatchExpr): Seq[String] = e match {
-    case Term(t) => Seq(t)
-    case Phrase(ts) => ts
-    case _ => Seq.empty
+  /** FTS5's empty-phrase algebra, applied bottom-up: `""` operands
+    * DROP from AND/OR/NEAR (validated: `quick ""` ≡ `quick`,
+    * `"" OR quick` ≡ `quick`, `NEAR(quick "" , 5)` ≡ `quick`); the
+    * right side of NOT drops too (`quick NOT ""` ≡ `quick`) but an
+    * Ignored LEFT side matches nothing (`"" NOT quick` → ∅), as does a
+    * query that is nothing but `""`. MatchNone then propagates. */
+  def simplify(e: MatchExpr): MatchExpr = e match {
+    case And(l, r) => (simplify(l), simplify(r)) match {
+      case (Ignored, x) => x
+      case (x, Ignored) => x
+      case (MatchNone, _) | (_, MatchNone) => MatchNone
+      case (a, b) => And(a, b)
+    }
+    case Or(l, r) => (simplify(l), simplify(r)) match {
+      case (Ignored, x) => x
+      case (x, Ignored) => x
+      case (MatchNone, x) => x
+      case (x, MatchNone) => x
+      case (a, b) => Or(a, b)
+    }
+    case Not(l, r) => (simplify(l), simplify(r)) match {
+      case (Ignored, _) => MatchNone
+      case (MatchNone, _) => MatchNone
+      case (x, Ignored) => x
+      case (x, MatchNone) => x
+      case (a, b) => Not(a, b)
+    }
+    case Near(ops, n) =>
+      val ss = ops.map(simplify)
+      if (ss.contains(MatchNone)) MatchNone
+      else ss.filterNot(_ == Ignored) match {
+        case Seq() => MatchNone
+        case Seq(one) => one // single operand degrades to itself
+        case kept => Near(kept, n)
+      }
+    case First(i) => simplify(i) match {
+      case Ignored => Ignored
+      case MatchNone => MatchNone
+      case p => First(p)
+    }
+    case other => other
   }
 
-  /** Positional shape of an atom: (exact leading tokens, optional
-    * trailing prefix stem). The prefix stem, when present, matches any
-    * index term at the position right after the exact run. */
-  private def positional(e: MatchExpr): (Seq[String], Option[String]) =
-    e match {
-      case Term(t) => (Seq(t), None)
-      case Phrase(ts) => (ts, None)
-      case Prefix(p) => (Nil, Some(p))
-      case PhrasePrefix(init, p) => (init, Some(p))
-      case _ => (Nil, None)
-    }
+  // ---- analysis shared by both backends ----
 
   /** What SCORES: everything except right-of-NOT subtrees — FTS5's
     * bm25 ranks on the query's positive phrases. Returns (exact
-    * tokens, prefixes): a prefix query scores every index term it
-    * matches, so it contributes a predicate, not a literal. */
+    * tokens, stems): a stem scores every index term it matches, so it
+    * contributes a predicate, not a literal. */
   def positiveAtoms(e: MatchExpr): (Seq[String], Seq[String]) = {
     def rec(e: MatchExpr): (Seq[String], Seq[String]) = e match {
-      case Term(t) => (Seq(t), Nil)
-      case Phrase(ts) => (ts, Nil)
-      case Prefix(p) => (Nil, Seq(p))
-      case PhrasePrefix(init, p) => (init, Seq(p))
+      case Phrase(es) =>
+        (es.filterNot(_.stem).map(_.t), es.filter(_.stem).map(_.t))
       case First(i) => rec(i)
       case And(l, r) => comb(rec(l), rec(r))
       case Or(l, r) => comb(rec(l), rec(r))
       case Not(l, _) => rec(l)
-      case Near(ops, _) => ops.map(rec).reduce(comb)
+      case Near(ops, _) =>
+        ops.map(rec).foldLeft((Seq.empty[String], Seq.empty[String]))(comb)
+      case _ => (Nil, Nil)
     }
     def comb(a: (Seq[String], Seq[String]), b: (Seq[String], Seq[String])) =
       (a._1 ++ b._1, a._2 ++ b._2)
@@ -360,7 +444,7 @@ object FtsMatch {
   def positiveTokens(e: MatchExpr): Seq[String] = positiveAtoms(e)._1
 
   /** The scoring-term predicate over a `term` column — exact tokens
-    * plus any prefix matches (ONE derivation; the oracle twin is
+    * plus any stem matches (ONE derivation; the oracle twin is
     * [[positiveTermPredSql]]). */
   private[graft] def positivePred(e: MatchExpr): Column = {
     val (ts, ps) = positiveAtoms(e)
@@ -381,105 +465,96 @@ object FtsMatch {
 
   // ---- Spark backend ----
 
-  /** The RELATIONAL positional layer for phrase/NEAR verification: the
-    * candidate docs (prefiltered by the postings aggregation to docs
-    * containing EVERY constituent term — bounded by the rarest term's
-    * df) posexplode into (doc_id, pos, term) rows KEPT ONLY for the
-    * query's own tokens. Everything downstream is codegen'd equi-joins
-    * over this tiny frame. (The first cut verified positions with
-    * nested higher-order-function lambdas per row — interpreted
-    * evaluation over multi-thousand-token tafsir docs measured 240-400
-    * SECONDS per leg; the join form runs the same legs in under a
-    * second.) */
   /** Candidate-doc prefilter shared by the positional paths: docs
-    * containing EVERY exact token and, per prefix stem, at least one
-    * matching index term (each a startsWith probe over the
-    * term-clustered postings, like Prefix). */
+    * containing EVERY exact token and, per stem, at least one matching
+    * index term (each a startsWith probe over the term-clustered
+    * postings). */
   private def prefilter(idx: Quran.Index,
-                        ops: Seq[(Seq[String], Option[String])]): DataFrame = {
-    val allToks = ops.flatMap(_._1).distinct
-    val prefixes = ops.flatMap(_._2).distinct
+                        shapes: Seq[Seq[PTok]]): DataFrame = {
+    val exacts = shapes.flatten.filterNot(_.stem).map(_.t).distinct
+    val stems = shapes.flatten.filter(_.stem).map(_.t).distinct
     val withAll =
-      if (allToks.isEmpty) idx.postings.select("doc_id").distinct()
-      else idx.postings.where(col("term").isin(allToks: _*))
+      if (exacts.isEmpty) idx.postings.select("doc_id").distinct()
+      else idx.postings.where(col("term").isin(exacts: _*))
         .groupBy("doc_id").agg(countDistinct("term").as("nt"))
-        .where(col("nt") === allToks.length).select("doc_id")
-    prefixes.foldLeft(withAll) { (acc, p) =>
+        .where(col("nt") === exacts.length).select("doc_id")
+    stems.foldLeft(withAll) { (acc, p) =>
       acc.join(
         idx.postings.where(col("term").startsWith(p)).select("doc_id"),
         Seq("doc_id"), "left_semi")
     }
   }
 
+  /** The RELATIONAL positional layer for phrase/NEAR verification: the
+    * candidate docs (prefiltered to docs containing every constituent
+    * term — bounded by the rarest term's df) posexplode into
+    * (doc_id, pos, term) rows KEPT ONLY for the query's own tokens and
+    * stem matches. Everything downstream is codegen'd equi-joins over
+    * this tiny frame. (The first cut verified positions with nested
+    * higher-order-function lambdas per row — interpreted evaluation
+    * over multi-thousand-token tafsir docs measured 240-400 SECONDS
+    * per leg; the join form runs the same legs in under a second.) */
   private def positionsOf(idx: Quran.Index,
-                          ops: Seq[(Seq[String], Option[String])]): DataFrame = {
-    val allToks = ops.flatMap(_._1).distinct
-    val prefixes = ops.flatMap(_._2).distinct
-    val keep = (Seq(col("term").isin(allToks: _*))
-        .filter(_ => allToks.nonEmpty) ++
-      prefixes.map(p => col("term").startsWith(p)))
+                          shapes: Seq[Seq[PTok]]): DataFrame = {
+    val exacts = shapes.flatten.filterNot(_.stem).map(_.t).distinct
+    val stems = shapes.flatten.filter(_.stem).map(_.t).distinct
+    val keep = (Seq(col("term").isin(exacts: _*))
+        .filter(_ => exacts.nonEmpty) ++
+      stems.map(p => col("term").startsWith(p)))
       .reduce(_ || _)
     idx.docs.select(col("doc_id"),
         graft.functions.TextFns.tokens(col("text_plain")).as("t"))
-      .join(prefilter(idx, ops), Seq("doc_id"), "left_semi")
+      .join(prefilter(idx, shapes), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "term")))
       .where(keep)
   }
 
-  /** (doc_id, start) occurrences of phrase `ts` (+ optional trailing
-    * prefix token) — token j's positions shifted by −j and intersected,
-    * so only aligned runs survive (the inverted-index phrase join). A
-    * prefix stem contributes the positions of ANY matching term at the
-    * slot right after the exact run. */
-  private def phraseStarts(pos: DataFrame, ts: Seq[String],
-                           pfx: Option[String] = None): DataFrame = {
-    val exact = ts.zipWithIndex.map { case (tok, j) =>
-      pos.where(col("term") === tok)
+  /** (doc_id, start) occurrences of a positional shape — element j's
+    * positions shifted by −j and intersected, so only aligned runs
+    * survive (the inverted-index phrase join). A stem element
+    * contributes the positions of ANY matching term at its slot. */
+  private def phraseStarts(pos: DataFrame, elems: Seq[PTok]): DataFrame =
+    elems.zipWithIndex.map { case (e, j) =>
+      pos.where(if (e.stem) col("term").startsWith(e.t)
+                else col("term") === e.t)
         .select(col("doc_id"), (col("pos") - lit(j)).as("start"))
-    }
-    val pre = pfx.toSeq.map { p =>
-      pos.where(col("term").startsWith(p))
-        .select(col("doc_id"), (col("pos") - lit(ts.length)).as("start"))
-    }
-    (exact ++ pre).reduce((a, b) => a.join(b, Seq("doc_id", "start")))
-      .distinct()
+    }.reduce((a, b) => a.join(b, Seq("doc_id", "start"))).distinct()
+
+  private def elemsOf(e: MatchExpr): Seq[PTok] = e match {
+    case Phrase(es) => es
+    case _ => Seq.empty
   }
 
-  /** Compile the AST to a (doc_id) candidate frame over the index. */
+  /** Compile the (simplified) AST to a (doc_id) candidate frame. */
   def candidates(idx: Quran.Index, e: MatchExpr): DataFrame = e match {
-    case Term(t) =>
+    case Ignored | MatchNone =>
+      idx.postings.where(lit(false)).select("doc_id")
+    case Phrase(Seq(PTok(t, false))) =>
       idx.postings.where(col("term") === t).select("doc_id")
-    case Prefix(p) =>
+    case Phrase(Seq(PTok(p, true))) =>
       // startsWith prunes term-clustered batches / pushes to parquet
-      // like the exact probe; a doc can match several prefixed terms
+      // like the exact probe; a doc can match several stemmed terms
       idx.postings.where(col("term").startsWith(p))
         .select("doc_id").distinct()
     case First(inner) =>
       // anchored atoms need positions ONLY at the doc head: check the
-      // first |ts|(+1) tokens with row-local element_at instead of
-      // posexploding every occurrence of the (often ubiquitous —
-      // `^alla*`) constituent terms across the candidate corpus. Same
-      // head-slice form as the oracle's First twin; an out-of-range
-      // element_at is NULL and the condition filters it (a doc shorter
-      // than the phrase), mirroring the positional guard. Measured on
-      // the registered battery: the `^alla* mercy` leg alone dropped
-      // ~3.5 s → sub-second at sf-fixture scale, and the shape is the
-      // one that survives 100× (one narrow semi-joined scan, no
-      // explode, no positional shuffle joins).
-      val (ts, pfx) = positional(inner)
-      val conds = ts.zipWithIndex.map { case (tok, j) =>
-        element_at(col("t"), j + 1) === tok
-      } ++ pfx.map(p => element_at(col("t"), ts.length + 1).startsWith(p))
+      // first |elems| tokens with row-local element_at instead of
+      // posexploding every occurrence of (often ubiquitous — `^alla*`)
+      // constituent terms across the candidate corpus. Same head-slice
+      // form as the oracle twin; an out-of-range element_at is NULL
+      // and the condition filters it (doc shorter than the phrase).
+      val elems = elemsOf(inner)
+      val conds = elems.zipWithIndex.map { case (e2, j) =>
+        if (e2.stem) element_at(col("t"), j + 1).startsWith(e2.t)
+        else element_at(col("t"), j + 1) === e2.t
+      }
       idx.docs.select(col("doc_id"),
           graft.functions.TextFns.tokens(col("text_plain")).as("t"))
-        .join(prefilter(idx, Seq((ts, pfx))), Seq("doc_id"), "left_semi")
+        .join(prefilter(idx, Seq(elems)), Seq("doc_id"), "left_semi")
         .where(conds.reduce(_ && _))
         .select("doc_id")
-    case Phrase(ts) =>
-      phraseStarts(positionsOf(idx, Seq((ts, None))), ts)
-        .select("doc_id").distinct()
-    case PhrasePrefix(init, p) =>
-      phraseStarts(positionsOf(idx, Seq((init, Some(p)))), init, Some(p))
+    case Phrase(elems) =>
+      phraseStarts(positionsOf(idx, Seq(elems)), elems)
         .select("doc_id").distinct()
     case And(l, r) =>
       candidates(idx, l).join(candidates(idx, r), Seq("doc_id"), "left_semi")
@@ -494,18 +569,17 @@ object FtsMatch {
       // the operands' occurrence counts of the QUERY's own terms in one
       // doc — bounded planning-size data, and the span filter runs
       // inside codegen.
-      val shapes = ops.map(positional)
+      val shapes = ops.map(elemsOf)
       val pos = positionsOf(idx, shapes)
-      val frames = shapes.zipWithIndex.map { case ((ts, pfx), k) =>
-        phraseStarts(pos, ts, pfx).withColumnRenamed("start", s"s$k")
+      val frames = shapes.zipWithIndex.map { case (es, k) =>
+        phraseStarts(pos, es).withColumnRenamed("start", s"s$k")
       }
       val joined = frames.reduce((a, b) => a.join(b, "doc_id"))
       val starts = shapes.indices.map(k => col(s"s$k"))
-      val lens = shapes.map { case (ts, pfx) => ts.length + pfx.size }
-      val ends = lens.zipWithIndex.map { case (l, k) =>
-        col(s"s$k") + lit(l - 1)
+      val ends = shapes.zipWithIndex.map { case (es, k) =>
+        col(s"s$k") + lit(es.length - 1)
       }
-      val budget = n + lens.sum
+      val budget = n.toLong + shapes.map(_.length).sum
       joined
         .where(greatest(ends: _*) - least(starts: _*) + lit(1) <= lit(budget))
         .select("doc_id").distinct()
@@ -549,55 +623,50 @@ object FtsMatch {
 
   private def sq(s: String): String = s.replace("'", "''")
 
-  /** DuckDB start-position list of phrase `ts` (+ optional trailing
-    * prefix stem) over token list column `t` (the toks CTE) — `range`
-    * is exclusive-end and yields [] when the doc is shorter than the
-    * phrase, mirroring the Spark guard. */
-  private def phrasePosSql(ts: Seq[String],
-                           pfx: Option[String] = None): String = {
-    val conj = (ts.zipWithIndex
-        .map { case (tok, j) => s"t[i+$j]='${sq(tok)}'" } ++
-      pfx.map(p => s"starts_with(t[i+${ts.length}], '${sq(p)}')"))
-      .mkString(" AND ")
-    val span = ts.length + pfx.size - 1
-    s"list_filter(range(1, len(t)-$span+1), i -> $conj)"
+  /** DuckDB start-position list of a positional shape over token list
+    * column `t` (the toks CTE) — `range` is exclusive-end and yields
+    * [] when the doc is shorter than the shape, mirroring the Spark
+    * guard. */
+  private def phrasePosSql(elems: Seq[PTok]): String = {
+    val conj = elems.zipWithIndex.map { case (e, j) =>
+      if (e.stem) s"starts_with(t[i+$j], '${sq(e.t)}')"
+      else s"t[i+$j]='${sq(e.t)}'"
+    }.mkString(" AND ")
+    s"list_filter(range(1, len(t)-${elems.length - 1}+1), i -> $conj)"
   }
 
   /** The candidate-set subquery for an AST node (doc_id rows), over the
     * CTE names the quran oracles establish: `p` (postings) and `toks`
     * (doc_id, t token list). */
   def candSql(e: MatchExpr): String = e match {
-    case Term(t) =>
+    case Ignored | MatchNone =>
+      "(SELECT doc_id FROM p WHERE FALSE)"
+    case Phrase(Seq(PTok(t, false))) =>
       s"(SELECT doc_id FROM p WHERE term='${sq(t)}')"
-    case Prefix(p) =>
+    case Phrase(Seq(PTok(p, true))) =>
       s"(SELECT DISTINCT doc_id FROM p WHERE starts_with(term, '${sq(p)}'))"
     case First(inner) =>
-      val (ts, pfx) = positional(inner)
-      val conj = (ts.zipWithIndex
-          .map { case (tok, j) => s"t[${j + 1}]='${sq(tok)}'" } ++
-        pfx.map(p => s"starts_with(t[${ts.length + 1}], '${sq(p)}')"))
-        .mkString(" AND ")
+      val conj = elemsOf(inner).zipWithIndex.map { case (e2, j) =>
+        if (e2.stem) s"starts_with(t[${j + 1}], '${sq(e2.t)}')"
+        else s"t[${j + 1}]='${sq(e2.t)}'"
+      }.mkString(" AND ")
       s"(SELECT doc_id FROM toks WHERE $conj)"
-    case Phrase(ts) =>
-      s"(SELECT doc_id FROM toks WHERE len(${phrasePosSql(ts)}) > 0)"
-    case PhrasePrefix(init, p) =>
-      s"(SELECT doc_id FROM toks WHERE len(${phrasePosSql(init, Some(p))}) > 0)"
+    case Phrase(elems) =>
+      s"(SELECT doc_id FROM toks WHERE len(${phrasePosSql(elems)}) > 0)"
     case And(l, r) => s"(${candSql(l)} INTERSECT ${candSql(r)})"
     case Or(l, r) => s"(${candSql(l)} UNION ${candSql(r)})"
     case Not(l, r) => s"(${candSql(l)} EXCEPT ${candSql(r)})"
     case Near(ops, n) =>
-      val shapes = ops.map(positional)
-      val lens = shapes.map { case (ts, pfx) => ts.length + pfx.size }
-      val budget = n + lens.sum
+      val shapes = ops.map(elemsOf)
+      val budget = n.toLong + shapes.map(_.length).sum
       def rec(i: Int, starts: Seq[String]): String =
         if (i == shapes.length) {
-          val ends = starts.zip(lens)
-            .map { case (s, l) => s"$s+${l - 1}" }.mkString(", ")
+          val ends = starts.zip(shapes)
+            .map { case (s, es) => s"$s+${es.length - 1}" }.mkString(", ")
           s"(greatest(${ends}) - least(${starts.mkString(", ")}) + 1) <= $budget"
         } else {
           val v = s"x$i"
-          val (ts, pfx) = shapes(i)
-          s"len(list_filter(${phrasePosSql(ts, pfx)}, $v -> ${rec(i + 1, starts :+ v)})) > 0"
+          s"len(list_filter(${phrasePosSql(shapes(i))}, $v -> ${rec(i + 1, starts :+ v)})) > 0"
         }
       s"(SELECT doc_id FROM toks WHERE ${rec(0, Nil)})"
   }

@@ -200,45 +200,63 @@ object FtsMatch {
     def andExpr(): Either[String, MatchExpr] =
       notExpr().flatMap { l =>
         var acc = l
-        var cont = true
-        while (cont) {
-          if (peekWord("AND")) {
-            eat()
-            notExpr() match {
-              case Left(e) => return Left(e)
-              case Right(r) => acc = And(acc, r)
-            }
-          } else rest.headOption match {
-            // implicit AND: another unit follows (not a closing token
-            // or a lower-precedence keyword)
-            case Some(Word("OR")) | Some(Word("NOT")) | Some(RP) |
-                 Some(Comma) | None => cont = false
-            // juxtaposition never opens NOR follows a group (validated
-            // against FTS5: `quick (dog)` and `(a OR b) quick` error)
-            case Some(LP) => return Left(syntaxError(rest))
-            case Some(_) if lastUnitParen => return Left(syntaxError(rest))
-            case Some(_) =>
-              notExpr() match {
-                case Left(e) => return Left(e)
-                case Right(r) => acc = And(acc, r)
-              }
+        while (peekWord("AND")) {
+          eat()
+          notExpr() match {
+            case Left(e) => return Left(e)
+            case Right(r) => acc = And(acc, r)
           }
         }
         Right(acc)
       }
 
     def notExpr(): Either[String, MatchExpr] =
-      unit().flatMap { l =>
+      seqExpr().flatMap { l =>
         var acc = l
         while (peekWord("NOT")) {
           eat()
-          unit() match {
+          seqExpr() match {
             case Left(e) => return Left(e)
             case Right(r) => acc = Not(acc, r)
           }
         }
         Right(acc)
       }
+
+    /** One JUXTAPOSITION sequence — FTS5's phrase-list production,
+      * which binds TIGHTER than NOT/AND/OR (fuzz-validated:
+      * `lazy NOT the* "x y"` ≡ `lazy NOT (the* AND "x y")`). Empty
+      * `""` units DROP here (neutral inside a sequence); a sequence of
+      * only empties is Ignored — which the explicit operators then
+      * treat as matches-nothing ([[simplify]]). A parenthesized group
+      * can only stand ALONE in a sequence (juxtaposed parens error on
+      * either side — `quick (dog)` and `(a OR b) quick`). */
+    private def seqExpr(): Either[String, MatchExpr] = {
+      var units = Vector.empty[MatchExpr]
+      var cont = true
+      unit() match {
+        case Left(e) => return Left(e)
+        case Right(u) => units :+= u
+      }
+      while (cont) rest.headOption match {
+        case Some(Word("AND")) | Some(Word("OR")) | Some(Word("NOT")) |
+             Some(RP) | Some(Comma) | None => cont = false
+        // juxtaposition never opens NOR follows a group
+        case Some(LP) => return Left(syntaxError(rest))
+        case Some(_) if lastUnitParen => return Left(syntaxError(rest))
+        case Some(_) =>
+          unit() match {
+            case Left(e) => return Left(e)
+            case Right(u) => units :+= u
+          }
+      }
+      // per-unit simplification BEFORE the drop: NEAR of only-empties
+      // and ^"" reduce to Ignored and must drop from the sequence like
+      // a bare "" (fuzz-validated: `lazy* NEAR("", 5)` ≡ `lazy*`)
+      val real = units.map(simplify).filterNot(_ == Ignored)
+      if (real.isEmpty) Right(Ignored)
+      else Right(real.reduceLeft(And(_, _)))
+    }
 
     def unit(): Either[String, MatchExpr] = {
       lastUnitParen = false // the LP arm re-sets it after its group closes
@@ -373,39 +391,35 @@ object FtsMatch {
     }
   }
 
-  /** FTS5's empty-phrase algebra, applied bottom-up: `""` operands
-    * DROP from AND/OR/NEAR (validated: `quick ""` ≡ `quick`,
-    * `"" OR quick` ≡ `quick`, `NEAR(quick "" , 5)` ≡ `quick`); the
-    * right side of NOT drops too (`quick NOT ""` ≡ `quick`) but an
-    * Ignored LEFT side matches nothing (`"" NOT quick` → ∅), as does a
-    * query that is nothing but `""`. MatchNone then propagates. */
+  /** FTS5's empty-phrase algebra (fuzz-validated against SQLite): `""`
+    * units DROP from juxtaposition sequences, NEAR operand lists, and
+    * `+` chains (that drop happens at parse time — `quick ""` ≡
+    * `quick`, `NEAR(quick "", 5)` ≡ `quick`, `lazy* NEAR("", 5)` ≡
+    * `lazy*`), but an all-empty sequence reaching an EXPLICIT operator
+    * position matches NOTHING (`^"" AND cat` → ∅, `"" NOT quick` → ∅,
+    * `"" OR quick` ≡ `quick`) — Ignored converts to MatchNone there,
+    * then MatchNone propagates (x AND ∅ = ∅; x OR ∅ = x; ∅ NOT x = ∅;
+    * x NOT ∅ = x). A whole query that reduces to Ignored matches
+    * nothing too. */
   def simplify(e: MatchExpr): MatchExpr = e match {
-    case And(l, r) => (simplify(l), simplify(r)) match {
-      case (Ignored, x) => x
-      case (x, Ignored) => x
+    case And(l, r) => (operand(l), operand(r)) match {
       case (MatchNone, _) | (_, MatchNone) => MatchNone
       case (a, b) => And(a, b)
     }
-    case Or(l, r) => (simplify(l), simplify(r)) match {
-      case (Ignored, x) => x
-      case (x, Ignored) => x
+    case Or(l, r) => (operand(l), operand(r)) match {
       case (MatchNone, x) => x
       case (x, MatchNone) => x
       case (a, b) => Or(a, b)
     }
-    case Not(l, r) => (simplify(l), simplify(r)) match {
-      case (Ignored, _) => MatchNone
+    case Not(l, r) => (operand(l), operand(r)) match {
       case (MatchNone, _) => MatchNone
-      case (x, Ignored) => x
       case (x, MatchNone) => x
       case (a, b) => Not(a, b)
     }
     case Near(ops, n) =>
-      val ss = ops.map(simplify)
-      if (ss.contains(MatchNone)) MatchNone
-      else ss.filterNot(_ == Ignored) match {
-        case Seq() => MatchNone
-        case Seq(one) => one // single operand degrades to itself
+      ops.map(simplify).filterNot(_ == Ignored) match {
+        case Seq() => Ignored // drops from a sequence like a bare ""
+        case Seq(one) => one  // single operand degrades to itself
         case kept => Near(kept, n)
       }
     case First(i) => simplify(i) match {
@@ -414,6 +428,13 @@ object FtsMatch {
       case p => First(p)
     }
     case other => other
+  }
+
+  /** An operand of an explicit operator: Ignored means matches-nothing
+    * there (the juxtaposition drop does NOT apply across operators). */
+  private def operand(e: MatchExpr): MatchExpr = simplify(e) match {
+    case Ignored => MatchNone
+    case x => x
   }
 
   // ---- analysis shared by both backends ----

@@ -17,12 +17,17 @@ class FtsMatchSpec extends SparkSpec {
 
   // ---- parser ----
 
-  test("precedence: NOT > AND > OR, left-associative; implicit AND") {
+  test("precedence: juxtaposition > NOT > AND > OR, left-associative") {
     // a b OR c  ⇒  (a AND b) OR c
     assert(parse("alpha beta OR gamma") ===
       Right(Or(And(term("alpha"), term("beta")), term("gamma"))))
-    // a NOT b c  ⇒  (a NOT b) AND c  — NOT binds tighter than AND
+    // a NOT b c  ⇒  a NOT (b c) — the juxtaposition SEQUENCE binds
+    // tighter than NOT (fuzz-validated: `lazy NOT far "qui"` returns
+    // the lazy docs in real FTS5, i.e. lazy NOT (far AND "qui"))
     assert(parse("alpha NOT beta gamma") ===
+      Right(Not(term("alpha"), And(term("beta"), term("gamma")))))
+    // …but explicit AND binds LOOSER than NOT
+    assert(parse("alpha NOT beta AND gamma") ===
       Right(And(Not(term("alpha"), term("beta")), term("gamma"))))
     // parens override — with an EXPLICIT operator (juxtaposed groups
     // are FTS5 syntax errors, validated in r17; the pre-r17 pin here
@@ -127,7 +132,13 @@ class FtsMatchSpec extends SparkSpec {
     assert(parse("\"\"") === Right(Ignored))
     assert(parse("^\"\"") === Right(Ignored))
     assert(parse("\"\" NOT quick") === Right(MatchNone))
-    assert(parse("NEAR(\"\")") === Right(MatchNone))
+    assert(parse("NEAR(\"\")") === Right(Ignored))
+    // an all-empty sequence at an EXPLICIT operator position matches
+    // NOTHING (fuzz-validated: `^"" AND cat` → ∅ in real FTS5), while
+    // the same unit DROPS from a juxtaposition (`quick ^""` ≡ quick)
+    assert(parse("^\"\" AND cat") === Right(MatchNone))
+    assert(parse("quick ^\"\"") === Right(term("quick")))
+    assert(parse("lazy NEAR(\"\", 5)") === Right(term("lazy")))
     // over-int windows WRAP with C decimal accumulation (validated:
     // FTS5 treats 99999999999 as 1215752191 and 2147483648 as negative)
     assert(parse("NEAR(a b, 99999999999)") ===

@@ -459,11 +459,31 @@ object GraftIndexes {
     }
   }
 
+  /** Cluster index rows by their partition column before a
+    * `partitionBy` parquet write. An un-clustered frame makes every
+    * write task open one file per partition DIRECTORY it sees — worst
+    * case tasks × K files, and with one input split the whole write is
+    * a single task creating K directories sequentially (measured r18:
+    * writeIvfSq8's 128-dir write ran 3-8 s in one task and dominated
+    * the ann_probe_join_split build). Clustered, the write parallelizes
+    * across directories and each directory gets exactly ONE file
+    * (guide §6 — shuffle before a partitioned write; file count = K,
+    * not tasks × K). Rows are additionally sorted by `vec_id` inside
+    * each directory so the rerank phase's pushed `vec_id IN (…)`
+    * filter keeps effective row-group min/max stats. The tiny
+    * assignment shuffle this adds is metadata-scale next to the file
+    * churn it removes at any corpus size. */
+  private def clusterForWrite(df: DataFrame, partCol: String,
+                              nParts: Int): DataFrame =
+    df.repartition(math.max(1, nParts), col(partCol))
+      .sortWithinPartitions(col(partCol), col("vec_id"))
+
   /** Persist an ANN index partitioned by bucket — a probe that filters
     * on the query's bucket reads exactly one partition directory. */
   def writeAnn(spark: SparkSession, emb: DataFrame, idCol: String, vecCol: String,
                dir: String, dim: Int, nBits: Int): Unit =
-    Similarity.annIndex(emb, idCol, vecCol, dim, nBits)
+    clusterForWrite(Similarity.annIndex(emb, idCol, vecCol, dim, nBits),
+      "bucket", 1 << nBits)
       .write.mode("overwrite").partitionBy("bucket").parquet(dir)
 
   /** Open a persisted ANN index (cached; probe via Similarity.annTopKWith). */
@@ -640,7 +660,8 @@ object GraftIndexes {
     val k = if (nCentroids > 0) nCentroids else Similarity.nListsFor(emb.count())
     val (asg, cents) = Similarity.ivfIndexSpill(emb, idCol, vecCol, k,
       lloydIters, spillDelta)
-    asg.write.mode("overwrite").partitionBy("centroid").parquet(s"$dir/assign")
+    clusterForWrite(asg, "centroid", k)
+      .write.mode("overwrite").partitionBy("centroid").parquet(s"$dir/assign")
     import spark.implicits._
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("i", "cvec").coalesce(1)
@@ -670,7 +691,7 @@ object GraftIndexes {
     val k = if (nCentroids > 0) nCentroids else Similarity.nListsFor(emb.count())
     val (asg, cents) = Similarity.ivfIndexSpill(emb, idCol, vecCol, k,
       lloydIters, spillDelta)
-    ivfSq8Rows(asg)
+    clusterForWrite(ivfSq8Rows(asg), "centroid", k)
       .write.mode("overwrite").partitionBy("centroid").parquet(s"$dir/assign")
     import spark.implicits._
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -706,9 +727,9 @@ object GraftIndexes {
     val (asg, cents) = openIvf(spark, dir)
     requirePrimary(asg, dir)
     requireCodeParity(asg, dir, coded = true)
-    freshAssignRows(
+    clusterForWrite(freshAssignRows(
       ivfSq8Rows(Similarity.ivfAssignSpill(delta, idCol, vecCol, cents, spillDelta)),
-      asg)
+      asg), "centroid", cents.length)
       .write.mode("append").partitionBy("centroid").parquet(s"$dir/assign")
   }
 
@@ -730,7 +751,7 @@ object GraftIndexes {
     val asg = asg0.cache() // books training + the row write both scan it
     try {
       val books = Similarity.rpqTrain(asg, cents, dim, m, ksub, iters)
-      Similarity.rpqRows(asg, cents, books)
+      clusterForWrite(Similarity.rpqRows(asg, cents, books), "centroid", k)
         .write.mode("overwrite").partitionBy("centroid").parquet(s"$dir/assign")
       import spark.implicits._
       cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -778,11 +799,11 @@ object GraftIndexes {
       s"$dir/assign is not a writeRpq layout (no `pcode` column); " +
         "use the append face matching the layout's write face")
     val books = readBooks(spark, dir)
-    freshAssignRows(
+    clusterForWrite(freshAssignRows(
       Similarity.rpqRows(
         Similarity.ivfAssignSpill(delta, idCol, vecCol, cents, spillDelta),
         cents, books),
-      asg)
+      asg), "centroid", cents.length)
       .write.mode("append").partitionBy("centroid").parquet(s"$dir/assign")
   }
 
@@ -969,8 +990,9 @@ object GraftIndexes {
     val (asg, cents) = openIvf(spark, dir)
     requirePrimary(asg, dir)
     requireCodeParity(asg, dir, coded = false)
-    freshAssignRows(
-      Similarity.ivfAssignSpill(delta, idCol, vecCol, cents, spillDelta), asg)
+    clusterForWrite(freshAssignRows(
+      Similarity.ivfAssignSpill(delta, idCol, vecCol, cents, spillDelta), asg),
+      "centroid", cents.length)
       .write.mode("append").partitionBy("centroid").parquet(s"$dir/assign")
   }
 

@@ -1778,7 +1778,12 @@ object Queries {
     // drift between engine and oracle. Malformed syntax surfaces as an
     // FTS5-style error string (unit-pinned in FtsMatchSpec).
     "quran_match_syntax" -> ((s, _) => {
-      val idx = Quran.buildIndex(Quran.load(s, QuranDir), None)
+      // warmed(): the 11 battery legs evaluate as concurrent AQE stage
+      // jobs under one action — over an unwarmed index they stampede the
+      // shared docs/postings caches (measured r18: the corpus was re-read
+      // and re-tokenized ~12×, 143 jobs, 9.2 s); warming the layers once
+      // up front makes every leg probe warm cache (guide §2.4)
+      val idx = Quran.buildIndex(Quran.load(s, QuranDir), None).warmed()
       MatchQueries.map { case (tag, mq) =>
         graft.operators.FtsMatch.search(idx, mq, n = 5)
           .fold(err => sys.error(s"'$mq' failed to parse: $err"),

@@ -54,9 +54,13 @@ object TextFns {
       lit(0L))
 
   /** Portable 60-bit hash: first 15 hex chars of md5, as a non-negative
-    * long. DuckDB equivalent: ('0x' || substring(md5(x),1,15))::BIGINT. */
-  def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+    * long. DuckDB equivalent: ('0x' || substring(md5(x),1,15))::BIGINT.
+    * Executed as the fused [[graft.plans.Hash60]] digest-byte scan
+    * (bit-identical to `conv(substring(md5(c),1,15),16,10)`, pinned in
+    * PropertySpec; the composed chain allocated a 32-char hex string +
+    * a radix re-parse per hashed value — measured r18 as a material
+    * slice of the minhash/simhash/fingerprint row work). */
+  def hash60(c: Column): Column = graft.plans.Hash60(c)
 
   /** Seeded variant (for minhash families). */
   def hash60(seed: Int, c: Column): Column = hash60(concat(lit(s"$seed:"), c))

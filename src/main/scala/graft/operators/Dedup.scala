@@ -40,9 +40,19 @@ object Dedup {
     * releases a cache, so marking one would leak storage the first time
     * that plan executes; recomputing the frame per consumer is the safe
     * trade there (that mode exists for plan composition/audit, not
-    * execution). */
+    * execution).
+    *
+    * The cache is filled EAGERLY (one count): every maybeCache site
+    * feeds 2-3 consumers that evaluate inside one action (hot-bucket
+    * agg + both self-join sides; signature build + verify), and those
+    * consumers' stages run as concurrent jobs — over a lazily-marked
+    * cache they stampede, each recomputing the full upstream pipeline
+    * in parallel (measured r18: the LSH band frame's minhash build ran
+    * 2-3× per query, ~50 s of duplicate task CPU at sf0.1). The count
+    * costs one extra tiny job; the fill happens exactly once
+    * (guide §2.4 — compute shared intermediates once). */
   private[operators] def maybeCache(df: DataFrame, materialize: Boolean): DataFrame =
-    if (materialize) df.cache() else df
+    if (materialize) { val c = df.cache(); c.count(); c } else df
 
   /** Exact dedup groups by content hash: survivor = min(doc_id).
     * (hash-groupBy; at scale a single shuffle on the 128-bit content key)

@@ -486,29 +486,33 @@ object FtsMatch {
 
   // ---- Spark backend ----
 
-  /** Candidate-doc prefilter shared by the positional paths: docs
-    * containing EVERY exact token and, per stem, at least one matching
-    * index term (each a startsWith probe over the term-clustered
-    * postings). */
-  private def prefilter(idx: Quran.Index,
-                        shapes: Seq[Seq[PTok]]): DataFrame = {
-    val exacts = shapes.flatten.filterNot(_.stem).map(_.t).distinct
-    val stems = shapes.flatten.filter(_.stem).map(_.t).distinct
-    val withAll =
-      if (exacts.isEmpty) idx.postings.select("doc_id").distinct()
-      else idx.postings.where(col("term").isin(exacts: _*))
-        .groupBy("doc_id").agg(countDistinct("term").as("nt"))
-        .where(col("nt") === exacts.length).select("doc_id")
-    stems.foldLeft(withAll) { (acc, p) =>
-      acc.join(
-        idx.postings.where(col("term").startsWith(p)).select("doc_id"),
-        Seq("doc_id"), "left_semi")
-    }
+  /** Candidate-doc prune shared by the positional paths — ROW-LOCAL,
+    * never a join: every token the tokenizer emits is a contiguous
+    * substring of `lower(text_plain)` (ClassTokens splits the lowered
+    * text on a separator class), so `lower(text) contains atom` is a
+    * sound over-approximation of "doc contains this exact token" and
+    * "doc contains a term with this stem prefix"; the conjunction over
+    * all of a shape's atoms prunes to a superset of the docs the old
+    * postings-driven prefilter kept, and the exact positional verify
+    * downstream ([[phraseStarts]] / the anchored head conds) makes the
+    * final set identical. The r17 form was a postings aggregate
+    * semi-joined against the tokenized docs — correct, but the join
+    * SHUFFLES THE TOKEN ARRAYS once planned from honest statistics
+    * (measured r18: 49 MB per positional leg, 7× per battery), and a
+    * broadcast of the candidate ids is unbounded at corpus scale (the
+    * PlanAuditSpec doctrine). The substring prune keeps the whole
+    * candidate cut inside the docs scan: one narrow pass, zero
+    * exchanges, at any corpus size (guide §2.4/§3). */
+  private def prunePred(shapes: Seq[Seq[PTok]]): Column = {
+    val lowered = lower(col("text_plain"))
+    shapes.flatten.map(_.t).distinct
+      .map(a => lowered.contains(lit(a)))
+      .reduceOption(_ && _).getOrElse(lit(true))
   }
 
   /** The RELATIONAL positional layer for phrase/NEAR verification: the
-    * candidate docs (prefiltered to docs containing every constituent
-    * term — bounded by the rarest term's df) posexplode into
+    * candidate docs (pruned row-locally by [[prunePred]] to docs whose
+    * lowered text contains every constituent atom) posexplode into
     * (doc_id, pos, term) rows KEPT ONLY for the query's own tokens and
     * stem matches. Everything downstream is codegen'd equi-joins over
     * this tiny frame. (The first cut verified positions with nested
@@ -523,9 +527,9 @@ object FtsMatch {
         .filter(_ => exacts.nonEmpty) ++
       stems.map(p => col("term").startsWith(p)))
       .reduce(_ || _)
-    idx.docs.select(col("doc_id"),
+    idx.docs.where(prunePred(shapes))
+      .select(col("doc_id"),
         graft.functions.TextFns.tokens(col("text_plain")).as("t"))
-      .join(prefilter(idx, shapes), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "term")))
       .where(keep)
   }
@@ -554,9 +558,14 @@ object FtsMatch {
       idx.postings.where(col("term") === t).select("doc_id")
     case Phrase(Seq(PTok(p, true))) =>
       // startsWith prunes term-clustered batches / pushes to parquet
-      // like the exact probe; a doc can match several stemmed terms
+      // like the exact probe; a doc can match several stemmed terms —
+      // the duplicates are harmless: every candidates() consumer is a
+      // semi/anti join right side or a set union re-read the same way
+      // (FtsDiff dedupes driver-side), and each dropped distinct is one
+      // less exchange+stage per leg (r18; guide §2.4 — remove shuffles
+      // a downstream semi join makes redundant)
       idx.postings.where(col("term").startsWith(p))
-        .select("doc_id").distinct()
+        .select("doc_id")
     case First(inner) =>
       // anchored atoms need positions ONLY at the doc head: check the
       // first |elems| tokens with row-local element_at instead of
@@ -569,18 +578,21 @@ object FtsMatch {
         if (e2.stem) element_at(col("t"), j + 1).startsWith(e2.t)
         else element_at(col("t"), j + 1) === e2.t
       }
-      idx.docs.select(col("doc_id"),
+      idx.docs.where(prunePred(Seq(elems)))
+        .select(col("doc_id"),
           graft.functions.TextFns.tokens(col("text_plain")).as("t"))
-        .join(prefilter(idx, Seq(elems)), Seq("doc_id"), "left_semi")
         .where(conds.reduce(_ && _))
         .select("doc_id")
     case Phrase(elems) =>
+      // multiple phrase occurrences per doc leave duplicate ids —
+      // dup-safe downstream (see the stem case note)
       phraseStarts(positionsOf(idx, Seq(elems)), elems)
-        .select("doc_id").distinct()
+        .select("doc_id")
     case And(l, r) =>
       candidates(idx, l).join(candidates(idx, r), Seq("doc_id"), "left_semi")
     case Or(l, r) =>
-      candidates(idx, l).union(candidates(idx, r)).distinct()
+      // plain union — dup-safe downstream (see the stem case note)
+      candidates(idx, l).union(candidates(idx, r))
     case Not(l, r) =>
       candidates(idx, l).join(candidates(idx, r), Seq("doc_id"), "left_anti")
     case Near(ops, n) =>
@@ -603,7 +615,7 @@ object FtsMatch {
       val budget = n.toLong + shapes.map(_.length).sum
       joined
         .where(greatest(ends: _*) - least(starts: _*) + lit(1) <= lit(budget))
-        .select("doc_id").distinct()
+        .select("doc_id") // dup-safe downstream (see the stem case note)
   }
 
   /** MATCH search over a quran index: candidates by set algebra, ranked

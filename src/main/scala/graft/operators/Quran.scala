@@ -89,6 +89,27 @@ object Quran {
       (r.getAs[Long]("n_docs"),
         if (r.isNullAt(r.fieldIndex("sum_dl"))) 0L else r.getAs[Long]("sum_dl"))
     }
+    /** Eager wave materialization for ONE-SHOT (cold) multi-probe
+      * plans: fill every cached layer once, in dependency order, and
+      * return the index otherwise UNCHANGED (no re-root, no narrowing,
+      * non-resident — the cold plans keep their exact shape and the
+      * distributed query branches; re-rooted layers under AQE hit
+      * InMemoryRelation canonicalization on plan reuse, which is why
+      * this is not [[materialize]]). Without the warm-up, a plan whose
+      * probe legs run as concurrent jobs (AQE stage jobs, await2 legs)
+      * stampedes the not-yet-materialized caches: every leg recomputes
+      * the full corpus scan/tokenize/postings build in parallel
+      * (measured r18: the 11-leg MATCH battery re-read and re-tokenized
+      * the corpus ~12× — guide §2.4, compute shared layers once). */
+    def warmed(): Index = {
+      Postings.awaitAll(Seq(() => docs.count(): Unit) ++
+        emb.map(e => () => e.count(): Unit))
+      Postings.awaitAll(Seq(() => postings.count(): Unit) ++
+        embQ.map(e => () => e.count(): Unit))
+      Postings.awaitAll(Seq(() => dict.count(): Unit, () => stats.count(): Unit))
+      this
+    }
+
     /** Force every cached layer (the warm-open step), in dependency
       * waves of concurrent jobs: corpus + raw vectors first, then the
       * postings/quantized layers over them, then dictionary/stats. */
@@ -189,7 +210,12 @@ object Quran {
   def search(corpus: DataFrame, emb: Option[DataFrame], query: String,
              queryVec: Option[Array[Float]], n: Int = 5,
              mode: String = "hybrid"): DataFrame =
-    searchWith(buildIndex(corpus, emb), query, queryVec, n, mode)
+    // warmed(): the two probe legs run as CONCURRENT jobs (await2) and
+    // would otherwise both race to materialize the postings/embQ caches,
+    // computing the corpus scan + postings build twice (r18 measurement);
+    // the non-resident warm keeps the plan branches identical to the
+    // unwarmed cold form — only the cache fills are sequenced.
+    searchWith(buildIndex(corpus, emb).warmed(), query, queryVec, n, mode)
 
   /** Search over a resident [[Index]] — the warm serving path. EAGER:
     * the probe legs run at call time and the returned frame freezes the

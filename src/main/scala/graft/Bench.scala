@@ -655,9 +655,20 @@ object Bench {
             // bar is relative AND absolute (mirroring the sentinel bar):
             // a 0.3 s query drifting to 0.7 s is scheduler jitter, not a
             // burst — pure-ratio flagged exactly those on quiet hosts.
-            val spreadNoisy = ok.size > 1 &&
-              ok.map(_._1).max / math.max(minT, 1e-9) > 2.0 &&
-              ok.map(_._1).max - minT > 1.0
+            // Spread is computed over QUIET-sentinel passes only (r17
+            // ADVICE): a sample from a pass the sentinel already proved
+            // contended is explained noise, and keeping it in the spread
+            // meant a fresh quiet top-up run could never clear the flag
+            // — both top-up passes were spent re-running rows that
+            // stayed flagged by their own history.
+            val quietOk = ok.filter { case (_, p) =>
+              sMin == 0 ||
+                passSentinelS.get(p).forall(s => s <= 2 * sMin || s <= sMin + 1.0)
+            }
+            val spread = if (quietOk.size > 1) quietOk else ok
+            val spreadNoisy = spread.size > 1 &&
+              spread.map(_._1).max / math.max(spread.map(_._1).min, 1e-9) > 2.0 &&
+              spread.map(_._1).max - spread.map(_._1).min > 1.0
             // both a relative and an absolute bar (see serve section):
             // sub-second sentinel jitter is not contention
             val sentinelNoisy = sMin > 0 &&

@@ -42,17 +42,23 @@ object Dedup {
     * trade there (that mode exists for plan composition/audit, not
     * execution).
     *
-    * The cache is filled EAGERLY (one count): every maybeCache site
-    * feeds 2-3 consumers that evaluate inside one action (hot-bucket
-    * agg + both self-join sides; signature build + verify), and those
-    * consumers' stages run as concurrent jobs — over a lazily-marked
-    * cache they stampede, each recomputing the full upstream pipeline
-    * in parallel (measured r18: the LSH band frame's minhash build ran
-    * 2-3× per query, ~50 s of duplicate task CPU at sf0.1). The count
-    * costs one extra tiny job; the fill happens exactly once
-    * (guide §2.4 — compute shared intermediates once). */
-  private[operators] def maybeCache(df: DataFrame, materialize: Boolean): DataFrame =
-    if (materialize) { val c = df.cache(); c.count(); c } else df
+    * The cache is filled EAGERLY by default (one count): every
+    * maybeCache site feeds 2-3 consumers that evaluate inside one
+    * action (hot-bucket agg + both self-join sides; signature build +
+    * verify), and those consumers' stages run as concurrent jobs —
+    * over a lazily-marked cache they stampede, each recomputing the
+    * full upstream pipeline in parallel (measured r18: the LSH band
+    * frame's minhash build ran 2-3× per query, ~50 s of duplicate task
+    * CPU at sf0.1). The count costs one extra tiny job; the fill
+    * happens exactly once (guide §2.4). `eager=false` keeps the lazy
+    * marking for sites where a same-window A/B measured the duplicate
+    * compute cheaper than serializing the fill (idle local cores soak
+    * the duplicates; see sourceOverlap). */
+  private[operators] def maybeCache(df: DataFrame, materialize: Boolean,
+                                    eager: Boolean = true): DataFrame =
+    if (materialize) {
+      val c = df.cache(); if (eager) c.count(); c
+    } else df
 
   /** Exact dedup groups by content hash: survivor = min(doc_id).
     * (hash-groupBy; at scale a single shuffle on the 128-bit content key)
@@ -321,7 +327,12 @@ object Dedup {
       docs.select(col(sourceCol).as("source"),
         col(idCol).cast("long").as("doc_id"),
         explode(array_distinct(TextFns.shingles(TextFns.tokens(col(textCol)), n))).as("s")),
-      materialize)
+      materialize,
+      // lazy (r18, measured): `el` is the biggest maybeCache frame (the
+      // full exploded shingle set) and its two consumers' duplicate
+      // fills overlap on otherwise-idle cores — the eager fill
+      // serialized the phases and cost +0.5 s same-window (1.97 → 2.46)
+      eager = false)
     val keep = el.groupBy("s").agg(countDistinct("doc_id").as("sdf"))
       .where(col("sdf") <= maxDf).select("s")
     val srcSh = el.join(keep, "s").select("source", "s").distinct()

@@ -139,9 +139,22 @@ object FtsMatch {
       else if (c == '^') { out += Caret; i += 1 }
       else if (c == '+') { out += Plus; i += 1 }
       else if (c == '"') {
-        val end = q.indexOf('"', i + 1)
-        if (end < 0) return Left("fts5: syntax error: unterminated string")
-        out += Str(q.substring(i + 1, end)); i = end + 1
+        // FTS5 strings use the SQL doubled-quote escape: "" inside a
+        // quoted string is one literal '"' in the body (r17 ADVICE —
+        // '"quick""dog"' is the single phrase 'quick dog', not two
+        // adjacent phrases; probed against real FTS5, fuzz-pinned)
+        val sb = new StringBuilder
+        var j = i + 1
+        var closed = false
+        while (j < q.length && !closed) {
+          val ch = q.charAt(j)
+          if (ch == '"') {
+            if (j + 1 < q.length && q.charAt(j + 1) == '"') { sb += '"'; j += 2 }
+            else { closed = true; j += 1 }
+          } else { sb += ch; j += 1 }
+        }
+        if (!closed) return Left("fts5: syntax error: unterminated string")
+        out += Str(sb.toString); i = j
       } else if (isWordChar(c)) {
         val start = i
         while (i < q.length && isWordChar(q.charAt(i))) i += 1

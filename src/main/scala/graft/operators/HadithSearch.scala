@@ -276,6 +276,11 @@ object HadithSearch {
   def search(docs0: DataFrame, query: String, n: Int = 10,
              mode: String = "balanced", dim: Int = 128,
              parityFts: Boolean = false): DataFrame =
+    // NOT warmed (r18, measured): a two-leg search's cache stampede is
+    // mild (the legs touch mostly different layers) and the eager fill
+    // jobs cost more than they save — same-window A/B 1.82 → 2.09 s.
+    // Eager warming pays only for many-leg plans (Quran.Index.warmed,
+    // the 11-leg MATCH battery).
     searchWith(buildIndex(docs0, dim), query, n, mode, parityFts)
 
   /** tools.py:39-175 over a resident [[Index]]: route → field-scoped

@@ -173,6 +173,8 @@ object Hybrid {
   def search(docs: DataFrame, idCol: String, textCol: String, query: String,
              n: Int = 10, mode: String = "balanced", dim: Int = 64,
              parityFts: Boolean = false): DataFrame =
+    // not warmed — two-leg stampede costs less than the fill jobs
+    // (r18 measurement; see HadithSearch.search)
     searchWith(buildIndex(docs, idCol, textCol, dim), query, n, mode, parityFts)
 
   /** Full pipeline over a resident [[Index]]. Returns the scored hit

@@ -210,12 +210,12 @@ object Quran {
   def search(corpus: DataFrame, emb: Option[DataFrame], query: String,
              queryVec: Option[Array[Float]], n: Int = 5,
              mode: String = "hybrid"): DataFrame =
-    // warmed(): the two probe legs run as CONCURRENT jobs (await2) and
-    // would otherwise both race to materialize the postings/embQ caches,
-    // computing the corpus scan + postings build twice (r18 measurement);
-    // the non-resident warm keeps the plan branches identical to the
-    // unwarmed cold form — only the cache fills are sequenced.
-    searchWith(buildIndex(corpus, emb).warmed(), query, queryVec, n, mode)
+    // NOT warmed (r18, measured): the two await2 legs touch mostly
+    // DIFFERENT layers (postings vs embQ), so their stampede is mild and
+    // the eager fill jobs cost more than they save (same-window A/B
+    // +0.2 s on both single-search rows). warmed() pays only for
+    // many-leg plans — the 11-leg MATCH battery keeps it.
+    searchWith(buildIndex(corpus, emb), query, queryVec, n, mode)
 
   /** Search over a resident [[Index]] — the warm serving path. EAGER:
     * the probe legs run at call time and the returned frame freezes the

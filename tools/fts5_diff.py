@@ -37,6 +37,9 @@ def gen_atom(rng):
     if r < 0.8:
         n = rng.randint(1, 3)
         ph = " ".join(rng.choice(WORDS) for _ in range(n))
+        if rng.random() < 0.1:  # r18: embedded doubled-quote escape
+            k = rng.randrange(len(ph) + 1)
+            ph = ph[:k] + '""' + ph[k:]
         return f'"{ph}"' + ("*" if rng.random() < 0.25 else "")
     if r < 0.9:
         # + chain
@@ -97,6 +100,9 @@ EDGE = [
     '(content:"" AND lazy) AND quick* NOT (NEAR("dog xyz or" '
     '"deeds brown fox", 5) OR ("" AND "near near") AND dog)',
     'alpha NOT beta gamma', 'alpha NOT beta AND gamma',
+    # r18 (r17 ADVICE): SQL doubled-quote escape inside quoted strings
+    '"quick""dog"', '"a"""', '"""quick"', '""""', '"qui""', '"fox"" dog"',
+    '"quick"" brown" OR cat', '^"the""quick"', 'NEAR("quick""dog" cat, 9)',
 ]
 
 

@@ -869,13 +869,13 @@ object Queries {
     "minhash_sigs" -> ((s, dir) =>
       Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", 16)
         .withColumn("seed", col("seed").cast("int")).orderBy("doc_id", "seed")),
-    "minhash_lsh_pairs" -> ((s, dir) => {
+    "minhash_lsh_pairs" -> ((s, dir) =>
       // single 16-row band: only near-identical token sets collide — the
-      // right knee for this corpus's high baseline similarity
-      val sigs = Dedup.minhashSignatures(docs(s, dir), "doc_id", "text", 16)
-      val cand = Dedup.lshCandidatePairs(sigs, rowsPerBand = 16)
-      Dedup.jaccardVerify(docs(s, dir), "doc_id", "text", cand, 0.9).orderBy("a", "b")
-    }),
+      // right knee for this corpus's high baseline similarity. One shared
+      // token-set frame feeds the signature build AND the verify (r19;
+      // the composed sigs→cand→verify form tokenized the corpus twice)
+      Dedup.minhashNearDupPairs(docs(s, dir), "doc_id", "text",
+        numHashes = 16, rowsPerBand = 16, threshold = 0.9).orderBy("a", "b")),
     "ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", 3, 0.1)
         .orderBy("a", "b")),

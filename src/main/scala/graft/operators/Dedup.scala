@@ -54,10 +54,17 @@ object Dedup {
     * marking for sites where a same-window A/B measured the duplicate
     * compute cheaper than serializing the fill (idle local cores soak
     * the duplicates; see sourceOverlap). */
+  /** Fill-policy override for A/B measurement (and as the deployment
+    * knob the optimization brief asks to keep parameterised):
+    * GRAFT_EAGER_FILL=1 forces every maybeCache site eager,
+    * GRAFT_EAGER_FILL=0 forces lazy, unset keeps the per-site default
+    * each site's same-window A/B picked. */
+  private lazy val fillOverride: Option[Boolean] =
+    sys.env.get("GRAFT_EAGER_FILL").map(_.trim == "1")
   private[operators] def maybeCache(df: DataFrame, materialize: Boolean,
                                     eager: Boolean = true): DataFrame =
     if (materialize) {
-      val c = df.cache(); if (eager) c.count(); c
+      val c = df.cache(); if (fillOverride.getOrElse(eager)) c.count(); c
     } else df
 
   /** Exact dedup groups by content hash: survivor = min(doc_id).
@@ -267,6 +274,32 @@ object Dedup {
   private[graft] def indexFromBands(banded: DataFrame, maxBucket: Int): DataFrame =
     capBuckets(banded, Seq("band", "band_key"), maxBucket)
       .select(col("band"), col("band_key"), col("doc_id"))
+
+  /** MinHash-LSH candidate generation + exact-Jaccard verify over ONE
+    * shared token-set frame — the full near-dup pair pipeline
+    * (signatures → bands → candidates → verify) with the corpus
+    * tokenized ONCE (r19, guide §2.4 compute shared layers once): the
+    * composed `minhashSignatures(docs) → lshCandidatePairs →
+    * jaccardVerify(docs, …)` form tokenizes every document twice —
+    * once under the signature build and again under the verify's
+    * shingle sets — and the two fills were the near-dup pipeline's two
+    * dominant task-time stages at sf0.1 (45 s + 59 s task CPU of a
+    * ~105 s total). Both legs here read the same cached
+    * [[tokenSetsSized]] frame, exactly like the streaming ingest's
+    * per-batch kit. Output is identical to the composed form by
+    * construction: [[minhashFromElems]] over the exploded cached sets
+    * is the definition of [[minhashSignatures]], and the verify's
+    * shingle sets ARE `distinctTokens` rows either way. */
+  def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          numHashes: Int = 16, rowsPerBand: Int = 16,
+                          threshold: Double = 0.9,
+                          materialize: Boolean = true): DataFrame = {
+    val sized = maybeCache(tokenSetsSized(docs, idCol, textCol), materialize)
+    val sigs = minhashFromElems(
+      sized.select(col("doc_id"), explode(col("shingles")).as("elem")), numHashes)
+    val cand = lshCandidatePairs(sigs, rowsPerBand, materialize = materialize)
+    scoped(materialize, sized)(shingleJaccard(sized, cand, threshold))
+  }
 
   /** Exact Jaccard over distinct token sets for given candidate pairs. */
   def jaccardVerify(docs: DataFrame, idCol: String, textCol: String,
@@ -720,14 +753,23 @@ object Dedup {
     val hit = stageMemo.get(key)
     if (hit != null && !hit.live()) stageMemo.remove(key, hit)
     stageMemo.computeIfAbsent(key, _ => {
-      val sigs = minhashSignatures(docs, idCol, textCol, numHashes)
+      // the [[minhashNearDupPairs]] pipeline, inlined so the staged-id
+      // delta below can sit at the right boundary: the corpus is
+      // tokenized ONCE into the shared token-set frame both the
+      // signature build and the verify read (r19, guide §2.4)
+      val sized = maybeCache(tokenSetsSized(docs, idCol, textCol),
+        materialize = true)
+      val sigs = minhashFromElems(
+        sized.select(col("doc_id"), explode(col("shingles")).as("elem")),
+        numHashes)
       val cand = lshCandidatePairs(sigs, rowsPerBand)
       // delta taken around the FINAL stage boundary only: cand's own
       // transient snapshot is reclaimed by the ContextCleaner once
       // unreferenced, and folding its id into the liveness set would
       // read that routine cleanup as an invalidation on every hit
       val before = s.sparkContext.getPersistentRDDs.keySet
-      val pairs = jaccardVerify(docs, idCol, textCol, cand, threshold)
+      val pairs = scoped(materialize = true, sized)(
+        shingleJaccard(sized, cand, threshold))
       val staged = (s.sparkContext.getPersistentRDDs.keySet -- before).toSet
       new NearDupStage(docs, idCol, pairs, staged)
     })

@@ -591,6 +591,14 @@ object Streams {
         sized.select(col("doc_id"), explode(col("shingles")).as("elem")),
         numHashes),
       rowsPerBand).cache()
+    // fill the two cached layers ONCE before the consumers evaluate:
+    // the intra-batch verify's subtrees (band self-join sides, both
+    // exact-Jaccard explode legs) run as concurrent AQE stage jobs, and
+    // over a lazily-marked cache they stampede — measured r19 (OptProbe,
+    // 32 cores): four concurrent ~6.3 s-task-time stages each re-ran the
+    // batch tokenize+sign per micro-batch (guide §2.4). banded's fill
+    // reads sized's, so one count fills both in dependency order.
+    banded.count()
     // 1. intra-batch: min-id survivor per verified near-dup component
     val intraPairs = Dedup.verifyPairs(sized,
       Dedup.candidatesFromBands(banded, maxBucket), threshold)

@@ -543,7 +543,7 @@ object Oracles {
        |elems AS (SELECT doc_id, unnest(list_distinct(t)) elem FROM toks),
        |${minhashSigsCte(16)},
        |banded0 AS (SELECT doc_id, seed//16 band,
-       |  md5(string_agg(minh::VARCHAR, ':' ORDER BY seed)) band_key
+       |  ('0x' || substring(md5(string_agg(minh::VARCHAR, ':' ORDER BY seed)),1,15))::BIGINT band_key
        |  FROM sigs GROUP BY doc_id, seed//16),
        |${capCte("banded0", "banded", Seq("band", "band_key"))},
        |cand AS (SELECT DISTINCT x.doc_id a, y.doc_id b FROM banded x JOIN banded y
@@ -652,7 +652,7 @@ object Oracles {
          |elems AS (SELECT doc_id, unnest(list_distinct(t)) elem FROM toks),
          |${minhashSigsCte(16)},
          |banded0 AS (SELECT doc_id, seed//16 band,
-         |  md5(string_agg(minh::VARCHAR, ':' ORDER BY seed)) band_key
+         |  ('0x' || substring(md5(string_agg(minh::VARCHAR, ':' ORDER BY seed)),1,15))::BIGINT band_key
          |  FROM sigs GROUP BY doc_id, seed//16),
          |dt AS (SELECT doc_id, list_distinct(t) s, len(list_distinct(t)) n FROM toks),
          |${parityClosureCtes("e", 0)},
@@ -1090,7 +1090,7 @@ object Oracles {
          |elems AS (SELECT doc_id, unnest(list_distinct(t)) elem FROM toks),
          |${minhashSigsCte(16)},
          |banded0 AS (SELECT doc_id, seed//16 band,
-         |  md5(string_agg(minh::VARCHAR, ':' ORDER BY seed)) band_key
+         |  ('0x' || substring(md5(string_agg(minh::VARCHAR, ':' ORDER BY seed)),1,15))::BIGINT band_key
          |  FROM sigs GROUP BY doc_id, seed//16),
          |ex0 AS (SELECT * FROM banded0 WHERE doc_id % 10 <> 0),
          |${capCte("ex0", "exb", Seq("band", "band_key"))},
@@ -1137,7 +1137,7 @@ object Oracles {
          |elems AS (SELECT doc_id, unnest(s) elem FROM sh),
          |${minhashSigsCte(16)},
          |banded0 AS (SELECT doc_id, seed//4 band,
-         |  md5(string_agg(minh::VARCHAR, ':' ORDER BY seed)) band_key
+         |  ('0x' || substring(md5(string_agg(minh::VARCHAR, ':' ORDER BY seed)),1,15))::BIGINT band_key
          |  FROM sigs GROUP BY doc_id, seed//4),
          |${capCte("banded0", "banded", Seq("band", "band_key"))},
          |cand AS (SELECT DISTINCT x.doc_id a, y.doc_id b FROM banded x JOIN banded y

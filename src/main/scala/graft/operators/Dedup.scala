@@ -223,12 +223,19 @@ object Dedup {
     * [[capBuckets]]). */
   /** Banded signature keys: one (doc_id, band, band_key) row per band —
     * the LSH bucket identity every candidate generator (and the
-    * incremental probe) joins on. */
+    * incremental probe) joins on. The key is the FUSED 60-bit hash of
+    * the band's minhash sequence (r19, VERDICT #7 / guide §2.3 narrower
+    * types): a band row is (long, int, long) instead of carrying a
+    * 32-char md5 hex string through every band self-join, bucket-size
+    * count and index write — same collision-free-in-practice bucket
+    * identity (the hash input string is unchanged; the oracle twin
+    * parses the same 15 hex chars of the same md5), ~60% narrower band
+    * frame in the exchanges. */
   def bandKeys(sigs: DataFrame, rowsPerBand: Int): DataFrame =
     sigs
       .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
       .groupBy("doc_id", "band")
-      .agg(md5(concat_ws(":", transform(array_sort(collect_list(struct(col("seed"), col("minh")))),
+      .agg(TextFns.hash60(concat_ws(":", transform(array_sort(collect_list(struct(col("seed"), col("minh")))),
         s => s.getField("minh").cast("string")))).as("band_key"))
 
   def lshCandidatePairs(sigs: DataFrame, rowsPerBand: Int,

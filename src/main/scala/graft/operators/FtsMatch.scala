@@ -540,9 +540,12 @@ object FtsMatch {
         .filter(_ => exacts.nonEmpty) ++
       stems.map(p => col("term").startsWith(p)))
       .reduce(_ || _)
-    idx.docs.where(prunePred(shapes))
-      .select(col("doc_id"),
-        graft.functions.TextFns.tokens(col("text_plain")).as("t"))
+    // the SHARED tokenized-docs layer (idx.docsTokens, cached): before
+    // r19 this re-tokenized the pruned candidate subset per positional
+    // leg — the 11-leg battery paid the corpus tokenize ~7× (guide
+    // §2.4, compute shared layers once). The row-local substring prune
+    // is unchanged (docsTokens carries text_plain for it).
+    idx.docsTokens.where(prunePred(shapes))
       .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "term")))
       .where(keep)
   }
@@ -591,9 +594,10 @@ object FtsMatch {
         if (e2.stem) element_at(col("t"), j + 1).startsWith(e2.t)
         else element_at(col("t"), j + 1) === e2.t
       }
-      idx.docs.where(prunePred(Seq(elems)))
-        .select(col("doc_id"),
-          graft.functions.TextFns.tokens(col("text_plain")).as("t"))
+      // head check over the shared tokenized-docs layer (see
+      // positionsOf) — same row-local prune + element_at conditions,
+      // minus the per-leg re-tokenize
+      idx.docsTokens.where(prunePred(Seq(elems)))
         .where(conds.reduce(_ && _))
         .select("doc_id")
     case Phrase(elems) =>

@@ -89,6 +89,22 @@ object Quran {
       (r.getAs[Long]("n_docs"),
         if (r.isNullAt(r.fieldIndex("sum_dl"))) 0L else r.getAs[Long]("sum_dl"))
     }
+    /** Tokenized-docs layer shared by every POSITIONAL MATCH leg
+      * (r19, guide §2.4): (doc_id, text_plain, t) with `t` the token
+      * array, cached on first use. phrase/NEAR/anchor verification
+      * previously re-tokenized its pruned candidate subset PER LEG —
+      * the 11-leg battery re-ran the corpus tokenize ~7× (10-27 s task
+      * CPU per leg at sf0.1); every leg now reads one cached array
+      * column and keeps its row-local prune. text_plain rides along so
+      * [[graft.operators.FtsMatch]]'s substring prune stays row-local
+      * over this same frame. Lazy: only positional MATCH paths pay the
+      * fill (single-term/bm25 searches never touch it); [[warmed]]
+      * fills it for the battery so concurrent legs can't stampede the
+      * lazy cache. */
+    lazy val docsTokens: DataFrame = docs
+      .select(col("doc_id"), col("text_plain"),
+        TextFns.tokens(col("text_plain")).as("t"))
+      .cache()
     /** Eager wave materialization for ONE-SHOT (cold) multi-probe
       * plans: fill every cached layer once, in dependency order, and
       * return the index otherwise UNCHANGED (no re-root, no narrowing,
@@ -104,7 +120,8 @@ object Quran {
     def warmed(): Index = {
       Postings.awaitAll(Seq(() => docs.count(): Unit) ++
         emb.map(e => () => e.count(): Unit))
-      Postings.awaitAll(Seq(() => postings.count(): Unit) ++
+      Postings.awaitAll(Seq(() => postings.count(): Unit,
+        () => docsTokens.count(): Unit) ++
         embQ.map(e => () => e.count(): Unit))
       Postings.awaitAll(Seq(() => dict.count(): Unit, () => stats.count(): Unit))
       this

@@ -35,6 +35,27 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("fused band_key equals the 60-bit md5 prefix of the band's minh sequence (oracle twin)") {
+    // bandKeys now carries TextFns.hash60(minh-sequence) instead of the
+    // 32-char md5 hex string; the DuckDB twin parses the same 15 hex
+    // chars of the same md5 — pin the value identity on the composed
+    // md5-string form here so the two derivations can never drift
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 16)
+    val banded = Dedup.bandKeys(sigs, 4)
+    assert(banded.schema("band_key").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val composed = sigs
+      .withColumn("band", (col("seed") / 4).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(conv(substring(md5(concat_ws(":",
+        transform(array_sort(collect_list(struct(col("seed"), col("minh")))),
+          s => s.getField("minh").cast("string")))), 1, 15), 16, 10)
+        .cast("long").as("bk"))
+    val joined = banded.join(composed, Seq("doc_id", "band"))
+    assert(joined.count() > 0)
+    assert(joined.where(col("band_key") =!= col("bk")).count() === 0)
+  }
+
   test("simhash pairs at hamming 0 contain the exact dup; banding loses nothing <= maxHamming") {
     val sim = Dedup.simhash(docs, "doc_id", "text", 32)
     val banded = Dedup.simhashPairs(sim, maxHamming = 3, bits = 32)

@@ -821,27 +821,50 @@ object Similarity {
               iters: Int): Array[Array[Array[Double]]] = {
     val dsub = dim / m
     require(m * dsub == dim, s"dim $dim not divisible into $m subspaces")
-    // the m subspace trainings are INDEPENDENT Spark jobs over the same
-    // (cached) source — submit them concurrently so the cluster
-    // overlaps their narrow scans instead of paying m sequential
-    // (iters+1)-scan round trips (r17: the rPQ build's wall cost was
-    // ~8× one subspace's). Results are deterministic per subspace, so
-    // the submission order cannot change the books.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(m, 8))
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutor(pool)
-    try {
-      val futs = (0 until m).map { j =>
-        scala.concurrent.Future {
-          val sub = qd.select(col("vec_id"), subSlice(col("qv"), j, dsub).as("qv"))
-          lloydLoop(sub, ksub, iters, sum(col("v").cast("long")),
-            r => (r.getLong(2) / r.getLong(3)).toDouble, bestSubCode)
-        }
+    // ONE fused job per training step for ALL m subspaces (r19; the
+    // r17 form ran the m trainings as concurrent per-subspace jobs —
+    // 8 seed collects + 8·iters cell collects of ~100 ms driver
+    // latency each, and at sf0.1 the rPQ rung's build was ~44 such
+    // micro-jobs; guide §1.2 — the per-JOB fixed cost was the cost).
+    // Arithmetic is unchanged and exact: the same bestSubCode
+    // assignment per subspace, the same truncated-integer cell means,
+    // empty cells keep their seed — the DuckDB training replay pins
+    // the values bit-for-bit.
+    //
+    // seeds: every subspace's seeds are slices of the SAME ksub
+    // lowest-id vectors — collect them once, slice driver-side
+    val seedRows = qd.orderBy("vec_id").limit(ksub)
+      .collect().map(_.getSeq[Double](1).toArray)
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => seedRows.map(_.slice(j * dsub, (j + 1) * dsub)))
+    for (_ <- 0 until iters) {
+      // per-row: m (subspace, nearest-code, sub-vector) structs explode
+      // into per-(subspace, code, dim) integer cell sums — one narrow
+      // shuffle of m·ksub·dsub cells, one collect
+      val subCols = (0 until m).map { j =>
+        struct(lit(j).as("sub"),
+          bestSubCode(subSlice(col("qv"), j, dsub), books(j)).as("centroid"),
+          subSlice(col("qv"), j, dsub).as("sv"))
       }
-      scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(futs),
-        scala.concurrent.duration.Duration.Inf).toArray
-    } finally pool.shutdown()
+      val cells = qd
+        .select(explode(array(subCols: _*)).as("a"))
+        .select(col("a.sub").as("sub"), col("a.centroid").as("centroid"),
+          posexplode(col("a.sv")).as(Seq("pos", "v")))
+        .groupBy("sub", "centroid", "pos")
+        .agg(sum(col("v").cast("long")).as("s"), count("*").as("n"))
+        .collect() // m·ksub·dsub cells — driver-side planning data, tiny
+      val byJC = cells.groupBy(r => (r.getInt(0), r.getInt(1)))
+      books = Array.tabulate(m) { j =>
+        books(j).indices.map { i =>
+          byJC.get((j, i)) match {
+            case Some(rows) => rows.sortBy(_.getInt(2))
+              .map(r => (r.getLong(3) / r.getLong(4)).toDouble).toArray
+            case None => books(j)(i) // empty cell keeps its seed
+          }
+        }.toArray
+      }
+    }
+    books
   }
 
   /** Per-row PQ code array: element j = nearest sub-centroid of

@@ -626,6 +626,9 @@ object Bench {
     // recomputed from coldResults() before each artifact write so it
     // rides BOTH artifact forms (full + compact tail)
     var regrJson = """{"base":null,"rows":{}}"""
+    // per-tag MATCH battery seconds (r19) — measured once after the
+    // cold suite over a warmed index; "null" until then
+    var matchTagsJson = "null"
 
     // partial artifact > no artifact: rebuild the full JSON line from
     // whatever has completed so far and REWRITE the file after every
@@ -665,7 +668,11 @@ object Bench {
               sMin == 0 ||
                 passSentinelS.get(p).forall(s => s <= 2 * sMin || s <= sMin + 1.0)
             }
-            val spread = if (quietOk.size > 1) quietOk else ok
+            // exactly ONE quiet pass: no spread evidence — rely on the
+            // sentinel flag alone rather than falling back to samples
+            // from passes already proven contended (r18 ADVICE #3: the
+            // fallback kept re-condemning rows by their own history)
+            val spread = if (quietOk.nonEmpty) quietOk else ok
             val spreadNoisy = spread.size > 1 &&
               spread.map(_._1).max / math.max(spread.map(_._1).min, 1e-9) > 2.0 &&
               spread.map(_._1).max - spread.map(_._1).min > 1.0
@@ -698,7 +705,10 @@ object Bench {
         val lc = build.filter(_ >= 0.1).map(b =>
           s""","build_s":${fmt(b, 2)},"probe_s":${fmt(math.max(v - b, 0), 2)}""")
           .getOrElse("")
-        s""""$k":{"passes":[${passes.map(fmt(_, 2)).mkString(",")}],"noisy":$noisy$sh$lc}"""
+        // per-tag MATCH seconds ride the battery row's detail (r19)
+        val tags = if (k == "quran_match_syntax" && matchTagsJson != "null")
+          s""","tags":$matchTagsJson""" else ""
+        s""""$k":{"passes":[${passes.map(fmt(_, 2)).mkString(",")}],"noisy":$noisy$sh$lc$tags}"""
       }.mkString("{", ",", "}")
       val failed = results.collect { case (k, _, Some(e), _, _, _) => s"\"$k\":\"${esc(e)}\"" }
         .mkString("{", ",", "}")
@@ -821,8 +831,15 @@ object Bench {
     // makes a re-run not cold).
     val noisyBar = math.max(0,
       sys.env.get("SPARK_GRAFT_NOISY_BAR").flatMap(_.toIntOption).getOrElse(15))
+    // default raised 2 → 8 (r19, r18 verdict #2): the artifact run must
+    // keep re-measuring still-noisy rows until n_noisy ≤ the bar or the
+    // deadline fires — r18 shipped n_noisy 83 because two top-up passes
+    // could not outlast a multi-minute contention window, and a verdict
+    // adjudicated on 83 flagged rows is not a measurement. Each pass
+    // re-runs ONLY the flagged rows, so the worst case stays bounded by
+    // the deadline, not by 8 full suite passes.
     val maxTopup = math.max(0,
-      sys.env.get("SPARK_GRAFT_NOISY_TOPUP").flatMap(_.toIntOption).getOrElse(2))
+      sys.env.get("SPARK_GRAFT_NOISY_TOPUP").flatMap(_.toIntOption).getOrElse(8))
     var topup = 0
     while (topup < maxTopup && !pastDeadline && !deadlineHit &&
         coldResults().count(_._5) > noisyBar) {
@@ -836,9 +853,35 @@ object Bench {
         if (!pastDeadline) runOne(name, fn, pass)
       }
     }
+    System.err.println(
+      s"[bench] noise gate: ${coldResults().count(_._5)} rows still flagged " +
+        s"after $topup top-up pass(es) (bar $noisyBar)")
     if (deadlineHit)
       System.err.println(s"[bench] deadline ${deadlineS.getOrElse(0)}s exceeded — " +
         s"skipping remaining cold passes (${named.count(n => !samples.contains(n._1))} queries unmeasured)")
+
+    // ── per-tag MATCH battery timing (r19, r18 verdict #8) ───────────
+    // One regressed leg hides inside the 11-leg union's aggregate
+    // number; time each tag's leg separately over ONE warmed index
+    // (build excluded — the aggregate row already tracks it) so
+    // query_detail.quran_match_syntax carries per-tag seconds.
+    // Deadline-guarded and isolated: a failure costs this field only.
+    if (!deadlineHit && !pastDeadline) try {
+      val idx = graft.operators.Quran.buildIndex(
+        graft.operators.Quran.load(spark, Queries.QuranDir), None).warmed()
+      val tags = Queries.MatchQueries.map { case (tag, mq) =>
+        val t0 = System.nanoTime()
+        graft.operators.FtsMatch.search(idx, mq, 5).fold(
+          err => sys.error(s"'$mq': $err"),
+          df => df.write.format("noop").mode("overwrite").save())
+        s""""$tag":${fmt((System.nanoTime() - t0) / 1e9, 2)}"""
+      }
+      matchTagsJson = tags.mkString("{", ",", "}")
+      spark.catalog.clearCache()
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] match-tag timing skipped: $e")
+    }
 
     // ── part 2: ANN recall + warm serving path ───────────────────────
     // skipped when the deadline already truncated the cold suite: the

@@ -472,10 +472,22 @@ object GraftIndexes {
     * each directory so the rerank phase's pushed `vec_id IN (…)`
     * filter keeps effective row-group min/max stats. The tiny
     * assignment shuffle this adds is metadata-scale next to the file
-    * churn it removes at any corpus size. */
+    * churn it removes at any corpus size.
+    *
+    * HASH-collision caveat (r18 ADVICE #2): repartition(K, col) can
+    * land two partition values in one task (written sequentially)
+    * while other tasks stay empty, so write parallelism degrades
+    * probabilistically — one-file-per-directory still holds, which is
+    * the property the readers depend on. repartitionByRange would
+    * avoid collisions outright but pays a sampling pass per write;
+    * hashing into 2K partitions instead keeps the single shuffle and
+    * roughly halves the share of values that land in a shared task
+    * (P(value alone) = (1−1/B)^(K−1): ≈ e⁻¹ at B=K, ≈ e^−½ at B=2K) —
+    * and a directory still never splits (all rows of one value hash to
+    * one task). */
   private def clusterForWrite(df: DataFrame, partCol: String,
                               nParts: Int): DataFrame =
-    df.repartition(math.max(1, nParts), col(partCol))
+    df.repartition(math.max(1, 2 * nParts), col(partCol))
       .sortWithinPartitions(col(partCol), col("vec_id"))
 
   /** Persist an ANN index partitioned by bucket — a probe that filters

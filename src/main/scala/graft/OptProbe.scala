@@ -45,17 +45,27 @@ object OptProbe {
     }
     def clear(): Unit = { stages.clear(); jobs.clear() }
     def report(): Unit = {
-      val byWall = stages.toSeq.sortBy { case (_, s) => -(s.completed - s.submitted) }
+      // stages/jobs still running (or first seen at onTaskEnd) have
+      // end=0 / submitted=0 — print them as "running"/"?" instead of
+      // negative or epoch-scale walls that sort to the top and misname
+      // the expensive stage (r18 ADVICE #4)
+      def wallOf(s: St): Long =
+        if (s.completed > 0 && s.submitted > 0) s.completed - s.submitted else -1L
+      val byWall = stages.toSeq.sortBy { case (_, s) => -wallOf(s) }
       println(f"[opt] ${stages.size} stages, ${jobs.size} jobs")
       byWall.take(25).foreach { case (id, s) =>
-        val wall = if (s.completed > 0) s.completed - s.submitted else -1L
-        println(f"[opt]  stage $id%4d wall=${wall}%5d ms tasks=${s.tasks}%3d " +
+        val w = wallOf(s)
+        val ws = if (w >= 0) f"$w%5d ms" else "running "
+        println(f"[opt]  stage $id%4d wall=$ws tasks=${s.tasks}%3d " +
           f"taskTime=${s.taskMs}%6d ms shufR=${s.shufR / 1024}%7d KB " +
           f"shufW=${s.shufW / 1024}%7d KB in=${s.input / 1024}%7d KB  ${s.name.take(90)}")
       }
-      val jw = jobs.toSeq.sortBy { case (_, (s, e, _)) => -(e - s) }
-      jw.take(15).foreach { case (id, (s, e, d)) =>
-        println(f"[opt]  job $id%4d wall=${e - s}%5d ms  ${d.take(80)}")
+      val jw = jobs.toSeq
+        .map { case (id, (s, e, d)) => (id, if (e > 0) e - s else -1L, d) }
+        .sortBy { case (_, w, _) => -w }
+      jw.take(15).foreach { case (id, w, d) =>
+        val ws = if (w >= 0) f"$w%5d ms" else "running "
+        println(f"[opt]  job $id%4d wall=$ws  ${d.take(80)}")
       }
     }
   }

@@ -1271,6 +1271,12 @@ object Oracles {
     "ann_ivf_rpq" -> ivfSpillOracle(iters = 3,
       delta = graft.operators.Similarity.SpillDelta,
       probeMult = 26, probeFloor = 4, rpqRerank = 8),
+    // persisted-layout probe of the SAME residual rung (r19): the
+    // layout round-trip is engine plumbing — stored codes, identical
+    // probe math — so the oracle is ann_ivf_rpq's replay verbatim
+    "ann_rpq_probe_layout" -> ivfSpillOracle(iters = 3,
+      delta = graft.operators.Similarity.SpillDelta,
+      probeMult = 26, probeFloor = 4, rpqRerank = 8),
     // SQ8 twin (Similarity.sq8TopK): per-vector int8 codes
     // round(qv·127/max|qv|) — exact products, one rounded division, the
     // shared away-from-zero half rule — approx rank by code cosine

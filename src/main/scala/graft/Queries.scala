@@ -1102,6 +1102,29 @@ object Queries {
         dim = Dim, nCentroids = nLists,
         nProbe = Similarity.nProbeWideFor(nLists))
     }),
+    // PROBE-VISIBLE persisted residual rung (r19, r18 verdict #5): the
+    // deep rung's bench row was all build (b=3.1/p=0.0 — Lloyd + rpq
+    // training), so the regression tracker watched training noise, not
+    // probe cost. This row writes+opens the persisted rpq layout INSIDE
+    // the query fn (the bench's lifecycle split bills that to build_s)
+    // and returns the LAYOUT probe as the measured action — probe_s
+    // finally keys the deep rung. rpqProbeLayout is spec-pinned
+    // bit-identical to the in-memory rung, so the oracle is
+    // ann_ivf_rpq's replay verbatim.
+    "ann_rpq_probe_layout" -> ((s, dir) => {
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-rpq-layout-${s.sparkContext.applicationId}").toString
+      registerScratchCleanup(tmp)
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+      val nLists = Similarity.nListsFor(e.count())
+      GraftIndexes.writeRpq(s, e, "vec_id", "embedding", tmp,
+        dim = Dim, nCentroids = nLists)
+      val (asg, cents, books) = GraftIndexes.openRpq(s, tmp)
+      Similarity.rpqProbeLayout(asg, cents, books, q.toArray,
+        nProbe = Similarity.nProbeWideFor(nLists), k = 20, rerank = 8)
+    }),
     // scan-fraction FLOOR variant: one bucket = 1/16 of the corpus
     // scanned; recall ≈ 0.04 on uniform vectors — registered to keep the
     // latency/recall trade's cheap end measured, never as the default

@@ -566,7 +566,17 @@ object FtsMatch {
     case _ => Seq.empty
   }
 
-  /** Compile the (simplified) AST to a (doc_id) candidate frame. */
+  /** Compile the (simplified) AST to a (doc_id) candidate frame.
+    *
+    * MULTISET CONTRACT (r18): the returned frame can carry DUPLICATE
+    * doc_id rows — stem atoms emit one row per matching term, phrase/
+    * NEAR arms one per occurrence, OR arms a plain union. Consumers
+    * must be duplicate-safe: a semi/anti join right side, a set union
+    * re-read the same way, or a driver-side dedupe (FtsDiff sorts +
+    * dedupes). Counting rows or joining INNER against this frame
+    * inflates cardinality silently — add a `.distinct()` at the call
+    * site if set semantics are needed (each internal distinct the r18
+    * optimization dropped was one exchange+stage per battery leg). */
   def candidates(idx: Quran.Index, e: MatchExpr): DataFrame = e match {
     case Ignored | MatchNone =>
       idx.postings.where(lit(false)).select("doc_id")

@@ -467,8 +467,16 @@ object Queries {
         org.apache.spark.sql.types.StructField("ingest_batch",
           org.apache.spark.sql.types.LongType)))
       // per-trigger volume is bounded by the spooled half-corpus: size
-      // the foreachBatch band joins to it (Streams.withStatePartitions)
-      graft.streaming.Streams.withStatePartitions(s, 8) { scoped =>
+      // the foreachBatch band joins to it (Streams.withStatePartitions).
+      // AQE off for the scoped session (r19): the streaming plan itself
+      // already runs without AQE (unsupported), but the foreachBatch
+      // body's batch actions (band fill, verify probe, checkpoint, two
+      // writes) re-planned every exchange adaptively — pure stage-job
+      // latency on small fixed per-batch plans whose joins are already
+      // explicit broadcasts/semi-joins (the tuneForServing rationale at
+      // micro-batch cadence; measured r19: 63 → ~40 jobs, −2 s wall)
+      graft.streaming.Streams.withStatePartitions(s, 8,
+        extraConf = Map("spark.sql.adaptive.enabled" -> "false")) { scoped =>
         graft.streaming.Streams.awaitDone(run(scoped, 0))
         graft.streaming.Streams.awaitAndRead(run(scoped, 1), s, corpus, expected)
       }

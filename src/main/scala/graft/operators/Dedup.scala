@@ -811,21 +811,34 @@ object Dedup {
                               threshold: Double, numHashes: Int = 16,
                               rowsPerBand: Int = 16,
                               materialize: Boolean = true): DataFrame = {
+    // delta token sets shared by the band build AND the verify's a-side
+    // (r19 — the composed form tokenized the delta twice), mirroring
+    // [[minhashNearDupPairs]]
+    val deltaSized = maybeCache(tokenSetsSized(delta, idCol, textCol), materialize)
     val deltaBands = bandKeys(
-      minhashSignatures(delta, idCol, textCol, numHashes), rowsPerBand)
+      minhashFromElems(
+        deltaSized.select(col("doc_id"), explode(col("shingles")).as("elem")),
+        numHashes),
+      rowsPerBand)
     val cand = deltaBands.select(col("band"), col("band_key"), col("doc_id").as("a"))
       .join(index.select(col("band"), col("band_key"), col("doc_id").as("b")),
         Seq("band", "band_key"))
       .select("a", "b").distinct()
     // verify needs shingle sets from BOTH sides: a-ids resolve in the
-    // delta, b-ids in the existing corpus
-    val sized = sizedShingles(
-      existing.select(col(idCol).cast("long").as("doc_id"),
-          TextFns.distinctTokens(col(textCol)).as("shingles"))
-        .unionByName(delta.select(col(idCol).cast("long").as("doc_id"),
-          TextFns.distinctTokens(col(textCol)).as("shingles"))),
+    // delta (cached above), b-ids in the existing corpus. A corpus-side
+    // semi-join prune to candidate partners (the streaming ingest's r19
+    // shape, where the index is PERSISTED) was A/B'd here and lost at
+    // 32 cores: this API's registered form builds `index` in-memory, so
+    // caching cand to feed the prune serialized the full index probe
+    // ahead of the verify (2.79 → 4.17 s same-window) — the overlap the
+    // single-action form gets for free beats the saved tokenize at this
+    // fixture scale. Persisted-index callers get the prune via
+    // [[graft.streaming.Streams.nearDupIngest]]'s arm.
+    val sized = maybeCache(
+      tokenSetsSized(existing, idCol, textCol).unionByName(deltaSized),
       materialize)
-    scoped(materialize, sized)(shingleJaccard(sized, cand, threshold))
+    scoped(materialize, deltaSized, sized)(
+      shingleJaccard(sized, cand, threshold))
   }
 
   /** SimHash (bits ≤ 32): per bit j, sum tf·(±1) by the j-th bit of the

@@ -627,8 +627,20 @@ object Streams {
           .join(prior(indexPath).select(col("band"), col("band_key"), col("doc_id").as("b")),
             Seq("band", "band_key"))
           .select("a", "b").distinct()
+        // corpus-side token sets only for docs that actually collide
+        // (r19): the verify's joins restrict to candidate partners
+        // anyway, but feeding them the WHOLE prior corpus tokenized
+        // re-paid the corpus tokenize every micro-batch — the semi-join
+        // prune re-evaluates cand once more, which is a band equi-join
+        // over the cached band frame and the (small) persisted index,
+        // orders of magnitude cheaper than tokenizing non-colliding
+        // corpus docs. Results identical by construction.
+        val priorCorpus = prior(corpusPath)
+        val priorNeeded = priorCorpus.join(
+          cand.select(col("b").as("__cand_b")),
+          priorCorpus(idCol).cast("long") === col("__cand_b"), "left_semi")
         val sizedBoth = sized.unionByName(
-          Dedup.tokenSetsSized(prior(corpusPath), idCol, textCol))
+          Dedup.tokenSetsSized(priorNeeded, idCol, textCol))
         Dedup.verifyPairs(sizedBoth, cand, threshold)
           .select(col("a").as("dup")).distinct()
       } else batch.select(col(idCol).cast("long").as("dup")).limit(0)

@@ -345,7 +345,10 @@ object Queries {
       val expected = AsOf.asofJoin(views().limit(0), views(),
           "user_id", "ts", "event_id", Seq("value"))
         .schema.add("enrich_batch", org.apache.spark.sql.types.LongType)
-      graft.streaming.Streams.withStatePartitions(s, 8) { scoped =>
+      graft.streaming.Streams.withStatePartitions(s, 8,
+        extraConf = Map("spark.sql.adaptive.enabled" -> "false")) { scoped =>
+        // AQE off: foreachBatch as-of join per micro-batch — small
+        // fixed plans (the stream_near_dup_ingest rationale, r19)
         val purchases = Tables.eventsStream(scoped, dir)
           .where(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"), col("ts"), col("value"))
@@ -371,7 +374,10 @@ object Queries {
       registerScratchCleanup(scratch)
       val expected = Events.hourlyGrain(Tables(s, dir, "events").limit(0), "event_type")
         .schema.add("part_batch", org.apache.spark.sql.types.LongType)
-      val parts = graft.streaming.Streams.withStatePartitions(s, 8) { scoped =>
+      val parts = graft.streaming.Streams.withStatePartitions(s, 8,
+        extraConf = Map("spark.sql.adaptive.enabled" -> "false")) { scoped =>
+        // AQE off: foreachBatch hourly partials per micro-batch —
+        // small fixed plans (the stream_near_dup_ingest rationale, r19)
         val q = graft.streaming.Streams.rollupMaintain(
           Tables.eventsStream(scoped, dir), "event_type",
           s"$scratch/parts", s"$scratch/ck",
@@ -423,8 +429,13 @@ object Queries {
         org.apache.spark.sql.types.StructField("bucket",
           org.apache.spark.sql.types.LongType)))
       // per-trigger volume is a few thousand rows: size the state/
-      // foreachBatch exchanges to it (Streams.withStatePartitions)
-      graft.streaming.Streams.withStatePartitions(s, 8) { scoped =>
+      // foreachBatch exchanges to it (Streams.withStatePartitions).
+      // AQE off inside the scope (r19, the stream_near_dup_ingest
+      // rationale): the foreachBatch body's batch actions (dedupe agg,
+      // dirty-key collects, bucket-pruned merge write) are small fixed
+      // plans; adaptive per-exchange re-planning is pure latency there
+      graft.streaming.Streams.withStatePartitions(s, 8,
+        extraConf = Map("spark.sql.adaptive.enabled" -> "false")) { scoped =>
         graft.streaming.Streams.awaitDone(run(scoped, 0))
         graft.streaming.Streams.awaitAndRead(run(scoped, 1), s, state, expected)
       }
